@@ -1,0 +1,101 @@
+"""Dimension model: the eight fixed dimension types and record tables.
+
+Reference: dsgrid/dimension/base_models.py:12-22 (DimensionType enum) and
+:54-104 (record models). Dimension record tables are tiny (10s-1000s of
+rows) and always broadcast in joins.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+
+class DimensionType(str, Enum):
+    """The eight dsgrid dimension types (reference base_models.py:12-22)."""
+
+    METRIC = "metric"
+    GEOGRAPHY = "geography"
+    SECTOR = "sector"
+    SUBSECTOR = "subsector"
+    TIME = "time"
+    WEATHER_YEAR = "weather_year"
+    MODEL_YEAR = "model_year"
+    SCENARIO = "scenario"
+
+
+#: dimension types that appear as (string) stacked columns in a fact table
+STACKED_DIMENSION_TYPES = [
+    DimensionType.METRIC,
+    DimensionType.GEOGRAPHY,
+    DimensionType.SECTOR,
+    DimensionType.SUBSECTOR,
+    DimensionType.WEATHER_YEAR,
+    DimensionType.MODEL_YEAR,
+    DimensionType.SCENARIO,
+]
+
+
+class TimeDimensionType(str, Enum):
+    """Reference dsgrid/dimension/time.py:15-23."""
+
+    DATETIME = "datetime"
+    ANNUAL = "annual"
+    REPRESENTATIVE_PERIOD = "representative_period"
+    INDEX = "index"
+    NOOP = "noop"
+
+
+class MeasurementType(str, Enum):
+    """How a value represents its interval (reference dsgrid/dimension/time.py)."""
+
+    MEAN = "mean"
+    MIN = "min"
+    MAX = "max"
+    MEASURED = "measured"
+    TOTAL = "total"
+
+
+class RepresentativePeriodFormat(str, Enum):
+    """Reference dsgrid/dimension/time.py:34-50."""
+
+    ONE_WEEK_PER_MONTH_BY_HOUR = "one_week_per_month_by_hour"
+    ONE_WEEKDAY_DAY_AND_ONE_WEEKEND_DAY_PER_MONTH_BY_HOUR = (
+        "one_weekday_day_and_one_weekend_day_per_month_by_hour"
+    )
+
+
+class LeapDayAdjustmentType(str, Enum):
+    """Reference dsgrid/dimension/time.py:53-92."""
+
+    DROP_DEC31 = "drop_dec31"
+    DROP_FEB29 = "drop_feb29"
+    DROP_JAN1 = "drop_jan1"
+    NONE = "none"
+
+
+class DaylightSavingAdjustmentType(str, Enum):
+    """Reference dsgrid/dimension/time.py:143-188."""
+
+    DROP_SPRING_FORWARD_DUPLICATE_FALLBACK = "drop_spring_forward_duplicate_fallback"
+    DROP_SPRING_FORWARD_INTERPOLATE_FALLBACK = "drop_spring_forward_interpolate_fallback"
+    NONE = "none"
+
+
+class DimensionMappingType(str, Enum):
+    """Mapping semantics (reference dsgrid/config/dimension_mapping_base.py:14-39).
+
+    The type determines which fraction-sum invariant must hold:
+    - MANY_TO_ONE_AGGREGATION: fractions are 1.0
+    - ONE_TO_MANY_DISAGGREGATION: fractions sum to 1.0 grouped by from_id
+    - *_EXPLICIT_MULTIPLIERS: arbitrary fractions (unit scaling)
+    """
+
+    ONE_TO_ONE = "one_to_one"
+    MANY_TO_ONE_AGGREGATION = "many_to_one_aggregation"
+    MANY_TO_MANY_AGGREGATION = "many_to_many_aggregation"
+    ONE_TO_MANY_DISAGGREGATION = "one_to_many_disaggregation"
+    MANY_TO_MANY_DISAGGREGATION = "many_to_many_disaggregation"
+    ONE_TO_ONE_EXPLICIT_MULTIPLIERS = "one_to_one_explicit_multipliers"
+    MANY_TO_ONE_EXPLICIT_MULTIPLIERS = "many_to_one_explicit_multipliers"
+    MANY_TO_MANY_EXPLICIT_MULTIPLIERS = "many_to_many_explicit_multipliers"
+    DUPLICATION = "duplication"

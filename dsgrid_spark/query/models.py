@@ -1,0 +1,83 @@
+"""Public query API models (JSON5/JSON-compatible pydantic).
+
+Mirrors the reference's ProjectQueryModel surface
+(dsgrid/query/models.py:598-611, result params :426-524) — same concepts,
+same JSON field names where sensible, so a dsgrid user's queries translate
+mechanically.
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Optional, Union
+
+from pydantic import BaseModel, Field
+
+from dsgrid_spark.operators.aggregation import AggregationModel
+from dsgrid_spark.operators.filters import (
+    BetweenFilter, ColumnOperatorFilter, ExpressionFilter, RawExpressionFilter,
+    SubsetFilter, SupplementalMappingFilter,
+)
+
+FilterModel = Union[
+    ExpressionFilter, RawExpressionFilter, ColumnOperatorFilter,
+    BetweenFilter, SubsetFilter, SupplementalMappingFilter,
+]
+
+
+class MappingSpec(BaseModel):
+    """One dimension-map step of a dataset's plan.
+
+    ``mapping`` names a registered mapping table
+    (reference DatasetMappingPlan, dsgrid/query/dataset_mapping_plan.py:64-120);
+    order matters for intermediate sizes, so it stays user-visible.
+    """
+
+    dimension: str
+    mapping: str
+    salt_partitions: Optional[int] = None  # skew escape hatch
+
+
+class DatasetModel(BaseModel):
+    dataset_id: str
+    mappings: list[MappingSpec] = Field(default_factory=list)
+    filters: list[FilterModel] = Field(default_factory=list)
+
+
+class ProjectionDatasetModel(BaseModel):
+    """Growth-rate projection dataset (reference models.py standalone
+    datasets with construction_method exponential_growth/annual_multiplier)."""
+
+    dataset_id: str
+    initial_value_dataset: str
+    growth_rate_dataset: str
+    construction_method: Literal["exponential_growth", "annual_multiplier"]
+    base_year: Optional[str] = None
+    mappings: list[MappingSpec] = Field(default_factory=list)
+    filters: list[FilterModel] = Field(default_factory=list)
+
+
+class PivotedResultFormat(BaseModel):
+    format_type: Literal["pivoted"] = "pivoted"
+    pivoted_dimension: str
+    pivot_values: Optional[list[str]] = None
+
+
+class ResultModel(BaseModel):
+    """Result-phase params (reference models.py:426-524)."""
+
+    filters: list[FilterModel] = Field(default_factory=list)
+    aggregations: list[AggregationModel] = Field(default_factory=list)
+    sort_columns: list[str] = Field(default_factory=list)
+    replace_ids_with_names: bool = False
+    output_format: Literal["stacked", "pivoted"] = "stacked"
+    pivoted: Optional[PivotedResultFormat] = None
+    time_zone: Optional[str] = None
+
+
+class ProjectQueryModel(BaseModel):
+    """Top-level query (reference models.py:598-611)."""
+
+    name: str
+    source_datasets: list[Union[DatasetModel, ProjectionDatasetModel]]
+    expression: Optional[str] = None  # default: union of all datasets
+    result: ResultModel = Field(default_factory=ResultModel)

@@ -1,0 +1,147 @@
+"""Query lifecycle orchestration.
+
+Reference dsgrid/query/query_submitter.py (lifecycle §3.1 of SURVEY.md).
+One long-lived SparkSession end-to-end; intermediate datasets stay as
+DataFrame lineage (Catalyst sees the WHOLE query and can push filters
+through the mapping joins); parquet only for the content-hash cache.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, functions as F
+
+from dsgrid_spark.common import VALUE_COLUMN
+from dsgrid_spark.operators.aggregation import apply_aggregations
+from dsgrid_spark.operators.expressions import default_expression, evaluate_expression
+from dsgrid_spark.operators.filters import SupplementalMappingFilter
+from dsgrid_spark.operators.growth import (
+    apply_annual_multiplier,
+    apply_exponential_growth,
+)
+from dsgrid_spark.operators.mapping import apply_fraction, map_stacked_dimension
+from dsgrid_spark.operators.reshape import pivot
+from dsgrid_spark.datasets.handlers import OneTableHandler, TwoTableHandler
+from dsgrid_spark.query.context import QueryContext, ResultCache, content_hash
+from dsgrid_spark.query.models import (
+    DatasetModel,
+    ProjectQueryModel,
+    ProjectionDatasetModel,
+)
+from dsgrid_spark.sources.catalog import Catalog
+from dsgrid_spark.sources.writers import write_parquet
+
+
+class QuerySubmitter:
+    def __init__(self, catalog: Catalog, output_dir: str | Path | None = None):
+        self.catalog = catalog
+        self.output_dir = Path(output_dir) if output_dir else None
+        self.cache = ResultCache(self.output_dir / "cache") if self.output_dir else None
+
+    # ---- per-dataset map phase (lifecycle step 5) --------------------
+    def _load_stacked(self, dataset_id: str) -> DataFrame:
+        df, config = self.catalog.dataset(dataset_id)
+        lookup = self.catalog.dataset_lookup(dataset_id)
+        if lookup is not None:
+            return TwoTableHandler(df, lookup, config).to_stacked()
+        return OneTableHandler(df, config).df
+
+    def _map_dataset(self, model: DatasetModel) -> DataFrame:
+        df = self._load_stacked(model.dataset_id)
+        # prefilters: apply BEFORE mapping so Catalyst pushes them to the scan
+        for flt in model.filters:
+            if isinstance(flt, SupplementalMappingFilter):
+                raise ValueError("supplemental filters need mapping records; "
+                                 "use result filters")
+            df = flt.apply(df)
+        for spec in model.mappings:
+            records = self.catalog.mapping(spec.mapping)
+            df = map_stacked_dimension(
+                df, records, spec.dimension, salt_partitions=spec.salt_partitions
+            )
+        return apply_fraction(df)
+
+    def _map_projection(self, model: ProjectionDatasetModel) -> DataFrame:
+        initial = self._map_dataset(
+            DatasetModel(dataset_id=model.initial_value_dataset,
+                         mappings=model.mappings, filters=model.filters)
+        )
+        rates = self._map_dataset(
+            DatasetModel(dataset_id=model.growth_rate_dataset,
+                         mappings=model.mappings, filters=model.filters)
+        )
+        if model.construction_method == "exponential_growth":
+            if model.base_year is None:
+                raise ValueError("exponential_growth requires base_year")
+            return apply_exponential_growth(initial, rates, model.base_year)
+        return apply_annual_multiplier(initial, rates)
+
+    # ---- combine + result phases (lifecycle steps 6-8) ----------------
+    def submit(self, query: ProjectQueryModel) -> DataFrame:
+        spark = self.catalog.spark
+        key = content_hash(
+            query.model_dump(),
+            {d: e.version for d, e in self.catalog.datasets.items()},
+        )
+        if self.cache:
+            hit = self.cache.get(key)
+            if hit:
+                return spark.read.parquet(str(hit))
+
+        mapped: dict[str, DataFrame] = {}
+        for ds in query.source_datasets:
+            if isinstance(ds, ProjectionDatasetModel):
+                mapped[ds.dataset_id] = self._map_projection(ds)
+            else:
+                mapped[ds.dataset_id] = self._map_dataset(ds)
+
+        # align columns (reference query_submitter.py:527-542)
+        col_order = sorted(next(iter(mapped.values())).columns)
+        mapped = {k: v.select(*col_order) for k, v in mapped.items()}
+
+        expr = query.expression or default_expression(list(mapped))
+        df = evaluate_expression(expr, mapped)
+
+        res = query.result
+        for flt in res.filters:
+            if isinstance(flt, SupplementalMappingFilter):
+                raise ValueError("bind supplemental filters via apply_with_mapping")
+            df = flt.apply(df)
+        if res.aggregations:
+            df = apply_aggregations(df, res.aggregations)
+        if res.replace_ids_with_names:
+            df = self._replace_ids_with_names(df)
+        if res.sort_columns:
+            df = df.sort(*res.sort_columns)
+        if res.output_format == "pivoted" and res.pivoted:
+            df = pivot(df, res.pivoted.pivoted_dimension,
+                       pivot_values=res.pivoted.pivot_values)
+
+        if self.cache and self.output_dir:
+            out = self.cache.path_for(key)
+            write_parquet(df, out)
+            ctx = QueryContext(value_column=VALUE_COLUMN)
+            (self.output_dir / f"{query.name}.metadata.json").write_text(
+                json.dumps({"query": query.model_dump(), **ctx.metadata()},
+                           indent=2, default=str)
+            )
+            return spark.read.parquet(str(out))
+        return df
+
+    def _replace_ids_with_names(self, df: DataFrame) -> DataFrame:
+        """Swap each dimension id column for its record name via broadcast
+        joins (reference table_format_handler_base.py:163-179)."""
+        for dim_name, source in self.catalog.dimensions.items():
+            if dim_name not in df.columns:
+                continue
+            recs = self.catalog.dimension(dim_name).select(
+                F.col("id").alias("__id"), F.col("name").alias("__name")
+            )
+            df = (
+                df.join(F.broadcast(recs), df[dim_name] == F.col("__id"), "left")
+                .withColumn(dim_name, F.coalesce(F.col("__name"), F.col(dim_name)))
+                .drop("__id", "__name")
+            )
+        return df

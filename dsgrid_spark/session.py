@@ -1,0 +1,78 @@
+"""SparkSession management.
+
+Design stance (SURVEY.md §7.1): ONE long-lived session for the whole query
+lifecycle — the reference restarts the JVM per dataset and passes parquet
+paths between phases (dsgrid/project.py:279-283); we instead scope conf
+changes on the live session and let AQE re-plan at runtime.
+
+All defaults target scale: AQE on (runtime coalescing + skew-join
+handling), broadcast threshold generous enough for dimension/mapping
+tables, Arrow enabled for the few Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONF = {
+    # AQE replaces the reference's manual repartition/salting in most cases
+    # (dsgrid/utils/dataset.py:695-758); keep salting only as escape hatch.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dimension / mapping tables are tiny; let Spark broadcast aggressively
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for pandas_udf / applyInPandas paths (pipeline operators)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # match the reference's parquet timestamp convention
+    # (dsgrid/spark/functions.py:289-298)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(app_name: str = "dsgrid-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine session with scale-oriented defaults."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    for k, v in _DEFAULT_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return builder.getOrCreate()
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created session."""
+    for k, v in _DEFAULT_CONF.items():
+        if k.startswith("spark.sql."):
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # static confs on a live session — skip
+                pass
+    return spark
+
+
+@contextmanager
+def session_time_zone(spark: SparkSession, tz: str):
+    """Scope ``spark.sql.session.timeZone`` without leaking across queries.
+
+    The reference restarts/re-confs the session around queries so that
+    ``hour()``/grouping is deterministic in the project time zone
+    (dsgrid/query/query_submitter.py:697-727). A scoped conf on one live
+    session achieves the same.
+    """
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)

