@@ -1,38 +1,822 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the dsgrid_spark engine; ``oracle_sql()`` holds the equivalent
+ANSI SQL for the DuckDB oracle. Column names/aliases match exactly on
+both sides; float aggregates are rounded identically on both sides to
+absorb summation-order differences.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dsgrid_spark.operators.aggregation import AggregationModel, ColumnModel
+from dsgrid_spark.operators.expressions import evaluate_expression
+from dsgrid_spark.operators.filters import (
+    BetweenFilter,
+    ColumnOperatorFilter,
+    ExpressionFilter,
+    apply_anti_join,
+    apply_subset_filter,
+)
+from dsgrid_spark.operators.growth import apply_exponential_growth
+from dsgrid_spark.operators.mapping import (
+    apply_fraction,
+    map_stacked_dimension,
+)
+from dsgrid_spark.operators.reports import peak_load, top_k_per_group
+from dsgrid_spark.operators.reshape import pivot, unpivot
+from dsgrid_spark.operators.units import convert_units
+from dsgrid_spark.datasets.handlers import DatasetConfig, TwoTableHandler
+from dsgrid_spark.pipeline.dedup import exact_dedup, minhash_dedup, simhash_dedup
+from dsgrid_spark.pipeline.multimodal import extract_image_features
+from dsgrid_spark.pipeline.similarity import brute_force_topk, lsh_topk
+from dsgrid_spark.pipeline.text import bpe_ish_token_count, token_count
+from dsgrid_spark.sources.tables import load_table, prep_session
+from dsgrid_spark.timedim.annual import annual_to_hourly
+from dsgrid_spark.timedim.conversion import (
+    convert_time_zone,
+    convert_time_zone_by_geography,
+    downsample,
+)
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_DUCK_TS = "%Y-%m-%d %H:%M:%S"
+_DUCK_TS_US = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship dsgrid-style query at sf0.001: map the customer's nation
+    through a weighted mapping table to its region (broadcast map-join +
+    fraction collapse), join orders, aggregate revenue per region/year."""
+    sf_dir = "/root/testdata/sf0.001"
+    prep_session(spark)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    mapping = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").cast("string").alias("from_id"),
+        F.col("r_name").alias("to_id"),
+        F.lit(1.0).alias("from_fraction"),
+    )
+    fact = customer.join(orders, customer.c_custkey == orders.o_custkey).select(
+        F.col("c_nationkey").cast("string").alias("geography"),
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_totalprice").alias("value"),
+    )
+    mapped = apply_fraction(map_stacked_dimension(fact, mapping, "geography"))
+    return (
+        mapped.groupBy("geography", "order_year")
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+        .orderBy("geography", "order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries: one per operator family
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """Hash aggregation with multiple agg functions (SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q02_scan_projection(spark, sf_dir):
+    """Parquet scan + projection + pushed filter (SURVEY §2.1/2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def q03_filter_ops(spark, sf_dir):
+    """Column-operator / between / negated filters (SURVEY §2.2)."""
+    part = _t(spark, sf_dir, "part")
+    part = ColumnOperatorFilter(column="p_type", operator="startswith",
+                                value="PROMO").apply(part)
+    part = BetweenFilter(column="p_size", lower=1, upper=15).apply(part)
+    part = ColumnOperatorFilter(column="p_brand", operator="isin",
+                                value=["Brand#45"], negate=True).apply(part)
+    return part.select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+def q04_filter_subset(spark, sf_dir):
+    """Subset-dimension semi-join filter (SURVEY §2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    small_parts = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    out = apply_subset_filter(li, "l_partkey", small_parts, "p_partkey")
+    return out.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q05_filter_anti(spark, sf_dir):
+    """Anti join: customers with no orders (SURVEY §2.3 anti join)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    out = apply_anti_join(cust, orders, ["c_custkey"])
+    return out.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+
+
+def q06_join_multi(spark, sf_dir):
+    """Multi-table equi-join chain (SURVEY §2.3)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def q07_map_dimension(spark, sf_dir):
+    """map_stacked_dimension + apply_fraction — the dsgrid workhorse
+    (SURVEY §2.3 'map stacked dimension')."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    mapping = nation.select(
+        F.col("n_nationkey").cast("string").alias("from_id"),
+        F.col("n_name").alias("to_id"),
+        F.lit(1.0).alias("from_fraction"),
+    )
+    fact = cust.select(
+        F.col("c_custkey"),
+        F.col("c_nationkey").cast("string").alias("geography"),
+        F.col("c_acctbal").alias("value"),
+    )
+    mapped = apply_fraction(map_stacked_dimension(fact, mapping, "geography"))
+    return mapped.groupBy("geography").agg(
+        F.round(F.sum("value"), 2).alias("total_acctbal")
+    )
+
+
+def q08_map_disaggregation(spark, sf_dir):
+    """Weighted ONE_TO_MANY disaggregation with fractions summing to 1
+    per from_id (SURVEY §2.3/§4 skew case)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_regionkey")
+    mapping = nation.select(
+        F.col("n_regionkey").cast("string").alias("from_id"),
+        F.col("n_name").alias("to_id"),
+        (F.lit(1.0) / F.count("*").over(w)).alias("from_fraction"),
+    )
+    region_totals = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_regionkey").cast("string").alias("geography"))
+        .agg(F.sum("c_acctbal").alias("value"))
+    )
+    out = apply_fraction(map_stacked_dimension(region_totals, mapping, "geography"))
+    return out.select(
+        F.col("geography").alias("nation_name"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+def q09_two_table(spark, sf_dir):
+    """Two-table dataset: fact ⋈ lookup on surrogate id (SURVEY §1.1)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_shipdate").alias("timestamp"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    lookup = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    handler = TwoTableHandler(li, lookup, DatasetConfig(dataset_id="li2t",
+                                                        time_columns=["timestamp"]))
+    stacked = handler.to_stacked()
+    return stacked.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q10_agg_chained(spark, sf_dir):
+    """Chained AggregationModels with per-column function transform
+    (hour-of-day diurnal pattern, SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = AggregationModel(
+        group_by_columns=[
+            ColumnModel(dimension_name="event_type"),
+            ColumnModel(dimension_name="ts", function="hour", alias="hour"),
+        ],
+        aggregation_function="sum",
+    ).apply(ev.select("event_type", "ts", "value"))
+    # fix the rounding boundary of the intermediate before averaging so the
+    # oracle averages bit-identical inputs
+    hourly = hourly.withColumn("value", F.round("value", 2))
+    diurnal = AggregationModel(
+        group_by_columns=[ColumnModel(dimension_name="event_type")],
+        aggregation_function="avg",
+    ).apply(hourly)
+    return diurnal.select(
+        "event_type", F.round("value", 3).alias("avg_hourly_value")
+    )
+
+
+def q11_count_distinct(spark, sf_dir):
+    """count_distinct per group (SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q12_peak_load(spark, sf_dir):
+    """Peak-load report as ranking window argmax (SURVEY §2.4/2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    out = peak_load(ev.select("event_id", "ts", "event_type", "value"),
+                    ["event_type"], tie_breakers=["event_id"])
+    return out.select(
+        "event_id", "event_type",
+        F.date_format("ts", TS_FMT_US).alias("peak_ts"),
+        "value",
+    )
+
+
+def q13_top_k(spark, sf_dir):
+    """Top-k per group via row_number window (SURVEY §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"], k=3, value_column="o_totalprice",
+        tie_breakers=["o_orderkey"],
+    )
+    return out
+
+
+def q14_sort_limit(spark, sf_dir):
+    """Global sort + limit (SURVEY §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q15_union(spark, sf_dir):
+    """Dataset expression union '|' (SURVEY §2.7/2.12)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation_key"),
+        F.lit("customer").alias("src"),
+        F.col("c_acctbal").alias("value"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation_key"),
+        F.lit("supplier").alias("src"),
+        F.col("s_acctbal").alias("value"),
+    )
+    u = evaluate_expression("cust | supp", {"cust": cust, "supp": supp})
+    return u.groupBy("nation_key", "src").agg(
+        F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q16_intersect(spark, sf_dir):
+    """Intersect distinct (SURVEY §2.7)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
+    return c.intersect(s)
+
+
+def q17_except(spark, sf_dir):
+    """Except distinct (SURVEY §2.7)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
+    return c.distinct().subtract(s.distinct())
+
+
+def q18_arith_expression(spark, sf_dir):
+    """Dataset arithmetic 'a - b' as full-dim join (SURVEY §2.3/2.12)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.year("o_orderdate") <= 1996)
+        .groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("value"))
+    )
+    b = (
+        orders.filter(F.year("o_orderdate") > 1996)
+        .groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("value"))
+    )
+    diff = evaluate_expression("a - b", {"a": a, "b": b})
+    return diff.select("o_orderpriority", F.round("value", 2).alias("value"))
+
+
+def q19_pivot(spark, sf_dir):
+    """Stacked → pivoted result format (SURVEY §2.8)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", F.col("o_totalprice").alias("value")
+    )
+    p = pivot(orders, "o_orderstatus", pivot_values=["F", "O", "P"])
+    return p.select(
+        "o_orderpriority",
+        F.round("F", 2).alias("F"),
+        F.round("O", 2).alias("O"),
+        F.round("P", 2).alias("P"),
+    )
+
+
+def q20_unpivot(spark, sf_dir):
+    """Pivoted → stacked unpivot/melt (SURVEY §2.8)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return unpivot(li, ["l_quantity", "l_extendedprice", "l_discount"], "measure")
+
+
+def q21_scalar_datetime(spark, sf_dir):
+    """Scalar date/arith functions in group-by (SURVEY §2.9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def q22_unit_conversion(spark, sf_dir):
+    """Unit conversion kWh→MWh via metric records (SURVEY §2.9)."""
+    ev = _t(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    from_records = spark.createDataFrame([(t, "kWh") for t in types],
+                                         "id string, unit string")
+    to_records = spark.createDataFrame([(t, "MWh") for t in types],
+                                       "id string, unit string")
+    out = convert_units(ev.select("event_id", "event_type", "value"),
+                        "event_type", from_records, to_records)
+    return out.select("event_id", "event_type",
+                      F.round("value", 9).alias("value_mwh"))
+
+
+def q23_time_downsample(spark, sf_dir):
+    """Datetime re-resolution: downsample to 6h TOTAL (SURVEY §2.10)."""
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    out = downsample(ev, "ts", 6 * 3600)
+    return out.select(
+        F.date_format("ts", TS_FMT).alias("bucket_ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+def q24_annual_to_hourly(spark, sf_dir):
+    """Annual → hourly expansion with TOTAL spread (SURVEY §2.10)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.year("o_orderdate").isin(1995, 1996)
+    )
+    annual = orders.groupBy(
+        F.year("o_orderdate").cast("string").alias("model_year"),
+        "o_orderpriority",
+    ).agg(F.sum("o_totalprice").alias("value"))
+    hourly = annual_to_hourly(annual)
+    return hourly.select(
+        "model_year", "o_orderpriority",
+        F.date_format("timestamp", TS_FMT).alias("hour_ts"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q25_tz_convert(spark, sf_dir):
+    """Single-zone time conversion (SURVEY §2.10)."""
+    ev = _t(spark, sf_dir, "events")
+    out = convert_time_zone(ev.select("event_id", "ts"), "ts", "Etc/GMT+7")
+    return out.select(
+        "event_id", F.date_format("ts", TS_FMT_US).alias("local_ts")
+    )
+
+
+def q26_tz_by_geography(spark, sf_dir):
+    """Per-geography time-zone conversion (SURVEY §2.10)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "geography", (F.col("user_id") % 4).cast("string")
+    )
+    geo = spark.createDataFrame(
+        [("0", "Etc/GMT+5"), ("1", "Etc/GMT+6"), ("2", "Etc/GMT+7"), ("3", "Etc/GMT+8")],
+        "id string, time_zone string",
+    )
+    out = convert_time_zone_by_geography(
+        ev.select("event_id", "ts", "geography"), "ts", geo, "geography"
+    )
+    return out.select(
+        "event_id", "geography", "time_zone",
+        F.date_format("ts", TS_FMT_US).alias("local_ts"),
+    )
+
+
+def q27_growth_exponential(spark, sf_dir):
+    """Exponential growth projection P0*(1+r)^(t-t0) (SURVEY §2.12)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    initial = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("value")
+    ).withColumn("model_year", F.lit("1995"))
+    prios = [r[0] for r in initial.select("o_orderpriority").collect()]
+    rates = spark.createDataFrame(
+        [(p, str(y), 0.05) for p in prios for y in (1996, 1997, 1998)],
+        "o_orderpriority string, model_year string, value double",
+    )
+    out = apply_exponential_growth(initial, rates, "1995")
+    return out.select(
+        "o_orderpriority", "model_year", F.round("value", 2).alias("value")
+    )
+
+
+def q28_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text hash (pipeline op)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+def q29_text_stats(spark, sf_dir):
+    """Token counting + quality components (pipeline op)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n = F.length(t)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.round(F.when(n > 0, alpha / n).otherwise(0.0), 6).alias("alpha_ratio"),
+    )
+
+
+def q30_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dedup survivors (no SQL oracle — rows check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "text", "doc_id", num_hashes=32, num_bands=4,
+                         shingle_k=5, threshold=0.8).select("doc_id")
+
+
+def q31_simhash_dedup(spark, sf_dir):
+    """SimHash near-dedup survivors (no SQL oracle — rows check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "text", "doc_id", hamming_threshold=3).select("doc_id")
+
+
+def q32_similarity_bruteforce(spark, sf_dir):
+    """Exact brute-force cosine top-k (pipeline op)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+def q33_similarity_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-k (approximate — rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+def q34_multimodal_features(spark, sf_dir):
+    """Binary media column plumbing via mapInPandas (stubbed decode)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    return extract_image_features(media).select("media_id", "width", "height")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_scan_projection": q02_scan_projection,
+        "q03_filter_ops": q03_filter_ops,
+        "q04_filter_subset": q04_filter_subset,
+        "q05_filter_anti": q05_filter_anti,
+        "q06_join_multi": q06_join_multi,
+        "q07_map_dimension": q07_map_dimension,
+        "q08_map_disaggregation": q08_map_disaggregation,
+        "q09_two_table": q09_two_table,
+        "q10_agg_chained": q10_agg_chained,
+        "q11_count_distinct": q11_count_distinct,
+        "q12_peak_load": q12_peak_load,
+        "q13_top_k": q13_top_k,
+        "q14_sort_limit": q14_sort_limit,
+        "q15_union": q15_union,
+        "q16_intersect": q16_intersect,
+        "q17_except": q17_except,
+        "q18_arith_expression": q18_arith_expression,
+        "q19_pivot": q19_pivot,
+        "q20_unpivot": q20_unpivot,
+        "q21_scalar_datetime": q21_scalar_datetime,
+        "q22_unit_conversion": q22_unit_conversion,
+        "q23_time_downsample": q23_time_downsample,
+        "q24_annual_to_hourly": q24_annual_to_hourly,
+        "q25_tz_convert": q25_tz_convert,
+        "q26_tz_by_geography": q26_tz_by_geography,
+        "q27_growth_exponential": q27_growth_exponential,
+        "q28_dedup_exact": q28_dedup_exact,
+        "q29_text_stats": q29_text_stats,
+        "q30_minhash_dedup": q30_minhash_dedup,
+        "q31_simhash_dedup": q31_simhash_dedup,
+        "q32_similarity_bruteforce": q32_similarity_bruteforce,
+        "q33_similarity_lsh": q33_similarity_lsh,
+        "q34_multimodal_features": q34_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_scan_projection": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "q03_filter_ops": """
+            SELECT p_partkey, p_name, p_brand, p_type, p_size
+            FROM part
+            WHERE p_type LIKE 'PROMO%'
+              AND p_size BETWEEN 1 AND 15
+              AND p_brand NOT IN ('Brand#45')
+        """,
+        "q04_filter_subset": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+            GROUP BY l_returnflag
+        """,
+        "q05_filter_anti": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "q06_join_multi": """
+            SELECT r_name AS region_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q07_map_dimension": """
+            SELECT n.n_name AS geography,
+                   round(sum(c.c_acctbal * 1.0), 2) AS total_acctbal
+            FROM customer c JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+            GROUP BY n.n_name
+        """,
+        "q08_map_disaggregation": """
+            WITH totals AS (
+              SELECT CAST(n_regionkey AS VARCHAR) AS geography,
+                     sum(c_acctbal) AS value
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY CAST(n_regionkey AS VARCHAR)
+            ), m AS (
+              SELECT CAST(n_regionkey AS VARCHAR) AS from_id, n_name AS to_id,
+                     1.0 / count(*) OVER (PARTITION BY n_regionkey) AS frac
+              FROM nation
+            )
+            SELECT m.to_id AS nation_name, round(sum(t.value * m.frac), 4) AS value
+            FROM totals t JOIN m ON t.geography = m.from_id
+            GROUP BY m.to_id
+        """,
+        "q09_two_table": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(l_extendedprice), 2) AS sum_value,
+                   count(*) AS n_rows
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus, o_orderpriority
+        """,
+        "q10_agg_chained": """
+            WITH hourly AS (
+              SELECT event_type, extract(hour FROM ts) AS hour,
+                     round(sum(value), 2) AS value
+              FROM events GROUP BY event_type, extract(hour FROM ts)
+            )
+            SELECT event_type, round(avg(value), 3) AS avg_hourly_value
+            FROM hourly GROUP BY event_type
+        """,
+        "q11_count_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "q12_peak_load": f"""
+            SELECT event_id, event_type,
+                   strftime(ts, '{_DUCK_TS_US}') AS peak_ts, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY value DESC, event_id) = 1
+        """,
+        "q13_top_k": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        """,
+        "q14_sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q15_union": """
+            WITH u AS (
+              SELECT c_nationkey AS nation_key, 'customer' AS src,
+                     c_acctbal AS value FROM customer
+              UNION ALL
+              SELECT s_nationkey, 'supplier', s_acctbal FROM supplier
+            )
+            SELECT nation_key, src, round(sum(value), 2) AS sum_value
+            FROM u GROUP BY nation_key, src
+        """,
+        "q16_intersect": """
+            SELECT c_nationkey AS nation_key FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        """,
+        "q17_except": """
+            SELECT c_nationkey AS nation_key FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier
+        """,
+        "q18_arith_expression": """
+            WITH a AS (
+              SELECT o_orderpriority, sum(o_totalprice) AS value FROM orders
+              WHERE extract(year FROM o_orderdate) <= 1996 GROUP BY o_orderpriority
+            ), b AS (
+              SELECT o_orderpriority, sum(o_totalprice) AS value FROM orders
+              WHERE extract(year FROM o_orderdate) > 1996 GROUP BY o_orderpriority
+            )
+            SELECT a.o_orderpriority, round(a.value - b.value, 2) AS value
+            FROM a JOIN b USING (o_orderpriority)
+        """,
+        "q19_pivot": """
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q20_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        """,
+        "q21_scalar_datetime": """
+            SELECT extract(year FROM l_shipdate) AS ship_year,
+                   extract(month FROM l_shipdate) AS ship_month,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "q22_unit_conversion": """
+            SELECT event_id, event_type,
+                   round(value * 0.001, 9) AS value_mwh
+            FROM events
+        """,
+        "q23_time_downsample": f"""
+            SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)),
+                            '{_DUCK_TS}') AS bucket_ts,
+                   event_type, round(sum(value), 4) AS value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q24_annual_to_hourly": f"""
+            WITH annual AS (
+              SELECT CAST(extract(year FROM o_orderdate) AS VARCHAR) AS model_year,
+                     extract(year FROM o_orderdate) AS yr,
+                     o_orderpriority, sum(o_totalprice) AS value
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+                AND extract(year FROM o_orderdate) IN (1995, 1996)
+              GROUP BY 1, 2, 3
+            )
+            SELECT a.model_year, a.o_orderpriority,
+                   strftime(g.ts, '{_DUCK_TS}') AS hour_ts,
+                   round(a.value / (CASE WHEN a.yr = 1996 THEN 8784.0 ELSE 8760.0 END), 6) AS value
+            FROM annual a
+            CROSS JOIN LATERAL (
+              SELECT unnest(generate_series(
+                make_timestamp(a.yr, 1, 1, 0, 0, 0.0),
+                make_timestamp(a.yr, 12, 31, 23, 0, 0.0),
+                INTERVAL 1 HOUR)) AS ts
+            ) g
+        """,
+        "q25_tz_convert": f"""
+            SELECT event_id,
+                   strftime(ts - INTERVAL 7 HOURS, '{_DUCK_TS_US}') AS local_ts
+            FROM events
+        """,
+        "q26_tz_by_geography": f"""
+            SELECT event_id, CAST(user_id % 4 AS VARCHAR) AS geography,
+                   'Etc/GMT+' || CAST(5 + user_id % 4 AS VARCHAR) AS time_zone,
+                   strftime(ts - to_hours(CAST(5 + user_id % 4 AS BIGINT)),
+                            '{_DUCK_TS_US}') AS local_ts
+            FROM events
+        """,
+        "q27_growth_exponential": """
+            WITH initial AS (
+              SELECT o_orderpriority, sum(o_totalprice) AS value
+              FROM orders WHERE extract(year FROM o_orderdate) = 1995
+              GROUP BY o_orderpriority
+            ), years AS (
+              SELECT unnest(['1996', '1997', '1998']) AS model_year
+            )
+            SELECT i.o_orderpriority, y.model_year,
+                   round(i.value * power(1.05,
+                        CAST(y.model_year AS INT) - 1995), 2) AS value
+            FROM initial i CROSS JOIN years y
+        """,
+        "q28_dedup_exact": f"""
+            SELECT doc_id, lang, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY {_NORM_TEXT} ORDER BY doc_id) = 1
+        """,
+        "q29_text_stats": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE (
+                     SELECT sum(CAST(ceil(len(w) / 4.0) AS INT))
+                     FROM unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
+                   ) END AS n_tokens_bpe,
+                   round(CASE WHEN len(text) > 0 THEN
+                     len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text)
+                     ELSE 0.0 END, 6) AS alpha_ratio
+            FROM documents
+        """,
+        "q32_similarity_bruteforce": """
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) <= 5
+        """,
+    }

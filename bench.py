@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Each query is forced with a count() (no driver-side result transfer
+beyond the count) after a warm-up of the input file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from dsgrid_spark.session import get_spark  # noqa: E402
+
+# headline set: one per operator family that matters at scale
+HEADLINE = [
+    "q01_pricing_summary",
+    "q06_join_multi",
+    "q07_map_dimension",
+    "q09_two_table",
+    "q12_peak_load",
+    "q20_unpivot",
+    "q21_scalar_datetime",
+    "q23_time_downsample",
+    "q24_annual_to_hourly",
+    "q28_dedup_exact",
+    "q30_minhash_dedup",
+    "q31_simhash_dedup",
+    "q32_similarity_bruteforce",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("dsgrid-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    sf = 0.1
+    if "sf0.01" in sf_dir:
+        sf = 0.01
+    elif "sf0.001" in sf_dir:
+        sf = 0.001
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy (one shuffle on a 64-bit key);
+- MinHash/LSH shuffles only (band_hash → doc ids) pairs — bytes per doc,
+  not the documents themselves;
+- candidate verification joins back to shingle sets only for candidate
+  pairs (tiny compared to the corpus).
+
+Everything below is built from JVM array/higher-order functions; no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dsgrid_spark.pipeline.text import fingerprint
+
+# Mersenne prime 2^31-1 for universal hashing: keeps x*a within a signed
+# 64-bit long (Spark 4 runs ANSI mode; overflow would error, not wrap)
+_MERSENNE = (1 << 31) - 1
+
+
+def _normalized(text_column: str):
+    t = F.lower(F.col(text_column))
+    t = F.regexp_replace(t, r"[^\w\s]", "")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def shingles(text_column: str, k: int = 5) -> "F.Column":
+    """Word k-gram shingle array (distinct), JVM-side via transform/slice."""
+    words = F.split(_normalized(text_column), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def exact_dedup(df: DataFrame, text_column: str = "text",
+                id_column: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text hash.
+
+    Hash-groupBy on xxhash64(normalized text): the shuffle key is 8
+    bytes/doc regardless of document size.
+    """
+    h = fingerprint(F.col(text_column))
+    w = Window.partitionBy("__h").orderBy(id_column)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_column: str = "text",
+                       num_hashes: int = 32, shingle_k: int = 5,
+                       seed: int = 42) -> DataFrame:
+    """Add a ``minhash`` array column: per-permutation min over shingle hashes.
+
+    Universal hashing h_i(x) = (a_i*x + b_i) mod p over xxhash64 shingle
+    hashes; computed with transform+array_min entirely in the JVM.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+              for _ in range(num_hashes)]
+    sh = shingles(text_column, shingle_k)
+    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+
+    def perm(a: int, b: int):
+        # closure factory: a default-arg lambda would present a 3-arg
+        # signature to Spark's higher-order-function binder
+        return lambda x: (x * a + b) % _MERSENNE
+
+    sig = F.array(*[
+        F.array_min(F.transform(hashes, perm(a, b))) for a, b in coeffs
+    ])
+    return df.withColumn("minhash", sig)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
+                        num_bands: int = 4) -> DataFrame:
+    """Band the minhash signatures and self-join buckets → candidate pairs.
+
+    Only (band_id, band_hash, doc_id) rows shuffle. Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    sig_len_row = df.select(F.size("minhash").alias("n")).limit(1).collect()
+    rows_per_band = (sig_len_row[0]["n"] if sig_len_row else 0) // num_bands or 1
+    bands = df.select(
+        F.col(id_column),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[F.col("minhash")[b * rows_per_band + r].cast("string")
+                          for r in range(rows_per_band)],
+                    )
+                )
+                for b in range(num_bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    # materialize once: the signature expression tree is expensive and the
+    # self-join would otherwise evaluate it twice
+    bands = bands.persist()
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_column}") < F.col(f"r.{id_column}")),
+        )
+        .select(
+            F.col(f"l.{id_column}").alias("id_a"),
+            F.col(f"r.{id_column}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_column: str = "text",
+                        id_column: str = "doc_id", shingle_k: int = 5,
+                        threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (or all pairs if None).
+
+    With ``candidates`` from LSH this verifies only the near-miss set;
+    without it, it is O(n²) — only for small n or testing.
+    """
+    sh = df.select(
+        F.col(id_column), shingles(text_column, shingle_k).alias("__sh")
+    )
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_column}") < F.col(f"b.{id_column}"))
+        pairs = pairs.select(
+            F.col(f"a.{id_column}").alias("id_a"),
+            F.col(f"b.{id_column}").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"),
+        )
+    else:
+        pairs = (
+            candidates
+            .join(sh.withColumnRenamed(id_column, "id_a")
+                    .withColumnRenamed("__sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed(id_column, "id_b")
+                    .withColumnRenamed("__sh", "sh_b"), "id_b")
+        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, text_column: str = "text",
+                  id_column: str = "doc_id", num_hashes: int = 32,
+                  num_bands: int = 4, shingle_k: int = 5,
+                  threshold: float = 0.8) -> DataFrame:
+    """Full near-dedup: exact dedup → minhash → LSH bands → Jaccard
+    verify → drop the higher id of each duplicate pair.
+
+    Exact dedup runs first: identical texts are Jaccard-1.0 duplicates,
+    so collapsing them up front (one cheap 8-byte-key shuffle) leaves the
+    same survivor set while shrinking LSH buckets — on corpora with heavy
+    exact duplication this is the difference between O(survivors²) and
+    O(corpus²) within hot buckets.
+    """
+    uniq = exact_dedup(df, text_column, id_column)
+    with_sig = minhash_signatures(uniq, text_column, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(with_sig, id_column, num_bands)
+    dups = ngram_jaccard_pairs(uniq, text_column, id_column, shingle_k,
+                               threshold, candidates=cands)
+    to_drop = dups.select(F.col("id_b").alias(id_column)).distinct()
+    return uniq.join(to_drop, id_column, "left_anti")
+
+
+def simhash(text_column: str = "text", bits: int = 64) -> "F.Column":
+    """64-bit SimHash over word tokens, via bit-vote aggregation.
+
+    For each bit position i (a Python-side literal — Spark's shift
+    functions require literal distances), sum +1/-1 votes across token
+    hashes with ``aggregate``; the sign becomes bit i. No UDF, no
+    shuffle; one codegen'd expression tree.
+    """
+    words = F.filter(F.split(_normalized(text_column), " "), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def vote(i: int):
+        return lambda acc, h: acc + (
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        vote_i = F.aggregate(hashes, F.lit(0), vote(i))
+        out = out.bitwiseOR(
+            F.when(vote_i > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_column: str = "text",
+                  id_column: str = "doc_id",
+                  hamming_threshold: int = 3) -> DataFrame:
+    """Near-dedup by SimHash: block on 4 x 16-bit chunks (any chunk equal
+    → candidate, guaranteed to catch hamming distance <= 3), verify with
+    bit_count(xor) <= threshold, drop higher ids."""
+    sh = df.select(F.col(id_column), simhash(text_column).alias("__sh"))
+    chunks = sh.select(
+        id_column, "__sh",
+        F.posexplode(F.array(*[
+            F.shiftright("__sh", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("chunk", "chunk_val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cands = (
+        l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
+               & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+               & (F.col(f"l.{id_column}") < F.col(f"r.{id_column}")))
+        .select(F.col(f"l.{id_column}").alias("id_a"),
+                F.col(f"r.{id_column}").alias("id_b"),
+                F.col("l.__sh").alias("sh_a"), F.col("r.__sh").alias("sh_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    dups = cands.filter(ham <= hamming_threshold)
+    to_drop = dups.select(F.col("id_b").alias(id_column)).distinct()
+    return df.join(to_drop, id_column, "left_anti")

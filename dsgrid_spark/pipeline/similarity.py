@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline — crossJoin pruned by a
+  broadcast of the (small) query set, dot products via zip_with/aggregate
+  in the JVM, top-k via ranking window;
+- LSH-bucketed variant (random hyperplanes): the scale path — candidates
+  only from matching buckets, then exact re-rank. At 100 TB the bucket
+  join shuffles (bucket_id, vec_id) pairs, never the vectors twice.
+- IVF-style variant: partition by nearest centroid (centroids broadcast),
+  probe the closest n_probe centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    query_id_column: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    queries: (query_id, embedding). The query set is broadcast; the
+    corpus streams through once. Result: (query_id, vec_id, score), k
+    rows per query.
+    """
+    q = queries.select(
+        F.col(query_id_column),
+        F.col(vector_column).alias("__qv"),
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id_column,
+        id_column,
+        cosine(F.col(vector_column), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_column).orderBy(
+        F.desc("score"), F.col(id_column)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def add_lsh_bucket(df: DataFrame, dim: int, vector_column: str = "embedding",
+                   n_planes: int = 8, seed: int = 7,
+                   bucket_column: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature → integer bucket id.
+
+    Same hyperplanes (same seed) must be used for corpus and queries.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(F.col(vector_column), plane) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.withColumn(bucket_column, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    query_id_column: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within matching LSH buckets only."""
+    c = add_lsh_bucket(corpus, dim, vector_column, n_planes, seed)
+    q = add_lsh_bucket(queries, dim, vector_column, n_planes, seed).select(
+        query_id_column, F.col(vector_column).alias("__qv"), "bucket"
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id_column, id_column,
+        cosine(F.col(vector_column), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_column).orderBy(F.desc("score"), F.col(id_column))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
+                     vector_column: str = "embedding",
+                     iterations: int = 5, seed: int = 11) -> list[list[float]]:
+    """Plain k-means via DataFrame aggregations (no MLlib dependency).
+
+    Each iteration: assign to nearest centroid (broadcast), average per
+    cluster (posexplode + groupBy — one shuffle of (cluster, pos, val)).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    sample = [
+        list(r[vector_column])
+        for r in df.select(vector_column).limit(max(n_clusters * 20, 200)).collect()
+    ]
+    centroids = rnd.sample(sample, min(n_clusters, len(sample)))
+    for _ in range(iterations):
+        assigned = assign_nearest_centroid(df, centroids, vector_column)
+        means = (
+            assigned.select("__cluster",
+                            F.posexplode(F.col(vector_column)).alias("pos", "v"))
+            .groupBy("__cluster", "pos").agg(F.avg("v").alias("m"))
+            .groupBy("__cluster")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+            .select("__cluster", F.transform("pairs", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        got = {r["__cluster"]: list(r["c"]) for r in means}
+        centroids = [got.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def assign_nearest_centroid(df: DataFrame, centroids: list[list[float]],
+                            vector_column: str = "embedding") -> DataFrame:
+    """Nearest centroid by cosine, as a greatest-of-N column expression."""
+    scores = [
+        cosine(F.col(vector_column), F.array(*[F.lit(x) for x in c]))
+        for c in centroids
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    cluster = F.lit(0)
+    for i in range(len(scores) - 1, -1, -1):
+        cluster = F.when(scores[i] == best, F.lit(i)).otherwise(cluster)
+    return df.withColumn("__cluster", cluster)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    query_id_column: str = "query_id",
+) -> DataFrame:
+    """IVF search: corpus partitioned by nearest centroid; each query
+    probes its n_probe closest centroids and re-ranks exactly."""
+    c = assign_nearest_centroid(corpus, centroids, vector_column)
+    q = queries
+    probe_rows = []
+    for r in q.collect():  # query set is small by construction
+        qv = list(r[vector_column])
+        import math
+
+        def cos(a, b):
+            d = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+            return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
+
+        ranked = sorted(range(len(centroids)),
+                        key=lambda i: -cos(qv, centroids[i]))
+        for ci in ranked[:n_probe]:
+            probe_rows.append((r[query_id_column], ci, qv))
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        probe_rows, f"{query_id_column} long, __cluster int, __qv array<double>"
+    )
+    scored = c.join(F.broadcast(qdf), "__cluster").select(
+        query_id_column, id_column,
+        cosine(F.col(vector_column), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_column).orderBy(F.desc("score"), F.col(id_column))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

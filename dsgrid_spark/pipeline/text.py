@@ -1,0 +1,111 @@
+"""Text analysis: language-ID, quality scoring, token counting, fingerprints.
+
+All JVM-side column expressions (regexp/split/hash) — no Python UDFs in
+the hot path, so every operator runs inside whole-stage codegen and
+scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small per-language stopword marker sets for the n-gram heuristic lang-id
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "se", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits + punct runs.
+
+    A deterministic regex proxy for subword tokenizers (~chars/4 floor):
+    splits words longer than 4 chars into ceil(len/4) pieces.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    per_word = F.transform(
+        words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("int")
+    )
+    return F.coalesce(
+        F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x), F.lit(0)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] document quality from length/punct/stopword ratios.
+
+    Components (equal thirds):
+    - length score: min(1, n_chars/500)
+    - alpha ratio: alphabetic chars / all chars
+    - stopword hit: fraction of the 8 English markers present
+    """
+    n = F.length(text)
+    length_score = F.least(F.lit(1.0), n / F.lit(500.0))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    lower = F.lower(text)
+    hits = None
+    for w in _LANG_MARKERS["en"]:
+        h = F.when(lower.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    stop_score = hits / F.lit(float(len(_LANG_MARKERS["en"])))
+    return (length_score + alpha_ratio + stop_score) / F.lit(3.0)
+
+
+def language_id(text: Column) -> Column:
+    """Marker-word-count heuristic over 4 languages; 'und' when no hits.
+
+    A case/when ladder over per-language marker counts — pure codegen.
+    """
+    lower = F.lower(text)
+
+    def score(lang: str) -> Column:
+        s = None
+        for w in _LANG_MARKERS[lang]:
+            h = F.when(lower.rlike(rf"\b{w}\b"), 1).otherwise(0)
+            s = h if s is None else s + h
+        return s
+
+    scores = {lang: score(lang) for lang in _LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties deterministically
+    for lang in reversed(list(scores)):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """64-bit rolling-hash document fingerprint (xxhash64 of normalized text).
+
+    Normalization: lowercase, collapse whitespace, strip punctuation —
+    so trivially-different copies collide (the point of fingerprinting).
+    """
+    t = text
+    if normalize:
+        t = F.lower(t)
+        t = F.regexp_replace(t, r"[^\w\s]", "")
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.xxhash64(t)
+
+
+def analyze_documents(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Attach all text-analysis columns in one pass."""
+    t = F.col(text_column)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_pred", language_id(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

@@ -30,6 +30,9 @@ _DEFAULT_CONF = {
     # match the reference's parquet timestamp convention
     # (dsgrid/spark/functions.py:289-298)
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # read TIMESTAMP(NANOS) parquet columns as long (reference
+    # dsgrid/spark/functions.py:289-298 sets the same)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
 }
 

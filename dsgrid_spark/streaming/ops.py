@@ -1,0 +1,67 @@
+"""Streaming ingestion of dsgrid-shaped facts.
+
+The reference is batch-only (SURVEY §2.10); this extends the same
+operators to Structured Streaming: stream a fact table (e.g. telemetry
+landing as parquet/json files), map dimensions with the SAME broadcast
+map-joins (stream-static joins), and maintain windowed aggregates with
+watermarks for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from dsgrid_spark.common import FRACTION_COLUMN, VALUE_COLUMN
+
+
+def read_fact_stream(spark, path: str, schema, fmt: str = "parquet") -> DataFrame:
+    """File-source stream of fact rows with a declared schema."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def map_dimension_stream(stream: DataFrame, records: DataFrame,
+                         column: str) -> DataFrame:
+    """Stream-static broadcast join version of map_stacked_dimension."""
+    recs = records.filter(F.col("to_id").isNotNull()).select(
+        F.col("from_id").alias("__from_id"),
+        F.col("to_id").alias("__to_id"),
+        F.col("from_fraction").cast("double").alias("__ff"),
+    )
+    out = (
+        stream.join(F.broadcast(recs), stream[column] == recs["__from_id"])
+        .drop(column, "__from_id")
+        .withColumnRenamed("__to_id", column)
+    )
+    prior = F.col(FRACTION_COLUMN) if FRACTION_COLUMN in stream.columns else F.lit(1.0)
+    return out.withColumn(FRACTION_COLUMN, prior * F.col("__ff")).drop("__ff")
+
+
+def windowed_total(stream: DataFrame, time_column: str, dims: list[str],
+                   window: str = "1 hour", watermark: str = "2 hours",
+                   value_column: str = VALUE_COLUMN) -> DataFrame:
+    """Watermarked tumbling-window sum per dimension combination."""
+    value = F.col(value_column)
+    if FRACTION_COLUMN in stream.columns:
+        value = value * F.col(FRACTION_COLUMN)
+    return (
+        stream.withWatermark(time_column, watermark)
+        .groupBy(F.window(F.col(time_column), window).alias("window"), *dims)
+        .agg(F.sum(value).alias(value_column))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *dims, value_column,
+        )
+    )
+
+
+def write_stream_parquet(df: DataFrame, path: str, checkpoint: str,
+                         trigger_once: bool = True) -> DataStreamWriter:
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    return w.trigger(availableNow=True) if trigger_once else w

@@ -1,0 +1,99 @@
+"""Driver-style correctness harness: run each queries() entry on Spark and
+its oracle_sql() on DuckDB, compare row count, schema width, and
+order-insensitive values. Usage:
+
+    python tools/compare.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, ".")
+
+
+def norm_cell(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, (datetime, date)):
+        return str(v)
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    import __spark_entry__ as entry_mod
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("compare", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only, {len(srows)} rows ({el:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
+            failures.append(name)
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            failures.append(name)
+            continue
+        a = norm_rows([tuple(r) for r in srows], scols)
+        b = norm_rows(drows, dcols)
+        if a != b:
+            bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, e.g. {bad}")
+            failures.append(name)
+            continue
+        print(f"PASS {name}: {len(srows)} rows ({el:.1f}s)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
