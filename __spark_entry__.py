@@ -364,8 +364,8 @@ def q21_scalar_datetime(spark, sf_dir):
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy(
-            F.year("l_shipdate").alias("ship_year"),
-            F.month("l_shipdate").alias("ship_month"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
         )
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
     )
@@ -472,8 +472,8 @@ def q29_text_stats(spark, sf_dir):
     n = F.length(t)
     return docs.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_tokens_bpe"),
         F.round(F.when(n > 0, alpha / n).otherwise(0.0), 6).alias("alpha_ratio"),
     )
 
@@ -528,6 +528,154 @@ def q34_multimodal_features(spark, sf_dir):
     return extract_image_features(media).select("media_id", "width", "height")
 
 
+def q35_time_upsample(spark, sf_dir):
+    """Datetime re-resolution upsample: daily → 6-hourly, TOTAL spread
+    (SURVEY §2.10)."""
+    from dsgrid_spark.timedim.conversion import upsample
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
+    daily = li.groupBy(F.col("l_shipdate").alias("ts"), "l_returnflag").agg(
+        F.sum("l_quantity").alias("value")
+    )
+    out = upsample(daily, "ts", 86400, 21600)
+    return out.select(
+        F.date_format("ts", TS_FMT).alias("ts_6h"),
+        "l_returnflag",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q36_index_time(spark, sf_dir):
+    """Index time → datetime with per-geography zone offsets (SURVEY §2.10)."""
+    from dsgrid_spark.timedim.index_time import index_to_datetime
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 24).cast("int").alias("time_index"),
+        (F.col("user_id") % 2).cast("string").alias("geography"),
+        "value",
+    )
+    geo = spark.createDataFrame(
+        [("0", "Etc/GMT+5"), ("1", "Etc/GMT+8")], "id string, time_zone string"
+    )
+    out = index_to_datetime(ev, "2024-06-01 00:00:00", 3600,
+                            geography_records=geo, geography_column="geography")
+    return out.select(
+        "event_id", "geography",
+        F.date_format("timestamp", TS_FMT).alias("local_hour"),
+        "value",
+    )
+
+
+def q37_leap_day(spark, sf_dir):
+    """Leap-day adjustment DROP_FEB29 + DROP_JAN1 (SURVEY §2.10)."""
+    from dsgrid_spark.dimensions import LeapDayAdjustmentType
+    from dsgrid_spark.timedim.conversion import adjust_leap_day
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = adjust_leap_day(ev, "ts", LeapDayAdjustmentType.DROP_FEB29)
+    out = adjust_leap_day(out, "ts", LeapDayAdjustmentType.DROP_JAN1)
+    return out.groupBy(F.month("ts").cast("long").alias("month")).agg(
+        F.count("*").alias("n_rows"), F.round(F.sum("value"), 2).alias("value")
+    )
+
+
+def q38_wrap_time(spark, sf_dir):
+    """Modular time wrapping onto a target range (SURVEY §2.10)."""
+    from dsgrid_spark.timedim.conversion import wrap_time
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = wrap_time(ev, "ts", "2024-01-01 00:00:00", "2024-01-08 00:00:00")
+    return out.select(
+        "event_id", F.date_format("ts", TS_FMT_US).alias("wrapped_ts")
+    )
+
+
+def q39_growth_multiplier(spark, sf_dir):
+    """Annual-multiplier projection P(t)=P0*r(t) (SURVEY §2.12)."""
+    from dsgrid_spark.operators.growth import apply_annual_multiplier
+
+    orders = _t(spark, sf_dir, "orders")
+    initial = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("value")
+    )
+    prios = [r[0] for r in initial.select("o_orderpriority").collect()]
+    rates = spark.createDataFrame(
+        [(p, float(1 + i) / 10.0) for i, p in enumerate(sorted(prios))],
+        "o_orderpriority string, value double",
+    )
+    out = apply_annual_multiplier(initial, rates)
+    return out.select("o_orderpriority", F.round("value", 2).alias("value"))
+
+
+def q40_pivoted_load(spark, sf_dir):
+    """Pivoted-format dataset load: unpivot value columns on read, NULLs
+    dropped as expected-missing (SURVEY §1.1/§2.8)."""
+    from dsgrid_spark.datasets.handlers import DatasetConfig, OneTableHandler
+
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = pivot(
+        orders.select("o_orderpriority", "o_orderstatus",
+                      F.col("o_totalprice").alias("value")),
+        "o_orderstatus", pivot_values=["F", "O", "P"],
+    )
+    handler = OneTableHandler(
+        pivoted,
+        DatasetConfig(
+            dataset_id="orders_pivoted",
+            time_columns=[],
+            pivoted_columns=["F", "O", "P"],
+            pivoted_dimension="o_orderstatus",
+            trivial_dimensions={"scenario": "base"},
+        ),
+    )
+    return handler.df.select(
+        "o_orderpriority", "o_orderstatus", "scenario",
+        F.round("value", 2).alias("value"),
+    )
+
+
+def q41_representative_time(spark, sf_dir):
+    """Representative-period template → real timestamps (SURVEY §2.10).
+
+    Template: (month, day_of_week, hour) means over events; joined to
+    every matching hour of 2024 in each geography's zone (fixed-offset
+    zones so the oracle is session-tz independent).
+    """
+    from dsgrid_spark.timedim.representative import representative_to_datetime
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "geography", (F.col("user_id") % 2).cast("string")
+    )
+    template = (
+        ev.groupBy(
+            F.month("ts").alias("month"),
+            ((F.dayofweek("ts") + 5) % 7).alias("day_of_week"),
+            F.hour("ts").alias("hour"),
+            "geography",
+        )
+        .agg(F.round(F.sum("value"), 2).alias("value"))
+        .filter(F.col("month") == 1)
+    )
+    geo = spark.createDataFrame(
+        [("0", "Etc/GMT+6"), ("1", "Etc/GMT+7")], "id string, time_zone string"
+    )
+    out = representative_to_datetime(template, geo, 2024, geography_column="geography")
+    return out.select(
+        "geography",
+        F.date_format("timestamp", TS_FMT).alias("utc_hour"),
+        "value",
+    )
+
+
+def q42_language_id(spark, sf_dir):
+    """Marker-based language identification (pipeline op)."""
+    from dsgrid_spark.pipeline.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -564,6 +712,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_similarity_bruteforce": q32_similarity_bruteforce,
         "q33_similarity_lsh": q33_similarity_lsh,
         "q34_multimodal_features": q34_multimodal_features,
+        "q35_time_upsample": q35_time_upsample,
+        "q36_index_time": q36_index_time,
+        "q37_leap_day": q37_leap_day,
+        "q38_wrap_time": q38_wrap_time,
+        "q39_growth_multiplier": q39_growth_multiplier,
+        "q40_pivoted_load": q40_pivoted_load,
+        "q41_representative_time": q41_representative_time,
+        "q42_language_id": q42_language_id,
     }
 
 
@@ -571,6 +727,43 @@ _NORM_TEXT = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
+
+# mirror of dsgrid_spark.pipeline.text._LANG_MARKERS and the case-ladder
+# priority (en > es > fr > de on score ties)
+_LANG_MARKERS_SQL = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "se", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(
+        f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)"
+        for w in _LANG_MARKERS_SQL[lang]
+    )
+
+
+_LANG_ID_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('de')} AS s_de
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_en = greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
+             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
+             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
+             ELSE 'und'
+           END AS lang_pred
+    FROM scored
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -806,6 +999,82 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS alpha_ratio
             FROM documents
         """,
+        "q35_time_upsample": f"""
+            WITH daily AS (
+              SELECT l_shipdate AS ts, l_returnflag, sum(l_quantity) AS value
+              FROM lineitem WHERE extract(year FROM l_shipdate) = 1995
+              GROUP BY 1, 2
+            )
+            SELECT strftime(d.ts + to_hours(6 * g.i), '{_DUCK_TS}') AS ts_6h,
+                   d.l_returnflag, round(d.value / 4, 6) AS value
+            FROM daily d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) g
+        """,
+        "q36_index_time": f"""
+            SELECT event_id, CAST(user_id % 2 AS VARCHAR) AS geography,
+                   strftime(TIMESTAMP '2024-06-01 00:00:00'
+                     + to_hours(CASE WHEN user_id % 2 = 0 THEN 5 ELSE 8 END)
+                     + to_hours(event_id % 24), '{_DUCK_TS}') AS local_hour,
+                   value
+            FROM events
+        """,
+        "q37_leap_day": """
+            SELECT extract(month FROM ts) AS month, count(*) AS n_rows,
+                   round(sum(value), 2) AS value
+            FROM events
+            WHERE NOT (extract(month FROM ts) = 2 AND extract(day FROM ts) = 29)
+              AND NOT (extract(month FROM ts) = 1 AND extract(day FROM ts) = 1)
+            GROUP BY 1
+        """,
+        "q38_wrap_time": f"""
+            SELECT event_id,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(
+                     ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                       % 604800000000 + 604800000000) % 604800000000),
+                     '{_DUCK_TS_US}') AS wrapped_ts
+            FROM events
+        """,
+        "q39_growth_multiplier": """
+            WITH initial AS (
+              SELECT o_orderpriority, sum(o_totalprice) AS value
+              FROM orders GROUP BY 1
+            ), r AS (
+              SELECT o_orderpriority,
+                     row_number() OVER (ORDER BY o_orderpriority) / 10.0 AS rate
+              FROM (SELECT DISTINCT o_orderpriority FROM orders)
+            )
+            SELECT i.o_orderpriority, round(i.value * r.rate, 2) AS value
+            FROM initial i JOIN r USING (o_orderpriority)
+        """,
+        "q40_pivoted_load": """
+            SELECT o_orderpriority, o_orderstatus, 'base' AS scenario,
+                   round(sum(o_totalprice), 2) AS value
+            FROM orders GROUP BY 1, 2
+        """,
+        "q41_representative_time": f"""
+            WITH template AS (
+              SELECT extract(month FROM ts) AS month,
+                     (dayofweek(ts) + 6) % 7 AS day_of_week,
+                     extract(hour FROM ts) AS hour,
+                     CAST(user_id % 2 AS VARCHAR) AS geography,
+                     round(sum(value), 2) AS value
+              FROM events GROUP BY 1, 2, 3, 4
+              HAVING extract(month FROM ts) = 1
+            ), zones AS (
+              SELECT * FROM (VALUES ('0', 6), ('1', 7)) AS z(geography, off)
+            ), cal AS (
+              SELECT z.geography, g.ts,
+                     extract(month FROM g.ts - to_hours(z.off)) AS month,
+                     (dayofweek(g.ts - to_hours(z.off)) + 6) % 7 AS day_of_week,
+                     extract(hour FROM g.ts - to_hours(z.off)) AS hour
+              FROM zones z CROSS JOIN (
+                SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                  TIMESTAMP '2024-12-31 23:00:00', INTERVAL 1 HOUR)) AS ts) g
+            )
+            SELECT t.geography, strftime(c.ts, '{_DUCK_TS}') AS utc_hour, t.value
+            FROM template t
+            JOIN cal c USING (geography, month, day_of_week, hour)
+        """,
+        "q42_language_id": _LANG_ID_SQL,
         "q32_similarity_bruteforce": """
             SELECT q.vec_id AS query_id, c.vec_id,
                    round(list_cosine_similarity(

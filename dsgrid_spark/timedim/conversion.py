@@ -196,7 +196,7 @@ def wrap_time(df: DataFrame, time_column: str, start, end) -> DataFrame:
     """
     start_c = F.lit(str(start)).cast("timestamp")
     end_c = F.lit(str(end)).cast("timestamp")
-    span = F.unix_timestamp(end_c) - F.unix_timestamp(start_c)
-    pos = F.unix_timestamp(F.col(time_column)) - F.unix_timestamp(start_c)
-    wrapped = F.timestamp_seconds(F.unix_timestamp(start_c) + ((pos % span) + span) % span)
+    span = F.unix_micros(end_c) - F.unix_micros(start_c)
+    pos = F.unix_micros(F.col(time_column).cast("timestamp")) - F.unix_micros(start_c)
+    wrapped = F.timestamp_micros(F.unix_micros(start_c) + ((pos % span) + span) % span)
     return df.withColumn(time_column, wrapped)
