@@ -112,9 +112,11 @@ class TwoTableHandler:
     def check_id_consistency(self) -> None:
         """load and lookup must reference identical id sets
         (reference two_table :266-290)."""
+        from dsgrid_spark.operators.setops import symmetric_difference
+
         ld = self.load_data.select(TWO_TABLE_ID_COLUMN).distinct()
         lk = self.lookup.select(TWO_TABLE_ID_COLUMN).distinct()
-        diff = ld.unionAll(lk).exceptAll(ld.intersect(lk)).limit(100).collect()
+        diff = symmetric_difference(ld, lk).limit(100).collect()
         if diff:
             raise ValueError(
                 f"{self.config.dataset_id}: load/lookup id mismatch, e.g. "

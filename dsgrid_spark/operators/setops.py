@@ -24,5 +24,11 @@ def union_checked(dfs: list[DataFrame]) -> DataFrame:
 
 
 def symmetric_difference(df1: DataFrame, df2: DataFrame) -> DataFrame:
-    """(df1 ∪ df2) − (df1 ∩ df2) — id-consistency diagnostics."""
-    return df1.unionAll(df2).exceptAll(df1.intersect(df2))
+    """(df1 ∖ df2) ∪ (df2 ∖ df1), distinct — id-consistency diagnostics.
+
+    Not the reference's union/exceptAll construction
+    (two_table :276): with bag semantics that leaves one copy of every
+    COMMON row too; subtract-based form returns exactly the rows present
+    in one side only.
+    """
+    return df1.subtract(df2).unionAll(df2.subtract(df1))

@@ -1,0 +1,146 @@
+"""Operator unit tests: reshape, set ops, expressions, reports, units, growth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsgrid_spark.operators.expressions import (
+    DatasetExpressionError,
+    evaluate_expression,
+)
+from dsgrid_spark.operators.growth import (
+    apply_annual_multiplier,
+    apply_exponential_growth,
+)
+from dsgrid_spark.operators.reports import peak_load, top_k_per_group
+from dsgrid_spark.operators.reshape import pivot, unpivot
+from dsgrid_spark.operators.setops import symmetric_difference, union_checked
+from dsgrid_spark.operators.units import conversion_factor, convert_units
+
+
+def test_pivot_unpivot_roundtrip_with_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", "m1", 1.0), ("a", "m2", 2.0), ("b", "m1", 3.0)],
+        "geo string, metric string, value double",
+    )
+    p = pivot(df, "metric", pivot_values=["m1", "m2"])
+    row_b = [r for r in p.collect() if r["geo"] == "b"][0]
+    assert row_b["m2"] is None  # missing association → NULL cell
+    # unpivot keeps the NULL row by default (expected-missing semantics)
+    u = unpivot(p, ["m1", "m2"], "metric")
+    assert u.count() == 4
+    assert u.filter(F.col("value").isNull()).count() == 1
+    # drop_nulls restores the original rows
+    u2 = unpivot(p, ["m1", "m2"], "metric", drop_nulls=True)
+    assert sorted((r["geo"], r["metric"], r["value"]) for r in u2.collect()) == [
+        ("a", "m1", 1.0), ("a", "m2", 2.0), ("b", "m1", 3.0)
+    ]
+
+
+def test_union_checked_rejects_mismatch(spark):
+    a = spark.createDataFrame([(1.0,)], "value double")
+    b = spark.createDataFrame([(1.0, "x")], "value double, extra string")
+    with pytest.raises(ValueError):
+        union_checked([a, b])
+    assert union_checked([a, a]).count() == 2
+
+
+def test_symmetric_difference(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    got = sorted(r["k"] for r in symmetric_difference(a, b).collect())
+    assert got == [1, 4]
+
+
+def test_expression_arithmetic_and_union(spark):
+    a = spark.createDataFrame([("x", 10.0), ("y", 20.0)], "k string, value double")
+    b = spark.createDataFrame([("x", 1.0), ("y", 2.0)], "k string, value double")
+    got = {r["k"]: r["value"] for r in
+           evaluate_expression("(a - b) * b", {"a": a, "b": b}).collect()}
+    assert got == {"x": 9.0, "y": 36.0}
+    assert evaluate_expression("a | b", {"a": a, "b": b}).count() == 4
+    with pytest.raises(DatasetExpressionError):
+        evaluate_expression("a + c", {"a": a, "b": b})
+    with pytest.raises(DatasetExpressionError):
+        evaluate_expression("a ** b", {"a": a, "b": b})
+
+
+def test_peak_load_keeps_full_row(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 9.0), ("b", 3, 2.0), ("b", 4, 2.0)],
+        "grp string, id int, value double",
+    )
+    got = {(r["grp"], r["id"]) for r in
+           peak_load(df, ["grp"], tie_breakers=["id"]).collect()}
+    assert got == {("a", 2), ("b", 3)}  # tie broken by lowest id
+    # rank() semantics without tie breakers keeps both tied rows
+    assert peak_load(df, ["grp"]).count() == 3
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(5)], "grp string, id int, value double"
+    )
+    got = sorted(r["id"] for r in
+                 top_k_per_group(df, ["grp"], 2, tie_breakers=["id"]).collect())
+    assert got == [3, 4]
+
+
+def test_unit_conversion_factors():
+    assert conversion_factor("kWh", "MWh") == pytest.approx(1e-3)
+    assert conversion_factor("therm", "kWh") == pytest.approx(29.3071)
+    assert conversion_factor("MW", "kW") == pytest.approx(1e3)
+    with pytest.raises(ValueError):
+        conversion_factor("kWh", "kW")  # energy vs power
+
+
+def test_convert_units_with_records(spark):
+    df = spark.createDataFrame(
+        [("elec", 1000.0), ("gas", 2.0)], "metric string, value double"
+    )
+    frm = spark.createDataFrame(
+        [("elec", "kWh"), ("gas", "therm")], "id string, unit string"
+    )
+    to = spark.createDataFrame(
+        [("elec", "MWh"), ("gas", "kWh")], "id string, unit string"
+    )
+    got = {r["metric"]: r["value"] for r in
+           convert_units(df, "metric", frm, to).collect()}
+    assert got["elec"] == pytest.approx(1.0)
+    assert got["gas"] == pytest.approx(58.6142)
+
+
+def test_convert_units_noop_short_circuit(spark):
+    df = spark.createDataFrame([("elec", 1.0)], "metric string, value double")
+    recs = spark.createDataFrame([("elec", "kWh")], "id string, unit string")
+    out = convert_units(df, "metric", recs, recs)
+    assert out is df  # no plan change when units all match
+
+
+def test_exponential_growth_golden(spark):
+    initial = spark.createDataFrame(
+        [("2018", "a", 100.0)], "model_year string, geo string, value double"
+    )
+    rates = spark.createDataFrame(
+        [("2020", "a", 0.1), ("2025", "a", 0.1)],
+        "model_year string, geo string, value double",
+    )
+    got = {r["model_year"]: r["value"] for r in
+           apply_exponential_growth(initial, rates, "2018").collect()}
+    assert got["2020"] == pytest.approx(100.0 * 1.1 ** 2)
+    assert got["2025"] == pytest.approx(100.0 * 1.1 ** 7)
+
+
+def test_annual_multiplier_golden(spark):
+    initial = spark.createDataFrame(
+        [("2018", "a", 100.0), ("2020", "a", 100.0)],
+        "model_year string, geo string, value double",
+    )
+    rates = spark.createDataFrame(
+        [("2018", "a", 1.0), ("2020", "a", 1.5)],
+        "model_year string, geo string, value double",
+    )
+    got = {r["model_year"]: r["value"] for r in
+           apply_annual_multiplier(initial, rates).collect()}
+    assert got == {"2018": 100.0, "2020": 150.0}

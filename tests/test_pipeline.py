@@ -1,0 +1,195 @@
+"""Pipeline-operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsgrid_spark.pipeline.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
+from dsgrid_spark.pipeline.similarity import (
+    brute_force_topk,
+    cosine,
+    kmeans_centroids,
+    ivf_topk,
+    lsh_topk,
+)
+from dsgrid_spark.pipeline.text import (
+    analyze_documents,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, DOC),
+        (1, DOC),                                  # exact dup of 0
+        (2, DOC + "!!!"),                          # punctuation-only diff
+        (3, DOC.replace("dog", "cat")),            # near dup (1 word of 14)
+        (4, "completely different text about spark engines and columnar io"),
+        (5, "el la de que y los se un texto corto"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(docs):
+    out = exact_dedup(docs, "text", "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 0,1,2 collapse (normalization strips punctuation) → keep 0
+    assert kept == [0, 3, 4, 5]
+
+
+def test_minhash_similarity_detects_near_dup(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_k=3)
+    rows = {r["doc_id"]: r["minhash"] for r in sigs.collect()}
+    sim_near = sum(a == b for a, b in zip(rows[0], rows[3])) / 64
+    sim_far = sum(a == b for a, b in zip(rows[0], rows[4])) / 64
+    # true Jaccard is 0.6; the 64-hash estimate has sigma~0.06
+    assert sim_near > 0.35
+    assert sim_far < 0.15
+
+
+def test_jaccard_pairs_exact_values(spark):
+    d = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g")], "doc_id long, text string"
+    )
+    # 3-shingles: doc0 {abc,bcd,cde,def}, doc1 {abc,bcd,cde,deg} → J=3/5
+    out = ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.5)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_minhash_dedup_drops_near_dups(docs):
+    # 32 bands x 2 rows: catch probability 1-(1-s^2)^32 ~ 1.0 at s=0.6
+    out = minhash_dedup(docs, "text", "doc_id", num_hashes=64, num_bands=32,
+                        shingle_k=3, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in kept and 4 in kept and 5 in kept
+    assert 1 not in kept and 2 not in kept  # exact dups gone
+    assert 3 not in kept  # near dup gone at threshold 0.5
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    sh = docs.select("doc_id", simhash("text").alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in sh}
+    assert h[0] == h[1]  # identical text → identical hash
+    ham_near = bin(h[0] ^ h[3]).count("1")
+    ham_far = bin(h[0] ^ h[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_dedup(docs):
+    out = simhash_dedup(docs, "text", "doc_id", hamming_threshold=10)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 1 not in kept and 2 not in kept
+    assert 0 in kept and 4 in kept
+
+
+def test_brute_force_topk_self_is_best(spark):
+    import random
+
+    rnd = random.Random(0)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=3)
+    rows = out.collect()
+    assert len(rows) == 6
+    best = {r["query_id"]: r for r in rows if r["score"] >= 0.999999}
+    assert best[0]["vec_id"] == 0 and best[1]["vec_id"] == 1
+
+
+def test_lsh_topk_contains_self(spark):
+    import random
+
+    rnd = random.Random(1)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, dim=8, k=3, n_planes=4).collect()
+    assert any(r["vec_id"] == 7 for r in out)  # same bucket as itself
+
+
+def test_ivf_topk_matches_bruteforce_top1(spark):
+    import random
+
+    rnd = random.Random(2)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, n_clusters=4, dim=8, iterations=2)
+    out = ivf_topk(emb, queries, cents, k=3, n_probe=4).collect()
+    assert out[0]["vec_id"] == 3  # with all centroids probed, exact top-1
+
+
+def test_text_analysis_columns(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog, it is here"), (1, ""), (2, "el la de que y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in analyze_documents(df).collect()}
+    assert out[0]["n_tokens"] == 8
+    assert out[1]["n_tokens"] == 0
+    assert out[0]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "es"
+    assert 0.0 <= out[0]["quality"] <= 1.0
+    # identical normalized text → identical fingerprint
+    df2 = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in df2.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_plumbing(spark):
+    from dsgrid_spark.pipeline.multimodal import (
+        extract_image_features,
+        repartition_by_size,
+        sample_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(b"abc"), "image/fake", 3),
+         (1, "image", bytearray(b"defg"), "image/fake", 4)],
+        "media_id long, media_type string, payload binary, mime string, n_bytes long",
+    )
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 2
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(64 <= r["width"] < 576 for r in feats)
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media, decode_stub=False)
+    assert repartition_by_size(media, 2).count() == 2
+    vids = spark.createDataFrame([(0, 91)], "media_id long, n_frames int")
+    frames = sorted(r["frame_index"] for r in sample_video_frames(vids, 30).collect())
+    assert frames == [0, 30, 60, 90]
+
+
+def test_cosine_column_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 0.0], [2.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)

@@ -1,0 +1,137 @@
+"""Sources/sinks + Structured Streaming tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsgrid_spark.operators.filters import assert_no_nulls
+from dsgrid_spark.sources.readers import (
+    ColumnSchema,
+    FileSchema,
+    dimension_cross_product,
+    read_csv,
+    read_file,
+)
+from dsgrid_spark.sources.writers import write_csv, write_parquet
+
+
+def test_csv_reader_partial_schema_preserves_nulls(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("geography,value,extra\n06037,1.5,x\n08031,,y\n")
+    schema = FileSchema(
+        columns=[ColumnSchema(name="geography", dtype="string"),
+                 ColumnSchema(name="value", dtype="float64")],
+        ignored_columns=["extra"],
+    )
+    df = read_file(spark, p, schema)
+    assert df.columns == ["geography", "value"]
+    rows = {r["geography"]: r["value"] for r in df.collect()}
+    assert rows["06037"] == pytest.approx(1.5)
+    assert rows["08031"] is None
+
+
+def test_read_file_rename_and_missing_column(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("geo,value\na,1\n")
+    schema = FileSchema(columns=[
+        ColumnSchema(name="geo", dtype="string", rename_to="geography"),
+        ColumnSchema(name="value", dtype="float64"),
+    ])
+    df = read_file(spark, p, schema)
+    assert df.columns == ["geography", "value"]
+    bad = FileSchema(columns=[ColumnSchema(name="nope", dtype="string")])
+    with pytest.raises(ValueError, match="missing declared columns"):
+        read_file(spark, p, bad)
+
+
+def test_json_reader(spark, tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('{"geography": "a", "value": 1.0}\n{"geography": "b", "value": 2.0}\n')
+    df = read_file(spark, p)
+    assert df.count() == 2
+
+
+def test_parquet_roundtrip_and_partitioning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(s, i, float(i)) for s in ("a", "b") for i in range(100)],
+        "scenario string, k int, value double",
+    )
+    out = tmp_path / "part"
+    write_parquet(df, out, partition_by=["scenario"])
+    back = spark.read.parquet(str(out))
+    assert back.count() == 200
+    # partition pruning: only one directory scanned for scenario=a
+    pruned = back.filter(F.col("scenario") == "a")
+    assert pruned.count() == 100
+    assert (out / "scenario=a").exists()
+
+
+def test_csv_sink_single_file(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    p = tmp_path / "out.csv"
+    write_csv(df, p, single_file=True)
+    assert p.read_text().startswith("k,value")
+
+
+def test_dimension_cross_product(spark):
+    df = dimension_cross_product(spark, {
+        "geography": ["a", "b"], "scenario": ["x", "y", "z"]
+    })
+    assert df.count() == 6
+    assert set(df.columns) == {"geography", "scenario"}
+
+
+def test_assert_no_nulls(spark):
+    ok = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    assert_no_nulls(ok)
+    bad = spark.createDataFrame([("a", None)], "k string, value double")
+    with pytest.raises(ValueError, match="NULL"):
+        assert_no_nulls(bad)
+    assert_no_nulls(bad, exclude=["value"])  # excluded column ok
+
+
+def test_streaming_map_and_window(spark, tmp_path):
+    """Stream dsgrid-shaped facts from files, map a dimension with a
+    stream-static broadcast join, windowed watermark aggregation."""
+    from dsgrid_spark.streaming.ops import (
+        map_dimension_stream,
+        read_fact_stream,
+        windowed_total,
+        write_stream_parquet,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [(dt.datetime(2024, 1, 1, h, m), "06037", 1.0)
+            for h in range(2) for m in (0, 30)]
+    spark.createDataFrame(
+        rows, "ts timestamp, geography string, value double"
+    ).coalesce(1).write.parquet(str(src / "batch1"))
+
+    schema = "ts timestamp, geography string, value double"
+    stream = read_fact_stream(spark, str(src / "batch1"), schema)
+    mapping = spark.createDataFrame(
+        [("06037", "CA", 1.0)], "from_id string, to_id string, from_fraction double"
+    )
+    mapped = map_dimension_stream(stream, mapping, "geography")
+    agg = windowed_total(mapped, "ts", ["geography"], window="1 hour",
+                         watermark="2 hours")
+    out = tmp_path / "stream_out"
+    q = (
+        agg.writeStream.format("memory").queryName("win_totals")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {r["window_start"]: r["value"]
+           for r in spark.sql("SELECT * FROM win_totals").collect()}
+    assert got == {dt.datetime(2024, 1, 1, 0): 2.0, dt.datetime(2024, 1, 1, 1): 2.0}
+    # file-sink path
+    w = write_stream_parquet(
+        mapped.drop("fraction"), str(out), str(tmp_path / "ckpt")
+    ).start()
+    w.awaitTermination(60)
+    assert spark.read.parquet(str(out)).count() == 4
