@@ -50,6 +50,12 @@ def main():
     elif "sf0.001" in sf_dir:
         sf = 0.001
 
+    # warm-up: JVM/codegen/file-listing costs land here, not on q01
+    from dsgrid_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

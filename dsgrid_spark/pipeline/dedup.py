@@ -74,14 +74,18 @@ def minhash_signatures(df: DataFrame, text_column: str = "text",
     sh = shingles(text_column, shingle_k)
     hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
 
-    def perm(a: int, b: int):
-        # closure factory: a default-arg lambda would present a 3-arg
-        # signature to Spark's higher-order-function binder
-        return lambda x: (x * a + b) % _MERSENNE
+    # ONE fold over the shingle hashes, updating all permutation minima
+    # per element — N separate array_min(transform(...)) expressions would
+    # re-inline (and re-evaluate) the whole shingle construction N times
+    # per row after Catalyst's projection collapse.
+    def perms(x):
+        return F.array(*[(x * a + b) % _MERSENNE for a, b in coeffs])
 
-    sig = F.array(*[
-        F.array_min(F.transform(hashes, perm(a, b))) for a, b in coeffs
-    ])
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashes, init,
+        lambda acc, x: F.zip_with(acc, perms(x), lambda a, b: F.least(a, b)),
+    )
     return df.withColumn("minhash", sig)
 
 
@@ -199,19 +203,32 @@ def simhash(text_column: str = "text", bits: int = 64) -> "F.Column":
     words = F.filter(F.split(_normalized(text_column), " "), lambda w: w != "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
 
-    def vote(i: int):
-        return lambda acc, h: acc + (
+    # ONE fold accumulating all 64 bit-votes at once (separate per-bit
+    # aggregates would re-evaluate the tokenization 64x per row)
+    def votes_of(h):
+        return F.array(*[
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        )
+            for i in range(bits)
+        ])
 
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        vote_i = F.aggregate(hashes, F.lit(0), vote(i))
-        out = out.bitwiseOR(
-            F.when(vote_i > 0, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, votes_of(h), lambda a, v: a + v),
+    )
+    # combine sign bits into one long INSIDE a single expression — referring
+    # to `votes` once; per-bit element_at references would re-inline (and
+    # re-evaluate) the fold per bit after projection collapse
+    bit_values = F.zip_with(
+        votes,
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda v, i: F.when(
+            v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bit_values, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def simhash_dedup(df: DataFrame, text_column: str = "text",
