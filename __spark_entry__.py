@@ -235,15 +235,15 @@ def q10_agg_chained(spark, sf_dir):
         ],
         aggregation_function="sum",
     ).apply(ev.select("event_type", "ts", "value"))
-    # fix the rounding boundary of the intermediate before averaging so the
-    # oracle averages bit-identical inputs
-    hourly = hourly.withColumn("value", F.round("value", 2))
+    # no intermediate rounding: each round() is a potential boundary where
+    # summation-order float noise flips the result, so round only the final
+    # (few-row) output
     diurnal = AggregationModel(
         group_by_columns=[ColumnModel(dimension_name="event_type")],
         aggregation_function="avg",
     ).apply(hourly)
     return diurnal.select(
-        "event_type", F.round("value", 3).alias("avg_hourly_value")
+        "event_type", F.round("value", 2).alias("avg_hourly_value")
     )
 
 
@@ -841,10 +841,10 @@ def oracle_sql() -> dict[str, str]:
         "q10_agg_chained": """
             WITH hourly AS (
               SELECT event_type, extract(hour FROM ts) AS hour,
-                     round(sum(value), 2) AS value
+                     sum(value) AS value
               FROM events GROUP BY event_type, extract(hour FROM ts)
             )
-            SELECT event_type, round(avg(value), 3) AS avg_hourly_value
+            SELECT event_type, round(avg(value), 2) AS avg_hourly_value
             FROM hourly GROUP BY event_type
         """,
         "q11_count_distinct": """
