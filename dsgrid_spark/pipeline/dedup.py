@@ -114,8 +114,10 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
         ).alias("band", "band_hash"),
     )
     # materialize once: the signature expression tree is expensive and the
-    # self-join would otherwise evaluate it twice
+    # self-join would otherwise evaluate it twice. count() forces the cache
+    # to fill before the join's two branches scan it concurrently.
     bands = bands.persist()
+    bands.count()
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -145,6 +147,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_column: str = "text",
     sh = df.select(
         F.col(id_column), shingles(text_column, shingle_k).alias("__sh")
     )
+    # referenced twice (both sides of the pair join): materialize so the
+    # shingle construction runs once per document, not once per side
+    sh = sh.persist()
+    sh.count()
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")
         pairs = a.join(b, F.col(f"a.{id_column}") < F.col(f"b.{id_column}"))
@@ -183,7 +189,8 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     exact duplication this is the difference between O(survivors²) and
     O(corpus²) within hot buckets.
     """
-    uniq = exact_dedup(df, text_column, id_column)
+    uniq = exact_dedup(df, text_column, id_column).persist()
+    uniq.count()
     with_sig = minhash_signatures(uniq, text_column, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(with_sig, id_column, num_bands)
     dups = ngram_jaccard_pairs(uniq, text_column, id_column, shingle_k,
@@ -237,7 +244,11 @@ def simhash_dedup(df: DataFrame, text_column: str = "text",
     """Near-dedup by SimHash: block on 4 x 16-bit chunks (any chunk equal
     → candidate, guaranteed to catch hamming distance <= 3), verify with
     bit_count(xor) <= threshold, drop higher ids."""
+    # signatures are 8 bytes/doc: persist so the giant bit-vote expression
+    # tree runs once, not once per self-join side
     sh = df.select(F.col(id_column), simhash(text_column).alias("__sh"))
+    sh = sh.persist()
+    sh.count()
     chunks = sh.select(
         id_column, "__sh",
         F.posexplode(F.array(*[
