@@ -676,6 +676,127 @@ def q42_language_id(spark, sf_dir):
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
 
 
+def q43_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard duplicate pairs over all doc pairs (pipeline op)."""
+    from dsgrid_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q44_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (pipeline op).
+
+    The synthetic embeddings have no natural near-dups (max pairwise
+    cosine ~0.51), so the corpus is augmented with scaled copies
+    (cosine == 1.0 by construction) — the op must find exactly those.
+    """
+    from dsgrid_spark.pipeline.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    out = cosine_neardup_pairs(corpus, threshold=0.999)
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+def q45_similarity_ivf(spark, sf_dir):
+    """IVF ANN: k-means partitioning + probe-n search (pipeline op).
+
+    n_probe == n_clusters makes the search exhaustive, so results are
+    exact and the brute-force SQL oracle applies while the query still
+    exercises the centroid-assignment + probe plumbing.
+    """
+    from dsgrid_spark.pipeline.similarity import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = kmeans_centroids(emb, n_clusters=4, dim=64, iterations=2)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries_df, centroids, k=5, n_probe=len(centroids))
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+def q46_quality_score(spark, sf_dir):
+    """Document quality scoring: length/alpha/stopword thirds (pipeline op)."""
+    from dsgrid_spark.pipeline.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q47_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprint duplicate-group sizes (pipeline op).
+
+    The oracle can't reproduce xxhash64, so the check is on the grouping
+    the fingerprint induces: copies-per-document via the normalized text.
+    """
+    from dsgrid_spark.pipeline.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__fp", fingerprint(F.col("text"))
+    )
+    w_counts = docs.groupBy("__fp").agg(F.count("*").alias("n_copies"))
+    return docs.join(w_counts, "__fp").select("doc_id", "n_copies")
+
+
+def q48_supplemental_filter(spark, sf_dir):
+    """Supplemental-dimension filter: base records translated through a
+    mapping table then semi-joined (SURVEY §2.2)."""
+    from dsgrid_spark.operators.filters import SupplementalMappingFilter
+
+    customer = _t(spark, sf_dir, "customer").withColumn(
+        "geography", F.col("c_nationkey").cast("string")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    mapping = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").cast("string").alias("from_id"),
+        F.col("r_name").alias("to_id"),
+    )
+    filt = SupplementalMappingFilter(
+        column="geography", supplemental_ids=["ASIA", "EUROPE"]
+    )
+    out = filt.apply_with_mapping(customer, mapping)
+    return out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+def q49_add_name_column(spark, sf_dir):
+    """Attach a record attribute (id -> name) via broadcast join, keeping
+    both columns (SURVEY §2.12 replace-ids-with-names / add-supplemental-
+    column)."""
+    from dsgrid_spark.operators.mapping import add_column_from_records
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "geography", (F.col("user_id") % 4).cast("string")
+    )
+    records = spark.createDataFrame(
+        [("0", "north"), ("1", "south"), ("2", "east"), ("3", "west")],
+        "id string, name string",
+    )
+    out = add_column_from_records(ev, records, "geography",
+                                  records_key="id", records_value="name",
+                                  new_column="geography_name")
+    return out.groupBy("geography", "geography_name").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -720,6 +841,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_pivoted_load": q40_pivoted_load,
         "q41_representative_time": q41_representative_time,
         "q42_language_id": q42_language_id,
+        "q43_ngram_jaccard": q43_ngram_jaccard,
+        "q44_embedding_neardup": q44_embedding_neardup,
+        "q45_similarity_ivf": q45_similarity_ivf,
+        "q46_quality_score": q46_quality_score,
+        "q47_fingerprint": q47_fingerprint,
+        "q48_supplemental_filter": q48_supplemental_filter,
+        "q49_add_name_column": q49_add_name_column,
     }
 
 
@@ -1087,5 +1215,86 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                                 CAST(q.embedding AS DOUBLE[])) DESC,
                          c.vec_id) <= 5
+        """,
+        "q43_ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5 THEN
+                       list_distinct([array_to_string(w[(i+1):(i+5)], ' ')
+                                      for i in range(0, len(w) - 4)])
+                     ELSE [array_to_string(w, ' ')] END AS s
+              FROM (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
+                    FROM documents WHERE doc_id < 250)
+            )
+            SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                       THEN len(list_intersect(a.s, b.s)) * 1.0
+                            / len(list_distinct(list_concat(a.s, b.s)))
+                       ELSE 0.0 END AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jac >= 0.8
+        """,
+        "q44_embedding_neardup": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 100
+            ), corpus AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(v, x -> x * 1.01) FROM base
+            )
+            SELECT id_a, id_b, round(score, 6) AS score FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(a.v, b.v) AS score
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            ) WHERE score >= 0.999
+        """,
+        "q45_similarity_ivf": """
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) <= 5
+        """,
+        "q46_quality_score": f"""
+            SELECT doc_id, round((
+                least(1.0, len(text) / 500.0)
+                + CASE WHEN len(text) > 0 THEN
+                    len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                    / len(text)
+                  ELSE 0.0 END
+                + ({_lang_score_sql('en')}) / 8.0
+            ) / 3.0, 6) AS quality
+            FROM documents
+        """,
+        "q47_fingerprint": f"""
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY {_NORM_TEXT}) AS n_copies
+            FROM documents
+        """,
+        "q48_supplemental_filter": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            WHERE CAST(c_nationkey AS VARCHAR) IN (
+              SELECT CAST(n_nationkey AS VARCHAR)
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name IN ('ASIA', 'EUROPE'))
+            GROUP BY c_mktsegment
+        """,
+        "q49_add_name_column": """
+            SELECT CAST(user_id % 4 AS VARCHAR) AS geography,
+                   CASE CAST(user_id % 4 AS VARCHAR)
+                     WHEN '0' THEN 'north' WHEN '1' THEN 'south'
+                     WHEN '2' THEN 'east' ELSE 'west' END AS geography_name,
+                   count(*) AS n_events, round(sum(value), 2) AS value
+            FROM events GROUP BY 1, 2
         """,
     }

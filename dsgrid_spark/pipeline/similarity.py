@@ -123,6 +123,52 @@ def lsh_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int | None = None,
+    n_planes: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
+
+    Without blocking this is exact all-pairs — O(n²), for small corpora or
+    candidate verification. With ``dim``/``n_planes`` set, pairs are blocked
+    by LSH bucket first (the scale path: only same-bucket pairs are scored,
+    so the shuffle carries (bucket, id, vector) once instead of n² rows;
+    borderline pairs across buckets are missed — recall < 1).
+    """
+    if n_planes is not None:
+        df = add_lsh_bucket(df, dim, vector_column, n_planes, seed)
+        join_keys = ["bucket"]
+    else:
+        join_keys = []
+    a = df.select(
+        *join_keys,
+        F.col(id_column).alias("id_a"),
+        F.col(vector_column).alias("__va"),
+    )
+    b = df.select(
+        *join_keys,
+        F.col(id_column).alias("id_b"),
+        F.col(vector_column).alias("__vb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if join_keys:
+        cond = cond & (a["bucket"] == b["bucket"])
+        pairs = a.join(b, on=cond).drop("bucket")
+    else:
+        pairs = a.join(b, on=cond)
+    return (
+        pairs.withColumn("score", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+        .distinct()
+    )
+
+
 def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
                      vector_column: str = "embedding",
                      iterations: int = 5, seed: int = 11) -> list[list[float]]:
