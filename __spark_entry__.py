@@ -797,6 +797,77 @@ def q49_add_name_column(spark, sf_dir):
     )
 
 
+def _hourly_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.sum("value").alias("value")
+    )
+
+
+def q50_dst_duplicate(spark, sf_dir):
+    """DST adjustment: drop spring-forward hour, duplicate fall-back hour
+    (SURVEY §2.10). Events (Jan 2024) shifted onto the 2024 US DST dates."""
+    from dsgrid_spark.dimensions import DaylightSavingAdjustmentType
+    from dsgrid_spark.timedim.conversion import adjust_daylight_saving
+
+    hourly = _hourly_events(spark, sf_dir)
+    spring = hourly.select(
+        F.lit("spring").alias("tag"),
+        (F.col("ts") + F.expr("INTERVAL 69 DAYS")).alias("ts"), "value",
+    )
+    fall = hourly.select(
+        F.lit("fall").alias("tag"),
+        (F.col("ts") + F.expr("INTERVAL 307 DAYS")).alias("ts"), "value",
+    )
+    out = adjust_daylight_saving(
+        spring.unionByName(fall), "ts",
+        DaylightSavingAdjustmentType.DROP_SPRING_FORWARD_DUPLICATE_FALLBACK,
+        "America/Denver",
+    )
+    return out.select(
+        "tag", F.date_format("ts", TS_FMT).alias("local_ts"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+def q51_dst_interpolate(spark, sf_dir):
+    """DST fall-back with interpolation: the duplicated hour gets the mean
+    of its neighbors (SURVEY §2.10)."""
+    from dsgrid_spark.dimensions import DaylightSavingAdjustmentType
+    from dsgrid_spark.timedim.conversion import adjust_daylight_saving
+
+    fall = _hourly_events(spark, sf_dir).select(
+        (F.col("ts") + F.expr("INTERVAL 307 DAYS")).alias("ts"), "value"
+    )
+    out = adjust_daylight_saving(
+        fall, "ts",
+        DaylightSavingAdjustmentType.DROP_SPRING_FORWARD_INTERPOLATE_FALLBACK,
+        "America/Denver",
+    )
+    return out.select(
+        F.date_format("ts", TS_FMT).alias("local_ts"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+def q52_time_gaps(spark, sf_dir):
+    """Time-consistency report: missing hours per dimension combo against
+    the configured calendar (SURVEY §2.10 consistency check)."""
+    from dsgrid_spark.timedim.calendar import datetime_calendar
+
+    ev = _t(spark, sf_dir, "events")
+    actual = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    cal = datetime_calendar(spark, "2024-01-01 00:00:00",
+                            "2024-01-30 23:00:00", 3600, column="hour")
+    combos = ev.select("event_type").distinct().crossJoin(cal)
+    missing = combos.join(actual, ["event_type", "hour"], "left_anti")
+    return missing.groupBy("event_type").agg(
+        F.count("*").alias("n_missing_hours")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -848,6 +919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_fingerprint": q47_fingerprint,
         "q48_supplemental_filter": q48_supplemental_filter,
         "q49_add_name_column": q49_add_name_column,
+        "q50_dst_duplicate": q50_dst_duplicate,
+        "q51_dst_interpolate": q51_dst_interpolate,
+        "q52_time_gaps": q52_time_gaps,
     }
 
 
@@ -1296,5 +1370,64 @@ def oracle_sql() -> dict[str, str]:
                      WHEN '2' THEN 'east' ELSE 'west' END AS geography_name,
                    count(*) AS n_events, round(sum(value), 2) AS value
             FROM events GROUP BY 1, 2
+        """,
+        "q50_dst_duplicate": f"""
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+              FROM events GROUP BY 1
+            ), shifted AS (
+              SELECT 'spring' AS tag, h + INTERVAL 69 DAYS AS ts, v FROM hourly
+              UNION ALL
+              SELECT 'fall', h + INTERVAL 307 DAYS, v FROM hourly
+            ), kept AS (
+              SELECT * FROM shifted
+              WHERE NOT (CAST(ts AS DATE) = DATE '2024-03-10'
+                         AND extract(hour FROM ts) = 2)
+            ), dups AS (
+              SELECT tag, ts + INTERVAL 1 HOUR AS ts, v FROM shifted
+              WHERE CAST(ts AS DATE) = DATE '2024-11-03'
+                AND extract(hour FROM ts) = 1
+            )
+            SELECT tag, strftime(ts, '{_DUCK_TS}') AS local_ts,
+                   round(v, 4) AS value
+            FROM (SELECT * FROM kept UNION ALL SELECT * FROM dups)
+        """,
+        "q51_dst_interpolate": f"""
+            WITH fall AS (
+              SELECT date_trunc('hour', ts) + INTERVAL 307 DAYS AS ts,
+                     sum(value) AS v
+              FROM events GROUP BY 1
+            ), kept AS (
+              SELECT ts, v FROM fall
+              WHERE NOT (CAST(ts AS DATE) = DATE '2024-03-10'
+                         AND extract(hour FROM ts) = 2)
+            ), dups AS (
+              SELECT a.ts + INTERVAL 1 HOUR AS ts,
+                     (a.v + coalesce(b.v, a.v)) / 2.0 AS v
+              FROM fall a LEFT JOIN fall b ON b.ts = a.ts + INTERVAL 1 HOUR
+              WHERE CAST(a.ts AS DATE) = DATE '2024-11-03'
+                AND extract(hour FROM a.ts) = 1
+            )
+            SELECT strftime(ts, '{_DUCK_TS}') AS local_ts,
+                   round(v, 4) AS value
+            FROM (SELECT * FROM kept UNION ALL SELECT * FROM dups)
+        """,
+        "q52_time_gaps": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour
+            ), actual AS (
+              SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+              FROM events
+            ), combos AS (
+              SELECT t.event_type, c.hour
+              FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN cal c
+            )
+            SELECT event_type, count(*) AS n_missing_hours
+            FROM combos x
+            WHERE NOT EXISTS (SELECT 1 FROM actual a
+                              WHERE a.event_type = x.event_type
+                                AND a.hour = x.hour)
+            GROUP BY event_type
         """,
     }
