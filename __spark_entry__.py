@@ -868,6 +868,62 @@ def q52_time_gaps(spark, sf_dir):
     )
 
 
+def q53_project_query(spark, sf_dir):
+    """Full query lifecycle through Catalog + QuerySubmitter (SURVEY §3.1):
+    register dataset/mapping, supplemental prefilter, broadcast map-join,
+    fraction collapse, result aggregation + sort."""
+    from dsgrid_spark.operators.filters import SupplementalMappingFilter
+    from dsgrid_spark.query.models import (
+        DatasetModel, MappingSpec, ProjectQueryModel, ResultModel,
+    )
+    from dsgrid_spark.query.submitter import QuerySubmitter
+    from dsgrid_spark.sources.catalog import Catalog
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    fact = customer.join(orders, customer.c_custkey == orders.o_custkey).select(
+        F.col("c_nationkey").cast("string").alias("geography"),
+        F.year("o_orderdate").cast("string").alias("model_year"),
+        F.col("o_totalprice").alias("value"),
+    )
+    mapping = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").cast("string").alias("from_id"),
+        F.col("r_name").alias("to_id"),
+        F.lit(1.0).alias("from_fraction"),
+    )
+    catalog = Catalog(spark)
+    catalog.register_dataset("sales", fact)
+    catalog.register_mapping("nation_to_region", mapping)
+
+    query = ProjectQueryModel(
+        name="regional_sales",
+        source_datasets=[DatasetModel(
+            dataset_id="sales",
+            mappings=[MappingSpec(dimension="geography",
+                                  mapping="nation_to_region")],
+            filters=[SupplementalMappingFilter(
+                column="geography",
+                supplemental_ids=["ASIA", "AMERICA"],
+                mapping="nation_to_region",
+            )],
+        )],
+        result=ResultModel(
+            aggregations=[AggregationModel(
+                group_by_columns=[ColumnModel(dimension_name="geography"),
+                                  ColumnModel(dimension_name="model_year")],
+                aggregation_function="sum",
+            )],
+            sort_columns=["geography", "model_year"],
+        ),
+    )
+    out = QuerySubmitter(catalog).submit(query)
+    return out.select("geography", "model_year",
+                      F.round("value", 2).alias("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -922,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_dst_duplicate": q50_dst_duplicate,
         "q51_dst_interpolate": q51_dst_interpolate,
         "q52_time_gaps": q52_time_gaps,
+        "q53_project_query": q53_project_query,
     }
 
 
@@ -1429,5 +1486,16 @@ def oracle_sql() -> dict[str, str]:
                               WHERE a.event_type = x.event_type
                                 AND a.hour = x.hour)
             GROUP BY event_type
+        """,
+        "q53_project_query": """
+            SELECT r.r_name AS geography,
+                   CAST(extract(year FROM o.o_orderdate) AS VARCHAR) AS model_year,
+                   round(sum(o.o_totalprice), 2) AS value
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('ASIA', 'AMERICA')
+            GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,118 @@
+"""Command-line entry point: run project queries from a JSON spec.
+
+Mirrors the reference CLI surface (``dsgrid query project run query.json5``,
+dsgrid/cli/query.py:292-344) without the registry server: the spec file
+carries both the catalog (dataset/dimension/mapping parquet paths) and the
+ProjectQueryModel.
+
+Spec format::
+
+    {
+      "catalog": {
+        "datasets": {"sales": {"path": "...parquet",
+                               "lookup_path": null,
+                               "config": {...DatasetConfig fields...}}},
+        "dimensions": {"geography": "...parquet"},
+        "mappings": {"county_to_state": {"path": "...parquet",
+                                         "from_dimension": "county",
+                                         "to_dimension": "state"}}
+      },
+      "query": {...ProjectQueryModel...}
+    }
+
+Usage::
+
+    python -m dsgrid_spark run spec.json --output out/ [--show N]
+    python -m dsgrid_spark validate spec.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from dsgrid_spark.datasets.handlers import DatasetConfig
+from dsgrid_spark.query.models import ProjectQueryModel
+from dsgrid_spark.query.submitter import QuerySubmitter
+from dsgrid_spark.sources.catalog import Catalog
+
+
+def load_spec(path: str | Path) -> dict:
+    return json.loads(Path(path).read_text())
+
+
+def build_catalog(spark, spec: dict) -> Catalog:
+    cat = Catalog(spark)
+    c = spec.get("catalog", {})
+    for ds_id, entry in c.get("datasets", {}).items():
+        config = None
+        if entry.get("config"):
+            config = DatasetConfig(dataset_id=ds_id, **entry["config"])
+        cat.register_dataset(ds_id, entry["path"], config=config,
+                             lookup_source=entry.get("lookup_path"))
+    for name, path in c.get("dimensions", {}).items():
+        cat.register_dimension(name, path)
+    for name, entry in c.get("mappings", {}).items():
+        if isinstance(entry, str):
+            entry = {"path": entry}
+        cat.register_mapping(name, entry["path"],
+                             from_dimension=entry.get("from_dimension"),
+                             to_dimension=entry.get("to_dimension"))
+    return cat
+
+
+def parse_query(spec: dict) -> ProjectQueryModel:
+    return ProjectQueryModel.model_validate(spec["query"])
+
+
+def cmd_validate(args) -> int:
+    spec = load_spec(args.spec)
+    query = parse_query(spec)
+    print(f"query {query.name!r} ok: "
+          f"{len(query.source_datasets)} dataset(s)")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from dsgrid_spark.session import get_spark
+
+    spec = load_spec(args.spec)
+    query = parse_query(spec)
+    spark = get_spark("dsgrid-spark-cli")
+    catalog = build_catalog(spark, spec)
+    submitter = QuerySubmitter(catalog, output_dir=args.output)
+    df = submitter.submit(query)
+    if args.output:
+        out = Path(args.output) / query.name / "table.parquet"
+        from dsgrid_spark.sources.writers import write_parquet
+
+        write_parquet(df, out)
+        print(f"wrote {out}")
+    if args.show:
+        df.show(args.show, truncate=False)
+    print(f"rows: {df.count()}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dsgrid-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run a project query spec")
+    run.add_argument("spec")
+    run.add_argument("--output", default=None)
+    run.add_argument("--show", type=int, default=0)
+    run.set_defaults(fn=cmd_run)
+
+    val = sub.add_parser("validate", help="parse + validate a query spec")
+    val.add_argument("spec")
+    val.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

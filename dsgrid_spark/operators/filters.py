@@ -115,6 +115,9 @@ class SupplementalMappingFilter(BaseModel):
     filter_type: Literal["supplemental"] = "supplemental"
     column: str
     supplemental_ids: list[str] = Field(default_factory=list)
+    #: registered mapping-table name; lets the query submitter resolve the
+    #: records itself (translate-supplemental-to-base, project.py:219-240)
+    mapping: str | None = None
 
     def apply_with_mapping(self, df: DataFrame, mapping_records: DataFrame) -> DataFrame:
         keys = mapping_records.filter(F.col("to_id").isin(self.supplemental_ids))

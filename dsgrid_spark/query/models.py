@@ -80,4 +80,8 @@ class ProjectQueryModel(BaseModel):
     name: str
     source_datasets: list[Union[DatasetModel, ProjectionDatasetModel]]
     expression: Optional[str] = None  # default: union of all datasets
+    #: apply ``result.aggregations`` to every mapped dataset before
+    #: combining — shrinks each dataset ahead of the union/arithmetic join
+    #: (reference aggregate_each_dataset, query_submitter.py:502-525)
+    aggregate_each_dataset: bool = False
     result: ResultModel = Field(default_factory=ResultModel)

@@ -52,10 +52,7 @@ class QuerySubmitter:
         df = self._load_stacked(model.dataset_id)
         # prefilters: apply BEFORE mapping so Catalyst pushes them to the scan
         for flt in model.filters:
-            if isinstance(flt, SupplementalMappingFilter):
-                raise ValueError("supplemental filters need mapping records; "
-                                 "use result filters")
-            df = flt.apply(df)
+            df = self._apply_filter(df, flt)
         for spec in model.mappings:
             records = self.catalog.mapping(spec.mapping)
             df = map_stacked_dimension(
@@ -97,6 +94,16 @@ class QuerySubmitter:
             else:
                 mapped[ds.dataset_id] = self._map_dataset(ds)
 
+        # optional per-dataset pre-aggregation (reference
+        # aggregate_each_dataset, query_submitter.py:502-525); the result
+        # phase re-runs the same aggregations, which is idempotent for the
+        # dimensional group-by-sum family
+        if query.aggregate_each_dataset and query.result.aggregations:
+            mapped = {
+                k: apply_aggregations(v, query.result.aggregations)
+                for k, v in mapped.items()
+            }
+
         # align columns (reference query_submitter.py:527-542)
         col_order = sorted(next(iter(mapped.values())).columns)
         mapped = {k: v.select(*col_order) for k, v in mapped.items()}
@@ -106,9 +113,7 @@ class QuerySubmitter:
 
         res = query.result
         for flt in res.filters:
-            if isinstance(flt, SupplementalMappingFilter):
-                raise ValueError("bind supplemental filters via apply_with_mapping")
-            df = flt.apply(df)
+            df = self._apply_filter(df, flt)
         if res.aggregations:
             df = apply_aggregations(df, res.aggregations)
         if res.replace_ids_with_names:
@@ -129,6 +134,63 @@ class QuerySubmitter:
             )
             return spark.read.parquet(str(out))
         return df
+
+    def _apply_filter(self, df: DataFrame, flt) -> DataFrame:
+        if isinstance(flt, SupplementalMappingFilter):
+            if not flt.mapping:
+                raise ValueError(
+                    "supplemental filter needs a registered mapping name"
+                )
+            return flt.apply_with_mapping(df, self.catalog.mapping(flt.mapping))
+        return flt.apply(df)
+
+    # ---- composite / derived datasets (lifecycle §3.3) ----------------
+    def create_composite_dataset(self, query: ProjectQueryModel,
+                                 dataset_id: str | None = None) -> Path:
+        """Run lifecycle A and save the combined table + metadata under
+        ``composite_datasets/<id>`` (reference query_submitter.py:730-772).
+        The saved parquet can be re-queried (result phase only) or
+        re-registered as a derived dataset."""
+        if not self.output_dir:
+            raise ValueError("composite datasets need an output_dir")
+        dataset_id = dataset_id or query.name
+        df = self.submit(query)
+        out = self.output_dir / "composite_datasets" / dataset_id
+        write_parquet(df, out / "table.parquet")
+        (out / "metadata.json").write_text(json.dumps(
+            {"dataset_id": dataset_id, "query": query.model_dump(),
+             "columns": df.columns}, indent=2, default=str))
+        return out
+
+    def submit_composite(self, dataset_id: str, result) -> DataFrame:
+        """Re-read a composite dataset and run only the result phase
+        (reference query_submitter.py:774-811)."""
+        if not self.output_dir:
+            raise ValueError("composite datasets need an output_dir")
+        out = self.output_dir / "composite_datasets" / dataset_id
+        if not (out / "metadata.json").exists():
+            raise FileNotFoundError(f"composite dataset {dataset_id!r} not found")
+        df = self.catalog.spark.read.parquet(str(out / "table.parquet"))
+        for flt in result.filters:
+            df = self._apply_filter(df, flt)
+        if result.aggregations:
+            df = apply_aggregations(df, result.aggregations)
+        if result.replace_ids_with_names:
+            df = self._replace_ids_with_names(df)
+        if result.sort_columns:
+            df = df.sort(*result.sort_columns)
+        if result.output_format == "pivoted" and result.pivoted:
+            df = pivot(df, result.pivoted.pivoted_dimension,
+                       pivot_values=result.pivoted.pivot_values)
+        return df
+
+    def register_derived_dataset(self, dataset_id: str) -> None:
+        """Register a saved composite dataset back into the catalog as a
+        queryable dataset (reference derived_dataset.py:35-110)."""
+        out = self.output_dir / "composite_datasets" / dataset_id
+        if not (out / "metadata.json").exists():
+            raise FileNotFoundError(f"composite dataset {dataset_id!r} not found")
+        self.catalog.register_dataset(dataset_id, out / "table.parquet")
 
     def _replace_ids_with_names(self, df: DataFrame) -> DataFrame:
         """Swap each dimension id column for its record name via broadcast

@@ -7,6 +7,7 @@ and requiring identical results (tests/test_queries.py:663-670).
 from __future__ import annotations
 
 import datetime as dt
+import json
 
 import pytest
 from pyspark.sql import functions as F
@@ -174,3 +175,97 @@ def test_mapping_path(spark, catalog):
         from_dimension="state", to_dimension="census_region")
     path = catalog.mapping_path("county", "census_region")
     assert path == ["county_to_state", "state_to_census"]
+
+
+def test_composite_dataset_roundtrip(catalog, tmp_path):
+    """Lifecycle §3.3: create composite, re-query result phase only,
+    re-register as derived dataset."""
+    sub = QuerySubmitter(catalog, output_dir=tmp_path)
+    q = _query()
+    out_dir = sub.create_composite_dataset(q, "combined")
+    assert (out_dir / "metadata.json").exists()
+
+    full = sub.submit(q).collect()
+    requeried = sub.submit_composite("combined", ResultModel()).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, requeried))
+
+    # result-phase-only aggregation over the composite
+    agg = sub.submit_composite("combined", ResultModel(
+        aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="geography")],
+            aggregation_function="sum")],
+    ))
+    assert set(agg.columns) == {"geography", "value"}
+
+    # derived dataset is queryable again through the normal path
+    sub.register_derived_dataset("combined")
+    df, _ = catalog.dataset("combined")
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full))
+
+
+def test_per_dataset_aggregation(catalog):
+    sub = QuerySubmitter(catalog)
+    q = _query()
+    baseline = sorted(map(tuple, sub.submit(q).collect()))
+    q2 = q.model_copy(update={"aggregate_each_dataset": True})
+    out = sorted(map(tuple, sub.submit(q2).collect()))
+    # pre-aggregation must not change the final result (sum is idempotent
+    # under re-aggregation on the same group columns)
+    assert out == baseline
+
+
+def test_supplemental_filter_resolved_from_catalog(catalog):
+    from dsgrid_spark.operators.filters import SupplementalMappingFilter
+
+    sub = QuerySubmitter(catalog)
+    q = ProjectQueryModel(
+        name="suppl",
+        source_datasets=[DatasetModel(
+            dataset_id="load",
+            filters=[SupplementalMappingFilter(
+                column="geography", supplemental_ids=["CA"],
+                mapping="county_to_state")],
+        )],
+    )
+    out = sub.submit(q)
+    kept = {r["geography"] for r in out.select("geography").distinct().collect()}
+    mapping = catalog.mapping("county_to_state")
+    ca = {r["from_id"] for r in
+          mapping.filter(F.col("to_id") == "CA").collect()}
+    assert kept == ca
+
+
+def test_cli_validate_and_run(spark, load_onetable, county_to_state, tmp_path):
+    """CLI surface: spec file -> validate -> run -> parquet output."""
+    from dsgrid_spark.cli import main
+
+    fact_path = tmp_path / "fact.parquet"
+    map_path = tmp_path / "mapping.parquet"
+    load_onetable.write.parquet(str(fact_path))
+    county_to_state.write.parquet(str(map_path))
+    spec = {
+        "catalog": {
+            "datasets": {"load": {"path": str(fact_path)}},
+            "mappings": {"county_to_state": {"path": str(map_path)}},
+        },
+        "query": {
+            "name": "cli_q",
+            "source_datasets": [{
+                "dataset_id": "load",
+                "mappings": [{"dimension": "geography",
+                              "mapping": "county_to_state"}],
+            }],
+            "result": {
+                "aggregations": [{
+                    "group_by_columns": [{"dimension_name": "geography"}],
+                    "aggregation_function": "sum"}],
+            },
+        },
+    }
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    assert main(["validate", str(spec_path)]) == 0
+    assert main(["run", str(spec_path), "--output", str(tmp_path / "out")]) == 0
+    out = spark.read.parquet(str(tmp_path / "out" / "cli_q" / "table.parquet"))
+    assert out.count() > 0
+    assert "geography" in out.columns
