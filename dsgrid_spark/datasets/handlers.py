@@ -68,14 +68,21 @@ class OneTableHandler:
     """
 
     def __init__(self, df: DataFrame, config: DatasetConfig):
+        from dsgrid_spark.operators.missing import split_expected_missing
+
         self.config = config
+        self.expected_missing: DataFrame | None = None
         if config.pivoted_columns:
             df = unpivot(
                 df,
                 config.pivoted_columns,
                 config.pivoted_dimension or "metric",
-                drop_nulls=True,
+                drop_nulls=False,
             )
+            # NULL cells mark expected-missing associations: keep them
+            # aside so mapping/aggregation never sees them, re-addable via
+            # restore_expected_missing (reference utils/dataset.py:820-830)
+            df, self.expected_missing = split_expected_missing(df)
         df = _add_trivial_dimensions(df, config)
         self.df = _convert_int_dims_to_string(df, config)
 

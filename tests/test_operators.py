@@ -144,3 +144,53 @@ def test_annual_multiplier_golden(spark):
     got = {r["model_year"]: r["value"] for r in
            apply_annual_multiplier(initial, rates).collect()}
     assert got == {"2018": 100.0, "2020": 150.0}
+
+
+def test_expected_missing_roundtrip(spark):
+    """NULL-value rows split off, survive processing, re-added (reference
+    utils/dataset.py:123-140, :820-830)."""
+    from dsgrid_spark.operators.missing import (
+        restore_expected_missing, split_expected_missing,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", None), ("b", "x", 3.0)],
+        "geography string, metric string, value double",
+    )
+    data, missing = split_expected_missing(df)
+    assert data.count() == 2 and missing.count() == 1
+    processed = data.withColumn("value", F.col("value") * 2)
+    out = restore_expected_missing(processed, missing)
+    rows = {(r.geography, r.metric): r.value for r in out.collect()}
+    assert rows[("a", "y")] is None and rows[("a", "x")] == 2.0
+
+
+def test_drop_invalid_null_time_rows(spark):
+    from dsgrid_spark.operators.missing import drop_invalid_null_time_rows
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0), ("a", None, None),
+         ("b", None, None)],
+        "geography string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = drop_invalid_null_time_rows(df, "ts")
+    rows = [(r.geography, r.ts is None) for r in out.collect()]
+    # 'a' has real data -> its NULL-time row dropped; 'b' has none -> kept
+    assert sorted(rows) == [("a", False), ("b", True)]
+
+
+def test_pivoted_handler_stashes_expected_missing(spark):
+    from dsgrid_spark.datasets.handlers import DatasetConfig, OneTableHandler
+
+    df = spark.createDataFrame(
+        [("06037", 1.0, None), ("08031", 2.0, 4.0)],
+        "geography string, cooling double, heating double",
+    )
+    h = OneTableHandler(df, DatasetConfig(
+        dataset_id="p", time_columns=[],
+        pivoted_columns=["cooling", "heating"], pivoted_dimension="metric",
+    ))
+    assert h.df.count() == 3
+    assert h.expected_missing is not None
+    miss = h.expected_missing.collect()
+    assert len(miss) == 1 and miss[0]["geography"] == "06037"
