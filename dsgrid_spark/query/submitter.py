@@ -111,18 +111,7 @@ class QuerySubmitter:
         expr = query.expression or default_expression(list(mapped))
         df = evaluate_expression(expr, mapped)
 
-        res = query.result
-        for flt in res.filters:
-            df = self._apply_filter(df, flt)
-        if res.aggregations:
-            df = apply_aggregations(df, res.aggregations)
-        if res.replace_ids_with_names:
-            df = self._replace_ids_with_names(df)
-        if res.sort_columns:
-            df = df.sort(*res.sort_columns)
-        if res.output_format == "pivoted" and res.pivoted:
-            df = pivot(df, res.pivoted.pivoted_dimension,
-                       pivot_values=res.pivoted.pivot_values)
+        df = self._result_phase(df, query.result)
 
         if self.cache and self.output_dir:
             out = self.cache.path_for(key)
@@ -171,6 +160,28 @@ class QuerySubmitter:
         if not (out / "metadata.json").exists():
             raise FileNotFoundError(f"composite dataset {dataset_id!r} not found")
         df = self.catalog.spark.read.parquet(str(out / "table.parquet"))
+        return self._result_phase(df, result)
+
+    def submit_dataset_query(self, dataset_id: str, from_dimension: str,
+                             to_dimension: str,
+                             dimension_column: str | None = None,
+                             result=None) -> DataFrame:
+        """Entry point B (reference query_submitter.py:837-989): map one
+        dataset to a target dimension, auto-resolving the mapping chain
+        through the registry mapping graph (networkx shortest-hop)."""
+        path = self.catalog.mapping_path(from_dimension, to_dimension)
+        column = dimension_column or from_dimension
+        df = self._load_stacked(dataset_id)
+        for name in path:
+            df = map_stacked_dimension(df, self.catalog.mapping(name), column)
+        df = apply_fraction(df)
+        if result is not None:
+            df = self._result_phase(df, result)
+        return df
+
+    def _result_phase(self, df: DataFrame, result) -> DataFrame:
+        """Shared result phase: filters → aggregations → names → sort →
+        pivot (reference query_submitter.py:313-333, 558-575)."""
         for flt in result.filters:
             df = self._apply_filter(df, flt)
         if result.aggregations:

@@ -269,3 +269,20 @@ def test_cli_validate_and_run(spark, load_onetable, county_to_state, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out" / "cli_q" / "table.parquet"))
     assert out.count() > 0
     assert "geography" in out.columns
+
+
+def test_dataset_query_entry_point(spark, catalog):
+    """Entry point B: auto-resolved mapping chain county -> census_region."""
+    catalog.register_mapping("state_to_census", spark.createDataFrame(
+        [("CA", "west", 1.0), ("CO", "west", 1.0), ("TX", "south", 1.0)],
+        "from_id string, to_id string, from_fraction double"),
+        from_dimension="state", to_dimension="census_region")
+    sub = QuerySubmitter(catalog)
+    out = sub.submit_dataset_query("load", "county", "census_region",
+                                   dimension_column="geography")
+    regions = {r["geography"] for r in out.select("geography").distinct().collect()}
+    assert regions <= {"west", "south"}
+    # values conserved through the two-hop 1:1 mapping chain
+    direct = catalog.dataset("load")[0].agg(F.sum("value")).collect()[0][0]
+    mapped = out.agg(F.sum("value")).collect()[0][0]
+    assert mapped == pytest.approx(direct, rel=1e-9)
