@@ -924,6 +924,20 @@ def q53_project_query(spark, sf_dir):
                       F.round("value", 2).alias("value"))
 
 
+def q54_video_frame_sampling(spark, sf_dir):
+    """Multimodal frame-sampling fan-out: sequence+explode per video
+    (pipeline op; the decode of each frame is the stubbed step)."""
+    from dsgrid_spark.pipeline.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    videos = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 300 + 1).cast("int").alias("n_frames"),
+    )
+    out = sample_video_frames(videos, every_n=30)
+    return out.select("media_id", "n_frames", "frame_index")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -979,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_dst_interpolate": q51_dst_interpolate,
         "q52_time_gaps": q52_time_gaps,
         "q53_project_query": q53_project_query,
+        "q54_video_frame_sampling": q54_video_frame_sampling,
     }
 
 
@@ -1497,5 +1512,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name IN ('ASIA', 'AMERICA')
             GROUP BY 1, 2
+        """,
+        "q54_video_frame_sampling": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 300 + 1 AS INT) AS n_frames,
+                   CAST(unnest(range(0, n_chars % 300 + 1, 30)) AS INT)
+                     AS frame_index
+            FROM documents
         """,
     }

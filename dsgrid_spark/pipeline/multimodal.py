@@ -39,8 +39,15 @@ IMAGE_FEATURES_SCHEMA = StructType([
 
 
 def _fake_decode(payload: bytes, n_features: int = 8) -> tuple[int, int, list[float]]:
-    """Deterministic fake: 'dimensions' and 'features' from payload bytes."""
-    h = hash(bytes(payload) if payload is not None else b"")
+    """Deterministic fake: 'dimensions' and 'features' from payload bytes.
+
+    crc32, not ``hash()`` — Python's bytes hash is salted per process, so
+    results would differ between runs (and between executors with
+    different PYTHONHASHSEED).
+    """
+    import zlib
+
+    h = zlib.crc32(bytes(payload) if payload is not None else b"")
     width = 64 + (h % 512)
     height = 64 + ((h >> 9) % 512)
     feats = [float((h >> (i * 4)) & 0xFF) / 255.0 for i in range(n_features)]

@@ -56,6 +56,50 @@ def windowed_total(stream: DataFrame, time_column: str, dims: list[str],
     )
 
 
+def running_total_stream(
+    stream: DataFrame,
+    dims: list[str],
+    value_column: str = VALUE_COLUMN,
+) -> DataFrame:
+    """Custom stateful operator: cumulative per-key total across
+    micro-batches via ``applyInPandasWithState``.
+
+    Built-in streaming aggregations are per-window; a monotonically
+    growing lifetime total per dimension combination needs explicit state
+    (one float per key — state size is bounded by key cardinality, not
+    stream length, so this scales to arbitrarily long streams).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [StructField(d, StringType()) for d in dims]
+        + [StructField("running_total", DoubleType())]
+    )
+    state_schema = StructType([StructField("total", DoubleType())])
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        for pdf in pdfs:
+            total += float(pdf[value_column].sum())
+        state.update((total,))
+        yield pd.DataFrame(
+            {**{d: [k] for d, k in zip(dims, key)}, "running_total": [total]}
+        )
+
+    return (
+        stream.groupBy(*dims)
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def write_stream_parquet(df: DataFrame, path: str, checkpoint: str,
                          trigger_once: bool = True) -> DataStreamWriter:
     w = (

@@ -135,3 +135,38 @@ def test_streaming_map_and_window(spark, tmp_path):
     ).start()
     w.awaitTermination(60)
     assert spark.read.parquet(str(out)).count() == 4
+
+
+def test_streaming_running_total_stateful(spark, tmp_path):
+    """Custom stateful op: lifetime per-key total via applyInPandasWithState,
+    state carried across micro-batches."""
+    from dsgrid_spark.streaming.ops import read_fact_stream, running_total_stream
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("CA", 1.0), ("CA", 2.0), ("CO", 5.0)], "geography string, value double"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("CA", 4.0)], "geography string, value double"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = read_fact_stream(spark, str(src / "*"),
+                              "geography string, value double")
+    # one file per micro-batch so state must persist between batches
+    stream = spark.readStream.schema("geography string, value double") \
+        .option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+    totals = running_total_stream(stream, ["geography"])
+    q = (
+        totals.writeStream.format("memory").queryName("run_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM run_totals").collect()
+    final = {}
+    for r in rows:  # update mode: last emission per key wins
+        final[r["geography"]] = r["running_total"]
+    assert final["CA"] == 7.0
+    assert final["CO"] == 5.0
