@@ -1,0 +1,128 @@
+"""Property-based invariants (hypothesis) for the core algebra.
+
+The reference validates mapping fractions at registration time
+(dimension_mapping_base.py:14-39) because violating them silently
+double-counts; these properties pin the conservation laws the engine
+relies on, over randomized inputs.
+
+Each property runs few examples (Spark jobs are ~100 ms each) but with
+shrinking, which is where hypothesis earns its keep.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dsgrid_spark.operators.mapping import apply_fraction, map_stacked_dimension
+from dsgrid_spark.operators.reshape import pivot, unpivot
+from dsgrid_spark.timedim.conversion import downsample, upsample
+
+SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_subnormal=False, width=32),
+    min_size=1, max_size=20,
+)
+
+
+@given(vals=values, n_to=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_disaggregation_conserves_total(spark, vals, n_to):
+    """1:N mapping with fractions summing to 1 per from_id conserves the
+    grand total (ONE_TO_MANY_DISAGGREGATION)."""
+    fact = spark.createDataFrame(
+        [(f"g{i % 3}", float(v)) for i, v in enumerate(vals)],
+        "geography string, value double",
+    )
+    frac = 1.0 / n_to
+    records = spark.createDataFrame(
+        [(f"g{g}", f"g{g}_{j}", frac) for g in range(3) for j in range(n_to)],
+        "from_id string, to_id string, from_fraction double",
+    )
+    out = apply_fraction(map_stacked_dimension(fact, records, "geography"))
+    got = out.agg(F.sum("value")).collect()[0][0] or 0.0
+    assert math.isclose(got, sum(vals), rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(vals=values)
+@SETTINGS
+def test_aggregation_mapping_conserves_total(spark, vals):
+    """N:1 aggregation mapping (fraction 1.0) conserves the grand total."""
+    fact = spark.createDataFrame(
+        [(f"c{i % 5}", float(v)) for i, v in enumerate(vals)],
+        "geography string, value double",
+    )
+    records = spark.createDataFrame(
+        [(f"c{i}", "state", 1.0) for i in range(5)],
+        "from_id string, to_id string, from_fraction double",
+    )
+    out = apply_fraction(map_stacked_dimension(fact, records, "geography"))
+    got = out.agg(F.sum("value")).collect()[0][0] or 0.0
+    assert math.isclose(got, sum(vals), rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(vals=st.lists(
+    st.floats(min_value=0.125, max_value=1e4, allow_nan=False, allow_subnormal=False, width=32),
+    min_size=1, max_size=12))
+@SETTINGS
+def test_pivot_unpivot_roundtrip(spark, vals):
+    rows = [(f"g{i}", "m0", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "geography string, metric string, value double")
+    p = pivot(df, "metric", pivot_values=["m0"])
+    back = unpivot(p, ["m0"], "metric", drop_nulls=True)
+    got = sorted((r["geography"], r["metric"], r["value"]) for r in back.collect())
+    assert got == sorted(rows)
+
+
+@given(vals=values)
+@SETTINGS
+def test_downsample_total_conserves_sum(spark, vals):
+    rows = [(f"2024-01-01 {i % 24:02d}:{(i * 7) % 60:02d}:00", float(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = downsample(df, "ts", 6 * 3600)
+    got = out.agg(F.sum("value")).collect()[0][0] or 0.0
+    assert math.isclose(got, sum(vals), rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(vals=values, steps=st.sampled_from([2, 4, 6]))
+@SETTINGS
+def test_upsample_total_conserves_sum(spark, vals, steps):
+    rows = [(f"2024-01-{i % 28 + 1:02d} 00:00:00", float(v))
+            for i, v in enumerate(vals)]
+    df = (
+        spark.createDataFrame(rows, "ts string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("ts").agg(F.sum("value").alias("value"))
+    )
+    base = df.agg(F.sum("value")).collect()[0][0] or 0.0
+    out = upsample(df, "ts", 86400, 86400 // steps)
+    got = out.agg(F.sum("value")).collect()[0][0] or 0.0
+    assert math.isclose(got, base, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_exact_dedup_idempotent(spark, seed):
+    from dsgrid_spark.pipeline.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["Hello world!", "hello  world", "HELLO WORLD", "other text",
+             "Other Text.", "unique"])],
+        "doc_id long, text string",
+    )
+    once = exact_dedup(docs)
+    twice = exact_dedup(once)
+    assert sorted(r["doc_id"] for r in once.collect()) == \
+        sorted(r["doc_id"] for r in twice.collect())
+    # survivors are the min-id of each normalized group
+    assert sorted(r["doc_id"] for r in once.collect()) == [0, 3, 5]
