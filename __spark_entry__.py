@@ -110,13 +110,17 @@ def q02_scan_projection(spark, sf_dir):
 
 
 def q03_filter_ops(spark, sf_dir):
-    """Column-operator / between / negated filters (SURVEY §2.2)."""
+    """Column-operator / between / negated / raw-expression filters
+    (SURVEY §2.2)."""
+    from dsgrid_spark.operators.filters import RawExpressionFilter
+
     part = _t(spark, sf_dir, "part")
     part = ColumnOperatorFilter(column="p_type", operator="startswith",
                                 value="PROMO").apply(part)
     part = BetweenFilter(column="p_size", lower=1, upper=15).apply(part)
     part = ColumnOperatorFilter(column="p_brand", operator="isin",
                                 value=["Brand#45"], negate=True).apply(part)
+    part = RawExpressionFilter(expression="p_retailprice < 960.0").apply(part)
     return part.select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
 
 
@@ -938,6 +942,22 @@ def q54_video_frame_sampling(spark, sf_dir):
     return out.select("media_id", "n_frames", "frame_index")
 
 
+def q55_rollup(spark, sf_dir):
+    """Hierarchical rollup with subtotals + grand total (beyond-reference:
+    dsgrid has no grouping sets; Spark gives them free — SURVEY §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders", "total_price",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -994,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_time_gaps": q52_time_gaps,
         "q53_project_query": q53_project_query,
         "q54_video_frame_sampling": q54_video_frame_sampling,
+        "q55_rollup": q55_rollup,
     }
 
 
@@ -1062,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_type LIKE 'PROMO%'
               AND p_size BETWEEN 1 AND 15
               AND p_brand NOT IN ('Brand#45')
+              AND p_retailprice < 960.0
         """,
         "q04_filter_subset": """
             SELECT l_returnflag, count(*) AS n_rows,
@@ -1519,5 +1541,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(0, n_chars % 300 + 1, 30)) AS INT)
                      AS frame_index
             FROM documents
+        """,
+        "q55_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
     }
