@@ -286,3 +286,52 @@ def test_dataset_query_entry_point(spark, catalog):
     direct = catalog.dataset("load")[0].agg(F.sum("value")).collect()[0][0]
     mapped = out.agg(F.sum("value")).collect()[0][0]
     assert mapped == pytest.approx(direct, rel=1e-9)
+
+
+def test_mapping_plan_checkpoint_resume(spark, tmp_path):
+    """Resume from the longest checkpointed prefix; editing an earlier
+    step invalidates downstream checkpoints (reference
+    MapOperationCheckpoint, query_submitter.py:924-949)."""
+    from dsgrid_spark.query.checkpoint import MappingPlanRunner, PlanStep
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)],
+                               "geography string, value double")
+    calls = []
+
+    def mk(name, factor):
+        def fn(d):
+            calls.append(name)
+            return d.withColumn("value", F.col("value") * factor)
+        return fn
+
+    runner = MappingPlanRunner(scratch_dir=tmp_path, key_parts=("v1",))
+    steps = [PlanStep("double", mk("double", 2.0), persist=True),
+             PlanStep("triple", mk("triple", 3.0))]
+    out1 = sorted(map(tuple, runner.run(df, steps).collect()))
+    assert calls == ["double", "triple"]
+
+    # rerun: the persisted 'double' step is skipped, 'triple' re-runs
+    calls.clear()
+    out2 = sorted(map(tuple, runner.run(df, steps).collect()))
+    assert calls == ["triple"]
+    assert out1 == out2
+
+    # different key_parts (e.g. new dataset version) -> full re-run
+    calls.clear()
+    runner2 = MappingPlanRunner(scratch_dir=tmp_path, key_parts=("v2",))
+    runner2.run(df, steps).collect()
+    assert calls == ["double", "triple"]
+
+
+def test_track_timing_report():
+    from dsgrid_spark.timing import TimerStats, track_timing
+
+    stats = TimerStats()
+
+    @track_timing(stats=stats)
+    def work():
+        return 42
+
+    assert work() == 42 and work() == 42
+    assert stats.stats["test_track_timing_report.<locals>.work"].count == 2
+    assert "total_s" in stats.report()
