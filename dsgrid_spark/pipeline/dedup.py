@@ -45,16 +45,18 @@ def exact_dedup(df: DataFrame, text_column: str = "text",
                 id_column: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text hash.
 
-    Hash-groupBy on xxhash64(normalized text): the shuffle key is 8
-    bytes/doc regardless of document size.
+    Hash-groupBy on xxhash64(normalized text) with ``min_by`` over the
+    full row: unlike a row_number window (which shuffles every row),
+    this gets map-side partial aggregation — on a duplicate-heavy corpus
+    only one candidate row per (partition, hash) reaches the shuffle.
     """
     h = fingerprint(F.col(text_column))
-    w = Window.partitionBy("__h").orderBy(id_column)
+    cols = df.columns
     return (
         df.withColumn("__h", h)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+        .groupBy("__h")
+        .agg(F.min_by(F.struct(*cols), F.col(id_column)).alias("__r"))
+        .select("__r.*")
     )
 
 
