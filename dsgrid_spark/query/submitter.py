@@ -49,6 +49,17 @@ class QuerySubmitter:
         return OneTableHandler(df, config).df
 
     def _map_dataset(self, model: DatasetModel) -> DataFrame:
+        # per-dataset content-hash cache (reference project.py:418-451):
+        # re-used across queries that map the same dataset the same way
+        key = None
+        if self.cache:
+            key = content_hash(
+                "dataset", model.model_dump(),
+                self.catalog.datasets[model.dataset_id].version,
+            )
+            hit = self.cache.get(key)
+            if hit:
+                return self.catalog.spark.read.parquet(str(hit))
         df = self._load_stacked(model.dataset_id)
         # prefilters: apply BEFORE mapping so Catalyst pushes them to the scan
         for flt in model.filters:
@@ -58,7 +69,12 @@ class QuerySubmitter:
             df = map_stacked_dimension(
                 df, records, spec.dimension, salt_partitions=spec.salt_partitions
             )
-        return apply_fraction(df)
+        df = apply_fraction(df)
+        if self.cache and key is not None and model.mappings:
+            out = self.cache.path_for(key)
+            write_parquet(df, out)
+            df = self.catalog.spark.read.parquet(str(out))
+        return df
 
     def _map_projection(self, model: ProjectionDatasetModel) -> DataFrame:
         initial = self._map_dataset(

@@ -335,3 +335,48 @@ def test_track_timing_report():
     assert work() == 42 and work() == 42
     assert stats.stats["test_track_timing_report.<locals>.work"].count == 2
     assert "total_s" in stats.report()
+
+
+def test_per_dataset_map_cache(catalog, tmp_path):
+    """Mapped datasets are content-hash cached and reused across queries
+    (reference project.py:418-451)."""
+    sub = QuerySubmitter(catalog, output_dir=tmp_path)
+    q = _query()
+    first = sorted(map(tuple, sub.submit(q).collect()))
+    # a different result phase but the same dataset mapping: the map
+    # phase must come from cache (same dataset-level key)
+    q2 = _query(sort_columns=["geography"])
+    q2 = q2.model_copy(update={"name": "q2"})
+    second = sorted(map(tuple, sub.submit(q2).collect()))
+    assert first == second
+    cache_dirs = list((tmp_path / "cache").iterdir())
+    assert len(cache_dirs) >= 2  # dataset-level + query-level entries
+
+
+def test_error_paths(catalog):
+    """Invalid queries fail fast with clear errors (reference
+    test_queries.py:242-320, 1588)."""
+    sub = QuerySubmitter(catalog)
+    with pytest.raises(KeyError):
+        sub.submit(ProjectQueryModel(
+            name="bad", source_datasets=[DatasetModel(dataset_id="nope")]))
+    with pytest.raises(KeyError):
+        sub.submit(ProjectQueryModel(
+            name="bad2",
+            source_datasets=[DatasetModel(
+                dataset_id="load",
+                mappings=[MappingSpec(dimension="geography",
+                                      mapping="missing_mapping")])]))
+    from dsgrid_spark.operators.expressions import DatasetExpressionError
+    with pytest.raises((DatasetExpressionError, KeyError)):
+        sub.submit(ProjectQueryModel(
+            name="bad3",
+            source_datasets=[DatasetModel(dataset_id="load")],
+            expression="load | unknown_ds"))
+    with pytest.raises(ValueError):
+        from dsgrid_spark.operators.aggregation import AggregationModel as AM
+        AM(group_by_columns=[ColumnModel(dimension_name="geography")],
+           aggregation_function="not_a_function")
+    from dsgrid_spark.operators.units import conversion_factor
+    with pytest.raises(ValueError):
+        conversion_factor("kWh", "MW")  # energy -> power
