@@ -41,6 +41,11 @@ class DatasetModel(BaseModel):
     dataset_id: str
     mappings: list[MappingSpec] = Field(default_factory=list)
     filters: list[FilterModel] = Field(default_factory=list)
+    #: runtime-settable Spark confs scoped around this dataset's map phase
+    #: (reference spark_conf_per_dataset, models.py:284-288 — the reference
+    #: restarts the session; we scope the live one). Takes effect at
+    #: execution, so it pairs with the dataset-level cache materialization.
+    spark_conf: dict[str, str] = Field(default_factory=dict)
 
 
 class ProjectionDatasetModel(BaseModel):

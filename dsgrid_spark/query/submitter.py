@@ -71,8 +71,11 @@ class QuerySubmitter:
             )
         df = apply_fraction(df)
         if self.cache and key is not None and model.mappings:
+            from dsgrid_spark.session import scoped_conf
+
             out = self.cache.path_for(key)
-            write_parquet(df, out)
+            with scoped_conf(self.catalog.spark, model.spark_conf):
+                write_parquet(df, out)
             df = self.catalog.spark.read.parquet(str(out))
         return df
 
@@ -209,6 +212,14 @@ class QuerySubmitter:
         if result.output_format == "pivoted" and result.pivoted:
             df = pivot(df, result.pivoted.pivoted_dimension,
                        pivot_values=result.pivoted.pivot_values)
+        if result.time_zone:
+            from pyspark.sql.types import TimestampType
+
+            from dsgrid_spark.timedim.conversion import convert_time_zone
+
+            for f in df.schema.fields:
+                if isinstance(f.dataType, TimestampType):
+                    df = convert_time_zone(df, f.name, result.time_zone)
         return df
 
     def register_derived_dataset(self, dataset_id: str) -> None:

@@ -65,6 +65,33 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
 
 
 @contextmanager
+def scoped_conf(spark: SparkSession, conf: dict):
+    """Scope runtime-settable confs without a session restart.
+
+    The reference restarts the whole session to apply
+    ``spark_conf_per_dataset`` (dsgrid/project.py:279-283); runtime confs
+    (shuffle partitions, AQE knobs, session tz) don't need that. Note the
+    scope only affects *executions* happening inside it — pair with an
+    eager materialization (cache write) for per-dataset confs.
+    """
+    prior: dict[str, str | None] = {}
+    for k, v in conf.items():
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+        spark.conf.set(k, str(v))
+    try:
+        yield spark
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@contextmanager
 def session_time_zone(spark: SparkSession, tz: str):
     """Scope ``spark.sql.session.timeZone`` without leaking across queries.
 

@@ -380,3 +380,35 @@ def test_error_paths(catalog):
     from dsgrid_spark.operators.units import conversion_factor
     with pytest.raises(ValueError):
         conversion_factor("kWh", "MW")  # energy -> power
+
+
+def test_result_time_zone_applied(spark, catalog):
+    q = _query()
+    q2 = q.model_copy(deep=True)
+    q2.result.aggregations = []
+    q2.result.time_zone = "Etc/GMT+5"
+    base = QuerySubmitter(catalog).submit(q.model_copy(
+        update={"result": ResultModel()}))
+    shifted = QuerySubmitter(catalog).submit(q2)
+    b = base.select(F.min("timestamp")).collect()[0][0]
+    s = shifted.select(F.min("timestamp")).collect()[0][0]
+    assert (b - s).total_seconds() == 5 * 3600
+
+
+def test_scoped_conf_restores(spark):
+    from dsgrid_spark.session import scoped_conf
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "7"}):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+
+
+def test_per_dataset_spark_conf_in_query(spark, catalog, tmp_path):
+    sub = QuerySubmitter(catalog, output_dir=tmp_path)
+    q = _query()
+    q.source_datasets[0].spark_conf = {"spark.sql.shuffle.partitions": "3"}
+    out = sub.submit(q)
+    assert out.count() > 0
+    # conf restored after the scoped map phase
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "3"
