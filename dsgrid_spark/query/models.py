@@ -77,6 +77,9 @@ class ResultModel(BaseModel):
     output_format: Literal["stacked", "pivoted"] = "stacked"
     pivoted: Optional[PivotedResultFormat] = None
     time_zone: Optional[str] = None
+    #: final column renames — the reference's column naming modes
+    #: (dimension-type vs dimension-query names, models.py:104-109)
+    column_names: dict[str, str] = Field(default_factory=dict)
 
 
 class ProjectQueryModel(BaseModel):

@@ -220,6 +220,8 @@ class QuerySubmitter:
             for f in df.schema.fields:
                 if isinstance(f.dataType, TimestampType):
                     df = convert_time_zone(df, f.name, result.time_zone)
+        if result.column_names:
+            df = df.withColumnsRenamed(result.column_names)
         return df
 
     def register_derived_dataset(self, dataset_id: str) -> None:

@@ -412,3 +412,11 @@ def test_per_dataset_spark_conf_in_query(spark, catalog, tmp_path):
     assert out.count() > 0
     # conf restored after the scoped map phase
     assert spark.conf.get("spark.sql.shuffle.partitions") != "3"
+
+
+def test_result_column_renames(catalog):
+    q = _query()
+    q.result.column_names = {"geography": "state", "value": "load_mwh"}
+    out = QuerySubmitter(catalog).submit(q)
+    assert {"state", "load_mwh"} <= set(out.columns)
+    assert "geography" not in out.columns
