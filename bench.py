@@ -33,6 +33,9 @@ HEADLINE = [
     "q30_minhash_dedup",
     "q31_simhash_dedup",
     "q32_similarity_bruteforce",
+    "q44_embedding_neardup",
+    "q50_dst_duplicate",
+    "q53_project_query",
 ]
 
 

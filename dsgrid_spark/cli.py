@@ -84,6 +84,10 @@ def cmd_run(args) -> int:
     catalog = build_catalog(spark, spec)
     submitter = QuerySubmitter(catalog, output_dir=args.output)
     df = submitter.submit(query)
+    if args.explain:
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")))
     if args.output:
         out = Path(args.output) / query.name / "table.parquet"
         from dsgrid_spark.sources.writers import write_parquet
@@ -104,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("spec")
     run.add_argument("--output", default=None)
     run.add_argument("--show", type=int, default=0)
+    run.add_argument("--explain", action="store_true",
+                     help="print the formatted physical plan")
     run.set_defaults(fn=cmd_run)
 
     val = sub.add_parser("validate", help="parse + validate a query spec")

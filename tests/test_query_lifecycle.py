@@ -420,3 +420,29 @@ def test_result_column_renames(catalog):
     out = QuerySubmitter(catalog).submit(q)
     assert {"state", "load_mwh"} <= set(out.columns)
     assert "geography" not in out.columns
+
+
+def test_peak_load_golden(spark):
+    """Peak-load report validated against an independent pandas
+    recomputation (reference test_queries.py:1453 pattern)."""
+    import pandas as pd
+
+    from dsgrid_spark.operators.reports import peak_load
+
+    pdf = pd.DataFrame({
+        "geography": ["CA", "CA", "CA", "CO", "CO"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+            "2024-01-01 00:00", "2024-01-01 01:00"]),
+        "value": [1.0, 5.0, 3.0, 2.0, 2.0],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r["geography"]: (r["ts"], r["value"])
+           for r in peak_load(df, ["geography"], tie_breakers=["ts"]).collect()}
+    # independent recomputation: idxmax per group (ties -> earliest row,
+    # matching the ts tie-breaker)
+    exp = pdf.loc[pdf.groupby("geography")["value"].idxmax()]
+    for _, row in exp.iterrows():
+        g, v = row["geography"], row["value"]
+        assert got[g][1] == v
+        assert got[g][0] == row["ts"].to_pydatetime()
