@@ -40,7 +40,22 @@ from dsgrid_spark.sources.catalog import Catalog
 
 
 def load_spec(path: str | Path) -> dict:
-    return json.loads(Path(path).read_text())
+    """Read a JSON (or JSON5-lite) spec.
+
+    The reference's query files are JSON5 (dsgrid/cli/query.py); plain
+    json covers most of them once comments and trailing commas are
+    stripped, which is all the reference actually uses.
+    """
+    text = Path(path).read_text()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        import re
+
+        no_block = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+        no_line = re.sub(r"^\s*//.*$", "", no_block, flags=re.M)
+        no_trailing = re.sub(r",(\s*[}\]])", r"\1", no_line)
+        return json.loads(no_trailing)
 
 
 def build_catalog(spark, spec: dict) -> Catalog:
