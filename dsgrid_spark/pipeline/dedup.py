@@ -13,7 +13,7 @@ Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from dsgrid_spark.pipeline.text import fingerprint
 
