@@ -90,3 +90,18 @@ class Catalog:
         return [
             self.mapping_edges[(a, b)] for a, b in zip(path, path[1:])
         ]
+
+    def create_views(self) -> None:
+        """Register every catalog entry as a temp view so users can
+        ``spark.sql`` over the project directly (a free SQL front door
+        the reference lacks — it has no SQL frontend at all).
+
+        Views: datasets by id, dimensions as ``dim_<name>``, mappings as
+        ``mapping_<name>``.
+        """
+        for ds_id in self.datasets:
+            self.dataset(ds_id)[0].createOrReplaceTempView(ds_id)
+        for name in self.dimensions:
+            self.dimension(name).createOrReplaceTempView(f"dim_{name}")
+        for name in self.mappings:
+            self.mapping(name).createOrReplaceTempView(f"mapping_{name}")

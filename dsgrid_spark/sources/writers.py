@@ -59,3 +59,35 @@ def write_csv(df: DataFrame, path: str | Path, single_file: bool = False) -> Non
 
 def write_json(df: DataFrame, path: str | Path) -> None:
     df.write.mode("overwrite").json(str(path))
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_columns: list[str],
+                   n_buckets: int = 64, sort_columns: list[str] | None = None,
+                   overwrite: bool = True) -> None:
+    """Persist as a bucketed table so repeated joins/aggregations on the
+    bucket keys skip their shuffle entirely.
+
+    At 100 TB the fact table is written once bucketed by its hottest join
+    key (e.g. the two-table surrogate ``id`` or ``geography``); every
+    subsequent query joins/aggregates shuffle-free on that key. Requires
+    ``saveAsTable`` (bucket metadata lives in the session catalog).
+    """
+    writer = df.write.format("parquet").mode(
+        "overwrite" if overwrite else "error"
+    ).bucketBy(n_buckets, *bucket_columns)
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    writer.saveAsTable(table)
+
+
+def diagnose_skew(df: DataFrame, column: str, k: int = 10) -> list[tuple]:
+    """Top-k key frequencies — the reference's skew trigger was found by
+    watching one executor spill 4 GiB (utils/dataset.py:719-741); this
+    surfaces it up front so ``salt_partitions`` can be set deliberately."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.groupBy(column).count()
+        .orderBy(F.desc("count")).limit(k).collect()
+    )
+    return [(r[column], r["count"]) for r in rows]

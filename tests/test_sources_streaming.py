@@ -170,3 +170,44 @@ def test_streaming_running_total_stateful(spark, tmp_path):
         final[r["geography"]] = r["running_total"]
     assert final["CA"] == 7.0
     assert final["CO"] == 5.0
+
+
+def test_catalog_sql_views(spark):
+    from dsgrid_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_dataset("facts", spark.createDataFrame(
+        [("06037", 1.0)], "geography string, value double"))
+    cat.register_dimension("geography", spark.createDataFrame(
+        [("06037", "Los Angeles")], "id string, name string"))
+    cat.create_views()
+    got = spark.sql("""
+        SELECT d.name, sum(f.value) AS v FROM facts f
+        JOIN dim_geography d ON f.geography = d.id GROUP BY d.name
+    """).collect()
+    assert got[0]["name"] == "Los Angeles" and got[0]["v"] == 1.0
+
+
+def test_write_bucketed_join_avoids_shuffle(spark, tmp_path):
+    from dsgrid_spark.sources.writers import write_bucketed
+
+    df = spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(1000)], "k int, value double")
+    write_bucketed(df, "bucketed_facts_test", ["k"], n_buckets=8)
+    try:
+        t = spark.table("bucketed_facts_test")
+        agg = t.groupBy("k").sum("value")
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # bucketed layout satisfies the aggregation's distribution: no Exchange
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_facts_test")
+
+
+def test_diagnose_skew(spark):
+    from dsgrid_spark.sources.writers import diagnose_skew
+
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [("cold",)] * 10, "k string")
+    top = diagnose_skew(df, "k", k=2)
+    assert top[0] == ("hot", 90)
