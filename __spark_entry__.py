@@ -958,6 +958,40 @@ def q55_rollup(spark, sf_dir):
     )
 
 
+def q56_representative_weekday(spark, sf_dir):
+    """Representative-period second format (month, is_weekday, hour)
+    template → real timestamps (SURVEY §2.10)."""
+    from dsgrid_spark.dimensions import RepresentativePeriodFormat
+    from dsgrid_spark.timedim.representative import representative_to_datetime
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "geography", (F.col("user_id") % 2).cast("string")
+    )
+    template = (
+        ev.groupBy(
+            F.month("ts").alias("month"),
+            (((F.dayofweek("ts") + 5) % 7) < 5).alias("is_weekday"),
+            F.hour("ts").alias("hour"),
+            "geography",
+        )
+        .agg(F.round(F.sum("value"), 2).alias("value"))
+        .filter(F.col("month") == 1)
+    )
+    geo = spark.createDataFrame(
+        [("0", "Etc/GMT+6"), ("1", "Etc/GMT+7")], "id string, time_zone string"
+    )
+    out = representative_to_datetime(
+        template, geo, 2024,
+        fmt=RepresentativePeriodFormat.ONE_WEEKDAY_DAY_AND_ONE_WEEKEND_DAY_PER_MONTH_BY_HOUR,
+        geography_column="geography",
+    )
+    return out.select(
+        "geography",
+        F.date_format("timestamp", TS_FMT).alias("utc_hour"),
+        "value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1015,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_project_query": q53_project_query,
         "q54_video_frame_sampling": q54_video_frame_sampling,
         "q55_rollup": q55_rollup,
+        "q56_representative_weekday": q56_representative_weekday,
     }
 
 
@@ -1549,5 +1584,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q56_representative_weekday": f"""
+            WITH template AS (
+              SELECT extract(month FROM ts) AS month,
+                     (dayofweek(ts) + 6) % 7 < 5 AS is_weekday,
+                     extract(hour FROM ts) AS hour,
+                     CAST(user_id % 2 AS VARCHAR) AS geography,
+                     round(sum(value), 2) AS value
+              FROM events GROUP BY 1, 2, 3, 4
+              HAVING extract(month FROM ts) = 1
+            ), zones AS (
+              SELECT * FROM (VALUES ('0', 6), ('1', 7)) AS z(geography, off)
+            ), cal AS (
+              SELECT z.geography, g.ts,
+                     extract(month FROM g.ts - to_hours(z.off)) AS month,
+                     (dayofweek(g.ts - to_hours(z.off)) + 6) % 7 < 5 AS is_weekday,
+                     extract(hour FROM g.ts - to_hours(z.off)) AS hour
+              FROM zones z CROSS JOIN (
+                SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                  TIMESTAMP '2024-12-31 23:00:00', INTERVAL 1 HOUR)) AS ts) g
+            )
+            SELECT t.geography, strftime(c.ts, '{_DUCK_TS}') AS utc_hour, t.value
+            FROM template t
+            JOIN cal c USING (geography, month, is_weekday, hour)
         """,
     }
