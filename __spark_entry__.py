@@ -478,7 +478,10 @@ def q29_text_stats(spark, sf_dir):
         "doc_id",
         token_count(t).cast("long").alias("n_tokens"),
         bpe_ish_token_count(t).cast("long").alias("n_tokens_bpe"),
-        F.round(F.when(n > 0, alpha / n).otherwise(0.0), 6).alias("alpha_ratio"),
+        # Integer ppm via floor: IEEE double division + floor are bit-identical
+        # across Spark and DuckDB, unlike round-to-6-places (last-ULP mismatch).
+        F.floor(F.when(n > 0, alpha * F.lit(1000000.0) / n).otherwise(F.lit(0.0)))
+        .cast("long").alias("alpha_ratio_ppm"),
     )
 
 
@@ -1325,9 +1328,9 @@ def oracle_sql() -> dict[str, str]:
                      SELECT sum(CAST(ceil(len(w) / 4.0) AS INT))
                      FROM unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
                    ) END AS n_tokens_bpe,
-                   round(CASE WHEN len(text) > 0 THEN
-                     len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text)
-                     ELSE 0.0 END, 6) AS alpha_ratio
+                   CAST(floor(CASE WHEN len(text) > 0 THEN
+                     len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 / len(text)
+                     ELSE 0.0 END) AS BIGINT) AS alpha_ratio_ppm
             FROM documents
         """,
         "q35_time_upsample": f"""
