@@ -39,23 +39,87 @@ from dsgrid_spark.query.submitter import QuerySubmitter
 from dsgrid_spark.sources.catalog import Catalog
 
 
+def _strip_json5(text: str) -> str:
+    """Remove // and /* */ comments outside string literals.
+
+    A regex can't do this safely (a string containing "/*" or ",}" would
+    be corrupted); this is a tiny single-pass tokenizer instead.
+    """
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            out.append(c)
+            i += 1
+            while i < n:
+                out.append(text[i])
+                if text[i] == "\\" and i + 1 < n:
+                    out.append(text[i + 1])
+                    i += 2
+                    continue
+                if text[i] == '"':
+                    i += 1
+                    break
+                i += 1
+        elif c == "/" and text[i:i + 2] == "//":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif c == "/" and text[i:i + 2] == "/*":
+            end = text.find("*/", i + 2)
+            i = n if end < 0 else end + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _strip_trailing_commas(text: str) -> str:
+    """Remove commas directly before } or ] — outside string literals."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            out.append(c)
+            i += 1
+            while i < n:
+                out.append(text[i])
+                if text[i] == "\\" and i + 1 < n:
+                    out.append(text[i + 1])
+                    i += 2
+                    continue
+                if text[i] == '"':
+                    i += 1
+                    break
+                i += 1
+        elif c == ",":
+            j = i + 1
+            while j < n and text[j].isspace():
+                j += 1
+            if j < n and text[j] in "}]":
+                i += 1
+                continue
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def load_spec(path: str | Path) -> dict:
     """Read a JSON (or JSON5-lite) spec.
 
     The reference's query files are JSON5 (dsgrid/cli/query.py); plain
-    json covers most of them once comments and trailing commas are
-    stripped, which is all the reference actually uses.
+    json covers them once comments (whole-line AND inline trailing) and
+    trailing commas are stripped, string-literal-safely.
     """
     text = Path(path).read_text()
     try:
         return json.loads(text)
     except json.JSONDecodeError:
-        import re
-
-        no_block = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
-        no_line = re.sub(r"^\s*//.*$", "", no_block, flags=re.M)
-        no_trailing = re.sub(r",(\s*[}\]])", r"\1", no_line)
-        return json.loads(no_trailing)
+        return json.loads(_strip_trailing_commas(_strip_json5(text)))
 
 
 def build_catalog(spark, spec: dict) -> Catalog:

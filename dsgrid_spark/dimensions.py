@@ -84,18 +84,25 @@ class DaylightSavingAdjustmentType(str, Enum):
 class DimensionMappingType(str, Enum):
     """Mapping semantics (reference dsgrid/config/dimension_mapping_base.py:14-39).
 
-    The type determines which fraction-sum invariant must hold:
-    - MANY_TO_ONE_AGGREGATION: fractions are 1.0
-    - ONE_TO_MANY_DISAGGREGATION: fractions sum to 1.0 grouped by from_id
-    - *_EXPLICIT_MULTIPLIERS: arbitrary fractions (unit scaling)
+    The type determines which fraction-sum invariant must hold
+    (reference archetype flags, dimension_mapping_base.py:43-130):
+    - aggregation/disaggregation/reassignment + ONE_TO_ONE: fractions sum
+      to 1.0 grouped by from_id (fractional weights are valid)
+    - *_ASSIGNMENT: fractions sum to 1.0 grouped by to_id
+    - DUPLICATION and *_EXPLICIT_MULTIPLIERS: no fraction-sum check
     """
 
     ONE_TO_ONE = "one_to_one"
     MANY_TO_ONE_AGGREGATION = "many_to_one_aggregation"
+    MANY_TO_ONE_REASSIGNMENT = "many_to_one_reassignment"
     MANY_TO_MANY_AGGREGATION = "many_to_many_aggregation"
     ONE_TO_MANY_DISAGGREGATION = "one_to_many_disaggregation"
     MANY_TO_MANY_DISAGGREGATION = "many_to_many_disaggregation"
+    MANY_TO_ONE_ASSIGNMENT = "many_to_one_assignment"
+    ONE_TO_MANY_ASSIGNMENT = "one_to_many_assignment"
+    MANY_TO_MANY_ASSIGNMENT = "many_to_many_assignment"
     ONE_TO_ONE_EXPLICIT_MULTIPLIERS = "one_to_one_explicit_multipliers"
+    ONE_TO_MANY_EXPLICIT_MULTIPLIERS = "one_to_many_explicit_multipliers"
     MANY_TO_ONE_EXPLICIT_MULTIPLIERS = "many_to_one_explicit_multipliers"
     MANY_TO_MANY_EXPLICIT_MULTIPLIERS = "many_to_many_explicit_multipliers"
     DUPLICATION = "duplication"

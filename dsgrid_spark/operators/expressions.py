@@ -26,7 +26,8 @@ class DatasetExpressionError(ValueError):
 
 
 def _combine_arith(left: DataFrame, right: DataFrame, op: str,
-                   value_columns: list[str]) -> DataFrame:
+                   value_columns: list[str],
+                   check_counts: bool = True) -> DataFrame:
     dim_cols = [c for c in left.columns if c not in value_columns]
     if set(left.columns) != set(right.columns):
         raise DatasetExpressionError(
@@ -36,6 +37,22 @@ def _combine_arith(left: DataFrame, right: DataFrame, op: str,
     for v in value_columns:
         renamed = renamed.withColumnRenamed(v, f"__other_{v}")
     joined = left.join(renamed, dim_cols, "inner")
+    if check_counts:
+        # reference DatasetExpressionHandler._op raises DSGInvalidOperation
+        # when input lengths differ or the join changes the row count —
+        # without this, misaligned dimension keys silently drop rows.
+        # Costs extra jobs; pass check_counts=False to skip at scale.
+        n_left, n_right = left.count(), right.count()
+        if n_left != n_right:
+            raise DatasetExpressionError(
+                f"dataset row counts differ for {op!r}: {n_left} vs {n_right}"
+            )
+        n_joined = joined.count()
+        if n_joined != n_left:
+            raise DatasetExpressionError(
+                f"{op!r} join changed row count: {n_left} -> {n_joined} "
+                "(misaligned or duplicated dimension keys)"
+            )
     for v in value_columns:
         lc, rc = F.col(v), F.col(f"__other_{v}")
         expr = {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
@@ -52,7 +69,8 @@ def _combine_union(left: DataFrame, right: DataFrame) -> DataFrame:
 
 
 def evaluate_expression(expression: str, datasets: dict[str, DataFrame],
-                        value_columns: list[str] | None = None) -> DataFrame:
+                        value_columns: list[str] | None = None,
+                        check_counts: bool = True) -> DataFrame:
     """Evaluate a dataset arithmetic expression over named DataFrames."""
     value_columns = value_columns or [VALUE_COLUMN]
     try:
@@ -74,7 +92,8 @@ def evaluate_expression(expression: str, datasets: dict[str, DataFrame],
             ops = {ast.Add: "+", ast.Sub: "-", ast.Mult: "*", ast.Div: "/"}
             for t, sym in ops.items():
                 if isinstance(node.op, t):
-                    return _combine_arith(left, right, sym, value_columns)
+                    return _combine_arith(left, right, sym, value_columns,
+                                          check_counts=check_counts)
         raise DatasetExpressionError(
             f"unsupported syntax in {expression!r}: {ast.dump(node)}"
         )

@@ -48,35 +48,30 @@ def check_mapping_fractions(records: DataFrame, mapping_type: DimensionMappingTy
                             tolerance: float = 1e-6) -> None:
     """Validate fraction-sum invariants so results can't silently double-count.
 
-    Reference dsgrid/config/dimension_mapping_base.py:14-39: aggregations
-    require from_fraction == 1.0; disaggregations require fractions to sum
-    to 1.0 grouped by from_id; explicit-multiplier types skip the check.
+    Reference archetype flags (dimension_mapping_base.py:43-130):
+    - DUPLICATION / *_EXPLICIT_MULTIPLIERS: no check;
+    - *_ASSIGNMENT: fractions sum to 1.0 grouped by to_id;
+    - all other types (ONE_TO_ONE, aggregations, reassignment,
+      disaggregations): fractions sum to 1.0 grouped by from_id —
+      fractional weights like 0.5/0.5 are valid for
+      MANY_TO_MANY_AGGREGATION, not just disaggregations.
     """
     mt = mapping_type
     if "explicit_multipliers" in mt.value or mt == DimensionMappingType.DUPLICATION:
         return
-    if "disaggregation" in mt.value:
-        bad = (
-            records.filter(F.col(TO_ID_COLUMN).isNotNull())
-            .groupBy(FROM_ID_COLUMN)
-            .agg(F.sum(FROM_FRACTION_COLUMN).alias("_s"))
-            .filter(F.abs(F.col("_s") - 1.0) > tolerance)
-            .limit(1)
-            .count()
+    group_col = TO_ID_COLUMN if "assignment" in mt.value else FROM_ID_COLUMN
+    bad = (
+        records.filter(F.col(TO_ID_COLUMN).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(FROM_FRACTION_COLUMN).alias("_s"))
+        .filter(F.abs(F.col("_s") - 1.0) > tolerance)
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"{mt.value}: from_fraction must sum to 1.0 per {group_col}"
         )
-        if bad:
-            raise ValueError(
-                f"{mt.value}: from_fraction must sum to 1.0 per {FROM_ID_COLUMN}"
-            )
-    else:
-        bad = (
-            records.filter(
-                F.col(TO_ID_COLUMN).isNotNull()
-                & (F.abs(F.col(FROM_FRACTION_COLUMN) - 1.0) > tolerance)
-            ).limit(1).count()
-        )
-        if bad:
-            raise ValueError(f"{mt.value}: from_fraction must equal 1.0")
 
 
 def map_stacked_dimension(

@@ -60,8 +60,11 @@ class MappingPlanRunner:
                 df = spark.read.parquet(str(p))
                 resume_at = i
                 break
-        for step in steps[resume_at:]:
-            done = [s.name for s in steps[: steps.index(step) + 1]]
+        for i in range(resume_at, len(steps)):
+            # positional index, not steps.index(step): two equal steps
+            # (same name/fn/persist) must checkpoint under distinct prefixes
+            step = steps[i]
+            done = [s.name for s in steps[: i + 1]]
             df = step.fn(df)
             if step.persist:
                 key = self._step_key(done)

@@ -113,15 +113,21 @@ class QuerySubmitter:
             else:
                 mapped[ds.dataset_id] = self._map_dataset(ds)
 
-        # optional per-dataset pre-aggregation (reference
-        # aggregate_each_dataset, query_submitter.py:502-525); the result
-        # phase re-runs the same aggregations, which is idempotent for the
-        # dimensional group-by-sum family
-        if query.aggregate_each_dataset and query.result.aggregations:
-            mapped = {
-                k: apply_aggregations(v, query.result.aggregations)
-                for k, v in mapped.items()
-            }
+        # optional per-dataset filter+aggregation (reference
+        # aggregate_each_dataset, query_submitter.py:508-516); the result
+        # phase then SKIPS filters/aggregations (reference :320-323) —
+        # re-running them post-union would be wrong for non-decomposable
+        # functions (mean of means) and would merge same-key rows across
+        # datasets that the reference keeps separate
+        if query.aggregate_each_dataset:
+            def _pre(df: DataFrame) -> DataFrame:
+                for flt in query.result.filters:
+                    df = self._apply_filter(df, flt)
+                if query.result.aggregations:
+                    df = apply_aggregations(df, query.result.aggregations)
+                return df
+
+            mapped = {k: _pre(v) for k, v in mapped.items()}
 
         # align columns (reference query_submitter.py:527-542)
         col_order = sorted(next(iter(mapped.values())).columns)
@@ -130,7 +136,10 @@ class QuerySubmitter:
         expr = query.expression or default_expression(list(mapped))
         df = evaluate_expression(expr, mapped)
 
-        df = self._result_phase(df, query.result)
+        df = self._result_phase(
+            df, query.result,
+            skip_filters_and_aggregations=query.aggregate_each_dataset,
+        )
 
         if self.cache and self.output_dir:
             out = self.cache.path_for(key)
@@ -198,13 +207,17 @@ class QuerySubmitter:
             df = self._result_phase(df, result)
         return df
 
-    def _result_phase(self, df: DataFrame, result) -> DataFrame:
+    def _result_phase(self, df: DataFrame, result,
+                      skip_filters_and_aggregations: bool = False) -> DataFrame:
         """Shared result phase: filters → aggregations → names → sort →
-        pivot (reference query_submitter.py:313-333, 558-575)."""
-        for flt in result.filters:
-            df = self._apply_filter(df, flt)
-        if result.aggregations:
-            df = apply_aggregations(df, result.aggregations)
+        pivot (reference query_submitter.py:313-333, 558-575). When
+        ``aggregate_each_dataset`` already ran filters/aggregations per
+        dataset, both are skipped here (reference :320-323)."""
+        if not skip_filters_and_aggregations:
+            for flt in result.filters:
+                df = self._apply_filter(df, flt)
+            if result.aggregations:
+                df = apply_aggregations(df, result.aggregations)
         if result.replace_ids_with_names:
             df = self._replace_ids_with_names(df)
         if result.sort_columns:

@@ -101,3 +101,29 @@ def test_noop_mapping_detection(spark):
         [("a", "A", 1.0)], "from_id string, to_id string, from_fraction double"
     )
     assert not is_noop_mapping(rename)
+
+
+def test_fraction_validation_archetypes(spark):
+    """Archetype rules (reference dimension_mapping_base.py:43-130):
+    many_to_many_aggregation sums to 1 per from_id (fractional weights
+    valid); assignment types sum to 1 per to_id."""
+    halves = spark.createDataFrame(
+        [("a", "x", 0.5), ("a", "y", 0.5), ("b", "x", 1.0)],
+        "from_id string, to_id string, from_fraction double",
+    )
+    check_mapping_fractions(halves, DimensionMappingType.MANY_TO_MANY_AGGREGATION)
+    check_mapping_fractions(halves, DimensionMappingType.ONE_TO_ONE)
+    bad = spark.createDataFrame(
+        [("a", "x", 0.5), ("a", "y", 0.2)],
+        "from_id string, to_id string, from_fraction double",
+    )
+    with pytest.raises(ValueError):
+        check_mapping_fractions(bad, DimensionMappingType.MANY_TO_MANY_AGGREGATION)
+    # assignment: grouped by to_id — halves has to_id x summing to 1.5
+    to_ok = spark.createDataFrame(
+        [("a", "x", 0.6), ("b", "x", 0.4), ("c", "y", 1.0)],
+        "from_id string, to_id string, from_fraction double",
+    )
+    check_mapping_fractions(to_ok, DimensionMappingType.MANY_TO_ONE_ASSIGNMENT)
+    with pytest.raises(ValueError):
+        check_mapping_fractions(halves, DimensionMappingType.MANY_TO_ONE_ASSIGNMENT)

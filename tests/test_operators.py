@@ -194,3 +194,19 @@ def test_pivoted_handler_stashes_expected_missing(spark):
     assert h.expected_missing is not None
     miss = h.expected_missing.collect()
     assert len(miss) == 1 and miss[0]["geography"] == "06037"
+
+
+def test_expression_count_guards(spark):
+    """Reference DatasetExpressionHandler._op raises when input lengths
+    differ or the arithmetic join changes the row count."""
+    a = spark.createDataFrame([("x", 10.0), ("y", 20.0)], "k string, value double")
+    b = spark.createDataFrame([("x", 1.0)], "k string, value double")
+    with pytest.raises(DatasetExpressionError, match="row counts differ"):
+        evaluate_expression("a - b", {"a": a, "b": b})
+    # equal counts but misaligned keys -> inner join shrinks -> raise
+    c = spark.createDataFrame([("x", 1.0), ("z", 2.0)], "k string, value double")
+    with pytest.raises(DatasetExpressionError, match="changed row count"):
+        evaluate_expression("a - c", {"a": a, "c": c})
+    # explicit opt-out for scale: silent inner-join semantics
+    got = evaluate_expression("a - c", {"a": a, "c": c}, check_counts=False)
+    assert [(r["k"], r["value"]) for r in got.collect()] == [("x", 9.0)]

@@ -446,3 +446,61 @@ def test_peak_load_golden(spark):
         g, v = row["geography"], row["value"]
         assert got[g][1] == v
         assert got[g][0] == row["ts"].to_pydatetime()
+
+
+def test_aggregate_each_dataset_keeps_datasets_separate(spark):
+    """Per-dataset aggregation must NOT be re-applied post-union
+    (reference query_submitter.py:320-323): mean-of-means is wrong, and
+    same-key rows from different datasets stay separate."""
+    cat = Catalog(spark)
+    a = spark.createDataFrame([("CA", 1.0), ("CA", 3.0)],
+                              "geography string, value double")
+    b = spark.createDataFrame([("CA", 10.0)], "geography string, value double")
+    cat.register_dataset("a", a)
+    cat.register_dataset("b", b)
+    q = ProjectQueryModel(
+        name="mean_each",
+        source_datasets=[DatasetModel(dataset_id="a"),
+                         DatasetModel(dataset_id="b")],
+        aggregate_each_dataset=True,
+        result=ResultModel(aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="geography")],
+            aggregation_function="mean")]),
+    )
+    rows = sorted(r["value"] for r in QuerySubmitter(cat).submit(q).collect())
+    assert rows == [2.0, 10.0]
+
+
+def test_checkpoint_duplicate_steps_distinct(spark, tmp_path):
+    """Two identical persisted steps must checkpoint under distinct
+    prefixes; resume must not double-apply."""
+    from dsgrid_spark.query.checkpoint import MappingPlanRunner, PlanStep
+
+    df = spark.createDataFrame([("a", 1.0)], "geography string, value double")
+
+    def double(d):
+        return d.withColumn("value", F.col("value") * 2.0)
+
+    steps = [PlanStep("double", double, persist=True),
+             PlanStep("double", double, persist=True)]
+    runner = MappingPlanRunner(scratch_dir=tmp_path, key_parts=("dup",))
+    assert runner.run(df, steps).collect()[0]["value"] == 4.0
+    # resume from the longest prefix: still 4.0, not re-doubled
+    assert runner.run(df, steps).collect()[0]["value"] == 4.0
+
+
+def test_json5_lite_inline_comments(tmp_path):
+    """Inline trailing comments and comment-lookalikes inside strings."""
+    from dsgrid_spark.cli import load_spec
+
+    p = tmp_path / "spec.json5"
+    p.write_text(
+        '{\n'
+        '  "sf": 1, // scale\n'
+        '  "s": "a//b /* not a comment */ ,}",\n'
+        '  /* block\n     comment */ "xs": [1, 2,],\n'
+        '}\n'
+    )
+    assert load_spec(p) == {
+        "sf": 1, "s": "a//b /* not a comment */ ,}", "xs": [1, 2],
+    }
