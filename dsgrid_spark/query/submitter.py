@@ -53,9 +53,14 @@ class QuerySubmitter:
         # re-used across queries that map the same dataset the same way
         key = None
         if self.cache:
+            # hash the dataset version AND every used mapping's version —
+            # a re-registered mapping must invalidate this cache
+            # (reference query_submitter.py:133-171; SURVEY §7.4 risk #6)
             key = content_hash(
                 "dataset", model.model_dump(),
                 self.catalog.datasets[model.dataset_id].version,
+                {m.mapping: self.catalog.mapping_version(m.mapping)
+                 for m in model.mappings},
             )
             hit = self.cache.get(key)
             if hit:
@@ -97,10 +102,7 @@ class QuerySubmitter:
     # ---- combine + result phases (lifecycle steps 6-8) ----------------
     def submit(self, query: ProjectQueryModel) -> DataFrame:
         spark = self.catalog.spark
-        key = content_hash(
-            query.model_dump(),
-            {d: e.version for d, e in self.catalog.datasets.items()},
-        )
+        key = content_hash(query.model_dump(), self.catalog.versions())
         if self.cache:
             hit = self.cache.get(key)
             if hit:

@@ -1,0 +1,325 @@
+"""Persistent, versioned registry over a plain directory of parquet + JSON.
+
+Mirrors the SEMANTICS of the reference registry
+(dsgrid/registry/registry_manager.py:558 register flows,
+registry_database.py:431 get_latest_version, versioning.py:92 version
+bumps, registration log at registry_database.py:498) without the
+SQLAlchemy machinery: the registry IS the filesystem, so it works the
+same on a laptop and on a 1000-executor cluster whose object store the
+path points at. Spark never lists the tree — only the tiny JSON index is
+read at open, and parquet paths are handed to readers lazily.
+
+Layout::
+
+    <root>/registry.json                      # index: versions + log
+    <root>/datasets/<id>/<version>/table.parquet/
+                                   [lookup.parquet/]
+                                   config.json
+    <root>/dimensions/<name>/<version>/records.parquet/
+    <root>/mappings/<name>/<version>/records.parquet/
+                                     config.json
+
+Versions are semver strings; registering starts at 1.0.0 and updates bump
+major/minor/patch (reference VersionUpdateType). Data directories are
+immutable once written — an update writes a NEW version directory, so
+readers of the old version (including cached query results keyed on it)
+stay consistent.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from dataclasses import dataclass
+from enum import Enum
+from pathlib import Path
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dsgrid_spark.datasets.handlers import DatasetConfig
+from dsgrid_spark.sources.catalog import Catalog
+
+KINDS = ("datasets", "dimensions", "mappings")
+
+
+class VersionUpdateType(str, Enum):
+    """Reference dsgrid/registry/common.py VersionUpdateType."""
+
+    MAJOR = "major"
+    MINOR = "minor"
+    PATCH = "patch"
+
+
+def bump_version(version: str, update_type: VersionUpdateType) -> str:
+    """Semver bump (reference versioning.py:83-92)."""
+    major, minor, patch = (int(x) for x in version.split("."))
+    if update_type == VersionUpdateType.MAJOR:
+        return f"{major + 1}.0.0"
+    if update_type == VersionUpdateType.MINOR:
+        return f"{major}.{minor + 1}.0"
+    return f"{major}.{minor}.{patch + 1}"
+
+
+class RegistryError(ValueError):
+    pass
+
+
+def as_dataframe(spark: SparkSession, source) -> DataFrame:
+    """Resolve a Source (DataFrame | path | callable) to a DataFrame."""
+    if isinstance(source, DataFrame):
+        return source
+    if callable(source):
+        return source(spark)
+    from dsgrid_spark.sources.readers import read_file
+
+    return read_file(spark, Path(source))
+
+
+@dataclass
+class RegistryStore:
+    root: Path
+    spark: SparkSession
+
+    def __post_init__(self):
+        self.root = Path(self.root)
+
+    # ---- index ---------------------------------------------------------
+    @property
+    def _index_path(self) -> Path:
+        return self.root / "registry.json"
+
+    def _read_index(self) -> dict:
+        if self._index_path.exists():
+            return json.loads(self._index_path.read_text())
+        return {k: {} for k in KINDS}
+
+    def _write_index(self, index: dict) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        tmp = self._index_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(index, indent=2, sort_keys=True))
+        tmp.replace(self._index_path)  # atomic on POSIX
+
+    # ---- generic register/update ---------------------------------------
+    def _entry_dir(self, kind: str, entity_id: str, version: str) -> Path:
+        return self.root / kind / entity_id / version
+
+    def _write_df(self, df_or_path, out: Path, name: str) -> None:
+        out.mkdir(parents=True, exist_ok=True)
+        target = out / name
+        # normalize path/callable sources through one read → the stored
+        # table is always parquet regardless of input format
+        as_dataframe(self.spark, df_or_path).write.mode("error").parquet(
+            str(target)
+        )
+
+    def _register(self, kind: str, entity_id: str, version: str,
+                  submitter: str, message: str, index: dict) -> None:
+        entry = index[kind].setdefault(entity_id, {"current": None, "log": []})
+        if version in [e["version"] for e in entry["log"]]:
+            raise RegistryError(f"{kind}/{entity_id}@{version} already exists")
+        entry["current"] = version
+        entry["log"].append({
+            "version": version,
+            "submitter": submitter,
+            "message": message,
+            "timestamp": dt.datetime.now(dt.timezone.utc).isoformat(),
+        })
+        self._write_index(index)
+
+    def _next_version(self, kind: str, entity_id: str,
+                      update_type: VersionUpdateType, index: dict) -> str:
+        entry = index[kind].get(entity_id)
+        if entry is None or entry["current"] is None:
+            raise RegistryError(
+                f"{kind}/{entity_id} is not registered; register it first"
+            )
+        return bump_version(entry["current"], update_type)
+
+    # ---- datasets ------------------------------------------------------
+    def register_dataset(self, dataset_id: str, source,
+                         config: Optional[DatasetConfig] = None,
+                         lookup_source=None, submitter: str = "",
+                         message: str = "initial registration",
+                         validate: bool = True,
+                         dimension_names: Optional[list[str]] = None,
+                         _version: str = "1.0.0") -> str:
+        """Register a dataset; returns the new version.
+
+        ``validate=True`` runs the registration gauntlet (reference
+        dataset_schema_handler_base.py:323-452) BEFORE anything is
+        written — an invalid dataset never enters the registry.
+        ``dimension_names`` optionally names registered dimensions whose
+        record ids the dataset's columns must match.
+        """
+        index = self._read_index()
+        if dataset_id in index["datasets"] and _version == "1.0.0":
+            raise RegistryError(
+                f"datasets/{dataset_id} already registered; use update_dataset"
+            )
+        config = config or DatasetConfig(dataset_id=dataset_id)
+        if validate:
+            from dsgrid_spark.registry.validation import validate_dataset
+
+            validate_dataset(self.spark, source, config,
+                             lookup_source=lookup_source,
+                             dimension_records={
+                                 n: self.load_dimension(n)
+                                 for n in (dimension_names or [])
+                             })
+        out = self._entry_dir("datasets", dataset_id, _version)
+        self._write_df(source, out, "table.parquet")
+        if lookup_source is not None:
+            self._write_df(lookup_source, out, "lookup.parquet")
+        (out / "config.json").write_text(config.model_dump_json(indent=2))
+        self._register("datasets", dataset_id, _version, submitter, message,
+                       index)
+        return _version
+
+    def update_dataset(self, dataset_id: str, source,
+                       config: Optional[DatasetConfig] = None,
+                       lookup_source=None,
+                       update_type: VersionUpdateType = VersionUpdateType.MAJOR,
+                       submitter: str = "", message: str = "",
+                       validate: bool = True,
+                       dimension_names: Optional[list[str]] = None) -> str:
+        index = self._read_index()
+        version = self._next_version("datasets", dataset_id, update_type, index)
+        return self.register_dataset(
+            dataset_id, source, config=config, lookup_source=lookup_source,
+            submitter=submitter, message=message or f"update to {version}",
+            validate=validate, dimension_names=dimension_names,
+            _version=version,
+        )
+
+    # ---- dimensions ----------------------------------------------------
+    def register_dimension(self, name: str, source, submitter: str = "",
+                           message: str = "initial registration",
+                           _version: str = "1.0.0") -> str:
+        index = self._read_index()
+        if name in index["dimensions"] and _version == "1.0.0":
+            raise RegistryError(
+                f"dimensions/{name} already registered; use update_dimension"
+            )
+        out = self._entry_dir("dimensions", name, _version)
+        self._write_df(source, out, "records.parquet")
+        self._register("dimensions", name, _version, submitter, message, index)
+        return _version
+
+    def update_dimension(self, name: str, source,
+                         update_type: VersionUpdateType = VersionUpdateType.MAJOR,
+                         submitter: str = "", message: str = "") -> str:
+        index = self._read_index()
+        version = self._next_version("dimensions", name, update_type, index)
+        return self.register_dimension(
+            name, source, submitter=submitter,
+            message=message or f"update to {version}", _version=version,
+        )
+
+    # ---- mappings ------------------------------------------------------
+    def register_mapping(self, name: str, source,
+                         from_dimension: Optional[str] = None,
+                         to_dimension: Optional[str] = None,
+                         mapping_type: Optional[str] = None,
+                         submitter: str = "",
+                         message: str = "initial registration",
+                         validate: bool = True,
+                         _version: str = "1.0.0") -> str:
+        index = self._read_index()
+        if name in index["mappings"] and _version == "1.0.0":
+            raise RegistryError(
+                f"mappings/{name} already registered; use update_mapping"
+            )
+        if validate and mapping_type is not None:
+            from dsgrid_spark.dimensions import DimensionMappingType
+            from dsgrid_spark.operators.mapping import check_mapping_fractions
+
+            check_mapping_fractions(as_dataframe(self.spark, source),
+                                    DimensionMappingType(mapping_type))
+        out = self._entry_dir("mappings", name, _version)
+        self._write_df(source, out, "records.parquet")
+        (out / "config.json").write_text(json.dumps({
+            "from_dimension": from_dimension, "to_dimension": to_dimension,
+            "mapping_type": mapping_type,
+        }, indent=2))
+        self._register("mappings", name, _version, submitter, message, index)
+        return _version
+
+    def update_mapping(self, name: str, source,
+                       update_type: VersionUpdateType = VersionUpdateType.MAJOR,
+                       submitter: str = "", message: str = "",
+                       validate: bool = True) -> str:
+        index = self._read_index()
+        version = self._next_version("mappings", name, update_type, index)
+        cfg = json.loads(
+            (self._entry_dir("mappings", name, index["mappings"][name]["current"])
+             / "config.json").read_text()
+        )
+        return self.register_mapping(
+            name, source, from_dimension=cfg.get("from_dimension"),
+            to_dimension=cfg.get("to_dimension"),
+            mapping_type=cfg.get("mapping_type"),
+            submitter=submitter, message=message or f"update to {version}",
+            validate=validate, _version=version,
+        )
+
+    # ---- lookup --------------------------------------------------------
+    def list_ids(self, kind: str) -> list[str]:
+        return sorted(self._read_index()[kind])
+
+    def latest_version(self, kind: str, entity_id: str) -> str:
+        entry = self._read_index()[kind].get(entity_id)
+        if entry is None:
+            raise RegistryError(f"{kind}/{entity_id} is not registered")
+        return entry["current"]
+
+    def log(self, kind: str, entity_id: str) -> list[dict]:
+        """Registration history (reference registry_database.py:498)."""
+        entry = self._read_index()[kind].get(entity_id)
+        if entry is None:
+            raise RegistryError(f"{kind}/{entity_id} is not registered")
+        return list(entry["log"])
+
+    def load_dimension(self, name: str,
+                       version: Optional[str] = None) -> DataFrame:
+        version = version or self.latest_version("dimensions", name)
+        return self.spark.read.parquet(
+            str(self._entry_dir("dimensions", name, version) / "records.parquet")
+        )
+
+    # ---- catalog bridge ------------------------------------------------
+    def load_catalog(self, versions: Optional[dict[str, str]] = None) -> Catalog:
+        """Build the in-session Catalog view of this registry at the
+        latest (or pinned) versions. Sources are lazy paths — nothing is
+        read until a query touches it."""
+        versions = versions or {}
+        index = self._read_index()
+        cat = Catalog(self.spark)
+        for ds_id, entry in index["datasets"].items():
+            v = versions.get(f"datasets/{ds_id}", entry["current"])
+            d = self._entry_dir("datasets", ds_id, v)
+            config = DatasetConfig.model_validate_json(
+                (d / "config.json").read_text()
+            )
+            lookup = d / "lookup.parquet"
+            cat.register_dataset(
+                ds_id, d / "table.parquet", config=config,
+                lookup_source=lookup if lookup.exists() else None, version=v,
+            )
+        for name, entry in index["dimensions"].items():
+            v = versions.get(f"dimensions/{name}", entry["current"])
+            cat.register_dimension(
+                name, self._entry_dir("dimensions", name, v) / "records.parquet",
+                version=v,
+            )
+        for name, entry in index["mappings"].items():
+            v = versions.get(f"mappings/{name}", entry["current"])
+            d = self._entry_dir("mappings", name, v)
+            cfg = json.loads((d / "config.json").read_text())
+            cat.register_mapping(
+                name, d / "records.parquet",
+                from_dimension=cfg.get("from_dimension"),
+                to_dimension=cfg.get("to_dimension"),
+                mapping_type=cfg.get("mapping_type"), version=v,
+            )
+        return cat

@@ -5,6 +5,12 @@ The reference keeps a versioned registry over SQLAlchemy + a data store
 (DataFrame, config), dimension name → records DF, mapping name → records
 DF. Paths are read lazily so a catalog can describe 100 TB without
 touching it.
+
+Every entry carries a version (reference registry_database.py:431
+get_latest_version): result-cache keys hash ALL versions, so a
+re-registered mapping or dimension can never serve a stale cached result.
+Persistence lives in :mod:`dsgrid_spark.registry.store`; a Catalog is the
+in-session view of one registry state.
 """
 
 from __future__ import annotations
@@ -30,11 +36,26 @@ class _DatasetEntry:
 
 
 @dataclass
+class _DimensionEntry:
+    source: Source
+    version: str = "1.0.0"
+
+
+@dataclass
+class _MappingEntry:
+    source: Source
+    from_dimension: Optional[str] = None
+    to_dimension: Optional[str] = None
+    mapping_type: Optional[str] = None
+    version: str = "1.0.0"
+
+
+@dataclass
 class Catalog:
     spark: SparkSession
     datasets: dict[str, _DatasetEntry] = field(default_factory=dict)
-    dimensions: dict[str, Source] = field(default_factory=dict)
-    mappings: dict[str, Source] = field(default_factory=dict)
+    dimensions: dict[str, _DimensionEntry] = field(default_factory=dict)
+    mappings: dict[str, _MappingEntry] = field(default_factory=dict)
     #: (from_dimension, to_dimension) -> mapping name, for pathfinding
     mapping_edges: dict[tuple[str, str], str] = field(default_factory=dict)
 
@@ -54,13 +75,18 @@ class Catalog:
             lookup_source, version,
         )
 
-    def register_dimension(self, name: str, source: Source) -> None:
-        self.dimensions[name] = source
+    def register_dimension(self, name: str, source: Source,
+                           version: str = "1.0.0") -> None:
+        self.dimensions[name] = _DimensionEntry(source, version)
 
     def register_mapping(self, name: str, source: Source,
                          from_dimension: str | None = None,
-                         to_dimension: str | None = None) -> None:
-        self.mappings[name] = source
+                         to_dimension: str | None = None,
+                         mapping_type: str | None = None,
+                         version: str = "1.0.0") -> None:
+        self.mappings[name] = _MappingEntry(
+            source, from_dimension, to_dimension, mapping_type, version
+        )
         if from_dimension and to_dimension:
             self.mapping_edges[(from_dimension, to_dimension)] = name
 
@@ -73,10 +99,24 @@ class Catalog:
         return self._load(e.lookup_source) if e.lookup_source is not None else None
 
     def dimension(self, name: str) -> DataFrame:
-        return self._load(self.dimensions[name])
+        return self._load(self.dimensions[name].source)
 
     def mapping(self, name: str) -> DataFrame:
-        return self._load(self.mappings[name])
+        return self._load(self.mappings[name].source)
+
+    def versions(self) -> dict[str, str]:
+        """Every registered entity's version, keyed ``kind/id`` — the
+        full cache-key input (reference query_submitter.py:133-171 hashes
+        project version + dataset configs; a changed mapping MUST
+        invalidate cached results)."""
+        out = {f"dataset/{k}": e.version for k, e in self.datasets.items()}
+        out.update({f"dimension/{k}": e.version
+                    for k, e in self.dimensions.items()})
+        out.update({f"mapping/{k}": e.version for k, e in self.mappings.items()})
+        return out
+
+    def mapping_version(self, name: str) -> str:
+        return self.mappings[name].version
 
     def mapping_path(self, from_dimension: str, to_dimension: str) -> list[str]:
         """Shortest mapping chain through the registry mapping graph.

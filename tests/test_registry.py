@@ -1,0 +1,231 @@
+"""Persistent versioned registry + registration validation gauntlet.
+
+Mirrors the reference's registry-management test strategy
+(tests/test_registry_management.py, tests/test_datasets.py:391): register,
+reopen, version-bump, and reject each invalid-dataset class at
+registration time.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsgrid_spark.datasets.handlers import DatasetConfig
+from dsgrid_spark.operators.aggregation import AggregationModel, ColumnModel
+from dsgrid_spark.query.models import (
+    DatasetModel,
+    MappingSpec,
+    ProjectQueryModel,
+    ResultModel,
+)
+from dsgrid_spark.query.submitter import QuerySubmitter
+from dsgrid_spark.registry.store import (
+    RegistryError,
+    RegistryStore,
+    VersionUpdateType,
+    bump_version,
+)
+from dsgrid_spark.registry.validation import DatasetValidationError
+
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture()
+def load_df(spark):
+    rows = [
+        (T0 + dt.timedelta(hours=h), county, float(h + 1) * mult)
+        for h in range(4)
+        for county, mult in [("06037", 1.0), ("08031", 10.0)]
+    ]
+    return spark.createDataFrame(rows, "timestamp timestamp, geography string, value double")
+
+
+@pytest.fixture()
+def county_state_map(spark):
+    return spark.createDataFrame(
+        [("06037", "CA", 1.0), ("08031", "CO", 1.0)],
+        "from_id string, to_id string, from_fraction double",
+    )
+
+
+def _q(name="regq"):
+    return ProjectQueryModel(
+        name=name,
+        source_datasets=[DatasetModel(
+            dataset_id="load",
+            mappings=[MappingSpec(dimension="geography",
+                                  mapping="county_to_state")],
+        )],
+        result=ResultModel(aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="geography")],
+            aggregation_function="sum")]),
+    )
+
+
+def test_bump_version():
+    assert bump_version("1.2.3", VersionUpdateType.MAJOR) == "2.0.0"
+    assert bump_version("1.2.3", VersionUpdateType.MINOR) == "1.3.0"
+    assert bump_version("1.2.3", VersionUpdateType.PATCH) == "1.2.4"
+
+
+def test_register_reopen_query(spark, load_df, county_state_map, tmp_path):
+    """Register in one store handle, reopen from disk in a fresh handle,
+    run a lifecycle query; versions and log survive."""
+    store = RegistryStore(tmp_path / "reg", spark)
+    assert store.register_dataset("load", load_df) == "1.0.0"
+    store.register_dimension("geography", spark.createDataFrame(
+        [("06037", "Los Angeles"), ("08031", "Denver")], "id string, name string"))
+    store.register_mapping("county_to_state", county_state_map,
+                           from_dimension="county", to_dimension="state",
+                           mapping_type="many_to_one_aggregation")
+
+    # fresh handle = what a new Spark session would construct
+    reopened = RegistryStore(tmp_path / "reg", spark)
+    assert reopened.list_ids("datasets") == ["load"]
+    assert reopened.latest_version("mappings", "county_to_state") == "1.0.0"
+    assert reopened.log("datasets", "load")[0]["message"] == "initial registration"
+
+    cat = reopened.load_catalog()
+    out = {r["geography"]: r["value"]
+           for r in QuerySubmitter(cat).submit(_q()).collect()}
+    assert out == {"CA": 1 + 2 + 3 + 4, "CO": 10 * (1 + 2 + 3 + 4)}
+
+
+def test_duplicate_and_missing_registrations(spark, load_df, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df)
+    with pytest.raises(RegistryError, match="already registered"):
+        store.register_dataset("load", load_df)
+    with pytest.raises(RegistryError, match="not registered"):
+        store.latest_version("datasets", "nope")
+    with pytest.raises(RegistryError, match="not registered"):
+        store.update_dimension("nope", load_df)
+
+
+def test_mapping_version_bump_invalidates_cache(spark, load_df,
+                                                county_state_map, tmp_path):
+    """The wrong-answer bug class from SURVEY §7.4 risk #6: a
+    re-registered mapping must NOT serve the stale cached result."""
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df)
+    store.register_mapping("county_to_state", county_state_map,
+                           from_dimension="county", to_dimension="state",
+                           mapping_type="many_to_one_aggregation")
+
+    out_dir = tmp_path / "out"
+    first = {r["geography"]: r["value"] for r in
+             QuerySubmitter(store.load_catalog(), output_dir=out_dir)
+             .submit(_q()).collect()}
+    assert first["CA"] == 10.0
+
+    # re-register the mapping with halved fractions (a real-world config fix)
+    halved = county_state_map.withColumn("from_fraction",
+                                         F.col("from_fraction") * 0.5)
+    v2 = store.update_mapping("county_to_state", halved,
+                              validate=False)
+    assert v2 == "2.0.0"
+    assert store.latest_version("mappings", "county_to_state") == "2.0.0"
+
+    second = {r["geography"]: r["value"] for r in
+              QuerySubmitter(store.load_catalog(), output_dir=out_dir)
+              .submit(_q()).collect()}
+    assert second["CA"] == pytest.approx(5.0)  # stale cache would say 10.0
+
+    # pinning the old version still reproduces the old result
+    pinned = store.load_catalog(
+        versions={"mappings/county_to_state": "1.0.0"})
+    third = {r["geography"]: r["value"] for r in
+             QuerySubmitter(pinned, output_dir=out_dir).submit(_q()).collect()}
+    assert third["CA"] == pytest.approx(10.0)
+
+
+def test_register_mapping_validates_fractions(spark, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    bad = spark.createDataFrame(
+        [("a", "x", 0.5), ("a", "y", 0.2)],
+        "from_id string, to_id string, from_fraction double",
+    )
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        store.register_mapping("m", bad,
+                               mapping_type="one_to_many_disaggregation")
+    # nothing was written
+    assert store.list_ids("mappings") == []
+
+
+# ---- validation gauntlet (reference schema handler checks) -------------
+
+def test_validate_rejects_unexpected_column(spark, load_df, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dimension("geography", spark.createDataFrame(
+        [("06037", "LA"), ("08031", "Denver")], "id string, name string"))
+    bad = load_df.withColumn("mystery", F.lit("x"))
+    with pytest.raises(DatasetValidationError, match="allowed_columns"):
+        store.register_dataset("bad", bad, dimension_names=["geography"])
+    assert store.list_ids("datasets") == []
+
+
+def test_validate_rejects_nonstring_dimension(spark, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    bad = spark.createDataFrame(
+        [(T0, 1.5, 1.0)], "timestamp timestamp, geography double, value double")
+    with pytest.raises(DatasetValidationError, match="string_dimensions"):
+        store.register_dataset("bad", bad)
+
+
+def test_validate_rejects_null_dimension(spark, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    bad = spark.createDataFrame(
+        [(T0, "06037", 1.0), (T0, None, 2.0)],
+        "timestamp timestamp, geography string, value double")
+    with pytest.raises(DatasetValidationError, match="no_nulls"):
+        store.register_dataset("bad", bad)
+
+
+def test_validate_rejects_unknown_dimension_id(spark, load_df, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dimension("geography", spark.createDataFrame(
+        [("06037", "LA")], "id string, name string"))  # 08031 missing
+    with pytest.raises(DatasetValidationError, match="dimension_records"):
+        store.register_dataset("load", load_df, dimension_names=["geography"])
+
+
+def test_validate_rejects_ragged_time(spark, load_df, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    ragged = load_df.filter(
+        ~((F.col("geography") == "08031")
+          & (F.col("timestamp") == T0 + dt.timedelta(hours=3))))
+    with pytest.raises(DatasetValidationError, match="time_consistency"):
+        store.register_dataset("bad", ragged)
+
+
+def test_validate_rejects_two_table_id_mismatch(spark, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    load_data = spark.createDataFrame(
+        [(1, T0, 1.0), (2, T0, 2.0)], "id int, timestamp timestamp, value double")
+    lookup = spark.createDataFrame(
+        [(1, "06037")], "id int, geography string")  # id 2 missing
+    with pytest.raises(DatasetValidationError, match="id_consistency"):
+        store.register_dataset("bad", load_data, lookup_source=lookup)
+
+
+def test_validate_accepts_good_datasets(spark, load_df, tmp_path):
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dimension("geography", spark.createDataFrame(
+        [("06037", "LA"), ("08031", "Denver")], "id string, name string"))
+    v = store.register_dataset("load", load_df, dimension_names=["geography"])
+    assert v == "1.0.0"
+    # two-table with consistent ids and a scaling factor passes too
+    load_data = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(hours=h), float(h)) for h in range(2)]
+        + [(2, T0 + dt.timedelta(hours=h), float(h)) for h in range(2)],
+        "id int, timestamp timestamp, value double")
+    lookup = spark.createDataFrame(
+        [(1, "06037", 1.0), (2, "08031", 2.0)],
+        "id int, geography string, scaling_factor double")
+    v2 = store.register_dataset("two", load_data, lookup_source=lookup,
+                                dimension_names=["geography"])
+    assert v2 == "1.0.0"
