@@ -877,11 +877,15 @@ def q52_time_gaps(spark, sf_dir):
 
 def q53_project_query(spark, sf_dir):
     """Full query lifecycle through Catalog + QuerySubmitter (SURVEY §3.1):
-    register dataset/mapping, supplemental prefilter, broadcast map-join,
-    fraction collapse, result aggregation + sort."""
-    from dsgrid_spark.operators.filters import SupplementalMappingFilter
+    register dataset/mapping, supplemental prefilter resolved BY NAME
+    through the ProjectConfig (reference dsgrid/project.py:205-250),
+    broadcast map-join, fraction collapse, result aggregation + sort."""
+    from dsgrid_spark.operators.filters import NamedDimensionFilter
     from dsgrid_spark.query.models import (
         DatasetModel, MappingSpec, ProjectQueryModel, ResultModel,
+    )
+    from dsgrid_spark.query.project import (
+        ProjectConfig, SupplementalDimensionModel,
     )
     from dsgrid_spark.query.submitter import QuerySubmitter
     from dsgrid_spark.sources.catalog import Catalog
@@ -904,6 +908,13 @@ def q53_project_query(spark, sf_dir):
     catalog = Catalog(spark)
     catalog.register_dataset("sales", fact)
     catalog.register_mapping("nation_to_region", mapping)
+    project = ProjectConfig(
+        project_id="tpch",
+        base_dimensions={"geography": "nation"},
+        supplemental_dimensions=[SupplementalDimensionModel(
+            name="region", dimension_type="geography",
+            mapping="nation_to_region")],
+    )
 
     query = ProjectQueryModel(
         name="regional_sales",
@@ -911,10 +922,9 @@ def q53_project_query(spark, sf_dir):
             dataset_id="sales",
             mappings=[MappingSpec(dimension="geography",
                                   mapping="nation_to_region")],
-            filters=[SupplementalMappingFilter(
-                column="geography",
-                supplemental_ids=["ASIA", "AMERICA"],
-                mapping="nation_to_region",
+            filters=[NamedDimensionFilter(
+                dimension_name="region",
+                record_ids=["ASIA", "AMERICA"],
             )],
         )],
         result=ResultModel(
@@ -926,7 +936,7 @@ def q53_project_query(spark, sf_dir):
             sort_columns=["geography", "model_year"],
         ),
     )
-    out = QuerySubmitter(catalog).submit(query)
+    out = QuerySubmitter(catalog, project=project).submit(query)
     return out.select("geography", "model_year",
                       F.round("value", 2).alias("value"))
 
@@ -995,6 +1005,63 @@ def q56_representative_weekday(spark, sf_dir):
     )
 
 
+def q57_subset_supplemental(spark, sf_dir):
+    """Project-config name resolution (SURVEY §2.2/§2.12): a subset
+    dimension filters base records and a supplemental dimension is the
+    aggregation target — the query names ONLY dimension names; the
+    ProjectConfig supplies record ids and the base→supplemental mapping
+    (reference dsgrid/project.py:205-250, project_config.py categories)."""
+    from dsgrid_spark.operators.filters import NamedDimensionFilter
+    from dsgrid_spark.query.models import (
+        DatasetModel, ProjectQueryModel, ResultModel,
+    )
+    from dsgrid_spark.query.project import (
+        ProjectConfig, SubsetDimensionModel, SupplementalDimensionModel,
+    )
+    from dsgrid_spark.query.submitter import QuerySubmitter
+    from dsgrid_spark.sources.catalog import Catalog
+    from dsgrid_spark.operators.aggregation import AggregationModel, ColumnModel
+
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("geography"),
+        F.col("c_mktsegment").alias("sector"),
+        F.col("c_acctbal").alias("value"),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    mapping = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").cast("string").alias("from_id"),
+        F.col("r_name").alias("to_id"),
+        F.lit(1.0).alias("from_fraction"),
+    )
+    catalog = Catalog(spark)
+    catalog.register_dataset("balances", customer)
+    catalog.register_mapping("nation_to_region", mapping)
+    project = ProjectConfig(
+        project_id="tpch",
+        base_dimensions={"geography": "nation"},
+        subset_dimensions=[SubsetDimensionModel(
+            name="first_ten_nations", dimension_type="geography",
+            record_ids=[str(i) for i in range(10)])],
+        supplemental_dimensions=[SupplementalDimensionModel(
+            name="region", dimension_type="geography",
+            mapping="nation_to_region")],
+    )
+    query = ProjectQueryModel(
+        name="subset_supplemental",
+        source_datasets=[DatasetModel(dataset_id="balances")],
+        result=ResultModel(
+            filters=[NamedDimensionFilter(dimension_name="first_ten_nations")],
+            aggregations=[AggregationModel(
+                group_by_columns=[ColumnModel(dimension_name="region"),
+                                  ColumnModel(dimension_name="sector")],
+                aggregation_function="sum")],
+        ),
+    )
+    out = QuerySubmitter(catalog, project=project).submit(query)
+    return out.select("region", "sector", F.round("value", 2).alias("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1053,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_video_frame_sampling": q54_video_frame_sampling,
         "q55_rollup": q55_rollup,
         "q56_representative_weekday": q56_representative_weekday,
+        "q57_subset_supplemental": q57_subset_supplemental,
     }
 
 
@@ -1611,5 +1679,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.geography, strftime(c.ts, '{_DUCK_TS}') AS utc_hour, t.value
             FROM template t
             JOIN cal c USING (geography, month, is_weekday, hour)
+        """,
+        "q57_subset_supplemental": """
+            SELECT r.r_name AS region, c.c_mktsegment AS sector,
+                   round(sum(c.c_acctbal), 2) AS value
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey BETWEEN 0 AND 9
+            GROUP BY 1, 2
         """,
     }

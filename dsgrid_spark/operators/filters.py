@@ -127,9 +127,29 @@ class SupplementalMappingFilter(BaseModel):
         )
 
 
+class NamedDimensionFilter(BaseModel):
+    """Filter by a subset or supplemental dimension NAME — the project
+    config resolves the record ids / mapping join (reference
+    dsgrid/project.py:205-250). The query never names a mapping table.
+
+    - subset dimension: keep base records in the subset (``record_ids``
+      optionally restricts further);
+    - supplemental dimension: translate ``record_ids`` (supplemental ids)
+      to base ids through the project's base→supplemental mapping, then
+      semi-join.
+
+    Requires a QuerySubmitter constructed with a ProjectConfig.
+    """
+
+    filter_type: Literal["named_dimension"] = "named_dimension"
+    dimension_name: str
+    record_ids: list[str] = Field(default_factory=list)
+
+
 DimensionFilter = Union[
     ExpressionFilter, RawExpressionFilter, ColumnOperatorFilter,
     BetweenFilter, SubsetFilter, SupplementalMappingFilter,
+    NamedDimensionFilter,
 ]
 
 

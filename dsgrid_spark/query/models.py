@@ -14,13 +14,15 @@ from pydantic import BaseModel, Field
 
 from dsgrid_spark.operators.aggregation import AggregationModel
 from dsgrid_spark.operators.filters import (
-    BetweenFilter, ColumnOperatorFilter, ExpressionFilter, RawExpressionFilter,
-    SubsetFilter, SupplementalMappingFilter,
+    BetweenFilter, ColumnOperatorFilter, ExpressionFilter,
+    NamedDimensionFilter, RawExpressionFilter, SubsetFilter,
+    SupplementalMappingFilter,
 )
 
 FilterModel = Union[
     ExpressionFilter, RawExpressionFilter, ColumnOperatorFilter,
     BetweenFilter, SubsetFilter, SupplementalMappingFilter,
+    NamedDimensionFilter,
 ]
 
 

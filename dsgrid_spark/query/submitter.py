@@ -35,10 +35,14 @@ from dsgrid_spark.sources.writers import write_parquet
 
 
 class QuerySubmitter:
-    def __init__(self, catalog: Catalog, output_dir: str | Path | None = None):
+    def __init__(self, catalog: Catalog, output_dir: str | Path | None = None,
+                 project: "ProjectConfig | None" = None):
         self.catalog = catalog
         self.output_dir = Path(output_dir) if output_dir else None
         self.cache = ResultCache(self.output_dir / "cache") if self.output_dir else None
+        #: optional ProjectConfig enabling subset/supplemental dimension
+        #: resolution by name (reference dsgrid/project.py:205-250)
+        self.project = project
 
     # ---- per-dataset map phase (lifecycle step 5) --------------------
     def _load_stacked(self, dataset_id: str) -> DataFrame:
@@ -102,7 +106,10 @@ class QuerySubmitter:
     # ---- combine + result phases (lifecycle steps 6-8) ----------------
     def submit(self, query: ProjectQueryModel) -> DataFrame:
         spark = self.catalog.spark
-        key = content_hash(query.model_dump(), self.catalog.versions())
+        key = content_hash(
+            query.model_dump(), self.catalog.versions(),
+            self.project.model_dump() if self.project else None,
+        )
         if self.cache:
             hit = self.cache.get(key)
             if hit:
@@ -126,6 +133,8 @@ class QuerySubmitter:
                 for flt in query.result.filters:
                     df = self._apply_filter(df, flt)
                 if query.result.aggregations:
+                    df = self._resolve_supplemental_columns(
+                        df, query.result.aggregations)
                     df = apply_aggregations(df, query.result.aggregations)
                 return df
 
@@ -155,6 +164,10 @@ class QuerySubmitter:
         return df
 
     def _apply_filter(self, df: DataFrame, flt) -> DataFrame:
+        from dsgrid_spark.operators.filters import NamedDimensionFilter
+
+        if isinstance(flt, NamedDimensionFilter):
+            return self._apply_named_filter(df, flt)
         if isinstance(flt, SupplementalMappingFilter):
             if not flt.mapping:
                 raise ValueError(
@@ -162,6 +175,58 @@ class QuerySubmitter:
                 )
             return flt.apply_with_mapping(df, self.catalog.mapping(flt.mapping))
         return flt.apply(df)
+
+    def _apply_named_filter(self, df: DataFrame, flt) -> DataFrame:
+        """Resolve a subset/supplemental dimension name through the
+        project config (reference dsgrid/project.py:205-250)."""
+        if self.project is None:
+            raise ValueError(
+                "NamedDimensionFilter requires a ProjectConfig "
+                "(QuerySubmitter(project=...))"
+            )
+        sub = self.project.subset(flt.dimension_name)
+        if sub is not None:
+            ids = sub.record_ids
+            if flt.record_ids:
+                ids = [i for i in ids if i in set(flt.record_ids)]
+            return df.filter(F.col(sub.dimension_type).isin(ids))
+        supp = self.project.supplemental(flt.dimension_name)
+        if supp is not None:
+            inner = SupplementalMappingFilter(
+                column=supp.dimension_type, supplemental_ids=flt.record_ids
+            )
+            return inner.apply_with_mapping(df, self.catalog.mapping(supp.mapping))
+        raise ValueError(
+            f"{flt.dimension_name!r} is not a subset or supplemental "
+            f"dimension of project {self.project.project_id!r}"
+        )
+
+    def _resolve_supplemental_columns(self, df: DataFrame, aggregations) -> DataFrame:
+        """When an aggregation groups by a supplemental dimension NAME,
+        map the base column through the project's base→supplemental
+        mapping first (reference project_config.py supplemental
+        resolution). The accumulated fraction folds into the value column
+        without an extra aggregation — the group-by that follows
+        collapses it."""
+        if self.project is None:
+            return df
+        for agg in aggregations:
+            for colm in agg.group_by_columns:
+                supp = self.project.supplemental(colm.dimension_name)
+                if (supp is None or colm.dimension_name in df.columns
+                        or supp.dimension_type not in df.columns):
+                    continue
+                records = self.catalog.mapping(supp.mapping)
+                df = map_stacked_dimension(df, records, supp.dimension_type)
+                df = df.withColumnRenamed(supp.dimension_type, supp.name)
+                from dsgrid_spark.common import FRACTION_COLUMN
+
+                if FRACTION_COLUMN in df.columns:
+                    df = df.withColumn(
+                        VALUE_COLUMN,
+                        F.col(VALUE_COLUMN) * F.col(FRACTION_COLUMN),
+                    ).drop(FRACTION_COLUMN)
+        return df
 
     # ---- composite / derived datasets (lifecycle §3.3) ----------------
     def create_composite_dataset(self, query: ProjectQueryModel,
@@ -219,6 +284,7 @@ class QuerySubmitter:
             for flt in result.filters:
                 df = self._apply_filter(df, flt)
             if result.aggregations:
+                df = self._resolve_supplemental_columns(df, result.aggregations)
                 df = apply_aggregations(df, result.aggregations)
         if result.replace_ids_with_names:
             df = self._replace_ids_with_names(df)

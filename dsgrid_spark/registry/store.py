@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dsgrid_spark.datasets.handlers import DatasetConfig
 from dsgrid_spark.sources.catalog import Catalog
 
-KINDS = ("datasets", "dimensions", "mappings")
+KINDS = ("datasets", "dimensions", "mappings", "projects")
 
 
 class VersionUpdateType(str, Enum):
@@ -91,7 +91,10 @@ class RegistryStore:
 
     def _read_index(self) -> dict:
         if self._index_path.exists():
-            return json.loads(self._index_path.read_text())
+            index = json.loads(self._index_path.read_text())
+            for k in KINDS:
+                index.setdefault(k, {})
+            return index
         return {k: {} for k in KINDS}
 
     def _write_index(self, index: dict) -> None:
@@ -261,6 +264,46 @@ class RegistryStore:
             mapping_type=cfg.get("mapping_type"),
             submitter=submitter, message=message or f"update to {version}",
             validate=validate, _version=version,
+        )
+
+    # ---- projects ------------------------------------------------------
+    def register_project(self, config, submitter: str = "",
+                         message: str = "initial registration",
+                         _version: str = "1.0.0") -> str:
+        """Register a ProjectConfig (reference
+        project_registry_manager.py register flow — config only; the
+        datasets/dimensions/mappings it names register separately)."""
+        index = self._read_index()
+        if config.project_id in index["projects"] and _version == "1.0.0":
+            raise RegistryError(
+                f"projects/{config.project_id} already registered; "
+                "use update_project"
+            )
+        out = self._entry_dir("projects", config.project_id, _version)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "config.json").write_text(config.model_dump_json(indent=2))
+        self._register("projects", config.project_id, _version, submitter,
+                       message, index)
+        return _version
+
+    def update_project(self, config,
+                       update_type: VersionUpdateType = VersionUpdateType.MAJOR,
+                       submitter: str = "", message: str = "") -> str:
+        index = self._read_index()
+        version = self._next_version("projects", config.project_id,
+                                     update_type, index)
+        return self.register_project(
+            config, submitter=submitter,
+            message=message or f"update to {version}", _version=version,
+        )
+
+    def load_project(self, project_id: str, version: Optional[str] = None):
+        from dsgrid_spark.query.project import ProjectConfig
+
+        version = version or self.latest_version("projects", project_id)
+        return ProjectConfig.model_validate_json(
+            (self._entry_dir("projects", project_id, version)
+             / "config.json").read_text()
         )
 
     # ---- lookup --------------------------------------------------------
