@@ -486,16 +486,36 @@ def q29_text_stats(spark, sf_dir):
 
 
 def q30_minhash_dedup(spark, sf_dir):
-    """MinHash+LSH near-dedup survivors (no SQL oracle — rows check)."""
+    """MinHash+LSH near-dedup survivors, oracle-checked against exact
+    all-pairs Jaccard in DuckDB: drop any doc with a smaller-id neighbor
+    at jaccard >= 0.8. 8 bands x 4 rows keeps catch probability ~1 for
+    the corpus's >=0.95-jaccard constructed near-dups."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "text", "doc_id", num_hashes=32, num_bands=4,
+    return minhash_dedup(docs, "text", "doc_id", num_hashes=32, num_bands=8,
                          shingle_k=5, threshold=0.8).select("doc_id")
 
 
 def q31_simhash_dedup(spark, sf_dir):
-    """SimHash near-dedup survivors (no SQL oracle — rows check)."""
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup(docs, "text", "doc_id", hamming_threshold=3).select("doc_id")
+    """SimHash near-dedup survivors with an exact oracle. Natural text
+    defeats any SQL oracle here (simhash distance is word-bag based and
+    not reproducible without xxhash64), so the corpus is constructed:
+    per doc, 24 tokens unique to that doc (signatures mutually far), plus
+    one normalization-identical copy per doc (upper-cased + punctuation
+    → identical signature, hamming 0). Expected survivors = exactly the
+    originals — verifying normalization, signature determinism, chunk
+    blocking, and the xor-verify anti-join end to end."""
+    base = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "text",
+        F.expr("array_join(transform(sequence(1, 24),"
+               " j -> concat('w', doc_id, 'x', j)), ' ')"),
+    )
+    copies = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" ... !!!")).alias("text"),
+    )
+    corpus = base.unionByName(copies)
+    out = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3)
+    return out.select("doc_id")
 
 
 def q32_similarity_bruteforce(spark, sf_dir):
@@ -1688,5 +1708,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE c.c_nationkey BETWEEN 0 AND 9
             GROUP BY 1, 2
+        """,
+        # exact all-pairs jaccard reference for the LSH path: a doc is
+        # dropped iff it has a smaller-id neighbor at jaccard >= 0.8
+        # (dedup.minhash_dedup semantics; no identical-text groups exist
+        # in this corpus so exact-dedup reps = all docs)
+        "q30_minhash_dedup": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5 THEN
+                       list_distinct([array_to_string(w[(i+1):(i+5)], ' ')
+                                      for i in range(0, len(w) - 4)])
+                     ELSE [array_to_string(w, ' ')] END AS s
+              FROM (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
+                    FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib,
+                     len(list_intersect(a.s, b.s)) * 1.0
+                       / len(list_distinct(list_concat(a.s, b.s))) AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+            )
+            SELECT doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p WHERE p.ib = d.doc_id AND p.jac >= 0.8)
+        """,
+        # survivors = the originals: each doc's tokens are unique to it
+        # (signatures mutually far) and every normalization-identical
+        # copy (id+100000, hamming 0) must be dropped
+        "q31_simhash_dedup": """
+            SELECT doc_id FROM documents
+        """,
+        # independent md5 recomputation of the deterministic fake decode
+        "q34_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(64 + h % 512 AS INT) AS width,
+                   CAST(64 + (h >> 9) % 512 AS INT) AS height
+            FROM (SELECT doc_id,
+                         CAST(concat('0x', substr(md5(text), 1, 16)) AS UBIGINT) AS h
+                  FROM documents)
         """,
     }

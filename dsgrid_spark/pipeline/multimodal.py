@@ -41,13 +41,16 @@ IMAGE_FEATURES_SCHEMA = StructType([
 def _fake_decode(payload: bytes, n_features: int = 8) -> tuple[int, int, list[float]]:
     """Deterministic fake: 'dimensions' and 'features' from payload bytes.
 
-    crc32, not ``hash()`` — Python's bytes hash is salted per process, so
+    md5, not ``hash()`` — Python's bytes hash is salted per process, so
     results would differ between runs (and between executors with
-    different PYTHONHASHSEED).
+    different PYTHONHASHSEED). md5 specifically (over crc32) because an
+    independent SQL engine can recompute it, making the stub
+    oracle-checkable end to end.
     """
-    import zlib
+    import hashlib
 
-    h = zlib.crc32(bytes(payload) if payload is not None else b"")
+    digest = hashlib.md5(bytes(payload) if payload is not None else b"").digest()
+    h = int.from_bytes(digest[:8], "big")
     width = 64 + (h % 512)
     height = 64 + ((h >> 9) % 512)
     feats = [float((h >> (i * 4)) & 0xFF) / 255.0 for i in range(n_features)]
