@@ -1082,6 +1082,54 @@ def q57_subset_supplemental(spark, sf_dir):
     return out.select("region", "sector", F.round("value", 2).alias("value"))
 
 
+def q58_external_tz(spark, sf_dir):
+    """DATETIME_EXTERNAL_TZ load (SURVEY §2.10 long tail): tz-naive
+    wall-clock timestamps localized through each geography's IANA zone
+    into absolute time — one per-row to_utc_timestamp expression
+    (reference dimensions.py:746-790, aligned_in_clock_time)."""
+    from dsgrid_spark.timedim.external import localize_external_tz
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("timestamp"),
+        (F.col("user_id") % 2).cast("string").alias("geography"),
+        "value",
+    )
+    geo = spark.createDataFrame(
+        [("0", "Etc/GMT+6"), ("1", "Etc/GMT+7")], "id string, time_zone string"
+    )
+    out = localize_external_tz(ev, "timestamp", geography_records=geo)
+    return out.select(
+        "event_id", "geography",
+        F.date_format("timestamp", TS_FMT).alias("utc_hour"),
+        "value",
+    )
+
+
+def q59_period_ending_daily(spark, sf_dir):
+    """period_ending → period_beginning relabel, then daily TOTAL
+    downsample (SURVEY §2.10 long tail; reference
+    dsgrid/dimension/time.py:95-116 interval semantics)."""
+    from dsgrid_spark.dimensions import MeasurementType, TimeIntervalType
+    from dsgrid_spark.timedim.conversion import (
+        convert_time_interval, downsample,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("timestamp"),
+        (F.col("user_id") % 4).cast("string").alias("geography"),
+        "value",
+    )
+    pb = convert_time_interval(ev, "timestamp",
+                               TimeIntervalType.PERIOD_ENDING,
+                               TimeIntervalType.PERIOD_BEGINNING, 3600)
+    daily = downsample(pb, "timestamp", 86400, MeasurementType.TOTAL)
+    return daily.select(
+        F.date_format("timestamp", TS_FMT).alias("day"),
+        "geography", F.round("value", 6).alias("value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1141,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_rollup": q55_rollup,
         "q56_representative_weekday": q56_representative_weekday,
         "q57_subset_supplemental": q57_subset_supplemental,
+        "q58_external_tz": q58_external_tz,
+        "q59_period_ending_daily": q59_period_ending_daily,
     }
 
 
@@ -1738,6 +1788,22 @@ def oracle_sql() -> dict[str, str]:
         # copy (id+100000, hamming 0) must be dropped
         "q31_simhash_dedup": """
             SELECT doc_id FROM documents
+        """,
+        "q58_external_tz": f"""
+            SELECT event_id, CAST(user_id % 2 AS VARCHAR) AS geography,
+                   strftime(date_trunc('hour', ts)
+                            + to_hours(CASE WHEN user_id % 2 = 0
+                                       THEN 6 ELSE 7 END),
+                            '{_DUCK_TS}') AS utc_hour,
+                   value
+            FROM events
+        """,
+        "q59_period_ending_daily": f"""
+            SELECT strftime(date_trunc('day',
+                     date_trunc('hour', ts) - to_hours(1)), '{_DUCK_TS}') AS day,
+                   CAST(user_id % 4 AS VARCHAR) AS geography,
+                   round(sum(value), 6) AS value
+            FROM events GROUP BY 1, 2
         """,
         # independent md5 recomputation of the deterministic fake decode
         "q34_multimodal_features": """

@@ -41,8 +41,23 @@ class TimeDimensionType(str, Enum):
     DATETIME = "datetime"
     ANNUAL = "annual"
     REPRESENTATIVE_PERIOD = "representative_period"
+    DATETIME_EXTERNAL_TZ = "datetime_external_tz"
     INDEX = "index"
+    #: no time column at all — time ops and consistency checks are skipped
+    #: (reference dimensions.py:858 NoOpTimeDimensionModel)
     NOOP = "noop"
+
+
+class TimeIntervalType(str, Enum):
+    """What span a timestamp labels (reference dsgrid/dimension/time.py:95-116).
+
+    PERIOD_BEGINNING is the dsgrid default; converting between beginning
+    and ending shifts timestamps by one frequency step.
+    """
+
+    PERIOD_BEGINNING = "period_beginning"
+    PERIOD_ENDING = "period_ending"
+    INSTANTANEOUS = "instantaneous"
 
 
 class MeasurementType(str, Enum):

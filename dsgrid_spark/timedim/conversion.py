@@ -16,6 +16,7 @@ from dsgrid_spark.dimensions import (
     DaylightSavingAdjustmentType,
     LeapDayAdjustmentType,
     MeasurementType,
+    TimeIntervalType,
 )
 
 _DOWNSAMPLE_AGG = {
@@ -80,6 +81,35 @@ def upsample(
     if measurement_type == MeasurementType.TOTAL:
         out = out.withColumn(value_column, F.col(value_column) / steps)
     return out
+
+
+def convert_time_interval(
+    df: DataFrame,
+    time_column: str,
+    from_type: TimeIntervalType,
+    to_type: TimeIntervalType,
+    frequency_seconds: int,
+) -> DataFrame:
+    """Re-label timestamps between period-beginning and period-ending.
+
+    Reference dsgrid/dimension/time.py:95-116: a period-ending stamp t
+    labels (t-freq, t]; relabeling it period-beginning shifts it to
+    t-freq (and vice versa). INSTANTANEOUS cannot be converted — the
+    value is a point sample, not a span.
+    """
+    if from_type == to_type:
+        return df
+    if TimeIntervalType.INSTANTANEOUS in (from_type, to_type):
+        raise ValueError(
+            "cannot convert between instantaneous and period interval types"
+        )
+    shift = (-frequency_seconds
+             if to_type == TimeIntervalType.PERIOD_BEGINNING
+             else frequency_seconds)
+    return df.withColumn(
+        time_column,
+        F.timestamp_seconds(F.unix_timestamp(F.col(time_column)) + shift),
+    )
 
 
 def convert_time_zone(df: DataFrame, time_column: str, to_tz: str,

@@ -185,3 +185,83 @@ def test_representative_period_hours_per_template_key(spark):
     # every local-January hour of 2018 matched exactly once
     assert out.count() == 31 * 24
     assert out.columns == ["geography", "value", "timestamp"]
+
+
+def test_external_tz_localize_and_align_roundtrip(spark):
+    """DATETIME_EXTERNAL_TZ: naive wall clock -> absolute, and back
+    (aligned_in_clock_time)."""
+    from dsgrid_spark.timedim.external import (
+        align_to_clock_time,
+        localize_external_tz,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 0), "06037", 1.0),
+         (dt.datetime(2024, 6, 1, 0), "08031", 2.0)],
+        "timestamp timestamp, geography string, value double",
+    )
+    geo = spark.createDataFrame(
+        [("06037", "Etc/GMT+8"), ("08031", "Etc/GMT+7")],
+        "id string, time_zone string",
+    )
+    absolute = localize_external_tz(df, "timestamp", geography_records=geo)
+    got = {r["geography"]: r["timestamp"] for r in absolute.collect()}
+    # same wall clock, different absolute instants
+    assert got["06037"] == dt.datetime(2024, 6, 1, 8)
+    assert got["08031"] == dt.datetime(2024, 6, 1, 7)
+
+    back = align_to_clock_time(absolute, "timestamp", geography_records=geo)
+    clock = {r["geography"]: r["timestamp"] for r in back.collect()}
+    assert clock == {"06037": dt.datetime(2024, 6, 1, 0),
+                     "08031": dt.datetime(2024, 6, 1, 0)}
+
+    single = localize_external_tz(df, "timestamp", time_zone="Etc/GMT+5")
+    assert {r["timestamp"] for r in single.collect()} == {dt.datetime(2024, 6, 1, 5)}
+    with pytest.raises(ValueError, match="exactly one"):
+        localize_external_tz(df, "timestamp")
+
+
+def test_convert_time_interval(spark):
+    from dsgrid_spark.dimensions import TimeIntervalType
+    from dsgrid_spark.timedim.conversion import convert_time_interval
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 1), 1.0)], "timestamp timestamp, value double"
+    )
+    pb = convert_time_interval(df, "timestamp",
+                               TimeIntervalType.PERIOD_ENDING,
+                               TimeIntervalType.PERIOD_BEGINNING, 3600)
+    assert pb.collect()[0]["timestamp"] == dt.datetime(2024, 1, 1, 0)
+    pe = convert_time_interval(pb, "timestamp",
+                               TimeIntervalType.PERIOD_BEGINNING,
+                               TimeIntervalType.PERIOD_ENDING, 3600)
+    assert pe.collect()[0]["timestamp"] == dt.datetime(2024, 1, 1, 1)
+    # same-type is a no-op (identical plan, no shift)
+    same = convert_time_interval(df, "timestamp",
+                                 TimeIntervalType.PERIOD_ENDING,
+                                 TimeIntervalType.PERIOD_ENDING, 3600)
+    assert same is df
+    with pytest.raises(ValueError, match="instantaneous"):
+        convert_time_interval(df, "timestamp",
+                              TimeIntervalType.INSTANTANEOUS,
+                              TimeIntervalType.PERIOD_BEGINNING, 3600)
+
+
+def test_noop_time_dataset_registers_and_queries(spark, tmp_path):
+    """NOOP time kind: no time column at all — registration validation
+    and queries skip time ops (reference dimensions.py:858)."""
+    from dsgrid_spark.datasets.handlers import DatasetConfig
+    from dsgrid_spark.registry.store import RegistryStore
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    df = spark.createDataFrame(
+        [("06037", 1.0), ("08031", 2.0)], "geography string, value double"
+    )
+    v = store.register_dataset(
+        "annualless", df,
+        config=DatasetConfig(dataset_id="annualless", time_columns=[]),
+    )
+    assert v == "1.0.0"
+    loaded, cfg = store.load_catalog().dataset("annualless")
+    assert cfg.time_columns == []
+    assert loaded.count() == 2
