@@ -21,9 +21,9 @@ def write_parquet(df: DataFrame, path: str | Path, *,
                   overwrite: bool = True) -> None:
     """Single-pass parquet write targeting ~target_partition_mb files.
 
-    AQE's coalescePartitions already merges small shuffle outputs; for
-    direct scans we estimate rows-per-file from a sampled row size only
-    when the plan has no shuffle. At cluster scale prefer
+    AQE's coalescePartitions already merges small shuffle outputs;
+    ``maxRecordsPerFile`` is derived from plan statistics / schema width
+    (no extra job — see ``_records_per_file``). At cluster scale prefer
     ``partition_by`` on a low-cardinality dimension (scenario/model_year)
     so downstream queries prune partitions.
     """
@@ -35,16 +35,35 @@ def write_parquet(df: DataFrame, path: str | Path, *,
 
 
 def _records_per_file(df: DataFrame, target_mb: int) -> int:
-    """Rows per file from a driver-side sample of the in-memory row size."""
-    sample = df.limit(1000).collect()
-    if not sample:
-        return 1_000_000
-    import sys
-    row_bytes = max(
-        1, sum(sys.getsizeof(str(r)) for r in sample) // len(sample)
-    )
-    # parquet compresses ~4x vs stringified rows; clamp to sane bounds
-    rows = (target_mb * 1024 * 1024 * 4) // row_bytes
+    """Rows per file WITHOUT running a job.
+
+    Estimate the encoded row width from the schema (plus Catalyst's
+    ``sizeInBytes``/``rowCount`` statistics when the optimizer has them —
+    parquet footers provide both for plain scans). The old
+    ``limit(1000).collect()`` sample cost a full extra job per sink call;
+    at cluster scale a sink must not launch jobs beyond the write itself.
+    """
+    size = row_count = None
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(stats.sizeInBytes().toString())
+        rc = stats.rowCount()
+        row_count = int(rc.get().toString()) if rc.isDefined() else None
+    except Exception:
+        pass
+    if size is not None and row_count:
+        # in-plan size is uncompressed columnar; parquet lands ~3x smaller
+        row_bytes = max(1, size // row_count)
+        rows = (target_mb * 1024 * 1024 * 3) // row_bytes
+    else:
+        from pyspark.sql import types as T
+
+        fixed = {T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
+                 T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
+                 T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8}
+        width = sum(fixed.get(type(f.dataType), 24)
+                    for f in df.schema.fields) or 8
+        rows = (target_mb * 1024 * 1024 * 3) // width
     return int(min(max(rows, 10_000), 50_000_000))
 
 

@@ -211,3 +211,18 @@ def test_diagnose_skew(spark):
         [("hot",)] * 90 + [("cold",)] * 10, "k string")
     top = diagnose_skew(df, "k", k=2)
     assert top[0] == ("hot", 90)
+
+
+def test_write_parquet_launches_single_job(spark, tmp_path):
+    """The sink must not run jobs beyond the write itself (the old
+    row-size sample cost one extra job per sink call)."""
+    df = spark.range(10_000).selectExpr("id", "id * 2.0 AS value")
+    sc = spark.sparkContext
+    sc.setJobGroup("wp-single-job", "write_parquet job-count check")
+    try:
+        write_parquet(df, tmp_path / "single_job.parquet")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("wp-single-job")
+    assert len(jobs) == 1, f"write_parquet ran {len(jobs)} jobs: {jobs}"
+    assert spark.read.parquet(str(tmp_path / "single_job.parquet")).count() == 10_000
