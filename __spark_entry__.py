@@ -1130,6 +1130,27 @@ def q59_period_ending_daily(spark, sf_dir):
     )
 
 
+def q60_expression_extended(spark, sf_dir):
+    """Extended dataset-expression surface (SURVEY §2.9; reference
+    py_expression_eval ops :352-420): % ** comparisons as masks —
+    ``(a * (a > b) + b * (a <= b)) % c`` = elementwise max(a,b) mod c."""
+    orders = _t(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.year("o_orderdate") <= 1996)
+        .groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("value"))
+    )
+    b = (
+        orders.filter(F.year("o_orderdate") > 1996)
+        .groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("value"))
+    )
+    c = orders.groupBy("o_orderpriority").agg(
+        F.lit(1000.0).alias("value")
+    )
+    out = evaluate_expression("(a * (a > b) + b * (a <= b)) % c",
+                              {"a": a, "b": b, "c": c})
+    return out.select("o_orderpriority", F.round("value", 2).alias("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1191,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_subset_supplemental": q57_subset_supplemental,
         "q58_external_tz": q58_external_tz,
         "q59_period_ending_daily": q59_period_ending_daily,
+        "q60_expression_extended": q60_expression_extended,
     }
 
 
@@ -1804,6 +1826,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(user_id % 4 AS VARCHAR) AS geography,
                    round(sum(value), 6) AS value
             FROM events GROUP BY 1, 2
+        """,
+        "q60_expression_extended": """
+            WITH a AS (
+              SELECT o_orderpriority, sum(o_totalprice) AS v FROM orders
+              WHERE extract(year FROM o_orderdate) <= 1996 GROUP BY 1
+            ), b AS (
+              SELECT o_orderpriority, sum(o_totalprice) AS v FROM orders
+              WHERE extract(year FROM o_orderdate) > 1996 GROUP BY 1
+            )
+            SELECT o_orderpriority,
+                   round(fmod(CASE WHEN a.v > b.v THEN a.v ELSE b.v END,
+                              1000.0), 2) AS value
+            FROM a JOIN b USING (o_orderpriority)
         """,
         # independent md5 recomputation of the deterministic fake decode
         "q34_multimodal_features": """

@@ -1,15 +1,21 @@
 """Dataset-expression evaluation: ``"ds1 | ds2"``, ``"(a - b) * c"``.
 
 The reference embeds an 847-line generic expression parser
-(dsgrid/utils/py_expression_eval/__init__.py); we instead use Python's own
-``ast`` module on a whitelisted node set — same grammar surface
-(``+ - * / | ()`` over dataset identifiers), a fraction of the code, and
-no string evaluation.
+(dsgrid/utils/py_expression_eval/__init__.py, op surface at :352-420);
+we instead use Python's own ``ast`` module on a whitelisted node set —
+a fraction of the code, and no string evaluation.
 
 Semantics (dsgrid/dataset/dataset_expression_handler.py:17-68):
 - ``|`` (union): column-identical union — the default combine.
-- ``+ - *``: full-dimension equi-join of the two tables, arithmetic on the
-  value columns, with row-count guards against silent key mismatch.
+- ``+ - * / % **``: full-dimension equi-join of the two tables,
+  arithmetic on the value columns, with row-count guards against silent
+  key mismatch.
+- ``== != < <= > >=``: same join; the value columns become 1.0/0.0
+  masks — composable as ``a * (a > b)`` for thresholded selection.
+- ``and`` / ``or``: join; masks of "both/either value nonzero".
+- ``a in b``: dimension semi-join — keep rows of ``a`` whose dimension
+  key combination exists in ``b``.
+- unary ``-``: negate the value columns.
 """
 
 from __future__ import annotations
@@ -55,9 +61,28 @@ def _combine_arith(left: DataFrame, right: DataFrame, op: str,
             )
     for v in value_columns:
         lc, rc = F.col(v), F.col(f"__other_{v}")
-        expr = {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+        expr = {
+            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+            "%": lc % rc, "**": F.pow(lc, rc),
+            "==": (lc == rc).cast("double"), "!=": (lc != rc).cast("double"),
+            "<": (lc < rc).cast("double"), "<=": (lc <= rc).cast("double"),
+            ">": (lc > rc).cast("double"), ">=": (lc >= rc).cast("double"),
+            "and": ((lc != 0) & (rc != 0)).cast("double"),
+            "or": ((lc != 0) | (rc != 0)).cast("double"),
+        }[op]
         joined = joined.withColumn(v, expr).drop(f"__other_{v}")
     return joined
+
+
+def _combine_in(left: DataFrame, right: DataFrame,
+                value_columns: list[str]) -> DataFrame:
+    """``a in b``: keep rows of ``a`` whose dimension keys exist in ``b``."""
+    dim_cols = [c for c in left.columns if c not in value_columns]
+    if set(left.columns) != set(right.columns):
+        raise DatasetExpressionError(
+            f"datasets have different columns: {left.columns} vs {right.columns}"
+        )
+    return left.join(right.select(*dim_cols).distinct(), dim_cols, "left_semi")
 
 
 def _combine_union(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -89,11 +114,38 @@ def evaluate_expression(expression: str, datasets: dict[str, DataFrame],
             left, right = ev(node.left), ev(node.right)
             if isinstance(node.op, ast.BitOr):
                 return _combine_union(left, right)
-            ops = {ast.Add: "+", ast.Sub: "-", ast.Mult: "*", ast.Div: "/"}
+            ops = {ast.Add: "+", ast.Sub: "-", ast.Mult: "*", ast.Div: "/",
+                   ast.Mod: "%", ast.Pow: "**"}
             for t, sym in ops.items():
                 if isinstance(node.op, t):
                     return _combine_arith(left, right, sym, value_columns,
                                           check_counts=check_counts)
+        if isinstance(node, ast.Compare):
+            if len(node.ops) != 1 or len(node.comparators) != 1:
+                raise DatasetExpressionError(
+                    f"chained comparisons unsupported in {expression!r}"
+                )
+            left, right = ev(node.left), ev(node.comparators[0])
+            if isinstance(node.ops[0], ast.In):
+                return _combine_in(left, right, value_columns)
+            cmps = {ast.Eq: "==", ast.NotEq: "!=", ast.Lt: "<",
+                    ast.LtE: "<=", ast.Gt: ">", ast.GtE: ">="}
+            for t, sym in cmps.items():
+                if isinstance(node.ops[0], t):
+                    return _combine_arith(left, right, sym, value_columns,
+                                          check_counts=check_counts)
+        if isinstance(node, ast.BoolOp):
+            sym = "and" if isinstance(node.op, ast.And) else "or"
+            acc = ev(node.values[0])
+            for nxt in node.values[1:]:
+                acc = _combine_arith(acc, ev(nxt), sym, value_columns,
+                                     check_counts=check_counts)
+            return acc
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            inner = ev(node.operand)
+            for v in value_columns:
+                inner = inner.withColumn(v, -F.col(v))
+            return inner
         raise DatasetExpressionError(
             f"unsupported syntax in {expression!r}: {ast.dump(node)}"
         )

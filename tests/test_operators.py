@@ -63,7 +63,37 @@ def test_expression_arithmetic_and_union(spark):
     with pytest.raises(DatasetExpressionError):
         evaluate_expression("a + c", {"a": a, "b": b})
     with pytest.raises(DatasetExpressionError):
-        evaluate_expression("a ** b", {"a": a, "b": b})
+        evaluate_expression("a @ b", {"a": a, "b": b})
+
+
+def test_expression_extended_ops(spark):
+    """Parser parity with the reference's py_expression_eval surface
+    (:352-420): % ** comparisons and/or in, unary minus."""
+    a = spark.createDataFrame([("x", 10.0), ("y", 20.0)], "k string, value double")
+    b = spark.createDataFrame([("x", 3.0), ("y", 2.0)], "k string, value double")
+
+    def run(expr, ds=None):
+        return {r["k"]: r["value"] for r in
+                evaluate_expression(expr, ds or {"a": a, "b": b}).collect()}
+
+    assert run("a % b") == {"x": 1.0, "y": 0.0}
+    assert run("b ** b") == {"x": 27.0, "y": 4.0}
+    assert run("a > b") == {"x": 1.0, "y": 1.0}
+    assert run("a == b") == {"x": 0.0, "y": 0.0}
+    assert run("-a") == {"x": -10.0, "y": -20.0}
+    # masked selection: value kept only where the comparison holds
+    c = spark.createDataFrame([("x", 15.0), ("y", 25.0)], "k string, value double")
+    got = run("a * (a > b)", {"a": a, "b": c})
+    assert got == {"x": 0.0, "y": 0.0}
+    got = run("a * (a < b)", {"a": a, "b": c})
+    assert got == {"x": 10.0, "y": 20.0}
+    # boolean algebra over nonzero masks
+    z = spark.createDataFrame([("x", 0.0), ("y", 5.0)], "k string, value double")
+    assert run("a and z", {"a": a, "z": z}) == {"x": 0.0, "y": 1.0}
+    assert run("a or z", {"a": a, "z": z}) == {"x": 1.0, "y": 1.0}
+    # `in`: dimension semi-join
+    sub = spark.createDataFrame([("y", 99.0)], "k string, value double")
+    assert run("a in s", {"a": a, "s": sub}) == {"y": 20.0}
 
 
 def test_peak_load_keeps_full_row(spark):
