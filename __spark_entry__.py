@@ -488,10 +488,11 @@ def q29_text_stats(spark, sf_dir):
 def q30_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dedup survivors, oracle-checked against exact
     all-pairs Jaccard in DuckDB: drop any doc with a smaller-id neighbor
-    at jaccard >= 0.8. 8 bands x 4 rows keeps catch probability ~1 for
-    the corpus's >=0.95-jaccard constructed near-dups."""
+    at jaccard >= 0.8. 8 bands x 3 rows keeps catch probability ~1 at
+    the 0.8 threshold (1-(1-s^3)^8 = 0.997 at s=0.8, ~1 above 0.9)
+    while costing 25% less signature codegen than 32 hashes."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "text", "doc_id", num_hashes=32, num_bands=8,
+    return minhash_dedup(docs, "text", "doc_id", num_hashes=24, num_bands=8,
                          shingle_k=5, threshold=0.8).select("doc_id")
 
 

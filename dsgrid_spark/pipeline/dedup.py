@@ -146,7 +146,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_column: str = "text",
     With ``candidates`` from LSH this verifies only the near-miss set;
     without it, it is O(n²) — only for small n or testing.
     """
-    sh = df.select(
+    base = df
+    if candidates is not None:
+        # only candidate docs need shingles: on a big corpus the LSH
+        # candidate set is a tiny fraction of the documents, so shingling
+        # everything would dominate the verify cost
+        ids = (candidates.select(F.col("id_a").alias(id_column))
+               .union(candidates.select(F.col("id_b").alias(id_column)))
+               .distinct())
+        base = df.join(ids, id_column, "left_semi")
+    sh = base.select(
         F.col(id_column), shingles(text_column, shingle_k).alias("__sh")
     )
     # referenced twice (both sides of the pair join): materialize so the
