@@ -160,8 +160,18 @@ def cmd_run(args) -> int:
     spec = load_spec(args.spec)
     query = parse_query(spec)
     spark = get_spark("dsgrid-spark-cli")
-    catalog = build_catalog(spark, spec)
-    submitter = QuerySubmitter(catalog, output_dir=args.output)
+    project = None
+    if getattr(args, "registry", None):
+        from dsgrid_spark.registry.store import RegistryStore
+
+        store = RegistryStore(args.registry, spark)
+        catalog = store.load_catalog()
+        if getattr(args, "project", None):
+            project = store.load_project(args.project)
+    else:
+        catalog = build_catalog(spark, spec)
+    submitter = QuerySubmitter(catalog, output_dir=args.output,
+                               project=project)
     df = submitter.submit(query)
     if args.explain:
         print(df._jdf.queryExecution().explainString(
@@ -179,6 +189,86 @@ def cmd_run(args) -> int:
     return 0
 
 
+def _store(args):
+    from dsgrid_spark.registry.store import RegistryStore
+    from dsgrid_spark.session import get_spark
+
+    return RegistryStore(args.registry, get_spark("dsgrid-spark-cli"))
+
+
+def cmd_registry_register(args) -> int:
+    """Register a dataset/dimension/mapping (reference
+    dsgrid/cli/registry.py register commands)."""
+    store = _store(args)
+    if args.kind == "dataset":
+        version = store.register_dataset(
+            args.id, args.path, lookup_source=args.lookup,
+            validate=not args.no_validate,
+            dimension_names=args.dimensions or None,
+            submitter=args.submitter, message=args.message or
+            "initial registration",
+        )
+    elif args.kind == "dimension":
+        version = store.register_dimension(
+            args.id, args.path, submitter=args.submitter,
+            message=args.message or "initial registration")
+    else:
+        version = store.register_mapping(
+            args.id, args.path, from_dimension=args.from_dimension,
+            to_dimension=args.to_dimension, mapping_type=args.mapping_type,
+            validate=not args.no_validate, submitter=args.submitter,
+            message=args.message or "initial registration")
+    print(f"registered {args.kind}s/{args.id}@{version}")
+    return 0
+
+
+def cmd_registry_update(args) -> int:
+    from dsgrid_spark.registry.store import VersionUpdateType
+
+    store = _store(args)
+    ut = VersionUpdateType(args.update_type)
+    if args.kind == "dataset":
+        version = store.update_dataset(
+            args.id, args.path, update_type=ut,
+            validate=not args.no_validate, submitter=args.submitter,
+            message=args.message)
+    elif args.kind == "dimension":
+        version = store.update_dimension(
+            args.id, args.path, update_type=ut, submitter=args.submitter,
+            message=args.message)
+    else:
+        version = store.update_mapping(
+            args.id, args.path, update_type=ut,
+            validate=not args.no_validate, submitter=args.submitter,
+            message=args.message)
+    print(f"updated {args.kind}s/{args.id} -> {version}")
+    return 0
+
+
+def cmd_registry_list(args) -> int:
+    """List every registered entity + current version (reference
+    dsgrid registry ... list)."""
+    store = _store(args)
+    for kind in ("projects", "datasets", "dimensions", "mappings"):
+        ids = store.list_ids(kind)
+        if not ids:
+            continue
+        print(f"{kind}:")
+        for entity_id in ids:
+            print(f"  {entity_id}  {store.latest_version(kind, entity_id)}")
+    return 0
+
+
+def cmd_registry_dump(args) -> int:
+    """Dump the registration log (+ config if present) for one entity."""
+    store = _store(args)
+    payload = {"id": args.id, "kind": args.kind_plural,
+               "current": store.latest_version(args.kind_plural, args.id),
+               "log": store.log(args.kind_plural, args.id)}
+    print(json.dumps(payload, indent=2, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dsgrid-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -189,13 +279,62 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--show", type=int, default=0)
     run.add_argument("--explain", action="store_true",
                      help="print the formatted physical plan")
+    run.add_argument("--registry", default=None,
+                     help="load the catalog from a registry root instead "
+                          "of the spec's inline catalog")
+    run.add_argument("--project", default=None,
+                     help="project id (with --registry) for subset/"
+                          "supplemental name resolution")
     run.set_defaults(fn=cmd_run)
 
     val = sub.add_parser("validate", help="parse + validate a query spec")
     val.add_argument("spec")
     val.set_defaults(fn=cmd_validate)
 
+    reg = sub.add_parser("registry", help="manage a persistent registry")
+    regsub = reg.add_subparsers(dest="registry_command", required=True)
+
+    def _common(sp, with_path=True):
+        sp.add_argument("registry", help="registry root directory")
+        sp.add_argument("kind", choices=["dataset", "dimension", "mapping"])
+        sp.add_argument("id")
+        if with_path:
+            sp.add_argument("path", help="input table (parquet/csv/json)")
+        sp.add_argument("--submitter", default="")
+        sp.add_argument("--message", default="")
+        sp.add_argument("--no-validate", action="store_true")
+
+    rr = regsub.add_parser("register", help="register a new entity")
+    _common(rr)
+    rr.add_argument("--lookup", default=None,
+                    help="two-table dataset lookup path")
+    rr.add_argument("--dimensions", nargs="*", default=None,
+                    help="registered dimensions to validate ids against")
+    rr.add_argument("--from-dimension", default=None)
+    rr.add_argument("--to-dimension", default=None)
+    rr.add_argument("--mapping-type", default=None)
+    rr.set_defaults(fn=cmd_registry_register)
+
+    ru = regsub.add_parser("update", help="register a new version")
+    _common(ru)
+    ru.add_argument("--update-type", default="major",
+                    choices=["major", "minor", "patch"])
+    ru.set_defaults(fn=cmd_registry_update)
+
+    rl = regsub.add_parser("list", help="list entities + versions")
+    rl.add_argument("registry")
+    rl.set_defaults(fn=cmd_registry_list)
+
+    rd = regsub.add_parser("dump", help="dump one entity's log")
+    rd.add_argument("registry")
+    rd.add_argument("kind", choices=["project", "dataset", "dimension",
+                                     "mapping"])
+    rd.add_argument("id")
+    rd.set_defaults(fn=cmd_registry_dump)
+
     args = p.parse_args(argv)
+    if hasattr(args, "kind") and args.command == "registry":
+        args.kind_plural = args.kind + "s"
     return args.fn(args)
 
 

@@ -80,6 +80,32 @@ def write_json(df: DataFrame, path: str | Path) -> None:
     df.write.mode("overwrite").json(str(path))
 
 
+def write_zip(df: DataFrame, path: str | Path,
+              table_format: str = "parquet") -> Path:
+    """Write the result table and bundle it into one zip file
+    (reference query_submitter.py:630-634 — used to hand a query result
+    to a user as a single artifact). Driver-side zipfile over the
+    written files; the write itself is distributed as usual."""
+    import tempfile
+    import zipfile
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        inner = Path(td) / f"table.{table_format}"
+        if table_format == "parquet":
+            write_parquet(df, inner)
+        elif table_format == "csv":
+            write_csv(df, inner)
+        else:
+            raise ValueError(f"unsupported zip table format {table_format!r}")
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for f in sorted(inner.rglob("*")):
+                if f.is_file() and not f.name.startswith("."):
+                    zf.write(f, f.relative_to(Path(td)))
+    return path
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_columns: list[str],
                    n_buckets: int = 64, sort_columns: list[str] | None = None,
                    overwrite: bool = True) -> None:

@@ -240,3 +240,26 @@ def test_expression_count_guards(spark):
     # explicit opt-out for scale: silent inner-join semantics
     got = evaluate_expression("a - c", {"a": a, "c": c}, check_counts=False)
     assert [(r["k"], r["value"]) for r in got.collect()] == [("x", 9.0)]
+
+
+def test_restore_expected_missing_after_mapping_adds_columns(spark):
+    """VERDICT r1 item: mapped-then-restored shape — columns added during
+    processing must survive restore (as NULLs on restored rows)."""
+    from dsgrid_spark.operators.missing import (
+        restore_expected_missing,
+        split_expected_missing,
+    )
+
+    df = spark.createDataFrame(
+        [("06037", "m1", 1.0), ("08031", "m1", None)],
+        "geography string, metric string, value double",
+    )
+    data, missing = split_expected_missing(df)
+    # processing adds a column (e.g. a supplemental dimension)
+    processed = data.withColumn("state", F.lit("CA"))
+    restored = restore_expected_missing(processed, missing)
+    assert set(restored.columns) == {"geography", "metric", "value", "state"}
+    rows = {r["geography"]: (r["state"], r["value"]) for r in restored.collect()}
+    assert rows["06037"] == ("CA", 1.0)
+    # restored expected-missing row: NULL value AND NULL added column
+    assert rows["08031"] == (None, None)

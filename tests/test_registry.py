@@ -229,3 +229,75 @@ def test_validate_accepts_good_datasets(spark, load_df, tmp_path):
     v2 = store.register_dataset("two", load_data, lookup_source=lookup,
                                 dimension_names=["geography"])
     assert v2 == "1.0.0"
+
+
+def test_cli_registry_commands(spark, load_df, county_state_map, tmp_path, capsys):
+    """CLI registry surface (reference dsgrid/cli/registry.py):
+    register -> list -> update -> dump."""
+    from dsgrid_spark.cli import main
+    from dsgrid_spark.sources.writers import write_parquet
+
+    reg = str(tmp_path / "reg")
+    dpath = tmp_path / "load.parquet"
+    mpath = tmp_path / "map.parquet"
+    write_parquet(load_df, dpath)
+    write_parquet(county_state_map, mpath)
+
+    assert main(["registry", "register", reg, "dataset", "load",
+                 str(dpath)]) == 0
+    assert main(["registry", "register", reg, "mapping", "county_to_state",
+                 str(mpath), "--from-dimension", "county",
+                 "--to-dimension", "state",
+                 "--mapping-type", "many_to_one_aggregation"]) == 0
+    assert main(["registry", "update", reg, "dataset", "load", str(dpath),
+                 "--update-type", "minor", "--message", "refresh"]) == 0
+    capsys.readouterr()
+
+    assert main(["registry", "list", reg]) == 0
+    out = capsys.readouterr().out
+    assert "load  1.1.0" in out and "county_to_state  1.0.0" in out
+
+    assert main(["registry", "dump", reg, "dataset", "load"]) == 0
+    import json as _json
+
+    dump = _json.loads(capsys.readouterr().out)
+    assert dump["current"] == "1.1.0"
+    assert [e["version"] for e in dump["log"]] == ["1.0.0", "1.1.0"]
+    assert dump["log"][1]["message"] == "refresh"
+
+
+def test_cli_run_from_registry(spark, load_df, county_state_map, tmp_path,
+                               capsys):
+    """run --registry: catalog comes from the persistent registry, and
+    --project enables name resolution."""
+    import json as _json
+
+    from dsgrid_spark.cli import main
+    from dsgrid_spark.query.project import (
+        ProjectConfig, SupplementalDimensionModel,
+    )
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df)
+    store.register_mapping("county_to_state", county_state_map,
+                           from_dimension="county", to_dimension="state",
+                           mapping_type="many_to_one_aggregation")
+    store.register_project(ProjectConfig(
+        project_id="demo",
+        supplemental_dimensions=[SupplementalDimensionModel(
+            name="state", dimension_type="geography",
+            mapping="county_to_state")]))
+
+    spec = tmp_path / "q.json"
+    spec.write_text(_json.dumps({"query": {
+        "name": "regq",
+        "source_datasets": [{"dataset_id": "load", "mappings": [
+            {"dimension": "geography", "mapping": "county_to_state"}]}],
+        "result": {"aggregations": [{
+            "group_by_columns": [{"dimension_name": "geography"}],
+            "aggregation_function": "sum"}]},
+    }}))
+    assert main(["run", str(spec), "--registry", str(tmp_path / "reg"),
+                 "--project", "demo", "--show", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "rows: 2" in out

@@ -226,3 +226,20 @@ def test_write_parquet_launches_single_job(spark, tmp_path):
     jobs = sc.statusTracker().getJobIdsForGroup("wp-single-job")
     assert len(jobs) == 1, f"write_parquet ran {len(jobs)} jobs: {jobs}"
     assert spark.read.parquet(str(tmp_path / "single_job.parquet")).count() == 10_000
+
+
+def test_write_zip_roundtrip(spark, tmp_path):
+    """Zip sink (reference query_submitter.py:630-634)."""
+    import zipfile
+
+    from dsgrid_spark.sources.writers import write_zip
+
+    df = spark.range(100).selectExpr("id", "id * 1.5 AS value")
+    out = write_zip(df, tmp_path / "result.zip")
+    assert out.exists()
+    with zipfile.ZipFile(out) as zf:
+        names = zf.namelist()
+        assert any(n.endswith(".parquet") for n in names)
+        zf.extractall(tmp_path / "x")
+    back = spark.read.parquet(str(tmp_path / "x" / "table.parquet"))
+    assert back.count() == 100
