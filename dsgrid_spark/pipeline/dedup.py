@@ -92,11 +92,20 @@ def minhash_signatures(df: DataFrame, text_column: str = "text",
 
 
 def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
-                        num_bands: int = 4) -> DataFrame:
+                        num_bands: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the minhash signatures and self-join buckets → candidate pairs.
 
     Only (band_id, band_hash, doc_id) rows shuffle. Returns distinct
     (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` bounds the within-bucket O(b²) self-join on a
+    pathological corpus (one low-entropy bucket attracting thousands of
+    docs): oversized buckets are skipped. Recall degrades gracefully —
+    a true near-dup pair agrees on many bands, so it still surfaces
+    through its non-hot buckets. Leave None when the corpus has already
+    been exact-deduped (minhash_dedup does this) and band count is
+    healthy; set it (e.g. 10_000) for web-scale crawls with boilerplate.
     """
     sig_len_row = df.select(F.size("minhash").alias("n")).limit(1).collect()
     rows_per_band = (sig_len_row[0]["n"] if sig_len_row else 0) // num_bands or 1
@@ -120,6 +129,13 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
     # to fill before the join's two branches scan it concurrently.
     bands = bands.persist()
     bands.count()
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "band_hash").count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        bands = bands.join(ok, ["band", "band_hash"], "left_semi")
     left = bands.alias("l")
     right = bands.alias("r")
     return (

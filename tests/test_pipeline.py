@@ -193,3 +193,23 @@ def test_cosine_column_exact(spark):
     got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert got[0] == pytest.approx(0.0)
     assert got[1] == pytest.approx(1.0)
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """max_bucket_size skips pathological hot buckets; pairs still
+    surface through non-hot bands (graceful recall)."""
+    from dsgrid_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 40 docs sharing one boilerplate prefix (hot buckets) + unique tails
+    rows = [(i, "common boilerplate header text here repeated often "
+                f"unique tail {i} alpha beta gamma delta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df, "text", num_hashes=24)
+    uncapped = lsh_candidate_pairs(sig, num_bands=8).count()
+    capped = lsh_candidate_pairs(sig, num_bands=8, max_bucket_size=5).count()
+    assert capped <= uncapped
+    # a tiny cap of 1 means no bucket yields a pair at all
+    assert lsh_candidate_pairs(sig, num_bands=8, max_bucket_size=1).count() == 0

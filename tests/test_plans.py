@@ -68,3 +68,66 @@ def test_whole_stage_codegen_covers_scalar_path(spark, fact_parquet):
     )
     # '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
     assert "*(1)" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_supplemental_resolution_broadcasts(spark, fact_parquet):
+    """Project-config supplemental aggregation must map the base column
+    through a BROADCAST join — the fact table never shuffles for it."""
+    from dsgrid_spark.operators.aggregation import AggregationModel, ColumnModel
+    from dsgrid_spark.query.models import DatasetModel, ProjectQueryModel, ResultModel
+    from dsgrid_spark.query.project import ProjectConfig, SupplementalDimensionModel
+    from dsgrid_spark.query.submitter import QuerySubmitter
+    from dsgrid_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_dataset("f", fact_parquet)
+    cat.register_mapping("g2s", spark.createDataFrame(
+        [(f"c{i}", "CA" if i < 4 else "CO", 1.0) for i in range(7)],
+        "from_id string, to_id string, from_fraction double"))
+    project = ProjectConfig(
+        project_id="p",
+        supplemental_dimensions=[SupplementalDimensionModel(
+            name="state", dimension_type="geography", mapping="g2s")])
+    out = QuerySubmitter(cat, project=project).submit(ProjectQueryModel(
+        name="q", source_datasets=[DatasetModel(dataset_id="f")],
+        result=ResultModel(aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="state")],
+            aggregation_function="sum")])))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_registry_catalog_scan_pushdown(spark, tmp_path):
+    """Filters on a registry-loaded dataset reach the parquet scan —
+    the registry's lazy path sources keep Catalyst's pushdown intact."""
+    from dsgrid_spark.operators.filters import ExpressionFilter
+    from dsgrid_spark.query.models import DatasetModel, ProjectQueryModel
+    from dsgrid_spark.query.submitter import QuerySubmitter
+    from dsgrid_spark.registry.store import RegistryStore
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("f", spark.createDataFrame(
+        [(f"c{i % 7}", float(i)) for i in range(1000)],
+        "geography string, value double"))
+    out = QuerySubmitter(store.load_catalog()).submit(ProjectQueryModel(
+        name="q", source_datasets=[DatasetModel(
+            dataset_id="f",
+            filters=[ExpressionFilter(column="geography", operator="==",
+                                      value="c3")])]))
+    plan = _plan(out)
+    assert "PushedFilters: [IsNotNull(geography), EqualTo(geography,c3)" in plan
+
+
+def test_external_tz_stays_in_codegen(spark, fact_parquet):
+    """Per-row tz localization is one codegen'd expression after the
+    broadcast tz attach — no UDF, no extra shuffle."""
+    from dsgrid_spark.timedim.external import localize_external_tz
+
+    df = fact_parquet.withColumn("timestamp", F.current_timestamp())
+    geo = spark.createDataFrame(
+        [(f"c{i}", "Etc/GMT+5") for i in range(7)], "id string, time_zone string")
+    out = localize_external_tz(df, "timestamp", geography_records=geo)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
