@@ -1152,6 +1152,63 @@ def q60_expression_extended(spark, sf_dir):
     return out.select("o_orderpriority", F.round("value", 2).alias("value"))
 
 
+def q61_embedding_centroids(spark, sf_dir):
+    """Element-wise mean embedding per label (training-data cluster
+    summaries): posexplode + partial-agg groupBy — shuffle carries only
+    groups x dim partial sums."""
+    from dsgrid_spark.pipeline.similarity import embedding_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = embedding_centroids(emb, ["label"])
+    return out.select("label", "pos", F.round("value", 6).alias("value"))
+
+
+def q62_text_clean(spark, sf_dir):
+    """Boilerplate scrub: URL/email removal + whitespace collapse, with
+    RE2-compatible regexes an external engine can reproduce. URLs/emails
+    are injected deterministically so the scrub is actually exercised."""
+    from dsgrid_spark.pipeline.text import clean_text, count_pattern, _URL_RE, _EMAIL_RE
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat("text", F.lit(" see https://example.com/d/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" or mail user"), F.col("doc_id").cast("string"),
+                 F.lit("@test.org now")),
+    )
+    return docs.select(
+        "doc_id",
+        count_pattern(F.col("text"), _URL_RE).cast("long").alias("n_urls"),
+        count_pattern(F.col("text"), _EMAIL_RE).cast("long").alias("n_emails"),
+        F.length(clean_text(F.col("text"))).cast("long").alias("n_chars_clean"),
+    )
+
+
+def q63_deterministic_sample(spark, sf_dir):
+    """Content-hash sampling: same (key, salt) always lands on the same
+    side of the cut — reproducible across runs, engines, and cluster
+    layouts, unlike df.sample."""
+    from dsgrid_spark.pipeline.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.3, salt="r2").select(
+        "doc_id", "lang", "source")
+
+
+def q64_cap_per_group(spark, sf_dir):
+    """Reproducible 'at most N rows per group' cap in hash-of-key order
+    (the de-biasing step before training-data mixing)."""
+    from dsgrid_spark.pipeline.sampling import cap_per_group
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 10).cast("string")
+    )
+    out = cap_per_group(ev, ["bucket"], "event_id", 100)
+    return out.select("event_id", "bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1214,6 +1271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_external_tz": q58_external_tz,
         "q59_period_ending_daily": q59_period_ending_daily,
         "q60_expression_extended": q60_expression_extended,
+        "q61_embedding_centroids": q61_embedding_centroids,
+        "q62_text_clean": q62_text_clean,
+        "q63_deterministic_sample": q63_deterministic_sample,
+        "q64_cap_per_group": q64_cap_per_group,
     }
 
 
@@ -1840,6 +1901,46 @@ def oracle_sql() -> dict[str, str]:
                    round(fmod(CASE WHEN a.v > b.v THEN a.v ELSE b.v END,
                               1000.0), 2) AS value
             FROM a JOIN b USING (o_orderpriority)
+        """,
+        "q61_embedding_centroids": """
+            SELECT label, i AS pos,
+                   round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS value
+            FROM embeddings, (SELECT unnest(range(64)) AS i) idx
+            GROUP BY 1, 2
+        """,
+        "q62_text_clean": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     concat(text, ' see https://example.com/d/', doc_id,
+                            ' or mail user', doc_id, '@test.org now') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                     '\s+', ' ', 'g'))) AS n_chars_clean
+            FROM aug
+        """,
+        "q63_deterministic_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(concat('0x',
+                    substr(md5(concat(CAST(doc_id AS VARCHAR), 'r2')), 1, 8))
+                  AS BIGINT) % 1000000 < 300000
+        """,
+        "q64_cap_per_group": """
+            SELECT event_id, CAST(user_id % 10 AS VARCHAR) AS bucket
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id % 10
+              ORDER BY CAST(concat('0x',
+                         substr(md5(concat(CAST(event_id AS VARCHAR), '')), 1, 8))
+                       AS BIGINT) % 1000000,
+                       event_id) <= 100
         """,
         # independent md5 recomputation of the deterministic fake decode
         "q34_multimodal_features": """

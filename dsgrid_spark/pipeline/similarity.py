@@ -38,6 +38,38 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def embedding_centroids(df: DataFrame, group_columns: list[str],
+                        vector_column: str = "embedding") -> DataFrame:
+    """Element-wise mean vector per group, long form
+    ``(group..., pos, value)`` — cluster/class summaries for curriculum
+    mixing and drift monitoring.
+
+    posexplode fans each vector into (pos, element) rows; the groupBy
+    gets map-side partial aggregation, so the shuffle carries only
+    ``groups x dim`` partial sums regardless of corpus size. Reassemble
+    with ``collect_centroid_arrays`` when an array form is needed.
+    """
+    exploded = df.select(
+        *group_columns,
+        F.posexplode(F.col(vector_column)).alias("pos", "__e"),
+    )
+    return (
+        exploded.groupBy(*group_columns, "pos")
+        .agg(F.avg("__e").alias("value"))
+    )
+
+
+def collect_centroid_arrays(centroids_long: DataFrame,
+                            group_columns: list[str]) -> DataFrame:
+    """Long form -> ``(group..., centroid array<double>)``."""
+    return (
+        centroids_long.groupBy(*group_columns)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "value"))).alias("__s"))
+        .select(*group_columns,
+                F.transform(F.col("__s"), lambda s: s["value"]).alias("centroid"))
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

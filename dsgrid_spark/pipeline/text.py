@@ -85,6 +85,25 @@ def language_id(text: Column) -> Column:
     return out
 
 
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text(text: Column) -> Column:
+    """Boilerplate scrub: strip URLs and email addresses, collapse
+    whitespace. The regexes are deliberately RE2-compatible so an
+    external engine can reproduce the cleaning for audit.
+    """
+    t = F.regexp_replace(text, _URL_RE, " ")
+    t = F.regexp_replace(t, _EMAIL_RE, " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def count_pattern(text: Column, pattern: str) -> Column:
+    """Occurrences of a regex in the text (JVM-side regexp_count)."""
+    return F.regexp_count(text, F.lit(pattern))
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit rolling-hash document fingerprint (xxhash64 of normalized text).
 

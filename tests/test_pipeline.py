@@ -213,3 +213,66 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     assert capped <= uncapped
     # a tiny cap of 1 means no bucket yields a pair at all
     assert lsh_candidate_pairs(sig, num_bands=8, max_bucket_size=1).count() == 0
+
+
+def test_embedding_centroids_roundtrip(spark):
+    from dsgrid_spark.pipeline.similarity import (
+        collect_centroid_arrays,
+        embedding_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 20.0])],
+        "label string, embedding array<double>",
+    )
+    long = embedding_centroids(df, ["label"])
+    got = {(r["label"], r["pos"]): r["value"] for r in long.collect()}
+    assert got == {("a", 0): 2.0, ("a", 1): 3.0, ("b", 0): 10.0, ("b", 1): 20.0}
+    arrays = {r["label"]: r["centroid"] for r in
+              collect_centroid_arrays(long, ["label"]).collect()}
+    assert arrays == {"a": [2.0, 3.0], "b": [10.0, 20.0]}
+
+
+def test_clean_text_and_counts(spark):
+    from dsgrid_spark.pipeline.text import _URL_RE, clean_text, count_pattern
+
+    df = spark.createDataFrame(
+        [("go to https://a.io/x then  mail bob@corp.com   ok",)], "text string"
+    )
+    row = df.select(
+        clean_text(F.col("text")).alias("clean"),
+        count_pattern(F.col("text"), _URL_RE).alias("n_urls"),
+    ).collect()[0]
+    assert row["clean"] == "go to then mail ok"
+    assert row["n_urls"] == 1
+
+
+def test_deterministic_sample_stable_and_salted(spark):
+    from dsgrid_spark.pipeline.sampling import deterministic_sample
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3).collect()}
+    # stable under repartitioning (df.sample is not)
+    s2 = {r["doc_id"] for r in
+          deterministic_sample(df.repartition(7), "doc_id", 0.3).collect()}
+    assert s1 == s2
+    assert 0.2 < len(s1) / 1000 < 0.4
+    s3 = {r["doc_id"] for r in
+          deterministic_sample(df, "doc_id", 0.3, salt="other").collect()}
+    assert s3 != s1  # independent draw
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id", 1.5)
+
+
+def test_cap_per_group(spark):
+    from dsgrid_spark.pipeline.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(50)], "grp string, k int"
+    )
+    out = cap_per_group(df, ["grp"], "k", 10)
+    counts = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert counts == {"a": 10, "b": 10}
+    # deterministic: same subset every run
+    again = cap_per_group(df, ["grp"], "k", 10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
