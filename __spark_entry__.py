@@ -1209,6 +1209,109 @@ def q64_cap_per_group(spark, sf_dir):
     return out.select("event_id", "bucket")
 
 
+def q65_aggregate_each_dataset(spark, sf_dir):
+    """aggregate_each_dataset lifecycle (reference
+    query_submitter.py:508-516): filters+aggregations run per dataset and
+    are NOT re-applied post-union — per-dataset means stay separate rows."""
+    from dsgrid_spark.query.models import (
+        DatasetModel, ProjectQueryModel, ResultModel,
+    )
+    from dsgrid_spark.query.submitter import QuerySubmitter
+    from dsgrid_spark.sources.catalog import Catalog
+
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.year("o_orderdate") <= 1996).select(
+        "o_orderpriority", F.lit("early").alias("era"),
+        F.col("o_totalprice").alias("value"))
+    late = orders.filter(F.year("o_orderdate") > 1996).select(
+        "o_orderpriority", F.lit("late").alias("era"),
+        F.col("o_totalprice").alias("value"))
+    cat = Catalog(spark)
+    cat.register_dataset("early", early)
+    cat.register_dataset("late", late)
+    q = ProjectQueryModel(
+        name="per_ds",
+        source_datasets=[DatasetModel(dataset_id="early"),
+                         DatasetModel(dataset_id="late")],
+        aggregate_each_dataset=True,
+        result=ResultModel(aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="o_orderpriority"),
+                              ColumnModel(dimension_name="era")],
+            aggregation_function="avg")]),
+    )
+    out = QuerySubmitter(cat).submit(q)
+    # integer floor, not round-to-4: cross-engine avg differs in the
+    # last ULP and 1e-4-spaced round boundaries are too tight (q29 lesson)
+    return out.select("o_orderpriority", "era",
+                      F.floor("value").cast("long").alias("value"))
+
+
+def q66_composite_dataset(spark, sf_dir):
+    """Lifecycle C (reference query_submitter.py:730-811): materialize a
+    combined table as a composite dataset, then re-query it with only a
+    result phase."""
+    import tempfile
+
+    from dsgrid_spark.query.models import (
+        DatasetModel, ProjectQueryModel, ResultModel,
+    )
+    from dsgrid_spark.query.submitter import QuerySubmitter
+    from dsgrid_spark.sources.catalog import Catalog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        F.col("o_totalprice").alias("value"))
+    cat = Catalog(spark)
+    cat.register_dataset("orders_fact", orders)
+    sub = QuerySubmitter(cat, output_dir=tempfile.mkdtemp(prefix="dsgrid_q66_"))
+    sub.create_composite_dataset(ProjectQueryModel(
+        name="by_prio_status",
+        source_datasets=[DatasetModel(dataset_id="orders_fact")],
+        result=ResultModel(aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="o_orderpriority"),
+                              ColumnModel(dimension_name="o_orderstatus")],
+            aggregation_function="sum")]),
+    ), dataset_id="prio_status")
+    out = sub.submit_composite("prio_status", ResultModel(
+        aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="o_orderstatus")],
+            aggregation_function="sum")]))
+    return out.select("o_orderstatus", F.round("value", 2).alias("value"))
+
+
+def q67_dataset_query_chain(spark, sf_dir):
+    """Lifecycle B (reference query_submitter.py:837-989): map one dataset
+    to a target dimension, auto-resolving a TWO-hop mapping chain
+    (nation -> region -> zone) through the registry mapping graph."""
+    from dsgrid_spark.query.submitter import QuerySubmitter
+    from dsgrid_spark.sources.catalog import Catalog
+
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("geography"),
+        F.col("c_acctbal").alias("value"))
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n2r = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").cast("string").alias("from_id"),
+        F.col("r_name").alias("to_id"), F.lit(1.0).alias("from_fraction"))
+    r2z = spark.createDataFrame(
+        [("AFRICA", "east"), ("ASIA", "east"), ("MIDDLE EAST", "east"),
+         ("AMERICA", "west"), ("EUROPE", "west")],
+        "from_id string, to_id string",
+    ).withColumn("from_fraction", F.lit(1.0))
+    cat = Catalog(spark)
+    cat.register_dataset("balances", customer)
+    cat.register_mapping("nation_to_region", n2r,
+                         from_dimension="nation", to_dimension="region")
+    cat.register_mapping("region_to_zone", r2z,
+                         from_dimension="region", to_dimension="zone")
+    out = QuerySubmitter(cat).submit_dataset_query(
+        "balances", from_dimension="nation", to_dimension="zone",
+        dimension_column="geography")
+    return out.groupBy("geography").agg(
+        F.round(F.sum("value"), 2).alias("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1275,6 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_text_clean": q62_text_clean,
         "q63_deterministic_sample": q63_deterministic_sample,
         "q64_cap_per_group": q64_cap_per_group,
+        "q65_aggregate_each_dataset": q65_aggregate_each_dataset,
+        "q66_composite_dataset": q66_composite_dataset,
+        "q67_dataset_query_chain": q67_dataset_query_chain,
     }
 
 
@@ -1941,6 +2047,28 @@ def oracle_sql() -> dict[str, str]:
                          substr(md5(concat(CAST(event_id AS VARCHAR), '')), 1, 8))
                        AS BIGINT) % 1000000,
                        event_id) <= 100
+        """,
+        "q65_aggregate_each_dataset": """
+            SELECT o_orderpriority, 'early' AS era,
+                   CAST(floor(avg(o_totalprice)) AS BIGINT) AS value
+            FROM orders WHERE extract(year FROM o_orderdate) <= 1996 GROUP BY 1
+            UNION ALL
+            SELECT o_orderpriority, 'late' AS era,
+                   CAST(floor(avg(o_totalprice)) AS BIGINT) AS value
+            FROM orders WHERE extract(year FROM o_orderdate) > 1996 GROUP BY 1
+        """,
+        "q66_composite_dataset": """
+            SELECT o_orderstatus, round(sum(o_totalprice), 2) AS value
+            FROM orders GROUP BY 1
+        """,
+        "q67_dataset_query_chain": """
+            SELECT CASE WHEN r.r_name IN ('AFRICA', 'ASIA', 'MIDDLE EAST')
+                        THEN 'east' ELSE 'west' END AS geography,
+                   round(sum(c.c_acctbal), 2) AS value
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
         """,
         # independent md5 recomputation of the deterministic fake decode
         "q34_multimodal_features": """

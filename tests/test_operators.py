@@ -263,3 +263,41 @@ def test_restore_expected_missing_after_mapping_adds_columns(spark):
     assert rows["06037"] == ("CA", 1.0)
     # restored expected-missing row: NULL value AND NULL added column
     assert rows["08031"] == (None, None)
+
+
+def test_missing_pattern_miner(spark):
+    """Spark-native re-expression of the Rust closed-pattern miner
+    (reference rust/src/lib.rs:477-630): a full block collapses to one
+    minimal pattern; a stray row stays a full-combination pattern."""
+    from dsgrid_spark.datasets.diagnostics import (
+        find_missing_patterns,
+        missing_associations,
+    )
+
+    # missing = geography g1 x {m1,m2} x {h1,h2} (full block) + one stray
+    rows = [("g1", m, h) for m in ("m1", "m2") for h in ("h1", "h2")]
+    rows.append(("g2", "m1", "h1"))
+    missing = spark.createDataFrame(
+        rows, "geography string, metric string, hour string")
+
+    got = find_missing_patterns(missing)
+    as_tuples = {(p.columns, p.values, p.num_rows) for p in got}
+    # two minimal closed patterns exactly explain all 5 rows: the g1
+    # block, and (m1,h1) which covers BOTH geographies
+    assert as_tuples == {
+        (("geography",), ("g1",), 4),
+        (("metric", "hour"), ("m1", "h1"), 2),
+    }
+
+    # diff builder: expected cross product minus observed
+    expected = spark.createDataFrame(
+        [(g, m) for g in ("g1", "g2") for m in ("m1", "m2")],
+        "geography string, metric string")
+    actual = spark.createDataFrame(
+        [("g1", "m1"), ("g1", "m2"), ("g2", "m1")],
+        "geography string, metric string")
+    diff = missing_associations(expected, actual)
+    assert [tuple(r) for r in diff.collect()] == [("g2", "m2")]
+    # single-row diff: dictionaries come from the missing table itself,
+    # so it collapses to the 1-column pattern (same as the Rust)
+    assert str(find_missing_patterns(diff)[0]) == "geography = g2 (1 missing rows)"
