@@ -1652,10 +1652,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-                   CASE WHEN trim(text) = '' THEN 0 ELSE (
+                   CAST(CASE WHEN trim(text) = '' THEN 0 ELSE (
                      SELECT sum(CAST(ceil(len(w) / 4.0) AS INT))
                      FROM unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
-                   ) END AS n_tokens_bpe,
+                   ) END AS BIGINT) AS n_tokens_bpe,
                    CAST(floor(CASE WHEN len(text) > 0 THEN
                      len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 / len(text)
                      ELSE 0.0 END) AS BIGINT) AS alpha_ratio_ppm
