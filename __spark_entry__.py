@@ -532,14 +532,29 @@ def q32_similarity_bruteforce(spark, sf_dir):
 
 
 def q33_similarity_lsh(spark, sf_dir):
-    """LSH-bucketed ANN top-k (approximate — rows-only check)."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
+    """LSH-bucketed ANN top-k with a provable exact oracle.
+
+    Fixture: 15 vectors in 3 groups (vec_id % 3); group g's members are
+    positive scalings of one direction (3,4) on axis pair (2g, 2g+1).
+    Positive scaling preserves sign(dot(v, plane)) for every hyperplane,
+    so each group provably shares one LSH bucket for ANY planes; disjoint
+    axis supports make cross-group cosine exactly 0.0 and within-group
+    exactly 1.0 (integer-exact FP). Hence LSH top-5 == brute-force top-5,
+    and the q32-style brute-force SQL is an exact oracle.
+    """
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 15)
+    g = F.col("vec_id") % 3
+    mag = (F.col("vec_id") + 1).cast("double")
+    embedding = F.array(*[
+        F.when(g == i // 2,
+               mag * F.lit(3.0 if i % 2 == 0 else 4.0)).otherwise(F.lit(0.0))
+        for i in range(6)
+    ])
+    corpus = emb.select("vec_id", embedding.alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    out = lsh_topk(corpus, queries, dim=6, k=5, n_planes=6)
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
 
 
@@ -1748,6 +1763,26 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.vec_id
                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                                 CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) <= 5
+        """,
+        "q33_similarity_lsh": """
+            WITH corpus AS (
+              SELECT vec_id,
+                     [CASE WHEN vec_id % 3 = 0 THEN (vec_id + 1) * 3.0 ELSE 0.0 END,
+                      CASE WHEN vec_id % 3 = 0 THEN (vec_id + 1) * 4.0 ELSE 0.0 END,
+                      CASE WHEN vec_id % 3 = 1 THEN (vec_id + 1) * 3.0 ELSE 0.0 END,
+                      CASE WHEN vec_id % 3 = 1 THEN (vec_id + 1) * 4.0 ELSE 0.0 END,
+                      CASE WHEN vec_id % 3 = 2 THEN (vec_id + 1) * 3.0 ELSE 0.0 END,
+                      CASE WHEN vec_id % 3 = 2 THEN (vec_id + 1) * 4.0 ELSE 0.0 END
+                     ] AS embedding
+              FROM embeddings WHERE vec_id < 15
+            )
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   round(list_cosine_similarity(c.embedding, q.embedding), 6) AS score
+            FROM corpus c CROSS JOIN (SELECT * FROM corpus WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
                          c.vec_id) <= 5
         """,
         "q43_ngram_jaccard": f"""
