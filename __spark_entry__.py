@@ -102,10 +102,28 @@ def q01_pricing_summary(spark, sf_dir):
 
 
 def q02_scan_projection(spark, sf_dir):
-    """Parquet scan + projection + pushed filter (SURVEY §2.1/2.2)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_quantity") > 45).select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    """Parquet scan + pushed filter + projection (SURVEY §2.1/2.2), where
+    the projection is the text-cleaning pipeline op: URL/email scrub +
+    whitespace collapse with RE2-compatible regexes an external engine can
+    reproduce. URLs/emails are injected deterministically so the scrub is
+    actually exercised."""
+    from dsgrid_spark.pipeline.text import (
+        _EMAIL_RE, _URL_RE, clean_text, count_pattern,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    docs = docs.withColumn(
+        "text",
+        F.concat("text", F.lit(" see https://example.com/d/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" or mail user"), F.col("doc_id").cast("string"),
+                 F.lit("@test.org now")),
+    )
+    return docs.select(
+        "doc_id",
+        count_pattern(F.col("text"), _URL_RE).cast("long").alias("n_urls"),
+        count_pattern(F.col("text"), _EMAIL_RE).cast("long").alias("n_emails"),
+        F.length(clean_text(F.col("text"))).cast("long").alias("n_chars_clean"),
     )
 
 
@@ -125,24 +143,27 @@ def q03_filter_ops(spark, sf_dir):
 
 
 def q04_filter_subset(spark, sf_dir):
-    """Subset-dimension semi-join filter (SURVEY §2.2)."""
+    """Subset-dimension semi-join filter + anti join (SURVEY §2.2/§2.3),
+    tagged union: 'subset' = lineitem restricted to small parts; 'anti' =
+    customers with no orders (empty on this generator, still exercised)."""
     li = _t(spark, sf_dir, "lineitem")
     small_parts = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
-    out = apply_subset_filter(li, "l_partkey", small_parts, "p_partkey")
-    return out.groupBy("l_returnflag").agg(
+    subset = apply_subset_filter(li, "l_partkey", small_parts, "p_partkey")
+    subset = subset.groupBy(F.col("l_returnflag").alias("grp")).agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-    )
+    ).select(F.lit("subset").alias("mode"), "grp", "n_rows", "sum_qty")
 
-
-def q05_filter_anti(spark, sf_dir):
-    """Anti join: customers with no orders (SURVEY §2.3 anti join)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    out = apply_anti_join(cust, orders, ["c_custkey"])
-    return out.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+    anti = apply_anti_join(cust, orders, ["c_custkey"])
+    anti = anti.groupBy(F.col("c_mktsegment").alias("grp")).agg(
+        F.count("*").alias("n_rows")
+    ).select(F.lit("anti").alias("mode"), "grp", "n_rows",
+             F.lit(0.0).alias("sum_qty"))
+    return subset.unionByName(anti)
 
 
 def q06_join_multi(spark, sf_dir):
@@ -162,11 +183,16 @@ def q06_join_multi(spark, sf_dir):
 
 
 def q07_map_dimension(spark, sf_dir):
-    """map_stacked_dimension + apply_fraction — the dsgrid workhorse
-    (SURVEY §2.3 'map stacked dimension')."""
+    """map_stacked_dimension + apply_fraction — the dsgrid workhorse —
+    in both directions (SURVEY §2.3): 'agg' = ONE_TO_ONE rename/aggregate;
+    'disagg' = weighted ONE_TO_MANY disaggregation with fractions summing
+    to 1 per from_id (§4 skew case). Tagged union."""
+    from pyspark.sql import Window
+
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    mapping = nation.select(
+
+    up_mapping = nation.select(
         F.col("n_nationkey").cast("string").alias("from_id"),
         F.col("n_name").alias("to_id"),
         F.lit(1.0).alias("from_fraction"),
@@ -176,21 +202,13 @@ def q07_map_dimension(spark, sf_dir):
         F.col("c_nationkey").cast("string").alias("geography"),
         F.col("c_acctbal").alias("value"),
     )
-    mapped = apply_fraction(map_stacked_dimension(fact, mapping, "geography"))
-    return mapped.groupBy("geography").agg(
-        F.round(F.sum("value"), 2).alias("total_acctbal")
-    )
-
-
-def q08_map_disaggregation(spark, sf_dir):
-    """Weighted ONE_TO_MANY disaggregation with fractions summing to 1
-    per from_id (SURVEY §2.3/§4 skew case)."""
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    from pyspark.sql import Window
+    agg = apply_fraction(map_stacked_dimension(fact, up_mapping, "geography"))
+    agg = agg.groupBy("geography").agg(
+        F.round(F.sum("value"), 2).alias("value")
+    ).select(F.lit("agg").alias("mode"), "geography", "value")
 
     w = Window.partitionBy("n_regionkey")
-    mapping = nation.select(
+    down_mapping = nation.select(
         F.col("n_regionkey").cast("string").alias("from_id"),
         F.col("n_name").alias("to_id"),
         (F.lit(1.0) / F.count("*").over(w)).alias("from_fraction"),
@@ -200,11 +218,11 @@ def q08_map_disaggregation(spark, sf_dir):
         .groupBy(F.col("n_regionkey").cast("string").alias("geography"))
         .agg(F.sum("c_acctbal").alias("value"))
     )
-    out = apply_fraction(map_stacked_dimension(region_totals, mapping, "geography"))
-    return out.select(
-        F.col("geography").alias("nation_name"),
-        F.round("value", 4).alias("value"),
-    )
+    disagg = apply_fraction(
+        map_stacked_dimension(region_totals, down_mapping, "geography")
+    ).select(F.lit("disagg").alias("mode"), "geography",
+             F.round("value", 4).alias("value"))
+    return agg.unionByName(disagg)
 
 
 def q09_two_table(spark, sf_dir):
@@ -246,55 +264,59 @@ def q10_agg_chained(spark, sf_dir):
         group_by_columns=[ColumnModel(dimension_name="event_type")],
         aggregation_function="avg",
     ).apply(hourly)
-    return diurnal.select(
+    diurnal = diurnal.select(
         "event_type", F.round("value", 2).alias("avg_hourly_value")
     )
-
-
-def q11_count_distinct(spark, sf_dir):
-    """count_distinct per group (SURVEY §2.4)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    distinct = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+    return diurnal.join(distinct, "event_type")
 
 
 def q12_peak_load(spark, sf_dir):
-    """Peak-load report as ranking window argmax (SURVEY §2.4/2.5)."""
-    ev = _t(spark, sf_dir, "events")
-    out = peak_load(ev.select("event_id", "ts", "event_type", "value"),
-                    ["event_type"], tie_breakers=["event_id"])
-    return out.select(
-        "event_id", "event_type",
-        F.date_format("ts", TS_FMT_US).alias("peak_ts"),
-        "value",
+    """Peak-load argmax + top-k per group, both ranking windows
+    (SURVEY §2.4-2.6), tagged union: 'peak' = per-type argmax row via
+    peak_load; 'top3' = top-3 rows per type via top_k_per_group."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
     )
-
-
-def q13_top_k(spark, sf_dir):
-    """Top-k per group via row_number window (SURVEY §2.6)."""
-    orders = _t(spark, sf_dir, "orders")
-    out = top_k_per_group(
-        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
-        ["o_orderpriority"], k=3, value_column="o_totalprice",
-        tie_breakers=["o_orderkey"],
+    peak = peak_load(ev, ["event_type"], tie_breakers=["event_id"]).select(
+        F.lit("peak").alias("tag"), "event_id", "event_type",
+        F.date_format("ts", TS_FMT_US).alias("peak_ts"), "value",
     )
-    return out
+    top3 = top_k_per_group(
+        ev, ["event_type"], k=3, tie_breakers=["event_id"]
+    ).select(
+        F.lit("top3").alias("tag"), "event_id", "event_type",
+        F.date_format("ts", TS_FMT_US).alias("peak_ts"), "value",
+    )
+    return peak.unionByName(top3)
 
 
 def q14_sort_limit(spark, sf_dir):
-    """Global sort + limit (SURVEY §2.6)."""
+    """Hierarchical rollup subtotals + global sort + limit (SURVEY §2.4/
+    §2.6; rollup is beyond-reference — dsgrid has no grouping sets, Spark
+    gives them free)."""
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.select("o_orderkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders", "total_price",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderstatus"),
+                 F.asc("o_orderpriority"))
         .limit(10)
     )
 
 
 def q15_union(spark, sf_dir):
-    """Dataset expression union '|' (SURVEY §2.7/2.12)."""
+    """Set operators in one tagged union (SURVEY §2.7/2.12): dataset
+    expression union '|', intersect distinct, and except distinct."""
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nation_key"),
         F.lit("customer").alias("src"),
@@ -306,23 +328,19 @@ def q15_union(spark, sf_dir):
         F.col("s_acctbal").alias("value"),
     )
     u = evaluate_expression("cust | supp", {"cust": cust, "supp": supp})
-    return u.groupBy("nation_key", "src").agg(
+    union_rows = u.groupBy("nation_key", "src").agg(
         F.round(F.sum("value"), 2).alias("sum_value")
-    )
+    ).select(F.lit("union").alias("op"), "nation_key", "src", "sum_value")
 
-
-def q16_intersect(spark, sf_dir):
-    """Intersect distinct (SURVEY §2.7)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
-    return c.intersect(s)
-
-
-def q17_except(spark, sf_dir):
-    """Except distinct (SURVEY §2.7)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
-    return c.distinct().subtract(s.distinct())
+    c = cust.select("nation_key")
+    s = supp.select("nation_key")
+    inter = c.intersect(s).select(
+        F.lit("intersect").alias("op"), "nation_key",
+        F.lit("-").alias("src"), F.lit(0.0).alias("sum_value"))
+    exc = c.distinct().subtract(s.distinct()).select(
+        F.lit("except").alias("op"), "nation_key",
+        F.lit("-").alias("src"), F.lit(0.0).alias("sum_value"))
+    return union_rows.unionByName(inter).unionByName(exc)
 
 
 def q18_arith_expression(spark, sf_dir):
@@ -390,14 +408,29 @@ def q22_unit_conversion(spark, sf_dir):
 
 
 def q23_time_downsample(spark, sf_dir):
-    """Datetime re-resolution: downsample to 6h TOTAL (SURVEY §2.10)."""
+    """Datetime re-resolution both directions (SURVEY §2.10), tagged
+    union: 'down' = events to 6h TOTAL; 'up' = daily lineitem quantities
+    spread to 6-hourly TOTAL."""
+    from dsgrid_spark.timedim.conversion import upsample
+
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
-    out = downsample(ev, "ts", 6 * 3600)
-    return out.select(
-        F.date_format("ts", TS_FMT).alias("bucket_ts"),
-        "event_type",
+    down = downsample(ev, "ts", 6 * 3600).select(
+        F.lit("down").alias("mode"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.col("event_type").alias("grp"),
         F.round("value", 4).alias("value"),
     )
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
+    daily = li.groupBy(F.col("l_shipdate").alias("ts"), "l_returnflag").agg(
+        F.sum("l_quantity").alias("value")
+    )
+    up = upsample(daily, "ts", 86400, 21600).select(
+        F.lit("up").alias("mode"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.col("l_returnflag").alias("grp"),
+        F.round("value", 6).alias("value"),
+    )
+    return down.unionByName(up)
 
 
 def q24_annual_to_hourly(spark, sf_dir):
@@ -419,34 +452,34 @@ def q24_annual_to_hourly(spark, sf_dir):
 
 
 def q25_tz_convert(spark, sf_dir):
-    """Single-zone time conversion (SURVEY §2.10)."""
+    """Time-zone conversion single-zone AND per-geography (SURVEY §2.10),
+    tagged union."""
     ev = _t(spark, sf_dir, "events")
-    out = convert_time_zone(ev.select("event_id", "ts"), "ts", "Etc/GMT+7")
-    return out.select(
-        "event_id", F.date_format("ts", TS_FMT_US).alias("local_ts")
+    single = convert_time_zone(ev.select("event_id", "ts"), "ts", "Etc/GMT+7")
+    single = single.select(
+        F.lit("single").alias("mode"), "event_id",
+        F.lit("-").alias("geography"), F.lit("Etc/GMT+7").alias("time_zone"),
+        F.date_format("ts", TS_FMT_US).alias("local_ts"),
     )
-
-
-def q26_tz_by_geography(spark, sf_dir):
-    """Per-geography time-zone conversion (SURVEY §2.10)."""
-    ev = _t(spark, sf_dir, "events").withColumn(
+    by_geo_in = ev.withColumn(
         "geography", (F.col("user_id") % 4).cast("string")
     )
     geo = spark.createDataFrame(
         [("0", "Etc/GMT+5"), ("1", "Etc/GMT+6"), ("2", "Etc/GMT+7"), ("3", "Etc/GMT+8")],
         "id string, time_zone string",
     )
-    out = convert_time_zone_by_geography(
-        ev.select("event_id", "ts", "geography"), "ts", geo, "geography"
-    )
-    return out.select(
-        "event_id", "geography", "time_zone",
+    by_geo = convert_time_zone_by_geography(
+        by_geo_in.select("event_id", "ts", "geography"), "ts", geo, "geography"
+    ).select(
+        F.lit("by_geo").alias("mode"), "event_id", "geography", "time_zone",
         F.date_format("ts", TS_FMT_US).alias("local_ts"),
     )
+    return single.unionByName(by_geo)
 
 
 def q27_growth_exponential(spark, sf_dir):
-    """Exponential growth projection P0*(1+r)^(t-t0) (SURVEY §2.12)."""
+    """Growth projections (SURVEY §2.12), tagged union: 'exp' =
+    exponential P0*(1+r)^(t-t0); 'mult' = annual multiplier P(t)=P0*r."""
     orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
     initial = orders.groupBy("o_orderpriority").agg(
         F.sum("o_totalprice").alias("value")
@@ -457,9 +490,27 @@ def q27_growth_exponential(spark, sf_dir):
         "o_orderpriority string, model_year string, value double",
     )
     out = apply_exponential_growth(initial, rates, "1995")
-    return out.select(
+    exp = out.select(
+        F.lit("exp").alias("mode"),
         "o_orderpriority", "model_year", F.round("value", 2).alias("value")
     )
+
+    from dsgrid_spark.operators.growth import apply_annual_multiplier
+
+    all_initial = _t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("value")
+    )
+    all_prios = [r[0] for r in all_initial.select("o_orderpriority").collect()]
+    mult_rates = spark.createDataFrame(
+        [(p, float(1 + i) / 10.0) for i, p in enumerate(sorted(all_prios))],
+        "o_orderpriority string, value double",
+    )
+    mult = apply_annual_multiplier(all_initial, mult_rates).select(
+        F.lit("mult").alias("mode"),
+        "o_orderpriority", F.lit("-").alias("model_year"),
+        F.round("value", 2).alias("value"),
+    )
+    return exp.unionByName(mult)
 
 
 def q28_dedup_exact(spark, sf_dir):
@@ -571,28 +622,14 @@ def q34_multimodal_features(spark, sf_dir):
     return extract_image_features(media).select("media_id", "width", "height")
 
 
-def q35_time_upsample(spark, sf_dir):
-    """Datetime re-resolution upsample: daily → 6-hourly, TOTAL spread
-    (SURVEY §2.10)."""
-    from dsgrid_spark.timedim.conversion import upsample
-
-    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
-    daily = li.groupBy(F.col("l_shipdate").alias("ts"), "l_returnflag").agg(
-        F.sum("l_quantity").alias("value")
-    )
-    out = upsample(daily, "ts", 86400, 21600)
-    return out.select(
-        F.date_format("ts", TS_FMT).alias("ts_6h"),
-        "l_returnflag",
-        F.round("value", 6).alias("value"),
-    )
-
-
 def q36_index_time(spark, sf_dir):
-    """Index time → datetime with per-geography zone offsets (SURVEY §2.10)."""
+    """Index time → datetime with per-geography zone offsets, plus modular
+    time wrapping onto a target range (SURVEY §2.10), tagged union."""
+    from dsgrid_spark.timedim.conversion import wrap_time
     from dsgrid_spark.timedim.index_time import index_to_datetime
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events")
+    idx_in = ev.select(
         "event_id",
         (F.col("event_id") % 24).cast("int").alias("time_index"),
         (F.col("user_id") % 2).cast("string").alias("geography"),
@@ -601,54 +638,54 @@ def q36_index_time(spark, sf_dir):
     geo = spark.createDataFrame(
         [("0", "Etc/GMT+5"), ("1", "Etc/GMT+8")], "id string, time_zone string"
     )
-    out = index_to_datetime(ev, "2024-06-01 00:00:00", 3600,
-                            geography_records=geo, geography_column="geography")
-    return out.select(
-        "event_id", "geography",
-        F.date_format("timestamp", TS_FMT).alias("local_hour"),
+    idx = index_to_datetime(idx_in, "2024-06-01 00:00:00", 3600,
+                            geography_records=geo,
+                            geography_column="geography").select(
+        F.lit("index").alias("mode"), "event_id", "geography",
+        F.date_format("timestamp", TS_FMT).alias("ts"),
         "value",
     )
+    wrapped = wrap_time(ev.select("event_id", "ts"), "ts",
+                        "2024-01-01 00:00:00", "2024-01-08 00:00:00").select(
+        F.lit("wrap").alias("mode"), "event_id",
+        F.lit("-").alias("geography"),
+        F.date_format("ts", TS_FMT_US).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    return idx.unionByName(wrapped)
 
 
 def q37_leap_day(spark, sf_dir):
-    """Leap-day adjustment DROP_FEB29 + DROP_JAN1 (SURVEY §2.10)."""
+    """Calendar-consistency pair (SURVEY §2.10), tagged union: 'leap' =
+    leap-day adjustment DROP_FEB29 + DROP_JAN1 row/value counts; 'gaps' =
+    time-consistency report of missing hours per dimension combo against
+    the configured calendar."""
     from dsgrid_spark.dimensions import LeapDayAdjustmentType
+    from dsgrid_spark.timedim.calendar import datetime_calendar
     from dsgrid_spark.timedim.conversion import adjust_leap_day
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
-    out = adjust_leap_day(ev, "ts", LeapDayAdjustmentType.DROP_FEB29)
-    out = adjust_leap_day(out, "ts", LeapDayAdjustmentType.DROP_JAN1)
-    return out.groupBy(F.month("ts").cast("long").alias("month")).agg(
-        F.count("*").alias("n_rows"), F.round(F.sum("value"), 2).alias("value")
-    )
+    ev = _t(spark, sf_dir, "events")
+    adj = adjust_leap_day(ev.select("event_id", "ts", "value"), "ts",
+                          LeapDayAdjustmentType.DROP_FEB29)
+    adj = adjust_leap_day(adj, "ts", LeapDayAdjustmentType.DROP_JAN1)
+    leap = adj.groupBy(
+        F.month("ts").cast("string").alias("key")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value")
+    ).select(F.lit("leap").alias("mode"), "key", "n", "value")
 
-
-def q38_wrap_time(spark, sf_dir):
-    """Modular time wrapping onto a target range (SURVEY §2.10)."""
-    from dsgrid_spark.timedim.conversion import wrap_time
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
-    out = wrap_time(ev, "ts", "2024-01-01 00:00:00", "2024-01-08 00:00:00")
-    return out.select(
-        "event_id", F.date_format("ts", TS_FMT_US).alias("wrapped_ts")
-    )
-
-
-def q39_growth_multiplier(spark, sf_dir):
-    """Annual-multiplier projection P(t)=P0*r(t) (SURVEY §2.12)."""
-    from dsgrid_spark.operators.growth import apply_annual_multiplier
-
-    orders = _t(spark, sf_dir, "orders")
-    initial = orders.groupBy("o_orderpriority").agg(
-        F.sum("o_totalprice").alias("value")
-    )
-    prios = [r[0] for r in initial.select("o_orderpriority").collect()]
-    rates = spark.createDataFrame(
-        [(p, float(1 + i) / 10.0) for i, p in enumerate(sorted(prios))],
-        "o_orderpriority string, value double",
-    )
-    out = apply_annual_multiplier(initial, rates)
-    return out.select("o_orderpriority", F.round("value", 2).alias("value"))
+    actual = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    cal = datetime_calendar(spark, "2024-01-01 00:00:00",
+                            "2024-01-30 23:00:00", 3600, column="hour")
+    combos = ev.select("event_type").distinct().crossJoin(cal)
+    missing = combos.join(actual, ["event_type", "hour"], "left_anti")
+    gaps = missing.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").alias("n")
+    ).select(F.lit("gaps").alias("mode"), "key", "n",
+             F.lit(0.0).alias("value"))
+    return leap.unionByName(gaps)
 
 
 def q40_pivoted_load(spark, sf_dir):
@@ -679,12 +716,10 @@ def q40_pivoted_load(spark, sf_dir):
 
 
 def q41_representative_time(spark, sf_dir):
-    """Representative-period template → real timestamps (SURVEY §2.10).
-
-    Template: (month, day_of_week, hour) means over events; joined to
-    every matching hour of 2024 in each geography's zone (fixed-offset
-    zones so the oracle is session-tz independent).
-    """
+    """Representative-period templates → real timestamps, BOTH formats
+    (SURVEY §2.10), tagged union: 'dow' = (month, day_of_week, hour);
+    'weekday' = (month, is_weekday, hour). Fixed-offset zones so the
+    oracle is session-tz independent."""
     from dsgrid_spark.timedim.representative import representative_to_datetime
 
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -703,20 +738,49 @@ def q41_representative_time(spark, sf_dir):
     geo = spark.createDataFrame(
         [("0", "Etc/GMT+6"), ("1", "Etc/GMT+7")], "id string, time_zone string"
     )
-    out = representative_to_datetime(template, geo, 2024, geography_column="geography")
-    return out.select(
-        "geography",
+    dow = representative_to_datetime(
+        template, geo, 2024, geography_column="geography"
+    ).select(
+        F.lit("dow").alias("fmt"), "geography",
         F.date_format("timestamp", TS_FMT).alias("utc_hour"),
         "value",
     )
 
+    from dsgrid_spark.dimensions import RepresentativePeriodFormat
+
+    wk_template = (
+        ev.groupBy(
+            F.month("ts").alias("month"),
+            (((F.dayofweek("ts") + 5) % 7) < 5).alias("is_weekday"),
+            F.hour("ts").alias("hour"),
+            "geography",
+        )
+        .agg(F.round(F.sum("value"), 2).alias("value"))
+        .filter(F.col("month") == 1)
+    )
+    weekday = representative_to_datetime(
+        wk_template, geo, 2024,
+        fmt=RepresentativePeriodFormat.ONE_WEEKDAY_DAY_AND_ONE_WEEKEND_DAY_PER_MONTH_BY_HOUR,
+        geography_column="geography",
+    ).select(
+        F.lit("weekday").alias("fmt"), "geography",
+        F.date_format("timestamp", TS_FMT).alias("utc_hour"),
+        "value",
+    )
+    return dow.unionByName(weekday)
+
 
 def q42_language_id(spark, sf_dir):
-    """Marker-based language identification (pipeline op)."""
-    from dsgrid_spark.pipeline.text import language_id
+    """Marker-based language identification + quality scoring in one
+    per-document projection (pipeline ops)."""
+    from dsgrid_spark.pipeline.text import language_id, quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+    return docs.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_pred"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
 
 
 def q43_ngram_jaccard(spark, sf_dir):
@@ -769,14 +833,18 @@ def q45_similarity_ivf(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
 
 
-def q46_quality_score(spark, sf_dir):
-    """Document quality scoring: length/alpha/stopword thirds (pipeline op)."""
-    from dsgrid_spark.pipeline.text import quality_score
+def q46_sample_and_cap(spark, sf_dir):
+    """Deterministic content-hash sampling chained with a reproducible
+    per-group cap (pipeline ops): same (key, salt) always lands on the
+    same side of the cut regardless of cluster layout, then at most N
+    surviving docs per language in hash-of-key order (the de-biasing step
+    before training-data mixing)."""
+    from dsgrid_spark.pipeline.sampling import cap_per_group, deterministic_sample
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
-    )
+    sampled = deterministic_sample(docs, "doc_id", 0.3, salt="r2")
+    capped = cap_per_group(sampled, ["lang"], "doc_id", 50)
+    return capped.select("doc_id", "lang", "source")
 
 
 def q47_fingerprint(spark, sf_dir):
@@ -848,8 +916,10 @@ def _hourly_events(spark, sf_dir):
 
 
 def q50_dst_duplicate(spark, sf_dir):
-    """DST adjustment: drop spring-forward hour, duplicate fall-back hour
-    (SURVEY §2.10). Events (Jan 2024) shifted onto the 2024 US DST dates."""
+    """DST adjustments (SURVEY §2.10), tagged union. 'spring'/'fall' =
+    drop spring-forward hour, duplicate fall-back hour; 'interp' = the
+    duplicated fall-back hour gets the mean of its neighbors. Events
+    (Jan 2024) shifted onto the 2024 US DST dates."""
     from dsgrid_spark.dimensions import DaylightSavingAdjustmentType
     from dsgrid_spark.timedim.conversion import adjust_daylight_saving
 
@@ -862,56 +932,27 @@ def q50_dst_duplicate(spark, sf_dir):
         F.lit("fall").alias("tag"),
         (F.col("ts") + F.expr("INTERVAL 307 DAYS")).alias("ts"), "value",
     )
-    out = adjust_daylight_saving(
+    dup = adjust_daylight_saving(
         spring.unionByName(fall), "ts",
         DaylightSavingAdjustmentType.DROP_SPRING_FORWARD_DUPLICATE_FALLBACK,
         "America/Denver",
-    )
-    return out.select(
+    ).select(
         "tag", F.date_format("ts", TS_FMT).alias("local_ts"),
         F.round("value", 4).alias("value"),
     )
-
-
-def q51_dst_interpolate(spark, sf_dir):
-    """DST fall-back with interpolation: the duplicated hour gets the mean
-    of its neighbors (SURVEY §2.10)."""
-    from dsgrid_spark.dimensions import DaylightSavingAdjustmentType
-    from dsgrid_spark.timedim.conversion import adjust_daylight_saving
-
-    fall = _hourly_events(spark, sf_dir).select(
-        (F.col("ts") + F.expr("INTERVAL 307 DAYS")).alias("ts"), "value"
-    )
-    out = adjust_daylight_saving(
-        fall, "ts",
+    interp = adjust_daylight_saving(
+        fall.select("ts", "value"), "ts",
         DaylightSavingAdjustmentType.DROP_SPRING_FORWARD_INTERPOLATE_FALLBACK,
         "America/Denver",
-    )
-    return out.select(
+    ).select(
+        F.lit("interp").alias("tag"),
         F.date_format("ts", TS_FMT).alias("local_ts"),
         F.round("value", 4).alias("value"),
     )
+    return dup.unionByName(interp)
 
 
-def q52_time_gaps(spark, sf_dir):
-    """Time-consistency report: missing hours per dimension combo against
-    the configured calendar (SURVEY §2.10 consistency check)."""
-    from dsgrid_spark.timedim.calendar import datetime_calendar
-
-    ev = _t(spark, sf_dir, "events")
-    actual = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).distinct()
-    cal = datetime_calendar(spark, "2024-01-01 00:00:00",
-                            "2024-01-30 23:00:00", 3600, column="hour")
-    combos = ev.select("event_type").distinct().crossJoin(cal)
-    missing = combos.join(actual, ["event_type", "hour"], "left_anti")
-    return missing.groupBy("event_type").agg(
-        F.count("*").alias("n_missing_hours")
-    )
-
-
-def q53_project_query(spark, sf_dir):
+def q05_project_query(spark, sf_dir):
     """Full query lifecycle through Catalog + QuerySubmitter (SURVEY §3.1):
     register dataset/mapping, supplemental prefilter resolved BY NAME
     through the ProjectConfig (reference dsgrid/project.py:205-250),
@@ -977,7 +1018,7 @@ def q53_project_query(spark, sf_dir):
                       F.round("value", 2).alias("value"))
 
 
-def q54_video_frame_sampling(spark, sf_dir):
+def q38_video_frame_sampling(spark, sf_dir):
     """Multimodal frame-sampling fan-out: sequence+explode per video
     (pipeline op; the decode of each frame is the stubbed step)."""
     from dsgrid_spark.pipeline.multimodal import sample_video_frames
@@ -991,57 +1032,7 @@ def q54_video_frame_sampling(spark, sf_dir):
     return out.select("media_id", "n_frames", "frame_index")
 
 
-def q55_rollup(spark, sf_dir):
-    """Hierarchical rollup with subtotals + grand total (beyond-reference:
-    dsgrid has no grouping sets; Spark gives them free — SURVEY §2.4)."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
-            "n_orders", "total_price",
-        )
-    )
-
-
-def q56_representative_weekday(spark, sf_dir):
-    """Representative-period second format (month, is_weekday, hour)
-    template → real timestamps (SURVEY §2.10)."""
-    from dsgrid_spark.dimensions import RepresentativePeriodFormat
-    from dsgrid_spark.timedim.representative import representative_to_datetime
-
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "geography", (F.col("user_id") % 2).cast("string")
-    )
-    template = (
-        ev.groupBy(
-            F.month("ts").alias("month"),
-            (((F.dayofweek("ts") + 5) % 7) < 5).alias("is_weekday"),
-            F.hour("ts").alias("hour"),
-            "geography",
-        )
-        .agg(F.round(F.sum("value"), 2).alias("value"))
-        .filter(F.col("month") == 1)
-    )
-    geo = spark.createDataFrame(
-        [("0", "Etc/GMT+6"), ("1", "Etc/GMT+7")], "id string, time_zone string"
-    )
-    out = representative_to_datetime(
-        template, geo, 2024,
-        fmt=RepresentativePeriodFormat.ONE_WEEKDAY_DAY_AND_ONE_WEEKEND_DAY_PER_MONTH_BY_HOUR,
-        geography_column="geography",
-    )
-    return out.select(
-        "geography",
-        F.date_format("timestamp", TS_FMT).alias("utc_hour"),
-        "value",
-    )
-
-
-def q57_subset_supplemental(spark, sf_dir):
+def q08_subset_supplemental(spark, sf_dir):
     """Project-config name resolution (SURVEY §2.2/§2.12): a subset
     dimension filters base records and a supplemental dimension is the
     aggregation target — the query names ONLY dimension names; the
@@ -1098,7 +1089,7 @@ def q57_subset_supplemental(spark, sf_dir):
     return out.select("region", "sector", F.round("value", 2).alias("value"))
 
 
-def q58_external_tz(spark, sf_dir):
+def q26_external_tz(spark, sf_dir):
     """DATETIME_EXTERNAL_TZ load (SURVEY §2.10 long tail): tz-naive
     wall-clock timestamps localized through each geography's IANA zone
     into absolute time — one per-row to_utc_timestamp expression
@@ -1122,7 +1113,7 @@ def q58_external_tz(spark, sf_dir):
     )
 
 
-def q59_period_ending_daily(spark, sf_dir):
+def q35_period_ending_daily(spark, sf_dir):
     """period_ending → period_beginning relabel, then daily TOTAL
     downsample (SURVEY §2.10 long tail; reference
     dsgrid/dimension/time.py:95-116 interval semantics)."""
@@ -1146,7 +1137,7 @@ def q59_period_ending_daily(spark, sf_dir):
     )
 
 
-def q60_expression_extended(spark, sf_dir):
+def q17_expression_extended(spark, sf_dir):
     """Extended dataset-expression surface (SURVEY §2.9; reference
     py_expression_eval ops :352-420): % ** comparisons as masks —
     ``(a * (a > b) + b * (a <= b)) % c`` = elementwise max(a,b) mod c."""
@@ -1167,7 +1158,7 @@ def q60_expression_extended(spark, sf_dir):
     return out.select("o_orderpriority", F.round("value", 2).alias("value"))
 
 
-def q61_embedding_centroids(spark, sf_dir):
+def q39_embedding_centroids(spark, sf_dir):
     """Element-wise mean embedding per label (training-data cluster
     summaries): posexplode + partial-agg groupBy — shuffle carries only
     groups x dim partial sums."""
@@ -1180,51 +1171,7 @@ def q61_embedding_centroids(spark, sf_dir):
     return out.select("label", "pos", F.round("value", 6).alias("value"))
 
 
-def q62_text_clean(spark, sf_dir):
-    """Boilerplate scrub: URL/email removal + whitespace collapse, with
-    RE2-compatible regexes an external engine can reproduce. URLs/emails
-    are injected deterministically so the scrub is actually exercised."""
-    from dsgrid_spark.pipeline.text import clean_text, count_pattern, _URL_RE, _EMAIL_RE
-
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.concat("text", F.lit(" see https://example.com/d/"),
-                 F.col("doc_id").cast("string"),
-                 F.lit(" or mail user"), F.col("doc_id").cast("string"),
-                 F.lit("@test.org now")),
-    )
-    return docs.select(
-        "doc_id",
-        count_pattern(F.col("text"), _URL_RE).cast("long").alias("n_urls"),
-        count_pattern(F.col("text"), _EMAIL_RE).cast("long").alias("n_emails"),
-        F.length(clean_text(F.col("text"))).cast("long").alias("n_chars_clean"),
-    )
-
-
-def q63_deterministic_sample(spark, sf_dir):
-    """Content-hash sampling: same (key, salt) always lands on the same
-    side of the cut — reproducible across runs, engines, and cluster
-    layouts, unlike df.sample."""
-    from dsgrid_spark.pipeline.sampling import deterministic_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    return deterministic_sample(docs, "doc_id", 0.3, salt="r2").select(
-        "doc_id", "lang", "source")
-
-
-def q64_cap_per_group(spark, sf_dir):
-    """Reproducible 'at most N rows per group' cap in hash-of-key order
-    (the de-biasing step before training-data mixing)."""
-    from dsgrid_spark.pipeline.sampling import cap_per_group
-
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "bucket", (F.col("user_id") % 10).cast("string")
-    )
-    out = cap_per_group(ev, ["bucket"], "event_id", 100)
-    return out.select("event_id", "bucket")
-
-
-def q65_aggregate_each_dataset(spark, sf_dir):
+def q11_aggregate_each_dataset(spark, sf_dir):
     """aggregate_each_dataset lifecycle (reference
     query_submitter.py:508-516): filters+aggregations run per dataset and
     are NOT re-applied post-union — per-dataset means stay separate rows."""
@@ -1261,7 +1208,7 @@ def q65_aggregate_each_dataset(spark, sf_dir):
                       F.floor("value").cast("long").alias("value"))
 
 
-def q66_composite_dataset(spark, sf_dir):
+def q13_composite_dataset(spark, sf_dir):
     """Lifecycle C (reference query_submitter.py:730-811): materialize a
     combined table as a composite dataset, then re-query it with only a
     result phase."""
@@ -1294,7 +1241,7 @@ def q66_composite_dataset(spark, sf_dir):
     return out.select("o_orderstatus", F.round("value", 2).alias("value"))
 
 
-def q67_dataset_query_chain(spark, sf_dir):
+def q16_dataset_query_chain(spark, sf_dir):
     """Lifecycle B (reference query_submitter.py:837-989): map one dataset
     to a target dimension, auto-resolving a TWO-hop mapping chain
     (nation -> region -> zone) through the registry mapping graph."""
@@ -1333,19 +1280,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_scan_projection": q02_scan_projection,
         "q03_filter_ops": q03_filter_ops,
         "q04_filter_subset": q04_filter_subset,
-        "q05_filter_anti": q05_filter_anti,
+        "q05_project_query": q05_project_query,
         "q06_join_multi": q06_join_multi,
         "q07_map_dimension": q07_map_dimension,
-        "q08_map_disaggregation": q08_map_disaggregation,
+        "q08_subset_supplemental": q08_subset_supplemental,
         "q09_two_table": q09_two_table,
         "q10_agg_chained": q10_agg_chained,
-        "q11_count_distinct": q11_count_distinct,
+        "q11_aggregate_each_dataset": q11_aggregate_each_dataset,
         "q12_peak_load": q12_peak_load,
-        "q13_top_k": q13_top_k,
+        "q13_composite_dataset": q13_composite_dataset,
         "q14_sort_limit": q14_sort_limit,
         "q15_union": q15_union,
-        "q16_intersect": q16_intersect,
-        "q17_except": q17_except,
+        "q16_dataset_query_chain": q16_dataset_query_chain,
+        "q17_expression_extended": q17_expression_extended,
         "q18_arith_expression": q18_arith_expression,
         "q19_pivot": q19_pivot,
         "q20_unpivot": q20_unpivot,
@@ -1354,7 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_time_downsample": q23_time_downsample,
         "q24_annual_to_hourly": q24_annual_to_hourly,
         "q25_tz_convert": q25_tz_convert,
-        "q26_tz_by_geography": q26_tz_by_geography,
+        "q26_external_tz": q26_external_tz,
         "q27_growth_exponential": q27_growth_exponential,
         "q28_dedup_exact": q28_dedup_exact,
         "q29_text_stats": q29_text_stats,
@@ -1363,39 +1310,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_similarity_bruteforce": q32_similarity_bruteforce,
         "q33_similarity_lsh": q33_similarity_lsh,
         "q34_multimodal_features": q34_multimodal_features,
-        "q35_time_upsample": q35_time_upsample,
+        "q35_period_ending_daily": q35_period_ending_daily,
         "q36_index_time": q36_index_time,
         "q37_leap_day": q37_leap_day,
-        "q38_wrap_time": q38_wrap_time,
-        "q39_growth_multiplier": q39_growth_multiplier,
+        "q38_video_frame_sampling": q38_video_frame_sampling,
+        "q39_embedding_centroids": q39_embedding_centroids,
         "q40_pivoted_load": q40_pivoted_load,
         "q41_representative_time": q41_representative_time,
         "q42_language_id": q42_language_id,
         "q43_ngram_jaccard": q43_ngram_jaccard,
         "q44_embedding_neardup": q44_embedding_neardup,
         "q45_similarity_ivf": q45_similarity_ivf,
-        "q46_quality_score": q46_quality_score,
+        "q46_sample_and_cap": q46_sample_and_cap,
         "q47_fingerprint": q47_fingerprint,
         "q48_supplemental_filter": q48_supplemental_filter,
         "q49_add_name_column": q49_add_name_column,
         "q50_dst_duplicate": q50_dst_duplicate,
-        "q51_dst_interpolate": q51_dst_interpolate,
-        "q52_time_gaps": q52_time_gaps,
-        "q53_project_query": q53_project_query,
-        "q54_video_frame_sampling": q54_video_frame_sampling,
-        "q55_rollup": q55_rollup,
-        "q56_representative_weekday": q56_representative_weekday,
-        "q57_subset_supplemental": q57_subset_supplemental,
-        "q58_external_tz": q58_external_tz,
-        "q59_period_ending_daily": q59_period_ending_daily,
-        "q60_expression_extended": q60_expression_extended,
-        "q61_embedding_centroids": q61_embedding_centroids,
-        "q62_text_clean": q62_text_clean,
-        "q63_deterministic_sample": q63_deterministic_sample,
-        "q64_cap_per_group": q64_cap_per_group,
-        "q65_aggregate_each_dataset": q65_aggregate_each_dataset,
-        "q66_composite_dataset": q66_composite_dataset,
-        "q67_dataset_query_chain": q67_dataset_query_chain,
     }
 
 
@@ -1423,7 +1353,7 @@ def _lang_score_sql(lang: str) -> str:
 
 _LANG_ID_SQL = f"""
     WITH scored AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              {_lang_score_sql('en')} AS s_en,
              {_lang_score_sql('es')} AS s_es,
              {_lang_score_sql('fr')} AS s_fr,
@@ -1437,7 +1367,15 @@ _LANG_ID_SQL = f"""
              WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
              WHEN s_de = greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
              ELSE 'und'
-           END AS lang_pred
+           END AS lang_pred,
+           round((
+               least(1.0, len(text) / 500.0)
+               + CASE WHEN len(text) > 0 THEN
+                   len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / len(text)
+                 ELSE 0.0 END
+               + s_en / 8.0
+           ) / 3.0, 6) AS quality
     FROM scored
 """
 
@@ -1454,9 +1392,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "q02_scan_projection": """
-            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-            FROM lineitem WHERE l_quantity > 45
+        "q02_scan_projection": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     concat(text, ' see https://example.com/d/', doc_id,
+                            ' or mail user', doc_id, '@test.org now') AS text
+              FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                     '\s+', ' ', 'g'))) AS n_chars_clean
+            FROM aug
         """,
         "q03_filter_ops": """
             SELECT p_partkey, p_name, p_brand, p_type, p_size
@@ -1467,14 +1419,13 @@ def oracle_sql() -> dict[str, str]:
               AND p_retailprice < 960.0
         """,
         "q04_filter_subset": """
-            SELECT l_returnflag, count(*) AS n_rows,
+            SELECT 'subset' AS mode, l_returnflag AS grp, count(*) AS n_rows,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
             GROUP BY l_returnflag
-        """,
-        "q05_filter_anti": """
-            SELECT c_mktsegment, count(*) AS n_customers
+            UNION ALL
+            SELECT 'anti', c_mktsegment, count(*), 0.0
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             GROUP BY c_mktsegment
@@ -1488,25 +1439,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name
         """,
         "q07_map_dimension": """
-            SELECT n.n_name AS geography,
-                   round(sum(c.c_acctbal * 1.0), 2) AS total_acctbal
+            SELECT 'agg' AS mode, n.n_name AS geography,
+                   round(sum(c.c_acctbal * 1.0), 2) AS value
             FROM customer c JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
             GROUP BY n.n_name
-        """,
-        "q08_map_disaggregation": """
-            WITH totals AS (
-              SELECT CAST(n_regionkey AS VARCHAR) AS geography,
-                     sum(c_acctbal) AS value
-              FROM customer JOIN nation ON c_nationkey = n_nationkey
-              GROUP BY CAST(n_regionkey AS VARCHAR)
-            ), m AS (
-              SELECT CAST(n_regionkey AS VARCHAR) AS from_id, n_name AS to_id,
-                     1.0 / count(*) OVER (PARTITION BY n_regionkey) AS frac
-              FROM nation
+            UNION ALL
+            SELECT 'disagg', to_id, value FROM (
+              WITH totals AS (
+                SELECT CAST(n_regionkey AS VARCHAR) AS geography,
+                       sum(c_acctbal) AS value
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY CAST(n_regionkey AS VARCHAR)
+              ), m AS (
+                SELECT CAST(n_regionkey AS VARCHAR) AS from_id, n_name AS to_id,
+                       1.0 / count(*) OVER (PARTITION BY n_regionkey) AS frac
+                FROM nation
+              )
+              SELECT m.to_id AS to_id, round(sum(t.value * m.frac), 4) AS value
+              FROM totals t JOIN m ON t.geography = m.from_id
+              GROUP BY m.to_id
             )
-            SELECT m.to_id AS nation_name, round(sum(t.value * m.frac), 4) AS value
-            FROM totals t JOIN m ON t.geography = m.from_id
-            GROUP BY m.to_id
         """,
         "q09_two_table": """
             SELECT o_orderstatus, o_orderpriority,
@@ -1520,32 +1472,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, extract(hour FROM ts) AS hour,
                      sum(value) AS value
               FROM events GROUP BY event_type, extract(hour FROM ts)
+            ), diurnal AS (
+              SELECT event_type, round(avg(value), 2) AS avg_hourly_value
+              FROM hourly GROUP BY event_type
+            ), d AS (
+              SELECT event_type, count(DISTINCT user_id) AS n_users,
+                     count(*) AS n_events
+              FROM events GROUP BY event_type
             )
-            SELECT event_type, round(avg(value), 2) AS avg_hourly_value
-            FROM hourly GROUP BY event_type
-        """,
-        "q11_count_distinct": """
-            SELECT event_type, count(DISTINCT user_id) AS n_users,
-                   count(*) AS n_events
-            FROM events GROUP BY event_type
+            SELECT event_type, avg_hourly_value, n_users, n_events
+            FROM diurnal JOIN d USING (event_type)
         """,
         "q12_peak_load": f"""
-            SELECT event_id, event_type,
+            SELECT 'peak' AS tag, event_id, event_type,
                    strftime(ts, '{_DUCK_TS_US}') AS peak_ts, value
             FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY event_type ORDER BY value DESC, event_id) = 1
-        """,
-        "q13_top_k": """
-            SELECT o_orderkey, o_orderpriority, o_totalprice
-            FROM orders
+            UNION ALL
+            SELECT 'top3', event_id, event_type,
+                   strftime(ts, '{_DUCK_TS_US}'), value
+            FROM events
             QUALIFY row_number() OVER (
-                PARTITION BY o_orderpriority
-                ORDER BY o_totalprice DESC, o_orderkey) <= 3
+                PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
         """,
         "q14_sort_limit": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY total_price DESC, o_orderstatus, o_orderpriority
+            LIMIT 10
         """,
         "q15_union": """
             WITH u AS (
@@ -1554,18 +1513,21 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT s_nationkey, 'supplier', s_acctbal FROM supplier
             )
-            SELECT nation_key, src, round(sum(value), 2) AS sum_value
+            SELECT 'union' AS op, nation_key, src,
+                   round(sum(value), 2) AS sum_value
             FROM u GROUP BY nation_key, src
-        """,
-        "q16_intersect": """
-            SELECT c_nationkey AS nation_key FROM customer
-            INTERSECT
-            SELECT s_nationkey FROM supplier
-        """,
-        "q17_except": """
-            SELECT c_nationkey AS nation_key FROM customer
-            EXCEPT
-            SELECT s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'intersect', nation_key, '-', 0.0 FROM (
+              SELECT c_nationkey AS nation_key FROM customer
+              INTERSECT
+              SELECT s_nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT 'except', nation_key, '-', 0.0 FROM (
+              SELECT c_nationkey AS nation_key FROM customer
+              EXCEPT
+              SELECT s_nationkey FROM supplier
+            )
         """,
         "q18_arith_expression": """
             WITH a AS (
@@ -1606,11 +1568,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q23_time_downsample": f"""
-            SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)),
-                            '{_DUCK_TS}') AS bucket_ts,
-                   event_type, round(sum(value), 4) AS value
+            SELECT 'down' AS mode,
+                   strftime(make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)),
+                            '{_DUCK_TS}') AS ts,
+                   event_type AS grp, round(sum(value), 4) AS value
             FROM events
-            GROUP BY 1, 2
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'up', ts_6h, l_returnflag, value FROM (
+              WITH daily AS (
+                SELECT l_shipdate AS ts, l_returnflag, sum(l_quantity) AS value
+                FROM lineitem WHERE extract(year FROM l_shipdate) = 1995
+                GROUP BY 1, 2
+              )
+              SELECT strftime(d.ts + to_hours(6 * g.i), '{_DUCK_TS}') AS ts_6h,
+                     d.l_returnflag, round(d.value / 4, 6) AS value
+              FROM daily d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) g
+            )
         """,
         "q24_annual_to_hourly": f"""
             WITH annual AS (
@@ -1634,15 +1608,15 @@ def oracle_sql() -> dict[str, str]:
             ) g
         """,
         "q25_tz_convert": f"""
-            SELECT event_id,
+            SELECT 'single' AS mode, event_id, '-' AS geography,
+                   'Etc/GMT+7' AS time_zone,
                    strftime(ts - INTERVAL 7 HOURS, '{_DUCK_TS_US}') AS local_ts
             FROM events
-        """,
-        "q26_tz_by_geography": f"""
-            SELECT event_id, CAST(user_id % 4 AS VARCHAR) AS geography,
-                   'Etc/GMT+' || CAST(5 + user_id % 4 AS VARCHAR) AS time_zone,
+            UNION ALL
+            SELECT 'by_geo', event_id, CAST(user_id % 4 AS VARCHAR),
+                   'Etc/GMT+' || CAST(5 + user_id % 4 AS VARCHAR),
                    strftime(ts - to_hours(CAST(5 + user_id % 4 AS BIGINT)),
-                            '{_DUCK_TS_US}') AS local_ts
+                            '{_DUCK_TS_US}')
             FROM events
         """,
         "q27_growth_exponential": """
@@ -1653,10 +1627,23 @@ def oracle_sql() -> dict[str, str]:
             ), years AS (
               SELECT unnest(['1996', '1997', '1998']) AS model_year
             )
-            SELECT i.o_orderpriority, y.model_year,
+            SELECT 'exp' AS mode, i.o_orderpriority, y.model_year,
                    round(i.value * power(1.05,
                         CAST(y.model_year AS INT) - 1995), 2) AS value
             FROM initial i CROSS JOIN years y
+            UNION ALL
+            SELECT 'mult', o_orderpriority, '-', value FROM (
+              WITH all_initial AS (
+                SELECT o_orderpriority, sum(o_totalprice) AS value
+                FROM orders GROUP BY 1
+              ), r AS (
+                SELECT o_orderpriority,
+                       row_number() OVER (ORDER BY o_orderpriority) / 10.0 AS rate
+                FROM (SELECT DISTINCT o_orderpriority FROM orders)
+              )
+              SELECT i.o_orderpriority, round(i.value * r.rate, 2) AS value
+              FROM all_initial i JOIN r USING (o_orderpriority)
+            )
         """,
         "q28_dedup_exact": f"""
             SELECT doc_id, lang, source FROM documents
@@ -1676,51 +1663,49 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END) AS BIGINT) AS alpha_ratio_ppm
             FROM documents
         """,
-        "q35_time_upsample": f"""
-            WITH daily AS (
-              SELECT l_shipdate AS ts, l_returnflag, sum(l_quantity) AS value
-              FROM lineitem WHERE extract(year FROM l_shipdate) = 1995
-              GROUP BY 1, 2
-            )
-            SELECT strftime(d.ts + to_hours(6 * g.i), '{_DUCK_TS}') AS ts_6h,
-                   d.l_returnflag, round(d.value / 4, 6) AS value
-            FROM daily d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) g
-        """,
         "q36_index_time": f"""
-            SELECT event_id, CAST(user_id % 2 AS VARCHAR) AS geography,
+            SELECT 'index' AS mode, event_id,
+                   CAST(user_id % 2 AS VARCHAR) AS geography,
                    strftime(TIMESTAMP '2024-06-01 00:00:00'
                      + to_hours(CASE WHEN user_id % 2 = 0 THEN 5 ELSE 8 END)
-                     + to_hours(event_id % 24), '{_DUCK_TS}') AS local_hour,
+                     + to_hours(event_id % 24), '{_DUCK_TS}') AS ts,
                    value
             FROM events
-        """,
-        "q37_leap_day": """
-            SELECT extract(month FROM ts) AS month, count(*) AS n_rows,
-                   round(sum(value), 2) AS value
-            FROM events
-            WHERE NOT (extract(month FROM ts) = 2 AND extract(day FROM ts) = 29)
-              AND NOT (extract(month FROM ts) = 1 AND extract(day FROM ts) = 1)
-            GROUP BY 1
-        """,
-        "q38_wrap_time": f"""
-            SELECT event_id,
+            UNION ALL
+            SELECT 'wrap', event_id, '-',
                    strftime(TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(
                      ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
                        % 604800000000 + 604800000000) % 604800000000),
-                     '{_DUCK_TS_US}') AS wrapped_ts
+                     '{_DUCK_TS_US}'),
+                   0.0
             FROM events
         """,
-        "q39_growth_multiplier": """
-            WITH initial AS (
-              SELECT o_orderpriority, sum(o_totalprice) AS value
-              FROM orders GROUP BY 1
-            ), r AS (
-              SELECT o_orderpriority,
-                     row_number() OVER (ORDER BY o_orderpriority) / 10.0 AS rate
-              FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        "q37_leap_day": """
+            SELECT 'leap' AS mode, CAST(extract(month FROM ts) AS VARCHAR) AS key,
+                   count(*) AS n, round(sum(value), 2) AS value
+            FROM events
+            WHERE NOT (extract(month FROM ts) = 2 AND extract(day FROM ts) = 29)
+              AND NOT (extract(month FROM ts) = 1 AND extract(day FROM ts) = 1)
+            GROUP BY 2
+            UNION ALL
+            SELECT 'gaps', event_type, n_missing_hours, 0.0 FROM (
+              WITH cal AS (
+                SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                  TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour
+              ), actual AS (
+                SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+                FROM events
+              ), combos AS (
+                SELECT t.event_type, c.hour
+                FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN cal c
+              )
+              SELECT event_type, count(*) AS n_missing_hours
+              FROM combos x
+              WHERE NOT EXISTS (SELECT 1 FROM actual a
+                                WHERE a.event_type = x.event_type
+                                  AND a.hour = x.hour)
+              GROUP BY event_type
             )
-            SELECT i.o_orderpriority, round(i.value * r.rate, 2) AS value
-            FROM initial i JOIN r USING (o_orderpriority)
         """,
         "q40_pivoted_load": """
             SELECT o_orderpriority, o_orderstatus, 'base' AS scenario,
@@ -1747,9 +1732,35 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
                   TIMESTAMP '2024-12-31 23:00:00', INTERVAL 1 HOUR)) AS ts) g
             )
-            SELECT t.geography, strftime(c.ts, '{_DUCK_TS}') AS utc_hour, t.value
+            SELECT 'dow' AS fmt, t.geography,
+                   strftime(c.ts, '{_DUCK_TS}') AS utc_hour, t.value
             FROM template t
             JOIN cal c USING (geography, month, day_of_week, hour)
+            UNION ALL
+            SELECT 'weekday', geography, utc_hour, value FROM (
+              WITH template AS (
+                SELECT extract(month FROM ts) AS month,
+                       (dayofweek(ts) + 6) % 7 < 5 AS is_weekday,
+                       extract(hour FROM ts) AS hour,
+                       CAST(user_id % 2 AS VARCHAR) AS geography,
+                       round(sum(value), 2) AS value
+                FROM events GROUP BY 1, 2, 3, 4
+                HAVING extract(month FROM ts) = 1
+              ), zones AS (
+                SELECT * FROM (VALUES ('0', 6), ('1', 7)) AS z(geography, off)
+              ), cal AS (
+                SELECT z.geography, g.ts,
+                       extract(month FROM g.ts - to_hours(z.off)) AS month,
+                       (dayofweek(g.ts - to_hours(z.off)) + 6) % 7 < 5 AS is_weekday,
+                       extract(hour FROM g.ts - to_hours(z.off)) AS hour
+                FROM zones z CROSS JOIN (
+                  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                    TIMESTAMP '2024-12-31 23:00:00', INTERVAL 1 HOUR)) AS ts) g
+              )
+              SELECT t.geography, strftime(c.ts, '{_DUCK_TS}') AS utc_hour, t.value
+              FROM template t
+              JOIN cal c USING (geography, month, is_weekday, hour)
+            )
         """,
         "q42_language_id": _LANG_ID_SQL,
         "q32_similarity_bruteforce": """
@@ -1832,16 +1843,20 @@ def oracle_sql() -> dict[str, str]:
                                                 CAST(q.embedding AS DOUBLE[])) DESC,
                          c.vec_id) <= 5
         """,
-        "q46_quality_score": f"""
-            SELECT doc_id, round((
-                least(1.0, len(text) / 500.0)
-                + CASE WHEN len(text) > 0 THEN
-                    len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-                    / len(text)
-                  ELSE 0.0 END
-                + ({_lang_score_sql('en')}) / 8.0
-            ) / 3.0, 6) AS quality
-            FROM documents
+        "q46_sample_and_cap": """
+            WITH sampled AS (
+              SELECT doc_id, lang, source FROM documents
+              WHERE CAST(concat('0x',
+                      substr(md5(concat(CAST(doc_id AS VARCHAR), 'r2')), 1, 8))
+                    AS BIGINT) % 1000000 < 300000
+            )
+            SELECT doc_id, lang, source FROM sampled
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY CAST(concat('0x',
+                         substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 8))
+                       AS BIGINT) % 1000000,
+                       doc_id) <= 50
         """,
         "q47_fingerprint": f"""
             SELECT doc_id,
@@ -1886,46 +1901,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT tag, strftime(ts, '{_DUCK_TS}') AS local_ts,
                    round(v, 4) AS value
             FROM (SELECT * FROM kept UNION ALL SELECT * FROM dups)
-        """,
-        "q51_dst_interpolate": f"""
-            WITH fall AS (
-              SELECT date_trunc('hour', ts) + INTERVAL 307 DAYS AS ts,
-                     sum(value) AS v
-              FROM events GROUP BY 1
-            ), kept AS (
-              SELECT ts, v FROM fall
-              WHERE NOT (CAST(ts AS DATE) = DATE '2024-03-10'
-                         AND extract(hour FROM ts) = 2)
-            ), dups AS (
-              SELECT a.ts + INTERVAL 1 HOUR AS ts,
-                     (a.v + coalesce(b.v, a.v)) / 2.0 AS v
-              FROM fall a LEFT JOIN fall b ON b.ts = a.ts + INTERVAL 1 HOUR
-              WHERE CAST(a.ts AS DATE) = DATE '2024-11-03'
-                AND extract(hour FROM a.ts) = 1
+            UNION ALL
+            SELECT 'interp', local_ts, value FROM (
+              WITH ifall AS (
+                SELECT date_trunc('hour', ts) + INTERVAL 307 DAYS AS ts,
+                       sum(value) AS v
+                FROM events GROUP BY 1
+              ), ikept AS (
+                SELECT ts, v FROM ifall
+                WHERE NOT (CAST(ts AS DATE) = DATE '2024-03-10'
+                           AND extract(hour FROM ts) = 2)
+              ), idups AS (
+                SELECT a.ts + INTERVAL 1 HOUR AS ts,
+                       (a.v + coalesce(b.v, a.v)) / 2.0 AS v
+                FROM ifall a LEFT JOIN ifall b ON b.ts = a.ts + INTERVAL 1 HOUR
+                WHERE CAST(a.ts AS DATE) = DATE '2024-11-03'
+                  AND extract(hour FROM a.ts) = 1
+              )
+              SELECT strftime(ts, '{_DUCK_TS}') AS local_ts,
+                     round(v, 4) AS value
+              FROM (SELECT * FROM ikept UNION ALL SELECT * FROM idups)
             )
-            SELECT strftime(ts, '{_DUCK_TS}') AS local_ts,
-                   round(v, 4) AS value
-            FROM (SELECT * FROM kept UNION ALL SELECT * FROM dups)
         """,
-        "q52_time_gaps": """
-            WITH cal AS (
-              SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-                TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour
-            ), actual AS (
-              SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
-              FROM events
-            ), combos AS (
-              SELECT t.event_type, c.hour
-              FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN cal c
-            )
-            SELECT event_type, count(*) AS n_missing_hours
-            FROM combos x
-            WHERE NOT EXISTS (SELECT 1 FROM actual a
-                              WHERE a.event_type = x.event_type
-                                AND a.hour = x.hour)
-            GROUP BY event_type
-        """,
-        "q53_project_query": """
+        "q05_project_query": """
             SELECT r.r_name AS geography,
                    CAST(extract(year FROM o.o_orderdate) AS VARCHAR) AS model_year,
                    round(sum(o.o_totalprice), 2) AS value
@@ -1936,46 +1934,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.r_name IN ('ASIA', 'AMERICA')
             GROUP BY 1, 2
         """,
-        "q54_video_frame_sampling": """
+        "q38_video_frame_sampling": """
             SELECT doc_id AS media_id,
                    CAST(n_chars % 300 + 1 AS INT) AS n_frames,
                    CAST(unnest(range(0, n_chars % 300 + 1, 30)) AS INT)
                      AS frame_index
             FROM documents
         """,
-        "q55_rollup": """
-            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
-                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-                   count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
-            FROM orders
-            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        """,
-        "q56_representative_weekday": f"""
-            WITH template AS (
-              SELECT extract(month FROM ts) AS month,
-                     (dayofweek(ts) + 6) % 7 < 5 AS is_weekday,
-                     extract(hour FROM ts) AS hour,
-                     CAST(user_id % 2 AS VARCHAR) AS geography,
-                     round(sum(value), 2) AS value
-              FROM events GROUP BY 1, 2, 3, 4
-              HAVING extract(month FROM ts) = 1
-            ), zones AS (
-              SELECT * FROM (VALUES ('0', 6), ('1', 7)) AS z(geography, off)
-            ), cal AS (
-              SELECT z.geography, g.ts,
-                     extract(month FROM g.ts - to_hours(z.off)) AS month,
-                     (dayofweek(g.ts - to_hours(z.off)) + 6) % 7 < 5 AS is_weekday,
-                     extract(hour FROM g.ts - to_hours(z.off)) AS hour
-              FROM zones z CROSS JOIN (
-                SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-                  TIMESTAMP '2024-12-31 23:00:00', INTERVAL 1 HOUR)) AS ts) g
-            )
-            SELECT t.geography, strftime(c.ts, '{_DUCK_TS}') AS utc_hour, t.value
-            FROM template t
-            JOIN cal c USING (geography, month, is_weekday, hour)
-        """,
-        "q57_subset_supplemental": """
+        "q08_subset_supplemental": """
             SELECT r.r_name AS region, c.c_mktsegment AS sector,
                    round(sum(c.c_acctbal), 2) AS value
             FROM customer c
@@ -2014,7 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_simhash_dedup": """
             SELECT doc_id FROM documents
         """,
-        "q58_external_tz": f"""
+        "q26_external_tz": f"""
             SELECT event_id, CAST(user_id % 2 AS VARCHAR) AS geography,
                    strftime(date_trunc('hour', ts)
                             + to_hours(CASE WHEN user_id % 2 = 0
@@ -2023,14 +1989,14 @@ def oracle_sql() -> dict[str, str]:
                    value
             FROM events
         """,
-        "q59_period_ending_daily": f"""
+        "q35_period_ending_daily": f"""
             SELECT strftime(date_trunc('day',
                      date_trunc('hour', ts) - to_hours(1)), '{_DUCK_TS}') AS day,
                    CAST(user_id % 4 AS VARCHAR) AS geography,
                    round(sum(value), 6) AS value
             FROM events GROUP BY 1, 2
         """,
-        "q60_expression_extended": """
+        "q17_expression_extended": """
             WITH a AS (
               SELECT o_orderpriority, sum(o_totalprice) AS v FROM orders
               WHERE extract(year FROM o_orderdate) <= 1996 GROUP BY 1
@@ -2043,47 +2009,13 @@ def oracle_sql() -> dict[str, str]:
                               1000.0), 2) AS value
             FROM a JOIN b USING (o_orderpriority)
         """,
-        "q61_embedding_centroids": """
+        "q39_embedding_centroids": """
             SELECT label, i AS pos,
                    round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS value
             FROM embeddings, (SELECT unnest(range(64)) AS i) idx
             GROUP BY 1, 2
         """,
-        "q62_text_clean": r"""
-            WITH aug AS (
-              SELECT doc_id,
-                     concat(text, ' see https://example.com/d/', doc_id,
-                            ' or mail user', doc_id, '@test.org now') AS text
-              FROM documents
-            )
-            SELECT doc_id,
-                   len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
-                   len(regexp_extract_all(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-                   len(trim(regexp_replace(
-                     regexp_replace(
-                       regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
-                     '\s+', ' ', 'g'))) AS n_chars_clean
-            FROM aug
-        """,
-        "q63_deterministic_sample": """
-            SELECT doc_id, lang, source FROM documents
-            WHERE CAST(concat('0x',
-                    substr(md5(concat(CAST(doc_id AS VARCHAR), 'r2')), 1, 8))
-                  AS BIGINT) % 1000000 < 300000
-        """,
-        "q64_cap_per_group": """
-            SELECT event_id, CAST(user_id % 10 AS VARCHAR) AS bucket
-            FROM events
-            QUALIFY row_number() OVER (
-              PARTITION BY user_id % 10
-              ORDER BY CAST(concat('0x',
-                         substr(md5(concat(CAST(event_id AS VARCHAR), '')), 1, 8))
-                       AS BIGINT) % 1000000,
-                       event_id) <= 100
-        """,
-        "q65_aggregate_each_dataset": """
+        "q11_aggregate_each_dataset": """
             SELECT o_orderpriority, 'early' AS era,
                    CAST(floor(avg(o_totalprice)) AS BIGINT) AS value
             FROM orders WHERE extract(year FROM o_orderdate) <= 1996 GROUP BY 1
@@ -2092,11 +2024,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(avg(o_totalprice)) AS BIGINT) AS value
             FROM orders WHERE extract(year FROM o_orderdate) > 1996 GROUP BY 1
         """,
-        "q66_composite_dataset": """
+        "q13_composite_dataset": """
             SELECT o_orderstatus, round(sum(o_totalprice), 2) AS value
             FROM orders GROUP BY 1
         """,
-        "q67_dataset_query_chain": """
+        "q16_dataset_query_chain": """
             SELECT CASE WHEN r.r_name IN ('AFRICA', 'ASIA', 'MIDDLE EAST')
                         THEN 'east' ELSE 'west' END AS geography,
                    round(sum(c.c_acctbal), 2) AS value

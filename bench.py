@@ -35,7 +35,7 @@ HEADLINE = [
     "q32_similarity_bruteforce",
     "q44_embedding_neardup",
     "q50_dst_duplicate",
-    "q53_project_query",
+    "q05_project_query",
 ]
 
 
