@@ -79,14 +79,21 @@ def minhash_signatures(df: DataFrame, text_column: str = "text",
     # ONE fold over the shingle hashes, updating all permutation minima
     # per element — N separate array_min(transform(...)) expressions would
     # re-inline (and re-evaluate) the whole shingle construction N times
-    # per row after Catalyst's projection collapse.
-    def perms(x):
-        return F.array(*[(x * a + b) % _MERSENNE for a, b in coeffs])
-
+    # per row after Catalyst's projection collapse. The coefficients live
+    # in two constant-folded array literals walked by zip_with, keeping
+    # the generated code O(1) in num_hashes instead of inlining N
+    # (x*a_i+b_i) subtrees into the fold body (codegen size, not
+    # arithmetic, dominated the old plan).
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
     init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
     sig = F.aggregate(
         hashes, init,
-        lambda acc, x: F.zip_with(acc, perms(x), lambda a, b: F.least(a, b)),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (x * a + b) % _MERSENNE),
+            lambda cur, new: F.least(cur, new),
+        ),
     )
     return df.withColumn("minhash", sig)
 
@@ -109,6 +116,9 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
     """
     sig_len_row = df.select(F.size("minhash").alias("n")).limit(1).collect()
     rows_per_band = (sig_len_row[0]["n"] if sig_len_row else 0) // num_bands or 1
+    # band hash from a slice of the signature (one slice + one cast per
+    # band) rather than rows_per_band indexed element references — keeps
+    # generated code small at high band counts
     bands = df.select(
         F.col(id_column),
         F.posexplode(
@@ -116,8 +126,11 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
                 F.xxhash64(
                     F.concat_ws(
                         ",",
-                        *[F.col("minhash")[b * rows_per_band + r].cast("string")
-                          for r in range(rows_per_band)],
+                        F.transform(
+                            F.slice("minhash", b * rows_per_band + 1,
+                                    rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
                     )
                 )
                 for b in range(num_bands)
