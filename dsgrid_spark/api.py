@@ -16,7 +16,12 @@ API surface (dsgrid/api/app.py:104-340, models dsgrid/api/models.py):
   concurrent jobs from multiple driver threads natively)
 - ``GET  /async_tasks/status``        — all tasks
 - ``GET  /async_tasks/status/<id>``   — one task
-- ``GET  /async_tasks/data/<id>``     — result rows of a completed task
+- ``GET  /async_tasks/data/<id>?limit=N`` — first N result rows (default
+  1000) of a completed task plus the result parquet path and total row
+  count. Results are written to parquet, never materialized onto the
+  driver whole: a 10⁹-row query result costs the API process only the
+  page it serves; clients wanting everything read the parquet path
+  out-of-band.
 
 FastAPI is not available in this runtime; ``http.server`` +
 ``ThreadingHTTPServer`` keeps the dependency surface at zero while the
@@ -29,7 +34,14 @@ import json
 import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import urlparse
+from urllib.parse import parse_qs, urlparse
+
+
+def _parse_task_id(raw: str) -> int | None:
+    try:
+        return int(raw)
+    except ValueError:
+        return None
 
 
 class AsyncTaskStatus:
@@ -73,14 +85,18 @@ class _TaskRegistry:
 class DsgridApi:
     """Routes + task execution; transport-agnostic (testable directly)."""
 
+    #: completed results retained (oldest evicted first)
+    MAX_RESULTS = 100
+
     def __init__(self, store, output_dir=None):
         self.store = store
         self.output_dir = output_dir
         self.tasks = _TaskRegistry()
-        self._results: dict[int, list[dict]] = {}
+        # task_id -> {"path": parquet dir, "n_rows": total}; bounded
+        self._results: dict[int, dict] = {}
 
     # ---- GET ----------------------------------------------------------
-    def get(self, path: str):
+    def get(self, path: str, params: dict | None = None):
         parts = [p for p in path.split("/") if p]
         if not parts:
             return 200, {"message": "dsgrid-spark API"}
@@ -108,15 +124,30 @@ class DsgridApi:
         if head == "async_tasks" and len(parts) >= 2 and parts[1] == "status":
             if len(parts) == 2:
                 return 200, {"async_tasks": self.tasks.list()}
-            t = self.tasks.get(int(parts[2]))
+            task_id = _parse_task_id(parts[2])
+            t = self.tasks.get(task_id) if task_id is not None else None
             return (200, {"async_task": t}) if t else (404, {"detail": "no such task"})
         if head == "async_tasks" and len(parts) == 3 and parts[1] == "data":
-            t = self.tasks.get(int(parts[2]))
+            task_id = _parse_task_id(parts[2])
+            t = self.tasks.get(task_id) if task_id is not None else None
             if t is None:
                 return 404, {"detail": "no such task"}
             if t["status"] != AsyncTaskStatus.COMPLETE:
                 return 422, {"detail": f"task is {t['status']}, not complete"}
-            return 200, {"data": self._results[int(parts[2])]}
+            result = self._results.get(task_id)
+            if result is None:
+                return 410, {"detail": "result evicted"}
+            try:
+                limit = max(0, int((params or {}).get("limit", 1000)))
+            except (TypeError, ValueError):
+                return 422, {"detail": "limit must be an integer"}
+            spark = self.store.load_catalog().spark
+            rows = [
+                r.asDict(recursive=True)
+                for r in spark.read.parquet(result["path"]).limit(limit).collect()
+            ]
+            return 200, {"data": rows, "n_rows": result["n_rows"],
+                         "path": result["path"], "limit": limit}
         return 404, {"detail": f"unknown path {path!r}"}
 
     # ---- POST ---------------------------------------------------------
@@ -137,6 +168,9 @@ class DsgridApi:
         return 404, {"detail": f"unknown path {path!r}"}
 
     def _run_query(self, task_id: int, query, project) -> None:
+        import tempfile
+        from pathlib import Path
+
         from dsgrid_spark.query.submitter import QuerySubmitter
 
         self.tasks.update(task_id, status=AsyncTaskStatus.IN_PROGRESS)
@@ -146,8 +180,17 @@ class DsgridApi:
                 project=project,
             )
             df = submitter.submit(query)
-            rows = [r.asDict(recursive=True) for r in df.collect()]
-            self._results[task_id] = rows
+            base = (Path(self.output_dir) if self.output_dir
+                    else Path(tempfile.mkdtemp(prefix="dsgrid_api_")))
+            path = str(base / "api_results" / f"task_{task_id}")
+            # result goes to parquet, not the driver heap: executors write
+            # their partitions in parallel; only requested pages are ever
+            # collected (the count() is a cheap metadata-only scan)
+            df.write.mode("overwrite").parquet(path)
+            n_rows = df.sparkSession.read.parquet(path).count()
+            self._results[task_id] = {"path": path, "n_rows": n_rows}
+            while len(self._results) > self.MAX_RESULTS:
+                self._results.pop(next(iter(self._results)))
             self.tasks.update(task_id, status=AsyncTaskStatus.COMPLETE)
         except Exception as e:  # surfaced through /async_tasks/status
             traceback.print_exc()
@@ -173,7 +216,9 @@ def serve(store, host: str = "127.0.0.1", port: int = 8000,
 
         def do_GET(self):  # noqa: N802 (stdlib naming)
             try:
-                self._send(*api.get(urlparse(self.path).path))
+                parsed = urlparse(self.path)
+                params = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
+                self._send(*api.get(parsed.path, params))
             except Exception as e:
                 self._send(500, {"detail": str(e)})
 

@@ -212,10 +212,17 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
     import random
 
     rnd = random.Random(seed)
-    sample = [
-        list(r[vector_column])
-        for r in df.select(vector_column).limit(max(n_clusters * 20, 200)).collect()
-    ]
+    # seed pool via a seeded Bernoulli sample across ALL partitions —
+    # limit() without ordering takes whichever partition answers first,
+    # which on sorted/clustered data yields unrepresentative seeds
+    n_pool = max(n_clusters * 20, 200)
+    total = df.count()
+    fraction = min(1.0, (n_pool * 2.0) / max(total, 1))
+    pool = df.select(vector_column).sample(fraction=fraction, seed=seed)
+    sample = [list(r[vector_column]) for r in pool.limit(n_pool).collect()]
+    if len(sample) < n_clusters:  # tiny corpus: fall back to everything
+        sample = [list(r[vector_column])
+                  for r in df.select(vector_column).limit(n_pool).collect()]
     centroids = rnd.sample(sample, min(n_clusters, len(sample)))
     for _ in range(iterations):
         assigned = assign_nearest_centroid(df, centroids, vector_column)

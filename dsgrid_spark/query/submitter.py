@@ -14,7 +14,6 @@ from pathlib import Path
 from pyspark.sql import DataFrame, functions as F
 
 from dsgrid_spark.common import VALUE_COLUMN
-from dsgrid_spark.operators.aggregation import apply_aggregations
 from dsgrid_spark.operators.expressions import default_expression, evaluate_expression
 from dsgrid_spark.operators.filters import SupplementalMappingFilter
 from dsgrid_spark.operators.growth import (
@@ -133,9 +132,8 @@ class QuerySubmitter:
                 for flt in query.result.filters:
                     df = self._apply_filter(df, flt)
                 if query.result.aggregations:
-                    df = self._resolve_supplemental_columns(
+                    df = self._apply_aggregations_with_supplemental(
                         df, query.result.aggregations)
-                    df = apply_aggregations(df, query.result.aggregations)
                 return df
 
             mapped = {k: _pre(v) for k, v in mapped.items()}
@@ -201,31 +199,49 @@ class QuerySubmitter:
             f"dimension of project {self.project.project_id!r}"
         )
 
-    def _resolve_supplemental_columns(self, df: DataFrame, aggregations) -> DataFrame:
-        """When an aggregation groups by a supplemental dimension NAME,
-        map the base column through the project's base→supplemental
-        mapping first (reference project_config.py supplemental
-        resolution). The accumulated fraction folds into the value column
-        without an extra aggregation — the group-by that follows
-        collapses it."""
+    def _apply_aggregations_with_supplemental(self, df: DataFrame,
+                                              aggregations) -> DataFrame:
+        """Run chained aggregations, resolving each stage's supplemental
+        dimension names immediately before THAT stage (reference
+        project_config.py supplemental resolution). Resolving everything
+        up front would break multi-stage lists where stage 1 groups by
+        the base column that stage 2's supplemental mapping renames away.
+        """
+        for agg in aggregations:
+            df = self._resolve_supplemental_columns(df, agg)
+            df = agg.apply(df)
+        return df
+
+    def _resolve_supplemental_columns(self, df: DataFrame, agg) -> DataFrame:
+        """Map the base column through the project's base→supplemental
+        mapping for ONE aggregation stage. For sum aggregations the
+        accumulated fraction folds into the value column without an extra
+        aggregation — the group-by that follows collapses it. For any
+        other function (avg/max/... over fractional weights would be
+        wrong) the mapping is collapsed explicitly with apply_fraction —
+        a weighted-sum re-expression onto the supplemental dimension at
+        the current grain — before the stage's function runs."""
         if self.project is None:
             return df
-        for agg in aggregations:
-            for colm in agg.group_by_columns:
-                supp = self.project.supplemental(colm.dimension_name)
-                if (supp is None or colm.dimension_name in df.columns
-                        or supp.dimension_type not in df.columns):
-                    continue
-                records = self.catalog.mapping(supp.mapping)
-                df = map_stacked_dimension(df, records, supp.dimension_type)
-                df = df.withColumnRenamed(supp.dimension_type, supp.name)
-                from dsgrid_spark.common import FRACTION_COLUMN
+        from dsgrid_spark.common import FRACTION_COLUMN
+        from dsgrid_spark.operators.mapping import apply_fraction
 
-                if FRACTION_COLUMN in df.columns:
+        for colm in agg.group_by_columns:
+            supp = self.project.supplemental(colm.dimension_name)
+            if (supp is None or colm.dimension_name in df.columns
+                    or supp.dimension_type not in df.columns):
+                continue
+            records = self.catalog.mapping(supp.mapping)
+            df = map_stacked_dimension(df, records, supp.dimension_type)
+            df = df.withColumnRenamed(supp.dimension_type, supp.name)
+            if FRACTION_COLUMN in df.columns:
+                if agg.aggregation_function == "sum":
                     df = df.withColumn(
                         VALUE_COLUMN,
                         F.col(VALUE_COLUMN) * F.col(FRACTION_COLUMN),
                     ).drop(FRACTION_COLUMN)
+                else:
+                    df = apply_fraction(df)
         return df
 
     # ---- composite / derived datasets (lifecycle §3.3) ----------------
@@ -284,8 +300,8 @@ class QuerySubmitter:
             for flt in result.filters:
                 df = self._apply_filter(df, flt)
             if result.aggregations:
-                df = self._resolve_supplemental_columns(df, result.aggregations)
-                df = apply_aggregations(df, result.aggregations)
+                df = self._apply_aggregations_with_supplemental(
+                    df, result.aggregations)
         if result.replace_ids_with_names:
             df = self._replace_ids_with_names(df)
         if result.sort_columns:

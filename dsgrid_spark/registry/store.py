@@ -30,6 +30,10 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
+import shutil
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 from enum import Enum
 from pathlib import Path
@@ -83,6 +87,74 @@ class RegistryStore:
 
     def __post_init__(self):
         self.root = Path(self.root)
+        self._lock_depth = 0
+
+    # ---- concurrency / atomicity ---------------------------------------
+    @contextmanager
+    def _locked(self, timeout: float = 60.0):
+        """Serialize registry mutations across processes via an advisory
+        flock on <root>/.registry.lock (reference serializes through a
+        registry database transaction, registry_database.py). Re-entrant
+        within an instance so update_* can call register_*."""
+        if self._lock_depth:
+            self._lock_depth += 1
+            try:
+                yield
+            finally:
+                self._lock_depth -= 1
+            return
+        import fcntl
+
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd = os.open(str(self.root / ".registry.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            deadline = time.monotonic() + timeout
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() >= deadline:
+                        raise RegistryError(
+                            "timed out waiting for the registry lock")
+                    time.sleep(0.1)
+            self._lock_depth = 1
+            try:
+                yield
+            finally:
+                self._lock_depth = 0
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+    @contextmanager
+    def _staged(self, kind: str, entity_id: str, version: str):
+        """Stage a version directory: write into .staging-<version>, then
+        rename into place only after every write succeeded. A crash
+        mid-registration leaves only a staging dir (cleared on retry),
+        never a half-written version dir that would block re-registration
+        of the same version."""
+        final = self._entry_dir(kind, entity_id, version)
+        tmp = final.parent / f".staging-{version}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        try:
+            yield tmp
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if final.exists():
+            # orphan from a crashed run: the version never reached the
+            # index (_assert_version_free passed), so the dir is garbage
+            shutil.rmtree(final)
+        tmp.replace(final)
+
+    def _assert_version_free(self, kind: str, entity_id: str, version: str,
+                             index: dict) -> None:
+        entry = index[kind].get(entity_id)
+        if entry and version in [e["version"] for e in entry["log"]]:
+            raise RegistryError(f"{kind}/{entity_id}@{version} already exists")
 
     # ---- index ---------------------------------------------------------
     @property
@@ -155,29 +227,32 @@ class RegistryStore:
         ``dimension_names`` optionally names registered dimensions whose
         record ids the dataset's columns must match.
         """
-        index = self._read_index()
-        if dataset_id in index["datasets"] and _version == "1.0.0":
-            raise RegistryError(
-                f"datasets/{dataset_id} already registered; use update_dataset"
-            )
-        config = config or DatasetConfig(dataset_id=dataset_id)
-        if validate:
-            from dsgrid_spark.registry.validation import validate_dataset
+        with self._locked():
+            index = self._read_index()
+            if dataset_id in index["datasets"] and _version == "1.0.0":
+                raise RegistryError(
+                    f"datasets/{dataset_id} already registered; use update_dataset"
+                )
+            self._assert_version_free("datasets", dataset_id, _version, index)
+            config = config or DatasetConfig(dataset_id=dataset_id)
+            if validate:
+                from dsgrid_spark.registry.validation import validate_dataset
 
-            validate_dataset(self.spark, source, config,
-                             lookup_source=lookup_source,
-                             dimension_records={
-                                 n: self.load_dimension(n)
-                                 for n in (dimension_names or [])
-                             })
-        out = self._entry_dir("datasets", dataset_id, _version)
-        self._write_df(source, out, "table.parquet")
-        if lookup_source is not None:
-            self._write_df(lookup_source, out, "lookup.parquet")
-        (out / "config.json").write_text(config.model_dump_json(indent=2))
-        self._register("datasets", dataset_id, _version, submitter, message,
-                       index)
-        return _version
+                validate_dataset(self.spark, source, config,
+                                 lookup_source=lookup_source,
+                                 dimension_records={
+                                     n: self.load_dimension(n)
+                                     for n in (dimension_names or [])
+                                 })
+            with self._staged("datasets", dataset_id, _version) as out:
+                self._write_df(source, out, "table.parquet")
+                if lookup_source is not None:
+                    self._write_df(lookup_source, out, "lookup.parquet")
+                (out / "config.json").write_text(
+                    config.model_dump_json(indent=2))
+            self._register("datasets", dataset_id, _version, submitter,
+                           message, index)
+            return _version
 
     def update_dataset(self, dataset_id: str, source,
                        config: Optional[DatasetConfig] = None,
@@ -186,38 +261,45 @@ class RegistryStore:
                        submitter: str = "", message: str = "",
                        validate: bool = True,
                        dimension_names: Optional[list[str]] = None) -> str:
-        index = self._read_index()
-        version = self._next_version("datasets", dataset_id, update_type, index)
-        return self.register_dataset(
-            dataset_id, source, config=config, lookup_source=lookup_source,
-            submitter=submitter, message=message or f"update to {version}",
-            validate=validate, dimension_names=dimension_names,
-            _version=version,
-        )
+        with self._locked():
+            index = self._read_index()
+            version = self._next_version("datasets", dataset_id, update_type,
+                                         index)
+            return self.register_dataset(
+                dataset_id, source, config=config, lookup_source=lookup_source,
+                submitter=submitter, message=message or f"update to {version}",
+                validate=validate, dimension_names=dimension_names,
+                _version=version,
+            )
 
     # ---- dimensions ----------------------------------------------------
     def register_dimension(self, name: str, source, submitter: str = "",
                            message: str = "initial registration",
                            _version: str = "1.0.0") -> str:
-        index = self._read_index()
-        if name in index["dimensions"] and _version == "1.0.0":
-            raise RegistryError(
-                f"dimensions/{name} already registered; use update_dimension"
-            )
-        out = self._entry_dir("dimensions", name, _version)
-        self._write_df(source, out, "records.parquet")
-        self._register("dimensions", name, _version, submitter, message, index)
-        return _version
+        with self._locked():
+            index = self._read_index()
+            if name in index["dimensions"] and _version == "1.0.0":
+                raise RegistryError(
+                    f"dimensions/{name} already registered; use update_dimension"
+                )
+            self._assert_version_free("dimensions", name, _version, index)
+            with self._staged("dimensions", name, _version) as out:
+                self._write_df(source, out, "records.parquet")
+            self._register("dimensions", name, _version, submitter, message,
+                           index)
+            return _version
 
     def update_dimension(self, name: str, source,
                          update_type: VersionUpdateType = VersionUpdateType.MAJOR,
                          submitter: str = "", message: str = "") -> str:
-        index = self._read_index()
-        version = self._next_version("dimensions", name, update_type, index)
-        return self.register_dimension(
-            name, source, submitter=submitter,
-            message=message or f"update to {version}", _version=version,
-        )
+        with self._locked():
+            index = self._read_index()
+            version = self._next_version("dimensions", name, update_type,
+                                         index)
+            return self.register_dimension(
+                name, source, submitter=submitter,
+                message=message or f"update to {version}", _version=version,
+            )
 
     # ---- mappings ------------------------------------------------------
     def register_mapping(self, name: str, source,
@@ -228,43 +310,49 @@ class RegistryStore:
                          message: str = "initial registration",
                          validate: bool = True,
                          _version: str = "1.0.0") -> str:
-        index = self._read_index()
-        if name in index["mappings"] and _version == "1.0.0":
-            raise RegistryError(
-                f"mappings/{name} already registered; use update_mapping"
-            )
-        if validate and mapping_type is not None:
-            from dsgrid_spark.dimensions import DimensionMappingType
-            from dsgrid_spark.operators.mapping import check_mapping_fractions
+        with self._locked():
+            index = self._read_index()
+            if name in index["mappings"] and _version == "1.0.0":
+                raise RegistryError(
+                    f"mappings/{name} already registered; use update_mapping"
+                )
+            self._assert_version_free("mappings", name, _version, index)
+            if validate and mapping_type is not None:
+                from dsgrid_spark.dimensions import DimensionMappingType
+                from dsgrid_spark.operators.mapping import check_mapping_fractions
 
-            check_mapping_fractions(as_dataframe(self.spark, source),
-                                    DimensionMappingType(mapping_type))
-        out = self._entry_dir("mappings", name, _version)
-        self._write_df(source, out, "records.parquet")
-        (out / "config.json").write_text(json.dumps({
-            "from_dimension": from_dimension, "to_dimension": to_dimension,
-            "mapping_type": mapping_type,
-        }, indent=2))
-        self._register("mappings", name, _version, submitter, message, index)
-        return _version
+                check_mapping_fractions(as_dataframe(self.spark, source),
+                                        DimensionMappingType(mapping_type))
+            with self._staged("mappings", name, _version) as out:
+                self._write_df(source, out, "records.parquet")
+                (out / "config.json").write_text(json.dumps({
+                    "from_dimension": from_dimension,
+                    "to_dimension": to_dimension,
+                    "mapping_type": mapping_type,
+                }, indent=2))
+            self._register("mappings", name, _version, submitter, message,
+                           index)
+            return _version
 
     def update_mapping(self, name: str, source,
                        update_type: VersionUpdateType = VersionUpdateType.MAJOR,
                        submitter: str = "", message: str = "",
                        validate: bool = True) -> str:
-        index = self._read_index()
-        version = self._next_version("mappings", name, update_type, index)
-        cfg = json.loads(
-            (self._entry_dir("mappings", name, index["mappings"][name]["current"])
-             / "config.json").read_text()
-        )
-        return self.register_mapping(
-            name, source, from_dimension=cfg.get("from_dimension"),
-            to_dimension=cfg.get("to_dimension"),
-            mapping_type=cfg.get("mapping_type"),
-            submitter=submitter, message=message or f"update to {version}",
-            validate=validate, _version=version,
-        )
+        with self._locked():
+            index = self._read_index()
+            version = self._next_version("mappings", name, update_type, index)
+            cfg = json.loads(
+                (self._entry_dir("mappings", name,
+                                 index["mappings"][name]["current"])
+                 / "config.json").read_text()
+            )
+            return self.register_mapping(
+                name, source, from_dimension=cfg.get("from_dimension"),
+                to_dimension=cfg.get("to_dimension"),
+                mapping_type=cfg.get("mapping_type"),
+                submitter=submitter, message=message or f"update to {version}",
+                validate=validate, _version=version,
+            )
 
     # ---- projects ------------------------------------------------------
     def register_project(self, config, submitter: str = "",
@@ -273,29 +361,33 @@ class RegistryStore:
         """Register a ProjectConfig (reference
         project_registry_manager.py register flow — config only; the
         datasets/dimensions/mappings it names register separately)."""
-        index = self._read_index()
-        if config.project_id in index["projects"] and _version == "1.0.0":
-            raise RegistryError(
-                f"projects/{config.project_id} already registered; "
-                "use update_project"
-            )
-        out = self._entry_dir("projects", config.project_id, _version)
-        out.mkdir(parents=True, exist_ok=True)
-        (out / "config.json").write_text(config.model_dump_json(indent=2))
-        self._register("projects", config.project_id, _version, submitter,
-                       message, index)
-        return _version
+        with self._locked():
+            index = self._read_index()
+            if config.project_id in index["projects"] and _version == "1.0.0":
+                raise RegistryError(
+                    f"projects/{config.project_id} already registered; "
+                    "use update_project"
+                )
+            self._assert_version_free("projects", config.project_id, _version,
+                                      index)
+            with self._staged("projects", config.project_id, _version) as out:
+                (out / "config.json").write_text(
+                    config.model_dump_json(indent=2))
+            self._register("projects", config.project_id, _version, submitter,
+                           message, index)
+            return _version
 
     def update_project(self, config,
                        update_type: VersionUpdateType = VersionUpdateType.MAJOR,
                        submitter: str = "", message: str = "") -> str:
-        index = self._read_index()
-        version = self._next_version("projects", config.project_id,
-                                     update_type, index)
-        return self.register_project(
-            config, submitter=submitter,
-            message=message or f"update to {version}", _version=version,
-        )
+        with self._locked():
+            index = self._read_index()
+            version = self._next_version("projects", config.project_id,
+                                         update_type, index)
+            return self.register_project(
+                config, submitter=submitter,
+                message=message or f"update to {version}", _version=version,
+            )
 
     def load_project(self, project_id: str, version: Optional[str] = None):
         from dsgrid_spark.query.project import ProjectConfig

@@ -102,3 +102,40 @@ def test_api_async_query_roundtrip(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_api_data_pagination_and_bad_ids(server):
+    """Results are served from parquet with a limit — the API never
+    materializes the full result on the driver — and non-numeric task ids
+    404 instead of 500."""
+    query = {
+        "name": "api_q_page",
+        "source_datasets": [{"dataset_id": "load"}],
+        "result": {"aggregations": [{
+            "group_by_columns": [{"dimension_name": "geography"}],
+            "aggregation_function": "sum"}]},
+    }
+    status, resp = _post(server, "/queries/projects", {"query": query})
+    assert status == 200
+    task_id = resp["async_task_id"]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        task = _get(server, f"/async_tasks/status/{task_id}")[1]["async_task"]
+        if task["status"] in ("complete", "failed"):
+            break
+        time.sleep(0.5)
+    assert task["status"] == "complete", task
+
+    full = _get(server, f"/async_tasks/data/{task_id}")[1]
+    assert full["n_rows"] == 3 and len(full["data"]) == 3
+    assert full["path"]  # clients can read the parquet out-of-band
+
+    page = _get(server, f"/async_tasks/data/{task_id}?limit=1")[1]
+    assert len(page["data"]) == 1 and page["n_rows"] == 3
+
+    for path in ("/async_tasks/data/abc", "/async_tasks/status/abc"):
+        try:
+            urllib.request.urlopen(server + path)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404

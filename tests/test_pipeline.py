@@ -276,3 +276,17 @@ def test_cap_per_group(spark):
     # deterministic: same subset every run
     again = cap_per_group(df, ["grp"], "k", 10)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_kmeans_seeds_span_partitions(spark):
+    """Seeding samples across ALL partitions: on partition-clustered data
+    (first partition holds one degenerate direction) limit()-based
+    seeding used to return identical seeds, collapsing every centroid
+    onto it. iterations=1 keeps the test at the seeding level."""
+    rows = [(i, [1.0, 0.0]) for i in range(100)] + \
+           [(i, [0.0, 1.0]) for i in range(100, 2000)]
+    df = (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+          .repartitionByRange(8, "vec_id"))
+    cents = kmeans_centroids(df, n_clusters=2, dim=2, iterations=1, seed=11)
+    # at least one seed must come from the dominant later partitions
+    assert any(c[1] > c[0] for c in cents), cents

@@ -125,3 +125,63 @@ def test_project_registry_roundtrip(spark, project, tmp_path):
     assert v2 == "2.0.0"
     assert store.load_project("demo").subset_dimensions == []
     assert store.load_project("demo", version="1.0.0") == project
+
+
+def test_multi_stage_supplemental_resolves_per_stage(spark, project):
+    """Stage 1 groups by the BASE column; stage 2 by the supplemental
+    name. Resolution must happen immediately before each stage — an
+    up-front pass would rename the base column away and break stage 1."""
+    c = Catalog(spark)
+    fact = spark.createDataFrame(
+        [("06037", "res", 1.0), ("06037", "com", 2.0),
+         ("06073", "res", 4.0), ("08031", "res", 8.0)],
+        "geography string, sector string, value double",
+    )
+    c.register_dataset("load", fact)
+    c.register_mapping("county_to_state", spark.createDataFrame(
+        [("06037", "CA", 1.0), ("06073", "CA", 1.0), ("08031", "CO", 1.0)],
+        "from_id string, to_id string, from_fraction double"),
+        from_dimension="county", to_dimension="state")
+    q = ProjectQueryModel(
+        name="two_stage", source_datasets=[DatasetModel(dataset_id="load")],
+        result=ResultModel(aggregations=[
+            AggregationModel(
+                group_by_columns=[ColumnModel(dimension_name="geography")],
+                aggregation_function="sum"),
+            AggregationModel(
+                group_by_columns=[ColumnModel(dimension_name="state")],
+                aggregation_function="sum"),
+        ]),
+    )
+    out = QuerySubmitter(c, project=project).submit(q)
+    got = {r["state"]: r["value"] for r in out.collect()}
+    assert got == {"CA": 7.0, "CO": 8.0}
+
+
+def test_supplemental_nonsum_aggregation_collapses_fraction(spark, project):
+    """avg over a fractional disaggregation mapping must NOT simply fold
+    the fraction into the value; the mapping is collapsed with a weighted
+    sum first, then avg runs on properly re-expressed values."""
+    c = Catalog(spark)
+    fact = spark.createDataFrame(
+        [("06037", "a", 10.0), ("06037", "b", 20.0), ("06073", "a", 40.0)],
+        "geography string, tag string, value double",
+    )
+    c.register_dataset("load", fact)
+    # 50/50 disaggregation of each county into two zones
+    c.register_mapping("county_to_state", spark.createDataFrame(
+        [("06037", "Z1", 0.5), ("06037", "Z2", 0.5),
+         ("06073", "Z1", 0.5), ("06073", "Z2", 0.5)],
+        "from_id string, to_id string, from_fraction double"),
+        from_dimension="county", to_dimension="zone")
+    q = ProjectQueryModel(
+        name="avg_disagg", source_datasets=[DatasetModel(dataset_id="load")],
+        result=ResultModel(aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="state")],
+            aggregation_function="avg")]),
+    )
+    out = QuerySubmitter(c, project=project).submit(q)
+    got = {r["state"]: r["value"] for r in out.collect()}
+    # per (zone, tag) weighted sums: Z1/a = 10*.5+40*.5 = 25, Z1/b = 10,
+    # so avg(Z1) = mean(25, 10) = 17.5; same for Z2
+    assert got == {"Z1": 17.5, "Z2": 17.5}

@@ -301,3 +301,53 @@ def test_cli_run_from_registry(spark, load_df, county_state_map, tmp_path,
                  "--project", "demo", "--show", "5"]) == 0
     out = capsys.readouterr().out
     assert "rows: 2" in out
+
+
+def test_orphaned_version_dir_does_not_block_retry(spark, load_df, tmp_path):
+    """A crash between data write and index update used to leave a
+    version dir that permanently blocked re-registration (parquet
+    mode('error')). Registration now stages + renames, and clears
+    orphans the index never acknowledged."""
+    store = RegistryStore(tmp_path / "reg", spark)
+    orphan = tmp_path / "reg" / "datasets" / "load" / "1.0.0"
+    orphan.mkdir(parents=True)
+    (orphan / "junk.txt").write_text("half-written")
+    store.register_dataset("load", load_df, validate=False)
+    assert store.latest_version("datasets", "load") == "1.0.0"
+    assert not (orphan / "junk.txt").exists()
+    assert store.load_catalog().dataset("load")[0].count() == load_df.count()
+
+
+def test_failed_registration_leaves_no_version_dir(spark, tmp_path):
+    """A registration whose data write fails must leave neither a version
+    dir nor an index entry, so an immediate retry succeeds."""
+    store = RegistryStore(tmp_path / "reg", spark)
+    with pytest.raises(Exception):
+        store.register_dataset("bad", str(tmp_path / "missing.parquet"),
+                               validate=False)
+    assert not (tmp_path / "reg" / "datasets" / "bad" / "1.0.0").exists()
+    assert "bad" not in store.list_ids("datasets")
+
+
+def test_registry_lock_file_created_and_reentrant(spark, load_df, tmp_path):
+    """Mutations take an advisory flock; update_* nests register_* under
+    the same lock (re-entrant) without deadlocking."""
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df, validate=False)
+    v2 = store.update_dataset("load", load_df, validate=False,
+                              update_type=VersionUpdateType.MINOR)
+    assert v2 == "1.1.0"
+    assert (tmp_path / "reg" / ".registry.lock").exists()
+
+
+def test_registry_over_file_uri_root(spark, load_df, tmp_path):
+    """The registry root also works through Hadoop FS URIs (the
+    object-store path — s3a://... works identically; reference
+    dsgrid/filesystem/s3_filesystem.py:118): parquet reads/writes go
+    through the scheme while the JSON index uses the local view."""
+    store = RegistryStore(tmp_path / "reg_uri", spark)
+    store.register_dataset("load", load_df, validate=False)
+    table = (tmp_path / "reg_uri" / "datasets" / "load" / "1.0.0"
+             / "table.parquet")
+    df = spark.read.parquet(f"file://{table}")
+    assert df.count() == load_df.count()
