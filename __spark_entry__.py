@@ -784,12 +784,39 @@ def q42_language_id(spark, sf_dir):
 
 
 def q43_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard duplicate pairs over all doc pairs (pipeline op)."""
-    from dsgrid_spark.pipeline.dedup import ngram_jaccard_pairs
+    """Exact n-gram Jaccard duplicate pairs + benchmark-contamination
+    scan (pipeline ops), tagged union. The contamination fixture injects
+    a benchmark sentence into every 50th document so the leak check has
+    guaranteed hits: 'contam' rows carry (doc_id, n_matched_shingles)."""
+    from dsgrid_spark.pipeline.dedup import (
+        benchmark_contamination, ngram_jaccard_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
-    out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5, threshold=0.8)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5,
+                              threshold=0.8).select(
+        F.lit("jaccard").alias("op"), "id_a", "id_b",
+        F.round("jaccard", 6).alias("score"),
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, text string",
+    )
+    corpus = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 50 == 0,
+               F.concat("text", F.lit(" alpha beta gamma delta epsilon"
+                                      " zeta eta theta")))
+        .otherwise(F.col("text")),
+    )
+    contam = benchmark_contamination(corpus, bench, shingle_k=5).select(
+        F.lit("contam").alias("op"),
+        F.col("doc_id").alias("id_a"),
+        F.col("n_matched_shingles").alias("id_b"),
+        F.lit(0.0).alias("score"),
+    )
+    return jac.unionByName(contam)
 
 
 def q44_embedding_neardup(spark, sf_dir):
@@ -834,17 +861,21 @@ def q45_similarity_ivf(spark, sf_dir):
 
 
 def q46_sample_and_cap(spark, sf_dir):
-    """Deterministic content-hash sampling chained with a reproducible
-    per-group cap (pipeline ops): same (key, salt) always lands on the
-    same side of the cut regardless of cluster layout, then at most N
-    surviving docs per language in hash-of-key order (the de-biasing step
-    before training-data mixing)."""
-    from dsgrid_spark.pipeline.sampling import cap_per_group, deterministic_sample
+    """Deterministic content-hash sampling → per-group cap → sequence
+    packing (pipeline ops): same (key, salt) always lands on the same
+    side of the cut regardless of cluster layout; at most N surviving
+    docs per language in hash-of-key order (the de-biasing step before
+    training-data mixing); then each language's survivors pack into
+    5000-char training batches by running total."""
+    from dsgrid_spark.pipeline.sampling import (
+        cap_per_group, deterministic_sample, pack_sequences,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     sampled = deterministic_sample(docs, "doc_id", 0.3, salt="r2")
     capped = cap_per_group(sampled, ["lang"], "doc_id", 50)
-    return capped.select("doc_id", "lang", "source")
+    packed = pack_sequences(capped, ["lang"], "doc_id", "n_chars", 5000)
+    return packed.select("doc_id", "lang", "source", "batch_index")
 
 
 def q47_fingerprint(spark, sf_dir):
@@ -1806,7 +1837,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
                     FROM documents WHERE doc_id < 250)
             )
-            SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+            SELECT 'jaccard' AS op, id_a, id_b, round(jac, 6) AS score FROM (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
                        THEN len(list_intersect(a.s, b.s)) * 1.0
@@ -1814,6 +1845,31 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 0.0 END AS jac
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE jac >= 0.8
+            UNION ALL
+            SELECT 'contam', doc_id, n, 0.0 FROM (
+              WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 0 THEN concat(text,
+                         ' alpha beta gamma delta epsilon zeta eta theta')
+                       ELSE text END AS text
+                FROM documents WHERE doc_id < 250
+              ), csh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 5 THEN
+                         list_distinct([array_to_string(w[(i+1):(i+5)], ' ')
+                                        for i in range(0, len(w) - 4)])
+                       ELSE [array_to_string(w, ' ')] END AS s
+                FROM (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
+                      FROM aug)
+              )
+              SELECT doc_id,
+                     len(list_intersect(s,
+                       ['alpha beta gamma delta epsilon',
+                        'beta gamma delta epsilon zeta',
+                        'gamma delta epsilon zeta eta',
+                        'delta epsilon zeta eta theta'])) AS n
+              FROM csh
+            ) WHERE n >= 1
         """,
         "q44_embedding_neardup": """
             WITH base AS (
@@ -1845,18 +1901,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q46_sample_and_cap": """
             WITH sampled AS (
-              SELECT doc_id, lang, source FROM documents
+              SELECT doc_id, lang, source, n_chars,
+                     CAST(concat('0x',
+                       substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 8))
+                     AS BIGINT) % 1000000 AS hb
+              FROM documents
               WHERE CAST(concat('0x',
                       substr(md5(concat(CAST(doc_id AS VARCHAR), 'r2')), 1, 8))
                     AS BIGINT) % 1000000 < 300000
+            ), capped AS (
+              SELECT doc_id, lang, source, n_chars, hb FROM sampled
+              QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY hb, doc_id) <= 50
             )
-            SELECT doc_id, lang, source FROM sampled
-            QUALIFY row_number() OVER (
-              PARTITION BY lang
-              ORDER BY CAST(concat('0x',
-                         substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 8))
-                       AS BIGINT) % 1000000,
-                       doc_id) <= 50
+            SELECT doc_id, lang, source,
+                   CAST(floor((sum(n_chars) OVER (
+                          PARTITION BY lang ORDER BY hb, doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_chars)
+                        / 5000.0) AS BIGINT) AS batch_index
+            FROM capped
         """,
         "q47_fingerprint": f"""
             SELECT doc_id,

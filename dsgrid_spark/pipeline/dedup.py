@@ -216,6 +216,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_column: str = "text",
     )
 
 
+def benchmark_contamination(df: DataFrame, benchmark: DataFrame,
+                            text_column: str = "text",
+                            id_column: str = "doc_id",
+                            shingle_k: int = 5,
+                            min_shared: int = 1) -> DataFrame:
+    """Decontamination scan: corpus documents sharing at least
+    ``min_shared`` distinct word k-gram shingles with ANY benchmark
+    document (the eval-set leak check run before training).
+
+    The benchmark is small by construction → its distinct shingle hashes
+    broadcast; the corpus explodes to (id, shingle_hash) pairs that
+    inner-join the broadcast set, so the corpus never self-joins and
+    only 8-byte (id, hash) pairs ever move. Returns
+    (id, n_matched_shingles) for flagged documents.
+    """
+    bench_sh = (
+        benchmark
+        .select(F.explode(shingles(text_column, shingle_k)).alias("__s"))
+        .select(F.xxhash64("__s").alias("__h"))
+        .distinct()
+    )
+    corpus_sh = df.select(
+        F.col(id_column),
+        F.explode(shingles(text_column, shingle_k)).alias("__s"),
+    ).select(id_column, F.xxhash64("__s").alias("__h"))
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "__h")
+        .groupBy(id_column)
+        .agg(F.count_distinct("__h").alias("n_matched_shingles"))
+        .filter(F.col("n_matched_shingles") >= min_shared)
+    )
+
+
 def minhash_dedup(df: DataFrame, text_column: str = "text",
                   id_column: str = "doc_id", num_hashes: int = 32,
                   num_bands: int = 4, shingle_k: int = 5,

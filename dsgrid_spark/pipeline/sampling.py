@@ -55,3 +55,61 @@ def cap_per_group(df: DataFrame, group_columns: list[str], key_column: str,
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def stratified_sample(df: DataFrame, group_column: str,
+                      fractions: dict[str, float], key_column: str,
+                      default_fraction: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Deterministic per-stratum sampling to target fractions (the
+    language/domain re-balancing step of a training-data mix).
+
+    Each stratum's fraction becomes a hash threshold, attached via a
+    broadcast join of the (tiny) fractions table — one scan, no shuffle
+    of the corpus, and the same (key, salt) is kept or dropped
+    identically across runs, engines, and cluster layouts.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    spark = df.sparkSession
+    frac_df = spark.createDataFrame(
+        [(g, int(f * _BUCKETS)) for g, f in fractions.items()],
+        f"{group_column} string, __threshold long",
+    )
+    return (
+        df.join(F.broadcast(frac_df), group_column, "left")
+        .withColumn("__threshold",
+                    F.coalesce("__threshold",
+                               F.lit(int(default_fraction * _BUCKETS))))
+        .filter(hash_bucket(F.col(key_column), salt) < F.col("__threshold"))
+        .drop("__threshold")
+    )
+
+
+def pack_sequences(df: DataFrame, group_columns: list[str], key_column: str,
+                   size_column: str, budget: int,
+                   salt: str = "") -> DataFrame:
+    """Assign rows to fixed-budget batches (sequence packing for training
+    shards): within each group, order rows deterministically by content
+    hash, then cut the running token total every ``budget`` tokens.
+
+    Adds ``batch_index`` (0-based within the group). The running-total
+    cut means a batch may overflow by at most one document — the
+    standard streaming-packing guarantee; documents larger than the
+    budget get a batch of their own. One window per group: groups pack
+    in parallel across the cluster, so parallelism = number of groups
+    (shard first if packing a monolithic corpus).
+    """
+    w = (
+        Window.partitionBy(*group_columns)
+        .orderBy(hash_bucket(F.col(key_column), salt), F.col(key_column))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(size_column)).over(w)
+    # the batch is decided by the running total BEFORE the row: a row
+    # whose predecessors already filled k whole budgets opens batch k
+    return df.withColumn(
+        "batch_index",
+        F.floor((running - F.col(size_column)) / F.lit(budget)).cast("long"),
+    )

@@ -290,3 +290,67 @@ def test_kmeans_seeds_span_partitions(spark):
     cents = kmeans_centroids(df, n_clusters=2, dim=2, iterations=1, seed=11)
     # at least one seed must come from the dominant later partitions
     assert any(c[1] > c[0] for c in cents), cents
+
+
+def test_stratified_sample_targets_and_determinism(spark):
+    from dsgrid_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}, "doc_id",
+                            salt="s1")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] - 500) < 75 and abs(counts["de"] - 100) < 50
+    # unknown strata fall back to default_fraction (0.0 → dropped)
+    df2 = spark.createDataFrame([(1, "fr")], "doc_id long, lang string")
+    assert stratified_sample(df2, "lang", {"en": 0.5}, "doc_id").count() == 0
+    # determinism: same ids survive across a different partition layout
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in stratified_sample(
+        df.repartition(17), "lang", {"en": 0.5, "de": 0.1}, "doc_id",
+        salt="s1").collect()}
+    assert a == b
+
+
+def test_pack_sequences_budget_and_overflow(spark):
+    from dsgrid_spark.pipeline.sampling import pack_sequences
+
+    rows = [(i, "g", 40) for i in range(25)]  # 1000 tokens total
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens int")
+    out = pack_sequences(df, ["grp"], "doc_id", "n_tokens", budget=100)
+    per_batch = {r["batch_index"]: r["tot"] for r in
+                 out.groupBy("batch_index")
+                    .agg(F.sum("n_tokens").alias("tot")).collect()}
+    # 40-token docs against a 100 budget: batches hold 120 tokens
+    # (overflow by less than one doc) except possibly the last
+    assert set(per_batch) == set(range(len(per_batch)))
+    assert all(t <= 100 + 40 for t in per_batch.values())
+    assert sum(per_batch.values()) == 1000
+    # a document bigger than the budget still gets a batch
+    big = spark.createDataFrame([(1, "g", 500), (2, "g", 10)],
+                                "doc_id long, grp string, n_tokens int")
+    got = pack_sequences(big, ["grp"], "doc_id", "n_tokens", budget=100)
+    assert got.count() == 2
+
+
+def test_benchmark_contamination(spark):
+    from dsgrid_spark.pipeline.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "preamble the quick brown fox jumps over the lazy dog end"),
+         (11, "totally unrelated words with no benchmark overlap here"),
+         (12, "quick brown fox jumps over something else entirely")],
+        "doc_id long, text string")
+    out = benchmark_contamination(corpus, bench, shingle_k=5)
+    got = {r["doc_id"]: r["n_matched_shingles"] for r in out.collect()}
+    # doc 10 embeds the full benchmark sentence (all 5 of its 5-grams);
+    # doc 12 shares exactly one 5-gram; doc 11 shares none
+    assert got[10] == 5 and got[12] == 1 and 11 not in got
+    # min_shared raises the bar: only the full embedding survives
+    flagged = benchmark_contamination(corpus, bench, shingle_k=5,
+                                      min_shared=2)
+    assert {r["doc_id"] for r in flagged.collect()} == {10}
