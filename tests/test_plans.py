@@ -131,3 +131,41 @@ def test_external_tz_stays_in_codegen(spark, fact_parquet):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """write_parquet(partition_by=...) + a filter on the partition column
+    must prune at the source: the scan's PartitionFilters carry the
+    predicate and non-matching directories are never listed into the
+    plan. This is the scenario/model_year pruning path at 100 TB."""
+    from dsgrid_spark.sources.writers import write_parquet
+
+    path = tmp_path / "part.parquet"
+    df = spark.createDataFrame(
+        [(f"s{i % 4}", f"g{i % 7}", float(i)) for i in range(1000)],
+        "scenario string, geography string, value double",
+    )
+    write_parquet(df, path, partition_by=["scenario"])
+    scan = spark.read.parquet(str(path)).filter(F.col("scenario") == "s1")
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan
+    # the partition predicate must be IN PartitionFilters, not a
+    # post-scan Filter on data columns
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "scenario" in pf_line
+    assert scan.count() == 250
+
+
+def test_stratified_sample_broadcasts_thresholds(spark):
+    """The per-stratum threshold table must broadcast — the corpus never
+    shuffles for sampling."""
+    from dsgrid_spark.pipeline.sampling import stratified_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    out = stratified_sample(df, "lang", {"0": 0.5, "1": 0.2}, "doc_id")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
