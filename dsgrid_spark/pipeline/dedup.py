@@ -266,6 +266,12 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     uniq.count()
     with_sig = minhash_signatures(uniq, text_column, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(with_sig, id_column, num_bands)
+    # the candidate-pair join is referenced three times downstream (the
+    # shingle semi-join and both sides of the verify join) — materialize
+    # the tiny (id, id) pair set once instead of re-running the bucket
+    # self-join per reference
+    cands = cands.persist()
+    cands.count()
     dups = ngram_jaccard_pairs(uniq, text_column, id_column, shingle_k,
                                threshold, candidates=cands)
     to_drop = dups.select(F.col("id_b").alias(id_column)).distinct()
