@@ -100,6 +100,39 @@ def running_total_stream(
     )
 
 
+def dedup_stream(stream: DataFrame, key_columns: list[str],
+                 time_column: str | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on arrival order: the first row per key wins
+    across micro-batches (the ingestion-time variant of exact_dedup for
+    a continuously landing corpus).
+
+    With ``time_column`` set, ``dropDuplicatesWithinWatermark`` bounds
+    state by the watermark horizon — keys older than the watermark are
+    evicted, so state is O(keys per horizon), not O(stream length).
+    Without it, state grows with distinct keys (only for bounded key
+    domains).
+    """
+    if time_column is not None:
+        return (
+            stream.withWatermark(time_column, watermark)
+            .dropDuplicatesWithinWatermark(key_columns)
+        )
+    return stream.dropDuplicates(key_columns)
+
+
+def normalize_text_stream(stream: DataFrame, text_column: str = "text",
+                          fingerprint_column: str = "fingerprint") -> DataFrame:
+    """Attach the batch pipeline's normalization fingerprint to a
+    document stream (same xxhash64-of-normalized-text as
+    ``pipeline.text.fingerprint``), so streaming dedup keys match the
+    batch corpus exactly — a stream deduped on this column and a batch
+    exact_dedup produce consistent representatives."""
+    from dsgrid_spark.pipeline.text import fingerprint
+
+    return stream.withColumn(fingerprint_column, fingerprint(F.col(text_column)))
+
+
 def write_stream_parquet(df: DataFrame, path: str, checkpoint: str,
                          trigger_once: bool = True) -> DataStreamWriter:
     w = (

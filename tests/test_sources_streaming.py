@@ -243,3 +243,46 @@ def test_write_zip_roundtrip(spark, tmp_path):
         zf.extractall(tmp_path / "x")
     back = spark.read.parquet(str(tmp_path / "x" / "table.parquet"))
     assert back.count() == 100
+
+
+def test_streaming_dedup_first_wins(spark, tmp_path):
+    """Streaming exact dedup: normalization fingerprint matches the batch
+    pipeline's, and dropDuplicatesWithinWatermark keeps one row per key
+    with watermark-bounded state."""
+    import datetime as dt
+
+    from dsgrid_spark.streaming.ops import (
+        dedup_stream, normalize_text_stream, read_fact_stream,
+    )
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), "Hello, World!"),
+        (2, dt.datetime(2024, 1, 1, 0, 5), "hello   world"),  # same normalized
+        (3, dt.datetime(2024, 1, 1, 0, 10), "something else"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.parquet(str(src / "batch1"))
+
+    stream = read_fact_stream(
+        spark, str(src / "batch1"), "doc_id long, ts timestamp, text string")
+    deduped = dedup_stream(
+        normalize_text_stream(stream), ["fingerprint"], time_column="ts")
+    q = (deduped.writeStream.format("memory").queryName("dedup_docs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT doc_id FROM dedup_docs").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    # one of {1, 2} survives (same fingerprint), 3 always survives
+    assert len(ids) == 2 and ids[1] == 3 and ids[0] in (1, 2)
+
+    # the streaming fingerprint equals the batch pipeline's
+    from dsgrid_spark.pipeline.text import fingerprint
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame([("Hello, World!",), ("hello   world",)],
+                                  "text string")
+    fps = [r[0] for r in batch.select(fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
