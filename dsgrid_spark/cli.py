@@ -269,6 +269,15 @@ def cmd_registry_dump(args) -> int:
     return 0
 
 
+def cmd_registry_prune(args) -> int:
+    """Garbage-collect staging leftovers, orphaned version dirs, and
+    (with --keep) old version data beyond the newest N per entity."""
+    store = _store(args)
+    removed = store.prune(keep_versions=args.keep)
+    print(json.dumps(removed, indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dsgrid-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -331,6 +340,13 @@ def main(argv: list[str] | None = None) -> int:
                                      "mapping"])
     rd.add_argument("id")
     rd.set_defaults(fn=cmd_registry_dump)
+
+    rp = regsub.add_parser("prune", help="garbage-collect registry data")
+    rp.add_argument("registry")
+    rp.add_argument("--keep", type=int, default=None,
+                    help="also drop data for all but the newest N versions "
+                         "per entity (current always kept)")
+    rp.set_defaults(fn=cmd_registry_prune)
 
     args = p.parse_args(argv)
     if hasattr(args, "kind") and args.command == "registry":

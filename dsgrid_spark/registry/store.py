@@ -156,6 +156,51 @@ class RegistryStore:
         if entry and version in [e["version"] for e in entry["log"]]:
             raise RegistryError(f"{kind}/{entity_id}@{version} already exists")
 
+    def prune(self, keep_versions: Optional[int] = None) -> dict[str, list[str]]:
+        """Garbage-collect the registry tree: staging leftovers from
+        crashed registrations, version dirs the index never acknowledged
+        (orphans), and — with ``keep_versions`` — all but the newest N
+        data dirs per entity (the current version is always kept). The
+        registration log keeps full history either way; pruned versions
+        can no longer be loaded or pinned. Returns the removed paths by
+        category."""
+        removed: dict[str, list[str]] = {"staging": [], "orphans": [],
+                                         "old_versions": []}
+
+        def _semver_key(v: str):
+            return tuple(int(x) for x in v.split("."))
+
+        with self._locked():
+            index = self._read_index()
+            for kind in KINDS:
+                kind_dir = self.root / kind
+                if not kind_dir.exists():
+                    continue
+                for ent_dir in sorted(kind_dir.iterdir()):
+                    if not ent_dir.is_dir():
+                        continue
+                    entry = index[kind].get(ent_dir.name)
+                    known = ([e["version"] for e in entry["log"]]
+                             if entry else [])
+                    for vdir in sorted(ent_dir.iterdir()):
+                        if not vdir.is_dir():
+                            continue
+                        if vdir.name.startswith(".staging-"):
+                            shutil.rmtree(vdir)
+                            removed["staging"].append(str(vdir))
+                        elif vdir.name not in known:
+                            shutil.rmtree(vdir)
+                            removed["orphans"].append(str(vdir))
+                    if entry and keep_versions is not None:
+                        keep = set(sorted(known, key=_semver_key)[-keep_versions:])
+                        keep.add(entry["current"])
+                        for v in known:
+                            vdir = ent_dir / v
+                            if v not in keep and vdir.exists():
+                                shutil.rmtree(vdir)
+                                removed["old_versions"].append(str(vdir))
+        return removed
+
     # ---- index ---------------------------------------------------------
     @property
     def _index_path(self) -> Path:

@@ -351,3 +351,36 @@ def test_registry_over_file_uri_root(spark, load_df, tmp_path):
              / "table.parquet")
     df = spark.read.parquet(f"file://{table}")
     assert df.count() == load_df.count()
+
+
+def test_registry_prune(spark, load_df, tmp_path, capsys):
+    """prune removes staging leftovers and orphans always, old version
+    data only with keep_versions; the log keeps full history."""
+    from dsgrid_spark.cli import main as cli_main
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df, validate=False)
+    store.update_dataset("load", load_df, validate=False)   # 2.0.0
+    store.update_dataset("load", load_df, validate=False)   # 3.0.0
+    ds_dir = tmp_path / "reg" / "datasets" / "load"
+    (ds_dir / ".staging-9.9.9").mkdir()
+    orphan = ds_dir / "8.0.0"
+    orphan.mkdir()
+
+    removed = store.prune()
+    assert any(".staging-9.9.9" in p for p in removed["staging"])
+    assert any("8.0.0" in p for p in removed["orphans"])
+    assert removed["old_versions"] == []
+    assert (ds_dir / "1.0.0").exists()
+
+    removed = store.prune(keep_versions=1)
+    assert sorted(p.rsplit("/", 1)[1] for p in removed["old_versions"]) == [
+        "1.0.0", "2.0.0"]
+    assert (ds_dir / "3.0.0").exists() and not (ds_dir / "1.0.0").exists()
+    assert [e["version"] for e in store.log("datasets", "load")] == [
+        "1.0.0", "2.0.0", "3.0.0"]  # history intact
+
+    rc = cli_main(["registry", "prune", str(tmp_path / "reg"), "--keep", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"staging"' in out
