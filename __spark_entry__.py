@@ -1915,11 +1915,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang ORDER BY hb, doc_id) <= 50
             )
             SELECT doc_id, lang, source,
-                   CAST(floor((sum(n_chars) OVER (
-                          PARTITION BY lang ORDER BY hb, doc_id
-                          ROWS UNBOUNDED PRECEDING) - n_chars)
-                        / 5000.0) AS BIGINT) AS batch_index
-            FROM capped
+                   dense_rank() OVER (PARTITION BY lang ORDER BY raw_batch)
+                     - 1 AS batch_index
+            FROM (
+              SELECT doc_id, lang, source,
+                     CAST(floor((sum(n_chars) OVER (
+                            PARTITION BY lang ORDER BY hb, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars)
+                          / 5000.0) AS BIGINT) AS raw_batch
+              FROM capped
+            )
         """,
         "q47_fingerprint": f"""
             SELECT doc_id,

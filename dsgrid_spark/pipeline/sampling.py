@@ -107,9 +107,20 @@ def pack_sequences(df: DataFrame, group_columns: list[str], key_column: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     running = F.sum(F.col(size_column)).over(w)
-    # the batch is decided by the running total BEFORE the row: a row
-    # whose predecessors already filled k whole budgets opens batch k
-    return df.withColumn(
-        "batch_index",
-        F.floor((running - F.col(size_column)) / F.lit(budget)).cast("long"),
+    # the raw batch is decided by the running total BEFORE the row: a row
+    # whose predecessors already filled k whole budgets opens batch k.
+    # An oversized document consumes several budget slots, leaving gaps in
+    # the raw numbering — dense_rank compacts them to contiguous indices
+    # (same partitioning, so no extra shuffle; just a second in-partition
+    # sort).
+    raw = F.floor((running - F.col(size_column)) / F.lit(budget))
+    return (
+        df.withColumn("__raw_batch", raw)
+        .withColumn(
+            "batch_index",
+            (F.dense_rank().over(
+                Window.partitionBy(*group_columns).orderBy("__raw_batch"))
+             - 1).cast("long"),
+        )
+        .drop("__raw_batch")
     )

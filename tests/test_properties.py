@@ -126,3 +126,40 @@ def test_exact_dedup_idempotent(spark, seed):
         sorted(r["doc_id"] for r in twice.collect())
     # survivors are the min-id of each normalized group
     assert sorted(r["doc_id"] for r in once.collect()) == [0, 3, 5]
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=300), min_size=1,
+                   max_size=40),
+    budget=st.integers(min_value=50, max_value=500),
+)
+@SETTINGS
+def test_pack_sequences_invariants(spark, sizes, budget):
+    """Packing invariants over random corpora: every row gets a batch,
+    batch indices are contiguous from 0, every batch's total is within
+    (budget, budget + max_doc) except the last, and the assignment is
+    invariant under repartitioning (determinism at cluster scale)."""
+    from dsgrid_spark.pipeline.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "g", s) for i, s in enumerate(sizes)],
+        "doc_id long, grp string, n_tokens int",
+    )
+    out = pack_sequences(df, ["grp"], "doc_id", "n_tokens", budget).collect()
+    assert len(out) == len(sizes)
+    by_batch: dict[int, int] = {}
+    for r in out:
+        by_batch[r["batch_index"]] = by_batch.get(r["batch_index"], 0) + r["n_tokens"]
+    n_batches = len(by_batch)
+    assert sorted(by_batch) == list(range(n_batches))
+    max_doc = max(sizes)
+    for b, tot in by_batch.items():
+        if b < n_batches - 1:
+            # a non-final batch only closes once it crossed the budget
+            assert budget < tot + max_doc  # lower bound up to one doc short
+        assert tot <= budget + max_doc
+    # determinism across partition layouts
+    out2 = pack_sequences(df.repartition(7), ["grp"], "doc_id", "n_tokens",
+                          budget).collect()
+    assert {(r["doc_id"], r["batch_index"]) for r in out2} == \
+           {(r["doc_id"], r["batch_index"]) for r in out}
