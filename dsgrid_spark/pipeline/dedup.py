@@ -278,6 +278,86 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     return uniq.join(to_drop, id_column, "left_anti")
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over a duplicate-pair edge list by min-label
+    propagation: every vertex converges to the smallest id reachable from
+    it. Returns (id, component).
+
+    Each iteration is one distributed join + groupBy (labels and edges
+    shuffle on id — bytes per vertex/edge, never payloads); the driver
+    only checks a scalar convergence count. Near-dup graphs have tiny
+    diameters (duplicate clusters are dense), so this converges in 2-3
+    iterations; ``max_iterations`` bounds pathological chains.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (not persist) after every round: each iteration's
+    # plan embeds TWO copies of the previous labels plan, so without
+    # lineage truncation the plan tree doubles per round and the
+    # optimizer OOMs after a handful of iterations
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("__nmin", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(df: DataFrame, pairs: DataFrame,
+                       id_column: str = "doc_id") -> DataFrame:
+    """Transitive-closure dedup: keep one representative (the min id) per
+    connected component of the duplicate-pair graph.
+
+    Stricter than per-pair dropping: in a component {1, 5, 3} with edges
+    (1,5) and (3,5) only, pairwise drop keeps 3 (its only neighbor is
+    larger) while the closure keeps just 1. Rows not in any pair pass
+    through untouched.
+    """
+    comp = connected_components(pairs, max_iterations=20)
+    reps = comp.filter(F.col("id") == F.col("component")).select("id")
+    in_graph = comp.select("id")
+    keep_from_graph = df.join(
+        reps.withColumnRenamed("id", id_column), id_column, "left_semi")
+    untouched = df.join(
+        in_graph.withColumnRenamed("id", id_column), id_column, "left_anti")
+    return keep_from_graph.unionByName(untouched)
+
+
 def simhash(text_column: str = "text", bits: int = 64) -> "F.Column":
     """64-bit SimHash over word tokens, via bit-vote aggregation.
 

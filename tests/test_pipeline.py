@@ -354,3 +354,37 @@ def test_benchmark_contamination(spark):
     flagged = benchmark_contamination(corpus, bench, shingle_k=5,
                                       min_shared=2)
     assert {r["doc_id"] for r in flagged.collect()} == {10}
+
+
+def test_connected_components_and_duplicate_clusters(spark):
+    from dsgrid_spark.pipeline.dedup import (
+        connected_components, duplicate_clusters,
+    )
+
+    # component {1,5,3} with edges (1,5),(3,5): pairwise drop would keep
+    # 3 (only neighbor is larger); closure keeps just 1. Plus chain
+    # 10-11-12 and isolated 20.
+    pairs = spark.createDataFrame(
+        [(1, 5), (3, 5), (10, 11), (11, 12)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 5: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 3, 5, 10, 11, 12, 20)],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in duplicate_clusters(docs, pairs).collect())
+    assert kept == [1, 10, 20]
+
+
+def test_connected_components_long_chain(spark):
+    """A 6-node path needs several propagation rounds; min label reaches
+    the far end within the iteration cap."""
+    from dsgrid_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 7
