@@ -252,7 +252,8 @@ def benchmark_contamination(df: DataFrame, benchmark: DataFrame,
 def minhash_dedup(df: DataFrame, text_column: str = "text",
                   id_column: str = "doc_id", num_hashes: int = 32,
                   num_bands: int = 4, shingle_k: int = 5,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  transitive: bool = False) -> DataFrame:
     """Full near-dedup: exact dedup → minhash → LSH bands → Jaccard
     verify → drop the higher id of each duplicate pair.
 
@@ -261,6 +262,10 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     same survivor set while shrinking LSH buckets — on corpora with heavy
     exact duplication this is the difference between O(survivors²) and
     O(corpus²) within hot buckets.
+
+    ``transitive=True`` switches the final drop to connected-component
+    clustering (one representative per duplicate CLUSTER, not per pair):
+    stricter when duplicate chains exist, a few extra tiny-join rounds.
     """
     uniq = exact_dedup(df, text_column, id_column).persist()
     uniq.count()
@@ -274,6 +279,8 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     cands.count()
     dups = ngram_jaccard_pairs(uniq, text_column, id_column, shingle_k,
                                threshold, candidates=cands)
+    if transitive:
+        return duplicate_clusters(uniq, dups, id_column)
     to_drop = dups.select(F.col("id_b").alias(id_column)).distinct()
     return uniq.join(to_drop, id_column, "left_anti")
 

@@ -388,3 +388,12 @@ def test_connected_components_long_chain(spark):
     comp = {r["id"]: r["component"]
             for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {0} and len(comp) == 7
+
+
+def test_minhash_dedup_transitive(docs):
+    """transitive=True keeps one representative per duplicate cluster."""
+    out = minhash_dedup(docs, "text", "doc_id", num_hashes=64, num_bands=32,
+                        shingle_k=3, threshold=0.5, transitive=True)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in kept and 4 in kept and 5 in kept
+    assert 1 not in kept and 2 not in kept and 3 not in kept
