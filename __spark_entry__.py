@@ -1256,7 +1256,7 @@ def q13_composite_dataset(spark, sf_dir):
         F.col("o_totalprice").alias("value"))
     cat = Catalog(spark)
     cat.register_dataset("orders_fact", orders)
-    sub = QuerySubmitter(cat, output_dir=tempfile.mkdtemp(prefix="dsgrid_q66_"))
+    sub = QuerySubmitter(cat, output_dir=tempfile.mkdtemp(prefix="dsgrid_q13_"))
     sub.create_composite_dataset(ProjectQueryModel(
         name="by_prio_status",
         source_datasets=[DatasetModel(dataset_id="orders_fact")],

@@ -100,7 +100,8 @@ def minhash_signatures(df: DataFrame, text_column: str = "text",
 
 def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
                         num_bands: int = 4,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        signature_length: int | None = None) -> DataFrame:
     """Band the minhash signatures and self-join buckets → candidate pairs.
 
     Only (band_id, band_hash, doc_id) rows shuffle. Returns distinct
@@ -114,8 +115,12 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
     been exact-deduped (minhash_dedup does this) and band count is
     healthy; set it (e.g. 10_000) for web-scale crawls with boilerplate.
     """
-    sig_len_row = df.select(F.size("minhash").alias("n")).limit(1).collect()
-    rows_per_band = (sig_len_row[0]["n"] if sig_len_row else 0) // num_bands or 1
+    if signature_length is None:
+        # caller didn't say how long the signatures are — probe one row
+        # (costs a tiny extra job; pass signature_length to skip it)
+        sig_len_row = df.select(F.size("minhash").alias("n")).limit(1).collect()
+        signature_length = sig_len_row[0]["n"] if sig_len_row else 0
+    rows_per_band = signature_length // num_bands or 1
     # band hash from a slice of the signature (one slice + one cast per
     # band) rather than rows_per_band indexed element references — keeps
     # generated code small at high band counts
@@ -270,7 +275,8 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     uniq = exact_dedup(df, text_column, id_column).persist()
     uniq.count()
     with_sig = minhash_signatures(uniq, text_column, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(with_sig, id_column, num_bands)
+    cands = lsh_candidate_pairs(with_sig, id_column, num_bands,
+                                signature_length=num_hashes)
     # the candidate-pair join is referenced three times downstream (the
     # shingle semi-join and both sides of the verify join) — materialize
     # the tiny (id, id) pair set once instead of re-running the bucket
