@@ -69,15 +69,32 @@ class PivotedResultFormat(BaseModel):
     pivot_values: Optional[list[str]] = None
 
 
+class PeakLoadReportModel(BaseModel):
+    """Peak-load report as a result-phase step (reference
+    ReportInputModel, models.py:489-499 + report_peak_load.py:36-70):
+    keep the per-group argmax row(s) of the result table."""
+
+    report_type: Literal["peak_load"] = "peak_load"
+    group_by_columns: list[str]
+    value_column: str = "value"
+    #: deterministic argmax; empty = keep all ties (reference join-back)
+    tie_breakers: list[str] = Field(default_factory=list)
+
+
 class ResultModel(BaseModel):
     """Result-phase params (reference models.py:426-524)."""
 
     filters: list[FilterModel] = Field(default_factory=list)
     aggregations: list[AggregationModel] = Field(default_factory=list)
+    #: post-aggregation reports (reference `reports`)
+    reports: list[PeakLoadReportModel] = Field(default_factory=list)
     sort_columns: list[str] = Field(default_factory=list)
     replace_ids_with_names: bool = False
     output_format: Literal["stacked", "pivoted"] = "stacked"
     pivoted: Optional[PivotedResultFormat] = None
+    #: an IANA zone name, or the literal "geography" to convert each row
+    #: through its geography's zone from the registered geography
+    #: dimension records (reference time_zone: str | Literal["geography"])
     time_zone: Optional[str] = None
     #: final column renames — the reference's column naming modes
     #: (dimension-type vs dimension-query names, models.py:104-109)

@@ -302,6 +302,12 @@ class QuerySubmitter:
             if result.aggregations:
                 df = self._apply_aggregations_with_supplemental(
                     df, result.aggregations)
+        for report in getattr(result, "reports", []):
+            from dsgrid_spark.operators.reports import peak_load
+
+            df = peak_load(df, report.group_by_columns,
+                           value_column=report.value_column,
+                           tie_breakers=report.tie_breakers or None)
         if result.replace_ids_with_names:
             df = self._replace_ids_with_names(df)
         if result.sort_columns:
@@ -312,14 +318,38 @@ class QuerySubmitter:
         if result.time_zone:
             from pyspark.sql.types import TimestampType
 
-            from dsgrid_spark.timedim.conversion import convert_time_zone
+            from dsgrid_spark.timedim.conversion import (
+                convert_time_zone, convert_time_zone_by_geography,
+            )
 
-            for f in df.schema.fields:
-                if isinstance(f.dataType, TimestampType):
-                    df = convert_time_zone(df, f.name, result.time_zone)
+            ts_cols = [f.name for f in df.schema.fields
+                       if isinstance(f.dataType, TimestampType)]
+            if result.time_zone == "geography":
+                records = self._geography_records()
+                for c in ts_cols:
+                    df = convert_time_zone_by_geography(
+                        df, c, records, "geography").drop("time_zone")
+            else:
+                for c in ts_cols:
+                    df = convert_time_zone(df, c, result.time_zone)
         if result.column_names:
             df = df.withColumnsRenamed(result.column_names)
         return df
+
+    def _geography_records(self) -> DataFrame:
+        """Geography dimension records (id, time_zone) for
+        time_zone='geography' (reference aligns rows through each
+        geography's zone from the project's geography dimension)."""
+        name = None
+        if self.project is not None:
+            name = self.project.base_dimensions.get("geography")
+        for candidate in filter(None, [name, "geography"]):
+            if candidate in self.catalog.dimensions:
+                return self.catalog.dimension(candidate)
+        raise ValueError(
+            "time_zone='geography' needs a registered geography dimension "
+            "with (id, time_zone) records"
+        )
 
     def register_derived_dataset(self, dataset_id: str) -> None:
         """Register a saved composite dataset back into the catalog as a

@@ -504,3 +504,69 @@ def test_json5_lite_inline_comments(tmp_path):
     assert load_spec(p) == {
         "sf": 1, "s": "a//b /* not a comment */ ,}", "xs": [1, 2],
     }
+
+
+def test_result_phase_peak_load_report(catalog):
+    """reports=[peak_load] keeps the per-group argmax of the result table
+    (reference ReportInputModel + report_peak_load.py)."""
+    from dsgrid_spark.query.models import PeakLoadReportModel
+
+    q = ProjectQueryModel(
+        name="peak", source_datasets=[DatasetModel(dataset_id="load")],
+        result=ResultModel(
+            aggregations=[AggregationModel(
+                group_by_columns=[ColumnModel(dimension_name="geography"),
+                                  ColumnModel(dimension_name="timestamp")],
+                aggregation_function="sum")],
+            reports=[PeakLoadReportModel(
+                group_by_columns=["geography"], tie_breakers=["timestamp"])],
+        ),
+    )
+    out = QuerySubmitter(catalog).submit(q)
+    rows = out.collect()
+    # one argmax row per county; its value is the max over that county
+    assert len(rows) == 4
+    full = QuerySubmitter(catalog).submit(ProjectQueryModel(
+        name="all", source_datasets=[DatasetModel(dataset_id="load")],
+        result=ResultModel(aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="geography"),
+                              ColumnModel(dimension_name="timestamp")],
+            aggregation_function="sum")]),
+    ))
+    maxes = {r["geography"]: r["mx"] for r in full.groupBy("geography")
+             .agg(F.max("value").alias("mx")).collect()}
+    for r in rows:
+        assert r["value"] == pytest.approx(maxes[r["geography"]])
+
+
+def test_result_phase_time_zone_geography(catalog):
+    """time_zone='geography' converts each row through its geography's
+    zone from the registered dimension records."""
+    q = ProjectQueryModel(
+        name="tzgeo", source_datasets=[DatasetModel(dataset_id="load")],
+        result=ResultModel(
+            aggregations=[AggregationModel(
+                group_by_columns=[ColumnModel(dimension_name="geography"),
+                                  ColumnModel(dimension_name="timestamp")],
+                aggregation_function="sum")],
+            time_zone="geography",
+        ),
+    )
+    out = QuerySubmitter(catalog).submit(q)
+    assert "time_zone" not in out.columns
+    got = {(r["geography"], r["timestamp"]) for r in out.collect()}
+    utc = QuerySubmitter(catalog).submit(ProjectQueryModel(
+        name="utc", source_datasets=[DatasetModel(dataset_id="load")],
+        result=ResultModel(aggregations=[AggregationModel(
+            group_by_columns=[ColumnModel(dimension_name="geography"),
+                              ColumnModel(dimension_name="timestamp")],
+            aggregation_function="sum")]),
+    )).collect()
+    # January: LA counties shift -8h, Denver counties -7h
+    import datetime as dt
+
+    offset = {"06037": 8, "06073": 8, "08031": 7, "08001": 7}
+    expected = {(r["geography"],
+                 r["timestamp"] - dt.timedelta(hours=offset[r["geography"]]))
+                for r in utc}
+    assert got == expected
