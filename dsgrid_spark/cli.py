@@ -178,10 +178,16 @@ def cmd_run(args) -> int:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted")))
     if args.output:
-        out = Path(args.output) / query.name / "table.parquet"
-        from dsgrid_spark.sources.writers import write_parquet
+        fmt = getattr(args, "output_format", "parquet") or "parquet"
+        out = Path(args.output) / query.name / f"table.{fmt}"
+        if fmt == "csv":
+            from dsgrid_spark.sources.writers import write_csv
 
-        write_parquet(df, out)
+            write_csv(df, out)
+        else:
+            from dsgrid_spark.sources.writers import write_parquet
+
+            write_parquet(df, out)
         print(f"wrote {out}")
     if args.show:
         df.show(args.show, truncate=False)
@@ -285,6 +291,9 @@ def main(argv: list[str] | None = None) -> int:
     run = sub.add_parser("run", help="run a project query spec")
     run.add_argument("spec")
     run.add_argument("--output", default=None)
+    run.add_argument("--output-format", choices=["parquet", "csv"],
+                     default="parquet",
+                     help="result file format (reference output_format)")
     run.add_argument("--show", type=int, default=0)
     run.add_argument("--explain", action="store_true",
                      help="print the formatted physical plan")
