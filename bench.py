@@ -4,6 +4,12 @@ JSON line with per-query wall seconds.
 
 Each query is forced with a count() (no driver-side result transfer
 beyond the count) after a warm-up of the input file listing.
+
+Series note (round 3): the q01-q50 consolidation merged extra operators
+into several headline slots as tagged unions (q07 +disaggregation,
+q12 +top-k, q23 +upsample, q50 +interpolated DST, q43 +contamination),
+so those queries now do strictly more work per run than in rounds 1-2 —
+the per-slot numbers are not like-for-like with BENCH_r1/r2.
 """
 
 from __future__ import annotations
