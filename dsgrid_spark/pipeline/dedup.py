@@ -374,21 +374,24 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame,
 def simhash(text_column: str = "text", bits: int = 64) -> "F.Column":
     """64-bit SimHash over word tokens, via bit-vote aggregation.
 
-    For each bit position i (a Python-side literal — Spark's shift
-    functions require literal distances), sum +1/-1 votes across token
-    hashes with ``aggregate``; the sign becomes bit i. No UDF, no
-    shuffle; one codegen'd expression tree.
+    For each bit position i, sum +1/-1 votes across token hashes with
+    ``aggregate``; the sign becomes bit i. No UDF, no shuffle; one
+    codegen'd expression tree.
     """
     words = F.filter(F.split(_normalized(text_column), " "), lambda w: w != "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
 
     # ONE fold accumulating all 64 bit-votes at once (separate per-bit
-    # aggregates would re-evaluate the tokenization 64x per row)
+    # aggregates would re-evaluate the tokenization 64x per row). The
+    # per-bit extraction walks a sequence with getbit instead of inlining
+    # 64 shiftright subtrees — generated code stays O(1) in `bits` (the
+    # same codegen-size fix as the minhash coefficient fold).
     def votes_of(h):
-        return F.array(*[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for i in range(bits)
-        ])
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda i: F.when(F.call_function("getbit", h, i) == 1,
+                             1).otherwise(-1),
+        )
 
     votes = F.aggregate(
         hashes,
