@@ -771,15 +771,20 @@ def q41_representative_time(spark, sf_dir):
 
 
 def q42_language_id(spark, sf_dir):
-    """Marker-based language identification + quality scoring in one
-    per-document projection (pipeline ops)."""
-    from dsgrid_spark.pipeline.text import language_id, quality_score
+    """Marker-based language identification + quality scoring +
+    Gopher-style repetition metrics in one per-document projection
+    (pipeline ops)."""
+    from dsgrid_spark.pipeline.text import (
+        dup_word_ppm, language_id, quality_score, top_bigram_ppm,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         language_id(F.col("text")).alias("lang_pred"),
         F.round(quality_score(F.col("text")), 6).alias("quality"),
+        dup_word_ppm(F.col("text")).alias("dup_word_ppm"),
+        top_bigram_ppm(F.col("text")).alias("top_bigram_ppm"),
     )
 
 
@@ -1406,8 +1411,23 @@ _LANG_ID_SQL = f"""
                    / len(text)
                  ELSE 0.0 END
                + s_en / 8.0
-           ) / 3.0, 6) AS quality
-    FROM scored
+           ) / 3.0, 6) AS quality,
+           CASE WHEN len(ws) > 0 THEN
+             CAST(floor((len(ws) - len(list_distinct(ws))) * 1000000.0
+                        / len(ws)) AS BIGINT)
+           ELSE 0 END AS dup_word_ppm,
+           CASE WHEN len(ws) >= 2 THEN
+             CAST(floor(list_max(list_transform(list_distinct(bgs),
+                    d -> len(list_filter(bgs, x -> x = d)))) * 1000000.0
+                        / (len(ws) - 1)) AS BIGINT)
+           ELSE 0 END AS top_bigram_ppm
+    FROM (
+      SELECT *, list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1]) AS bgs
+      FROM (
+        SELECT *, string_split_regex(trim(text), '\\s+') AS ws FROM scored
+      )
+    )
 """
 
 

@@ -104,6 +104,54 @@ def count_pattern(text: Column, pattern: str) -> Column:
     return F.regexp_count(text, F.lit(pattern))
 
 
+def dup_word_ppm(text: Column) -> Column:
+    """Repeated-word fraction in parts-per-million (floor): how much of
+    the document is re-occurrences of words already seen.
+
+    Gopher-style repetition signal (duplicate-line fraction adapted to
+    single-line corpora). Pure array expression — ``array_distinct`` on
+    the per-row token array, no explode/shuffle — so it stays inside
+    whole-stage codegen and scales linearly with rows.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    dup = n - F.size(F.array_distinct(words))
+    return (
+        F.when(n > 0, F.floor(dup.cast("long") * F.lit(1000000) / n))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def top_bigram_ppm(text: Column) -> Column:
+    """Most-frequent word-bigram share in parts-per-million (floor).
+
+    High values flag boilerplate/templated text (the Gopher
+    top-2-gram-fraction filter). Bigrams come from zipping the token
+    array with its own tail; the per-distinct-bigram count is a nested
+    higher-order expression over the same array — O(distinct x n) per
+    row on typically-short arrays, zero shuffle.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+        )
+    )
+    return (
+        F.when(n >= 2, F.floor(top.cast("long") * F.lit(1000000) / (n - 1)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit rolling-hash document fingerprint (xxhash64 of normalized text).
 

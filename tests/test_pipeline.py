@@ -161,6 +161,34 @@ def test_text_analysis_columns(spark):
     assert fps[0] == fps[1]
 
 
+def test_repetition_metrics(spark):
+    from dsgrid_spark.pipeline.text import dup_word_ppm, top_bigram_ppm
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b c a"),      # 6 words / 3 distinct; "a b" x2 of 5 bigrams
+            (1, "p q r s"),          # all unique; every bigram once
+            (2, "x"),                # single word: no bigrams
+            (3, ""),                 # empty
+            (4, "go go go go"),      # fully repeated
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_word_ppm(F.col("text")).alias("dw"),
+            top_bigram_ppm(F.col("text")).alias("tb"),
+        ).collect()
+    }
+    assert out[0]["dw"] == 500_000 and out[0]["tb"] == 400_000
+    assert out[1]["dw"] == 0 and out[1]["tb"] == 333_333
+    assert out[2]["dw"] == 0 and out[2]["tb"] == 0
+    assert out[3]["dw"] == 0 and out[3]["tb"] == 0
+    assert out[4]["dw"] == 750_000 and out[4]["tb"] == 1_000_000
+
+
 def test_multimodal_plumbing(spark):
     from dsgrid_spark.pipeline.multimodal import (
         extract_image_features,
