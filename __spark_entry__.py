@@ -1195,16 +1195,31 @@ def q17_expression_extended(spark, sf_dir):
 
 
 def q39_embedding_centroids(spark, sf_dir):
-    """Element-wise mean embedding per label (training-data cluster
-    summaries): posexplode + partial-agg groupBy — shuffle carries only
-    groups x dim partial sums."""
-    from dsgrid_spark.pipeline.similarity import embedding_centroids
+    """Tagged union: 'centroid' = element-wise mean embedding per label
+    (posexplode + partial-agg groupBy — shuffle carries only groups x
+    dim partial sums); 'quant' = symmetric int8 quantization of a
+    vector subset (per-row array HOFs, zero shuffle)."""
+    from dsgrid_spark.pipeline.similarity import (
+        embedding_centroids, quantize_embeddings,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    out = embedding_centroids(emb, ["label"])
-    return out.select("label", "pos", F.round("value", 6).alias("value"))
+    cent = embedding_centroids(emb, ["label"]).select(
+        F.lit("centroid").alias("op"),
+        F.col("label").cast("long").alias("gid"),
+        "pos",
+        F.round("value", 6).alias("value"),
+    )
+    quant = quantize_embeddings(emb.filter(F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("gid"),
+        F.posexplode("qvec").alias("pos", "qv"),
+    ).select(
+        F.lit("quant").alias("op"), "gid", "pos",
+        F.col("qv").cast("double").alias("value"),
+    )
+    return cent.unionByName(quant)
 
 
 def q11_aggregate_each_dataset(spark, sf_dir):
@@ -2098,10 +2113,22 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN b USING (o_orderpriority)
         """,
         "q39_embedding_centroids": """
-            SELECT label, i AS pos,
+            SELECT 'centroid' AS op, CAST(label AS BIGINT) AS gid, i AS pos,
                    round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS value
             FROM embeddings, (SELECT unnest(range(64)) AS i) idx
-            GROUP BY 1, 2
+            GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 'quant' AS op, vec_id AS gid, i AS pos,
+                   CAST(round(v[i + 1] / s) AS DOUBLE) AS value
+            FROM (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+              FROM (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id < 10
+              )
+            ), (SELECT unnest(range(64)) AS i) idx
         """,
         "q11_aggregate_each_dataset": """
             SELECT o_orderpriority, 'early' AS era,

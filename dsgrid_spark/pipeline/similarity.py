@@ -38,6 +38,45 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def normalize_embeddings(df: DataFrame, vector_column: str = "embedding",
+                         output_column: str | None = None) -> DataFrame:
+    """L2-normalize each vector onto the unit sphere (cosine becomes a
+    plain dot product downstream). JVM-side ``transform`` over the
+    array — per-row, zero shuffle; all-zero vectors pass through
+    unchanged rather than dividing by zero.
+    """
+    out = output_column or vector_column
+    v = F.col(vector_column)
+    n = norm(v)
+    return df.withColumn(
+        out, F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    )
+
+
+def quantize_embeddings(df: DataFrame, vector_column: str = "embedding",
+                        bits: int = 8, output_column: str = "qvec",
+                        scale_column: str = "qscale") -> DataFrame:
+    """Symmetric per-vector integer quantization: ``scale = max_abs /
+    (2^(bits-1) - 1)``, ``q_i = round(x_i / scale)``.
+
+    At 100 TB an int8 shortlist is a 4x memory/shuffle cut for ANN
+    re-ranking; dequantize with ``q * scale``. Per-row array HOFs only
+    (``array_max`` + ``transform``) — whole-stage codegen, no shuffle.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vector_column)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(float(qmax))
+    quantized = F.when(
+        max_abs > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        df.withColumn(scale_column, scale)
+        .withColumn(output_column, quantized)
+    )
+
+
 def embedding_centroids(df: DataFrame, group_columns: list[str],
                         vector_column: str = "embedding") -> DataFrame:
     """Element-wise mean vector per group, long form

@@ -161,6 +161,30 @@ def test_text_analysis_columns(spark):
     assert fps[0] == fps[1]
 
 
+def test_normalize_and_quantize_embeddings(spark):
+    from dsgrid_spark.pipeline.similarity import (
+        normalize_embeddings, quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [-1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in normalize_embeddings(df).collect()}
+    assert out[0]["embedding"] == [0.6, 0.8]
+    assert out[1]["embedding"] == [0.0, 0.0]          # zero-norm passthrough
+
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert q[0]["qvec"] == [95, 127]                  # round(3/(4/127)), 127
+    assert q[1]["qvec"] == [0, 0] and q[1]["qscale"] == 0.0
+    assert q[2]["qvec"] == [-127, 64]                 # round(0.5/(1/127)) = 64
+    # dequantization error bounded by scale/2 per element
+    for r in quantize_embeddings(df).collect():
+        orig = {0: [3.0, 4.0], 1: [0.0, 0.0], 2: [-1.0, 0.5]}[r["vec_id"]]
+        for qv, x in zip(r["qvec"], orig):
+            assert abs(qv * r["qscale"] - x) <= r["qscale"] / 2 + 1e-12
+
+
 def test_repetition_metrics(spark):
     from dsgrid_spark.pipeline.text import dup_word_ppm, top_bigram_ppm
 
