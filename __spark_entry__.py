@@ -381,16 +381,33 @@ def q20_unpivot(spark, sf_dir):
 
 
 def q21_scalar_datetime(spark, sf_dir):
-    """Scalar date/arith functions in group-by (SURVEY §2.9)."""
+    """Tagged union: 'month' = scalar date/arith functions in group-by
+    (SURVEY §2.9); 'session' = gap-based sessionization of the events
+    stream via the native session_window operator (8h gap), k2 carrying
+    the session-start epoch."""
+    from dsgrid_spark.streaming.ops import sessionize
+
     li = _t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    month = (
         li.groupBy(
-            F.year("l_shipdate").cast("long").alias("ship_year"),
-            F.month("l_shipdate").cast("long").alias("ship_month"),
+            F.year("l_shipdate").cast("long").alias("k1"),
+            F.month("l_shipdate").cast("long").alias("k2"),
         )
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(revenue), 2).alias("value"))
+        .select(F.lit("month").alias("op"), "k1", "k2", "n", "value")
     )
+    ev = _t(spark, sf_dir, "events")
+    session = sessionize(ev, "ts", ["user_id"], gap="8 hours",
+                         value_column="value").select(
+        F.lit("session").alias("op"),
+        F.col("user_id").alias("k1"),
+        F.unix_timestamp("session_start").alias("k2"),
+        F.col("n_events").cast("long").alias("n"),
+        F.round("value_sum", 6).alias("value"),
+    )
+    return month.unionByName(session)
 
 
 def q22_unit_conversion(spark, sf_dir):
@@ -1623,10 +1640,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         """,
         "q21_scalar_datetime": """
-            SELECT extract(year FROM l_shipdate) AS ship_year,
-                   extract(month FROM l_shipdate) AS ship_month,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem GROUP BY 1, 2
+            SELECT 'month' AS op,
+                   extract(year FROM l_shipdate) AS k1,
+                   extract(month FROM l_shipdate) AS k2,
+                   count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+            FROM lineitem GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 'session' AS op, user_id AS k1,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS k2,
+                   count(*) AS n, round(sum(value), 6) AS value
+            FROM (
+              SELECT user_id, ts, value,
+                     sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+              FROM (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts) IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 >= INTERVAL '28800 seconds'
+                            THEN 1 ELSE 0 END AS newf
+                FROM events
+              )
+            )
+            GROUP BY user_id, sid
         """,
         "q22_unit_conversion": """
             SELECT event_id, event_type,

@@ -100,6 +100,37 @@ def running_total_stream(
     )
 
 
+def sessionize(df: DataFrame, time_column: str, keys: list[str],
+               gap: str = "8 hours",
+               value_column: str | None = None,
+               watermark: str | None = None) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window``:
+    events for the same key chain into one session while consecutive
+    gaps stay under ``gap``; the window end is last-event + gap.
+
+    Works on batch AND streaming input (pass ``watermark`` for streams
+    so session state is evicted once the watermark passes a session's
+    end). Catalyst's native session-window aggregation does the merge —
+    no per-row Python, state bounded by open sessions per key.
+    """
+    if watermark is not None:
+        df = df.withWatermark(time_column, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_column is not None:
+        aggs.append(F.sum(value_column).alias("value_sum"))
+    return (
+        df.groupBy(*keys, F.session_window(F.col(time_column), gap).alias("__s"))
+        .agg(*aggs)
+        .select(
+            *keys,
+            F.col("__s.start").alias("session_start"),
+            F.col("__s.end").alias("session_end"),
+            "n_events",
+            *(["value_sum"] if value_column is not None else []),
+        )
+    )
+
+
 def dedup_stream(stream: DataFrame, key_columns: list[str],
                  time_column: str | None = None,
                  watermark: str = "2 hours") -> DataFrame:

@@ -137,6 +137,49 @@ def test_streaming_map_and_window(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 4
 
 
+def test_sessionize_batch_and_stream(spark, tmp_path):
+    """Gap-based session_window: chained events merge, a gap over the
+    threshold splits; same operator runs on a watermarked stream."""
+    from dsgrid_spark.streaming.ops import read_fact_stream, sessionize
+
+    rows = [
+        # user a: two events 10 min apart, then a 2 h jump -> 2 sessions
+        (dt.datetime(2024, 1, 1, 0, 0), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 10), "a", 2.0),
+        (dt.datetime(2024, 1, 1, 2, 30), "a", 4.0),
+        # user b: single event -> 1 session
+        (dt.datetime(2024, 1, 1, 5, 0), "b", 8.0),
+    ]
+    schema = "ts timestamp, user string, value double"
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r["user"], r["session_start"]): (r["n_events"], r["value_sum"],
+                                          r["session_end"])
+        for r in sessionize(df, "ts", ["user"], gap="30 minutes",
+                            value_column="value").collect()
+    }
+    assert got[("a", dt.datetime(2024, 1, 1, 0, 0))] == (
+        2, 3.0, dt.datetime(2024, 1, 1, 0, 40))   # end = last event + gap
+    assert got[("a", dt.datetime(2024, 1, 1, 2, 30))] == (
+        1, 4.0, dt.datetime(2024, 1, 1, 3, 0))
+    assert got[("b", dt.datetime(2024, 1, 1, 5, 0))] == (
+        1, 8.0, dt.datetime(2024, 1, 1, 5, 30))
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "b1"))
+    stream = read_fact_stream(spark, str(src / "b1"), schema)
+    agg = sessionize(stream, "ts", ["user"], gap="30 minutes",
+                     value_column="value", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("sessions")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    srows = spark.sql("SELECT * FROM sessions").collect()
+    assert {(r["user"], r["session_start"]) for r in srows} == set(got)
+
+
 def test_streaming_running_total_stateful(spark, tmp_path):
     """Custom stateful op: lifetime per-key total via applyInPandasWithState,
     state carried across micro-batches."""
