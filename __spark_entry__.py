@@ -167,19 +167,65 @@ def q04_filter_subset(spark, sf_dir):
 
 
 def q06_join_multi(spark, sf_dir):
-    """Multi-table equi-join chain (SURVEY §2.3)."""
+    """Tagged union of join families (SURVEY §2.3 + temporal joins):
+    'multi' = multi-table equi-join chain; 'asof' = backward as-of join
+    of events to a weekly-changing per-user rate table (union+window
+    carry-forward, one shuffle); 'range' = bucket-binned interval join
+    of events into 6h maintenance windows (no nested-loop plan)."""
+    from dsgrid_spark.operators.temporal_joins import asof_join, range_join
+
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    return (
+    multi = (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
-        .groupBy(F.col("r_name").alias("region_name"))
+        .groupBy(F.col("r_name").alias("k"))
         .agg(
-            F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("value"),
+        )
+        .select(F.lit("multi").alias("op"), "k", "n", "value")
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01")))
+    # deterministic weekly rate schedule per user (same literal recipe
+    # as the oracle SQL)
+    rates = (
+        ev.select("user_id").distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"))
+        .select(
+            "user_id",
+            F.timestamp_seconds(base + F.col("k") * 604800).alias("valid_from"),
+            (((F.col("user_id") * 7 + F.col("k")) % 100) / 10.0).alias("rate"),
         )
     )
+    asof = (
+        asof_join(ev.select("user_id", "ts", "value"), rates,
+                  ["user_id"], "ts", "valid_from", ["rate"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("value") * F.col("rate")), 6).alias("value"))
+        .select(F.lit("asof").alias("op"),
+                F.col("user_id").cast("string").alias("k"), "n", "value")
+    )
+
+    windows = spark.range(10).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_seconds(base + F.col("id") * 3 * 86400).alias("w_start"),
+        F.timestamp_seconds(base + F.col("id") * 3 * 86400 + 21600).alias("w_end"),
+    )
+    rng = (
+        range_join(ev.select("ts", "value"), windows, "ts",
+                   "w_start", "w_end", bucket_seconds=21600)
+        .groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).alias("value"))
+        .select(F.lit("range").alias("op"),
+                F.col("window_id").cast("string").alias("k"), "n", "value")
+    )
+    return multi.unionByName(asof).unionByName(rng)
 
 
 def q07_map_dimension(spark, sf_dir):
@@ -1514,12 +1560,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q06_join_multi": """
-            SELECT r_name AS region_name, count(*) AS n_customers,
-                   round(sum(c_acctbal), 2) AS sum_acctbal
+            SELECT 'multi' AS op, r_name AS k, count(*) AS n,
+                   round(sum(c_acctbal), 2) AS value
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+            UNION ALL
+            SELECT 'asof' AS op, CAST(e.user_id AS VARCHAR) AS k,
+                   count(*) AS n, round(sum(e.value * r.rate), 6) AS value
+            FROM events e ASOF JOIN (
+              SELECT user_id,
+                     TIMESTAMP '2024-01-01' + to_days(7 * CAST(k AS INT))
+                       AS valid_from,
+                     ((user_id * 7 + k) % 100) / 10.0 AS rate
+              FROM (SELECT DISTINCT user_id FROM events),
+                   (SELECT unnest(range(5)) AS k)
+            ) r ON e.user_id = r.user_id AND e.ts >= r.valid_from
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT 'range' AS op, CAST(window_id AS VARCHAR) AS k,
+                   count(*) AS n, round(sum(value), 6) AS value
+            FROM events e JOIN (
+              SELECT w AS window_id,
+                     TIMESTAMP '2024-01-01' + to_days(3 * CAST(w AS INT))
+                       AS w_start,
+                     TIMESTAMP '2024-01-01' + to_days(3 * CAST(w AS INT))
+                       + to_hours(6) AS w_end
+              FROM (SELECT unnest(range(10)) AS w)
+            ) ON e.ts >= w_start AND e.ts < w_end
+            GROUP BY 1, 2
         """,
         "q07_map_dimension": """
             SELECT 'agg' AS mode, n.n_name AS geography,

@@ -19,6 +19,74 @@ from dsgrid_spark.operators.setops import symmetric_difference, union_checked
 from dsgrid_spark.operators.units import conversion_factor, convert_units
 
 
+def test_asof_join_backward(spark):
+    import datetime as dt
+
+    from dsgrid_spark.operators.temporal_joins import asof_join
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    events = spark.createDataFrame(
+        [("u1", T(0, 30), 1.0), ("u1", T(2, 0), 2.0), ("u1", T(5, 0), 4.0),
+         ("u2", T(1, 0), 8.0),   # u2 has no prior rate
+         ("u3", T(3, 0), 16.0)],
+        "user string, ts timestamp, value double",
+    )
+    rates = spark.createDataFrame(
+        [("u1", T(0), 10.0), ("u1", T(2), 20.0),  # exact tie at 02:00
+         ("u3", T(0), 30.0)],
+        "user string, valid_from timestamp, rate double",
+    )
+    out = asof_join(events, rates, ["user"], "ts", "valid_from", ["rate"])
+    got = {(r["user"], r["ts"]): r["rate"] for r in out.collect()}
+    assert got == {
+        ("u1", T(0, 30)): 10.0,
+        ("u1", T(2, 0)): 20.0,     # tie: simultaneous rate applies
+        ("u1", T(5, 0)): 20.0,
+        ("u3", T(3, 0)): 30.0,     # u2 dropped (inner)
+    }
+    # how='left' keeps u2 with NULL; tolerance drops stale matches
+    left = asof_join(events, rates, ["user"], "ts", "valid_from", ["rate"],
+                     how="left")
+    assert {r["user"]: r["rate"] for r in left.collect()}["u2"] is None
+    tol = asof_join(events, rates, ["user"], "ts", "valid_from", ["rate"],
+                    tolerance_seconds=3600)
+    assert {(r["user"], r["ts"]) for r in tol.collect()} == {
+        ("u1", T(0, 30)), ("u1", T(2, 0))}   # >1h-old matches dropped
+
+
+def test_range_join_binned_matches_naive(spark):
+    import datetime as dt
+
+    from dsgrid_spark.operators.temporal_joins import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=17 * i)) for i in range(200)],
+        "event_id long, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [(w, base + dt.timedelta(hours=5 * w),
+          base + dt.timedelta(hours=5 * w, minutes=90)) for w in range(10)],
+        "window_id long, w_start timestamp, w_end timestamp",
+    )
+    out = range_join(events, windows, "ts", "w_start", "w_end",
+                     bucket_seconds=3600)
+    naive = events.join(
+        windows,
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+    )
+    got = {(r["event_id"], r["window_id"]) for r in out.collect()}
+    want = {(r["event_id"], r["window_id"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
+    # the binned plan must not be a nested-loop / cartesian join
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pivot_unpivot_roundtrip_with_nulls(spark):
     df = spark.createDataFrame(
         [("a", "m1", 1.0), ("a", "m2", 2.0), ("b", "m1", 3.0)],
