@@ -473,7 +473,8 @@ def q22_unit_conversion(spark, sf_dir):
 def q23_time_downsample(spark, sf_dir):
     """Datetime re-resolution both directions (SURVEY §2.10), tagged
     union: 'down' = events to 6h TOTAL; 'up' = daily lineitem quantities
-    spread to 6-hourly TOTAL."""
+    spread to 6-hourly TOTAL; 'cascade:hour/day/month' = continuous-
+    aggregate rollup cascade (one raw shuffle, ReuseExchange-shared)."""
     from dsgrid_spark.timedim.conversion import upsample
 
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
@@ -493,7 +494,15 @@ def q23_time_downsample(spark, sf_dir):
         F.col("l_returnflag").alias("grp"),
         F.round("value", 6).alias("value"),
     )
-    return down.unionByName(up)
+    from dsgrid_spark.timedim.conversion import rollup_cascade
+
+    casc = rollup_cascade(ev, "ts", ["event_type"], "value").select(
+        F.concat(F.lit("cascade:"), F.col("level")).alias("mode"),
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.col("event_type").alias("grp"),
+        F.round("value", 4).alias("value"),
+    )
+    return down.unionByName(up).unionByName(casc)
 
 
 def q24_annual_to_hourly(spark, sf_dir):
@@ -1760,6 +1769,21 @@ def oracle_sql() -> dict[str, str]:
                      d.l_returnflag, round(d.value / 4, 6) AS value
               FROM daily d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) g
             )
+            UNION ALL
+            SELECT 'cascade:hour' AS mode,
+                   strftime(date_trunc('hour', ts), '{_DUCK_TS}') AS ts,
+                   event_type AS grp, round(sum(value), 4) AS value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'cascade:day' AS mode,
+                   strftime(date_trunc('day', ts), '{_DUCK_TS}') AS ts,
+                   event_type AS grp, round(sum(value), 4) AS value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'cascade:month' AS mode,
+                   strftime(date_trunc('month', ts), '{_DUCK_TS}') AS ts,
+                   event_type AS grp, round(sum(value), 4) AS value
+            FROM events GROUP BY 2, 3
         """,
         "q24_annual_to_hourly": f"""
             WITH annual AS (

@@ -54,6 +54,53 @@ def downsample(
     )
 
 
+def rollup_cascade(
+    df: DataFrame,
+    time_column: str,
+    dims: list[str],
+    value_column: str = VALUE_COLUMN,
+    levels: tuple[str, ...] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Continuous-aggregate-style multi-resolution rollup: one long
+    frame with a ``level`` tag holding the sum (and contributing row
+    count) at each ``date_trunc`` resolution.
+
+    Scale shape: the fact table is aggregated ONCE at the finest level;
+    every coarser level re-aggregates the previous level's partials, so
+    its shuffle carries only ``groups x buckets`` rows. The union's
+    branches share the finest-level aggregate subtree, which Spark's
+    ReuseExchange dedupes at physical planning (plan-asserted in
+    tests) — the raw data is scanned and shuffled exactly once.
+    """
+    cur = (
+        df.groupBy(
+            F.date_trunc(levels[0], F.col(time_column)).alias(time_column),
+            *dims,
+        )
+        .agg(
+            F.sum(value_column).alias(value_column),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    tagged = [cur.select(F.lit(levels[0]).alias("level"), "*")]
+    for lvl in levels[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(lvl, F.col(time_column)).alias(time_column),
+                *dims,
+            )
+            .agg(
+                F.sum(value_column).alias(value_column),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+        tagged.append(cur.select(F.lit(lvl).alias("level"), "*"))
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 def upsample(
     df: DataFrame,
     time_column: str,

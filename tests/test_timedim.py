@@ -265,3 +265,35 @@ def test_noop_time_dataset_registers_and_queries(spark, tmp_path):
     loaded, cfg = store.load_catalog().dataset("annualless")
     assert cfg.time_columns == []
     assert loaded.count() == 2
+
+
+def test_rollup_cascade_levels_and_reuse(spark):
+    """hour/day/month cascade: coarser levels re-aggregate finer
+    partials exactly; the union plan reuses the finest-level exchange
+    (raw data shuffled once)."""
+    from dsgrid_spark.timedim.conversion import rollup_cascade
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 10), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 50), "a", 2.0),
+        (dt.datetime(2024, 1, 1, 3, 0), "a", 4.0),
+        (dt.datetime(2024, 2, 2, 0, 0), "a", 8.0),
+        (dt.datetime(2024, 1, 1, 0, 0), "b", 16.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, grp string, value double")
+    out = rollup_cascade(df, "ts", ["grp"], "value")
+    got = {(r["level"], r["ts"], r["grp"]): (r["value"], r["n_rows"])
+           for r in out.collect()}
+    assert got[("hour", dt.datetime(2024, 1, 1, 0), "a")] == (3.0, 2)
+    assert got[("day", dt.datetime(2024, 1, 1), "a")] == (7.0, 3)
+    assert got[("month", dt.datetime(2024, 1, 1), "a")] == (7.0, 3)
+    assert got[("month", dt.datetime(2024, 2, 1), "a")] == (8.0, 1)
+    assert got[("month", dt.datetime(2024, 1, 1), "b")] == (16.0, 1)
+    # 3 levels over (hour: 3a+1b ... ) → hour 4, day 3, month 3 rows
+    assert len(got) == 10
+
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "ReusedExchange" in plan
