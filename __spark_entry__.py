@@ -294,7 +294,8 @@ def q09_two_table(spark, sf_dir):
 
 def q10_agg_chained(spark, sf_dir):
     """Chained AggregationModels with per-column function transform
-    (hour-of-day diurnal pattern, SURVEY §2.4)."""
+    (hour-of-day diurnal pattern, SURVEY §2.4) + count-distinct + exact
+    per-group percentiles (ANSI quantile_cont semantics)."""
     ev = _t(spark, sf_dir, "events")
     hourly = AggregationModel(
         group_by_columns=[
@@ -317,7 +318,16 @@ def q10_agg_chained(spark, sf_dir):
         F.count_distinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
-    return diurnal.join(distinct, "event_type")
+    from dsgrid_spark.operators.aggregation import percentiles_per_group
+
+    pct = percentiles_per_group(
+        ev.select("event_type", "value"), "event_type", "value"
+    ).select(
+        "event_type",
+        F.round("p50_value", 6).alias("p50_value"),
+        F.round("p90_value", 6).alias("p90_value"),
+    )
+    return diurnal.join(distinct, "event_type").join(pct, "event_type")
 
 
 def q12_peak_load(spark, sf_dir):
@@ -1641,9 +1651,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, count(DISTINCT user_id) AS n_users,
                      count(*) AS n_events
               FROM events GROUP BY event_type
+            ), pct AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.5), 6) AS p50_value,
+                     round(quantile_cont(value, 0.9), 6) AS p90_value
+              FROM events GROUP BY event_type
             )
-            SELECT event_type, avg_hourly_value, n_users, n_events
+            SELECT event_type, avg_hourly_value, n_users, n_events,
+                   p50_value, p90_value
             FROM diurnal JOIN d USING (event_type)
+                         JOIN pct USING (event_type)
         """,
         "q12_peak_load": f"""
             SELECT 'peak' AS tag, event_id, event_type,

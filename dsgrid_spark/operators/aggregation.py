@@ -92,3 +92,22 @@ def count_distinct_per_group(df: DataFrame, group: str, column: str) -> DataFram
 def single_value(df: DataFrame, fn: str, column: str):
     """``max``/``min``/... collapsed to a scalar (spark/functions.py:37-52)."""
     return df.agg(getattr(F, fn)(F.col(column)).alias("v")).collect()[0]["v"]
+
+
+def percentiles_per_group(df: DataFrame, group: str, column: str,
+                          quantiles: tuple[float, ...] = (0.5, 0.9),
+                          approximate: bool = False) -> DataFrame:
+    """Per-group percentiles: exact (``percentile``, linear interpolation
+    — matches ANSI ``quantile_cont``) or sketch-based
+    (``approx_percentile``, bounded memory) for 100-TB inputs where an
+    exact per-group sort is not worth it.
+    """
+    fn = "approx_percentile" if approximate else "percentile"
+    return df.groupBy(group).agg(
+        *(
+            F.expr(f"{fn}({column}, {q})").alias(
+                f"p{int(q * 100)}_{column}"
+            )
+            for q in quantiles
+        )
+    )

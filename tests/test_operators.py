@@ -19,6 +19,23 @@ from dsgrid_spark.operators.setops import symmetric_difference, union_checked
 from dsgrid_spark.operators.units import conversion_factor, convert_units
 
 
+def test_percentiles_per_group(spark):
+    from dsgrid_spark.operators.aggregation import percentiles_per_group
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("b", 100.0)],
+        "grp string, value double",
+    )
+    out = {r["grp"]: r for r in percentiles_per_group(
+        df, "grp", "value", quantiles=(0.5, 0.9)).collect()}
+    assert out["a"]["p50_value"] == 5.5        # linear interpolation
+    assert out["a"]["p90_value"] == 9.1
+    assert out["b"]["p50_value"] == 100.0
+    approx = {r["grp"]: r for r in percentiles_per_group(
+        df, "grp", "value", quantiles=(0.5,), approximate=True).collect()}
+    assert abs(approx["a"]["p50_value"] - 5.5) <= 1.0
+
+
 def test_asof_join_backward(spark):
     import datetime as dt
 
