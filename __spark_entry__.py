@@ -602,12 +602,15 @@ def q28_dedup_exact(spark, sf_dir):
 
 
 def q29_text_stats(spark, sf_dir):
-    """Token counting + quality components (pipeline op)."""
+    """Token counting + quality components + corpus-trained bigram LM
+    familiarity score (pipeline ops)."""
+    from dsgrid_spark.pipeline.text import bigram_familiarity
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n = F.length(t)
-    return docs.select(
+    stats = docs.select(
         "doc_id",
         token_count(t).cast("long").alias("n_tokens"),
         bpe_ish_token_count(t).cast("long").alias("n_tokens_bpe"),
@@ -616,6 +619,7 @@ def q29_text_stats(spark, sf_dir):
         F.floor(F.when(n > 0, alpha * F.lit(1000000.0) / n).otherwise(F.lit(0.0)))
         .cast("long").alias("alpha_ratio_ppm"),
     )
+    return stats.join(bigram_familiarity(docs, "doc_id", "text"), "doc_id")
 
 
 def q30_minhash_dedup(spark, sf_dir):
@@ -1867,7 +1871,22 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY {_NORM_TEXT} ORDER BY doc_id) = 1
         """,
         "q29_text_stats": """
-            SELECT doc_id,
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ), bigr AS (
+              SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+            ), model AS (
+              SELECT bigram, count(*) AS c FROM bigr GROUP BY bigram
+            ), fam AS (
+              SELECT b.doc_id,
+                     CAST(floor(sum(m.c) * 1000000.0 / count(*)) AS BIGINT) AS lm
+              FROM bigr b JOIN model m USING (bigram)
+              GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
                    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE (
@@ -1876,8 +1895,9 @@ def oracle_sql() -> dict[str, str]:
                    ) END AS BIGINT) AS n_tokens_bpe,
                    CAST(floor(CASE WHEN len(text) > 0 THEN
                      len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 / len(text)
-                     ELSE 0.0 END) AS BIGINT) AS alpha_ratio_ppm
-            FROM documents
+                     ELSE 0.0 END) AS BIGINT) AS alpha_ratio_ppm,
+                   coalesce(fam.lm, 0) AS lm_familiarity_micro
+            FROM documents d LEFT JOIN fam ON d.doc_id = fam.doc_id
         """,
         "q36_index_time": f"""
             SELECT 'index' AS mode, event_id,

@@ -152,6 +152,140 @@ def top_bigram_ppm(text: Column) -> Column:
     )
 
 
+def _word_array(text: Column) -> Column:
+    """Normalized token array shared by the LM-scoring operators:
+    lowercase + trim + whitespace split (kept deliberately simple so an
+    external SQL engine can reproduce the tokenization for audit)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _bigram_array(text: Column) -> Column:
+    words = _word_array(text)
+    n = F.size(words)
+    return F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def train_bigram_counts(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Corpus-level bigram frequency model: one row per distinct bigram
+    with its occurrence count.
+
+    The training pass is explode -> groupBy(bigram): Spark computes
+    map-side partial counts per input split, so the single shuffle
+    carries only (distinct-bigram, partial-count) pairs — at 100 TB the
+    shuffle volume is bounded by the vocabulary cross-product actually
+    observed, not the corpus size.
+    """
+    return (
+        df.select(F.explode(_bigram_array(F.col(text_column))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("bigram_count"))
+    )
+
+
+def bigram_familiarity(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    counts: DataFrame | None = None,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document n-gram LM familiarity: mean corpus frequency of the
+    document's bigrams, as an integer fixed-point score (x 1e6, floor).
+
+    The standard training-data quality signal 'does this document look
+    like the rest of the corpus' (CCNet/Gopher-style LM filtering) with
+    the count-space score kept integer-exact so two engines agree
+    bit-for-bit; :func:`bigram_logprob` is the float log-space variant.
+    Documents with fewer than two tokens score 0.
+
+    Scale path: the model is broadcast when small (``broadcast_model``);
+    otherwise the join is a sort-merge on the bigram key. The per-doc
+    aggregation is a plain integer-sum groupBy (map-side partials).
+    """
+    if counts is None:
+        counts = train_bigram_counts(df, text_column)
+    model = F.broadcast(counts) if broadcast_model else counts
+    doc_bigrams = df.select(
+        F.col(id_column),
+        F.explode(_bigram_array(F.col(text_column))).alias("bigram"),
+    )
+    per_doc = (
+        doc_bigrams.join(model, "bigram", "left")
+        .groupBy(id_column)
+        .agg(
+            F.sum(F.coalesce("bigram_count", F.lit(0))).alias("_s"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+        .select(
+            id_column,
+            F.floor(F.col("_s") * F.lit(1000000.0) / F.col("_nb"))
+            .cast("long")
+            .alias("lm_familiarity_micro"),
+        )
+    )
+    return (
+        df.select(id_column)
+        .join(per_doc, id_column, "left")
+        .na.fill({"lm_familiarity_micro": 0})
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    counts: DataFrame | None = None,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Average add-one-smoothed log2 P(w | prev) per document — the
+    log-space LM score (higher = more corpus-typical; exp2(-score) is
+    per-token perplexity). Float-valued, so verified in tests with
+    tolerance rather than by the cross-engine hash oracle.
+
+    P(w | prev) = (c(prev w) + 1) / (c(prev *) + V), with V = the
+    smoothing vocabulary (distinct words appearing in any model bigram).
+    Same join/aggregate shape as :func:`bigram_familiarity`; the
+    prefix-count model and V both derive from the bigram model without a
+    second corpus pass.
+    """
+    if counts is None:
+        counts = train_bigram_counts(df, text_column)
+    prefix = (
+        counts.withColumn("prev", F.split("bigram", " ").getItem(0))
+        .groupBy("prev")
+        .agg(F.sum("bigram_count").alias("prefix_count"))
+    )
+    vocab_size = (
+        counts.select(F.explode(F.split("bigram", " ")).alias("w"))
+        .distinct()
+        .count()
+    )
+    model = (
+        counts.withColumn("prev", F.split("bigram", " ").getItem(0))
+        .join(prefix, "prev")
+        .select("bigram", "bigram_count", "prefix_count")
+    )
+    model = F.broadcast(model) if broadcast_model else model
+    doc_bigrams = df.select(
+        F.col(id_column),
+        F.explode(_bigram_array(F.col(text_column))).alias("bigram"),
+    )
+    logp = F.log2(
+        (F.coalesce("bigram_count", F.lit(0)) + F.lit(1.0))
+        / (F.coalesce("prefix_count", F.lit(0)) + F.lit(float(vocab_size)))
+    )
+    per_doc = (
+        doc_bigrams.join(model, "bigram", "left")
+        .groupBy(id_column)
+        .agg(F.avg(logp).alias("avg_log2_prob"))
+    )
+    return df.select(id_column).join(per_doc, id_column, "left")
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit rolling-hash document fingerprint (xxhash64 of normalized text).
 

@@ -449,3 +449,42 @@ def test_minhash_dedup_transitive(docs):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert 0 in kept and 4 in kept and 5 in kept
     assert 1 not in kept and 2 not in kept and 3 not in kept
+
+
+def test_bigram_familiarity_hand_computed(spark):
+    from dsgrid_spark.pipeline.text import bigram_familiarity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c d"), (4, "solo"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lm_familiarity_micro"]
+           for r in bigram_familiarity(df, "doc_id", "text").collect()}
+    # corpus bigram counts: "a b"=3, "b a"=1, "c d"=1
+    assert got == {
+        1: (3 + 1 + 3) * 1000000 // 3,  # 2333333
+        2: 3000000,
+        3: 1000000,
+        4: 0,  # single token: no bigrams
+        5: 0,  # empty text
+    }
+
+
+def test_bigram_logprob_orders_typical_above_rare(spark):
+    import math
+
+    from dsgrid_spark.pipeline.text import bigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows.append((100, "zyx qwv jkl pqr"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_log2_prob"] for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    # repeated sentence scores far above the one-off gibberish doc
+    assert got[0] > got[100]
+    assert got[0] == got[7]  # identical docs, identical score
+    # hand-check: V=9 distinct words in model bigrams; "the cat"/"the mat"
+    # have c=8, prefix "the" c=16 -> P=9/25; "cat sat"/"sat on"/"on the"
+    # have c=8, prefix c=8 -> P=9/17
+    expected = (2 * math.log2(9 / 25) + 3 * math.log2(9 / 17)) / 5
+    assert abs(got[0] - expected) < 1e-9
