@@ -953,20 +953,33 @@ def q45_similarity_ivf(spark, sf_dir):
 
 def q46_sample_and_cap(spark, sf_dir):
     """Deterministic content-hash sampling → per-group cap → sequence
-    packing (pipeline ops): same (key, salt) always lands on the same
-    side of the cut regardless of cluster layout; at most N surviving
-    docs per language in hash-of-key order (the de-biasing step before
-    training-data mixing); then each language's survivors pack into
-    5000-char training batches by running total."""
+    packing, plus token-weighted mixture sampling (pipeline ops), tagged
+    union. 'pack' rows: same (key, salt) always lands on the same side
+    of the cut regardless of cluster layout; at most N surviving docs
+    per language in hash-of-key order; survivors pack into 5000-char
+    training batches by running total. 'mix' rows: per-language keep
+    fractions derived from target char-mass weights (binding group 'de'
+    kept whole, 'zh' excluded from the mix)."""
     from dsgrid_spark.pipeline.sampling import (
-        cap_per_group, deterministic_sample, pack_sequences,
+        cap_per_group, deterministic_sample, mixture_sample, pack_sequences,
     )
 
     docs = _t(spark, sf_dir, "documents")
     sampled = deterministic_sample(docs, "doc_id", 0.3, salt="r2")
     capped = cap_per_group(sampled, ["lang"], "doc_id", 50)
     packed = pack_sequences(capped, ["lang"], "doc_id", "n_chars", 5000)
-    return packed.select("doc_id", "lang", "source", "batch_index")
+    pack_rows = packed.select(
+        F.lit("pack").alias("op"), "doc_id", "lang", "source", "batch_index"
+    )
+    mix = mixture_sample(
+        docs, "lang", {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2},
+        "doc_id", size_column="n_chars", salt="mix",
+    )
+    mix_rows = mix.select(
+        F.lit("mix").alias("op"), "doc_id", "lang", "source",
+        F.lit(-1).cast("long").alias("batch_index"),
+    )
+    return pack_rows.unionByName(mix_rows)
 
 
 def q47_fingerprint(spark, sf_dir):
@@ -2119,7 +2132,7 @@ def oracle_sql() -> dict[str, str]:
               QUALIFY row_number() OVER (
                 PARTITION BY lang ORDER BY hb, doc_id) <= 50
             )
-            SELECT doc_id, lang, source,
+            SELECT 'pack' AS op, doc_id, lang, source,
                    dense_rank() OVER (PARTITION BY lang ORDER BY raw_batch)
                      - 1 AS batch_index
             FROM (
@@ -2130,6 +2143,27 @@ def oracle_sql() -> dict[str, str]:
                           / 5000.0) AS BIGINT) AS raw_batch
               FROM capped
             )
+            UNION ALL
+            SELECT 'mix', d.doc_id, d.lang, d.source, CAST(-1 AS BIGINT)
+            FROM documents d JOIN (
+              SELECT t.lang,
+                     CAST(floor(1000000.0 * w.wt * b.budget / t.t)
+                          AS BIGINT) AS threshold
+              FROM (SELECT lang, sum(n_chars) AS t
+                    FROM documents GROUP BY lang) t
+              JOIN (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
+                           ('fr', 0.2)) w(lang, wt) ON t.lang = w.lang
+              CROSS JOIN (
+                SELECT min(t.t / w.wt) AS budget
+                FROM (SELECT lang, sum(n_chars) AS t
+                      FROM documents GROUP BY lang) t
+                JOIN (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
+                             ('fr', 0.2)) w(lang, wt) ON t.lang = w.lang
+              ) b
+            ) thr ON d.lang = thr.lang
+            WHERE CAST(concat('0x', substr(md5(concat(
+                    CAST(d.doc_id AS VARCHAR), 'mix')), 1, 8))
+                  AS BIGINT) % 1000000 < thr.threshold
         """,
         "q47_fingerprint": f"""
             SELECT doc_id,

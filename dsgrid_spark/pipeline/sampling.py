@@ -13,6 +13,8 @@ prunes per-partition before the shuffle for small caps).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _BUCKETS = 1_000_000
@@ -82,6 +84,64 @@ def stratified_sample(df: DataFrame, group_column: str,
         .withColumn("__threshold",
                     F.coalesce("__threshold",
                                F.lit(int(default_fraction * _BUCKETS))))
+        .filter(hash_bucket(F.col(key_column), salt) < F.col("__threshold"))
+        .drop("__threshold")
+    )
+
+
+def mixture_thresholds(totals: dict[str, int],
+                       weights: dict[str, float]) -> dict[str, int]:
+    """Per-group hash thresholds hitting target mixture shares.
+
+    Given per-group corpus sizes (token/char mass) and target mixture
+    weights, pick keep-fractions so the sampled mixture matches the
+    weight ratios while using as much data as possible: the binding
+    group (smallest size/weight ratio) is kept whole and every other
+    group is downsampled to match. The arithmetic is plain IEEE-double
+    ``1e6 * w * budget / total`` with a floor, so any engine recomputes
+    identical thresholds for audit.
+    """
+    present = {g: w for g, w in weights.items()
+               if w > 0 and totals.get(g, 0) > 0}
+    if not present:
+        return {}
+    budget = min(totals[g] / w for g, w in present.items())
+    return {
+        g: int(math.floor(1000000.0 * w * budget / totals[g]))
+        for g, w in present.items()
+    }
+
+
+def mixture_sample(df: DataFrame, group_column: str,
+                   weights: dict[str, float], key_column: str,
+                   size_column: str | None = None,
+                   salt: str = "") -> DataFrame:
+    """Token-weighted domain mixture sampling (the data-mixing step of a
+    training-data pipeline): deterministically sample each group so the
+    sampled token mass per group approaches the target ``weights``
+    ratios, keeping the binding group whole.
+
+    ``size_column`` is the per-row mass (token/char count); ``None``
+    weights rows equally. Groups absent from ``weights`` are dropped.
+    The only driver-side materialization is one row per group (bounded
+    by domain cardinality, not data size); the corpus itself is a single
+    scan filtered against a broadcast threshold table — no shuffle.
+    """
+    mass = (F.sum(F.col(size_column)) if size_column
+            else F.count(F.lit(1))).alias("_t")
+    totals = {
+        r[group_column]: r["_t"]
+        for r in df.groupBy(group_column).agg(mass).collect()
+    }
+    thresholds = mixture_thresholds(totals, weights)
+    spark = df.sparkSession
+    if not thresholds:
+        return df.filter(F.lit(False))
+    thr_df = spark.createDataFrame(
+        list(thresholds.items()), f"{group_column} string, __threshold long"
+    )
+    return (
+        df.join(F.broadcast(thr_df), group_column, "inner")
         .filter(hash_bucket(F.col(key_column), salt) < F.col("__threshold"))
         .drop("__threshold")
     )

@@ -488,3 +488,33 @@ def test_bigram_logprob_orders_typical_above_rare(spark):
     # have c=8, prefix c=8 -> P=9/17
     expected = (2 * math.log2(9 / 25) + 3 * math.log2(9 / 17)) / 5
     assert abs(got[0] - expected) < 1e-9
+
+
+def test_mixture_sample_targets_binding_group_and_determinism(spark):
+    from dsgrid_spark.pipeline.sampling import mixture_sample, mixture_thresholds
+
+    # thresholds are pure arithmetic: binding group (smallest mass/weight)
+    # keeps everything, others scale to match the weight ratios
+    thr = mixture_thresholds(
+        {"en": 4000, "de": 1000, "zh": 9999}, {"en": 0.5, "de": 0.5}
+    )
+    assert thr == {"de": 1000000, "en": 250000}
+    assert "zh" not in thr  # unweighted group dropped
+
+    rows = [(i, "en", 10) for i in range(2000)]
+    rows += [(10000 + i, "de", 10) for i in range(500)]
+    rows += [(20000 + i, "zh", 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = mixture_sample(df, "lang", {"en": 0.5, "de": 0.5}, "doc_id",
+                         size_column="n")
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").count().withColumnRenamed("count", "n")
+               .collect()}
+    assert by_lang.get("zh") is None
+    assert by_lang["de"] == 500            # binding group kept whole
+    assert 400 < by_lang["en"] < 600       # ~25% of 2000, hash-approximate
+    # deterministic under repartitioning
+    out2 = mixture_sample(df.repartition(13), "lang",
+                          {"en": 0.5, "de": 0.5}, "doc_id", size_column="n")
+    assert {r["doc_id"] for r in out.collect()} == \
+           {r["doc_id"] for r in out2.collect()}
