@@ -106,6 +106,61 @@ def write_zip(df: DataFrame, path: str | Path,
     return path
 
 
+def write_training_shards(df: DataFrame, path: str | Path, n_shards: int,
+                          key_column: str, salt: str = "",
+                          manifest: bool = True) -> dict | None:
+    """Deterministic sharded export of a training mix.
+
+    Rows land in ``shard=K`` directories by content hash of the key —
+    stable across runs, engines, and cluster layouts (``df.sample``/
+    ``repartition`` alone are not) — and are pseudo-shuffled within each
+    shard by an independent hash (the 'global shuffle at export' that
+    training dataloaders rely on, done once here instead of at read
+    time). Returns the manifest (per-shard row counts) when requested.
+
+    Scale: one shuffle (repartition on the shard id), an in-partition
+    sort (no extra exchange), one write. The manifest adds one aggregate
+    pass whose shuffle carries ``n_shards`` rows; skip it with
+    ``manifest=False`` when the export is on the critical path.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.sampling import hash_bucket
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    path = Path(path)
+    key = F.col(key_column)
+    tagged = (
+        df.withColumn("shard", hash_bucket(key, salt) % n_shards)
+        .withColumn("__ord", hash_bucket(key, salt + "|order"))
+    )
+    (
+        tagged.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__ord", key_column)
+        .drop("__ord")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(str(path))
+    )
+    if not manifest:
+        return None
+    counts = {
+        int(r["shard"]): r["count"]
+        for r in tagged.groupBy("shard").count().collect()
+    }
+    info = {
+        "n_shards": n_shards,
+        "key_column": key_column,
+        "salt": salt,
+        "rows_total": sum(counts.values()),
+        "rows_per_shard": {str(k): counts.get(k, 0) for k in range(n_shards)},
+    }
+    (path / "_manifest.json").write_text(json.dumps(info, indent=2))
+    return info
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_columns: list[str],
                    n_buckets: int = 64, sort_columns: list[str] | None = None,
                    overwrite: bool = True) -> None:

@@ -329,3 +329,29 @@ def test_streaming_dedup_first_wins(spark, tmp_path):
                                   "text string")
     fps = [r[0] for r in batch.select(fingerprint(F.col("text"))).collect()]
     assert fps[0] == fps[1]
+
+
+def test_write_training_shards_deterministic_and_manifested(spark, tmp_path):
+    from dsgrid_spark.sources.writers import write_training_shards
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.concat(F.lit("doc-"), F.col("doc_id"))
+    )
+    out = tmp_path / "shards"
+    info = write_training_shards(df, out, 8, "doc_id", salt="v1")
+    assert info["rows_total"] == 1000
+    assert sum(info["rows_per_shard"].values()) == 1000
+    assert len(info["rows_per_shard"]) == 8
+    # every shard got a meaningful slice (hash balance at n=1000, 8 shards)
+    assert all(v > 50 for v in info["rows_per_shard"].values())
+    assert json.loads((out / "_manifest.json").read_text()) == info
+
+    back = spark.read.parquet(str(out))
+    assert back.count() == 1000
+    membership = {(r["shard"], r["doc_id"]) for r in back.collect()}
+
+    # same export from a differently-partitioned input: identical shards
+    out2 = tmp_path / "shards2"
+    write_training_shards(df.repartition(13), out2, 8, "doc_id", salt="v1")
+    back2 = spark.read.parquet(str(out2))
+    assert {(r["shard"], r["doc_id"]) for r in back2.collect()} == membership
