@@ -627,10 +627,28 @@ def q30_minhash_dedup(spark, sf_dir):
     all-pairs Jaccard in DuckDB: drop any doc with a smaller-id neighbor
     at jaccard >= 0.8. 8 bands x 3 rows keeps catch probability ~1 at
     the 0.8 threshold (1-(1-s^3)^8 = 0.997 at s=0.8, ~1 above 0.9)
-    while costing 25% less signature codegen than 32 hashes."""
+    while costing 25% less signature codegen than 32 hashes.
+
+    Tagged union: 'full' = whole-corpus dedup; 'incr' = the batch path —
+    docs >= 250 deduped against the < 250 corpus via its PRECOMPUTED
+    signatures (incremental_dedup), which must provably equal the full
+    survivors restricted to the new ids (same all-pairs oracle with a
+    WHERE)."""
+    from dsgrid_spark.pipeline.dedup import (
+        incremental_dedup, minhash_signatures,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "text", "doc_id", num_hashes=24, num_bands=8,
-                         shingle_k=5, threshold=0.8).select("doc_id")
+    full = minhash_dedup(docs, "text", "doc_id", num_hashes=24, num_bands=8,
+                         shingle_k=5, threshold=0.8)
+    ref = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    ref_sigs = minhash_signatures(ref, "text", num_hashes=24, shingle_k=5)
+    incr = incremental_dedup(new, ref_sigs, ref, "text", "doc_id",
+                             num_hashes=24, num_bands=8, shingle_k=5,
+                             threshold=0.8)
+    return full.select(F.lit("full").alias("op"), "doc_id").unionByName(
+        incr.select(F.lit("incr").alias("op"), "doc_id"))
 
 
 def q31_simhash_dedup(spark, sf_dir):
@@ -2277,8 +2295,12 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
             )
-            SELECT doc_id FROM documents d
+            SELECT 'full' AS op, doc_id FROM documents d
             WHERE NOT EXISTS (
+              SELECT 1 FROM p WHERE p.ib = d.doc_id AND p.jac >= 0.8)
+            UNION ALL
+            SELECT 'incr', doc_id FROM documents d
+            WHERE d.doc_id >= 250 AND NOT EXISTS (
               SELECT 1 FROM p WHERE p.ib = d.doc_id AND p.jac >= 0.8)
         """,
         # survivors = the originals: each doc's tokens are unique to it

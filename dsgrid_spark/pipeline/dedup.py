@@ -98,22 +98,16 @@ def minhash_signatures(df: DataFrame, text_column: str = "text",
     return df.withColumn("minhash", sig)
 
 
-def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
-                        num_bands: int = 4,
-                        max_bucket_size: int | None = None,
-                        signature_length: int | None = None) -> DataFrame:
-    """Band the minhash signatures and self-join buckets → candidate pairs.
+def band_signatures(df: DataFrame, id_column: str = "doc_id",
+                    num_bands: int = 4,
+                    signature_length: int | None = None) -> DataFrame:
+    """Band minhash signatures → (id, band, band_hash) rows.
 
-    Only (band_id, band_hash, doc_id) rows shuffle. Returns distinct
-    (id_a, id_b) with id_a < id_b.
-
-    ``max_bucket_size`` bounds the within-bucket O(b²) self-join on a
-    pathological corpus (one low-entropy bucket attracting thousands of
-    docs): oversized buckets are skipped. Recall degrades gracefully —
-    a true near-dup pair agrees on many bands, so it still surfaces
-    through its non-hot buckets. Leave None when the corpus has already
-    been exact-deduped (minhash_dedup does this) and band count is
-    healthy; set it (e.g. 10_000) for web-scale crawls with boilerplate.
+    The band hash comes from a slice of the signature (one slice + one
+    cast per band) rather than rows_per_band indexed element references —
+    keeps generated code small at high band counts. Both sides of any
+    bucket join must band identically (same num_bands / signature
+    length / hash seed) for buckets to line up.
     """
     if signature_length is None:
         # caller didn't say how long the signatures are — probe one row
@@ -121,10 +115,7 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
         sig_len_row = df.select(F.size("minhash").alias("n")).limit(1).collect()
         signature_length = sig_len_row[0]["n"] if sig_len_row else 0
     rows_per_band = signature_length // num_bands or 1
-    # band hash from a slice of the signature (one slice + one cast per
-    # band) rather than rows_per_band indexed element references — keeps
-    # generated code small at high band counts
-    bands = df.select(
+    return df.select(
         F.col(id_column),
         F.posexplode(
             F.array(*[
@@ -142,6 +133,26 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
             ])
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
+                        num_bands: int = 4,
+                        max_bucket_size: int | None = None,
+                        signature_length: int | None = None) -> DataFrame:
+    """Band the minhash signatures and self-join buckets → candidate pairs.
+
+    Only (band_id, band_hash, doc_id) rows shuffle. Returns distinct
+    (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` bounds the within-bucket O(b²) self-join on a
+    pathological corpus (one low-entropy bucket attracting thousands of
+    docs): oversized buckets are skipped. Recall degrades gracefully —
+    a true near-dup pair agrees on many bands, so it still surfaces
+    through its non-hot buckets. Leave None when the corpus has already
+    been exact-deduped (minhash_dedup does this) and band count is
+    healthy; set it (e.g. 10_000) for web-scale crawls with boilerplate.
+    """
+    bands = band_signatures(df, id_column, num_bands, signature_length)
     # materialize once: the signature expression tree is expensive and the
     # self-join would otherwise evaluate it twice. count() forces the cache
     # to fill before the join's two branches scan it concurrently.
@@ -289,6 +300,92 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
         return duplicate_clusters(uniq, dups, id_column)
     to_drop = dups.select(F.col("id_b").alias(id_column)).distinct()
     return uniq.join(to_drop, id_column, "left_anti")
+
+
+def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
+                      reference_df: DataFrame,
+                      text_column: str = "text", id_column: str = "doc_id",
+                      num_hashes: int = 32, num_bands: int = 4,
+                      shingle_k: int = 5, threshold: float = 0.8,
+                      within_batch: bool = True) -> DataFrame:
+    """Dedup a NEW batch against an already-registered corpus using the
+    corpus's persisted minhash signatures — the continuous-ingest path.
+
+    Re-signing and self-joining the accumulated corpus on every incoming
+    batch costs O(corpus) per batch; here the reference side only
+    re-bands its stored ``(id, minhash)`` signatures (cheap column ops
+    over an 8-bytes-per-hash table) and the bucket join against the new
+    batch's bands produces output scaling with the batch, never a
+    reference self-join. Reference text (``reference_df``) is touched
+    only for verification, pruned to candidate ids by a semi-join first.
+
+    ``reference_sigs`` must come from :func:`minhash_signatures` with
+    the same ``num_hashes``/``shingle_k``/seed — banding must line up on
+    both sides for buckets to match.
+
+    With ``within_batch=True`` the result provably equals full-corpus
+    ``minhash_dedup`` restricted to the new ids (assuming new ids sort
+    after reference ids): a new doc is dropped iff some reference doc or
+    some smaller-id batch doc is a verified >= threshold Jaccard
+    neighbor. Returns the surviving rows of ``new_df``.
+    """
+    uniq = (exact_dedup(new_df, text_column, id_column)
+            if within_batch else new_df)
+    uniq = uniq.persist()
+    uniq.count()
+    sigs_new = minhash_signatures(uniq, text_column, num_hashes, shingle_k)
+    bn = band_signatures(sigs_new, id_column, num_bands, num_hashes)
+    bn = bn.persist()
+    bn.count()
+    br = band_signatures(reference_sigs, id_column, num_bands, num_hashes)
+    cross = (
+        bn.select(F.col(id_column).alias("id_b"), "band", "band_hash")
+        .join(br.select(F.col(id_column).alias("id_a"), "band", "band_hash"),
+              ["band", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    cross.count()
+    sh_a = (
+        reference_df
+        .join(cross.select(F.col("id_a").alias(id_column)).distinct(),
+              id_column, "left_semi")
+        .select(F.col(id_column).alias("id_a"),
+                shingles(text_column, shingle_k).alias("sh_a"))
+    )
+    sh_b = (
+        uniq
+        .join(cross.select(F.col("id_b").alias(id_column)).distinct(),
+              id_column, "left_semi")
+        .select(F.col(id_column).alias("id_b"),
+                shingles(text_column, shingle_k).alias("sh_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    vs_ref = (
+        cross.join(sh_a, "id_a").join(sh_b, "id_b")
+        .withColumn("jaccard",
+                    F.when(union > 0, inter / union).otherwise(0.0))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_column))
+        .distinct()
+    )
+    survivors = uniq.join(vs_ref, id_column, "left_anti")
+    if within_batch:
+        wb_cands = lsh_candidate_pairs(sigs_new, id_column, num_bands,
+                                       signature_length=num_hashes)
+        wb_cands = wb_cands.persist()
+        wb_cands.count()
+        wb_dups = ngram_jaccard_pairs(uniq, text_column, id_column,
+                                      shingle_k, threshold,
+                                      candidates=wb_cands)
+        # full-corpus semantics: b drops if ANY smaller-id batch doc is a
+        # neighbor, whether or not that doc itself survived the reference
+        # pass — so the drop set comes from all batch pairs, not survivors
+        wb_drop = wb_dups.select(F.col("id_b").alias(id_column)).distinct()
+        survivors = survivors.join(wb_drop, id_column, "left_anti")
+    return survivors
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

@@ -518,3 +518,38 @@ def test_mixture_sample_targets_binding_group_and_determinism(spark):
                           {"en": 0.5, "de": 0.5}, "doc_id", size_column="n")
     assert {r["doc_id"] for r in out.collect()} == \
            {r["doc_id"] for r in out2.collect()}
+
+
+def test_incremental_dedup_equals_full_restricted(spark):
+    from dsgrid_spark.pipeline.dedup import (
+        incremental_dedup, minhash_dedup, minhash_signatures,
+    )
+
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "red green blue yellow purple orange pink brown black white"),
+    ]
+    batch = [
+        # near-dup of ref doc 0 (9 of 10 words)
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota NOPE"),
+        # fresh content
+        (11, "spark catalyst tungsten shuffle broadcast partition codegen adaptive skew salt"),
+        # exact dup within batch of 11
+        (12, "spark catalyst tungsten shuffle broadcast partition codegen adaptive skew salt"),
+        # near-dup within batch of 11
+        (13, "spark catalyst tungsten shuffle broadcast partition codegen adaptive skew SALTY"),
+    ]
+    ref = spark.createDataFrame(base, "doc_id long, text string")
+    new = spark.createDataFrame(batch, "doc_id long, text string")
+    ref_sigs = minhash_signatures(ref, num_hashes=64, shingle_k=3)
+    out = incremental_dedup(new, ref_sigs, ref, num_hashes=64, num_bands=32,
+                            shingle_k=3, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [11]
+
+    # equivalence: full-corpus dedup restricted to batch ids
+    full = minhash_dedup(ref.unionByName(new), num_hashes=64, num_bands=32,
+                         shingle_k=3, threshold=0.5)
+    full_kept = sorted(r["doc_id"] for r in full.collect() if r["doc_id"] >= 10)
+    assert kept == full_kept
