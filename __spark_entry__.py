@@ -1001,18 +1001,30 @@ def q46_sample_and_cap(spark, sf_dir):
 
 
 def q47_fingerprint(spark, sf_dir):
-    """Rolling-hash fingerprint duplicate-group sizes (pipeline op).
+    """Rolling-hash fingerprint duplicate-group sizes + TF-IDF top-terms
+    (pipeline ops), tagged union.
 
-    The oracle can't reproduce xxhash64, so the check is on the grouping
-    the fingerprint induces: copies-per-document via the normalized text.
-    """
-    from dsgrid_spark.pipeline.text import fingerprint
+    'fp' rows: the oracle can't reproduce xxhash64, so the check is on
+    the grouping the fingerprint induces (copies-per-document via
+    normalized text). 'term' rows: top-3 characteristic terms per doc
+    under the integer-exact (tf desc, doc_freq asc, term) ordering so
+    the oracle needs no float log."""
+    from dsgrid_spark.pipeline.text import fingerprint, top_terms
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "__fp", fingerprint(F.col("text"))
     )
     w_counts = docs.groupBy("__fp").agg(F.count("*").alias("n_copies"))
-    return docs.join(w_counts, "__fp").select("doc_id", "n_copies")
+    fp_rows = docs.join(w_counts, "__fp").select(
+        F.lit("fp").alias("op"), "doc_id", F.lit("").alias("term"),
+        F.col("n_copies").alias("a"), F.lit(0).cast("long").alias("b"),
+    )
+    tt = top_terms(docs, "doc_id", "text", k=3, order="tf_rarity")
+    term_rows = tt.select(
+        F.lit("term").alias("op"), "doc_id", "term",
+        F.col("tf").alias("a"), F.col("doc_freq").alias("b"),
+    )
+    return fp_rows.unionByName(term_rows)
 
 
 def q48_supplemental_filter(spark, sf_dir):
@@ -2184,9 +2196,28 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT) % 1000000 < thr.threshold
         """,
         "q47_fingerprint": f"""
-            SELECT doc_id,
-                   count(*) OVER (PARTITION BY {_NORM_TEXT}) AS n_copies
+            SELECT 'fp' AS op, doc_id, '' AS term,
+                   count(*) OVER (PARTITION BY {_NORM_TEXT}) AS a,
+                   CAST(0 AS BIGINT) AS b
             FROM documents
+            UNION ALL
+            SELECT 'term', doc_id, term, a, b FROM (
+              WITH tf AS (
+                SELECT doc_id, term, count(*) AS a
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(lower(text)),
+                                                       '\\s+')) AS term
+                      FROM documents)
+                WHERE term <> ''
+                GROUP BY doc_id, term
+              ), dfq AS (
+                SELECT term, count(*) AS b FROM tf GROUP BY term
+              )
+              SELECT doc_id, term, a, b
+              FROM tf JOIN dfq USING (term)
+              QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY a DESC, b ASC, term) <= 3
+            )
         """,
         "q48_supplemental_filter": """
             SELECT c_mktsegment, count(*) AS n_customers,

@@ -286,6 +286,55 @@ def bigram_logprob(
     return df.select(id_column).join(per_doc, id_column, "left")
 
 
+def top_terms(df: DataFrame, id_column: str = "doc_id",
+              text_column: str = "text", k: int = 5,
+              order: str = "tfidf") -> DataFrame:
+    """Top-k characteristic terms per document (TF-IDF keyword
+    extraction): term frequency per doc x corpus-level inverse document
+    frequency.
+
+    Returns (id, term, tf, doc_freq, tfidf) for the k best terms per
+    document. ``order='tfidf'`` ranks by tf*ln((N+1)/(df+1)) — the
+    standard float score; ``order='tf_rarity'`` ranks by (tf desc,
+    doc_freq asc, term asc) — an integer-exact ordering any engine
+    reproduces bit-for-bit, used by the cross-engine oracle.
+
+    Scale: two shuffles — (doc, term) for tf, (term) for doc freq —
+    both with map-side partial aggregation; the doc-freq table joins
+    back broadcast when the vocabulary is small, sort-merge on the term
+    key otherwise. The final per-doc top-k is a row_number window that
+    Spark rewrites to WindowGroupLimit (per-partition pruning before
+    the shuffle). The corpus size N is one count() action.
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        df.select(F.col(id_column),
+                  F.explode(_word_array(F.col(text_column))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy(id_column, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.count()
+    scored = tf.join(doc_freq, "term").withColumn(
+        "tfidf",
+        F.col("tf") * F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1)),
+    )
+    if order == "tfidf":
+        ordering = [F.desc("tfidf"), F.asc("term")]
+    elif order == "tf_rarity":
+        ordering = [F.desc("tf"), F.asc("doc_freq"), F.asc("term")]
+    else:
+        raise ValueError(f"unknown order {order!r}")
+    w = Window.partitionBy(id_column).orderBy(*ordering)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select(id_column, "term", "tf", "doc_freq", "tfidf")
+    )
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit rolling-hash document fingerprint (xxhash64 of normalized text).
 

@@ -553,3 +553,34 @@ def test_incremental_dedup_equals_full_restricted(spark):
                          shingle_k=3, threshold=0.5)
     full_kept = sorted(r["doc_id"] for r in full.collect() if r["doc_id"] >= 10)
     assert kept == full_kept
+
+
+def test_top_terms_tfidf_and_integer_ordering(spark):
+    import math
+
+    from dsgrid_spark.pipeline.text import top_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple apple banana common common"),
+            (1, "banana banana cherry common common"),
+            (2, "durian common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_terms(df, k=2, order="tfidf").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=3 df=1 beats common tf=2 df=3 and banana tf=1 df=2
+    assert [r["term"] for r in by_doc[0]] == ["apple", "common"][:2] or \
+           by_doc[0][0]["term"] == "apple"
+    r_apple = next(r for r in by_doc[0] if r["term"] == "apple")
+    assert r_apple["tf"] == 3 and r_apple["doc_freq"] == 1
+    assert r_apple["tfidf"] == pytest.approx(3 * math.log(4 / 2))
+    # doc 2: durian (tf=1, df=1) outranks common (tf=1, df=3) in both orders
+    assert by_doc[2][0]["term"] == "durian"
+
+    out2 = top_terms(df, k=1, order="tf_rarity").collect()
+    best = {r["doc_id"]: r["term"] for r in out2}
+    assert best == {0: "apple", 1: "banana", 2: "durian"}
