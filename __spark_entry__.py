@@ -1184,9 +1184,12 @@ def q05_project_query(spark, sf_dir):
 
 
 def q38_video_frame_sampling(spark, sf_dir):
-    """Multimodal frame-sampling fan-out: sequence+explode per video
-    (pipeline op; the decode of each frame is the stubbed step)."""
+    """Multimodal frame-sampling fan-out + document chunking (pipeline
+    ops), tagged union — both are shuffle-free sequence+explode fan-outs.
+    'chunk' rows carry an md5 prefix of each chunk's text so the oracle
+    verifies chunk CONTENT (boundaries + overlap), not just counts."""
     from dsgrid_spark.pipeline.multimodal import sample_video_frames
+    from dsgrid_spark.pipeline.text import chunk_documents
 
     docs = _t(spark, sf_dir, "documents")
     videos = docs.select(
@@ -1194,7 +1197,19 @@ def q38_video_frame_sampling(spark, sf_dir):
         (F.col("n_chars") % 300 + 1).cast("int").alias("n_frames"),
     )
     out = sample_video_frames(videos, every_n=30)
-    return out.select("media_id", "n_frames", "frame_index")
+    frame_rows = out.select(
+        F.lit("frame").alias("op"), "media_id",
+        F.col("n_frames").alias("n"), F.col("frame_index").alias("idx"),
+        F.lit("").alias("h"),
+    )
+    chunks = chunk_documents(docs.select("doc_id", "text"), "doc_id",
+                             "text", chunk_chars=500, overlap=50)
+    chunk_rows = chunks.select(
+        F.lit("chunk").alias("op"), F.col("doc_id").alias("media_id"),
+        F.col("n_chunks").alias("n"), F.col("chunk_index").alias("idx"),
+        F.substring(F.md5("chunk_text"), 1, 8).alias("h"),
+    )
+    return frame_rows.unionByName(chunk_rows)
 
 
 def q08_subset_supplemental(spark, sf_dir):
@@ -2291,11 +2306,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q38_video_frame_sampling": """
-            SELECT doc_id AS media_id,
-                   CAST(n_chars % 300 + 1 AS INT) AS n_frames,
+            SELECT 'frame' AS op, doc_id AS media_id,
+                   CAST(n_chars % 300 + 1 AS INT) AS n,
                    CAST(unnest(range(0, n_chars % 300 + 1, 30)) AS INT)
-                     AS frame_index
+                     AS idx,
+                   '' AS h
             FROM documents
+            UNION ALL
+            SELECT 'chunk', media_id, n, idx,
+                   substr(md5(substr(text, idx * 450 + 1, 500)), 1, 8)
+            FROM (
+              SELECT doc_id AS media_id, text, n_chunks AS n,
+                     CAST(unnest(range(0, n_chunks)) AS INT) AS idx
+              FROM (
+                SELECT doc_id, text,
+                       CAST(1 + greatest(0, floor(
+                         (len(text) - 500 + 449) / 450.0)) AS INT) AS n_chunks
+                FROM documents
+              )
+            )
         """,
         "q08_subset_supplemental": """
             SELECT r.r_name AS region, c.c_mktsegment AS sector,

@@ -335,6 +335,53 @@ def top_terms(df: DataFrame, id_column: str = "doc_id",
     )
 
 
+def chunk_documents(df: DataFrame, id_column: str = "doc_id",
+                    text_column: str = "text", chunk_chars: int = 1000,
+                    overlap: int = 100) -> DataFrame:
+    """Split long documents into fixed-size overlapping chunks (the
+    context-window splitting step before tokenization: stride =
+    chunk_chars - overlap, last chunk may be short, every document
+    yields at least one chunk).
+
+    Pure sequence+explode+substr column expressions — the fan-out happens
+    inside whole-stage codegen on each input split with no shuffle, so
+    at 100 TB the cost is exactly one pass over the text bytes and the
+    output partitioning inherits the input's (chunk rows of a document
+    stay in its partition).
+
+    Returns the input row (minus text) + (chunk_index, n_chunks,
+    chunk_text).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_column))
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.floor((n - chunk_chars + stride - 1) / F.lit(float(stride))),
+        )
+    ).cast("int")
+    other = [c for c in df.columns if c != text_column]
+    out = (
+        df.withColumn("n_chunks", n_chunks)
+        .select(
+            *other, "n_chunks", F.col(text_column),
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+            .alias("chunk_index"),
+        )
+        .withColumn(
+            "chunk_text",
+            F.col(text_column).substr(
+                F.col("chunk_index") * stride + 1, F.lit(chunk_chars)),
+        )
+        .drop(text_column)
+    )
+    return out
+
+
 def fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit rolling-hash document fingerprint (xxhash64 of normalized text).
 

@@ -584,3 +584,28 @@ def test_top_terms_tfidf_and_integer_ordering(spark):
     out2 = top_terms(df, k=1, order="tf_rarity").collect()
     best = {r["doc_id"]: r["term"] for r in out2}
     assert best == {0: "apple", 1: "banana", 2: "durian"}
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from dsgrid_spark.pipeline.text import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(25))
+    df = spark.createDataFrame(
+        [(0, text), (1, "short"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_chars=10, overlap=3)
+    rows = sorted((r["doc_id"], r["chunk_index"], r["chunk_text"])
+                  for r in out.collect())
+    # doc 0: len 25, stride 7 -> n_chunks = 1 + ceil(15/7) = 4
+    d0 = [r for r in rows if r[0] == 0]
+    assert len(d0) == 4
+    assert d0[0][2] == text[0:10]
+    assert d0[1][2] == text[7:17]      # 3-char overlap with chunk 0
+    assert d0[1][2][:3] == d0[0][2][-3:]
+    assert d0[3][2] == text[21:25]     # short tail chunk
+    # reassembly: stripping the overlap from each later chunk restores the doc
+    assert d0[0][2] + "".join(c[2][3:] for c in d0[1:]) == text
+    assert [r for r in rows if r[0] == 1] == [(1, 0, "short")]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "")]
+    n_chunks = {r["doc_id"]: r["n_chunks"] for r in out.collect()}
+    assert n_chunks == {0: 4, 1: 1, 2: 1}
