@@ -111,19 +111,25 @@ def q02_scan_projection(spark, sf_dir):
         _EMAIL_RE, _URL_RE, clean_text, count_pattern,
     )
 
+    from dsgrid_spark.pipeline.text import redact_pii
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     docs = docs.withColumn(
         "text",
         F.concat("text", F.lit(" see https://example.com/d/"),
                  F.col("doc_id").cast("string"),
                  F.lit(" or mail user"), F.col("doc_id").cast("string"),
-                 F.lit("@test.org now")),
+                 F.lit("@test.org now ip 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 call +1555"), F.col("doc_id").cast("string"),
+                 F.lit(" card 4111111111111111 ok")),
     )
     return docs.select(
         "doc_id",
         count_pattern(F.col("text"), _URL_RE).cast("long").alias("n_urls"),
         count_pattern(F.col("text"), _EMAIL_RE).cast("long").alias("n_emails"),
         F.length(clean_text(F.col("text"))).cast("long").alias("n_chars_clean"),
+        F.length(redact_pii(F.col("text"))).cast("long").alias("n_chars_redacted"),
     )
 
 
@@ -1606,7 +1612,9 @@ def oracle_sql() -> dict[str, str]:
             WITH aug AS (
               SELECT doc_id,
                      concat(text, ' see https://example.com/d/', doc_id,
-                            ' or mail user', doc_id, '@test.org now') AS text
+                            ' or mail user', doc_id, '@test.org now ip 10.0.',
+                            doc_id % 256, '.7 call +1555', doc_id,
+                            ' card 4111111111111111 ok') AS text
               FROM documents WHERE doc_id < 400
             )
             SELECT doc_id,
@@ -1617,7 +1625,20 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(
                        regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
-                     '\s+', ' ', 'g'))) AS n_chars_clean
+                     '\s+', ' ', 'g'))) AS n_chars_clean,
+                   len(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                             'https?://[^\s]+', '<URL>', 'g'),
+                           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                         '\+\d{7,15}\b', '<PHONE>', 'g'),
+                       '\b\d{13,19}\b', '<NUM>', 'g')
+                   ) AS n_chars_redacted
             FROM aug
         """,
         "q03_filter_ops": """

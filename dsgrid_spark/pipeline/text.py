@@ -104,6 +104,48 @@ def count_pattern(text: Column, pattern: str) -> Column:
     return F.regexp_count(text, F.lit(pattern))
 
 
+_IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+_PHONE_RE = r"\+\d{7,15}\b"
+_LONG_NUM_RE = r"\b\d{13,19}\b"
+
+# (category, pattern, replacement) — applied in order: emails before URLs
+# before bare IPs/numbers so a sub-pattern never eats a larger match's text
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", _EMAIL_RE, "<EMAIL>"),
+    ("url", _URL_RE, "<URL>"),
+    ("ip", _IP_RE, "<IP>"),
+    ("phone", _PHONE_RE, "<PHONE>"),
+    ("long_number", _LONG_NUM_RE, "<NUM>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, URLs, IPv4s, +international phones, and 13-19
+    digit runs (card/account-shaped) with typed tags — the standard PII
+    scrub before training-data release. RE2-compatible patterns (no
+    lookarounds/backrefs) so an external engine can reproduce the
+    redaction byte-for-byte for audit. Pure codegen'd regexp_replace
+    chain: zero shuffle, linear in text bytes.
+    """
+    out = text
+    for _, pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Per-category PII hit counts as a struct column (fields =
+    PII_PATTERNS categories). Counted on the raw text with the same
+    ordering caveat as redact_pii: an email's digits are not also
+    counted as a phone/number because each count uses the raw pattern
+    independently — use redact order when exact disjoint counts matter.
+    """
+    return F.struct(*[
+        F.regexp_count(text, F.lit(pattern)).alias(cat)
+        for cat, pattern, _ in PII_PATTERNS
+    ])
+
+
 def dup_word_ppm(text: Column) -> Column:
     """Repeated-word fraction in parts-per-million (floor): how much of
     the document is re-occurrences of words already seen.

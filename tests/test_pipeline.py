@@ -609,3 +609,22 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     assert [r for r in rows if r[0] == 2] == [(2, 0, "")]
     n_chunks = {r["doc_id"]: r["n_chunks"] for r in out.collect()}
     assert n_chunks == {0: 4, 1: 1, 2: 1}
+
+
+def test_redact_pii_and_counts(spark):
+    from dsgrid_spark.pipeline.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail bob@x.io at 10.1.2.3 or +12025550123 "
+             "card 4111111111111111 via https://a.io/p?q=1 done")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        pii_counts(F.col("text")).alias("c"),
+    ).collect()[0]
+    assert row["red"] == ("mail <EMAIL> at <IP> or <PHONE> "
+                          "card <NUM> via <URL> done")
+    c = row["c"].asDict()
+    assert (c["email"], c["url"], c["ip"], c["phone"], c["long_number"]) == \
+        (1, 1, 1, 1, 1)
