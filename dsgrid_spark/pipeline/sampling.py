@@ -147,6 +147,51 @@ def mixture_sample(df: DataFrame, group_column: str,
     )
 
 
+def leakage_safe_split(df: DataFrame, id_column: str,
+                       dup_pairs: DataFrame | None,
+                       holdout_fraction: float,
+                       salt: str = "") -> DataFrame:
+    """Train/holdout split that cannot leak near-duplicates across the
+    boundary: documents connected by a duplicate pair always land in the
+    same split (the eval-set contamination guard applied at split time,
+    complementing benchmark_contamination's scan).
+
+    ``dup_pairs`` is an (id_a, id_b) edge list, e.g. the verified pairs
+    from the MinHash path; None means no constraint (plain hash split).
+    Each duplicate CLUSTER (connected component) is assigned by the
+    content hash of its smallest member id, so the decision is
+    deterministic and any engine can re-derive it. Adds a ``split``
+    column ('train' / 'holdout').
+
+    Scale: component labels come from min-label propagation (bounded
+    rounds over id-keyed joins — see connected_components); unpaired
+    docs skip the component machinery entirely (anti-join) and hash
+    their own id. No corpus shuffle beyond the label join.
+    """
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError(
+            f"holdout_fraction must be in [0, 1], got {holdout_fraction}")
+    threshold = int(holdout_fraction * _BUCKETS)
+    split_of = lambda key: F.when(  # noqa: E731
+        hash_bucket(key, salt) < threshold, F.lit("holdout")
+    ).otherwise(F.lit("train"))
+    if dup_pairs is None:
+        return df.withColumn("split", split_of(F.col(id_column)))
+    from dsgrid_spark.pipeline.dedup import connected_components
+
+    comp = connected_components(dup_pairs).withColumnRenamed("id", id_column)
+    in_graph = (
+        df.join(comp, id_column)
+        .withColumn("split", split_of(F.col("component")))
+        .drop("component")
+    )
+    loose = (
+        df.join(comp.select(id_column), id_column, "left_anti")
+        .withColumn("split", split_of(F.col(id_column)))
+    )
+    return in_graph.unionByName(loose)
+
+
 def pack_sequences(df: DataFrame, group_columns: list[str], key_column: str,
                    size_column: str, budget: int,
                    salt: str = "") -> DataFrame:

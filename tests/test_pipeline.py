@@ -628,3 +628,26 @@ def test_redact_pii_and_counts(spark):
     c = row["c"].asDict()
     assert (c["email"], c["url"], c["ip"], c["phone"], c["long_number"]) == \
         (1, 1, 1, 1, 1)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from dsgrid_spark.pipeline.sampling import leakage_safe_split
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    # duplicate chains: (0,1),(1,2) one cluster; (10,11); (50,51)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 51)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(df, "doc_id", pairs, 0.3, salt="s")
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split) == 200
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    assert split[50] == split[51]
+    frac = sum(1 for v in split.values() if v == "holdout") / 200
+    assert 0.15 < frac < 0.45
+    # no-pairs path: plain deterministic hash split, stable across layouts
+    out2 = leakage_safe_split(df.repartition(7), "doc_id", None, 0.3, salt="s")
+    out3 = leakage_safe_split(df, "doc_id", None, 0.3, salt="s")
+    assert {(r["doc_id"], r["split"]) for r in out2.collect()} == \
+           {(r["doc_id"], r["split"]) for r in out3.collect()}
