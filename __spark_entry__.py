@@ -1356,18 +1356,22 @@ def q39_embedding_centroids(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    # integer micro-units via floor, not round(value, 6): Spark (BigDecimal
+    # HALF_UP) and DuckDB (float multiply-round) round doubles differently at
+    # 1e-6 boundaries — the q29 lesson, third occurrence. floor(x*1e6) is the
+    # same IEEE ops on both engines for identical x.
     cent = embedding_centroids(emb, ["label"]).select(
         F.lit("centroid").alias("op"),
         F.col("label").cast("long").alias("gid"),
         "pos",
-        F.round("value", 6).alias("value"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value"),
     )
     quant = quantize_embeddings(emb.filter(F.col("vec_id") < 10)).select(
         F.col("vec_id").alias("gid"),
         F.posexplode("qvec").alias("pos", "qv"),
     ).select(
         F.lit("quant").alias("op"), "gid", "pos",
-        F.col("qv").cast("double").alias("value"),
+        F.col("qv").cast("long").alias("value"),
     )
     return cent.unionByName(quant)
 
@@ -2421,12 +2425,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q39_embedding_centroids": """
             SELECT 'centroid' AS op, CAST(label AS BIGINT) AS gid, i AS pos,
-                   round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS value
+                   CAST(floor(avg(CAST(embedding[i + 1] AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS value
             FROM embeddings, (SELECT unnest(range(64)) AS i) idx
             GROUP BY 1, 2, 3
             UNION ALL
             SELECT 'quant' AS op, vec_id AS gid, i AS pos,
-                   CAST(round(v[i + 1] / s) AS DOUBLE) AS value
+                   CAST(round(v[i + 1] / s) AS BIGINT) AS value
             FROM (
               SELECT vec_id, v,
                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS s

