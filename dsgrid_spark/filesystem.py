@@ -1,0 +1,149 @@
+"""Filesystem interface: local paths and Hadoop-FS URIs (object stores).
+
+Mirrors the reference's filesystem abstraction (reference
+dsgrid/filesystem/filesystem_interface.py, local_filesystem.py,
+s3_filesystem.py:118, cloud/s3_storage_interface.py) re-expressed over
+Spark's own Hadoop FileSystem layer instead of boto3: every scheme Spark
+can read parquet from (file://, hdfs://, s3a://, gs://, abfss://) gets
+metadata/text IO through the SAME JVM connector and credential chain the
+parquet scans use — no second cloud SDK, no separate auth path.
+
+Usage for an object-store deployment::
+
+    spark.conf.set("spark.hadoop.fs.s3a.endpoint", "https://minio.internal:9000")
+    spark.conf.set("spark.hadoop.fs.s3a.path.style.access", "true")
+    fs = filesystem_for(spark, "s3a://bucket/registry")
+    fs.write_text("s3a://bucket/registry/registry.json", index_json)
+
+Caveat that the reference shares (its S3 sync + lock files have the same
+property): object stores offer no atomic flock, so multi-writer registry
+mutation over s3a:// needs an external serializer (single writer, or a
+lock service). Reads and version-immutable data dirs are safe as-is
+because version directories are never rewritten.
+"""
+
+from __future__ import annotations
+
+import shutil
+from abc import ABC, abstractmethod
+from pathlib import Path
+from urllib.parse import urlparse
+
+
+class FilesystemInterface(ABC):
+    """Reference filesystem_interface.py surface, trimmed to what the
+    registry needs."""
+
+    @abstractmethod
+    def exists(self, path: str) -> bool: ...
+
+    @abstractmethod
+    def mkdirs(self, path: str) -> None: ...
+
+    @abstractmethod
+    def listdir(self, path: str) -> list[str]: ...
+
+    @abstractmethod
+    def rm_tree(self, path: str) -> None: ...
+
+    @abstractmethod
+    def rename(self, src: str, dst: str) -> bool: ...
+
+    @abstractmethod
+    def read_text(self, path: str) -> str: ...
+
+    @abstractmethod
+    def write_text(self, path: str, text: str) -> None: ...
+
+
+class LocalFilesystem(FilesystemInterface):
+    """Plain-path implementation (reference local_filesystem.py)."""
+
+    def _p(self, path: str) -> Path:
+        parsed = urlparse(str(path))
+        return Path(parsed.path if parsed.scheme == "file" else str(path))
+
+    def exists(self, path: str) -> bool:
+        return self._p(path).exists()
+
+    def mkdirs(self, path: str) -> None:
+        self._p(path).mkdir(parents=True, exist_ok=True)
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(p.name for p in self._p(path).iterdir())
+
+    def rm_tree(self, path: str) -> None:
+        p = self._p(path)
+        if p.is_dir():
+            shutil.rmtree(p)
+        elif p.exists():
+            p.unlink()
+
+    def rename(self, src: str, dst: str) -> bool:
+        self._p(src).replace(self._p(dst))
+        return True
+
+    def read_text(self, path: str) -> str:
+        return self._p(path).read_text()
+
+    def write_text(self, path: str, text: str) -> None:
+        self._p(path).write_text(text)
+
+
+class HadoopFilesystem(FilesystemInterface):
+    """Any Hadoop-FS scheme via the session JVM (reference
+    s3_filesystem.py, minus boto3: the s3a connector Spark already scans
+    parquet through serves the metadata IO too, so credentials/endpoint
+    configure ONCE via spark.hadoop.fs.s3a.*).
+    """
+
+    def __init__(self, spark, root_uri: str):
+        self._jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
+            self._jvm.java.net.URI(str(root_uri)), conf
+        )
+
+    def _path(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(str(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._path(path)))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._path(path))
+
+    def listdir(self, path: str) -> list[str]:
+        statuses = self._fs.listStatus(self._path(path))
+        return sorted(s.getPath().getName() for s in statuses)
+
+    def rm_tree(self, path: str) -> None:
+        self._fs.delete(self._path(path), True)
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs.rename(self._path(src), self._path(dst)))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._path(path))
+        try:
+            return str(self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"))
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+
+def filesystem_for(spark, root: str) -> FilesystemInterface:
+    """Pick the implementation from the root's scheme (reference
+    filesystem factory): bare paths and file:// stay on fast local IO;
+    any other scheme goes through the Hadoop connector."""
+    scheme = urlparse(str(root)).scheme
+    if scheme in ("", "file"):
+        return LocalFilesystem()
+    return HadoopFilesystem(spark, root)

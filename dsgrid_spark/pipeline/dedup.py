@@ -269,7 +269,8 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
                   id_column: str = "doc_id", num_hashes: int = 32,
                   num_bands: int = 4, shingle_k: int = 5,
                   threshold: float = 0.8,
-                  transitive: bool = False) -> DataFrame:
+                  transitive: bool = False,
+                  signatures: DataFrame | None = None) -> DataFrame:
     """Full near-dedup: exact dedup → minhash → LSH bands → Jaccard
     verify → drop the higher id of each duplicate pair.
 
@@ -282,10 +283,21 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     ``transitive=True`` switches the final drop to connected-component
     clustering (one representative per duplicate CLUSTER, not per pair):
     stricter when duplicate chains exist, a few extra tiny-join rounds.
+
+    ``signatures`` takes a precomputed ``(id, minhash)`` table from
+    :func:`minhash_signatures` (same num_hashes/shingle_k/seed) so one
+    persisted signature pass can feed several dedup paths (e.g. a full
+    dedup and an incremental batch in the same job) instead of each
+    recomputing the fold over every document. Signatures for rows that
+    exact dedup collapses are harmless: identical texts sign identically,
+    so their candidate pairs resolve through the surviving representative
+    and non-survivors drop out of the verify join against ``uniq``.
     """
     uniq = exact_dedup(df, text_column, id_column).persist()
     uniq.count()
-    with_sig = minhash_signatures(uniq, text_column, num_hashes, shingle_k)
+    with_sig = (signatures if signatures is not None
+                else minhash_signatures(uniq, text_column, num_hashes,
+                                        shingle_k))
     cands = lsh_candidate_pairs(with_sig, id_column, num_bands,
                                 signature_length=num_hashes)
     # the candidate-pair join is referenced three times downstream (the
@@ -307,7 +319,8 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
                       text_column: str = "text", id_column: str = "doc_id",
                       num_hashes: int = 32, num_bands: int = 4,
                       shingle_k: int = 5, threshold: float = 0.8,
-                      within_batch: bool = True) -> DataFrame:
+                      within_batch: bool = True,
+                      new_sigs: DataFrame | None = None) -> DataFrame:
     """Dedup a NEW batch against an already-registered corpus using the
     corpus's persisted minhash signatures — the continuous-ingest path.
 
@@ -328,12 +341,18 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     after reference ids): a new doc is dropped iff some reference doc or
     some smaller-id batch doc is a verified >= threshold Jaccard
     neighbor. Returns the surviving rows of ``new_df``.
+
+    ``new_sigs`` takes precomputed batch signatures (same contract as
+    ``minhash_dedup(signatures=...)``) so a job that already signed the
+    corpus once can slice that table instead of re-folding the batch.
     """
     uniq = (exact_dedup(new_df, text_column, id_column)
             if within_batch else new_df)
     uniq = uniq.persist()
     uniq.count()
-    sigs_new = minhash_signatures(uniq, text_column, num_hashes, shingle_k)
+    sigs_new = (new_sigs if new_sigs is not None
+                else minhash_signatures(uniq, text_column, num_hashes,
+                                        shingle_k))
     bn = band_signatures(sigs_new, id_column, num_bands, num_hashes)
     bn = bn.persist()
     bn.count()

@@ -12,7 +12,7 @@ batches are uniform and executors don't stall on one 4 GB video.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import Optional
 
 import pandas as pd
@@ -57,24 +57,35 @@ def _fake_decode(payload: bytes, n_features: int = 8) -> tuple[int, int, list[fl
     return width, height, feats
 
 
+DecodeFn = Callable[[bytes], "tuple[int, int, list[float]]"]
+
+
 def extract_image_features(df: DataFrame, decode_stub: bool = True,
                            n_features: int = 8,
-                           batch_size_hint: Optional[int] = None) -> DataFrame:
+                           batch_size_hint: Optional[int] = None,
+                           decode_fn: Optional[DecodeFn] = None) -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
-    With a real decoder installed, replace the _fake_decode body with
-    PIL/cv2 calls — the Arrow plumbing is identical.
+    ``decode_fn`` plugs in a real decoder as a one-line swap where the
+    runtime has one: any ``payload_bytes -> (width, height, features)``
+    callable (e.g. a PIL/cv2 wrapper). It is serialized to executors with
+    the UDF closure, so it must be importable/picklable. Default is the
+    deterministic md5 stub, which keeps the pipeline oracle-checkable in
+    runtimes without media libraries.
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real image decode requires PIL/cv2, not present in this runtime"
-        )
+    if decode_fn is None:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real image decode requires PIL/cv2, not present in this "
+                "runtime — pass decode_fn to plug one in"
+            )
+        decode_fn = lambda payload: _fake_decode(payload, n_features)  # noqa: E731
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "features": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, f = _fake_decode(payload, n_features)
+                w, h, f = decode_fn(payload)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)

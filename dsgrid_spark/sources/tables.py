@@ -1,14 +1,17 @@
 """Loaders for the driver-provided TPC-H-ish test tables (TESTDATA.md).
 
-``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it only
-as a long (``spark.sql.legacy.parquet.nanosAsLong``) — we convert to a
-microsecond TimestampType column, matching DuckDB's nanos→micros
+``events.ts`` has shipped in two physical encodings across testdata
+generations: parquet TIMESTAMP(NANOS), which Spark reads only as a long
+(``spark.sql.legacy.parquet.nanosAsLong``), and plain TIMESTAMP(MICROS),
+which Spark reads natively. We detect which one we got and normalize to
+a microsecond TimestampType column, matching DuckDB's nanos→micros
 truncation.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
@@ -27,9 +30,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prep_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # integer division: ts exceeds 2^53, double division would lose
-        # microsecond precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos-as-long encoding; integer division — ts exceeds 2^53,
+            # double division would lose microsecond precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # native micros encoding read as NTZ; session tz is UTC, so the
+            # cast is instant-preserving and downstream ops see the same
+            # TIMESTAMP (ltz) type as the nanos path produced
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

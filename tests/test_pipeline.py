@@ -231,6 +231,15 @@ def test_multimodal_plumbing(spark):
     assert all(64 <= r["width"] < 576 for r in feats)
     with pytest.raises(NotImplementedError):
         extract_image_features(media, decode_stub=False)
+    # pluggable decoder: a custom decode_fn is a one-line swap and takes
+    # precedence over the stub (the PIL/cv2 integration point)
+    custom = extract_image_features(
+        media, decode_fn=lambda p: (len(p), 2 * len(p), [1.0]),
+    ).collect()
+    by_id = {r["media_id"]: r for r in custom}
+    assert by_id[0]["width"] == 3 and by_id[0]["height"] == 6
+    assert by_id[1]["width"] == 4 and by_id[1]["height"] == 8
+    assert all(r["features"] == [1.0] for r in custom)
     assert repartition_by_size(media, 2).count() == 2
     vids = spark.createDataFrame([(0, 91)], "media_id long, n_frames int")
     frames = sorted(r["frame_index"] for r in sample_video_frames(vids, 30).collect())
