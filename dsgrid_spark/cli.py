@@ -275,6 +275,25 @@ def cmd_registry_dump(args) -> int:
     return 0
 
 
+def cmd_registry_remove(args) -> int:
+    """Remove an entity and all its versions (reference
+    dsgrid_admin.py remove commands)."""
+    store = _store(args)
+    store.remove(args.kind_plural, args.id)
+    print(f"removed {args.kind_plural}/{args.id}")
+    return 0
+
+
+def cmd_registry_download(args) -> int:
+    """Copy a version's data out of the registry (reference
+    cli/download.py)."""
+    store = _store(args)
+    out = store.download(args.kind_plural, args.id, args.dest,
+                         version=args.version)
+    print(str(out))
+    return 0
+
+
 def cmd_registry_prune(args) -> int:
     """Garbage-collect staging leftovers, orphaned version dirs, and
     (with --keep) old version data beyond the newest N per entity."""
@@ -349,6 +368,24 @@ def main(argv: list[str] | None = None) -> int:
                                      "mapping"])
     rd.add_argument("id")
     rd.set_defaults(fn=cmd_registry_dump)
+
+    rm = regsub.add_parser("remove",
+                           help="remove an entity and all its versions")
+    rm.add_argument("registry")
+    rm.add_argument("kind", choices=["project", "dataset", "dimension",
+                                     "mapping"])
+    rm.add_argument("id")
+    rm.set_defaults(fn=cmd_registry_remove)
+
+    dl = regsub.add_parser("download",
+                           help="copy a version's data out of the registry")
+    dl.add_argument("registry")
+    dl.add_argument("kind", choices=["project", "dataset", "dimension",
+                                     "mapping"])
+    dl.add_argument("id")
+    dl.add_argument("dest")
+    dl.add_argument("--version", default=None)
+    dl.set_defaults(fn=cmd_registry_download)
 
     rp = regsub.add_parser("prune", help="garbage-collect registry data")
     rp.add_argument("registry")

@@ -201,6 +201,42 @@ class RegistryStore:
                                 removed["old_versions"].append(str(vdir))
         return removed
 
+    def remove(self, kind: str, entity_id: str) -> None:
+        """Remove an entity entirely — index entry, log, and every version
+        data dir (reference dsgrid_admin.py remove commands). Destructive
+        and deliberate: version history is gone; prefer ``prune`` to
+        reclaim space while keeping the log."""
+        if kind not in KINDS:
+            raise RegistryError(f"unknown kind {kind!r}")
+        with self._locked():
+            index = self._read_index()
+            if entity_id not in index[kind]:
+                raise RegistryError(f"{kind}/{entity_id} is not registered")
+            del index[kind][entity_id]
+            self._write_index(index)
+            ent_dir = self.root / kind / entity_id
+            if ent_dir.exists():
+                shutil.rmtree(ent_dir)
+
+    def download(self, kind: str, entity_id: str, dest: Union[str, Path],
+                 version: Optional[str] = None) -> Path:
+        """Copy one version's data directory out of the registry
+        (reference cli/download.py): the parquet + config land under
+        ``dest/<kind>/<id>/<version>`` ready to register elsewhere or
+        read directly. Returns the copied path."""
+        version = version or self.latest_version(kind, entity_id)
+        src = self._entry_dir(kind, entity_id, version)
+        if not src.exists():
+            raise RegistryError(
+                f"{kind}/{entity_id}@{version} has no data directory "
+                "(pruned?)")
+        out = Path(dest) / kind / entity_id / version
+        if out.exists():
+            raise RegistryError(f"destination {out} already exists")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copytree(src, out)
+        return out
+
     # ---- index ---------------------------------------------------------
     @property
     def _index_path(self) -> Path:

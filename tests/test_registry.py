@@ -449,3 +449,38 @@ def test_registry_prune(spark, load_df, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"staging"' in out
+
+
+def test_registry_remove_and_download(spark, load_df, tmp_path, capsys):
+    """Admin removal + dataset download (reference dsgrid_admin.py remove
+    commands, cli/download.py)."""
+    from dsgrid_spark.cli import main as cli_main
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df, validate=False)
+    store.update_dataset("load", load_df, validate=False)  # 2.0.0
+
+    # download pins a version; the copy is readable and re-registerable
+    out = store.download("datasets", "load", tmp_path / "dl", version="1.0.0")
+    assert out == tmp_path / "dl" / "datasets" / "load" / "1.0.0"
+    got = spark.read.parquet(str(out / "table.parquet"))
+    assert got.count() == load_df.count()
+    with pytest.raises(RegistryError):  # no silent overwrite
+        store.download("datasets", "load", tmp_path / "dl", version="1.0.0")
+
+    # CLI download defaults to the latest version
+    rc = cli_main(["registry", "download", str(tmp_path / "reg"),
+                   "dataset", "load", str(tmp_path / "dl2")])
+    assert rc == 0
+    assert "2.0.0" in capsys.readouterr().out
+
+    # remove drops the index entry and every version dir
+    rc = cli_main(["registry", "remove", str(tmp_path / "reg"),
+                   "dataset", "load"])
+    assert rc == 0
+    assert store.list_ids("datasets") == []
+    assert not (tmp_path / "reg" / "datasets" / "load").exists()
+    with pytest.raises(RegistryError):
+        store.remove("datasets", "load")
+    with pytest.raises(RegistryError):
+        store.remove("bogus_kind", "load")
