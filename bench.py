@@ -38,6 +38,7 @@ BRANCHES = {
     "q12_peak_load": ("tag", ["peak", "top3"]),
     "q21_scalar_datetime": ("op", ["month", "session"]),
     "q23_time_downsample": ("mode", ["down", "up", "cascade:"]),
+    "q28_dedup_exact": ("op", ["batch", "stream"]),
     "q30_minhash_dedup": ("op", ["full", "incr"]),
     "q50_dst_duplicate": ("tag", ["spring", "fall", "interp"]),
 }

@@ -112,64 +112,181 @@ def _combine_union(left: DataFrame, right: DataFrame) -> DataFrame:
     return left.unionByName(right)
 
 
+def _leaf_names(node: ast.AST) -> set[str]:
+    """Leaf dataset names reachable through alignment-PRESERVING edges
+    (arith/compare/bool/unary-minus). Union and ``in`` change the key
+    multiset, so they break the chain and contribute nothing."""
+    if isinstance(node, ast.Name):
+        return {node.id}
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+        return _leaf_names(node.operand)
+    if isinstance(node, ast.BinOp) and not isinstance(node.op, ast.BitOr):
+        return _leaf_names(node.left) | _leaf_names(node.right)
+    if (isinstance(node, ast.Compare) and len(node.ops) == 1
+            and not isinstance(node.ops[0], ast.In)):
+        return _leaf_names(node.left) | _leaf_names(node.comparators[0])
+    if isinstance(node, ast.BoolOp):
+        out: set[str] = set()
+        for v in node.values:
+            out |= _leaf_names(v)
+        return out
+    return set()
+
+
+def _audit_leaf_alignment(frames: dict[str, DataFrame],
+                          value_columns: list[str]) -> bool:
+    """ONE action verifying every frame is exactly 1:1 over the SAME
+    dimension-key set: union the key columns of all frames with a source
+    tag, count per (key, source), and read per-source totals + any
+    non-1:1 key off a single aggregate. Replaces a guard action per
+    expression node — an expression tree of k operators costs one audit
+    job instead of k (each previously re-scanning its operand subtrees).
+
+    Returns False (audit skipped, callers fall back to per-node guards)
+    when the frames' column sets disagree — the node-level column check
+    owns that error. Raises the reference's guard errors otherwise.
+    """
+    names = sorted(frames)
+    cols = set(frames[names[0]].columns)
+    if any(set(frames[n].columns) != cols for n in names[1:]):
+        return False
+    dim_cols = [c for c in frames[names[0]].columns
+                if c not in value_columns]
+    if not dim_cols:
+        return False
+    tagged = None
+    for i, n in enumerate(names):
+        t = frames[n].select(*dim_cols).withColumn("__src", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    k = len(names)
+    per_key = tagged.groupBy(*dim_cols).agg(*[
+        F.sum((F.col("__src") == i).cast("int")).alias(f"__n{i}")
+        for i in range(k)
+    ])
+    bad = None
+    for i in range(k):
+        cond = F.col(f"__n{i}") != 1
+        bad = cond if bad is None else (bad | cond)
+    audit = per_key.agg(
+        *[F.sum(f"__n{i}").alias(f"__t{i}") for i in range(k)],
+        F.sum(bad.cast("int")).alias("__bad"),
+    ).collect()[0]
+    totals = [audit[f"__t{i}"] or 0 for i in range(k)]
+    for i in range(1, k):
+        if totals[i] != totals[0]:
+            raise DatasetExpressionError(
+                f"dataset row counts differ for {names[0]!r} vs "
+                f"{names[i]!r}: {totals[0]} vs {totals[i]}"
+            )
+    if audit["__bad"]:
+        raise DatasetExpressionError(
+            f"expression join changed row count: {audit['__bad']} dimension "
+            "keys are missing or duplicated across datasets "
+            "(misaligned or duplicated dimension keys)"
+        )
+    return True
+
+
 def evaluate_expression(expression: str, datasets: dict[str, DataFrame],
                         value_columns: list[str] | None = None,
                         check_counts: bool = True) -> DataFrame:
-    """Evaluate a dataset arithmetic expression over named DataFrames."""
+    """Evaluate a dataset arithmetic expression over named DataFrames.
+
+    Guard strategy (reference DatasetExpressionHandler._op semantics at a
+    fraction of the jobs): all leaf datasets that feed arithmetic are
+    verified mutually 1:1-aligned in ONE up-front audit action; inner
+    joins of aligned frames preserve the key set, so every arithmetic
+    node over alignment-preserving subtrees inherits the verification and
+    skips its own guard. Only operands derived through union or ``in``
+    (which legitimately change the key multiset) re-guard at the node.
+    ``check_counts=False`` skips every guard (silent inner-join
+    semantics for scale).
+    """
     value_columns = value_columns or [VALUE_COLUMN]
     try:
         tree = ast.parse(expression, mode="eval")
     except SyntaxError as e:
         raise DatasetExpressionError(f"invalid expression {expression!r}: {e}") from e
 
-    def ev(node: ast.AST) -> DataFrame:
+    verified: set[str] = set()
+    if check_counts:
+        arith_leaves: set[str] = set()
+        for child in ast.walk(tree):
+            if isinstance(child, ast.BinOp) and not isinstance(child.op,
+                                                               ast.BitOr):
+                arith_leaves |= _leaf_names(child.left)
+                arith_leaves |= _leaf_names(child.right)
+            elif (isinstance(child, ast.Compare) and len(child.ops) == 1
+                    and not isinstance(child.ops[0], ast.In)):
+                arith_leaves |= _leaf_names(child.left)
+                arith_leaves |= _leaf_names(child.comparators[0])
+            elif isinstance(child, ast.BoolOp):
+                for v in child.values:
+                    arith_leaves |= _leaf_names(v)
+        arith_leaves &= set(datasets)
+        if arith_leaves:
+            frames = {n: datasets[n] for n in arith_leaves}
+            if _audit_leaf_alignment(frames, value_columns):
+                verified = arith_leaves
+
+    def ev(node: ast.AST) -> tuple[DataFrame, bool]:
+        """Returns (frame, aligned): aligned means provably 1:1 over the
+        audited global key set, so arith over two aligned frames needs no
+        per-node guard."""
         if isinstance(node, ast.Expression):
             return ev(node.body)
         if isinstance(node, ast.Name):
             if node.id not in datasets:
                 raise DatasetExpressionError(f"unknown dataset {node.id!r}")
-            return datasets[node.id]
+            return datasets[node.id], node.id in verified
         if isinstance(node, ast.BinOp):
-            left, right = ev(node.left), ev(node.right)
+            (left, la), (right, ra) = ev(node.left), ev(node.right)
             if isinstance(node.op, ast.BitOr):
-                return _combine_union(left, right)
+                return _combine_union(left, right), False
             ops = {ast.Add: "+", ast.Sub: "-", ast.Mult: "*", ast.Div: "/",
                    ast.Mod: "%", ast.Pow: "**"}
             for t, sym in ops.items():
                 if isinstance(node.op, t):
-                    return _combine_arith(left, right, sym, value_columns,
-                                          check_counts=check_counts)
+                    skip = la and ra
+                    out = _combine_arith(left, right, sym, value_columns,
+                                         check_counts=check_counts and not skip)
+                    return out, skip or ((la or ra) and check_counts)
         if isinstance(node, ast.Compare):
             if len(node.ops) != 1 or len(node.comparators) != 1:
                 raise DatasetExpressionError(
                     f"chained comparisons unsupported in {expression!r}"
                 )
-            left, right = ev(node.left), ev(node.comparators[0])
+            (left, la), (right, ra) = ev(node.left), ev(node.comparators[0])
             if isinstance(node.ops[0], ast.In):
-                return _combine_in(left, right, value_columns)
+                return _combine_in(left, right, value_columns), False
             cmps = {ast.Eq: "==", ast.NotEq: "!=", ast.Lt: "<",
                     ast.LtE: "<=", ast.Gt: ">", ast.GtE: ">="}
             for t, sym in cmps.items():
                 if isinstance(node.ops[0], t):
-                    return _combine_arith(left, right, sym, value_columns,
-                                          check_counts=check_counts)
+                    skip = la and ra
+                    out = _combine_arith(left, right, sym, value_columns,
+                                         check_counts=check_counts and not skip)
+                    return out, skip or ((la or ra) and check_counts)
         if isinstance(node, ast.BoolOp):
             sym = "and" if isinstance(node.op, ast.And) else "or"
-            acc = ev(node.values[0])
+            acc, aa = ev(node.values[0])
             for nxt in node.values[1:]:
-                acc = _combine_arith(acc, ev(nxt), sym, value_columns,
-                                     check_counts=check_counts)
-            return acc
+                nxt_df, na = ev(nxt)
+                skip = aa and na
+                acc = _combine_arith(acc, nxt_df, sym, value_columns,
+                                     check_counts=check_counts and not skip)
+                aa = skip or ((aa or na) and check_counts)
+            return acc, aa
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
-            inner = ev(node.operand)
+            inner, ia = ev(node.operand)
             for v in value_columns:
                 inner = inner.withColumn(v, -F.col(v))
-            return inner
+            return inner, ia
         raise DatasetExpressionError(
             f"unsupported syntax in {expression!r}: {ast.dump(node)}"
         )
 
-    return ev(tree)
+    return ev(tree)[0]
 
 
 def default_expression(dataset_ids: list[str]) -> str:
