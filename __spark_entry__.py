@@ -1039,13 +1039,21 @@ def q44_embedding_neardup(spark, sf_dir):
 
 
 def q45_similarity_ivf(spark, sf_dir):
-    """IVF ANN: k-means partitioning + probe-n search (pipeline op).
+    """IVF ANN + random projection (pipeline ops), tagged union.
 
-    n_probe == n_clusters makes the search exhaustive, so results are
-    exact and the brute-force SQL oracle applies while the query still
-    exercises the centroid-assignment + probe plumbing.
+    'ivf': n_probe == n_clusters makes the search exhaustive, so results
+    are exact and the brute-force SQL oracle applies while the query
+    still exercises the centroid-assignment + probe plumbing.
+
+    'proj': JL ±1 sign projection 64→8 of integer-quantized vectors —
+    the sign matrix derives from md5(seed:i,j) so DuckDB recomputes the
+    exact matrix, and integer-valued inputs make the projection sums
+    bit-exact in any summation order (the dimensionality-reduction step
+    that runs BEFORE LSH/IVF at scale).
     """
-    from dsgrid_spark.pipeline.similarity import ivf_topk, kmeans_centroids
+    from dsgrid_spark.pipeline.similarity import (
+        ivf_topk, kmeans_centroids, random_projection,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -1055,8 +1063,24 @@ def q45_similarity_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ivf_topk(emb, queries_df, centroids, k=5, n_probe=len(centroids))
-    return out.select("query_id", "vec_id",
-                      F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score"))
+    ivf = out.select(
+        F.lit("ivf").alias("op"), "query_id", "vec_id",
+        F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score"))
+
+    vq = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("double"),
+        ).alias("embedding"),
+    )
+    proj = random_projection(vq, dim=64, out_dim=8, seed="rp").select(
+        F.lit("proj").alias("op"),
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("projected").alias("vec_id", "val"),
+    ).select("op", "query_id", "vec_id",
+             F.col("val").cast("long").alias("score"))
+    return ivf.unionByName(proj)
 
 
 def q46_sample_and_cap(spark, sf_dir):
@@ -2324,7 +2348,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE score >= 0.999
         """,
         "q45_similarity_ivf": """
-            SELECT q.vec_id AS query_id, c.vec_id,
+            SELECT 'ivf' AS op, q.vec_id AS query_id, c.vec_id,
                    CAST(floor(list_cosine_similarity(
                        CAST(c.embedding AS DOUBLE[]),
                        CAST(q.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT) AS score
@@ -2335,6 +2359,16 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                                 CAST(q.embedding AS DOUBLE[])) DESC,
                          c.vec_id) <= 5
+            UNION ALL
+            SELECT 'proj', vec_id, CAST(j AS INT),
+                   CAST(list_sum(list_transform(range(64), i ->
+                     floor(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5)
+                     * CASE WHEN CAST(concat('0x', substr(md5(concat(
+                         'rp:', CAST(i AS VARCHAR), ',', CAST(j AS VARCHAR)
+                       )), 1, 2)) AS INT) % 2 = 0 THEN 1 ELSE -1 END))
+                   AS BIGINT) AS score
+            FROM embeddings, (SELECT unnest(range(8)) AS j) js
+            WHERE vec_id < 20
         """,
         "q46_sample_and_cap": """
             WITH sampled AS (

@@ -77,6 +77,50 @@ def quantize_embeddings(df: DataFrame, vector_column: str = "embedding",
     )
 
 
+def projection_signs(dim: int, out_dim: int, seed: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 sign matrix for random projection, derived from
+    md5 so ANY engine (or auditor) can recompute the exact matrix from
+    (seed, i, j) — the same reproducibility-over-PRNG policy as the
+    sampling operators' hash buckets."""
+    import hashlib
+
+    def sign(i: int, j: int) -> float:
+        h = hashlib.md5(f"{seed}:{i},{j}".encode()).hexdigest()
+        return 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
+
+    return [[sign(i, j) for i in range(dim)] for j in range(out_dim)]
+
+
+def random_projection(df: DataFrame, dim: int, out_dim: int,
+                      vector_column: str = "embedding",
+                      output_column: str = "projected",
+                      seed: str = "rp") -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: ``y_j = Σ_i x_i ·
+    R[j][i]`` with R ∈ {±1}^(out_dim×dim) (Achlioptas 2003's database-
+    friendly projection — beyond the reference, which has no embedding
+    ops at all).
+
+    The scale rationale: LSH/IVF costs grow with vector width, so at
+    100 TB you project 1024-dim embeddings to 64 BEFORE bucketing —
+    sign projections preserve pairwise distances within (1±ε) while
+    cutting the shuffled bytes and the per-pair re-rank arithmetic by
+    dim/out_dim. The matrix lives in constant-folded array literals
+    (out_dim folds over one zip_with each, O(1) codegen in dim); per-row
+    column expressions only — zero shuffle, no UDF.
+    """
+    signs = projection_signs(dim, out_dim, seed)
+    rows = [F.array(*[F.lit(s) for s in signs[j]]) for j in range(out_dim)]
+    v = F.col(vector_column)
+    proj = F.array(*[
+        F.aggregate(
+            F.zip_with(v, rows[j], lambda x, r: x * r),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ])
+    return df.withColumn(output_column, proj)
+
+
 def embedding_centroids(df: DataFrame, group_columns: list[str],
                         vector_column: str = "embedding") -> DataFrame:
     """Element-wise mean vector per group, long form

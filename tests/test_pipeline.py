@@ -246,6 +246,33 @@ def test_multimodal_plumbing(spark):
     assert frames == [0, 30, 60, 90]
 
 
+def test_random_projection_signs_and_linearity(spark):
+    from dsgrid_spark.pipeline.similarity import (
+        projection_signs, random_projection,
+    )
+
+    dim, out_dim = 4, 3
+    signs = projection_signs(dim, out_dim, seed="t")
+    assert all(s in (1.0, -1.0) for row in signs for s in row)
+    # basis vector e_i projects to column i of the sign matrix
+    basis = [[1.0 if k == i else 0.0 for k in range(dim)] for i in range(dim)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(basis)], "id long, embedding array<double>"
+    )
+    got = {
+        r["id"]: list(r["projected"])
+        for r in random_projection(df, dim, out_dim, seed="t").collect()
+    }
+    for i in range(dim):
+        assert got[i] == [signs[j][i] for j in range(out_dim)]
+    # linearity: proj(2a + b) == 2*proj(a) + proj(b)
+    two_a_plus_b = [2 * basis[0][k] + basis[1][k] for k in range(dim)]
+    df2 = spark.createDataFrame([(0, two_a_plus_b)],
+                                "id long, embedding array<double>")
+    combo = list(random_projection(df2, dim, out_dim, seed="t").collect()[0]["projected"])
+    assert combo == [2 * signs[j][0] + signs[j][1] for j in range(out_dim)]
+
+
 def test_cosine_column_exact(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 0.0], [2.0, 0.0])],
