@@ -946,21 +946,46 @@ def q41_representative_time(spark, sf_dir):
 
 def q42_language_id(spark, sf_dir):
     """Marker-based language identification + quality scoring +
-    Gopher-style repetition metrics in one per-document projection
-    (pipeline ops)."""
+    Gopher-style repetition metrics + the C4-style filter FUNNEL
+    (pipeline ops), tagged union: 'doc' = per-document metrics; 'funnel'
+    = each document charged to the first quality rule it fails, one
+    row per rule with the drop count."""
     from dsgrid_spark.pipeline.text import (
-        dup_word_ppm, language_id, quality_score, top_bigram_ppm,
+        alpha_ratio_ppm, dup_word_ppm, filter_funnel, language_id,
+        quality_score, top_bigram_ppm,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    t = F.col("text")
+    doc_rows = docs.select(
+        F.lit("doc").alias("op"),
         "doc_id",
-        language_id(F.col("text")).alias("lang_pred"),
-        F.floor(quality_score(F.col("text")) * 1e6 + 0.5).cast("long")
-        .alias("quality"),
-        dup_word_ppm(F.col("text")).alias("dup_word_ppm"),
-        top_bigram_ppm(F.col("text")).alias("top_bigram_ppm"),
+        language_id(t).alias("lang_pred"),
+        F.floor(quality_score(t) * 1e6 + 0.5).cast("long").alias("quality"),
+        dup_word_ppm(t).alias("dup_word_ppm"),
+        top_bigram_ppm(t).alias("top_bigram_ppm"),
     )
+    rules = [
+        ("short", F.length(t) >= 200),
+        ("nonalpha", alpha_ratio_ppm(t) >= 800000),
+        ("repetitive", dup_word_ppm(t) < 400000),
+        ("lang", language_id(t) != F.lit("und")),
+    ]
+    _survivors, stats = filter_funnel(docs, rules)
+    idx = (F.when(F.col("rule") == "short", 0)
+           .when(F.col("rule") == "nonalpha", 1)
+           .when(F.col("rule") == "repetitive", 2)
+           .when(F.col("rule") == "lang", 3)
+           .otherwise(4))
+    funnel_rows = stats.select(
+        F.lit("funnel").alias("op"),
+        idx.cast("long").alias("doc_id"),
+        F.col("rule").alias("lang_pred"),
+        F.col("n_docs").alias("quality"),
+        F.lit(0).cast("long").alias("dup_word_ppm"),
+        F.lit(0).cast("long").alias("top_bigram_ppm"),
+    )
+    return doc_rows.unionByName(funnel_rows)
 
 
 def q43_ngram_jaccard(spark, sf_dir):
@@ -1679,39 +1704,62 @@ _LANG_ID_SQL = f"""
              {_lang_score_sql('fr')} AS s_fr,
              {_lang_score_sql('de')} AS s_de
       FROM documents
-    )
-    SELECT doc_id,
-           CASE
-             WHEN s_en = greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
-             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
-             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
-             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
-             ELSE 'und'
-           END AS lang_pred,
-           CAST(floor((
-               least(1.0, len(text) / 500.0)
-               + CASE WHEN len(text) > 0 THEN
-                   len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-                   / len(text)
-                 ELSE 0.0 END
-               + s_en / 8.0
-           ) / 3.0 * 1e6 + 0.5) AS BIGINT) AS quality,
-           CASE WHEN len(ws) > 0 THEN
-             CAST(floor((len(ws) - len(list_distinct(ws))) * 1000000.0
-                        / len(ws)) AS BIGINT)
-           ELSE 0 END AS dup_word_ppm,
-           CASE WHEN len(ws) >= 2 THEN
-             CAST(floor(list_max(list_transform(list_distinct(bgs),
-                    d -> len(list_filter(bgs, x -> x = d)))) * 1000000.0
-                        / (len(ws) - 1)) AS BIGINT)
-           ELSE 0 END AS top_bigram_ppm
-    FROM (
-      SELECT *, list_transform(range(1, len(ws)),
-                               i -> ws[i] || ' ' || ws[i+1]) AS bgs
+    ), metrics AS (
+      SELECT doc_id,
+             len(text) AS n,
+             CASE
+               WHEN s_en = greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+               WHEN s_es = greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
+               WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
+               WHEN s_de = greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
+               ELSE 'und'
+             END AS lang_pred,
+             CAST(floor((
+                 least(1.0, len(text) / 500.0)
+                 + CASE WHEN len(text) > 0 THEN
+                     len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                     / len(text)
+                   ELSE 0.0 END
+                 + s_en / 8.0
+             ) / 3.0 * 1e6 + 0.5) AS BIGINT) AS quality,
+             CASE WHEN len(ws) > 0 THEN
+               CAST(floor((len(ws) - len(list_distinct(ws))) * 1000000.0
+                          / len(ws)) AS BIGINT)
+             ELSE 0 END AS dup_word_ppm,
+             CASE WHEN len(ws) >= 2 THEN
+               CAST(floor(list_max(list_transform(list_distinct(bgs),
+                      d -> len(list_filter(bgs, x -> x = d)))) * 1000000.0
+                          / (len(ws) - 1)) AS BIGINT)
+             ELSE 0 END AS top_bigram_ppm,
+             CAST(floor(CASE WHEN len(text) > 0 THEN
+               len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0
+               / len(text) ELSE 0.0 END) AS BIGINT) AS alpha_ppm
       FROM (
-        SELECT *, string_split_regex(trim(text), '\\s+') AS ws FROM scored
+        SELECT *, list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1]) AS bgs
+        FROM (
+          SELECT *, string_split_regex(trim(text), '\\s+') AS ws FROM scored
+        )
       )
     )
+    SELECT 'doc' AS op, doc_id, lang_pred, quality, dup_word_ppm,
+           top_bigram_ppm
+    FROM metrics
+    UNION ALL
+    SELECT 'funnel',
+           CAST(CASE rule WHEN 'short' THEN 0 WHEN 'nonalpha' THEN 1
+                          WHEN 'repetitive' THEN 2 WHEN 'lang' THEN 3
+                          ELSE 4 END AS BIGINT),
+           rule, count(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM (
+      SELECT CASE WHEN NOT (n >= 200) THEN 'short'
+                  WHEN NOT (alpha_ppm >= 800000) THEN 'nonalpha'
+                  WHEN NOT (dup_word_ppm < 400000) THEN 'repetitive'
+                  WHEN NOT (lang_pred <> 'und') THEN 'lang'
+                  ELSE 'kept' END AS rule
+      FROM metrics
+    )
+    GROUP BY rule
 """
 
 

@@ -448,3 +448,49 @@ def analyze_documents(df: DataFrame, text_column: str = "text") -> DataFrame:
         .withColumn("lang_pred", language_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def alpha_ratio_ppm(text: Column) -> Column:
+    """Integer ppm of alphabetic characters (floor — bit-identical across
+    engines, the q29 convention)."""
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n = F.length(text)
+    return F.floor(
+        F.when(n > 0, alpha * F.lit(1000000.0) / n).otherwise(F.lit(0.0))
+    ).cast("long")
+
+
+def filter_funnel(df: DataFrame,
+                  rules: list[tuple[str, Column]]) -> tuple[DataFrame, DataFrame]:
+    """C4/Gopher-style quality-filter funnel with per-rule attribution:
+    each document is charged to the FIRST rule whose keep-condition it
+    fails (the standard 'how much did each filter cost me' report run
+    before training).
+
+    ``rules`` is an ordered list of ``(name, keep_condition)``. Returns
+    ``(survivors, stats)``: survivors pass every rule; stats has one row
+    per rule name plus ``'kept'`` with the document count. Attribution is
+    ONE when-ladder column + a groupBy over rule-name cardinality — a
+    single scan and a shuffle of len(rules)+1 rows, regardless of corpus
+    size (running each filter separately would scan the corpus
+    len(rules) times and lose the first-failure attribution).
+    """
+    if not rules:
+        raise ValueError("filter_funnel needs at least one rule")
+    ladder = None
+    for name, keep in rules:
+        # NULL keep-conditions count as failures (SQL filter() would drop
+        # them, so the attribution must charge them to the rule too)
+        fail = ~F.coalesce(keep, F.lit(False))
+        ladder = (F.when(fail, F.lit(name)) if ladder is None
+                  else ladder.when(fail, F.lit(name)))
+    ladder = ladder.otherwise(F.lit("kept"))
+    stats = (
+        df.withColumn("__rule", ladder)
+        .groupBy("__rule").agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumnRenamed("__rule", "rule")
+    )
+    survivors = df
+    for _, keep in rules:
+        survivors = survivors.filter(keep)
+    return survivors, stats

@@ -246,6 +246,31 @@ def test_multimodal_plumbing(spark):
     assert frames == [0, 30, 60, 90]
 
 
+def test_filter_funnel_attribution_and_survivors(spark):
+    from dsgrid_spark.pipeline.text import filter_funnel
+
+    df = spark.createDataFrame(
+        [(0, 10, "en"), (1, 300, "en"), (2, 300, "und"),
+         (3, 5, "und"), (4, 500, "de")],
+        "doc_id long, n long, lang string",
+    )
+    rules = [("short", F.col("n") >= 100),
+             ("lang", F.col("lang") != "und")]
+    survivors, stats = filter_funnel(df, rules)
+    # first-failure attribution: doc 3 fails BOTH but charges to 'short'
+    got = {r["rule"]: r["n_docs"] for r in stats.collect()}
+    assert got == {"short": 2, "lang": 1, "kept": 2}
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 4]
+    # NULL condition counts as a failure, consistently in both outputs
+    dfn = spark.createDataFrame([(0, None), (1, 200)], "doc_id long, n long")
+    surv_n, stats_n = filter_funnel(dfn, [("short", F.col("n") >= 100)])
+    assert {r["rule"]: r["n_docs"] for r in stats_n.collect()} == {
+        "short": 1, "kept": 1}
+    assert [r["doc_id"] for r in surv_n.collect()] == [1]
+    with pytest.raises(ValueError):
+        filter_funnel(df, [])
+
+
 def test_random_projection_signs_and_linearity(spark):
     from dsgrid_spark.pipeline.similarity import (
         projection_signs, random_projection,
