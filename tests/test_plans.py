@@ -169,3 +169,40 @@ def test_stratified_sample_broadcasts_thresholds(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_is_shuffle_free_codegen(spark, fact_parquet):
+    """The JL projection must stay a per-row column expression: no
+    Exchange, no Python eval — the 1024→64 cut at 100 TB costs exactly
+    one codegen'd scan."""
+    from dsgrid_spark.pipeline.similarity import random_projection
+
+    df = spark.range(100).select(
+        "id", F.array(*[(F.col("id") + i).cast("double")
+                        for i in range(8)]).alias("embedding"),
+    )
+    out = random_projection(df, dim=8, out_dim=4)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_funnel_stats_single_aggregation(spark):
+    """Funnel attribution must be one scan + one partial-agg shuffle of
+    rule-cardinality rows — k rules may not multiply into k scans."""
+    from dsgrid_spark.pipeline.text import filter_funnel
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100).alias("n"),
+    )
+    _, stats = filter_funnel(df, [
+        ("a", F.col("n") >= 10),
+        ("b", F.col("n") < 90),
+        ("c", F.col("doc_id") % 2 == 0),
+    ])
+    plan = _plan(stats)
+    # exactly one shuffle (the rule-cardinality groupBy); the Exchange
+    # node renders once in the tree and once in the detail section
+    assert plan.count("Exchange") <= 2
+    assert "partial_count" in plan              # map-side combine ran
+    assert "HashAggregate" in plan
