@@ -55,6 +55,13 @@ class FilesystemInterface(ABC):
     @abstractmethod
     def write_text(self, path: str, text: str) -> None: ...
 
+    @abstractmethod
+    def list_sizes(self, path: str) -> list[tuple[str, int]]:
+        """Recursive (file_path, bytes) listing of DATA files — names
+        starting with '_' or '.' (markers, checksums, staging) are
+        skipped, matching what Spark's readers ignore."""
+        ...
+
 
 class LocalFilesystem(FilesystemInterface):
     """Plain-path implementation (reference local_filesystem.py)."""
@@ -88,6 +95,13 @@ class LocalFilesystem(FilesystemInterface):
 
     def write_text(self, path: str, text: str) -> None:
         self._p(path).write_text(text)
+
+    def list_sizes(self, path: str) -> list[tuple[str, int]]:
+        out = []
+        for p in sorted(self._p(path).rglob("*")):
+            if p.is_file() and not p.name.startswith(("_", ".")):
+                out.append((str(p), p.stat().st_size))
+        return out
 
 
 class HadoopFilesystem(FilesystemInterface):
@@ -137,6 +151,16 @@ class HadoopFilesystem(FilesystemInterface):
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    def list_sizes(self, path: str) -> list[tuple[str, int]]:
+        it = self._fs.listFiles(self._path(path), True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append((str(st.getPath().toString()), int(st.getLen())))
+        return sorted(out)
 
 
 def filesystem_for(spark, root: str) -> FilesystemInterface:

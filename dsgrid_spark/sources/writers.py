@@ -67,6 +67,59 @@ def _records_per_file(df: DataFrame, target_mb: int) -> int:
     return int(min(max(rows, 10_000), 50_000_000))
 
 
+def compact_parquet(spark, path: str | Path, *,
+                    target_mb: int = MAX_PARTITION_SIZE_MB,
+                    min_fill: float = 0.5,
+                    partition_by: list[str] | None = None) -> dict:
+    """Small-files compaction: rewrite a parquet dataset whose average
+    data file is below ``min_fill * target_mb`` into ~target_mb files.
+
+    The 100 TB problem this solves: streaming sinks, incremental batch
+    appends, and over-parallel writes accumulate thousands of KB-scale
+    files per dataset; every downstream scan then pays a task + footer
+    read per file, and the driver pays the listing. Compaction is ONE
+    read → repartition(total_bytes / target) → write pass; the file
+    listing is metadata-only through the filesystem interface (works
+    over file:// and object-store URIs).
+
+    Swap is rename-based: write to a temp dir, move the old dir aside,
+    move the new one in, delete the old. Atomic on local/HDFS; on object
+    stores rename is a copy, and the swap is NOT safe under concurrent
+    readers — run compaction in a maintenance window or on a new version
+    directory (the registry's immutable-version layout does the latter
+    by construction). Returns a report dict; ``skipped=True`` when the
+    dataset is already compact.
+    """
+    from dsgrid_spark.filesystem import filesystem_for
+
+    path = str(path)
+    fs = filesystem_for(spark, path)
+    files = fs.list_sizes(path)
+    total = sum(sz for _, sz in files)
+    report = {"files_before": len(files), "bytes": total,
+              "target_mb": target_mb, "skipped": False}
+    if len(files) <= 1 or (
+            total / max(len(files), 1)) >= min_fill * target_mb * 1024 * 1024:
+        report["skipped"] = True
+        report["files_after"] = len(files)
+        return report
+    n_target = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp, old = f"{path}__compact_tmp", f"{path}__compact_old"
+    for leftover in (tmp, old):
+        if fs.exists(leftover):
+            fs.rm_tree(leftover)
+    writer = df.repartition(int(n_target)).write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.rm_tree(old)
+    report["files_after"] = len(fs.list_sizes(path))
+    return report
+
+
 def write_csv(df: DataFrame, path: str | Path, single_file: bool = False) -> None:
     """CSV sink; ``single_file`` routes via pandas for small result tables
     (reference query_submitter.py:640-641)."""

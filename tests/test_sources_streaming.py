@@ -355,3 +355,29 @@ def test_write_training_shards_deterministic_and_manifested(spark, tmp_path):
     write_training_shards(df.repartition(13), out2, 8, "doc_id", salt="v1")
     back2 = spark.read.parquet(str(out2))
     assert {(r["shard"], r["doc_id"]) for r in back2.collect()} == membership
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag.parquet")
+    df = spark.range(10_000).select(
+        "id", (F.col("id") % 7).alias("k"), F.rand(42).alias("v"))
+    df.repartition(40).write.parquet(path)
+    total_before = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+
+    report = compact_parquet(spark, path, target_mb=64)
+    assert report["files_before"] >= 40 and not report["skipped"]
+    assert report["files_after"] == 1  # ~300 KB of data, one 64 MB target
+    after = spark.read.parquet(path)
+    assert after.count() == 10_000
+    assert after.agg(F.sum("id")).collect()[0][0] == total_before
+    # leftover swap dirs are gone
+    assert not (tmp_path / "frag.parquet__compact_tmp").exists()
+    assert not (tmp_path / "frag.parquet__compact_old").exists()
+
+    # second run: already compact -> no-op
+    report2 = compact_parquet(spark, path, target_mb=64, min_fill=1e-9)
+    assert report2["skipped"] and report2["files_after"] == 1
