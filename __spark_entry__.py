@@ -223,6 +223,18 @@ def q06_join_multi(spark, sf_dir):
                 F.col("user_id").cast("string").alias("k"), "n", "value")
     )
 
+    fwd = (
+        asof_join(ev.select("user_id", "ts", "value"), rates,
+                  ["user_id"], "ts", "valid_from", ["rate"],
+                  direction="forward")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.floor(F.sum(F.col("value") * F.col("rate")) * 1e6 + 0.5)
+             .cast("double").alias("value"))
+        .select(F.lit("asof_fwd").alias("op"),
+                F.col("user_id").cast("string").alias("k"), "n", "value")
+    )
+
     windows = spark.range(10).select(
         F.col("id").alias("window_id"),
         F.timestamp_seconds(base + F.col("id") * 3 * 86400).alias("w_start"),
@@ -237,7 +249,7 @@ def q06_join_multi(spark, sf_dir):
         .select(F.lit("range").alias("op"),
                 F.col("window_id").cast("string").alias("k"), "n", "value")
     )
-    return multi.unionByName(asof).unionByName(rng)
+    return multi.unionByName(asof).unionByName(fwd).unionByName(rng)
 
 
 def q07_map_dimension(spark, sf_dir):
@@ -1847,6 +1859,26 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT DISTINCT user_id FROM events),
                    (SELECT unnest(range(5)) AS k)
             ) r ON e.user_id = r.user_id AND e.ts >= r.valid_from
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT 'asof_fwd' AS op, CAST(user_id AS VARCHAR) AS k,
+                   count(*) AS n,
+                   CAST(floor(sum(value * rate) * 1e6 + 0.5) AS DOUBLE) AS value
+            FROM (
+              SELECT e.user_id, e.value,
+                     (SELECT r.rate FROM (
+                        SELECT user_id,
+                               TIMESTAMP '2024-01-01'
+                                 + to_days(7 * CAST(k AS INT)) AS valid_from,
+                               ((user_id * 7 + k) % 100) / 10.0 AS rate
+                        FROM (SELECT DISTINCT user_id FROM events),
+                             (SELECT unnest(range(5)) AS k)
+                      ) r
+                      WHERE r.user_id = e.user_id AND r.valid_from >= e.ts
+                      ORDER BY r.valid_from ASC LIMIT 1) AS rate
+              FROM events e
+            )
+            WHERE rate IS NOT NULL
             GROUP BY 1, 2
             UNION ALL
             SELECT 'range' AS op, CAST(window_id AS VARCHAR) AS k,

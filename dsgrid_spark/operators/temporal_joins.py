@@ -36,18 +36,27 @@ def asof_join(
     value_columns: list[str],
     how: str = "inner",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``value_columns`` from the latest right
-    row with the same ``on`` keys and ``right_time <= left_time``
-    (backward as-of, ties prefer the right row).
+    """For each left row, attach ``value_columns`` from the matching
+    right row with the same ``on`` keys:
 
-    ``how='inner'`` drops left rows with no prior right row (the SQL
-    ``ASOF JOIN`` default); ``'left'`` keeps them with NULLs.
-    ``tolerance_seconds`` additionally NULLs/drops matches older than
-    the tolerance.
+    - ``direction='backward'`` (default): latest right row with
+      ``right_time <= left_time`` (ties prefer the right row) — the SQL
+      ``ASOF JOIN`` default.
+    - ``'forward'``: earliest right row with ``right_time >= left_time``.
+    - ``'nearest'``: whichever of the two is closer in time; exact-tie
+      prefers backward (pandas ``merge_asof`` conventions).
 
-    ``value_columns`` must not collide with left's columns.
+    ``how='inner'`` drops left rows with no match; ``'left'`` keeps them
+    with NULLs. ``tolerance_seconds`` additionally NULLs/drops matches
+    farther than the tolerance. All directions are ONE shuffle on the
+    keys (union + window carry; 'nearest' adds a second in-partition
+    sort, no extra shuffle). ``value_columns`` must not collide with
+    left's columns.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     overlap = set(value_columns) & set(left.columns)
     if overlap:
         raise ValueError(f"value_columns collide with left columns: {overlap}")
@@ -64,27 +73,53 @@ def asof_join(
         F.lit(0).alias("__side"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at equal time, so an exactly
-    # simultaneous right row is visible to the left row (>= semantics)
-    w = (
+    # right rows sort before left rows at equal time (in either sort
+    # direction), so an exactly simultaneous right row is visible to the
+    # left row (>= / <= semantics)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
-    for vc in value_columns:
-        u = u.withColumn(vc, F.last(vc, ignorenulls=True).over(w))
-    u = u.withColumn(
-        "__rt",
-        F.last(F.when(F.col("__side") == 0, F.col("__t")),
-               ignorenulls=True).over(w),
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").desc(), F.col("__side").asc())
+        .rowsBetween(*frame)
     )
-    out = u.filter(F.col("__side") == 1)
-    if tolerance_seconds is not None:
-        stale = (
-            F.col("__rt").isNull()
-            | ((F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__rt")))
-               > int(tolerance_seconds * _MICROS))
+    windows = {"backward": [("", w_back)], "forward": [("", w_fwd)],
+               "nearest": [("__b_", w_back), ("__f_", w_fwd)]}[direction]
+    for prefix, w in windows:
+        for vc in value_columns:
+            u = u.withColumn(prefix + vc if prefix else vc,
+                             F.last(vc, ignorenulls=True).over(w))
+        u = u.withColumn(
+            f"{prefix}__rt" if prefix else "__rt",
+            F.last(F.when(F.col("__side") == 0, F.col("__t")),
+                   ignorenulls=True).over(w),
         )
+    out = u.filter(F.col("__side") == 1)
+    if direction == "nearest":
+        t, rb, rf = (F.unix_micros(F.col("__t")),
+                     F.unix_micros(F.col("__b___rt")),
+                     F.unix_micros(F.col("__f___rt")))
+        pick_fwd = F.col("__b___rt").isNull() | (
+            F.col("__f___rt").isNotNull() & ((rf - t) < (t - rb)))
+        for vc in value_columns:
+            out = out.withColumn(
+                vc, F.when(pick_fwd, F.col(f"__f_{vc}"))
+                .otherwise(F.col(f"__b_{vc}")))
+        out = out.withColumn(
+            "__rt", F.when(pick_fwd, F.col("__f___rt"))
+            .otherwise(F.col("__b___rt")))
+        drop_extra = [f"__b_{vc}" for vc in value_columns] + [
+            f"__f_{vc}" for vc in value_columns] + ["__b___rt", "__f___rt"]
+        out = out.drop(*drop_extra)
+    if tolerance_seconds is not None:
+        dist = F.abs(F.unix_micros(F.col("__t"))
+                     - F.unix_micros(F.col("__rt")))
+        stale = F.col("__rt").isNull() | (
+            dist > int(tolerance_seconds * _MICROS))
         for vc in value_columns:
             out = out.withColumn(vc, F.when(stale, F.lit(None))
                                  .otherwise(F.col(vc)))

@@ -71,6 +71,47 @@ def test_asof_join_backward(spark):
         ("u1", T(0, 30)), ("u1", T(2, 0))}   # >1h-old matches dropped
 
 
+def test_asof_join_forward_and_nearest(spark):
+    import datetime as dt
+
+    from dsgrid_spark.operators.temporal_joins import asof_join
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    events = spark.createDataFrame(
+        [("u1", T(0, 30), 1.0),   # between rates at 00:00 and 02:00
+         ("u1", T(1, 30), 2.0),   # nearer to 02:00
+         ("u1", T(2, 0), 3.0),    # exact tie with the 02:00 rate
+         ("u1", T(5, 0), 4.0),    # after the last rate
+         ("u2", T(1, 0), 8.0)],   # u2 has no rates at all
+        "user string, ts timestamp, value double",
+    )
+    rates = spark.createDataFrame(
+        [("u1", T(0), 10.0), ("u1", T(2), 20.0)],
+        "user string, valid_from timestamp, rate double",
+    )
+    fwd = asof_join(events, rates, ["user"], "ts", "valid_from", ["rate"],
+                    direction="forward")
+    got = {(r["user"], r["ts"]): r["rate"] for r in fwd.collect()}
+    assert got == {
+        ("u1", T(0, 30)): 20.0,   # earliest rate at-or-after
+        ("u1", T(1, 30)): 20.0,
+        ("u1", T(2, 0)): 20.0,    # simultaneous rate applies
+        # 05:00 dropped (inner, nothing after); u2 dropped
+    }
+    near = asof_join(events, rates, ["user"], "ts", "valid_from", ["rate"],
+                     direction="nearest")
+    got_n = {(r["user"], r["ts"]): r["rate"] for r in near.collect()}
+    assert got_n == {
+        ("u1", T(0, 30)): 10.0,   # 30 min back vs 90 min fwd
+        ("u1", T(1, 30)): 20.0,   # 90 min back vs 30 min fwd
+        ("u1", T(2, 0)): 20.0,    # distance 0 both ways -> backward pick
+        ("u1", T(5, 0)): 20.0,    # only backward exists
+    }
+    with pytest.raises(ValueError):
+        asof_join(events, rates, ["user"], "ts", "valid_from", ["rate"],
+                  direction="sideways")
+
+
 def test_range_join_binned_matches_naive(spark):
     import datetime as dt
 
