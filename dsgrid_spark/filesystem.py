@@ -62,6 +62,13 @@ class FilesystemInterface(ABC):
         skipped, matching what Spark's readers ignore."""
         ...
 
+    @abstractmethod
+    def copy_tree(self, src: str, dst: str) -> None:
+        """Recursive copy within this filesystem. Cross-scheme copies
+        (local → s3a) are a bulk-transfer job (distcp / cloud CLI), not a
+        metadata op — out of scope here."""
+        ...
+
 
 class LocalFilesystem(FilesystemInterface):
     """Plain-path implementation (reference local_filesystem.py)."""
@@ -102,6 +109,14 @@ class LocalFilesystem(FilesystemInterface):
             if p.is_file() and not p.name.startswith(("_", ".")):
                 out.append((str(p), p.stat().st_size))
         return out
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        s, d = self._p(src), self._p(dst)
+        d.parent.mkdir(parents=True, exist_ok=True)
+        if s.is_dir():
+            shutil.copytree(s, d)
+        else:
+            shutil.copy2(s, d)
 
 
 class HadoopFilesystem(FilesystemInterface):
@@ -161,6 +176,13 @@ class HadoopFilesystem(FilesystemInterface):
             if not name.startswith(("_", ".")):
                 out.append((str(st.getPath().toString()), int(st.getLen())))
         return sorted(out)
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        conf = self._fs.getConf()
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs, self._path(src), self._fs, self._path(dst),
+            False, conf,
+        )
 
 
 def filesystem_for(spark, root: str) -> FilesystemInterface:

@@ -503,6 +503,50 @@ class RegistryStore:
             str(self._entry_dir("dimensions", name, version) / "records.parquet")
         )
 
+    # ---- sync ----------------------------------------------------------
+    def sync_to(self, dst: "RegistryStore") -> list[str]:
+        """One-way mirror of this registry into ``dst`` (reference
+        registry sync, filesystem level): version data dirs present here
+        but absent there are copied, their log entries appended, and
+        ``current`` pointers updated to match this side. Idempotent —
+        a second sync copies nothing. Version dirs are immutable, so an
+        existing dst version is never touched; dst-only entities/versions
+        are preserved (mirror adds, never deletes).
+
+        Copies go through the filesystem interface of the dst root;
+        cross-scheme replication (local → s3a) is a bulk-transfer job
+        (distcp), deliberately out of scope.
+        """
+        from dsgrid_spark.filesystem import filesystem_for
+
+        fs = filesystem_for(self.spark, str(dst.root))
+        copied: list[str] = []
+        with dst._locked():
+            src_index = self._read_index()
+            dst_index = dst._read_index()
+            for kind in KINDS:
+                for entity_id, entry in src_index[kind].items():
+                    dst_entry = dst_index[kind].setdefault(
+                        entity_id, {"current": None, "log": []})
+                    have = {e["version"] for e in dst_entry["log"]}
+                    for log_entry in entry["log"]:
+                        v = log_entry["version"]
+                        if v in have:
+                            continue
+                        src_dir = self._entry_dir(kind, entity_id, v)
+                        if not src_dir.exists():
+                            continue  # pruned at src; log stays src-only
+                        dst_dir = dst._entry_dir(kind, entity_id, v)
+                        if fs.exists(str(dst_dir)):
+                            fs.rm_tree(str(dst_dir))  # orphan from a crash
+                        fs.copy_tree(str(src_dir), str(dst_dir))
+                        dst_entry["log"].append(dict(log_entry))
+                        copied.append(f"{kind}/{entity_id}@{v}")
+                    if entry["current"] is not None:
+                        dst_entry["current"] = entry["current"]
+            dst._write_index(dst_index)
+        return copied
+
     # ---- catalog bridge ------------------------------------------------
     def load_catalog(self, versions: Optional[dict[str, str]] = None) -> Catalog:
         """Build the in-session Catalog view of this registry at the

@@ -484,3 +484,32 @@ def test_registry_remove_and_download(spark, load_df, tmp_path, capsys):
         store.remove("datasets", "load")
     with pytest.raises(RegistryError):
         store.remove("bogus_kind", "load")
+
+
+def test_registry_sync_mirrors_and_is_idempotent(spark, load_df, tmp_path):
+    """One-way registry sync (reference registry sync, filesystem level):
+    missing versions copy, logs merge, currents follow the source; a
+    second sync is a no-op; dst-only entities survive."""
+    src = RegistryStore(tmp_path / "src", spark)
+    dst = RegistryStore(tmp_path / "dst", spark)
+    src.register_dataset("load", load_df, validate=False)
+    src.register_dimension("geo", load_df.select(
+        F.col("geography").alias("id")).distinct())
+    dst.register_dataset("dst_only", load_df, validate=False)
+
+    copied = src.sync_to(dst)
+    assert sorted(copied) == ["datasets/load@1.0.0", "dimensions/geo@1.0.0"]
+    assert dst.latest_version("datasets", "load") == "1.0.0"
+    got = spark.read.parquet(
+        str(tmp_path / "dst" / "datasets" / "load" / "1.0.0" / "table.parquet"))
+    assert got.count() == load_df.count()
+    assert dst.latest_version("datasets", "dst_only") == "1.0.0"  # preserved
+
+    assert src.sync_to(dst) == []  # idempotent
+
+    # incremental: only the new version moves
+    src.update_dataset("load", load_df, validate=False)  # 2.0.0
+    assert src.sync_to(dst) == ["datasets/load@2.0.0"]
+    assert dst.latest_version("datasets", "load") == "2.0.0"
+    assert [e["version"] for e in dst.log("datasets", "load")] == [
+        "1.0.0", "2.0.0"]
