@@ -294,6 +294,17 @@ def cmd_registry_download(args) -> int:
     return 0
 
 
+def cmd_registry_sync(args) -> int:
+    """Mirror one registry into another (reference registry sync)."""
+    from dsgrid_spark.registry.store import RegistryStore
+
+    src = _store(args)
+    dst = RegistryStore(args.dest, src.spark)
+    copied = src.sync_to(dst)
+    print(json.dumps({"copied": copied}, indent=2))
+    return 0
+
+
 def cmd_registry_prune(args) -> int:
     """Garbage-collect staging leftovers, orphaned version dirs, and
     (with --keep) old version data beyond the newest N per entity."""
@@ -386,6 +397,12 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("dest")
     dl.add_argument("--version", default=None)
     dl.set_defaults(fn=cmd_registry_download)
+
+    rs = regsub.add_parser("sync",
+                           help="mirror this registry into another root")
+    rs.add_argument("registry", help="source registry root")
+    rs.add_argument("dest", help="destination registry root")
+    rs.set_defaults(fn=cmd_registry_sync)
 
     rp = regsub.add_parser("prune", help="garbage-collect registry data")
     rp.add_argument("registry")

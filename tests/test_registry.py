@@ -513,3 +513,12 @@ def test_registry_sync_mirrors_and_is_idempotent(spark, load_df, tmp_path):
     assert dst.latest_version("datasets", "load") == "2.0.0"
     assert [e["version"] for e in dst.log("datasets", "load")] == [
         "1.0.0", "2.0.0"]
+
+    # CLI wrapper mirrors into a fresh root
+    from dsgrid_spark.cli import main as cli_main
+
+    rc = cli_main(["registry", "sync", str(tmp_path / "src"),
+                   str(tmp_path / "dst2")])
+    assert rc == 0
+    dst2 = RegistryStore(tmp_path / "dst2", spark)
+    assert dst2.latest_version("datasets", "load") == "2.0.0"
