@@ -111,3 +111,37 @@ def percentiles_per_group(df: DataFrame, group: str, column: str,
             for q in quantiles
         )
     )
+
+
+def distinct_sketch(df: DataFrame, group_columns: list[str], column: str,
+                    sketch_column: str = "sketch",
+                    lg_config_k: int = 12) -> DataFrame:
+    """Per-group HLL distinct-count sketch (Apache DataSketches via
+    Spark's ``hll_sketch_agg``): one row per group carrying a mergeable
+    binary sketch.
+
+    The continuous-ingest answer to count-distinct: store one sketch per
+    (shard, group) as data lands, then answer "distinct users over any
+    shard subset" by merging sketches — bytes per group — instead of
+    re-scanning the raw data (the same incremental pattern as the stored
+    MinHash signatures). Merging is exact over the sketch algebra: the
+    merged estimate equals the estimate a single pass over the union
+    would produce (deterministic, tested).
+    """
+    return df.groupBy(*group_columns).agg(
+        F.hll_sketch_agg(F.col(column), F.lit(lg_config_k))
+        .alias(sketch_column)
+    )
+
+
+def merge_distinct_sketches(df: DataFrame, group_columns: list[str],
+                            sketch_column: str = "sketch",
+                            estimate_column: str = "n_distinct") -> DataFrame:
+    """Union per-shard sketches down to one estimate per group."""
+    return (
+        df.groupBy(*group_columns)
+        .agg(F.hll_union_agg(F.col(sketch_column)).alias(sketch_column))
+        .withColumn(estimate_column,
+                    F.hll_sketch_estimate(F.col(sketch_column)))
+        .drop(sketch_column)
+    )

@@ -427,3 +427,36 @@ def test_missing_pattern_miner(spark):
     # single-row diff: dictionaries come from the missing table itself,
     # so it collapses to the 1-column pattern (same as the Rust)
     assert str(find_missing_patterns(diff)[0]) == "geography = g2 (1 missing rows)"
+
+
+def test_distinct_sketch_merge_equals_whole(spark):
+    """HLL sketches are mergeable state: estimating from per-shard
+    sketches must equal the single-pass estimate EXACTLY (same
+    deterministic sketch algebra), so stored sketches answer distinct
+    counts over any shard subset without re-scanning raw data."""
+    from dsgrid_spark.operators.aggregation import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 4).alias("shard"),
+        ((F.col("id") * 7919) % 5000).cast("string").alias("user"),
+    )
+    whole = {
+        r["grp"]: r["n_distinct"]
+        for r in merge_distinct_sketches(
+            distinct_sketch(df, ["grp"], "user"), ["grp"]).collect()
+    }
+    per_shard = distinct_sketch(df, ["grp", "shard"], "user")
+    merged = {
+        r["grp"]: r["n_distinct"]
+        for r in merge_distinct_sketches(per_shard, ["grp"]).collect()
+    }
+    assert merged == whole
+    # sanity: estimates are near the true distinct counts (HLL error ~1%)
+    truth = {r["grp"]: r["n"] for r in df.groupBy("grp").agg(
+        F.countDistinct("user").alias("n")).collect()}
+    for g, est in merged.items():
+        assert abs(est - truth[g]) / truth[g] < 0.05
