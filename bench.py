@@ -37,8 +37,10 @@ BRANCHES = {
     "q07_map_dimension": ("mode", ["agg", "disagg"]),
     "q12_peak_load": ("tag", ["peak", "top3"]),
     "q21_scalar_datetime": ("op", ["month", "session"]),
+    # q28 is NOT branch-timed: its 'stream' side runs imperatively at
+    # query-construction time (writeStream + awaitTermination), so a tag
+    # filter cannot prune it and per-branch numbers would mislead
     "q23_time_downsample": ("mode", ["down", "up", "cascade:"]),
-    "q28_dedup_exact": ("op", ["batch", "stream"]),
     "q30_minhash_dedup": ("op", ["full", "incr"]),
     "q50_dst_duplicate": ("tag", ["spring", "fall", "interp"]),
 }

@@ -1,0 +1,130 @@
+"""Continuous corpus ingest: registry + stored signatures + incremental
+dedup composed into one flow.
+
+The 100 TB story this implements end to end: a training corpus lives in
+the versioned registry alongside its MinHash signature table (bytes per
+document). Each arriving batch dedups against the REGISTERED signatures —
+never re-shingling the accumulated corpus — and the survivors append as a
+new immutable version of both tables. Readers pin a version and are
+untouched by in-flight ingests; a crashed ingest leaves only staging
+dirs (the store's rename discipline), so the corpus and its signatures
+can never diverge visibly.
+
+Invariant (tested): after any sequence of ingests, the registered corpus
+equals full-corpus ``minhash_dedup`` over everything ever submitted,
+restricted to first-arrival order — the same equivalence
+``incremental_dedup`` guarantees per batch (q30 'incr'), carried across
+versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dsgrid_spark.pipeline.dedup import (
+    incremental_dedup,
+    minhash_dedup,
+    minhash_signatures,
+)
+
+_SIG_SUFFIX = "__minhash"
+
+
+def _sig_id(corpus_id: str) -> str:
+    return corpus_id + _SIG_SUFFIX
+
+
+def register_corpus(store, corpus_id: str, docs: DataFrame,
+                    text_column: str = "text", id_column: str = "doc_id",
+                    num_hashes: int = 24, num_bands: int = 8,
+                    shingle_k: int = 5, threshold: float = 0.8,
+                    dedup: bool = True) -> str:
+    """Register the seed corpus (near-deduped unless ``dedup=False``)
+    plus its signature table; returns the corpus version."""
+    sigs_all = minhash_signatures(docs, text_column, num_hashes,
+                                  shingle_k).select(id_column, "minhash")
+    sigs_all = sigs_all.persist()
+    sigs_all.count()
+    clean = (minhash_dedup(docs, text_column, id_column, num_hashes,
+                           num_bands, shingle_k, threshold,
+                           signatures=sigs_all)
+             if dedup else docs)
+    clean = clean.persist()
+    clean.count()
+    sigs = sigs_all.join(clean.select(id_column), id_column, "left_semi")
+    version = store.register_dataset(corpus_id, clean, validate=False,
+                                     message="seed corpus")
+    store.register_dataset(_sig_id(corpus_id), sigs, validate=False,
+                           message="seed signatures")
+    return version
+
+
+def ingest_batch(store, corpus_id: str, batch: DataFrame,
+                 text_column: str = "text", id_column: str = "doc_id",
+                 num_hashes: int = 24, num_bands: int = 8,
+                 shingle_k: int = 5, threshold: float = 0.8) -> DataFrame:
+    """Dedup ``batch`` against the registered corpus via its STORED
+    signatures, append the survivors, and version both tables. Returns
+    the surviving batch rows.
+
+    Per-batch cost scales with the batch (band join against stored
+    signatures + within-batch dedup); the accumulated corpus contributes
+    only its signature table — its text is touched solely to verify the
+    candidate pairs the bands surface (semi-join pruned).
+    """
+    cat = store.load_catalog()
+    corpus, _ = cat.dataset(corpus_id)
+    sigs, _ = cat.dataset(_sig_id(corpus_id))
+    survivors = incremental_dedup(
+        batch, sigs, corpus, text_column, id_column,
+        num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+        threshold=threshold,
+    )
+    survivors = survivors.persist()
+    survivors.count()
+    new_sigs = minhash_signatures(
+        survivors, text_column, num_hashes, shingle_k
+    ).select(id_column, "minhash")
+    n = survivors.count()
+    store.update_dataset(corpus_id, corpus.unionByName(survivors),
+                         validate=False,
+                         message=f"ingest: +{n} docs")
+    store.update_dataset(_sig_id(corpus_id),
+                         sigs.unionByName(new_sigs), validate=False,
+                         message=f"ingest: +{n} signatures")
+    return survivors
+
+
+def corpus_stats(store, corpus_id: str) -> dict:
+    """Registered corpus + signature row counts and versions (the
+    operational sanity check that the two tables move in lockstep)."""
+    cat = store.load_catalog()
+    corpus, _ = cat.dataset(corpus_id)
+    sigs, _ = cat.dataset(_sig_id(corpus_id))
+    return {
+        "corpus_version": store.latest_version("datasets", corpus_id),
+        "signatures_version": store.latest_version("datasets",
+                                                   _sig_id(corpus_id)),
+        "n_docs": corpus.count(),
+        "n_signatures": sigs.count(),
+        "in_lockstep": corpus.count() == sigs.count(),
+    }
+
+
+def verify_corpus_integrity(store, corpus_id: str,
+                            id_column: str = "doc_id") -> dict:
+    """Audit: every corpus doc has exactly one signature and vice versa
+    (anti-joins both ways — bytes-only check, no text scan)."""
+    cat = store.load_catalog()
+    corpus, _ = cat.dataset(corpus_id)
+    sigs, _ = cat.dataset(_sig_id(corpus_id))
+    missing_sig = corpus.select(id_column).join(
+        sigs.select(id_column), id_column, "left_anti").count()
+    orphan_sig = sigs.select(id_column).join(
+        corpus.select(id_column), id_column, "left_anti").count()
+    dup_sig = (sigs.groupBy(id_column).count()
+               .filter(F.col("count") > 1).count())
+    return {"missing_signatures": missing_sig,
+            "orphan_signatures": orphan_sig,
+            "duplicate_signatures": dup_sig,
+            "ok": missing_sig == orphan_sig == dup_sig == 0}

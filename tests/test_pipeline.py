@@ -712,3 +712,59 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     out3 = leakage_safe_split(df, "doc_id", None, 0.3, salt="s")
     assert {(r["doc_id"], r["split"]) for r in out2.collect()} == \
            {(r["doc_id"], r["split"]) for r in out3.collect()}
+
+
+def test_registry_ingest_continuous_dedup(spark, tmp_path):
+    """End-to-end continuous ingest: the registered corpus + stored
+    signatures dedup each arriving batch without re-scanning the corpus,
+    and — the load-bearing part — a batch-2 near-dup of a BATCH-1
+    survivor is caught, proving the signature table versions forward in
+    lockstep with the corpus."""
+    from dsgrid_spark.pipeline.ingest import (
+        corpus_stats,
+        ingest_batch,
+        register_corpus,
+        verify_corpus_integrity,
+    )
+    from dsgrid_spark.registry.store import RegistryStore
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    text = lambda i: " ".join(f"w{i}{c}" for c in "abcdefgh")
+
+    seed = spark.createDataFrame(
+        [(i, text(i)) for i in range(5)]
+        + [(100, text(0).upper() + " !!")],   # normalization-dup of doc 0
+        "doc_id long, text string",
+    )
+    assert register_corpus(store, "corpus", seed) == "1.0.0"
+    st = corpus_stats(store, "corpus")
+    assert st["n_docs"] == 5 and st["in_lockstep"]
+
+    batch1 = spark.createDataFrame(
+        [(10, text(1) + " ..."),       # dup of seed doc 1 -> dropped
+         (11, text(11)), (12, text(12)),
+         (13, text(11).upper())],      # within-batch dup of 11 -> dropped
+        "doc_id long, text string",
+    )
+    surv1 = {r["doc_id"] for r in
+             ingest_batch(store, "corpus", batch1).collect()}
+    assert surv1 == {11, 12}
+    st = corpus_stats(store, "corpus")
+    assert st["n_docs"] == 7 and st["in_lockstep"]
+    assert st["corpus_version"] == st["signatures_version"] == "2.0.0"
+
+    batch2 = spark.createDataFrame(
+        [(20, text(12) + " !!"),       # dup of a BATCH-1 survivor
+         (21, text(21))],
+        "doc_id long, text string",
+    )
+    surv2 = {r["doc_id"] for r in
+             ingest_batch(store, "corpus", batch2).collect()}
+    assert surv2 == {21}
+    assert corpus_stats(store, "corpus")["n_docs"] == 8
+    assert verify_corpus_integrity(store, "corpus")["ok"]
+
+    # versions are immutable: the seed corpus is still readable at 1.0.0
+    v1 = spark.read.parquet(str(
+        tmp_path / "reg" / "datasets" / "corpus" / "1.0.0" / "table.parquet"))
+    assert v1.count() == 5
