@@ -163,3 +163,63 @@ def test_pack_sequences_invariants(spark, sizes, budget):
                           budget).collect()
     assert {(r["doc_id"], r["batch_index"]) for r in out2} == \
            {(r["doc_id"], r["batch_index"]) for r in out}
+
+
+@given(
+    events=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                    min_size=1, max_size=15),
+    rates=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                   min_size=0, max_size=10),
+)
+@SETTINGS
+def test_asof_join_directions_match_naive(spark, events, rates):
+    """All three as-of directions must agree with a brute-force per-row
+    reference, including ties (simultaneous rows), duplicate event
+    times, keys with no matches, and nearest's exact-tie backward
+    preference."""
+    import datetime as dt
+
+    from dsgrid_spark.operators.temporal_joins import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    ev_rows = [(f"u{u}", T(m), float(i)) for i, (u, m) in enumerate(events)]
+    # unique (user, time) rate rows so the expected match is well-defined
+    rate_rows = [(f"u{u}", T(m), float(u * 1000 + m))
+                 for u, m in sorted(set(rates))]
+    ev = spark.createDataFrame(ev_rows, "user string, ts timestamp, v double")
+    rt = spark.createDataFrame(rate_rows or [("zz", T(0), 0.0)],
+                               "user string, valid_from timestamp, rate double")
+    if not rate_rows:
+        rt = rt.filter("user <> 'zz'")
+
+    def naive(direction):
+        out = {}
+        for u, t, v in ev_rows:
+            cands = [(rt_t, r) for ru, rt_t, r in rate_rows if ru == u]
+            back = [c for c in cands if c[0] <= t]
+            fwd = [c for c in cands if c[0] >= t]
+            pick = None
+            if direction == "backward" and back:
+                pick = max(back)[1]
+            elif direction == "forward" and fwd:
+                pick = min(fwd)[1]
+            elif direction == "nearest" and (back or fwd):
+                b = max(back) if back else None
+                f = min(fwd) if fwd else None
+                if b is None:
+                    pick = f[1]
+                elif f is None:
+                    pick = b[1]
+                else:  # exact-tie prefers backward
+                    pick = f[1] if (f[0] - t) < (t - b[0]) else b[1]
+            if pick is not None:
+                out[(u, t, v)] = pick
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            (r["user"], r["ts"], r["v"]): r["rate"]
+            for r in asof_join(ev, rt, ["user"], "ts", "valid_from",
+                               ["rate"], direction=direction).collect()
+        }
+        assert got == naive(direction), direction
