@@ -202,6 +202,59 @@ def _store(args):
     return RegistryStore(args.registry, get_spark("dsgrid-spark-cli"))
 
 
+def cmd_create(args) -> int:
+    """Scaffold a query spec (reference ``dsgrid query project create``,
+    cli/query.py:111-187): a runnable template the user edits, with one
+    source dataset, a sum aggregation, and commented-out optional
+    sections covered elsewhere in the spec schema."""
+    spec = {
+        "catalog": {
+            "datasets": {args.dataset_id: {
+                "path": "CHANGE_ME.parquet", "lookup_path": None,
+                "config": {"time_columns": []},
+            }},
+            "dimensions": {},
+            "mappings": {},
+        },
+        "query": {
+            "name": args.name,
+            "source_datasets": [{"dataset_id": args.dataset_id,
+                                 "mappings": [], "filters": []}],
+            "result": {
+                "aggregations": [{
+                    "group_by_columns": [
+                        {"dimension_name": c} for c in args.group_by],
+                    "aggregation_function": args.aggregation_function,
+                }],
+                "sort_columns": [],
+            },
+        },
+    }
+    text = json.dumps(spec, indent=2)
+    if args.output:
+        Path(args.output).write_text(text + "\n")
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def cmd_map_dataset(args) -> int:
+    """Map one registered dataset onto a target dimension through the
+    registry's mapping graph and write the result (reference
+    ``dsgrid query dataset map-dataset``, cli/query.py:389-463)."""
+    from dsgrid_spark.sources.writers import write_parquet
+
+    store = _store(args)
+    sub = QuerySubmitter(store.load_catalog())
+    out = sub.submit_dataset_query(
+        args.dataset_id, from_dimension=args.from_dimension,
+        to_dimension=args.to_dimension, dimension_column=args.column)
+    write_parquet(out, args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_registry_register(args) -> int:
     """Register a dataset/dimension/mapping (reference
     dsgrid/cli/registry.py register commands)."""
@@ -338,6 +391,25 @@ def main(argv: list[str] | None = None) -> int:
     val = sub.add_parser("validate", help="parse + validate a query spec")
     val.add_argument("spec")
     val.set_defaults(fn=cmd_validate)
+
+    cr = sub.add_parser("create", help="scaffold a query spec template")
+    cr.add_argument("name")
+    cr.add_argument("--dataset-id", default="my_dataset")
+    cr.add_argument("--group-by", nargs="*", default=["geography"])
+    cr.add_argument("--aggregation-function", default="sum")
+    cr.add_argument("--output", "-o", default=None)
+    cr.set_defaults(fn=cmd_create)
+
+    md = sub.add_parser("map-dataset",
+                        help="map a registered dataset to a target "
+                             "dimension via the mapping graph")
+    md.add_argument("registry")
+    md.add_argument("dataset_id")
+    md.add_argument("from_dimension")
+    md.add_argument("to_dimension")
+    md.add_argument("--column", default="geography")
+    md.add_argument("--output", "-o", required=True)
+    md.set_defaults(fn=cmd_map_dataset)
 
     reg = sub.add_parser("registry", help="manage a persistent registry")
     regsub = reg.add_subparsers(dest="registry_command", required=True)

@@ -522,3 +522,39 @@ def test_registry_sync_mirrors_and_is_idempotent(spark, load_df, tmp_path):
     assert rc == 0
     dst2 = RegistryStore(tmp_path / "dst2", spark)
     assert dst2.latest_version("datasets", "load") == "2.0.0"
+
+
+def test_cli_create_and_map_dataset(spark, load_df, county_state_map,
+                                    tmp_path, capsys):
+    """query-spec scaffold (reference `dsgrid query project create`) and
+    map-dataset (reference `dsgrid query dataset map-dataset`)."""
+    import json as _json
+
+    from dsgrid_spark.cli import main
+
+    spec_path = tmp_path / "scaffold.json"
+    assert main(["create", "myq", "--dataset-id", "load",
+                 "--group-by", "geography", "model_year",
+                 "-o", str(spec_path)]) == 0
+    spec = _json.loads(spec_path.read_text())
+    assert spec["query"]["name"] == "myq"
+    gb = spec["query"]["result"]["aggregations"][0]["group_by_columns"]
+    assert [c["dimension_name"] for c in gb] == ["geography", "model_year"]
+    # the scaffold validates as-is
+    capsys.readouterr()
+    assert main(["validate", str(spec_path)]) == 0
+    assert "ok" in capsys.readouterr().out
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df, validate=False)
+    store.register_mapping("county_to_state", county_state_map,
+                           from_dimension="county", to_dimension="state",
+                           mapping_type="many_to_one_aggregation")
+    out_path = tmp_path / "mapped.parquet"
+    assert main(["map-dataset", str(tmp_path / "reg"), "load",
+                 "county", "state", "--column", "geography",
+                 "-o", str(out_path)]) == 0
+    mapped = spark.read.parquet(str(out_path))
+    assert sorted(r["geography"] for r in
+                  mapped.select("geography").distinct().collect()) == [
+        "CA", "CO"]
