@@ -1,0 +1,89 @@
+"""End-to-end training-data pipeline over the synthetic documents table.
+
+Chains the pipeline operators the way a real pretraining-data job would:
+
+    quality funnel -> MinHash near-dedup -> benchmark decontamination
+    -> token-weighted mixture sampling -> sequence packing
+    -> sharded export (+ manifest)
+
+Every step is a DataFrame transformation; the only actions are the
+prints. Run:
+
+    python examples/corpus_pipeline.py [sf_dir]      # default sf0.001
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dsgrid_spark.pipeline.dedup import benchmark_contamination, minhash_dedup  # noqa: E402
+from dsgrid_spark.pipeline.sampling import mixture_sample, pack_sequences  # noqa: E402
+from dsgrid_spark.pipeline.text import (  # noqa: E402
+    alpha_ratio_ppm,
+    dup_word_ppm,
+    filter_funnel,
+    language_id,
+)
+from dsgrid_spark.session import get_spark  # noqa: E402
+from dsgrid_spark.sources.tables import load_table  # noqa: E402
+from dsgrid_spark.sources.writers import write_training_shards  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("corpus-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    # 1. quality funnel: each doc charged to its first failing rule
+    # thresholds tuned to the synthetic corpus (short repetitive texts);
+    # a web crawl would use C4/Gopher-style cutoffs
+    survivors, stats = filter_funnel(docs, [
+        ("short", F.length(t) >= 100),
+        ("nonalpha", alpha_ratio_ppm(t) >= 780000),
+        ("repetitive", dup_word_ppm(t) < 900000),
+        ("lang", language_id(t) != F.lit("und")),
+    ])
+    print("funnel:", {r["rule"]: r["n_docs"] for r in stats.collect()})
+
+    # 2. near-dedup (exact-first, LSH-banded, Jaccard-verified)
+    deduped = minhash_dedup(survivors, "text", "doc_id",
+                            num_hashes=24, num_bands=8, shingle_k=5,
+                            threshold=0.8)
+    print("after dedup:", deduped.count())
+
+    # 3. decontamination against a benchmark set
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, text string")
+    flagged = benchmark_contamination(deduped, bench, shingle_k=5)
+    clean = deduped.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    print("after decontamination:", clean.count())
+
+    # 4. token-weighted language mixture (binding group kept whole)
+    mixed = mixture_sample(clean, "lang",
+                           {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15},
+                           "doc_id", size_column="n_chars", salt="demo")
+    print("mixture:", {r["lang"]: r["n"] for r in
+                       mixed.groupBy("lang").agg(F.count("*").alias("n"))
+                       .collect()})
+
+    # 5. pack into 5000-char training batches per language
+    packed = pack_sequences(mixed, ["lang"], "doc_id", "n_chars", 5000)
+
+    # 6. sharded export with manifest
+    out = tempfile.mkdtemp(prefix="corpus_shards_")
+    write_training_shards(packed, out, n_shards=4, key_column="doc_id")
+    with open(f"{out}/_manifest.json") as f:
+        print("shards:", json.dumps(json.load(f))[:200], "...")
+    print("export:", out)
+
+
+if __name__ == "__main__":
+    main()
