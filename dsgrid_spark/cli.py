@@ -353,7 +353,7 @@ def cmd_registry_sync(args) -> int:
 
     src = _store(args)
     dst = RegistryStore(args.dest, src.spark)
-    copied = src.sync_to(dst)
+    copied = src.sync_to(dst, only=args.only or None)
     print(json.dumps({"copied": copied}, indent=2))
     return 0
 
@@ -474,6 +474,8 @@ def main(argv: list[str] | None = None) -> int:
                            help="mirror this registry into another root")
     rs.add_argument("registry", help="source registry root")
     rs.add_argument("dest", help="destination registry root")
+    rs.add_argument("--only", nargs="*", default=None,
+                    help="kind/entity_id selectors (filtered registry)")
     rs.set_defaults(fn=cmd_registry_sync)
 
     rp = regsub.add_parser("prune", help="garbage-collect registry data")

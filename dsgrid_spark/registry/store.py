@@ -504,7 +504,8 @@ class RegistryStore:
         )
 
     # ---- sync ----------------------------------------------------------
-    def sync_to(self, dst: "RegistryStore") -> list[str]:
+    def sync_to(self, dst: "RegistryStore",
+                only: Optional[list[str]] = None) -> list[str]:
         """One-way mirror of this registry into ``dst`` (reference
         registry sync, filesystem level): version data dirs present here
         but absent there are copied, their log entries appended, and
@@ -512,6 +513,12 @@ class RegistryStore:
         a second sync copies nothing. Version dirs are immutable, so an
         existing dst version is never touched; dst-only entities/versions
         are preserved (mirror adds, never deletes).
+
+        ``only`` restricts the mirror to ``"kind/entity_id"`` selectors
+        (e.g. ``["datasets/load"]``) — syncing into a fresh root with a
+        selector is the reference's ``make-filtered-registry``
+        (dsgrid_admin.py:69): a trimmed registry carrying just the
+        entities a downstream team needs.
 
         Copies go through the filesystem interface of the dst root;
         cross-scheme replication (local → s3a) is a bulk-transfer job
@@ -526,6 +533,8 @@ class RegistryStore:
             dst_index = dst._read_index()
             for kind in KINDS:
                 for entity_id, entry in src_index[kind].items():
+                    if only is not None and f"{kind}/{entity_id}" not in only:
+                        continue
                     dst_entry = dst_index[kind].setdefault(
                         entity_id, {"current": None, "log": []})
                     have = {e["version"] for e in dst_entry["log"]}

@@ -523,6 +523,14 @@ def test_registry_sync_mirrors_and_is_idempotent(spark, load_df, tmp_path):
     dst2 = RegistryStore(tmp_path / "dst2", spark)
     assert dst2.latest_version("datasets", "load") == "2.0.0"
 
+    # filtered mirror = the reference's make-filtered-registry: a fresh
+    # root carrying ONLY the selected entities
+    filtered = RegistryStore(tmp_path / "filtered", spark)
+    copied = src.sync_to(filtered, only=["datasets/load"])
+    assert copied == ["datasets/load@1.0.0", "datasets/load@2.0.0"]
+    assert filtered.list_ids("datasets") == ["load"]
+    assert filtered.list_ids("dimensions") == []
+
 
 def test_cli_create_and_map_dataset(spark, load_df, county_state_map,
                                     tmp_path, capsys):
