@@ -155,11 +155,17 @@ def cmd_validate(args) -> int:
 
 
 def cmd_run(args) -> int:
+    from dsgrid_spark.rc import apply_rc_conf, load_rc
     from dsgrid_spark.session import get_spark
 
     spec = load_spec(args.spec)
     query = parse_query(spec)
     spark = get_spark("dsgrid-spark-cli")
+    apply_rc_conf(spark)
+    # rc default registry applies only when the spec carries no inline
+    # catalog and no --registry was given (reference rc precedence)
+    if not getattr(args, "registry", None) and not spec.get("catalog"):
+        args.registry = load_rc().get("registry")
     project = None
     if getattr(args, "registry", None):
         from dsgrid_spark.registry.store import RegistryStore

@@ -566,3 +566,49 @@ def test_cli_create_and_map_dataset(spark, load_df, county_state_map,
     assert sorted(r["geography"] for r in
                   mapped.select("geography").distinct().collect()) == [
         "CA", "CO"]
+
+
+def test_rc_default_registry(spark, load_df, county_state_map, tmp_path,
+                             capsys, monkeypatch):
+    """Runtime config (reference dsgrid_rc.py): the rc's registry becomes
+    the default for `run` when the spec has no inline catalog, and
+    spark_conf entries apply to the session."""
+    import json as _json
+
+    from dsgrid_spark.cli import main
+    from dsgrid_spark.rc import RC_ENV, load_rc
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df)
+    store.register_mapping("county_to_state", county_state_map,
+                           from_dimension="county", to_dimension="state",
+                           mapping_type="many_to_one_aggregation")
+
+    rc = tmp_path / "rc.json"
+    rc.write_text(_json.dumps({
+        "registry": str(tmp_path / "reg"),
+        "spark_conf": {"spark.sql.shuffle.partitions": "12"},
+    }))
+    monkeypatch.setenv(RC_ENV, str(rc))
+    assert load_rc()["registry"] == str(tmp_path / "reg")
+
+    spec = tmp_path / "q.json"
+    spec.write_text(_json.dumps({"query": {
+        "name": "rcq",
+        "source_datasets": [{"dataset_id": "load", "mappings": [
+            {"dimension": "geography", "mapping": "county_to_state"}]}],
+        "result": {"aggregations": [{
+            "group_by_columns": [{"dimension_name": "geography"}],
+            "aggregation_function": "sum"}]},
+    }}))
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert main(["run", str(spec)]) == 0   # no --registry: rc supplies it
+        assert "rows: 2" in capsys.readouterr().out
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+    # absent rc file -> empty config, CLI still requires explicit catalog
+    monkeypatch.setenv(RC_ENV, str(tmp_path / "nope.json"))
+    assert load_rc() == {}
