@@ -807,6 +807,8 @@ def q33_similarity_lsh(spark, sf_dir):
 
 def q34_multimodal_features(spark, sf_dir):
     """Binary media column plumbing via mapInPandas (stubbed decode)."""
+    from dsgrid_spark.pipeline.multimodal import repartition_by_size
+
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -815,6 +817,9 @@ def q34_multimodal_features(spark, sf_dir):
         F.lit("image/fake").alias("mime"),
         F.length("text").cast("long").alias("n_bytes"),
     )
+    # the documented scale pattern: range-partition by payload size so
+    # Arrow batches are uniform before the decode fan-out
+    media = repartition_by_size(media, 8)
     return extract_image_features(media).select("media_id", "width", "height")
 
 
