@@ -178,7 +178,14 @@ def cmd_run(args) -> int:
         catalog = build_catalog(spark, spec)
     submitter = QuerySubmitter(catalog, output_dir=args.output,
                                project=project)
-    df = submitter.submit(query)
+    timings = load_rc().get("timings", False)
+    if timings:
+        from dsgrid_spark.timing import timer_stats
+
+        with timer_stats.time("submit"):
+            df = submitter.submit(query)
+    else:
+        df = submitter.submit(query)
     if args.explain:
         print(df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
@@ -198,6 +205,10 @@ def cmd_run(args) -> int:
     if args.show:
         df.show(args.show, truncate=False)
     print(f"rows: {df.count()}")
+    if timings:
+        from dsgrid_spark.timing import timer_stats
+
+        print(timer_stats.report())
     return 0
 
 

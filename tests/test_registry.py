@@ -588,6 +588,7 @@ def test_rc_default_registry(spark, load_df, county_state_map, tmp_path,
     rc.write_text(_json.dumps({
         "registry": str(tmp_path / "reg"),
         "spark_conf": {"spark.sql.shuffle.partitions": "12"},
+        "timings": True,
     }))
     monkeypatch.setenv(RC_ENV, str(rc))
     assert load_rc()["registry"] == str(tmp_path / "reg")
@@ -604,7 +605,9 @@ def test_rc_default_registry(spark, load_df, county_state_map, tmp_path,
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         assert main(["run", str(spec)]) == 0   # no --registry: rc supplies it
-        assert "rows: 2" in capsys.readouterr().out
+        out = capsys.readouterr().out
+        assert "rows: 2" in out
+        assert "total_s" in out                # rc timings report printed
         assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
