@@ -223,3 +223,27 @@ def test_asof_join_directions_match_naive(spark, events, rates):
                                ["rate"], direction=direction).collect()
         }
         assert got == naive(direction), direction
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 300), st.integers(0, 1)),
+                  min_size=1, max_size=30),
+)
+@SETTINGS
+def test_filter_funnel_conservation(spark, rows):
+    """Funnel conservation: every document lands in exactly one bucket
+    (rule counts + kept == corpus size) and survivors == the kept
+    count, for arbitrary rule outcomes."""
+    from dsgrid_spark.pipeline.text import filter_funnel
+
+    df = spark.createDataFrame(
+        [(i, n, b) for i, (n, b) in enumerate(rows)],
+        "doc_id long, n long, flag long",
+    )
+    survivors, stats = filter_funnel(df, [
+        ("short", F.col("n") >= 100),
+        ("flagged", F.col("flag") == 0),
+    ])
+    got = {r["rule"]: r["n_docs"] for r in stats.collect()}
+    assert sum(got.values()) == len(rows)
+    assert survivors.count() == got.get("kept", 0)
