@@ -351,7 +351,12 @@ def q10_agg_chained(spark, sf_dir):
         F.floor(F.col("p50_value") * 1e6 + 0.5).cast("long").alias("p50_value"),
         F.floor(F.col("p90_value") * 1e6 + 0.5).cast("long").alias("p90_value"),
     )
-    return diurnal.join(distinct, "event_type").join(pct, "event_type")
+    from dsgrid_spark.operators.reports import count_outliers
+
+    outl = count_outliers(ev.select("event_type", "value"),
+                          ["event_type"], "value", z=2.0)
+    return (diurnal.join(distinct, "event_type").join(pct, "event_type")
+            .join(outl, "event_type"))
 
 
 def q12_peak_load(spark, sf_dir):
@@ -1958,11 +1963,23 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(quantile_cont(value, 0.9) * 1e6 + 0.5) AS BIGINT)
                        AS p90_value
               FROM events GROUP BY event_type
+            ), outl AS (
+              SELECT event_type,
+                     count(*) FILTER (abs(value - mu) > 2.0 * sigma)
+                       AS n_outliers
+              FROM (
+                SELECT event_type, value,
+                       avg(value) OVER (PARTITION BY event_type) AS mu,
+                       stddev_samp(value) OVER (PARTITION BY event_type)
+                         AS sigma
+                FROM events
+              ) GROUP BY event_type
             )
             SELECT event_type, avg_hourly_value, n_users, n_events,
-                   p50_value, p90_value
+                   p50_value, p90_value, n_outliers
             FROM diurnal JOIN d USING (event_type)
                          JOIN pct USING (event_type)
+                         JOIN outl USING (event_type)
         """,
         "q12_peak_load": f"""
             SELECT 'peak' AS tag, event_id, event_type,

@@ -43,3 +43,37 @@ def top_k_per_group(df: DataFrame, group_by: list[str], k: int,
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def flag_outliers(df: DataFrame, group_by: list[str],
+                  value_column: str = VALUE_COLUMN,
+                  z: float = 3.0) -> DataFrame:
+    """Attach per-group z-score columns and an ``is_outlier`` flag
+    (|value − μ| > z·σ, sample stddev) — the data-quality anomaly scan
+    run over a fact table before it enters an aggregation.
+
+    Two-phase: a partial-agg groupBy computes (μ, σ) per group (the
+    shuffle carries one row per group), then a broadcast-friendly join
+    tags the facts — the fact table itself never shuffles when the group
+    stats fit a broadcast, which is the common case (groups ≪ rows).
+    """
+    stats = df.groupBy(*group_by).agg(
+        F.avg(value_column).alias("__mu"),
+        F.stddev_samp(value_column).alias("__sigma"),
+    )
+    out = df.join(F.broadcast(stats), group_by)
+    flag = (F.col("__sigma").isNotNull()
+            & (F.abs(F.col(value_column) - F.col("__mu"))
+               > F.lit(z) * F.col("__sigma")))
+    return out.withColumn("is_outlier", flag).drop("__mu", "__sigma")
+
+
+def count_outliers(df: DataFrame, group_by: list[str],
+                   value_column: str = VALUE_COLUMN,
+                   z: float = 3.0) -> DataFrame:
+    """Per-group outlier counts from :func:`flag_outliers`."""
+    return (
+        flag_outliers(df, group_by, value_column, z)
+        .groupBy(*group_by)
+        .agg(F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"))
+    )

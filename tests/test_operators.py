@@ -460,3 +460,19 @@ def test_distinct_sketch_merge_equals_whole(spark):
         F.countDistinct("user").alias("n")).collect()}
     for g, est in merged.items():
         assert abs(est - truth[g]) / truth[g] < 0.05
+
+
+def test_flag_and_count_outliers(spark):
+    from dsgrid_spark.operators.reports import count_outliers, flag_outliers
+
+    # group 'a': 10 values at 1.0 plus one wild point; group 'b' constant
+    rows = ([("a", 1.0 + i * 0.001) for i in range(10)] + [("a", 100.0)]
+            + [("b", 5.0)] * 3)
+    df = spark.createDataFrame(rows, "grp string, value double")
+    flagged = flag_outliers(df, ["grp"], "value", z=2.0)
+    assert flagged.filter("is_outlier").count() == 1
+    assert flagged.filter("is_outlier").collect()[0]["value"] == 100.0
+    # constant group: sigma == 0 -> nothing flagged, no division issues
+    counts = {r["grp"]: r["n_outliers"]
+              for r in count_outliers(df, ["grp"], "value", z=2.0).collect()}
+    assert counts == {"a": 1, "b": 0}
