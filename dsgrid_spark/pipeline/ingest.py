@@ -75,6 +75,13 @@ def ingest_batch(store, corpus_id: str, batch: DataFrame,
     cat = store.load_catalog()
     corpus, _ = cat.dataset(corpus_id)
     sigs, _ = cat.dataset(_sig_id(corpus_id))
+    clash = (batch.select(id_column)
+             .join(corpus.select(id_column), id_column, "left_semi").count())
+    if clash:
+        raise ValueError(
+            f"{clash} batch ids already exist in corpus {corpus_id!r} — "
+            "ids must be new (and sort after existing ids for the "
+            "first-arrival-order equivalence to hold)")
     survivors = incremental_dedup(
         batch, sigs, corpus, text_column, id_column,
         num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,

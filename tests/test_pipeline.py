@@ -768,3 +768,9 @@ def test_registry_ingest_continuous_dedup(spark, tmp_path):
     v1 = spark.read.parquet(str(
         tmp_path / "reg" / "datasets" / "corpus" / "1.0.0" / "table.parquet"))
     assert v1.count() == 5
+
+    # id reuse is rejected before anything is written
+    with pytest.raises(ValueError, match="already exist"):
+        ingest_batch(store, "corpus", spark.createDataFrame(
+            [(11, text(99))], "doc_id long, text string"))
+    assert corpus_stats(store, "corpus")["corpus_version"] == "3.0.0"
