@@ -114,7 +114,11 @@ def compact_parquet(spark, path: str | Path, *,
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     fs.rename(path, old)
-    fs.rename(tmp, path)
+    try:
+        fs.rename(tmp, path)
+    except BaseException:
+        fs.rename(old, path)  # restore: never leave the dataset path empty
+        raise
     fs.rm_tree(old)
     report["files_after"] = len(fs.list_sizes(path))
     return report
