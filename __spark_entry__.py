@@ -660,8 +660,10 @@ def q28_dedup_exact(spark, sf_dir):
             "lang", "source",
         )
         tmp = tempfile.mkdtemp(prefix="dsgrid_q28_stream_")
-        base.write.parquet(f"{tmp}/b1")
-        copies.write.parquet(f"{tmp}/b2")
+        # one file per side → exactly two micro-batches (originals, then
+        # copies); multi-part dirs would fan into a micro-batch per part
+        base.coalesce(1).write.parquet(f"{tmp}/b1")
+        copies.coalesce(1).write.parquet(f"{tmp}/b2")
         # modification times order the file stream: originals strictly first
         now = int(os.path.getmtime(tmp))
         for sub, t in (("b1", now - 100), ("b2", now + 100)):
