@@ -679,10 +679,17 @@ def q28_dedup_exact(spark, sf_dir):
     deduped = dedup_stream(normalize_text_stream(stream), ["fingerprint"])
     run_id = tempfile.mkdtemp(prefix="dsgrid_q28_run_")
     sink = f"q28_stream_{abs(hash(run_id)) % 10 ** 8}"
-    (deduped.writeStream.format("memory").queryName(sink)
-     .option("checkpointLocation", f"{run_id}/ckpt")
-     .outputMode("append").trigger(availableNow=True)
-     .start().awaitTermination(120))
+    query = (deduped.writeStream.format("memory").queryName(sink)
+             .option("checkpointLocation", f"{run_id}/ckpt")
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+    # ADVICE r4: awaitTermination(timeout) returns False on timeout with
+    # the query still running — reading the sink then would yield a
+    # partially-populated result that fails the oracle nondeterministically
+    # instead of erroring clearly.
+    if not query.awaitTermination(120):
+        query.stop()
+        raise TimeoutError("q28 streaming side did not finish within 120 s")
     stream_rows = spark.table(sink).select(
         F.lit("stream").alias("op"), "doc_id", "lang", "source")
     return batch.unionByName(stream_rows)

@@ -133,58 +133,125 @@ def _leaf_names(node: ast.AST) -> set[str]:
     return set()
 
 
-def _audit_leaf_alignment(frames: dict[str, DataFrame],
-                          value_columns: list[str]) -> bool:
-    """ONE action verifying every frame is exactly 1:1 over the SAME
-    dimension-key set: union the key columns of all frames with a source
-    tag, count per (key, source), and read per-source totals + any
-    non-1:1 key off a single aggregate. Replaces a guard action per
-    expression node — an expression tree of k operators costs one audit
-    job instead of k (each previously re-scanning its operand subtrees).
+def _arith_components(tree: ast.AST, known: set[str]) -> list[set[str]]:
+    """Leaf-name sets of the maximal alignment-preserving regions.
 
-    Returns False (audit skipped, callers fall back to per-node guards)
-    when the frames' column sets disagree — the node-level column check
-    owns that error. Raises the reference's guard errors otherwise.
+    A region is a maximal subtree connected through arith/compare/bool
+    edges; union and ``in`` break regions apart, so the operands of a
+    union node start regions of their own. Frames inside ONE region must
+    be mutually 1:1-aligned for the arithmetic to succeed (the reference
+    DatasetExpressionHandler._op raises per operation otherwise); frames
+    in DIFFERENT regions carry no mutual constraint — ``(a-b)|(c-d)``
+    legitimately stacks two independently-aligned key sets.
     """
-    names = sorted(frames)
-    cols = set(frames[names[0]].columns)
-    if any(set(frames[n].columns) != cols for n in names[1:]):
-        return False
-    dim_cols = [c for c in frames[names[0]].columns
-                if c not in value_columns]
-    if not dim_cols:
-        return False
-    tagged = None
-    for i, n in enumerate(names):
-        t = frames[n].select(*dim_cols).withColumn("__src", F.lit(i))
-        tagged = t if tagged is None else tagged.unionByName(t)
-    k = len(names)
-    per_key = tagged.groupBy(*dim_cols).agg(*[
-        F.sum((F.col("__src") == i).cast("int")).alias(f"__n{i}")
-        for i in range(k)
-    ])
-    bad = None
-    for i in range(k):
-        cond = F.col(f"__n{i}") != 1
-        bad = cond if bad is None else (bad | cond)
-    audit = per_key.agg(
-        *[F.sum(f"__n{i}").alias(f"__t{i}") for i in range(k)],
-        F.sum(bad.cast("int")).alias("__bad"),
-    ).collect()[0]
-    totals = [audit[f"__t{i}"] or 0 for i in range(k)]
-    for i in range(1, k):
-        if totals[i] != totals[0]:
-            raise DatasetExpressionError(
-                f"dataset row counts differ for {names[0]!r} vs "
-                f"{names[i]!r}: {totals[0]} vs {totals[i]}"
-            )
-    if audit["__bad"]:
-        raise DatasetExpressionError(
-            f"expression join changed row count: {audit['__bad']} dimension "
-            "keys are missing or duplicated across datasets "
-            "(misaligned or duplicated dimension keys)"
-        )
-    return True
+    preserving = (
+        lambda n: (isinstance(n, ast.BinOp) and not isinstance(n.op, ast.BitOr))
+        or (isinstance(n, ast.Compare) and len(n.ops) == 1
+            and not isinstance(n.ops[0], ast.In))
+        or isinstance(n, ast.BoolOp)
+    )
+    components: list[set[str]] = []
+
+    def walk(node: ast.AST, in_region: bool) -> None:
+        if isinstance(node, ast.Expression):
+            walk(node.body, False)
+            return
+        if preserving(node) and not in_region:
+            leaves = _leaf_names(node) & known
+            if leaves:
+                components.append(leaves)
+            in_region = True
+        elif isinstance(node, (ast.Name, ast.Constant)):
+            return
+        elif not preserving(node) and not isinstance(node, ast.UnaryOp):
+            in_region = False  # union / ``in`` operands start fresh regions
+        for child in ast.iter_child_nodes(node):
+            walk(child, in_region)
+
+    walk(tree, False)
+    return components
+
+
+def _audit_components(components: list[dict[str, DataFrame]],
+                      value_columns: list[str]) -> set[str]:
+    """Verify each component's frames are mutually 1:1 over the SAME
+    dimension-key set, batching components that share a dim-column
+    signature into ONE Spark action (normally all of them): union the
+    key columns of every frame tagged (component, local source index),
+    count per (component, key, source), and read per-component totals +
+    any non-1:1 key off a single per-component aggregate (collects one
+    row per component — tiny). Replaces a guard action per expression
+    node — a tree of k operators costs one audit job instead of k.
+
+    Returns the names verified aligned-within-their-component; a name in
+    any skipped component (columns disagree inside the component — the
+    node-level column check owns that error; or no dim columns) is
+    excluded so callers fall back to per-node guards for it. Raises the
+    reference's guard errors on genuine misalignment.
+    """
+    by_sig: dict[tuple[str, ...], list[tuple[int, list[str]]]] = {}
+    skipped: set[str] = set()
+    for ci, frames in enumerate(components):
+        names = sorted(frames)
+        cols = set(frames[names[0]].columns)
+        dim_cols = tuple(c for c in frames[names[0]].columns
+                         if c not in value_columns)
+        if any(set(frames[n].columns) != cols for n in names[1:]) or not dim_cols:
+            skipped |= set(names)
+            continue
+        by_sig.setdefault(dim_cols, []).append((ci, names))
+
+    verified: set[str] = set()
+    for dim_cols, group in by_sig.items():
+        tagged = None
+        kmax = max(len(names) for _, names in group)
+        for ci, names in group:
+            for i, n in enumerate(names):
+                t = (components[ci][n].select(*dim_cols)
+                     .withColumn("__comp", F.lit(ci))
+                     .withColumn("__src", F.lit(i)))
+                tagged = t if tagged is None else tagged.unionByName(t)
+        per_key = tagged.groupBy("__comp", *dim_cols).agg(*[
+            F.sum((F.col("__src") == i).cast("int")).alias(f"__n{i}")
+            for i in range(kmax)
+        ])
+        bad = None
+        for i in range(kmax):
+            # sources >= a component's size contribute 0 rows everywhere,
+            # so flag only duplicates here; per-source zero counts (keys
+            # missing from a live source) are read separately below.
+            cond = F.col(f"__n{i}") > 1
+            bad = cond if bad is None else (bad | cond)
+        audit_rows = per_key.groupBy("__comp").agg(
+            *[F.sum(f"__n{i}").alias(f"__t{i}") for i in range(kmax)],
+            *[F.sum((F.col(f"__n{i}") == 0).cast("int")).alias(f"__z{i}")
+              for i in range(kmax)],
+            F.sum(bad.cast("int")).alias("__dup"),
+        ).collect()
+        by_comp = {r["__comp"]: r for r in audit_rows}
+        for ci, names in group:
+            k = len(names)
+            row = by_comp.get(ci)
+            if row is None:  # all frames empty: trivially aligned
+                verified |= set(names)
+                continue
+            totals = [row[f"__t{i}"] or 0 for i in range(k)]
+            for i in range(1, k):
+                if totals[i] != totals[0]:
+                    raise DatasetExpressionError(
+                        f"dataset row counts differ for {names[0]!r} vs "
+                        f"{names[i]!r}: {totals[0]} vs {totals[i]}"
+                    )
+            missing = sum(row[f"__z{i}"] or 0 for i in range(k))
+            if row["__dup"] or missing:
+                raise DatasetExpressionError(
+                    "expression join changed row count: "
+                    f"{row['__dup'] + missing} dimension keys are missing or "
+                    f"duplicated across datasets {names} "
+                    "(misaligned or duplicated dimension keys)"
+                )
+            verified |= set(names)
+    return verified - skipped
 
 
 def evaluate_expression(expression: str, datasets: dict[str, DataFrame],
@@ -193,14 +260,16 @@ def evaluate_expression(expression: str, datasets: dict[str, DataFrame],
     """Evaluate a dataset arithmetic expression over named DataFrames.
 
     Guard strategy (reference DatasetExpressionHandler._op semantics at a
-    fraction of the jobs): all leaf datasets that feed arithmetic are
-    verified mutually 1:1-aligned in ONE up-front audit action; inner
-    joins of aligned frames preserve the key set, so every arithmetic
-    node over alignment-preserving subtrees inherits the verification and
-    skips its own guard. Only operands derived through union or ``in``
-    (which legitimately change the key multiset) re-guard at the node.
-    ``check_counts=False`` skips every guard (silent inner-join
-    semantics for scale).
+    fraction of the jobs): the leaf datasets of each maximal
+    alignment-preserving region (arith/compare/bool subtree; union and
+    ``in`` break regions) are verified mutually 1:1-aligned in ONE
+    up-front audit action; inner joins of aligned frames preserve the key
+    set, so every arithmetic node inside a region inherits the
+    verification and skips its own guard. Regions are audited
+    INDEPENDENTLY — ``(a-b)|(c-d)`` stacking disjoint key sets is valid.
+    Only operands derived through union or ``in`` (which legitimately
+    change the key multiset) re-guard at the node. ``check_counts=False``
+    skips every guard (silent inner-join semantics for scale).
     """
     value_columns = value_columns or [VALUE_COLUMN]
     try:
@@ -210,24 +279,12 @@ def evaluate_expression(expression: str, datasets: dict[str, DataFrame],
 
     verified: set[str] = set()
     if check_counts:
-        arith_leaves: set[str] = set()
-        for child in ast.walk(tree):
-            if isinstance(child, ast.BinOp) and not isinstance(child.op,
-                                                               ast.BitOr):
-                arith_leaves |= _leaf_names(child.left)
-                arith_leaves |= _leaf_names(child.right)
-            elif (isinstance(child, ast.Compare) and len(child.ops) == 1
-                    and not isinstance(child.ops[0], ast.In)):
-                arith_leaves |= _leaf_names(child.left)
-                arith_leaves |= _leaf_names(child.comparators[0])
-            elif isinstance(child, ast.BoolOp):
-                for v in child.values:
-                    arith_leaves |= _leaf_names(v)
-        arith_leaves &= set(datasets)
-        if arith_leaves:
-            frames = {n: datasets[n] for n in arith_leaves}
-            if _audit_leaf_alignment(frames, value_columns):
-                verified = arith_leaves
+        components = _arith_components(tree, set(datasets))
+        if components:
+            verified = _audit_components(
+                [{n: datasets[n] for n in comp} for comp in components],
+                value_columns,
+            )
 
     def ev(node: ast.AST) -> tuple[DataFrame, bool]:
         """Returns (frame, aligned): aligned means provably 1:1 over the

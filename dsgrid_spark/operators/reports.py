@@ -47,21 +47,28 @@ def top_k_per_group(df: DataFrame, group_by: list[str], k: int,
 
 def flag_outliers(df: DataFrame, group_by: list[str],
                   value_column: str = VALUE_COLUMN,
-                  z: float = 3.0) -> DataFrame:
+                  z: float = 3.0,
+                  broadcast_stats: bool | None = None) -> DataFrame:
     """Attach per-group z-score columns and an ``is_outlier`` flag
     (|value − μ| > z·σ, sample stddev) — the data-quality anomaly scan
     run over a fact table before it enters an aggregation.
 
     Two-phase: a partial-agg groupBy computes (μ, σ) per group (the
-    shuffle carries one row per group), then a broadcast-friendly join
-    tags the facts — the fact table itself never shuffles when the group
-    stats fit a broadcast, which is the common case (groups ≪ rows).
+    shuffle carries one row per group), then the stats join back onto the
+    facts. ``broadcast_stats`` (ADVICE r4): True forces the broadcast
+    hint (groups ≪ rows, the common case — the fact table never
+    shuffles); False leaves the strategy to Catalyst/AQE, which measures
+    the stats table's actual size at runtime — the safe setting when
+    ``group_by`` is high-cardinality and a forced broadcast could OOM.
+    Default ``None`` = let AQE decide: with one row per group the stats
+    relation is almost always under the adaptive broadcast threshold, so
+    AQE picks the broadcast join anyway, without the unbounded hint.
     """
     stats = df.groupBy(*group_by).agg(
         F.avg(value_column).alias("__mu"),
         F.stddev_samp(value_column).alias("__sigma"),
     )
-    out = df.join(F.broadcast(stats), group_by)
+    out = df.join(F.broadcast(stats) if broadcast_stats else stats, group_by)
     flag = (F.col("__sigma").isNotNull()
             & (F.abs(F.col(value_column) - F.col("__mu"))
                > F.lit(z) * F.col("__sigma")))

@@ -71,7 +71,17 @@ def ingest_batch(store, corpus_id: str, batch: DataFrame,
     signatures + within-batch dedup); the accumulated corpus contributes
     only its signature table — its text is touched solely to verify the
     candidate pairs the bands surface (semi-join pruned).
+
+    Lockstep guard (ADVICE r4): the corpus and its signature table commit
+    as two registry updates; a crash between them leaves the latest
+    versions diverged, and a subsequent ingest would dedup against
+    signatures missing the last batch — silently admitting near
+    duplicates forever. Every ingest therefore fails fast on a version
+    skew (a metadata-only check, no Spark job) and points at
+    ``repair_lockstep``; the signature commit also records its paired
+    corpus version in the registry log for audit.
     """
+    _check_lockstep(store, corpus_id)
     cat = store.load_catalog()
     corpus, _ = cat.dataset(corpus_id)
     sigs, _ = cat.dataset(_sig_id(corpus_id))
@@ -93,13 +103,75 @@ def ingest_batch(store, corpus_id: str, batch: DataFrame,
         survivors, text_column, num_hashes, shingle_k
     ).select(id_column, "minhash")
     n = survivors.count()
-    store.update_dataset(corpus_id, corpus.unionByName(survivors),
-                         validate=False,
-                         message=f"ingest: +{n} docs")
-    store.update_dataset(_sig_id(corpus_id),
-                         sigs.unionByName(new_sigs), validate=False,
-                         message=f"ingest: +{n} signatures")
+    corpus_version = store.update_dataset(
+        corpus_id, corpus.unionByName(survivors), validate=False,
+        message=f"ingest: +{n} docs")
+    store.update_dataset(
+        _sig_id(corpus_id), sigs.unionByName(new_sigs), validate=False,
+        message=f"ingest: +{n} signatures (corpus {corpus_version})")
     return survivors
+
+
+def _check_lockstep(store, corpus_id: str) -> None:
+    """Fail fast when corpus/signature latest versions diverged (a crash
+    between the two commits of a previous ingest). Metadata-only."""
+    cv = store.latest_version("datasets", corpus_id)
+    sv = store.latest_version("datasets", _sig_id(corpus_id))
+    if cv != sv:
+        raise RuntimeError(
+            f"corpus {corpus_id!r} (v{cv}) and its signature table (v{sv}) "
+            "are out of lockstep — a previous ingest crashed between "
+            "commits. Run repair_lockstep(store, corpus_id) before "
+            "ingesting further batches."
+        )
+
+
+def repair_lockstep(store, corpus_id: str,
+                    text_column: str = "text", id_column: str = "doc_id",
+                    num_hashes: int = 24, shingle_k: int = 5) -> dict:
+    """Re-derive the signature table from the registered corpus after a
+    crashed ingest: signatures missing for corpus docs are recomputed
+    (corpus committed first — the module's commit order), orphan
+    signatures for never-committed docs are dropped, and the repaired
+    table is registered at the corpus's version so the lockstep invariant
+    holds again. Idempotent; returns a report dict.
+    """
+    cat = store.load_catalog()
+    corpus, _ = cat.dataset(corpus_id)
+    sigs, _ = cat.dataset(_sig_id(corpus_id))
+    missing = corpus.join(sigs.select(id_column), id_column, "left_anti")
+    kept = sigs.join(corpus.select(id_column), id_column, "left_semi")
+    n_missing = missing.count()
+    n_orphan = sigs.count() - kept.count()
+    cv = store.latest_version("datasets", corpus_id)
+    sv = store.latest_version("datasets", _sig_id(corpus_id))
+    if n_missing == 0 and n_orphan == 0 and cv == sv:
+        return {"repaired": False, "missing": 0, "orphans": 0,
+                "version": cv}
+    repaired = kept
+    if n_missing:
+        new_sigs = minhash_signatures(
+            missing, text_column, num_hashes, shingle_k
+        ).select(id_column, "minhash")
+        repaired = kept.unionByName(new_sigs)
+    store.update_dataset(
+        _sig_id(corpus_id), repaired, validate=False,
+        message=f"repair_lockstep: +{n_missing} recomputed, "
+                f"-{n_orphan} orphans (corpus {cv})")
+    # align version counters: bump the lower series until they match
+    def vt(v: str) -> tuple[int, ...]:
+        return tuple(int(x) for x in v.split("."))
+
+    while (vt(store.latest_version("datasets", _sig_id(corpus_id)))
+           != vt(store.latest_version("datasets", corpus_id))):
+        lag_sig = (vt(store.latest_version("datasets", _sig_id(corpus_id)))
+                   < vt(store.latest_version("datasets", corpus_id)))
+        lagging = _sig_id(corpus_id) if lag_sig else corpus_id
+        frame = repaired if lag_sig else corpus
+        store.update_dataset(lagging, frame, validate=False,
+                             message="repair_lockstep: version alignment")
+    return {"repaired": True, "missing": n_missing, "orphans": n_orphan,
+            "version": store.latest_version("datasets", corpus_id)}
 
 
 def corpus_stats(store, corpus_id: str) -> dict:

@@ -113,11 +113,23 @@ def compact_parquet(spark, path: str | Path, *,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    fs.rename(path, old)
+    # Hadoop's FileSystem.rename reports failure by RETURNING False, not
+    # raising (ADVICE r4): every rename result must be checked, or a failed
+    # second rename would skip the restore branch and rm_tree(old) would
+    # delete the only copy of the dataset.
+    if not fs.rename(path, old):
+        raise IOError(f"compaction aborted: could not move {path} aside")
     try:
-        fs.rename(tmp, path)
+        if not fs.rename(tmp, path):
+            raise IOError(f"compaction swap failed: could not move {tmp} "
+                          f"into place at {path}")
     except BaseException:
-        fs.rename(old, path)  # restore: never leave the dataset path empty
+        # restore: never leave the dataset path empty
+        if not fs.rename(old, path):
+            raise IOError(
+                f"compaction restore FAILED: dataset preserved at {old}; "
+                f"manually move it back to {path}"
+            )
         raise
     fs.rm_tree(old)
     report["files_after"] = len(fs.list_sizes(path))

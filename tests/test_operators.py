@@ -368,6 +368,34 @@ def test_expression_count_guards(spark):
     assert [(r["k"], r["value"]) for r in got.collect()] == [("x", 9.0)]
 
 
+def test_expression_union_of_independent_arith_branches(spark):
+    """ADVICE r4 (high): ``(a-b)|(c-d)`` unions two independently-aligned
+    arithmetic branches with DISJOINT key sets (stacking sectors). Each
+    branch is valid on its own; the audit must be per alignment region,
+    not a global mutual check across all arith leaves."""
+    a = spark.createDataFrame([("res", 10.0), ("com", 20.0)], "k string, value double")
+    b = spark.createDataFrame([("res", 1.0), ("com", 2.0)], "k string, value double")
+    c = spark.createDataFrame([("ind", 30.0)], "k string, value double")
+    d = spark.createDataFrame([("ind", 3.0)], "k string, value double")
+    got = {r["k"]: r["value"] for r in evaluate_expression(
+        "(a - b) | (c - d)", {"a": a, "b": b, "c": c, "d": d}).collect()}
+    assert got == {"res": 9.0, "com": 18.0, "ind": 27.0}
+    # misalignment WITHIN one region still raises even when the other
+    # region is fine
+    bad = spark.createDataFrame([("zzz", 3.0)], "k string, value double")
+    with pytest.raises(DatasetExpressionError):
+        evaluate_expression("(a - b) | (c - bad)",
+                            {"a": a, "b": b, "c": c, "bad": bad})
+    # a leaf shared across two regions is audited in both contexts
+    rows = sorted((r["k"], r["value"]) for r in evaluate_expression(
+        "(a - b) | (a * b)", {"a": a, "b": b}).collect())
+    assert rows == [("com", 18.0), ("com", 40.0), ("res", 9.0), ("res", 10.0)]
+    # nested region inside a union operand: ``(x-y)`` under ``|`` starts
+    # its own region and is audited there
+    with pytest.raises(DatasetExpressionError, match="row counts differ"):
+        evaluate_expression("a | (c - b)", {"a": a, "b": b, "c": c})
+
+
 def test_restore_expected_missing_after_mapping_adds_columns(spark):
     """VERDICT r1 item: mapped-then-restored shape — columns added during
     processing must survive restore (as NULLs on restored rows)."""

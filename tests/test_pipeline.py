@@ -774,3 +774,51 @@ def test_registry_ingest_continuous_dedup(spark, tmp_path):
         ingest_batch(store, "corpus", spark.createDataFrame(
             [(11, text(99))], "doc_id long, text string"))
     assert corpus_stats(store, "corpus")["corpus_version"] == "3.0.0"
+
+
+def test_ingest_lockstep_guard_and_repair(spark, tmp_path):
+    """ADVICE r4: a crash between the corpus commit and the signature
+    commit leaves the versions diverged; the next ingest must FAIL FAST
+    (not silently dedup against stale signatures), and repair_lockstep
+    re-derives the signature table from the corpus."""
+    from dsgrid_spark.pipeline.ingest import (
+        corpus_stats,
+        ingest_batch,
+        register_corpus,
+        repair_lockstep,
+        verify_corpus_integrity,
+    )
+    from dsgrid_spark.registry.store import RegistryStore
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    text = lambda i: " ".join(f"w{i}{c}" for c in "abcdefgh")
+    seed = spark.createDataFrame(
+        [(i, text(i)) for i in range(4)], "doc_id long, text string")
+    register_corpus(store, "corpus", seed)
+
+    # simulate the torn ingest: corpus advances, signatures do not
+    cat = store.load_catalog()
+    corpus, _ = cat.dataset("corpus")
+    extra = spark.createDataFrame([(50, text(50))], "doc_id long, text string")
+    store.update_dataset("corpus", corpus.unionByName(extra), validate=False,
+                         message="simulated crash: corpus-only commit")
+
+    with pytest.raises(RuntimeError, match="out of lockstep"):
+        ingest_batch(store, "corpus", spark.createDataFrame(
+            [(60, text(60))], "doc_id long, text string"))
+
+    report = repair_lockstep(store, "corpus")
+    assert report["repaired"] and report["missing"] == 1
+    assert verify_corpus_integrity(store, "corpus")["ok"]
+    st = corpus_stats(store, "corpus")
+    assert st["corpus_version"] == st["signatures_version"]
+
+    # and the repaired signatures actually catch a near-dup of the doc
+    # whose signature was recovered
+    surv = {r["doc_id"] for r in ingest_batch(store, "corpus",
+            spark.createDataFrame(
+                [(60, text(50) + " !!"), (61, text(61))],
+                "doc_id long, text string")).collect()}
+    assert surv == {61}
+    # repair on a healthy registry is a no-op
+    assert repair_lockstep(store, "corpus")["repaired"] is False

@@ -381,3 +381,39 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     # second run: already compact -> no-op
     report2 = compact_parquet(spark, path, target_mb=64, min_fill=1e-9)
     assert report2["skipped"] and report2["files_after"] == 1
+
+
+def test_compact_parquet_failed_swap_never_loses_data(spark, tmp_path,
+                                                      monkeypatch):
+    """ADVICE r4 (data loss): Hadoop's FileSystem.rename reports failure
+    by returning False, not raising. A False on the swap's second rename
+    must trigger the restore branch — never rm_tree the only copy."""
+    from pyspark.sql import functions as F
+
+    import dsgrid_spark.filesystem as fsmod
+    from dsgrid_spark.filesystem import LocalFilesystem
+    from dsgrid_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag.parquet")
+    df = spark.range(1000).select("id", F.rand(7).alias("v"))
+    df.repartition(20).write.parquet(path)
+    before = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+
+    class FailSecondRename(LocalFilesystem):
+        def __init__(self):
+            self.renames = 0
+
+        def rename(self, src, dst):
+            self.renames += 1
+            if self.renames == 2:   # the tmp -> path swap
+                return False        # Hadoop-style silent failure
+            return super().rename(src, dst)
+
+    monkeypatch.setattr(fsmod, "filesystem_for",
+                        lambda spark, root: FailSecondRename())
+    with pytest.raises(IOError, match="swap failed"):
+        compact_parquet(spark, path, target_mb=64)
+    # the dataset was restored in place, bit-for-bit usable
+    after = spark.read.parquet(path)
+    assert after.count() == 1000
+    assert after.agg(F.sum("id")).collect()[0][0] == before
