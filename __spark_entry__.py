@@ -630,24 +630,25 @@ def q27_growth_exponential(spark, sf_dir):
 _Q28_STREAM_DIRS: dict[str, str] = {}
 
 
-def q28_dedup_exact(spark, sf_dir):
-    """Exact dedup, batch AND streaming (pipeline + streaming ops),
-    tagged union. 'batch' = hash-groupBy representatives. 'stream' =
-    the same corpus plus normalization-identical copies (id+100000,
-    upper-cased + punctuation) lands as TWO files streamed one file per
-    micro-batch (originals first, copies second by modification time),
-    deduped on the batch pipeline's fingerprint with cross-batch state —
-    survivors must be exactly the originals, proving streaming dedup
-    state equals batch exact_dedup on the same keys."""
+def _q28_batch(spark, sf_dir):
+    """Batch side of q28: hash-groupBy representatives (timed separately
+    in bench.py — VERDICT r4 item 2)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        F.lit("batch").alias("op"), "doc_id", "lang", "source")
+
+
+def _q28_stream(spark, sf_dir):
+    """Streaming side of q28: runs the availableNow file stream with
+    cross-batch dedup state and returns the memory-sink rows. The input
+    files are written once per process; stream startup + two micro-batches
+    execute on every call (that cost is what the bench branch records)."""
     import os
     import tempfile
 
     from dsgrid_spark.streaming.ops import dedup_stream, normalize_text_stream
 
     docs = _t(spark, sf_dir, "documents")
-    batch = exact_dedup(docs, "text", "doc_id").select(
-        F.lit("batch").alias("op"), "doc_id", "lang", "source")
-
     base = docs.select("doc_id", "text", "lang", "source")
     # the two input files are deterministic per sf_dir: write once per
     # process, reuse on repeat calls (bench min-of-2, driver re-runs);
@@ -690,9 +691,20 @@ def q28_dedup_exact(spark, sf_dir):
     if not query.awaitTermination(120):
         query.stop()
         raise TimeoutError("q28 streaming side did not finish within 120 s")
-    stream_rows = spark.table(sink).select(
+    return spark.table(sink).select(
         F.lit("stream").alias("op"), "doc_id", "lang", "source")
-    return batch.unionByName(stream_rows)
+
+
+def q28_dedup_exact(spark, sf_dir):
+    """Exact dedup, batch AND streaming (pipeline + streaming ops),
+    tagged union. 'batch' = hash-groupBy representatives. 'stream' =
+    the same corpus plus normalization-identical copies (id+100000,
+    upper-cased + punctuation) lands as TWO files streamed one file per
+    micro-batch (originals first, copies second by modification time),
+    deduped on the batch pipeline's fingerprint with cross-batch state —
+    survivors must be exactly the originals, proving streaming dedup
+    state equals batch exact_dedup on the same keys."""
+    return _q28_batch(spark, sf_dir).unionByName(_q28_stream(spark, sf_dir))
 
 
 def q29_text_stats(spark, sf_dir):
