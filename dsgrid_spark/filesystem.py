@@ -15,11 +15,14 @@ Usage for an object-store deployment::
     fs = filesystem_for(spark, "s3a://bucket/registry")
     fs.write_text("s3a://bucket/registry/registry.json", index_json)
 
-Caveat that the reference shares (its S3 sync + lock files have the same
-property): object stores offer no atomic flock, so multi-writer registry
-mutation over s3a:// needs an external serializer (single writer, or a
-lock service). Reads and version-immutable data dirs are safe as-is
-because version directories are never rewritten.
+Object stores offer no atomic flock; multi-writer registry mutation over
+s3a:// is serialized by the lock-file protocol in
+``dsgrid_spark.registry.locking`` (uuid + TTL lock files built on
+``create_exclusive`` below, matching the reference's S3 registry lock
+files — cloud/s3_storage_interface.py:49-134 — with a stronger
+create-exclusive + read-back handshake instead of check-then-write).
+Reads and version-immutable data dirs are safe without locks because
+version directories are never rewritten.
 """
 
 from __future__ import annotations
@@ -67,6 +70,15 @@ class FilesystemInterface(ABC):
         """Recursive copy within this filesystem. Cross-scheme copies
         (local → s3a) are a bulk-transfer job (distcp / cloud CLI), not a
         metadata op — out of scope here."""
+        ...
+
+    @abstractmethod
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create ``path`` with ``text`` ONLY if it does not exist;
+        returns False (without writing) when it already does. Atomic on
+        local/HDFS; best-effort on object stores whose create is
+        last-writer-wins — callers needing a hard guarantee must verify
+        by reading back (see registry/locking.py)."""
         ...
 
 
@@ -117,6 +129,21 @@ class LocalFilesystem(FilesystemInterface):
             shutil.copytree(s, d)
         else:
             shutil.copy2(s, d)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        import os
+
+        p = self._p(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, text.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return True
 
 
 class HadoopFilesystem(FilesystemInterface):
@@ -183,6 +210,22 @@ class HadoopFilesystem(FilesystemInterface):
             self._fs, self._path(src), self._fs, self._path(dst),
             False, conf,
         )
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        # FileSystem.create(path, overwrite=False) throws
+        # FileAlreadyExistsException when the path exists — atomic on
+        # HDFS; on S3A the existence check races (document at the caller).
+        try:
+            out = self._fs.create(self._path(path), False)
+        except Exception as e:  # Py4JJavaError wrapping FileAlreadyExists
+            if "AlreadyExists" in str(e) or "already exists" in str(e):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
 
 def filesystem_for(spark, root: str) -> FilesystemInterface:

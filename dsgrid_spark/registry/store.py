@@ -505,7 +505,8 @@ class RegistryStore:
 
     # ---- sync ----------------------------------------------------------
     def sync_to(self, dst: "RegistryStore",
-                only: Optional[list[str]] = None) -> list[str]:
+                only: Optional[list[str]] = None,
+                lock_timeout: float = 30.0) -> list[str]:
         """One-way mirror of this registry into ``dst`` (reference
         registry sync, filesystem level): version data dirs present here
         but absent there are copied, their log entries appended, and
@@ -523,12 +524,21 @@ class RegistryStore:
         Copies go through the filesystem interface of the dst root;
         cross-scheme replication (local → s3a) is a bulk-transfer job
         (distcp), deliberately out of scope.
+
+        Concurrency: the dst is guarded by BOTH the same-host flock and a
+        uuid+TTL lock file written through its filesystem interface
+        (registry/locking.py; reference cloud/s3_storage_interface.py
+        lock files) — two writers mirroring into one object-store root
+        serialize on the lock file, and a writer that cannot acquire it
+        fails cleanly instead of interleaving index writes.
         """
         from dsgrid_spark.filesystem import filesystem_for
+        from dsgrid_spark.registry.locking import registry_lock
 
         fs = filesystem_for(self.spark, str(dst.root))
         copied: list[str] = []
-        with dst._locked():
+        with dst._locked(), registry_lock(fs, str(dst.root),
+                                          timeout_seconds=lock_timeout):
             src_index = self._read_index()
             dst_index = dst._read_index()
             for kind in KINDS:
