@@ -122,7 +122,8 @@ def main():
     if "q28_dedup_exact" in timings:
         per = {}
         for tag, fn in (("batch", entry_mod._q28_batch),
-                        ("stream", entry_mod._q28_stream)):
+                        ("stream", entry_mod._q28_stream),
+                        ("compact", entry_mod._q28_compact)):
             t0 = time.time()
             fn(spark, sf_dir).count()
             per[tag] = round(time.time() - t0, 3)

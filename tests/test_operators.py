@@ -458,10 +458,12 @@ def test_missing_pattern_miner(spark):
 
 
 def test_distinct_sketch_merge_equals_whole(spark):
-    """HLL sketches are mergeable state: estimating from per-shard
-    sketches must equal the single-pass estimate EXACTLY (same
-    deterministic sketch algebra), so stored sketches answer distinct
-    counts over any shard subset without re-scanning raw data."""
+    """HLL sketches are mergeable state: at this cardinality (sparse
+    mode) estimating from per-shard sketches equals the single-pass
+    estimate exactly, so stored sketches answer distinct counts over any
+    shard subset without re-scanning raw data. (Past the sparse->dense
+    promotion the equality relaxes to bounded consistency — see
+    test_distinct_sketch_merge_bounded_at_high_cardinality.)"""
     from dsgrid_spark.operators.aggregation import (
         distinct_sketch,
         merge_distinct_sketches,
@@ -488,6 +490,30 @@ def test_distinct_sketch_merge_equals_whole(spark):
         F.countDistinct("user").alias("n")).collect()}
     for g, est in merged.items():
         assert abs(est - truth[g]) / truth[g] < 0.05
+
+
+def test_distinct_sketch_merge_bounded_at_high_cardinality(spark):
+    """Past sparse mode (cardinality >> 2^lg_k buckets) the union's mode
+    promotion can shift the merged estimate off the single-pass estimate
+    by a few counts; the contract is bounded consistency (<<1%), not
+    bit-identity — the q10 driver oracle asserts the same bound."""
+    from dsgrid_spark.operators.aggregation import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+
+    df = spark.range(200_000).select(
+        F.lit("g").alias("grp"),
+        (F.col("id") % 8).alias("shard"),
+        F.col("id").cast("string").alias("user"),  # all distinct
+    )
+    whole = merge_distinct_sketches(
+        distinct_sketch(df, ["grp"], "user"), ["grp"]).collect()[0]["n_distinct"]
+    merged = merge_distinct_sketches(
+        distinct_sketch(df, ["grp", "shard"], "user"),
+        ["grp"]).collect()[0]["n_distinct"]
+    assert abs(merged - whole) <= 0.01 * whole
+    assert abs(whole - 200_000) / 200_000 < 0.05
 
 
 def test_flag_and_count_outliers(spark):
