@@ -226,6 +226,61 @@ def test_asof_join_directions_match_naive(spark, events, rates):
 
 
 @given(
+    events=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                    min_size=1, max_size=12),
+    rates=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                   min_size=1, max_size=8),
+    tol=st.sampled_from([None, 1, 7, 25]),
+)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, events, rates, tol):
+    """VERDICT r4 item 6: all three as-of directions + tolerance against
+    pandas ``merge_asof`` — the convention authority the docstring cites —
+    on random series. Pins the tie rules: an exactly-simultaneous right
+    row matches (allow_exact_matches), and 'nearest' prefers BACKWARD on
+    an exact distance tie."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dsgrid_spark.operators.temporal_joins import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    ev_rows = [(f"u{u}", T(m), float(i)) for i, (u, m) in enumerate(events)]
+    # unique (user, time) rate rows so the expected match is well-defined
+    rate_rows = [(f"u{u}", T(m), float(u * 1000 + m))
+                 for u, m in sorted(set(rates))]
+    ev = spark.createDataFrame(ev_rows, "user string, ts timestamp, v double")
+    rt = spark.createDataFrame(rate_rows,
+                               "user string, valid_from timestamp, rate double")
+    ev_pd = pd.DataFrame(ev_rows, columns=["user", "ts", "v"]).sort_values(
+        "ts", kind="mergesort")
+    rt_pd = pd.DataFrame(rate_rows, columns=["user", "valid_from", "rate"]
+                         ).sort_values("valid_from", kind="mergesort")
+
+    for direction in ("backward", "forward", "nearest"):
+        exp_df = pd.merge_asof(
+            ev_pd, rt_pd, left_on="ts", right_on="valid_from", by="user",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(minutes=tol),
+        )
+        expected = {
+            (r.user, r.ts.to_pydatetime(), r.v):
+                None if pd.isna(r.rate) else r.rate
+            for r in exp_df.itertuples()
+        }
+        got = {
+            (r["user"], r["ts"], r["v"]): r["rate"]
+            for r in asof_join(
+                ev, rt, ["user"], "ts", "valid_from", ["rate"],
+                how="left", direction=direction,
+                tolerance_seconds=None if tol is None else tol * 60,
+            ).collect()
+        }
+        assert got == expected, (direction, tol)
+
+
+@given(
     rows=st.lists(st.tuples(st.integers(0, 300), st.integers(0, 1)),
                   min_size=1, max_size=30),
 )
