@@ -690,9 +690,16 @@ def _q28_stream(spark, sf_dir):
         )
         tmp = tempfile.mkdtemp(prefix="dsgrid_q28_stream_")
         # one file per side → exactly two micro-batches (originals, then
-        # copies); multi-part dirs would fan into a micro-batch per part
-        base.coalesce(1).write.parquet(f"{tmp}/b1")
-        copies.coalesce(1).write.parquet(f"{tmp}/b2")
+        # copies); multi-part dirs would fan into a micro-batch per part.
+        # Rows are written in doc_id order: streaming dedup keeps the
+        # FIRST arrival per fingerprint, and the oracle's min-doc_id
+        # representative is only equivalent when arrival order == id
+        # order (true for the driver files; enforced here for any input,
+        # e.g. the multi-part scale-rehearsal tables).
+        base.repartition(1).sortWithinPartitions("doc_id").write.parquet(
+            f"{tmp}/b1")
+        copies.repartition(1).sortWithinPartitions("doc_id").write.parquet(
+            f"{tmp}/b2")
         # modification times order the file stream: originals strictly first
         now = int(os.path.getmtime(tmp))
         for sub, t in (("b1", now - 100), ("b2", now + 100)):
@@ -2752,7 +2759,15 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs jaccard reference for the LSH path: a doc is
         # dropped iff it has a smaller-id neighbor at jaccard >= 0.8
         # (dedup.minhash_dedup semantics; no identical-text groups exist
-        # in this corpus so exact-dedup reps = all docs)
+        # in this corpus so exact-dedup reps = all docs).
+        # The pair join carries a doc_id//10000 equality: vacuous at the
+        # driver scales (every doc_id < 10000 -> one block), and at the
+        # scale-rehearsal sf1 (tools/scale_up.py) it restricts the O(n^2)
+        # reference to within-replica pairs — EXACTLY equivalent there
+        # because replica tokens carry distinct 'r<digit>' prefixes, no
+        # original token matches ^r[0-9], and no document normalizes to
+        # empty (verified), so cross-replica shingle sets are disjoint
+        # and cross-replica jaccard is structurally 0 < 0.8.
         "q30_minhash_dedup": f"""
             WITH sh AS (
               SELECT doc_id,
@@ -2767,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_intersect(a.s, b.s)) * 1.0
                        / len(list_distinct(list_concat(a.s, b.s))) AS jac
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                    AND a.doc_id // 10000 = b.doc_id // 10000
               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
             )
             SELECT 'full' AS op, doc_id FROM documents d

@@ -76,6 +76,8 @@ def main():
         sf = 0.01
     elif "sf0.001" in sf_dir:
         sf = 0.001
+    elif "sf1" in sf_dir:
+        sf = 1.0
 
     # warm-up: JVM/codegen/file-listing costs land here, not on q01
     from dsgrid_spark.sources.tables import load_tables

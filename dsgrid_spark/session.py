@@ -45,6 +45,14 @@ def get_spark(app_name: str = "dsgrid-spark", master: str | None = None,
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = builder.master(master)
+    # In local mode the driver JVM IS the executor; the 1g default heap
+    # starves 32 task threads and spills everything. Static confs, so set
+    # at build time; no-ops when attaching to a live session.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+    builder = builder.config(
+        "spark.driver.maxResultSize",
+        os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
     for k, v in _DEFAULT_CONF.items():
         builder = builder.config(k, v)
     if shuffle_partitions is None:

@@ -51,11 +51,19 @@ def main():
     import __spark_entry__ as entry_mod
     from dsgrid_spark.session import get_spark
 
-    spark = get_spark("compare", master="local[8]", shuffle_partitions=8)
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("compare", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata are single files; Spark-written datasets (e.g.
+        # tools/scale_up.py output) are directories of part files
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
