@@ -2760,14 +2760,12 @@ def oracle_sql() -> dict[str, str]:
         # dropped iff it has a smaller-id neighbor at jaccard >= 0.8
         # (dedup.minhash_dedup semantics; no identical-text groups exist
         # in this corpus so exact-dedup reps = all docs).
-        # The pair join carries a doc_id//10000 equality: vacuous at the
-        # driver scales (every doc_id < 10000 -> one block), and at the
-        # scale-rehearsal sf1 (tools/scale_up.py) it restricts the O(n^2)
-        # reference to within-replica pairs — EXACTLY equivalent there
-        # because replica tokens carry distinct 'r<digit>' prefixes, no
-        # original token matches ^r[0-9], and no document normalizes to
-        # empty (verified), so cross-replica shingle sets are disjoint
-        # and cross-replica jaccard is structurally 0 < 0.8.
+        # Pairs come from an inverted index over shingles (see pc CTE)
+        # rather than an all-pairs join: exactly equivalent (jaccard > 0
+        # needs a shared shingle) and it keeps the reference tractable at
+        # the sf1 scale rehearsal, where replica token prefixes
+        # (tools/scale_up.py) make cross-replica shingle sets disjoint so
+        # replicas never pair at all.
         "q30_minhash_dedup": f"""
             WITH sh AS (
               SELECT doc_id,
@@ -2777,13 +2775,27 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [array_to_string(w, ' ')] END AS s
               FROM (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w
                     FROM documents)
+            ), e AS (
+              SELECT doc_id, UNNEST(s) AS g FROM sh
+            ), sz AS (
+              SELECT doc_id, len(s) AS n FROM sh
+            ), pc AS (
+              -- inverted-index pair generation: a pair appears iff it
+              -- shares >= 1 shingle, and jaccard > 0 requires exactly
+              -- that, so this is EXACTLY the >= 0.8 candidate set of the
+              -- former all-pairs list_intersect join (shingle lists are
+              -- already distinct, so COUNT(*) = |intersection|).  Scales
+              -- as sum(df^2) over shingles instead of O(n^2) docs — the
+              -- sf1 rehearsal's 50k-doc corpus was >90 s all-pairs and
+              -- is ~2 s this way, with identical output at every sf.
+              SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
             ), p AS (
-              SELECT a.doc_id AS ia, b.doc_id AS ib,
-                     len(list_intersect(a.s, b.s)) * 1.0
-                       / len(list_distinct(list_concat(a.s, b.s))) AS jac
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                    AND a.doc_id // 10000 = b.doc_id // 10000
-              WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+              SELECT pc.ia, pc.ib,
+                     pc.inter * 1.0 / (sa.n + sb.n - pc.inter) AS jac
+              FROM pc JOIN sz sa ON sa.doc_id = pc.ia
+                      JOIN sz sb ON sb.doc_id = pc.ib
             )
             SELECT 'full' AS op, doc_id FROM documents d
             WHERE NOT EXISTS (

@@ -40,6 +40,22 @@ def norm_rows(rows, columns):
     return sorted(out, key=repr)
 
 
+# above this many rows, skip the O(n log n) sort-by-repr and compare an
+# order-insensitive aggregate hash instead (sum of per-row hashes mod
+# 2^64 — both sides hash in the same process, so PYTHONHASHSEED is
+# consistent).  The 18M-row sf1 results take minutes to sort and seconds
+# to hash; the driver's own gate is also count+schema+value-hash.
+HASH_THRESHOLD = 100_000
+
+
+def agg_hash(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    h = 0
+    for r in rows:
+        h = (h + hash(tuple(norm_cell(r[i]) for i in order))) % (1 << 64)
+    return h
+
+
 def main():
     global EXACT
     argv = [a for a in sys.argv[1:] if a != "--exact"]
@@ -100,6 +116,17 @@ def main():
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
             failures.append(name)
             continue
+        if len(srows) > HASH_THRESHOLD:
+            ha = agg_hash([tuple(r) for r in srows], scols)
+            hb = agg_hash(drows, dcols)
+            if ha != hb:
+                print(f"FAIL {name}: value hash mismatch "
+                      f"({ha:#x} vs {hb:#x}, {len(srows)} rows)")
+                failures.append(name)
+                continue
+            print(f"PASS {name}: {len(srows)} rows, hash compare "
+                  f"({el:.1f}s)", flush=True)
+            continue
         a = norm_rows([tuple(r) for r in srows], scols)
         b = norm_rows(drows, dcols)
         if a != b:
@@ -107,7 +134,7 @@ def main():
             print(f"FAIL {name}: value mismatch, e.g. {bad}")
             failures.append(name)
             continue
-        print(f"PASS {name}: {len(srows)} rows ({el:.1f}s)")
+        print(f"PASS {name}: {len(srows)} rows ({el:.1f}s)", flush=True)
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     sys.exit(1 if failures else 0)
