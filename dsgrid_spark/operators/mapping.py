@@ -91,14 +91,26 @@ def map_stacked_dimension(
     at 100 TB the fact table never shuffles for a map join.
 
     ``salt_partitions``: escape hatch for extreme ONE_TO_MANY fan-out skew
-    (reference dsgrid/utils/dataset.py:695-758); AQE skew-join handles the
-    common case, so leave None unless profiling says otherwise.
+    (reference dsgrid/utils/dataset.py:695-758) when the INPUT layout
+    clusters the hot from_id into few partitions (e.g. data written
+    partitioned/sorted by that dimension) — those tasks would compute the
+    whole fan-out serially. The salt round-robins the *input* rows across
+    ``salt_partitions`` BEFORE the broadcast join, so the shuffle moves
+    pre-fan-out rows (cheap) and the fan-out itself lands balanced.
+    Salting the fanned-out *output* instead is an anti-pattern — it
+    shuffles fan× the data and defeats the map-side partial aggregation
+    that follows (measured 18x slower at fan=1000; tools/skew_rehearsal.py).
+    AQE handles the common case, so leave None unless profiling says
+    otherwise.
     """
     recs = records.filter(F.col(TO_ID_COLUMN).isNotNull()).select(
         F.col(FROM_ID_COLUMN).alias("__from_id"),
         F.col(TO_ID_COLUMN).alias("__to_id"),
         F.col(FROM_FRACTION_COLUMN).cast("double").alias("__from_fraction"),
     )
+    if salt_partitions:
+        # round-robin the input BEFORE the fan-out (see docstring)
+        df = df.repartition(salt_partitions)
     out = df.join(F.broadcast(recs), df[column] == recs["__from_id"], "inner")
     out = out.drop(column, "__from_id").withColumnRenamed("__to_id", column)
     if FRACTION_COLUMN in df.columns:
@@ -108,8 +120,6 @@ def map_stacked_dimension(
     else:
         out = out.withColumn(FRACTION_COLUMN, F.col("__from_fraction"))
     out = out.drop("__from_fraction")
-    if salt_partitions:
-        out = out.repartition(salt_partitions)
     return out
 
 

@@ -127,3 +127,38 @@ def test_fraction_validation_archetypes(spark):
     check_mapping_fractions(to_ok, DimensionMappingType.MANY_TO_ONE_ASSIGNMENT)
     with pytest.raises(ValueError):
         check_mapping_fractions(halves, DimensionMappingType.MANY_TO_ONE_ASSIGNMENT)
+
+
+def test_salt_partitions_salts_input_not_fanout(load_onetable, state_to_county):
+    """salt_partitions must round-robin the INPUT before the broadcast
+    fan-out join — never repartition the fanned-out output, which would
+    shuffle fan-times the rows and defeat map-side partial aggregation
+    (measured 18x slower at fan=1000; tools/skew_rehearsal.py, SKEW.md).
+
+    Checks (1) result invariance vs the unsalted path and (2) the plan:
+    the RoundRobin exchange sits below the BroadcastHashJoin, and no
+    exchange sits between the join and the partial aggregation.
+    """
+    to_state = map_stacked_dimension(load_onetable, state_to_county, "geography")
+
+    plain = apply_fraction(
+        map_stacked_dimension(to_state, state_to_county, "geography")
+    )
+    salted_df = map_stacked_dimension(
+        to_state, state_to_county, "geography", salt_partitions=8
+    )
+    salted = apply_fraction(salted_df)
+
+    a = {tuple(sorted(r.asDict().items())) for r in plain.collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in salted.collect()}
+    assert a == b
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    rr = plan.find("RoundRobinPartitioning")
+    bj = plan.find("BroadcastHashJoin")
+    agg_partial = plan.find("HashAggregate")
+    assert rr != -1 and bj != -1
+    # executed-plan strings print top-down: the aggregate consumes the
+    # join, which consumes the round-robin exchange — so the exchange
+    # must appear BELOW (after) the join line, and the join below the agg
+    assert agg_partial < bj < rr

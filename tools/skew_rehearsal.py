@@ -1,0 +1,167 @@
+"""Skew rehearsal: measure the three skew claims in SCALE.md instead of
+arguing them (round-5 follow-up to the sf1 scale rehearsal).
+
+    python tools/skew_rehearsal.py [--rows 20000000]
+
+Scenarios (all data generated in-plan via spark.range — no files):
+
+A. **Skewed aggregation**: 95% of rows carry ONE group key. SCALE.md
+   claims partial (map-side) aggregation makes this safe: the shuffle
+   carries one partial row per (partition, key), so the hot key's
+   reducer receives #partitions rows, not 19M. Measured: skewed vs
+   uniform same-size groupBy.
+
+B. **Skewed shuffle join**: fact (95% one key) sort-merge-joined to a
+   200k-key dimension too large to broadcast. AQE skew-join
+   (spark.sql.adaptive.skewJoin) splits the hot partition into
+   advisory-size chunks that run in parallel; with it disabled, one
+   task serializes the hot key on one core. Measured: AQE skew on vs
+   off, same plan otherwise (thresholds lowered so the demo data
+   qualifies as skewed exactly like a 100x partition would on defaults).
+
+C. **Disaggregation fan-out**: a ONE_TO_MANY mapping fans the hot key's
+   rows 1000x through a broadcast join (national -> county style,
+   operators/mapping.py map_stacked_dimension). The join is map-side, so
+   the fan-out lands in whatever partitions hold the hot rows. The
+   rehearsal uses the realistic BAD layout — the fact table arrives
+   partitioned by the mapped dimension (repartition("geography")), so
+   ONE task owns every 'national' row and computes the whole fan-out
+   serially. `salt_partitions` round-robins the input before the join.
+   Measured: clustered-unsalted vs clustered-salted(64), plus the
+   already-balanced layout unsalted as the reference floor.
+
+   (This scenario caught a real bug in round 5: salting used to
+   repartition the fanned-out OUTPUT — shuffling fan× the rows and
+   defeating the downstream map-side partial aggregation, measured 18x
+   slower than no salt at fan=1000. The operator now salts the input.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    args = ap.parse_args()
+
+    from dsgrid_spark.session import get_spark, scoped_conf
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("skew-rehearsal", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    n = args.rows
+    results: dict[str, dict] = {}
+
+    # ---- A: skewed vs uniform aggregation (AQE on, defaults) ----------
+    skewed = spark.range(n).select(
+        F.when(F.rand(seed=1) < 0.95, F.lit(0))
+         .otherwise((F.col("id") % 100_000).cast("long")).alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    uniform = spark.range(n).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    agg = lambda df: df.groupBy("k").agg(F.sum("v"), F.avg("v")).count()
+    results["A_aggregation"] = {
+        "uniform_s": timed(lambda: agg(uniform)),
+        "skewed_s": timed(lambda: agg(skewed)),
+        "claim": "map-side partials bound the hot reducer by #partitions",
+    }
+
+    # ---- B: skewed shuffle join, AQE skew-join on vs off --------------
+    dim = spark.range(200_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("p")
+    )
+    fact = skewed
+    join_conf = {
+        # force sort-merge (dim is 200k rows ~ broadcastable otherwise)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # scale AQE's skew thresholds down so this 20M-row rehearsal
+        # trips them exactly as a 100x partition would trip the 256m
+        # defaults on a cluster
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    run_join = lambda: fact.join(dim, "k").select(
+        F.sum(F.length("p"))).collect()
+    with scoped_conf(spark, {**join_conf,
+                             "spark.sql.adaptive.skewJoin.enabled": "false"}):
+        t_off = timed(run_join)
+    with scoped_conf(spark, {**join_conf,
+                             "spark.sql.adaptive.skewJoin.enabled": "true"}):
+        t_on = timed(run_join)
+    results["B_shuffle_join"] = {
+        "aqe_skew_off_s": t_off, "aqe_skew_on_s": t_on,
+        "speedup": round(t_off / t_on, 2) if t_on else None,
+        "claim": "AQE splits the hot partition into parallel chunks",
+    }
+
+    # ---- C: disaggregation fan-out, unsalted vs salted -----------------
+    from dsgrid_spark.operators.mapping import (
+        map_stacked_dimension, apply_fraction,
+    )
+
+    fan = 1000
+    fact_c = spark.range(n // 10).select(
+        F.when(F.rand(seed=2) < 0.5, F.lit("national"))
+         .otherwise(F.concat(F.lit("s"), (F.col("id") % 50).cast("string")))
+         .alias("geography"),
+        (F.col("id") % 24).alias("hour"),
+        (F.col("id") % 997).cast("double").alias("value"),
+    )
+    counties = spark.range(fan).select(
+        F.lit("national").alias("from_id"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("to_id"),
+        F.lit(1.0 / fan).alias("from_fraction"),
+    )
+    states = spark.range(50).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("from_id"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("to_id"),
+        F.lit(1.0).alias("from_fraction"),
+    )
+    recs = counties.union(states)
+
+    # realistic bad layout: the fact table arrives clustered by the
+    # mapped dimension, so one partition owns every 'national' row
+    clustered = fact_c.repartition("geography").persist()
+    clustered.count()
+
+    def run_fanout(df, salt):
+        mapped = map_stacked_dimension(df, recs, "geography",
+                                       salt_partitions=salt)
+        return apply_fraction(mapped).count()
+
+    results["C_disagg_fanout"] = {
+        "clustered_unsalted_s": timed(lambda: run_fanout(clustered, None)),
+        "clustered_salted_64_s": timed(lambda: run_fanout(clustered, 64)),
+        "balanced_unsalted_s": timed(lambda: run_fanout(fact_c, None)),
+        "claim": "input salting spreads a clustered 1000x fan-out across "
+                 "tasks; on an already-balanced layout no salt is needed",
+    }
+    clustered.unpersist()
+
+    print(json.dumps({"rows": n, "cpus": cpus, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
