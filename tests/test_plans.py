@@ -206,3 +206,53 @@ def test_filter_funnel_stats_single_aggregation(spark):
     assert plan.count("Exchange") <= 2
     assert "partial_count" in plan              # map-side combine ran
     assert "HashAggregate" in plan
+
+
+def test_scale_up_replica_zero_identity(spark, tmp_path):
+    """tools/scale_up.py contract: replica 0 is the source bit-for-bit,
+    keys offset per replica, document tokens replica-prefixed. The sf1
+    rehearsal artifacts (SCALE_SF1.md) rest on these invariants."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from scale_up import scale_table
+
+    src = spark.createDataFrame(
+        [(1, "alpha beta gamma", 16), (2, "delta epsilon", 13)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = scale_table(src, "documents", replicas=3)
+    rows = {(r["doc_id"], r["text"]) for r in out.collect()}
+    assert out.count() == 6
+    # replica 0 identity
+    assert (1, "alpha beta gamma") in rows and (2, "delta epsilon") in rows
+    # replica 2: keys offset by 2*10000, every token prefixed
+    assert (20001, "r2alpha r2beta r2gamma") in rows
+    # n_chars recomputed to match the transformed text
+    n = {r["doc_id"]: r["n_chars"] for r in out.collect()}
+    assert n[1] == 16 and n[20001] == len("r2alpha r2beta r2gamma")
+    # replicas share no tokens -> cross-replica jaccard structurally 0
+    toks0 = set("alpha beta gamma delta epsilon".split())
+    toks2 = {t for d, txt in rows if d > 20000 for t in txt.split()}
+    assert not (toks0 & toks2)
+
+
+def test_skew_rehearsal_tool_runs_small(spark):
+    """tools/skew_rehearsal.py must stay runnable (SKEW.md provenance).
+    Tiny row count — checks wiring, not timings."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/skew_rehearsal.py", "--rows", "20000"],
+        capture_output=True, text=True, timeout=420,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    line = [l for l in r.stdout.splitlines() if l.startswith('{"rows"')][-1]
+    res = json.loads(line)["results"]
+    assert set(res) == {"A_aggregation", "B_shuffle_join", "C_disagg_fanout"}
+    assert all(v > 0 for k, v in res["C_disagg_fanout"].items()
+               if k.endswith("_s"))
