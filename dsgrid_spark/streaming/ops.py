@@ -152,6 +152,38 @@ def dedup_stream(stream: DataFrame, key_columns: list[str],
     return stream.dropDuplicates(key_columns)
 
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(changelog_checkpointing: bool = True) -> dict:
+    """Session confs that move streaming state off the JVM heap into
+    RocksDB — required for large stateful streams.
+
+    The default HDFSBackedStateStoreProvider keeps EVERY key in executor
+    heap: a 100 TB-corpus dedup stream (one fingerprint per distinct
+    document) or a wide sessionization OOMs long before the data does.
+    RocksDB state is native-memory + local-disk with incremental
+    changelog checkpointing, so state size is bounded by disk, not heap.
+
+    The provider is read at stream START for a NEW checkpoint and pinned
+    in the checkpoint metadata thereafter — apply around ``start()``
+    (e.g. ``with scoped_conf(spark, rocksdb_state_conf()): ...``);
+    existing checkpoints keep their original provider.
+
+    Used by default in nothing: the harness's bounded-key tests are
+    faster on the heap provider; flip it per deployment.
+    """
+    conf = {"spark.sql.streaming.stateStore.providerClass":
+            ROCKSDB_STATE_PROVIDER}
+    if changelog_checkpointing:
+        # upload per-batch deltas instead of full snapshots
+        conf["spark.sql.streaming.stateStore.rocksdb."
+             "changelogCheckpointing.enabled"] = "true"
+    return conf
+
+
 def normalize_text_stream(stream: DataFrame, text_column: str = "text",
                           fingerprint_column: str = "fingerprint") -> DataFrame:
     """Attach the batch pipeline's normalization fingerprint to a
