@@ -2797,7 +2797,7 @@ def oracle_sql() -> dict[str, str]:
               -- already distinct, so COUNT(*) = |intersection|).  Scales
               -- as sum(df^2) over shingles instead of O(n^2) docs — the
               -- sf1 rehearsal's 50k-doc corpus was >90 s all-pairs and
-              -- is ~2 s this way, with identical output at every sf.
+              -- is ~5 s this way, with identical output at every sf.
               SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2

@@ -129,7 +129,8 @@ def test_fraction_validation_archetypes(spark):
         check_mapping_fractions(halves, DimensionMappingType.MANY_TO_ONE_ASSIGNMENT)
 
 
-def test_salt_partitions_salts_input_not_fanout(load_onetable, state_to_county):
+def test_salt_partitions_salts_input_not_fanout(load_onetable, county_to_state,
+                                                state_to_county):
     """salt_partitions must round-robin the INPUT before the broadcast
     fan-out join — never repartition the fanned-out output, which would
     shuffle fan-times the rows and defeat map-side partial aggregation
@@ -139,7 +140,9 @@ def test_salt_partitions_salts_input_not_fanout(load_onetable, state_to_county):
     the RoundRobin exchange sits below the BroadcastHashJoin, and no
     exchange sits between the join and the partial aggregation.
     """
-    to_state = map_stacked_dimension(load_onetable, state_to_county, "geography")
+    # aggregate counties -> states first, then DISAGGREGATE back to
+    # counties: the second map is the ONE_TO_MANY fan-out being salted
+    to_state = map_stacked_dimension(load_onetable, county_to_state, "geography")
 
     plain = apply_fraction(
         map_stacked_dimension(to_state, state_to_county, "geography")
@@ -152,13 +155,19 @@ def test_salt_partitions_salts_input_not_fanout(load_onetable, state_to_county):
     a = {tuple(sorted(r.asDict().items())) for r in plain.collect()}
     b = {tuple(sorted(r.asDict().items())) for r in salted.collect()}
     assert a == b
+    assert len(a) > 0  # the fan-out actually produced rows
 
     plan = salted._jdf.queryExecution().executedPlan().toString()
     rr = plan.find("RoundRobinPartitioning")
     bj = plan.find("BroadcastHashJoin")
-    agg_partial = plan.find("HashAggregate")
-    assert rr != -1 and bj != -1
-    # executed-plan strings print top-down: the aggregate consumes the
-    # join, which consumes the round-robin exchange — so the exchange
-    # must appear BELOW (after) the join line, and the join below the agg
+    agg_partial = plan.find("partial_sum")
+    assert rr != -1 and bj != -1 and agg_partial != -1
+    # executed-plan strings print top-down: the partial aggregate
+    # consumes the join, which consumes the round-robin exchange — so
+    # the exchange must appear BELOW (after) the join line, and the join
+    # below the partial aggregate
     assert agg_partial < bj < rr
+    # and no exchange may sit between the partial aggregate and the join
+    # — a shuffle there (the old post-fan-out salting) would re-defeat
+    # map-side partial aggregation
+    assert "Exchange" not in plan[agg_partial:bj]

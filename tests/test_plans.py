@@ -212,9 +212,11 @@ def test_scale_up_replica_zero_identity(spark, tmp_path):
     """tools/scale_up.py contract: replica 0 is the source bit-for-bit,
     keys offset per replica, document tokens replica-prefixed. The sf1
     rehearsal artifacts (SCALE_SF1.md) rest on these invariants."""
+    import os
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     from scale_up import scale_table
 
     src = spark.createDataFrame(
@@ -243,16 +245,21 @@ def test_skew_rehearsal_tool_runs_small(spark):
     import subprocess
     import sys
 
+    import os
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "skew_rehearsal.py")
     r = subprocess.run(
-        [sys.executable, "tools/skew_rehearsal.py", "--rows", "20000"],
+        [sys.executable, tool, "--rows", "20000"],
         capture_output=True, text=True, timeout=420,
-        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
     )
     assert r.returncode == 0, r.stderr[-2000:]
     import json
 
-    line = [l for l in r.stdout.splitlines() if l.startswith('{"rows"')][-1]
-    res = json.loads(line)["results"]
+    lines = [l for l in r.stdout.splitlines() if l.startswith('{"rows"')]
+    assert lines, f"no JSON result line in stdout: {r.stdout[-1000:]}"
+    res = json.loads(lines[-1])["results"]
     assert set(res) == {"A_aggregation", "B_shuffle_join", "C_disagg_fanout"}
     assert all(v > 0 for k, v in res["C_disagg_fanout"].items()
                if k.endswith("_s"))

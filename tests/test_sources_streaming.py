@@ -445,7 +445,10 @@ def test_streaming_dedup_on_rocksdb_state(spark, tmp_path):
         q = (deduped.writeStream.format("memory").queryName("rocks_dedup")
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
-        assert q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        if not finished:
+            q.stop()  # don't leak a live query into the shared session
+        assert finished
     got = spark.sql("SELECT count(DISTINCT doc_id) FROM rocks_dedup")
     assert got.collect()[0][0] == 40  # one survivor per distinct text
 

@@ -49,10 +49,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def timed(fn):
-    t0 = time.time()
-    fn()
-    return round(time.time() - t0, 2)
+def timed(fn, repeat: int = 2):
+    """min-of-N like bench.py: run 1 pays codegen/JIT; the min is the
+    steady state. Scenario C's clustered-unsalted case passes repeat=1
+    (its ~3 min runtime dwarfs any warmup constant)."""
+    best = None
+    for _ in range(repeat):
+        t0 = time.time()
+        fn()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 2)
 
 
 def main():
@@ -68,6 +75,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     n = args.rows
     results: dict[str, dict] = {}
+
+    # warm the session BEFORE any timed scenario: JVM / codegen /
+    # first-stage costs must not be charged to whichever variant
+    # happens to run first
+    spark.range(n).select((F.col("id") % 7).alias("k")).groupBy(
+        "k").count().count()
 
     # ---- A: skewed vs uniform aggregation (AQE on, defaults) ----------
     skewed = spark.range(n).select(
@@ -152,7 +165,8 @@ def main():
         return apply_fraction(mapped).count()
 
     results["C_disagg_fanout"] = {
-        "clustered_unsalted_s": timed(lambda: run_fanout(clustered, None)),
+        "clustered_unsalted_s": timed(lambda: run_fanout(clustered, None),
+                                      repeat=1),
         "clustered_salted_64_s": timed(lambda: run_fanout(clustered, 64)),
         "balanced_unsalted_s": timed(lambda: run_fanout(fact_c, None)),
         "claim": "input salting spreads a clustered 1000x fan-out across "
