@@ -821,11 +821,18 @@ def q30_minhash_dedup(spark, sf_dir):
         incremental_dedup, minhash_signatures,
     )
 
+    from dsgrid_spark.session import ensure_min_partitions
+
     docs = _t(spark, sf_dir, "documents")
     # ONE persisted signature pass feeds all three consumers (full-dedup
     # LSH, reference band side, batch band side) — the r3 audit found each
-    # branch re-folding signatures from scratch
-    sigs = minhash_signatures(docs, "text", num_hashes=24,
+    # branch re-folding signatures from scratch. The fold input is widened
+    # to the core count first: the sf0.1 documents table is ONE parquet
+    # split, and the signature fold (~1 ms/doc) otherwise runs
+    # single-threaded (measured 5.0 s -> 0.7 s at sf0.1; no-op on a
+    # many-split corpus).
+    sigs = minhash_signatures(ensure_min_partitions(docs), "text",
+                              num_hashes=24,
                               shingle_k=5).select("doc_id", "minhash")
     sigs = sigs.persist()
     sigs.count()

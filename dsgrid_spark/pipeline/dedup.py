@@ -206,6 +206,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_column: str = "text",
                .union(candidates.select(F.col("id_b").alias(id_column)))
                .distinct())
         base = df.join(ids, id_column, "left_semi")
+    # NOTE: no ensure_min_partitions here — the candidate set is already
+    # pruned to a small fraction of the corpus by LSH, and an extra
+    # Exchange per verify call measured slower than the single-threaded
+    # shingle pass it parallelized (sf0.1: +1.5 s across q30's 4 verify
+    # calls).
     sh = base.select(
         F.col(id_column), shingles(text_column, shingle_k).alias("__sh")
     )

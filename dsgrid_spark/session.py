@@ -99,6 +99,28 @@ def scoped_conf(spark: SparkSession, conf: dict):
                 spark.conf.set(k, v)
 
 
+def ensure_min_partitions(df, min_partitions: int | None = None):
+    """Round-robin repartition ``df`` iff it has fewer partitions than the
+    session's core count (``sparkContext.defaultParallelism`` by default).
+
+    Heavy per-row expression work (minhash/simhash folds, shingle
+    construction) inherits the scan's partitioning. A small input — one
+    parquet file, a broadcast-semi-join survivor set — arrives as 1-2
+    partitions, so a 5 s fold runs on one core while 31 idle. On a real
+    corpus the scan already has thousands of splits and this is a no-op,
+    which is exactly the right scale behavior: pay a tiny shuffle only
+    when the cluster is wider than the data.
+
+    Checking ``rdd.getNumPartitions()`` converts the plan but launches no
+    job.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 @contextmanager
 def session_time_zone(spark: SparkSession, tz: str):
     """Scope ``spark.sql.session.timeZone`` without leaking across queries.
