@@ -683,8 +683,12 @@ def _q28_stream(spark, sf_dir):
     # checkpoint + sink stay fresh per call so the stream re-processes
     tmp = _Q28_STREAM_DIRS.get(sf_dir)
     if tmp is None or not os.path.isdir(f"{tmp}/b2"):
+        # copy ids sit far above any rehearsal-scaled corpus id (sf10's
+        # 100-replica documents reach ~995k; 1e8 is clear of any replica
+        # count the scale tooling supports) — colliding ids would turn
+        # distinct docs into same-key rows and corrupt the dedup check
         copies = base.select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
             F.concat(F.upper("text"), F.lit(" ... !!!")).alias("text"),
             "lang", "source",
         )
@@ -771,7 +775,7 @@ def _q28_compact(spark, sf_dir):
 def q28_dedup_exact(spark, sf_dir):
     """Exact dedup, batch AND streaming (pipeline + streaming ops),
     tagged union. 'batch' = hash-groupBy representatives. 'stream' =
-    the same corpus plus normalization-identical copies (id+100000,
+    the same corpus plus normalization-identical copies (id+1e8,
     upper-cased + punctuation) lands as TWO files streamed one file per
     micro-batch (originals first, copies second by modification time),
     deduped on the batch pipeline's fingerprint with cross-batch state —
@@ -864,7 +868,7 @@ def q31_simhash_dedup(spark, sf_dir):
                " j -> concat('w', doc_id, 'x', j)), ' ')"),
     )
     copies = base.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 100_000_000).alias("doc_id"),
         F.concat(F.upper("text"), F.lit(" ... !!!")).alias("text"),
     )
     corpus = base.unionByName(copies)
@@ -1307,7 +1311,30 @@ def q47_fingerprint(spark, sf_dir):
         F.lit("term").alias("op"), "doc_id", "term",
         F.col("tf").alias("a"), F.col("doc_freq").alias("b"),
     )
-    return fp_rows.unionByName(term_rows)
+
+    # 'para' branch: C4-style corpus-global paragraph dedup. Every doc
+    # becomes two paragraphs — its own text plus a per-source boilerplate
+    # line — so the op must (a) keep each distinct text paragraph only in
+    # its min-id document and (b) keep each source's boilerplate exactly
+    # once, in that source's min-id document. term = md5 of the kept
+    # paragraph (computable identically in DuckDB), a = position,
+    # b = the doc's paragraph count.
+    from dsgrid_spark.pipeline.dedup import dedup_paragraphs
+
+    two_para = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", F.col("text"),
+            F.concat(F.lit("boilerplate for "), F.col("source")),
+        ).alias("text"),
+    )
+    para_rows = dedup_paragraphs(two_para).select(
+        F.lit("para").alias("op"), "doc_id",
+        F.md5("paragraph").alias("term"),
+        F.col("pos").cast("long").alias("a"),
+        F.col("n_paras").cast("long").alias("b"),
+    )
+    return fp_rows.unionByName(term_rows).unionByName(para_rows)
 
 
 def q48_supplemental_filter(spark, sf_dir):
@@ -2671,6 +2698,22 @@ def oracle_sql() -> dict[str, str]:
               QUALIFY row_number() OVER (
                 PARTITION BY doc_id ORDER BY a DESC, b ASC, term) <= 3
             )
+            UNION ALL
+            SELECT 'para', doc_id, md5(para) AS term, pos AS a,
+                   CAST(2 AS BIGINT) AS b
+            FROM (
+              SELECT doc_id, pos, para,
+                     trim(regexp_replace(regexp_replace(lower(para),
+                          '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+              FROM (
+                SELECT doc_id, 0 AS pos, text AS para FROM documents
+                UNION ALL
+                SELECT doc_id, 1, 'boilerplate for ' || source
+                FROM documents
+              )
+            )
+            QUALIFY row_number() OVER (
+              PARTITION BY fp ORDER BY doc_id, pos) = 1
         """,
         "q48_supplemental_filter": """
             SELECT c_mktsegment, count(*) AS n_customers,
@@ -2824,7 +2867,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # survivors = the originals: each doc's tokens are unique to it
         # (signatures mutually far) and every normalization-identical
-        # copy (id+100000, hamming 0) must be dropped
+        # copy (id+1e8, hamming 0) must be dropped
         "q31_simhash_dedup": """
             SELECT doc_id FROM documents
         """,

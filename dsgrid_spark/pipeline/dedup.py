@@ -418,6 +418,111 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     return survivors
 
 
+def dedup_paragraphs(df: DataFrame, text_column: str = "text",
+                     id_column: str = "doc_id",
+                     sep_regex: str = r"\n\n+") -> DataFrame:
+    """Corpus-global paragraph-level dedup (the C4/CCNet boilerplate
+    pass): split every document into paragraphs, keep only the FIRST
+    occurrence of each distinct paragraph across the whole corpus
+    (first = lexicographically smallest ``(id, position)``), drop the
+    rest. Returns the kept rows ``(id, pos, n_paras, paragraph)`` —
+    ``pos`` is the paragraph's 0-based position in its document after
+    empty-paragraph removal and ``n_paras`` that document's total.
+
+    Paragraph equality is on the normalized fingerprint (lowercase,
+    punctuation stripped, whitespace collapsed — same predicate as
+    :func:`exact_dedup`), so trivially-reformatted boilerplate collides.
+
+    Shuffle shape for a 100 TB corpus (this ordering is the point):
+
+    1. winner election is a groupBy over ``(fp, id, pos)`` ONLY —
+       paragraph text never enters the first shuffle, and map-side
+       partial aggregation collapses repeated boilerplate before the
+       exchange;
+    2. the winner set folds to one int-array row per surviving document
+       (``keep_pos``), joined back by document id;
+    3. paragraph text crosses the wire exactly once, hash-partitioned by
+       document id — the layout :func:`paragraph_dedup`'s reassembly
+       groupBy reuses without a further Exchange.
+    """
+    paras = df.select(
+        F.col(id_column),
+        F.posexplode(
+            F.filter(F.split(F.col(text_column), sep_regex),
+                     lambda p: F.trim(p) != "")
+        ).alias("pos", "paragraph"),
+    ).withColumn("__fp", fingerprint(F.col("paragraph")))
+    # per-doc paragraph count from a size() on the same filtered split —
+    # a cheap second scan projection, never a window over exploded rows
+    counts = df.select(
+        F.col(id_column),
+        F.size(F.filter(F.split(F.col(text_column), sep_regex),
+                        lambda p: F.trim(p) != "")).alias("n_paras"),
+    )
+    winners = (
+        paras.select("__fp", id_column, "pos")
+        .groupBy("__fp")
+        .agg(F.min(F.struct(F.col(id_column).alias("id"),
+                            F.col("pos").alias("pos"))).alias("__w"))
+        .select(F.col("__w.id").alias(id_column), F.col("__w.pos").alias("pos"))
+    )
+    keep_sets = winners.groupBy(id_column).agg(
+        F.collect_set("pos").alias("__keep"))
+    kept = (
+        paras.join(keep_sets, id_column)
+        .filter(F.array_contains("__keep", F.col("pos")))
+        .select(id_column, "pos", "paragraph")
+    )
+    return kept.join(counts, id_column).select(
+        id_column, "pos", "n_paras", "paragraph")
+
+
+def paragraph_dedup(df: DataFrame, text_column: str = "text",
+                    id_column: str = "doc_id",
+                    sep_regex: str = r"\n\n+",
+                    join_sep: str = "\n\n") -> DataFrame:
+    """Rewrite each document with its globally-duplicated paragraphs
+    removed (see :func:`dedup_paragraphs`). Documents whose every
+    paragraph was dropped come back with empty text — callers decide
+    whether to drop them (C4 does). Adds ``n_paras_kept`` /
+    ``n_paras_total`` so the funnel is attributable.
+
+    The reassembly groupBy runs on the same id-partitioning the kept-
+    paragraph join produced — no extra Exchange for the text.
+    """
+    kept = dedup_paragraphs(df, text_column, id_column, sep_regex)
+    rebuilt = kept.groupBy(id_column).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "paragraph"))),
+                lambda s: s.paragraph,
+            ),
+            join_sep,
+        ).alias("__text"),
+        F.count("*").alias("n_paras_kept"),
+    )
+    others = [c for c in df.columns if c != text_column]
+    # original per-doc paragraph count straight off the source text, so
+    # fully-deduplicated documents (no rebuilt row) still report totals
+    with_total = df.select(
+        *others,
+        F.size(F.filter(F.split(F.col(text_column), sep_regex),
+                        lambda p: F.trim(p) != ""))
+        .cast("long").alias("n_paras_total"),
+    )
+    return (
+        with_total
+        .join(rebuilt, id_column, "left")
+        .select(
+            *others,
+            F.coalesce("__text", F.lit("")).alias(text_column),
+            F.coalesce("n_paras_kept", F.lit(0).cast("long"))
+            .alias("n_paras_kept"),
+            "n_paras_total",
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 20) -> DataFrame:

@@ -822,3 +822,50 @@ def test_ingest_lockstep_guard_and_repair(spark, tmp_path):
     assert surv == {61}
     # repair on a healthy registry is a no-op
     assert repair_lockstep(store, "corpus")["repaired"] is False
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from dsgrid_spark.pipeline.dedup import dedup_paragraphs
+
+    # shared appears in docs 1 and 3; "Shared!" normalizes to the same
+    # fingerprint; doc 2's both paragraphs are unique; doc 4 is entirely
+    # boilerplate already seen -> zero kept rows
+    docs = spark.createDataFrame(
+        [
+            (1, "shared\n\nalpha one"),
+            (2, "beta two\n\n\n\ngamma three"),   # \n\n+ collapses
+            (3, "Shared!\n\ndelta four"),
+            (4, "shared\n\nalpha one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup_paragraphs(docs).collect()
+    got = {(r.doc_id, r.pos): r.paragraph for r in kept}
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1), (3, 1)}
+    assert got[(1, 0)] == "shared"
+    totals = {r.doc_id: r.n_paras for r in kept}
+    assert totals == {1: 2, 2: 2, 3: 2}
+
+
+def test_paragraph_dedup_rebuilds_documents(spark):
+    from dsgrid_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared\n\nalpha one", "en"),
+            (2, "beta two\n\ngamma three", "de"),
+            (3, "Shared!\n\ndelta four", "en"),
+            (4, "shared", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].text == "shared\n\nalpha one"
+    assert out[2].text == "beta two\n\ngamma three"
+    # doc 3 keeps only its unique paragraph; order + separator preserved
+    assert out[3].text == "delta four"
+    # doc 4: everything was boilerplate -> empty text, counts attribute it
+    assert out[4].text == ""
+    assert (out[4].n_paras_kept, out[4].n_paras_total) == (0, 1)
+    assert out[4].lang == "fr"  # non-text columns ride through
+    assert (out[3].n_paras_kept, out[3].n_paras_total) == (1, 2)

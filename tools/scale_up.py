@@ -47,8 +47,8 @@ OFFSETS = {
     "suppkey": 10_000,        # max s_suppkey 999
     "event_id": 1_000_000,    # max 99,999
     "user_id": 10_000,        # max 1,499
-    "doc_id": 10_000,         # max 4,999 (q28's +100000 copies stay clear
-    #                           of scaled ids up to replicas=10)
+    "doc_id": 10_000,         # max 4,999 (harness copy ids sit at +1e8,
+    #                           clear of scaled ids up to replicas=10,000)
     "vec_id": 10_000,         # max 1,999
 }
 
