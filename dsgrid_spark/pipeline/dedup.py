@@ -281,7 +281,8 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
                   num_bands: int = 4, shingle_k: int = 5,
                   threshold: float = 0.8,
                   transitive: bool = False,
-                  signatures: DataFrame | None = None) -> DataFrame:
+                  signatures: DataFrame | None = None,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Full near-dedup: exact dedup → minhash → LSH bands → Jaccard
     verify → drop the higher id of each duplicate pair.
 
@@ -294,6 +295,9 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     ``transitive=True`` switches the final drop to connected-component
     clustering (one representative per duplicate CLUSTER, not per pair):
     stricter when duplicate chains exist, a few extra tiny-join rounds.
+
+    ``max_bucket_size`` passes through to :func:`lsh_candidate_pairs`
+    (hot-bucket cap for boilerplate-heavy crawls).
 
     ``signatures`` takes a precomputed ``(id, minhash)`` table from
     :func:`minhash_signatures` (same num_hashes/shingle_k/seed) so one
@@ -310,6 +314,7 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
                 else minhash_signatures(uniq, text_column, num_hashes,
                                         shingle_k))
     cands = lsh_candidate_pairs(with_sig, id_column, num_bands,
+                                max_bucket_size=max_bucket_size,
                                 signature_length=num_hashes)
     # the candidate-pair join is referenced three times downstream (the
     # shingle semi-join and both sides of the verify join) — materialize
@@ -331,7 +336,8 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
                       num_hashes: int = 32, num_bands: int = 4,
                       shingle_k: int = 5, threshold: float = 0.8,
                       within_batch: bool = True,
-                      new_sigs: DataFrame | None = None) -> DataFrame:
+                      new_sigs: DataFrame | None = None,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Dedup a NEW batch against an already-registered corpus using the
     corpus's persisted minhash signatures — the continuous-ingest path.
 
@@ -356,6 +362,12 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     ``new_sigs`` takes precomputed batch signatures (same contract as
     ``minhash_dedup(signatures=...)``) so a job that already signed the
     corpus once can slice that table instead of re-folding the batch.
+
+    ``max_bucket_size`` caps BOTH candidate producers: the within-batch
+    self-join (via :func:`lsh_candidate_pairs`) and the reference-side
+    buckets of the cross join — on a boilerplate-heavy accumulated
+    corpus one low-entropy reference bucket would otherwise fan every
+    matching batch doc into thousands of verify pairs per band.
     """
     uniq = (exact_dedup(new_df, text_column, id_column)
             if within_batch else new_df)
@@ -368,6 +380,13 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     bn = bn.persist()
     bn.count()
     br = band_signatures(reference_sigs, id_column, num_bands, num_hashes)
+    if max_bucket_size is not None:
+        ok = (
+            br.groupBy("band", "band_hash").count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        br = br.join(ok, ["band", "band_hash"], "left_semi")
     cross = (
         bn.select(F.col(id_column).alias("id_b"), "band", "band_hash")
         .join(br.select(F.col(id_column).alias("id_a"), "band", "band_hash"),
@@ -404,6 +423,7 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     survivors = uniq.join(vs_ref, id_column, "left_anti")
     if within_batch:
         wb_cands = lsh_candidate_pairs(sigs_new, id_column, num_bands,
+                                       max_bucket_size=max_bucket_size,
                                        signature_length=num_hashes)
         wb_cands = wb_cands.persist()
         wb_cands.count()

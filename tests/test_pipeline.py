@@ -869,3 +869,42 @@ def test_paragraph_dedup_rebuilds_documents(spark):
     assert (out[4].n_paras_kept, out[4].n_paras_total) == (0, 1)
     assert out[4].lang == "fr"  # non-text columns ride through
     assert (out[3].n_paras_kept, out[3].n_paras_total) == (1, 2)
+
+
+def test_minhash_dedup_bucket_cap_passthrough(spark):
+    """max_bucket_size threads from the top-level APIs down to the band
+    joins: with a cap of 1 every bucket is 'hot', no candidate pairs
+    form, and no near-dup is dropped — while the uncapped run drops the
+    near-duplicate. Same corpus both ways, so the delta isolates the
+    cap."""
+    from dsgrid_spark.pipeline.dedup import incremental_dedup, minhash_dedup
+    from dsgrid_spark.pipeline.dedup import minhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + " tail"),
+            (3, "completely different words about spark shuffles here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_dedup(docs, num_hashes=24, num_bands=8, shingle_k=3,
+                             threshold=0.5)
+    capped = minhash_dedup(docs, num_hashes=24, num_bands=8, shingle_k=3,
+                           threshold=0.5, max_bucket_size=1)
+    assert {r.doc_id for r in uncapped.collect()} == {1, 3}
+    assert {r.doc_id for r in capped.collect()} == {1, 2, 3}
+
+    # incremental: TWO identical reference docs share every band bucket
+    # (bucket size 2), so max_bucket_size=1 marks those buckets hot and
+    # drops them — the near-dup batch doc 2 then survives, while the
+    # uncapped run drops it.
+    ref = spark.createDataFrame([(1, base), (10, base)],
+                                "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") >= 2)
+    ref_sigs = minhash_signatures(ref, num_hashes=24, shingle_k=3)
+    surv = incremental_dedup(new, ref_sigs.select("doc_id", "minhash"), ref,
+                             num_hashes=24, num_bands=8, shingle_k=3,
+                             threshold=0.5)
+    surv_capped = incremental_dedup(
+        new, ref_sigs.select("doc_id", "minhash"), ref,
+        num_hashes=24, num_bands=8, shingle_k=3, threshold=0.5,
+        max_bucket_size=1)
+    assert {r.doc_id for r in surv.collect()} == {3}
+    assert {r.doc_id for r in surv_capped.collect()} == {2, 3}
