@@ -510,6 +510,9 @@ def paragraph_dedup(df: DataFrame, text_column: str = "text",
     The reassembly groupBy runs on the same id-partitioning the kept-
     paragraph join produced — no extra Exchange for the text.
     """
+    # re-entrant: a prior pass's count columns would be stale after this
+    # one (and would collide with the new ones), so shed them first
+    df = df.drop("n_paras_kept", "n_paras_total")
     kept = dedup_paragraphs(df, text_column, id_column, sep_regex)
     rebuilt = kept.groupBy(id_column).agg(
         F.array_join(

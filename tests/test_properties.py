@@ -302,3 +302,50 @@ def test_filter_funnel_conservation(spark, rows):
     got = {r["rule"]: r["n_docs"] for r in stats.collect()}
     assert sum(got.values()) == len(rows)
     assert survivors.count() == got.get("kept", 0)
+
+
+# paragraph-level dedup: randomized docs over a small paragraph alphabet
+# so cross-document repetition is common
+_para_alphabet = ["alpha beta", "gamma delta", "epsilon zeta", "eta theta",
+                  "iota kappa", "lambda mu"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_para_alphabet), min_size=1, max_size=4),
+        min_size=1, max_size=6,
+    )
+)
+@SETTINGS
+def test_paragraph_dedup_invariants(spark, docs):
+    """(a) each distinct paragraph survives exactly once corpus-wide, in
+    the lexicographically first (doc, pos) slot; (b) a doc's kept
+    paragraphs are a subsequence of its originals; (c) idempotence: a
+    second pass over the rebuilt corpus drops nothing."""
+    from dsgrid_spark.pipeline.dedup import dedup_paragraphs, paragraph_dedup
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = dedup_paragraphs(df).collect()
+
+    # (a) global uniqueness + first-occurrence
+    seen = {}
+    for i, paras in enumerate(docs):
+        for pos, p in enumerate(paras):
+            seen.setdefault(p, (i, pos))
+    expected = {(i, pos, p) for p, (i, pos) in seen.items()}
+    assert {(r.doc_id, r.pos, r.paragraph) for r in kept} == expected
+
+    # (b) subsequence: kept positions are increasing and valid
+    by_doc = {}
+    for r in kept:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.paragraph))
+    for i, items in by_doc.items():
+        items.sort()
+        assert [p for _, p in items] == [docs[i][pos] for pos, _ in items]
+
+    # (c) idempotence on the rebuilt corpus (drop emptied docs like C4)
+    rebuilt = paragraph_dedup(df).filter(F.col("text") != "")
+    again = paragraph_dedup(rebuilt)
+    assert again.filter(
+        F.col("n_paras_kept") != F.col("n_paras_total")).count() == 0
