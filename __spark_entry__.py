@@ -862,7 +862,14 @@ def q31_simhash_dedup(spark, sf_dir):
     → identical signature, hamming 0). Expected survivors = exactly the
     originals — verifying normalization, signature determinism, chunk
     blocking, and the xor-verify anti-join end to end."""
-    base = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+    from dsgrid_spark.session import ensure_min_partitions
+
+    # widen BEFORE constructing text: only 8-byte ids shuffle, and the
+    # expensive simhash fold downstream runs on all cores even when the
+    # documents scan is a handful of splits (sf10: the fold dominated)
+    ids = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id"))
+    base = ids.withColumn(
         "text",
         F.expr("array_join(transform(sequence(1, 24),"
                " j -> concat('w', doc_id, 'x', j)), ' ')"),
