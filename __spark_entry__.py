@@ -656,6 +656,7 @@ def q27_growth_exponential(spark, sf_dir):
 
 
 _Q28_STREAM_DIRS: dict[str, str] = {}
+_Q28_STREAM_COUNTS: dict[str, int] = {}
 
 
 def _q28_batch(spark, sf_dir):
@@ -711,6 +712,7 @@ def _q28_stream(spark, sf_dir):
             for f in os.listdir(d):
                 os.utime(os.path.join(d, f), (t, t))
         _Q28_STREAM_DIRS[sf_dir] = tmp
+        _Q28_STREAM_COUNTS[sf_dir] = spark.read.parquet(f"{tmp}/b1").count()
     stream = (
         spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1)
@@ -718,29 +720,45 @@ def _q28_stream(spark, sf_dir):
     )
     deduped = dedup_stream(normalize_text_stream(stream), ["fingerprint"])
     run_id = tempfile.mkdtemp(prefix="dsgrid_q28_run_")
-    sink = f"q28_stream_{abs(hash(run_id)) % 10 ** 8}"
     from dsgrid_spark.session import scoped_conf
 
     # Size the stateful operator's state partitions to the key count:
     # dropDuplicates state partitioning is fixed at checkpoint creation
     # from spark.sql.shuffle.partitions, and each state store instance
-    # pays per-micro-batch setup/commit. 32 stores for <=150k keys is
-    # pure overhead (measured 2.5 s -> 1.35 s at sf0.1 with 8); a 100 TB
-    # corpus would size this to thousands via the same conf.
-    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
-        query = (deduped.writeStream.format("memory").queryName(sink)
+    # pays per-micro-batch setup/commit. 32 stores for a 10k-key corpus
+    # is pure overhead (measured 2.5 s -> 1.35 s at sf0.1 with 8), while
+    # 8 stores for the sf10 rehearsal's 1M keys serializes state commits
+    # — so derive the count from the corpus size recorded at setup
+    # (a 100 TB corpus sizes this to thousands via the same conf).
+    # maxPartitionBytes is dropped to 4 MB so each micro-batch's parquet
+    # scan splits across cores: the per-side single file otherwise makes
+    # the 500k-row fingerprint projection single-threaded.
+    n_keys = 2 * _Q28_STREAM_COUNTS.get(sf_dir, 10_000)
+    state_parts = max(8, min(64, n_keys // 50_000))
+    # Parquet sink, not memory: a memory sink collects every surviving
+    # row into the driver (500k rows at the sf10 rehearsal), which is
+    # exactly the collect-bottleneck this engine avoids everywhere else.
+    # The sf10 rehearsal also showed the slot is state-commit-bound
+    # (~20 us/key; 8..50 state partitions within noise on one JVM), so
+    # the partition count derivation is about real clusters, not this box.
+    with scoped_conf(spark, {
+        "spark.sql.shuffle.partitions": str(state_parts),
+        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+    }):
+        query = (deduped.writeStream.format("parquet")
                  .option("checkpointLocation", f"{run_id}/ckpt")
+                 .option("path", f"{run_id}/out")
                  .outputMode("append").trigger(availableNow=True)
                  .start())
         # ADVICE r4: awaitTermination(timeout) returns False on timeout
         # with the query still running — reading the sink then would
         # yield a partially-populated result that fails the oracle
         # nondeterministically instead of erroring clearly.
-        if not query.awaitTermination(120):
+        if not query.awaitTermination(240):
             query.stop()
             raise TimeoutError(
-                "q28 streaming side did not finish within 120 s")
-    return spark.table(sink).select(
+                "q28 streaming side did not finish within 240 s")
+    return spark.read.parquet(f"{run_id}/out").select(
         F.lit("stream").alias("op"), "doc_id", "lang", "source")
 
 
