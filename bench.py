@@ -76,6 +76,8 @@ def main():
         sf = 0.01
     elif "sf0.001" in sf_dir:
         sf = 0.001
+    elif "sf10" in sf_dir:
+        sf = 10.0
     elif "sf1" in sf_dir:
         sf = 1.0
 
