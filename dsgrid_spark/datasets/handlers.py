@@ -109,9 +109,18 @@ class TwoTableHandler:
     table never shuffles.
     """
 
-    def __init__(self, load_data: DataFrame, lookup: DataFrame, config: DatasetConfig):
+    def __init__(self, load_data: DataFrame, lookup: DataFrame,
+                 config: DatasetConfig,
+                 broadcast_lookup: bool | None = None):
         self.config = config
         self.load_data = load_data
+        # Same contract as flag_outliers' broadcast_stats (ADVICE r4):
+        # True forces the hint (the reference's lookup tables are one row
+        # per time-array — tiny); False forbids it; None lets AQE measure
+        # the lookup's actual size — the safe default after the sf10
+        # rehearsal showed a forced broadcast of a 15M-row lookup
+        # collects it into the driver.
+        self.broadcast_lookup = broadcast_lookup
         self.lookup = _convert_int_dims_to_string(
             _add_trivial_dimensions(lookup, config), config
         )
@@ -131,8 +140,10 @@ class TwoTableHandler:
             )
 
     def to_stacked(self) -> DataFrame:
+        lookup = (F.broadcast(self.lookup) if self.broadcast_lookup
+                  else self.lookup)
         joined = self.load_data.join(
-            F.broadcast(self.lookup), TWO_TABLE_ID_COLUMN, "inner"
+            lookup, TWO_TABLE_ID_COLUMN, "inner"
         ).drop(TWO_TABLE_ID_COLUMN)
         return apply_scaling_factor(joined)
 
