@@ -2,9 +2,9 @@
 
 Chains the pipeline operators the way a real pretraining-data job would:
 
-    quality funnel -> MinHash near-dedup -> benchmark decontamination
-    -> token-weighted mixture sampling -> sequence packing
-    -> sharded export (+ manifest)
+    quality funnel -> paragraph boilerplate removal -> MinHash near-dedup
+    -> benchmark decontamination -> token-weighted mixture sampling
+    -> sequence packing -> sharded export (+ manifest)
 
 Every step is a DataFrame transformation; the only actions are the
 prints. Run:
@@ -22,7 +22,11 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from dsgrid_spark.pipeline.dedup import benchmark_contamination, minhash_dedup  # noqa: E402
+from dsgrid_spark.pipeline.dedup import (  # noqa: E402
+    benchmark_contamination,
+    minhash_dedup,
+    paragraph_dedup,
+)
 from dsgrid_spark.pipeline.sampling import mixture_sample, pack_sequences  # noqa: E402
 from dsgrid_spark.pipeline.text import (  # noqa: E402
     alpha_ratio_ppm,
@@ -52,8 +56,16 @@ def main() -> None:
     ])
     print("funnel:", {r["rule"]: r["n_docs"] for r in stats.collect()})
 
-    # 2. near-dedup (exact-first, LSH-banded, Jaccard-verified)
-    deduped = minhash_dedup(survivors, "text", "doc_id",
+    # 2a. paragraph-level boilerplate removal (C4-style): repeated
+    # paragraphs keep only their first corpus-wide occurrence; documents
+    # reduced to nothing are dropped
+    para = paragraph_dedup(survivors, "text", "doc_id")
+    para = para.filter(F.col("text") != "")
+    print("after paragraph dedup:", para.count())
+
+    # 2b. document near-dedup (exact-first, LSH-banded, Jaccard-verified)
+    deduped = minhash_dedup(para.drop("n_paras_kept", "n_paras_total"),
+                            "text", "doc_id",
                             num_hashes=24, num_bands=8, shingle_k=5,
                             threshold=0.8)
     print("after dedup:", deduped.count())

@@ -263,3 +263,26 @@ def test_skew_rehearsal_tool_runs_small(spark):
     assert set(res) == {"A_aggregation", "B_shuffle_join", "C_disagg_fanout"}
     assert all(v > 0 for k, v in res["C_disagg_fanout"].items()
                if k.endswith("_s"))
+
+
+def test_simhash_verify_runs_inside_bucket_join(spark):
+    """The hamming verify must be a join residual, not a post-distinct
+    filter: once a corpus exceeds 2^16 docs the 16-bit chunk buckets
+    saturate, and materializing the O(sum bucket^2) candidate set before
+    verifying is the scale defect the sf10 rehearsal caught. Locks the
+    fix by asserting bit_count(xor) appears in a Join condition."""
+    from dsgrid_spark.pipeline.dedup import simhash_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string")
+    out = simhash_dedup(df)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    join_conds = [l for l in plan.splitlines()
+                  if "Join condition:" in l and "bit_count" in l]
+    assert join_conds, "hamming verify left the join condition:\n" + plan
+    # and no standalone Filter node carries the verify (the old shape)
+    assert not any("bit_count" in l and "Condition :" in l
+                   for l in plan.splitlines())
