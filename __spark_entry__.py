@@ -53,6 +53,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table (file or directory of part files) via
+    os.stat only — a widen-decision input that costs no Spark job."""
+    import os
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            if not f.startswith(("_", ".")))
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -884,9 +897,13 @@ def q31_simhash_dedup(spark, sf_dir):
 
     # widen BEFORE constructing text: only 8-byte ids shuffle, and the
     # expensive simhash fold downstream runs on all cores even when the
-    # documents scan is a handful of splits (sf10: the fold dominated)
-    ids = ensure_min_partitions(
-        _t(spark, sf_dir, "documents").select("doc_id"))
+    # documents scan is a handful of splits (sf10: the fold dominated,
+    # 17 s -> 6 s). Gated on the table's on-disk size (an os.stat, no
+    # Spark job): at bench scale the fold is sub-second single-threaded
+    # and the extra Exchange measured 0.8 s of pure overhead.
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    if _table_bytes(sf_dir, "documents") > 32 * 1024 * 1024:
+        ids = ensure_min_partitions(ids)
     base = ids.withColumn(
         "text",
         F.expr("array_join(transform(sequence(1, 24),"
