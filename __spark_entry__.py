@@ -107,8 +107,15 @@ def q01_pricing_summary(spark, sf_dir):
     """Hash aggregation with multiple agg functions (SURVEY §2.4)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
+        # quantities are integer-valued doubles: their float sum is exact
+        # and order-independent, no discretization needed
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        # 2-decimal money is NOT exactly representable: discretize per ROW
+        # (identical IEEE on both engines) and sum exact integer cents, so
+        # the value is independent of partial-sum merge order (the q21
+        # sf1 lesson — round(sum(float), 2) coin-flips on .005 boundaries)
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .alias("sum_base_price_cents"),
         # floor micro-units, not round(avg, 6): cross-engine round()
         # algorithms differ on identical inputs (the q29/q39 lesson)
         F.floor(F.avg("l_discount") * 1e6 + 0.5).cast("long").alias("avg_disc_micro"),
@@ -515,13 +522,21 @@ def q21_scalar_datetime(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Discretize per ROW, then sum exact integers: a float SUM's merge
+    # order varies run to run (shuffle-block arrival), so round(sum(), 2)
+    # is a coin flip whenever a group's total sits within an ULP of a
+    # .005 boundary — caught by a one-off sf1 board hash mismatch that
+    # vanished on re-run. Per-row floor(x*1e4+0.5) is the same IEEE
+    # sequence on both engines, and the integer sum is associative —
+    # deterministic at any scale and any execution order.
+    rev_i = F.floor(revenue * 1e4 + 0.5).cast("long")
     month = (
         li.groupBy(
             F.year("l_shipdate").cast("long").alias("k1"),
             F.month("l_shipdate").cast("long").alias("k2"),
         )
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum(revenue), 2).alias("value"))
+             F.sum(rev_i).cast("double").alias("value"))
         .select(F.lit("month").alias("op"), "k1", "k2", "n", "value")
     )
     ev = _t(spark, sf_dir, "events")
@@ -1974,7 +1989,8 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     AS sum_base_price_cents,
                    CAST(floor(avg(l_discount) * 1e6 + 0.5) AS BIGINT) AS avg_disc_micro,
                    count(*) AS count_order
             FROM lineitem
@@ -2235,7 +2251,9 @@ def oracle_sql() -> dict[str, str]:
                    extract(year FROM l_shipdate) AS k1,
                    extract(month FROM l_shipdate) AS k2,
                    count(*) AS n,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                     AS value
             FROM lineitem GROUP BY 1, 2, 3
             UNION ALL
             SELECT 'session' AS op, user_id AS k1,
