@@ -264,8 +264,10 @@ def q06_join_multi(spark, sf_dir):
         range_join(ev.select("ts", "value"), windows, "ts",
                    "w_start", "w_end", bucket_seconds=21600)
         .groupBy("window_id")
+        # per-row micro-units summed as exact integers (q21 determinism rule)
         .agg(F.count(F.lit(1)).alias("n"),
-             F.floor(F.sum("value") * 1e6 + 0.5).cast("double").alias("value"))
+             F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long"))
+             .cast("double").alias("value"))
         .select(F.lit("range").alias("op"),
                 F.col("window_id").cast("string").alias("k"), "n", "value")
     )
@@ -330,8 +332,12 @@ def q09_two_table(spark, sf_dir):
     handler = TwoTableHandler(li, lookup, DatasetConfig(dataset_id="li2t",
                                                         time_columns=["timestamp"]))
     stacked = handler.to_stacked()
+    # per-row cents then exact integer sum: the AQE shuffle join's
+    # partial-merge order differs from DuckDB's, and round(sum(float), 2)
+    # flipped last-cent at the sf10 rehearsal (the q21 lesson)
     return stacked.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .alias("sum_value_cents"),
         F.count("*").alias("n_rows"),
     )
 
@@ -575,12 +581,19 @@ def q23_time_downsample(spark, sf_dir):
     aggregate rollup cascade (one raw shuffle, ReuseExchange-shared)."""
     from dsgrid_spark.timedim.conversion import upsample
 
-    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # events.value is a continuous float: discretize per ROW into integer
+    # micro-units (as double), so every rollup level sums exactly-representable
+    # integers — deterministic across engines, run order, and scales (sums
+    # reach ~1e14 at sf10, far under 2^53). floor(sum(float)*1e6) instead
+    # flipped a last micro-unit at the sf10 rehearsal (cascade:month).
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_type",
+        F.floor(F.col("value") * 1e6 + 0.5).cast("double").alias("value"))
     down = downsample(ev, "ts", 6 * 3600).select(
         F.lit("down").alias("mode"),
         F.date_format("ts", TS_FMT).alias("ts"),
         F.col("event_type").alias("grp"),
-        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value"),
+        F.col("value").cast("long").alias("value"),
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
     daily = li.groupBy(F.col("l_shipdate").alias("ts"), "l_returnflag").agg(
@@ -598,7 +611,7 @@ def q23_time_downsample(spark, sf_dir):
         F.concat(F.lit("cascade:"), F.col("level")).alias("mode"),
         F.date_format("ts", TS_FMT).alias("ts"),
         F.col("event_type").alias("grp"),
-        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value"),
+        F.col("value").cast("long").alias("value"),
     )
     return down.unionByName(up).unionByName(casc)
 
@@ -1672,7 +1685,9 @@ def q35_period_ending_daily(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("timestamp"),
         (F.col("user_id") % 4).cast("string").alias("geography"),
-        "value",
+        # per-row micro-units: integer-valued doubles sum exactly in any
+        # order (the q21/q23 determinism rule)
+        F.floor(F.col("value") * 1e6 + 0.5).cast("double").alias("value"),
     )
     pb = convert_time_interval(ev, "timestamp",
                                TimeIntervalType.PERIOD_ENDING,
@@ -1680,7 +1695,7 @@ def q35_period_ending_daily(spark, sf_dir):
     daily = downsample(pb, "timestamp", 86400, MeasurementType.TOTAL)
     return daily.select(
         F.date_format("timestamp", TS_FMT).alias("day"),
-        "geography", F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value"),
+        "geography", F.col("value").cast("long").alias("value"),
     )
 
 
@@ -1786,9 +1801,13 @@ def q13_composite_dataset(spark, sf_dir):
     from dsgrid_spark.query.submitter import QuerySubmitter
     from dsgrid_spark.sources.catalog import Catalog
 
+    # integer cents as double: exact, order-independent sums through BOTH
+    # lifecycle aggregations (sf10 totals ~1.2e14 cents, far under 2^53) —
+    # round(sum(float), 2) differed from DuckDB by a last cent at sf10
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_orderstatus",
-        F.col("o_totalprice").alias("value"))
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("double")
+        .alias("value"))
     cat = Catalog(spark)
     cat.register_dataset("orders_fact", orders)
     sub = QuerySubmitter(cat, output_dir=tempfile.mkdtemp(prefix="dsgrid_q13_"))
@@ -1804,7 +1823,8 @@ def q13_composite_dataset(spark, sf_dir):
         aggregations=[AggregationModel(
             group_by_columns=[ColumnModel(dimension_name="o_orderstatus")],
             aggregation_function="sum")]))
-    return out.select("o_orderstatus", F.round("value", 2).alias("value"))
+    return out.select("o_orderstatus",
+                      F.col("value").cast("long").alias("value_cents"))
 
 
 def q16_dataset_query_chain(spark, sf_dir):
@@ -2093,7 +2113,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'range' AS op, CAST(window_id AS VARCHAR) AS k,
                    count(*) AS n,
-                   CAST(floor(sum(value) * 1e6 + 0.5) AS DOUBLE) AS value
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                     AS value
             FROM events e JOIN (
               SELECT w AS window_id,
                      TIMESTAMP '2024-01-01' + to_days(3 * CAST(w AS INT))
@@ -2129,7 +2150,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q09_two_table": """
             SELECT o_orderstatus, o_orderpriority,
-                   round(sum(l_extendedprice), 2) AS sum_value,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     AS sum_value_cents,
                    count(*) AS n_rows
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus, o_orderpriority
@@ -2287,7 +2309,7 @@ def oracle_sql() -> dict[str, str]:
                    strftime(make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)),
                             '{_DUCK_TS}') AS ts,
                    event_type AS grp,
-                   CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS value
+                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
             FROM events
             GROUP BY 2, 3
             UNION ALL
@@ -2306,19 +2328,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'cascade:hour' AS mode,
                    strftime(date_trunc('hour', ts), '{_DUCK_TS}') AS ts,
                    event_type AS grp,
-                   CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS value
+                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
             FROM events GROUP BY 2, 3
             UNION ALL
             SELECT 'cascade:day' AS mode,
                    strftime(date_trunc('day', ts), '{_DUCK_TS}') AS ts,
                    event_type AS grp,
-                   CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS value
+                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
             FROM events GROUP BY 2, 3
             UNION ALL
             SELECT 'cascade:month' AS mode,
                    strftime(date_trunc('month', ts), '{_DUCK_TS}') AS ts,
                    event_type AS grp,
-                   CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS value
+                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
             FROM events GROUP BY 2, 3
         """,
         "q24_annual_to_hourly": f"""
@@ -2944,7 +2966,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day',
                      date_trunc('hour', ts) - to_hours(1)), '{_DUCK_TS}') AS day,
                    CAST(user_id % 4 AS VARCHAR) AS geography,
-                   CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS value
+                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
             FROM events GROUP BY 1, 2
         """,
         "q17_expression_extended": """
@@ -2989,7 +3011,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE extract(year FROM o_orderdate) > 1996 GROUP BY 1
         """,
         "q13_composite_dataset": """
-            SELECT o_orderstatus, round(sum(o_totalprice), 2) AS value
+            SELECT o_orderstatus,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS value_cents
             FROM orders GROUP BY 1
         """,
         "q16_dataset_query_chain": """
