@@ -286,3 +286,23 @@ def test_simhash_verify_runs_inside_bucket_join(spark):
     # and no standalone Filter node carries the verify (the old shape)
     assert not any("bit_count" in l and "Condition :" in l
                    for l in plan.splitlines())
+
+
+def test_paragraph_dedup_text_shuffles_once(spark):
+    """paragraph_dedup's scale contract: paragraph text crosses the wire
+    exactly once (the kept-join by doc id), the winner election shuffles
+    keys only, and the reassembly aggregate reuses the join's
+    id-partitioning with NO further Exchange. Locked by counting
+    Exchanges in the static plan (5: paras-with-text by id, fp winner
+    election, keep-set fold, per-doc counts, final outer join side) — a
+    6th means the reassembly or an extra text shuffle regressed."""
+    from dsgrid_spark.pipeline.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "b\n\nc")], "doc_id long, text string")
+    out = paragraph_dedup(df)
+    tree = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")).split("\n\n")[0]
+    n_exchange = sum("Exchange" in l for l in tree.splitlines())
+    assert n_exchange <= 5, tree
