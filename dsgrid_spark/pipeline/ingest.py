@@ -62,7 +62,8 @@ def register_corpus(store, corpus_id: str, docs: DataFrame,
 def ingest_batch(store, corpus_id: str, batch: DataFrame,
                  text_column: str = "text", id_column: str = "doc_id",
                  num_hashes: int = 24, num_bands: int = 8,
-                 shingle_k: int = 5, threshold: float = 0.8) -> DataFrame:
+                 shingle_k: int = 5, threshold: float = 0.8,
+                 _message_suffix: str = "") -> DataFrame:
     """Dedup ``batch`` against the registered corpus via its STORED
     signatures, append the survivors, and version both tables. Returns
     the surviving batch rows.
@@ -105,10 +106,11 @@ def ingest_batch(store, corpus_id: str, batch: DataFrame,
     n = survivors.count()
     corpus_version = store.update_dataset(
         corpus_id, corpus.unionByName(survivors), validate=False,
-        message=f"ingest: +{n} docs")
+        message=f"ingest: +{n} docs{_message_suffix}")
     store.update_dataset(
         _sig_id(corpus_id), sigs.unionByName(new_sigs), validate=False,
-        message=f"ingest: +{n} signatures (corpus {corpus_version})")
+        message=f"ingest: +{n} signatures (corpus "
+                f"{corpus_version}){_message_suffix}")
     return survivors
 
 
@@ -207,3 +209,68 @@ def verify_corpus_integrity(store, corpus_id: str,
             "orphan_signatures": orphan_sig,
             "duplicate_signatures": dup_sig,
             "ok": missing_sig == orphan_sig == dup_sig == 0}
+
+
+_STREAM_TAG = "[stream_batch="
+
+
+def last_stream_batch(store, corpus_id: str) -> int:
+    """Highest streaming micro-batch id already committed for this
+    corpus, parsed from the registry log (-1 if none). Metadata-only."""
+    latest = -1
+    for entry in store.log("datasets", corpus_id):
+        msg = entry.get("message", "")
+        i = msg.find(_STREAM_TAG)
+        if i >= 0:
+            try:
+                latest = max(latest,
+                             int(msg[i + len(_STREAM_TAG):].split("]")[0]))
+            except ValueError:
+                pass
+    return latest
+
+
+def streaming_ingest(stream_docs, store, corpus_id: str,
+                     checkpoint_dir: str,
+                     text_column: str = "text", id_column: str = "doc_id",
+                     num_hashes: int = 24, num_bands: int = 8,
+                     shingle_k: int = 5, threshold: float = 0.8,
+                     available_now: bool = True):
+    """Continuous ingest from a STREAMING source: every micro-batch runs
+    :func:`ingest_batch` against the registered corpus via
+    ``foreachBatch``, so arriving documents dedup against the stored
+    signatures and append as new immutable versions — the registry is
+    the streaming sink.
+
+    Exactly-once over Spark's at-least-once ``foreachBatch`` replays:
+    each commit stamps its micro-batch id into the registry log
+    (``[stream_batch=N]``), and a replayed batch with
+    ``id <= last_stream_batch`` is skipped — the standard idempotent-sink
+    pattern, with the registry's own log as the transaction marker (no
+    side table). A crash between the corpus and signature commits is
+    caught by ``ingest_batch``'s lockstep guard on the next batch, same
+    as the batch path.
+
+    Returns the started ``StreamingQuery``; the caller awaits it.
+    ``available_now=True`` drains the source and stops (the batch-ingest
+    cron shape); ``False`` runs continuously.
+    """
+    def _ingest(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        if batch_id <= last_stream_batch(store, corpus_id):
+            return  # replayed micro-batch: already committed
+        survivors = ingest_batch(
+            store, corpus_id, batch_df, text_column, id_column,
+            num_hashes=num_hashes, num_bands=num_bands,
+            shingle_k=shingle_k, threshold=threshold,
+            _message_suffix=f" {_STREAM_TAG}{batch_id}]",
+        )
+        survivors.unpersist()
+
+    writer = (stream_docs.writeStream.foreachBatch(_ingest)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

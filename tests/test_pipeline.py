@@ -908,3 +908,65 @@ def test_minhash_dedup_bucket_cap_passthrough(spark):
         max_bucket_size=1)
     assert {r.doc_id for r in surv.collect()} == {3}
     assert {r.doc_id for r in surv_capped.collect()} == {2, 3}
+
+
+def test_streaming_ingest_foreachbatch_and_replay_guard(spark, tmp_path):
+    """streaming_ingest: a file stream drains into the registry one
+    micro-batch at a time via foreachBatch/ingest_batch — near-dups of
+    the seed AND of an earlier micro-batch's survivor are dropped — and a
+    full replay (fresh checkpoint, same files) commits nothing, proving
+    the registry-log batch-id guard makes the sink idempotent."""
+    import os
+
+    from dsgrid_spark.pipeline.ingest import (
+        corpus_stats,
+        last_stream_batch,
+        register_corpus,
+        streaming_ingest,
+        verify_corpus_integrity,
+    )
+    from dsgrid_spark.registry.store import RegistryStore
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    text = lambda i: " ".join(f"w{i}{c}" for c in "abcdefgh")
+    seed = spark.createDataFrame(
+        [(i, text(i)) for i in range(5)], "doc_id long, text string")
+    register_corpus(store, "corpus", seed)
+
+    stream_dir = tmp_path / "incoming"
+    b1 = spark.createDataFrame(
+        [(10, text(1) + " ..."),      # near-dup of seed doc 1 -> dropped
+         (11, text(11))],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(20, text(11).upper()),      # near-dup of batch-1 survivor
+         (21, text(21))],
+        "doc_id long, text string")
+    b1.coalesce(1).write.parquet(str(stream_dir / "b1"))
+    b2.coalesce(1).write.parquet(str(stream_dir / "b2"))
+    now = os.path.getmtime(stream_dir)
+    for sub, t in (("b1", now - 100), ("b2", now + 100)):
+        d = stream_dir / sub
+        for f in os.listdir(d):
+            os.utime(d / f, (t, t))
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(stream_dir / "b*")))
+    q = streaming_ingest(stream, store, "corpus",
+                         checkpoint_dir=str(tmp_path / "ckpt1"))
+    assert q.awaitTermination(120)
+    st = corpus_stats(store, "corpus")
+    assert st["n_docs"] == 7 and st["in_lockstep"]          # +11, +21
+    assert verify_corpus_integrity(store, "corpus")["ok"]
+    assert last_stream_batch(store, "corpus") == 1          # two batches
+    v_after = st["corpus_version"]
+
+    # full replay with a FRESH checkpoint: every micro-batch re-fires,
+    # every one is skipped by the log guard — no new versions, no clash
+    q2 = streaming_ingest(stream, store, "corpus",
+                          checkpoint_dir=str(tmp_path / "ckpt2"))
+    assert q2.awaitTermination(120)
+    st2 = corpus_stats(store, "corpus")
+    assert st2["n_docs"] == 7
+    assert st2["corpus_version"] == v_after
