@@ -210,6 +210,45 @@ def add_lsh_bucket(df: DataFrame, dim: int, vector_column: str = "embedding",
     return df.withColumn(bucket_column, bucket)
 
 
+def lsh_probe_buckets(df: DataFrame, dim: int,
+                      vector_column: str = "embedding",
+                      n_planes: int = 8, seed: int = 7,
+                      n_probes: int = 1,
+                      bucket_column: str = "bucket") -> DataFrame:
+    """Multi-probe bucket expansion: one row per (input row, probe).
+
+    Probe 0 is the row's own bucket; probes 1..n_probes-1 flip the sign
+    bit of the hyperplane with the next-smallest |margin| (the classic
+    multi-probe LSH heuristic: a vector near a hyperplane most likely
+    lost its true neighbors across THAT plane). Pure column expressions —
+    the margin ranking is an array_sort over (|dot|, plane index) structs,
+    no UDF, no shuffle; rows fan out n_probes x, which on the query side
+    of an ANN join is a handful of extra broadcast rows.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    margins = F.array(*[
+        F.struct(
+            F.abs(dot(F.col(vector_column),
+                      F.array(*[F.lit(x) for x in p]))).alias("m"),
+            F.lit(i).alias("i"),
+        )
+        for i, p in enumerate(planes)
+    ])
+    flips = F.slice(
+        F.transform(F.array_sort(margins), lambda s: s.i),
+        1, max(n_probes - 1, 0))
+    base = add_lsh_bucket(df, dim, vector_column, n_planes, seed,
+                          bucket_column="__b0")
+    probes = F.concat(
+        F.array(F.col("__b0")),
+        F.transform(flips, lambda i: F.col("__b0").bitwiseXOR(
+            F.call_function("shiftleft", F.lit(1).cast("long"),
+                            i.cast("int")))),
+    )
+    return (base.withColumn(bucket_column, F.explode(probes))
+            .drop("__b0"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -220,13 +259,26 @@ def lsh_topk(
     vector_column: str = "embedding",
     query_id_column: str = "query_id",
     seed: int = 7,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact re-rank within matching LSH buckets only."""
+    """Approximate top-k: exact re-rank within matching LSH buckets only.
+
+    ``n_probes > 1`` turns on multi-probe (see :func:`lsh_probe_buckets`):
+    each query also searches the buckets across its lowest-margin
+    hyperplanes, recovering neighbors that landed one sign bit away —
+    recall rises without building more hash tables, and only the tiny
+    broadcast query side fans out. The corpus is bucketed ONCE either way.
+    """
     c = add_lsh_bucket(corpus, dim, vector_column, n_planes, seed)
-    q = add_lsh_bucket(queries, dim, vector_column, n_planes, seed).select(
+    q = lsh_probe_buckets(queries, dim, vector_column, n_planes, seed,
+                          n_probes).select(
         query_id_column, F.col(vector_column).alias("__qv"), "bucket"
     )
-    scored = c.join(F.broadcast(q), "bucket").select(
+    scored = c.join(F.broadcast(q), "bucket")
+    if n_probes > 1:
+        # a corpus row can match one query through several probes
+        scored = scored.dropDuplicates([query_id_column, id_column])
+    scored = scored.select(
         query_id_column, id_column,
         cosine(F.col(vector_column), F.col("__qv")).alias("score"),
     )
