@@ -983,10 +983,18 @@ def q33_similarity_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     # scores are exactly 1.0 / 0.0 by integer-exact construction (see
-    # docstring), so floor(score*1e6) is exact on both engines
-    out = lsh_topk(corpus, queries, dim=6, k=5, n_planes=6)
-    return out.select("query_id", "vec_id",
-                      F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score"))
+    # docstring), so floor(score*1e6) is exact on both engines.
+    # 'probe' branch: multi-probe (3 probes) provably returns the SAME
+    # top-5 — probing only ADDS candidates, cross-group candidates score
+    # exactly 0.0, and each group has exactly 5 members at exactly 1.0,
+    # so the re-rank window is unchanged. One oracle covers both paths.
+    single = lsh_topk(corpus, queries, dim=6, k=5, n_planes=6)
+    probe = lsh_topk(corpus, queries, dim=6, k=5, n_planes=6, n_probes=3)
+    sc = F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score")
+    return (single.select(F.lit("single").alias("op"),
+                          "query_id", "vec_id", sc)
+            .unionByName(probe.select(F.lit("probe").alias("op"),
+                                      "query_id", "vec_id", sc)))
 
 
 def q34_multimodal_features(spark, sf_dir):
@@ -2572,7 +2580,8 @@ def oracle_sql() -> dict[str, str]:
                      ] AS embedding
               FROM embeddings WHERE vec_id < 15
             )
-            SELECT q.vec_id AS query_id, c.vec_id,
+            SELECT op, query_id, vec_id, score FROM (
+              SELECT 'single' AS op, q.vec_id AS query_id, c.vec_id,
                    CAST(floor(list_cosine_similarity(c.embedding, q.embedding)
                               * 1e6 + 0.5) AS BIGINT) AS score
             FROM corpus c CROSS JOIN (SELECT * FROM corpus WHERE vec_id < 3) q
@@ -2580,6 +2589,18 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.vec_id
                 ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
                          c.vec_id) <= 5
+            )
+            UNION ALL
+            SELECT op, query_id, vec_id, score FROM (
+              SELECT 'probe' AS op, q.vec_id AS query_id, c.vec_id,
+                   CAST(floor(list_cosine_similarity(c.embedding, q.embedding)
+                              * 1e6 + 0.5) AS BIGINT) AS score
+            FROM corpus c CROSS JOIN (SELECT * FROM corpus WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                         c.vec_id) <= 5
+            )
         """,
         "q43_ngram_jaccard": f"""
             WITH sh AS (
