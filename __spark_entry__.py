@@ -881,7 +881,7 @@ def q30_minhash_dedup(spark, sf_dir):
     survivors restricted to the new ids (same all-pairs oracle with a
     WHERE)."""
     from dsgrid_spark.pipeline.dedup import (
-        incremental_dedup, minhash_signatures,
+        band_signatures, incremental_dedup, minhash_signatures,
     )
 
     from dsgrid_spark.session import ensure_min_partitions
@@ -899,15 +899,25 @@ def q30_minhash_dedup(spark, sf_dir):
                               shingle_k=5).select("doc_id", "minhash")
     sigs = sigs.persist()
     sigs.count()
+    # ... and ONE banding pass feeds all three band consumers the same
+    # way (bands=/reference_bands=/new_bands= — r5): the full-dedup
+    # bucket self-join and both incremental sides slice this persisted
+    # table instead of re-banding the signatures three times
+    bands = band_signatures(sigs, "doc_id", 8, 24).persist()
+    bands.count()
     full = minhash_dedup(docs, "text", "doc_id", num_hashes=24, num_bands=8,
-                         shingle_k=5, threshold=0.8, signatures=sigs)
+                         shingle_k=5, threshold=0.8, signatures=sigs,
+                         bands=bands)
     ref = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
     incr = incremental_dedup(new, sigs.filter(F.col("doc_id") < 250), ref,
                              "text", "doc_id",
                              num_hashes=24, num_bands=8, shingle_k=5,
                              threshold=0.8,
-                             new_sigs=sigs.filter(F.col("doc_id") >= 250))
+                             new_sigs=sigs.filter(F.col("doc_id") >= 250),
+                             reference_bands=bands.filter(
+                                 F.col("doc_id") < 250),
+                             new_bands=bands.filter(F.col("doc_id") >= 250))
     return full.select(F.lit("full").alias("op"), "doc_id").unionByName(
         incr.select(F.lit("incr").alias("op"), "doc_id"))
 

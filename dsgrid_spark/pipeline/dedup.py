@@ -144,7 +144,8 @@ def band_signatures(df: DataFrame, id_column: str = "doc_id",
 def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
                         num_bands: int = 4,
                         max_bucket_size: int | None = None,
-                        signature_length: int | None = None) -> DataFrame:
+                        signature_length: int | None = None,
+                        bands: DataFrame | None = None) -> DataFrame:
     """Band the minhash signatures and self-join buckets → candidate pairs.
 
     Only (band_id, band_hash, doc_id) rows shuffle. Returns distinct
@@ -158,12 +159,17 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
     been exact-deduped (minhash_dedup does this) and band count is
     healthy; set it (e.g. 10_000) for web-scale crawls with boilerplate.
     """
-    bands = band_signatures(df, id_column, num_bands, signature_length)
-    # materialize once: the signature expression tree is expensive and the
-    # self-join would otherwise evaluate it twice. count() forces the cache
-    # to fill before the join's two branches scan it concurrently.
-    bands = bands.persist()
-    bands.count()
+    if bands is None:
+        bands = band_signatures(df, id_column, num_bands, signature_length)
+        # materialize once: the signature expression tree is expensive and
+        # the self-join would otherwise evaluate it twice. count() forces
+        # the cache to fill before the join's two branches scan it
+        # concurrently.
+        bands = bands.persist()
+        bands.count()
+    # else: caller supplies an ALREADY-PERSISTED (id, band, band_hash)
+    # table from band_signatures — the q30 pattern where one banding pass
+    # feeds the full-corpus self-join AND both incremental sides
     if max_bucket_size is not None:
         ok = (
             bands.groupBy("band", "band_hash").count()
@@ -282,7 +288,8 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
                   threshold: float = 0.8,
                   transitive: bool = False,
                   signatures: DataFrame | None = None,
-                  max_bucket_size: int | None = None) -> DataFrame:
+                  max_bucket_size: int | None = None,
+                  bands: DataFrame | None = None) -> DataFrame:
     """Full near-dedup: exact dedup → minhash → LSH bands → Jaccard
     verify → drop the higher id of each duplicate pair.
 
@@ -298,6 +305,11 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
 
     ``max_bucket_size`` passes through to :func:`lsh_candidate_pairs`
     (hot-bucket cap for boilerplate-heavy crawls).
+
+    ``bands`` takes a precomputed, persisted band table from
+    :func:`band_signatures` over the SAME signatures — one banding pass
+    can then feed this dedup and an incremental batch in the same job
+    (pair of ``signatures=``).
 
     ``signatures`` takes a precomputed ``(id, minhash)`` table from
     :func:`minhash_signatures` (same num_hashes/shingle_k/seed) so one
@@ -315,7 +327,7 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
                                         shingle_k))
     cands = lsh_candidate_pairs(with_sig, id_column, num_bands,
                                 max_bucket_size=max_bucket_size,
-                                signature_length=num_hashes)
+                                signature_length=num_hashes, bands=bands)
     # the candidate-pair join is referenced three times downstream (the
     # shingle semi-join and both sides of the verify join) — materialize
     # the tiny (id, id) pair set once instead of re-running the bucket
@@ -337,7 +349,9 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
                       shingle_k: int = 5, threshold: float = 0.8,
                       within_batch: bool = True,
                       new_sigs: DataFrame | None = None,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      reference_bands: DataFrame | None = None,
+                      new_bands: DataFrame | None = None) -> DataFrame:
     """Dedup a NEW batch against an already-registered corpus using the
     corpus's persisted minhash signatures — the continuous-ingest path.
 
@@ -363,6 +377,11 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     ``minhash_dedup(signatures=...)``) so a job that already signed the
     corpus once can slice that table instead of re-folding the batch.
 
+    ``reference_bands`` / ``new_bands`` take precomputed, persisted band
+    tables (filtered slices of one :func:`band_signatures` pass over the
+    combined signature table) so a job running full AND incremental dedup
+    bands the corpus once instead of three times.
+
     ``max_bucket_size`` caps BOTH candidate producers: the within-batch
     self-join (via :func:`lsh_candidate_pairs`) and the reference-side
     buckets of the cross join — on a boilerplate-heavy accumulated
@@ -376,10 +395,15 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     sigs_new = (new_sigs if new_sigs is not None
                 else minhash_signatures(uniq, text_column, num_hashes,
                                         shingle_k))
-    bn = band_signatures(sigs_new, id_column, num_bands, num_hashes)
-    bn = bn.persist()
-    bn.count()
-    br = band_signatures(reference_sigs, id_column, num_bands, num_hashes)
+    if new_bands is not None:
+        bn = new_bands
+    else:
+        bn = band_signatures(sigs_new, id_column, num_bands, num_hashes)
+        bn = bn.persist()
+        bn.count()
+    br = (reference_bands if reference_bands is not None
+          else band_signatures(reference_sigs, id_column, num_bands,
+                               num_hashes))
     if max_bucket_size is not None:
         ok = (
             br.groupBy("band", "band_hash").count()
@@ -424,7 +448,8 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     if within_batch:
         wb_cands = lsh_candidate_pairs(sigs_new, id_column, num_bands,
                                        max_bucket_size=max_bucket_size,
-                                       signature_length=num_hashes)
+                                       signature_length=num_hashes,
+                                       bands=new_bands)
         wb_cands = wb_cands.persist()
         wb_cands.count()
         wb_dups = ngram_jaccard_pairs(uniq, text_column, id_column,
