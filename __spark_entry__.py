@@ -136,9 +136,14 @@ def q02_scan_projection(spark, sf_dir):
     from dsgrid_spark.pipeline.text import redact_pii
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    # URL host varies per doc (sub{d%5}.site{d%7}.com) so the domain
+    # extraction below has real work; the oracle checks it INDEPENDENTLY
+    # from doc_id arithmetic, never by parsing the URL
     docs = docs.withColumn(
         "text",
-        F.concat("text", F.lit(" see https://example.com/d/"),
+        F.concat("text", F.lit(" see https://sub"),
+                 (F.col("doc_id") % 5).cast("string"), F.lit(".site"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit(".com/d/"),
                  F.col("doc_id").cast("string"),
                  F.lit(" or mail user"), F.col("doc_id").cast("string"),
                  F.lit("@test.org now ip 10.0."),
@@ -146,12 +151,17 @@ def q02_scan_projection(spark, sf_dir):
                  F.lit(".7 call +1555"), F.col("doc_id").cast("string"),
                  F.lit(" card 4111111111111111 ok")),
     )
+    from dsgrid_spark.pipeline.text import flag_blocked_domains, registered_domains
+
+    docs = flag_blocked_domains(docs, ["site0.com", "site3.com"])
     return docs.select(
         "doc_id",
         count_pattern(F.col("text"), _URL_RE).cast("long").alias("n_urls"),
         count_pattern(F.col("text"), _EMAIL_RE).cast("long").alias("n_emails"),
         F.length(clean_text(F.col("text"))).cast("long").alias("n_chars_clean"),
         F.length(redact_pii(F.col("text"))).cast("long").alias("n_chars_redacted"),
+        F.element_at(registered_domains(F.col("text")), 1).alias("domain"),
+        F.col("blocked"),
     )
 
 
@@ -2038,7 +2048,8 @@ def oracle_sql() -> dict[str, str]:
         "q02_scan_projection": r"""
             WITH aug AS (
               SELECT doc_id,
-                     concat(text, ' see https://example.com/d/', doc_id,
+                     concat(text, ' see https://sub', doc_id % 5,
+                            '.site', doc_id % 7, '.com/d/', doc_id,
                             ' or mail user', doc_id, '@test.org now ip 10.0.',
                             doc_id % 256, '.7 call +1555', doc_id,
                             ' card 4111111111111111 ok') AS text
@@ -2065,7 +2076,10 @@ def oracle_sql() -> dict[str, str]:
                            '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
                          '\+\d{7,15}\b', '<PHONE>', 'g'),
                        '\b\d{13,19}\b', '<NUM>', 'g')
-                   ) AS n_chars_redacted
+                   ) AS n_chars_redacted,
+                   concat('site', doc_id % 7, '.com') AS domain,
+                   CASE WHEN doc_id % 7 IN (0, 3)
+                        THEN 1 ELSE 0 END AS blocked
             FROM aug
         """,
         "q03_filter_ops": """

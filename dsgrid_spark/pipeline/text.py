@@ -104,6 +104,55 @@ def count_pattern(text: Column, pattern: str) -> Column:
     return F.regexp_count(text, F.lit(pattern))
 
 
+def extract_urls(text: Column) -> Column:
+    """All URLs in the text as an array (JVM-side regexp_extract_all)."""
+    return F.regexp_extract_all(text, F.lit(f"({_URL_RE})"), 1)
+
+
+def registered_domains(text: Column) -> Column:
+    """Distinct registered domains of every URL in the text, sorted.
+
+    Registered domain = the last two dot-labels of the URL host with any
+    port stripped (sub.site.example.com -> example.com) — the grouping
+    key of web-pipeline domain filtering (blocklists, per-domain caps,
+    domain mixing). Heuristic by design: a full public-suffix list
+    (co.uk etc.) is a data file, not logic; plug one in by swapping the
+    extraction regex. Pure column expressions, zero shuffle.
+    """
+    # DNS names are case-insensitive: fold host case so blocklists and
+    # per-domain grouping treat Example.COM and example.com as one domain
+    hosts = F.transform(
+        extract_urls(text),
+        lambda u: F.lower(F.regexp_extract(u, r"https?://([^/\s:]+)", 1)),
+    )
+    regs = F.transform(
+        hosts,
+        lambda h: F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1),
+    )
+    return F.array_sort(F.array_distinct(
+        F.filter(regs, lambda d: d != "")))
+
+
+def flag_blocked_domains(df: DataFrame, blocklist: list[str],
+                         text_column: str = "text",
+                         flag_column: str = "blocked") -> DataFrame:
+    """Add a 0/1 ``flag_column``: does ANY URL in the document resolve to
+    a blocklisted registered domain? The pre-filter every web-corpus
+    pipeline runs before content-level quality scoring.
+
+    The blocklist folds into a literal array (constant-folded, checked
+    per row with ``arrays_overlap`` — no join, no shuffle). For
+    million-entry blocklists, explode ``registered_domains`` and semi-join
+    a broadcast blocklist table instead; this helper is the common
+    in-plan case.
+    """
+    bl = F.array(*[F.lit(d.lower()) for d in blocklist])
+    return df.withColumn(
+        flag_column,
+        F.arrays_overlap(registered_domains(F.col(text_column)), bl)
+        .cast("long"))
+
+
 _IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 _PHONE_RE = r"\+\d{7,15}\b"
 _LONG_NUM_RE = r"\b\d{13,19}\b"

@@ -999,3 +999,22 @@ def test_lsh_multiprobe_improves_recall(spark):
     assert r9 > r1                 # and strictly better with probes
     # measured on this seed: 0.32 -> 0.47 -> 0.51
     assert r9 >= 0.45
+
+
+def test_registered_domains_and_blocklist(spark):
+    from dsgrid_spark.pipeline.text import (
+        flag_blocked_domains, registered_domains,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "see https://sub.a.example.com/x and http://b.org:8080/y"),
+         (1, "no urls here"),
+         (2, "dup https://w.a.com/1 https://v.a.com/2 again")],
+        "doc_id long, text string")
+    doms = {r.doc_id: r.d for r in df.select(
+        "doc_id", registered_domains(F.col("text")).alias("d")).collect()}
+    # subdomain stripped, port stripped, distinct + sorted
+    assert doms == {0: ["b.org", "example.com"], 1: [], 2: ["a.com"]}
+    flags = {r.doc_id: r.blocked
+             for r in flag_blocked_domains(df, ["EXAMPLE.com"]).collect()}
+    assert flags == {0: 1, 1: 0, 2: 0}          # case-folded blocklist
