@@ -522,6 +522,54 @@ def dedup_paragraphs(df: DataFrame, text_column: str = "text",
         id_column, "pos", "n_paras", "paragraph")
 
 
+def dedup_paragraphs_fuzzy(df: DataFrame, text_column: str = "text",
+                           id_column: str = "doc_id",
+                           sep_regex: str = r"\n\n+",
+                           num_hashes: int = 24, num_bands: int = 8,
+                           shingle_k: int = 3, threshold: float = 0.8,
+                           max_paras_per_doc: int = 1_000_000) -> DataFrame:
+    """NEAR-duplicate paragraph removal: like :func:`dedup_paragraphs`
+    but paragraphs within Jaccard ``threshold`` of an earlier one are
+    dropped too (rotated boilerplate, templated footers with injected
+    dates/ids) — the full MinHash+LSH+verify machinery run at paragraph
+    granularity by composition.
+
+    Each (doc, pos) paragraph becomes a pseudo-document with the
+    composite id ``id * max_paras_per_doc + pos``, which preserves the
+    corpus's (id, pos) lexicographic order — so :func:`minhash_dedup`'s
+    smallest-id-wins rule IS first-occurrence-wins, the same winner the
+    exact pass elects. ``shingle_k`` defaults lower than the document
+    path because paragraphs are short.
+
+    Returns the same shape as :func:`dedup_paragraphs`:
+    ``(id, pos, n_paras, paragraph)``.
+    """
+    mp = F.lit(max_paras_per_doc).cast("long")
+    paras = df.select(
+        F.col(id_column),
+        F.posexplode(
+            F.filter(F.split(F.col(text_column), sep_regex),
+                     lambda p: F.trim(p) != "")
+        ).alias("pos", "paragraph"),
+    ).withColumn("__pid", F.col(id_column).cast("long") * mp + F.col("pos"))
+    counts = df.select(
+        F.col(id_column),
+        F.size(F.filter(F.split(F.col(text_column), sep_regex),
+                        lambda p: F.trim(p) != "")).alias("n_paras"),
+    )
+    kept = minhash_dedup(paras.select("__pid", "paragraph"),
+                         "paragraph", "__pid",
+                         num_hashes=num_hashes, num_bands=num_bands,
+                         shingle_k=shingle_k, threshold=threshold)
+    out = kept.select(
+        (F.col("__pid") / mp).cast("long").alias(id_column),
+        (F.col("__pid") % mp).cast("long").alias("pos"),
+        "paragraph",
+    )
+    return out.join(counts, id_column).select(
+        id_column, "pos", "n_paras", "paragraph")
+
+
 def paragraph_dedup(df: DataFrame, text_column: str = "text",
                     id_column: str = "doc_id",
                     sep_regex: str = r"\n\n+",

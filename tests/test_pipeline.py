@@ -1018,3 +1018,32 @@ def test_registered_domains_and_blocklist(spark):
     flags = {r.doc_id: r.blocked
              for r in flag_blocked_domains(df, ["EXAMPLE.com"]).collect()}
     assert flags == {0: 1, 1: 0, 2: 0}          # case-folded blocklist
+
+
+def test_dedup_paragraphs_fuzzy_drops_templated_boilerplate(spark):
+    """Near-dup paragraph removal: a templated footer differing only in
+    an injected token is dropped everywhere but its first occurrence,
+    while genuinely distinct paragraphs survive — and the exact path
+    would have kept all the footer variants."""
+    from dsgrid_spark.pipeline.dedup import (
+        dedup_paragraphs, dedup_paragraphs_fuzzy,
+    )
+
+    footer = lambda i: (f"copyright {i} example corp all rights reserved "
+                        "contact us at the main office today")
+    body = lambda i: " ".join(f"b{i}{c}" for c in "abcdefghij")
+    docs = spark.createDataFrame(
+        [(i, body(i) + "\n\n" + footer(i)) for i in range(4)],
+        "doc_id long, text string")
+
+    fuzzy = dedup_paragraphs_fuzzy(docs, shingle_k=3, threshold=0.6)
+    kept = {(r.doc_id, r.pos) for r in fuzzy.collect()}
+    # every body survives; only doc 0's footer variant survives
+    assert kept == {(0, 0), (1, 0), (2, 0), (3, 0), (0, 1)}
+    totals = {r.doc_id: r.n_paras for r in fuzzy.collect()}
+    assert totals[0] == 2
+
+    exact = dedup_paragraphs(docs)
+    # exact fingerprints differ per footer variant -> all kept
+    assert {(r.doc_id, r.pos) for r in exact.collect()} == {
+        (i, p) for i in range(4) for p in (0, 1)}
