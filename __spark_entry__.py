@@ -2037,8 +2037,8 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                     AS sum_base_price_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS sum_base_price_cents,
                    CAST(floor(avg(l_discount) * 1e6 + 0.5) AS BIGINT) AS avg_disc_micro,
                    count(*) AS count_order
             FROM lineitem
@@ -2182,8 +2182,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q09_two_table": """
             SELECT o_orderstatus, o_orderpriority,
-                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                     AS sum_value_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS sum_value_cents,
                    count(*) AS n_rows
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus, o_orderpriority
@@ -2341,7 +2341,7 @@ def oracle_sql() -> dict[str, str]:
                    strftime(make_timestamp(CAST(floor(epoch(ts)/21600)*21600*1000000 AS BIGINT)),
                             '{_DUCK_TS}') AS ts,
                    event_type AS grp,
-                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value
             FROM events
             GROUP BY 2, 3
             UNION ALL
@@ -2360,19 +2360,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'cascade:hour' AS mode,
                    strftime(date_trunc('hour', ts), '{_DUCK_TS}') AS ts,
                    event_type AS grp,
-                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value
             FROM events GROUP BY 2, 3
             UNION ALL
             SELECT 'cascade:day' AS mode,
                    strftime(date_trunc('day', ts), '{_DUCK_TS}') AS ts,
                    event_type AS grp,
-                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value
             FROM events GROUP BY 2, 3
             UNION ALL
             SELECT 'cascade:month' AS mode,
                    strftime(date_trunc('month', ts), '{_DUCK_TS}') AS ts,
                    event_type AS grp,
-                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value
             FROM events GROUP BY 2, 3
         """,
         "q24_annual_to_hourly": f"""
@@ -3011,7 +3011,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day',
                      date_trunc('hour', ts) - to_hours(1)), '{_DUCK_TS}') AS day,
                    CAST(user_id % 4 AS VARCHAR) AS geography,
-                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS value
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value
             FROM events GROUP BY 1, 2
         """,
         "q17_expression_extended": """
@@ -3057,8 +3057,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q13_composite_dataset": """
             SELECT o_orderstatus,
-                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                     AS value_cents
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS value_cents
             FROM orders GROUP BY 1
         """,
         "q16_dataset_query_chain": """

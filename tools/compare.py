@@ -4,9 +4,18 @@ order-insensitive values. Usage:
 
     python tools/compare.py [--exact] [sf_dir] [query_name ...]
 
---exact disables the 9-digit float rounding, emulating the driver's
-bit-exact value hash — a query that PASSes default compare but FAILs
---exact will show hash_match=false in CORRECTNESS_r*.json.
+--exact disables the 9-digit float rounding AND makes the compare
+type-faithful, emulating the driver's bit-exact value hash — a query that
+PASSes default compare but FAILs --exact will show hash_match=false in
+CORRECTNESS_r*.json.
+
+Type-faithfulness (round-5 lesson): DuckDB types a bare sum() over any
+integer as HUGEINT (decimal128 via Arrow) while Spark emits int64 — equal
+values, unequal types, driver hash mismatch.  Python's Decimal(5) == 5 and
+hash(Decimal(5)) == hash(5), so a naive value compare can NEVER see this.
+In --exact mode every cell is therefore tagged with its type class, so a
+Decimal on one side vs an int on the other FAILS loudly.  Rule of thumb:
+every integer sum in oracle_sql() must be wrapped CAST(sum(...) AS BIGINT).
 """
 
 from __future__ import annotations
@@ -24,9 +33,16 @@ EXACT = False
 
 def norm_cell(v):
     if isinstance(v, Decimal):
-        return float(v)
+        # Type-faithful in EXACT mode: Decimal (DuckDB HUGEINT/DECIMAL) must
+        # NOT silently equal an int/float from the other engine — the driver's
+        # value hash distinguishes arrow types, so we must too.
+        return ("decimal", str(v)) if EXACT else float(v)
+    if isinstance(v, bool):
+        return ("bool", v) if EXACT else v
     if isinstance(v, float):
-        return v if EXACT else round(v, 9)
+        return ("float", v) if EXACT else round(v, 9)
+    if isinstance(v, int):
+        return ("int", v) if EXACT else v
     if isinstance(v, (datetime, date)):
         return str(v)
     if isinstance(v, list):
@@ -102,8 +118,15 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Fetch through Arrow, not fetchall(): the driver's value hash is
+            # computed on Arrow types, where DuckDB's HUGEINT surfaces as
+            # decimal128 (→ Python Decimal).  fetchall() collapses HUGEINT to
+            # a plain int and would mask exactly the type mismatch the driver
+            # fails on (round-5 regression).
+            tbl = res.fetch_arrow_table()
+            dcols = tbl.column_names
+            dcols_data = [c.to_pylist() for c in tbl.columns]
+            drows = list(zip(*dcols_data)) if dcols_data else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
