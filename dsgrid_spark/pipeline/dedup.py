@@ -120,7 +120,7 @@ def band_signatures(df: DataFrame, id_column: str = "doc_id",
         # free instead of via a job.
         rows_per_band = F.greatest(
             F.floor(F.size("minhash") / num_bands).cast("int"), F.lit(1))
-    return df.select(
+    out = df.select(
         F.col(id_column),
         F.posexplode(
             F.array(*[
@@ -139,6 +139,44 @@ def band_signatures(df: DataFrame, id_column: str = "doc_id",
             ])
         ).alias("band", "band_hash"),
     )
+    # stamp the banding params as column metadata (survives persist /
+    # select / filter) so downstream consumers of a precomputed band
+    # table can validate it was built with MATCHING params — a band
+    # table banded differently produces silently wrong candidate pairs
+    return out.withMetadata("band", {
+        "num_bands": num_bands,
+        "signature_length": -1 if signature_length is None
+        else signature_length,
+    })
+
+
+def _check_band_table(bands: DataFrame, num_bands: int,
+                      signature_length: int | None,
+                      param: str) -> None:
+    """Raise when a caller-supplied band table carries metadata (stamped
+    by :func:`band_signatures`) that contradicts the banding params of
+    the current call. Metadata-only — no Spark job. Tables without the
+    stamp (hand-built) pass unchecked."""
+    try:
+        meta = bands.schema["band"].metadata or {}
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"{param}: supplied band table has no 'band' column — expected "
+            "the (id, band, band_hash) output of band_signatures()")
+    if not meta:
+        return
+    nb = meta.get("num_bands")
+    if nb is not None and int(nb) != num_bands:
+        raise ValueError(
+            f"{param}: band table was built with num_bands={int(nb)} but "
+            f"this call uses num_bands={num_bands} — buckets cannot line "
+            "up; reband with matching params")
+    sl = meta.get("signature_length")
+    if (sl is not None and int(sl) != -1 and signature_length is not None
+            and int(sl) != signature_length):
+        raise ValueError(
+            f"{param}: band table was built with signature_length={int(sl)} "
+            f"but this call uses signature_length={signature_length}")
 
 
 def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
@@ -167,9 +205,11 @@ def lsh_candidate_pairs(df: DataFrame, id_column: str = "doc_id",
         # concurrently.
         bands = bands.persist()
         bands.count()
-    # else: caller supplies an ALREADY-PERSISTED (id, band, band_hash)
-    # table from band_signatures — the q30 pattern where one banding pass
-    # feeds the full-corpus self-join AND both incremental sides
+    else:
+        # caller supplies an ALREADY-PERSISTED (id, band, band_hash)
+        # table from band_signatures — the q30 pattern where one banding
+        # pass feeds the full-corpus self-join AND both incremental sides
+        _check_band_table(bands, num_bands, signature_length, "bands")
     if max_bucket_size is not None:
         ok = (
             bands.groupBy("band", "band_hash").count()
@@ -396,14 +436,19 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
                 else minhash_signatures(uniq, text_column, num_hashes,
                                         shingle_k))
     if new_bands is not None:
+        _check_band_table(new_bands, num_bands, num_hashes, "new_bands")
         bn = new_bands
     else:
         bn = band_signatures(sigs_new, id_column, num_bands, num_hashes)
         bn = bn.persist()
         bn.count()
-    br = (reference_bands if reference_bands is not None
-          else band_signatures(reference_sigs, id_column, num_bands,
-                               num_hashes))
+    if reference_bands is not None:
+        _check_band_table(reference_bands, num_bands, num_hashes,
+                          "reference_bands")
+        br = reference_bands
+    else:
+        br = band_signatures(reference_sigs, id_column, num_bands,
+                             num_hashes)
     if max_bucket_size is not None:
         ok = (
             br.groupBy("band", "band_hash").count()
@@ -446,10 +491,13 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     )
     survivors = uniq.join(vs_ref, id_column, "left_anti")
     if within_batch:
+        # reuse bn — the locally computed (and persisted) band table when
+        # new_bands was not supplied; passing new_bands here would re-band
+        # and re-persist the batch signatures in that case (ADVICE r5)
         wb_cands = lsh_candidate_pairs(sigs_new, id_column, num_bands,
                                        max_bucket_size=max_bucket_size,
                                        signature_length=num_hashes,
-                                       bands=new_bands)
+                                       bands=bn)
         wb_cands = wb_cands.persist()
         wb_cands.count()
         wb_dups = ngram_jaccard_pairs(uniq, text_column, id_column,
@@ -545,13 +593,38 @@ def dedup_paragraphs_fuzzy(df: DataFrame, text_column: str = "text",
     ``(id, pos, n_paras, paragraph)``.
     """
     mp = F.lit(max_paras_per_doc).cast("long")
+    # composite-id safety (ADVICE r5): a document with >= max_paras_per_doc
+    # paragraphs, or a doc_id >= 2^63 / max_paras_per_doc, would silently
+    # collide/overflow ids and corrupt first-occurrence-wins ordering.
+    # assert_true rides inside the projection — the guard costs zero extra
+    # Spark jobs and fails the stage loudly on the first offending row.
+    max_id = (2**63 - 1) // max_paras_per_doc
+    in_range = (
+        (F.col("pos") < mp)
+        & (F.col(id_column).cast("long") < F.lit(max_id))
+        & (F.col(id_column).cast("long") >= 0)
+    )
+    guard = F.assert_true(
+        in_range,
+        F.lit(f"dedup_paragraphs_fuzzy: composite id out of range — need "
+              f"pos < max_paras_per_doc ({max_paras_per_doc}) and "
+              f"0 <= {id_column} < {max_id}; raise max_paras_per_doc or "
+              "renumber ids"),
+    )
     paras = df.select(
         F.col(id_column),
         F.posexplode(
             F.filter(F.split(F.col(text_column), sep_regex),
                      lambda p: F.trim(p) != "")
         ).alias("pos", "paragraph"),
-    ).withColumn("__pid", F.col(id_column).cast("long") * mp + F.col("pos"))
+    ).withColumn(
+        "__pid",
+        # CASE WHEN evaluates lazily: the multiply only runs on in-range
+        # rows (an out-of-range doc_id would ANSI-overflow before the
+        # guard otherwise), and the assert_true branch raises our message
+        F.when(in_range, F.col(id_column).cast("long") * mp + F.col("pos"))
+        .otherwise(guard.cast("long")),
+    )
     counts = df.select(
         F.col(id_column),
         F.size(F.filter(F.split(F.col(text_column), sep_regex),

@@ -1047,3 +1047,63 @@ def test_dedup_paragraphs_fuzzy_drops_templated_boilerplate(spark):
     # exact fingerprints differ per footer variant -> all kept
     assert {(r.doc_id, r.pos) for r in exact.collect()} == {
         (i, p) for i in range(4) for p in (0, 1)}
+
+
+def test_band_table_param_mismatch_raises(spark):
+    """A precomputed band table built with different banding params must
+    be rejected loudly (ADVICE r5): mismatched bands produce silently
+    wrong candidate pairs. Matching params pass; the check is
+    metadata-only (no Spark job)."""
+    from dsgrid_spark.pipeline.dedup import band_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " + DOC) for i in range(4)],
+        "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_k=3)
+    bands8 = band_signatures(sigs, num_bands=8, signature_length=16).persist()
+    bands8.count()
+    # matching params: accepted
+    lsh_candidate_pairs(sigs, num_bands=8, signature_length=16,
+                        bands=bands8).count()
+    with pytest.raises(ValueError, match="num_bands=8"):
+        lsh_candidate_pairs(sigs, num_bands=4, signature_length=16,
+                            bands=bands8)
+    with pytest.raises(ValueError, match="signature_length=16"):
+        lsh_candidate_pairs(sigs, num_bands=8, signature_length=32,
+                            bands=bands8)
+    # metadata survives persist + filter + select
+    filtered = bands8.filter(F.col("band") >= 0).select(
+        "doc_id", "band", "band_hash")
+    with pytest.raises(ValueError, match="num_bands"):
+        lsh_candidate_pairs(sigs, num_bands=2, signature_length=16,
+                            bands=filtered)
+    bands8.unpersist()
+
+
+def test_fuzzy_paragraph_composite_id_guard(spark):
+    """dedup_paragraphs_fuzzy fails loudly (not silently corrupts) when a
+    document has >= max_paras_per_doc paragraphs or a doc_id outside the
+    overflow-safe range (ADVICE r5)."""
+    from dsgrid_spark.pipeline.dedup import dedup_paragraphs_fuzzy
+    from py4j.protocol import Py4JJavaError
+
+    too_many = spark.createDataFrame(
+        [(0, "\n\n".join(f"para {i} unique words here" for i in range(5)))],
+        "doc_id long, text string")
+    with pytest.raises(Exception) as ei:
+        dedup_paragraphs_fuzzy(too_many, max_paras_per_doc=4).collect()
+    assert "composite id out of range" in str(ei.value)
+
+    big_id = spark.createDataFrame(
+        [(2**62, "hello world one\n\ntwo three four")],
+        "doc_id long, text string")
+    with pytest.raises(Exception) as ei:
+        dedup_paragraphs_fuzzy(big_id, max_paras_per_doc=1000).collect()
+    assert "composite id out of range" in str(ei.value)
+
+    # in-range corpus still works
+    ok = spark.createDataFrame(
+        [(7, "alpha beta gamma\n\ndelta epsilon zeta")],
+        "doc_id long, text string")
+    out = dedup_paragraphs_fuzzy(ok, max_paras_per_doc=1000).collect()
+    assert {(r.doc_id, r.pos) for r in out} == {(7, 0), (7, 1)}

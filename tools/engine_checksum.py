@@ -41,8 +41,11 @@ def spark_checksum(df):
             c = F.floor(c * 10000 + F.lit(0.5)).cast("long")
         parts.append(c.cast("string"))
     h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10)
+    # ONE action: checksum and row count in the same aggregation — the
+    # query runs once, not twice (ADVICE r5; at q20 sf10 scale the second
+    # full run doubled the tool's cost)
     return df.select((h.cast("long") % 100000000).alias("h")) \
-             .agg(F.sum("h").alias("checksum")), df.count()
+             .agg(F.sum("h").alias("checksum"), F.count("*").alias("n"))
 
 
 def duck_checksum(con, sql, dtypes):
@@ -85,8 +88,7 @@ def main():
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        sdf, sn = spark_checksum(df)
-        s_sum = sdf.collect()[0][0]
+        s_sum, sn = spark_checksum(df).collect()[0]
         t1 = time.time()
         d_sum, dn = duck_checksum(con, oracles[name], df.dtypes)
         status = "PASS" if (s_sum == d_sum and sn == dn) else "FAIL"
