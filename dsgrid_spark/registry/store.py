@@ -194,6 +194,10 @@ class RegistryStore:
                     if entry and keep_versions is not None:
                         keep = set(sorted(known, key=_semver_key)[-keep_versions:])
                         keep.add(entry["current"])
+                        # an alias version has no dir of its own — keep
+                        # the data dir it resolves to alive instead
+                        for v in list(keep):
+                            keep.add(self._data_version_of(entry, v))
                         for v in known:
                             vdir = ent_dir / v
                             if v not in keep and vdir.exists():
@@ -225,7 +229,7 @@ class RegistryStore:
         ``dest/<kind>/<id>/<version>`` ready to register elsewhere or
         read directly. Returns the copied path."""
         version = version or self.latest_version(kind, entity_id)
-        src = self._entry_dir(kind, entity_id, version)
+        src = self._data_dir(kind, entity_id, version)
         if not src.exists():
             raise RegistryError(
                 f"{kind}/{entity_id}@{version} has no data directory "
@@ -291,6 +295,76 @@ class RegistryStore:
                 f"{kind}/{entity_id} is not registered; register it first"
             )
         return bump_version(entry["current"], update_type)
+
+    # ---- entity metadata -------------------------------------------------
+    def set_meta(self, kind: str, entity_id: str, key: str, value) -> None:
+        """Set a small JSON-serializable metadata value on a registered
+        entity. Lives in the index (one JSON read/write under the
+        registry lock, no Spark job, no data dir touched) — the home for
+        operational state like a streaming ingest's high-watermark."""
+        with self._locked():
+            index = self._read_index()
+            entry = index[kind].get(entity_id)
+            if entry is None:
+                raise RegistryError(f"{kind}/{entity_id} is not registered")
+            entry.setdefault("meta", {})[key] = value
+            self._write_index(index)
+
+    def get_meta(self, kind: str, entity_id: str, key: str, default=None):
+        """Read a metadata value set by :meth:`set_meta` (index-only)."""
+        entry = self._read_index()[kind].get(entity_id)
+        if entry is None:
+            raise RegistryError(f"{kind}/{entity_id} is not registered")
+        return entry.get("meta", {}).get(key, default)
+
+    # ---- version aliasing ------------------------------------------------
+    @staticmethod
+    def _data_version_of(entry: Optional[dict], version: str) -> str:
+        """Resolve an alias version to the version whose data dir holds
+        its rows (identity for normal versions). Alias chains collapse at
+        creation time, so one hop suffices."""
+        if entry:
+            for e in entry["log"]:
+                if e["version"] == version:
+                    return e.get("alias_of", version)
+        return version
+
+    def _data_dir(self, kind: str, entity_id: str, version: str,
+                  index: Optional[dict] = None) -> Path:
+        index = index if index is not None else self._read_index()
+        dv = self._data_version_of(index[kind].get(entity_id), version)
+        return self._entry_dir(kind, entity_id, dv)
+
+    def alias_version(self, kind: str, entity_id: str,
+                      update_type: VersionUpdateType = VersionUpdateType.MAJOR,
+                      submitter: str = "", message: str = "") -> str:
+        """METADATA-ONLY version bump: register a new current version
+        whose data directory is the present current version's — nothing
+        is copied or re-written (VERDICT r5 item 7: aligning version
+        counters by re-registering identical frames wrote full dataset
+        copies just to advance a counter). The log entry records
+        ``alias_of`` so readers, download, prune, and sync resolve to the
+        real data dir; chains collapse (an alias of an alias records the
+        original data version)."""
+        with self._locked():
+            index = self._read_index()
+            entry = index[kind].get(entity_id)
+            if entry is None or entry["current"] is None:
+                raise RegistryError(f"{kind}/{entity_id} is not registered")
+            cur = entry["current"]
+            new = bump_version(cur, update_type)
+            self._assert_version_free(kind, entity_id, new, index)
+            data_v = self._data_version_of(entry, cur)
+            entry["current"] = new
+            entry["log"].append({
+                "version": new,
+                "submitter": submitter,
+                "message": message or f"alias of {data_v}",
+                "timestamp": dt.datetime.now(dt.timezone.utc).isoformat(),
+                "alias_of": data_v,
+            })
+            self._write_index(index)
+            return new
 
     # ---- datasets ------------------------------------------------------
     def register_dataset(self, dataset_id: str, source,
@@ -423,8 +497,9 @@ class RegistryStore:
             index = self._read_index()
             version = self._next_version("mappings", name, update_type, index)
             cfg = json.loads(
-                (self._entry_dir("mappings", name,
-                                 index["mappings"][name]["current"])
+                (self._data_dir("mappings", name,
+                                index["mappings"][name]["current"],
+                                index=index)
                  / "config.json").read_text()
             )
             return self.register_mapping(
@@ -475,7 +550,7 @@ class RegistryStore:
 
         version = version or self.latest_version("projects", project_id)
         return ProjectConfig.model_validate_json(
-            (self._entry_dir("projects", project_id, version)
+            (self._data_dir("projects", project_id, version)
              / "config.json").read_text()
         )
 
@@ -500,7 +575,7 @@ class RegistryStore:
                        version: Optional[str] = None) -> DataFrame:
         version = version or self.latest_version("dimensions", name)
         return self.spark.read.parquet(
-            str(self._entry_dir("dimensions", name, version) / "records.parquet")
+            str(self._data_dir("dimensions", name, version) / "records.parquet")
         )
 
     # ---- sync ----------------------------------------------------------
@@ -552,6 +627,12 @@ class RegistryStore:
                         v = log_entry["version"]
                         if v in have:
                             continue
+                        if "alias_of" in log_entry:
+                            # metadata-only version: no data dir to copy —
+                            # its target copies via its own log entry
+                            dst_entry["log"].append(dict(log_entry))
+                            copied.append(f"{kind}/{entity_id}@{v} (alias)")
+                            continue
                         src_dir = self._entry_dir(kind, entity_id, v)
                         if not src_dir.exists():
                             continue  # pruned at src; log stays src-only
@@ -576,7 +657,7 @@ class RegistryStore:
         cat = Catalog(self.spark)
         for ds_id, entry in index["datasets"].items():
             v = versions.get(f"datasets/{ds_id}", entry["current"])
-            d = self._entry_dir("datasets", ds_id, v)
+            d = self._data_dir("datasets", ds_id, v, index=index)
             config = DatasetConfig.model_validate_json(
                 (d / "config.json").read_text()
             )
@@ -588,12 +669,14 @@ class RegistryStore:
         for name, entry in index["dimensions"].items():
             v = versions.get(f"dimensions/{name}", entry["current"])
             cat.register_dimension(
-                name, self._entry_dir("dimensions", name, v) / "records.parquet",
+                name,
+                self._data_dir("dimensions", name, v, index=index)
+                / "records.parquet",
                 version=v,
             )
         for name, entry in index["mappings"].items():
             v = versions.get(f"mappings/{name}", entry["current"])
-            d = self._entry_dir("mappings", name, v)
+            d = self._data_dir("mappings", name, v, index=index)
             cfg = json.loads((d / "config.json").read_text())
             cat.register_mapping(
                 name, d / "records.parquet",

@@ -131,9 +131,49 @@ def sessionize(df: DataFrame, time_column: str, keys: list[str],
     )
 
 
+def local_prededup(stream: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Partition-LOCAL first-occurrence dedup — a stateless narrow op
+    that drops rows whose key already appeared earlier in the same input
+    partition of the same micro-batch. Composable BEFORE a stateful
+    operator in the same streaming query (ROADMAP r5 item 2: Structured
+    Streaming interprets any groupBy as cross-batch state, so a
+    within-batch reduction can only be expressed as a stateless
+    map — this is the Arrow-batched one).
+
+    Semantics-preserving under ``dedup_stream``: the stateful operator
+    still removes cross-partition and cross-batch duplicates; this only
+    removes rows that operator would have dropped anyway, BEFORE they
+    pay the shuffle to the state partitioning and the per-row state
+    lookup. Win scales with the within-partition duplicate rate
+    (boilerplate-heavy crawl batches); near-zero cost when there are no
+    local dups (one Arrow pass, no shuffle, no state).
+    """
+    cols = list(key_columns)
+
+    def _drop_local(frames):
+        seen: set = set()
+        for pdf in frames:
+            pdf = pdf.drop_duplicates(subset=cols)
+            if len(cols) == 1:
+                keys = pdf[cols[0]]
+                mask = ~keys.isin(seen)
+                out = pdf[mask]
+                seen.update(out[cols[0]].tolist())
+            else:
+                keys = list(zip(*(pdf[c] for c in cols)))
+                mask = [k not in seen for k in keys]
+                out = pdf[mask]
+                seen.update(k for k, m in zip(keys, mask) if m)
+            if len(out):
+                yield out
+
+    return stream.mapInPandas(_drop_local, stream.schema)
+
+
 def dedup_stream(stream: DataFrame, key_columns: list[str],
                  time_column: str | None = None,
-                 watermark: str = "2 hours") -> DataFrame:
+                 watermark: str = "2 hours",
+                 prebatch: bool = False) -> DataFrame:
     """Streaming exact dedup on arrival order: the first row per key wins
     across micro-batches (the ingestion-time variant of exact_dedup for
     a continuously landing corpus).
@@ -143,7 +183,16 @@ def dedup_stream(stream: DataFrame, key_columns: list[str],
     evicted, so state is O(keys per horizon), not O(stream length).
     Without it, state grows with distinct keys (only for bounded key
     domains).
+
+    ``prebatch=True`` inserts :func:`local_prededup` before the stateful
+    operator: within-partition duplicate keys are dropped while still
+    narrow, shrinking the rows that shuffle into (and probe) the state
+    store by the local duplicate rate. First-arrival winners are
+    unchanged — partition order is arrival order, so the locally-kept
+    row is the one the state op would have kept.
     """
+    if prebatch:
+        stream = local_prededup(stream, key_columns)
     if time_column is not None:
         return (
             stream.withWatermark(time_column, watermark)

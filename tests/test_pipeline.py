@@ -913,12 +913,16 @@ def test_minhash_dedup_bucket_cap_passthrough(spark):
 def test_streaming_ingest_foreachbatch_and_replay_guard(spark, tmp_path):
     """streaming_ingest: a file stream drains into the registry one
     micro-batch at a time via foreachBatch/ingest_batch — near-dups of
-    the seed AND of an earlier micro-batch's survivor are dropped — and a
-    full replay (fresh checkpoint, same files) commits nothing, proving
-    the registry-log batch-id guard makes the sink idempotent."""
+    the seed AND of an earlier micro-batch's survivor are dropped. The
+    replay guard is scoped to the stream LINEAGE (ADVICE r5): a restart
+    on the same checkpoint commits nothing; a NEW lineage with new files
+    whose batch ids restart at 0 ingests (the old corpus-global guard
+    silently dropped it); re-submitting already-ingested documents under
+    a fresh checkpoint fails loudly instead of silently skipping."""
     import os
 
     from dsgrid_spark.pipeline.ingest import (
+        _stream_id,
         corpus_stats,
         last_stream_batch,
         register_corpus,
@@ -953,23 +957,52 @@ def test_streaming_ingest_foreachbatch_and_replay_guard(spark, tmp_path):
     stream = (spark.readStream.schema(b1.schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(str(stream_dir / "b*")))
+    sid1 = _stream_id(str(tmp_path / "ckpt1"))
     q = streaming_ingest(stream, store, "corpus",
                          checkpoint_dir=str(tmp_path / "ckpt1"))
     assert q.awaitTermination(120)
     st = corpus_stats(store, "corpus")
     assert st["n_docs"] == 7 and st["in_lockstep"]          # +11, +21
     assert verify_corpus_integrity(store, "corpus")["ok"]
-    assert last_stream_batch(store, "corpus") == 1          # two batches
+    assert last_stream_batch(store, "corpus", sid1) == 1    # two batches
+    # another lineage has no commits of its own
+    assert last_stream_batch(store, "corpus", "other-lineage") == -1
+    # watermark cache matches the log's truth
+    wm = store.get_meta("datasets", "corpus", "stream_watermark")
+    assert wm == {"stream": sid1, "batch": 1}
     v_after = st["corpus_version"]
 
-    # full replay with a FRESH checkpoint: every micro-batch re-fires,
-    # every one is skipped by the log guard — no new versions, no clash
-    q2 = streaming_ingest(stream, store, "corpus",
-                          checkpoint_dir=str(tmp_path / "ckpt2"))
-    assert q2.awaitTermination(120)
-    st2 = corpus_stats(store, "corpus")
-    assert st2["n_docs"] == 7
-    assert st2["corpus_version"] == v_after
+    # restart on the SAME checkpoint: offsets are committed, nothing
+    # re-fires, nothing commits
+    q1b = streaming_ingest(stream, store, "corpus",
+                           checkpoint_dir=str(tmp_path / "ckpt1"))
+    assert q1b.awaitTermination(120)
+    assert corpus_stats(store, "corpus")["corpus_version"] == v_after
+
+    # NEW lineage, NEW files, batch ids restart at 0: must INGEST — the
+    # pre-fix corpus-global guard skipped ids <= 1 and silently lost data
+    b3 = spark.createDataFrame([(30, text(30))], "doc_id long, text string")
+    b3.coalesce(1).write.parquet(str(stream_dir / "c3"))
+    stream_c = (spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(stream_dir / "c*")))
+    q3 = streaming_ingest(stream_c, store, "corpus",
+                          checkpoint_dir=str(tmp_path / "ckpt3"))
+    assert q3.awaitTermination(120)
+    st3 = corpus_stats(store, "corpus")
+    assert st3["n_docs"] == 8 and st3["in_lockstep"]        # +30 landed
+    assert verify_corpus_integrity(store, "corpus")["ok"]
+
+    # re-submitting ALREADY-INGESTED files under a fresh checkpoint is
+    # not a replay: the id-clash check fails the stream loudly
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q4 = streaming_ingest(stream, store, "corpus",
+                          checkpoint_dir=str(tmp_path / "ckpt4"))
+    with pytest.raises(StreamingQueryException, match="already exist"):
+        q4.awaitTermination(120)
+        raise AssertionError("expected the clash to fail the stream")
+    assert corpus_stats(store, "corpus")["n_docs"] == 8     # nothing dupl.
 
 
 def test_lsh_multiprobe_improves_recall(spark):
@@ -1107,3 +1140,46 @@ def test_fuzzy_paragraph_composite_id_guard(spark):
         "doc_id long, text string")
     out = dedup_paragraphs_fuzzy(ok, max_paras_per_doc=1000).collect()
     assert {(r.doc_id, r.pos) for r in out} == {(7, 0), (7, 1)}
+
+
+def test_repair_lockstep_aligns_versions_without_rewriting_data(
+        spark, tmp_path):
+    """When the version counters diverge by more than the one signature
+    re-derivation (two corpus-only commits), repair_lockstep aligns the
+    lagging series with METADATA-ONLY alias bumps — no duplicate data
+    dirs are written (VERDICT r5 item 7)."""
+    from dsgrid_spark.pipeline.ingest import (
+        corpus_stats,
+        register_corpus,
+        repair_lockstep,
+        verify_corpus_integrity,
+    )
+    from dsgrid_spark.registry.store import RegistryStore
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    text = lambda i: " ".join(f"w{i}{c}" for c in "abcdefgh")
+    seed = spark.createDataFrame(
+        [(i, text(i)) for i in range(3)], "doc_id long, text string")
+    register_corpus(store, "corpus", seed)
+
+    # two simulated torn commits: corpus 3.0.0, signatures still 1.0.0
+    for new_id in (50, 51):
+        corpus, _ = store.load_catalog().dataset("corpus")
+        extra = spark.createDataFrame([(new_id, text(new_id))],
+                                      "doc_id long, text string")
+        store.update_dataset("corpus", corpus.unionByName(extra),
+                             validate=False, message="torn commit")
+
+    report = repair_lockstep(store, "corpus")
+    assert report["repaired"] and report["missing"] == 2
+    st = corpus_stats(store, "corpus")
+    assert st["corpus_version"] == st["signatures_version"] == "3.0.0"
+    assert st["in_lockstep"]
+    assert verify_corpus_integrity(store, "corpus")["ok"]
+    # the alignment bump wrote NO data dir: sigs 3.0.0 is an alias
+    sig_dirs = sorted(p.name for p in
+                      (tmp_path / "reg/datasets/corpus__minhash").iterdir()
+                      if p.is_dir() and not p.name.startswith("."))
+    assert "3.0.0" not in sig_dirs            # alias: log entry only
+    log = store.log("datasets", "corpus__minhash")
+    assert log[-1]["alias_of"] == "2.0.0"

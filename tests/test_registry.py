@@ -752,3 +752,63 @@ def test_rc_default_registry(spark, load_df, county_state_map, tmp_path,
     # absent rc file -> empty config, CLI still requires explicit catalog
     monkeypatch.setenv(RC_ENV, str(tmp_path / "nope.json"))
     assert load_rc() == {}
+
+
+def test_entity_meta_roundtrip(spark, load_df, tmp_path):
+    """set_meta/get_meta: small operational KV on a registered entity,
+    index-only (no data dir touched), surviving further updates."""
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df, validate=False)
+    assert store.get_meta("datasets", "load", "wm") is None
+    assert store.get_meta("datasets", "load", "wm", {"batch": -1}) == {
+        "batch": -1}
+    store.set_meta("datasets", "load", "wm", {"stream": "abc", "batch": 3})
+    assert store.get_meta("datasets", "load", "wm") == {
+        "stream": "abc", "batch": 3}
+    # survives a version update and overwrites in place
+    store.update_dataset("load", load_df, validate=False)
+    store.set_meta("datasets", "load", "wm", {"stream": "abc", "batch": 4})
+    assert store.get_meta("datasets", "load", "wm")["batch"] == 4
+    with pytest.raises(RegistryError):
+        store.get_meta("datasets", "nope", "wm")
+
+
+def test_alias_version_metadata_only_bump(spark, load_df, tmp_path):
+    """alias_version bumps the version counter WITHOUT writing data: no
+    new version dir appears, readers/download/prune/sync all resolve the
+    alias to the original data dir."""
+    store = RegistryStore(tmp_path / "reg", spark)
+    store.register_dataset("load", load_df, validate=False)
+    v2 = store.alias_version("datasets", "load")
+    assert v2 == "2.0.0"
+    assert store.latest_version("datasets", "load") == "2.0.0"
+    # no data dir for the alias; the original dir holds the rows
+    assert not (tmp_path / "reg/datasets/load/2.0.0").exists()
+    assert (tmp_path / "reg/datasets/load/1.0.0").exists()
+    # readers resolve through the alias
+    df, _cfg = store.load_catalog().dataset("load")
+    assert df.count() == load_df.count()
+    # alias chains collapse to the original data version
+    v3 = store.alias_version("datasets", "load")
+    entry = store.log("datasets", "load")
+    assert entry[-1]["version"] == v3 == "3.0.0"
+    assert entry[-1]["alias_of"] == "1.0.0"
+    # download copies the resolved dir
+    out = store.download("datasets", "load", tmp_path / "dl")
+    assert (out / "table.parquet").exists()
+    # prune keeps the aliased data dir alive even with keep_versions=1
+    removed = store.prune(keep_versions=1)
+    assert (tmp_path / "reg/datasets/load/1.0.0").exists()
+    assert not removed["old_versions"]
+    # a real update after aliasing writes a fresh dir at the next version
+    v4 = store.update_dataset("load", load_df.limit(2), validate=False)
+    assert v4 == "4.0.0"
+    df4, _ = store.load_catalog().dataset("load")
+    assert df4.count() == 2
+    # sync mirrors alias log entries without copying phantom dirs
+    dst = RegistryStore(tmp_path / "reg2", spark)
+    copied = store.sync_to(dst)
+    assert any("(alias)" in c for c in copied)
+    assert dst.latest_version("datasets", "load") == "4.0.0"
+    ddf, _ = dst.load_catalog().dataset("load")
+    assert ddf.count() == 2

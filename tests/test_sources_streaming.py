@@ -460,3 +460,48 @@ def test_streaming_dedup_on_rocksdb_state(spark, tmp_path):
     assert any(".zip" == p.suffix or "rocksdb" in p.name.lower()
                or p.suffix == ".changelog"
                for p in state.rglob("*") if p.is_file()), sorted(names)
+
+
+def test_dedup_stream_prebatch_same_result(spark, tmp_path):
+    """prebatch=True (partition-local Arrow pre-dedup before the stateful
+    operator) must leave the survivor set identical to the plain stateful
+    dedup: first arrival per key wins, cross-batch state still applies."""
+    from dsgrid_spark.streaming.ops import dedup_stream, local_prededup
+    import os
+
+    rows1 = [(i, i % 3, f"v{i}") for i in range(30)]      # keys 0,1,2 repeat
+    rows2 = [(100 + i, i % 5, f"w{i}") for i in range(30)]  # keys 0..4
+    schema = "row_id long, k long, payload string"
+    d = tmp_path / "in"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(d / "b1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(d / "b2"))
+    now = os.path.getmtime(d)
+    for sub, t in (("b1", now - 50), ("b2", now + 50)):
+        for f in os.listdir(d / sub):
+            os.utime(d / sub / f, (t, t))
+
+    def run(prebatch):
+        out = tmp_path / f"out_{prebatch}"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(d / "b*")))
+        q = (dedup_stream(stream, ["k"], prebatch=prebatch)
+             .writeStream.format("parquet")
+             .option("checkpointLocation", str(out / "ckpt"))
+             .option("path", str(out / "data"))
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return {(r.k, r.row_id) for r in
+                spark.read.parquet(str(out / "data")).collect()}
+
+    plain, pre = run(False), run(True)
+    assert pre == plain
+    assert {k for k, _ in pre} == {0, 1, 2, 3, 4}
+    # first arrival wins: keys 0..2 come from batch 1 (row_id < 100)
+    assert all(rid < 100 for k, rid in pre if k in (0, 1, 2))
+
+    # the batch-side helper alone: one row per key per partition
+    df = spark.createDataFrame(rows1, schema).repartition(1)
+    local = local_prededup(df, ["k"]).collect()
+    assert sorted(r.k for r in local) == [0, 1, 2]
