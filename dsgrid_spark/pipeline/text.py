@@ -7,6 +7,10 @@ scales linearly with input splits.
 
 from __future__ import annotations
 
+import os
+import re
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # small per-language stopword marker sets for the n-gram heuristic lang-id
@@ -109,15 +113,75 @@ def extract_urls(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(f"({_URL_RE})"), 1)
 
 
+_PSL_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "public_suffixes.dat")
+
+
+@lru_cache(maxsize=None)
+def _psl_regexes(path: str = _PSL_PATH) -> tuple[str, str | None]:
+    """Compile the bundled public-suffix snapshot into two anchored
+    regexes: (multi-label suffix matcher, exception matcher | None).
+
+    The file is standard publicsuffix.org format (comments ``//``,
+    wildcards ``*.tld``, exceptions ``!host``); single-label suffixes are
+    skipped because the default rule (last two labels) already handles
+    them. Alternatives sort by label depth DESC so a deeper suffix
+    (s3.amazonaws.com) beats its parent (amazonaws.com) — the PSL's
+    longest-match rule. Group 1 of the multi regex captures
+    ``<label>.<public suffix>`` — the registered domain."""
+    suffixes: list[str] = []
+    exceptions: list[str] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.split("//")[0].strip()
+            if not line:
+                continue
+            if line.startswith("!"):
+                exceptions.append(line[1:])
+            elif "." in line or line.startswith("*"):
+                suffixes.append(line)
+    parts: list[tuple[int, str]] = []
+    for s in suffixes:
+        labels = s.split(".")
+        if len(labels) < 2:
+            continue
+        pat = r"\.".join(r"[^.]+" if lb == "*" else re.escape(lb)
+                         for lb in labels)
+        parts.append((len(labels), pat))
+    parts.sort(key=lambda t: (-t[0], t[1]))
+    multi = r"([^.]+\.(?:" + "|".join(p for _, p in parts) + r"))$"
+    exc = (r"(?:^|\.)(" + "|".join(re.escape(e) for e in exceptions) + r")$"
+           if exceptions else None)
+    return multi, exc
+
+
+def _registered_domain(host: Column) -> Column:
+    """PSL longest-match registered domain of one (lowercased) host:
+    exception rules first, then multi-label public suffixes, then the
+    default last-two-labels rule."""
+    multi_re, exc_re = _psl_regexes()
+    m = F.regexp_extract(host, multi_re, 1)
+    out = F.when(m != "", m).otherwise(
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+    if exc_re is not None:
+        e = F.regexp_extract(host, exc_re, 1)
+        out = F.when(e != "", e).otherwise(out)
+    return out
+
+
 def registered_domains(text: Column) -> Column:
     """Distinct registered domains of every URL in the text, sorted.
 
-    Registered domain = the last two dot-labels of the URL host with any
-    port stripped (sub.site.example.com -> example.com) — the grouping
-    key of web-pipeline domain filtering (blocklists, per-domain caps,
-    domain mixing). Heuristic by design: a full public-suffix list
-    (co.uk etc.) is a data file, not logic; plug one in by swapping the
-    extraction regex. Pure column expressions, zero shuffle.
+    Registered domain = public suffix + one label, resolved against the
+    bundled public-suffix snapshot (``dsgrid_spark/data/
+    public_suffixes.dat``, standard publicsuffix.org format — drop in a
+    full upstream snapshot to widen coverage): sub.site.example.com →
+    example.com, news.bbc.co.uk → bbc.co.uk, user.github.io →
+    user.github.io. This is the grouping key of web-pipeline domain
+    filtering (blocklists, per-domain caps, domain mixing). The PSL
+    compiles once (driver-side, lru_cached) into anchored regexes, so
+    the per-row work stays pure column expressions — zero shuffle, no
+    UDF, no join.
     """
     # DNS names are case-insensitive: fold host case so blocklists and
     # per-domain grouping treat Example.COM and example.com as one domain
@@ -125,10 +189,7 @@ def registered_domains(text: Column) -> Column:
         extract_urls(text),
         lambda u: F.lower(F.regexp_extract(u, r"https?://([^/\s:]+)", 1)),
     )
-    regs = F.transform(
-        hosts,
-        lambda h: F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1),
-    )
+    regs = F.transform(hosts, _registered_domain)
     return F.array_sort(F.array_distinct(
         F.filter(regs, lambda d: d != "")))
 

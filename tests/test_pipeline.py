@@ -1183,3 +1183,29 @@ def test_repair_lockstep_aligns_versions_without_rewriting_data(
     assert "3.0.0" not in sig_dirs            # alias: log entry only
     log = store.log("datasets", "corpus__minhash")
     assert log[-1]["alias_of"] == "2.0.0"
+
+
+def test_registered_domains_public_suffix_list(spark):
+    """PSL-backed registered domains (VERDICT r5 item 4): multi-label
+    public suffixes group at suffix+1 label, deeper suffixes beat their
+    parents (longest match), wildcard and exception rules apply, and the
+    default last-two-labels rule still covers plain TLDs."""
+    from dsgrid_spark.pipeline.text import registered_domains
+
+    df = spark.createDataFrame(
+        [(0, "see https://news.BBC.co.uk/x and https://www.smh.com.au/y"),
+         (1, "https://a.example.com/ and https://example.org/"),
+         # private section: each user site is its own registered domain
+         (2, "https://alice.github.io/p https://bob.github.io/q"),
+         # nested private suffixes: s3.amazonaws.com beats amazonaws.com
+         (3, "https://bucket.s3.amazonaws.com/k https://ec2-1.amazonaws.com/"),
+         # wildcard *.ck makes every 2nd level a suffix; !www.ck excepted
+         (4, "https://shop.stuff.ck/a https://sub.www.ck/b")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.d for r in df.select(
+        "doc_id", registered_domains(F.col("text")).alias("d")).collect()}
+    assert out[0] == ["bbc.co.uk", "smh.com.au"]
+    assert out[1] == ["example.com", "example.org"]
+    assert out[2] == ["alice.github.io", "bob.github.io"]
+    assert out[3] == ["bucket.s3.amazonaws.com", "ec2-1.amazonaws.com"]
+    assert out[4] == ["shop.stuff.ck", "www.ck"]
