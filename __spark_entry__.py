@@ -1432,7 +1432,41 @@ def q47_fingerprint(spark, sf_dir):
         F.col("pos").cast("long").alias("a"),
         F.col("n_paras").cast("long").alias("b"),
     )
-    return fp_rows.unionByName(term_rows).unionByName(para_rows)
+
+    # 'fuzzpara' branch: NEAR-dup paragraph removal on a CONSTRUCTED
+    # corpus whose fuzzy survivor set is provable (the q31 pattern —
+    # VERDICT r5 item 5). Each doc = a body of 10 doc-unique tokens
+    # (pairwise shingle-Jaccard 0) + an 11-token templated footer whose
+    # trailing token is g{doc_id % 4}: any two footer variants share 8 of
+    # 10 3-shingles (J = 0.8 exactly), so at threshold 0.7 every footer
+    # has every earlier footer as a verified neighbor and ONLY the global
+    # min-doc_id footer survives; same-variant footers are exact dups and
+    # collapse in the exact pre-pass. num_bands == num_hashes gives
+    # 1-row bands (per-band match prob = J = 0.8; miss-all prob 0.2^24
+    # ~ 3e-17 per pair — and deterministic under the fixed hash seed).
+    from dsgrid_spark.pipeline.dedup import dedup_paragraphs_fuzzy
+
+    body = F.concat_ws(" ", *[
+        F.concat(F.lit("b"), F.col("doc_id").cast("string"), F.lit(c))
+        for c in "abcdefghij"
+    ])
+    footer = F.concat(
+        F.lit("copyright example corp all rights reserved contact the "
+              "main office g"),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    fuzz_docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws("\n\n", body, footer).alias("text"))
+    fuzz_rows = dedup_paragraphs_fuzzy(
+        fuzz_docs, num_hashes=24, num_bands=24, shingle_k=3, threshold=0.7
+    ).select(
+        F.lit("fuzzpara").alias("op"), "doc_id",
+        F.md5("paragraph").alias("term"),
+        F.col("pos").cast("long").alias("a"),
+        F.col("n_paras").cast("long").alias("b"),
+    )
+    return (fp_rows.unionByName(term_rows).unionByName(para_rows)
+            .unionByName(fuzz_rows))
 
 
 def q48_supplemental_filter(spark, sf_dir):
@@ -2841,6 +2875,26 @@ def oracle_sql() -> dict[str, str]:
             )
             QUALIFY row_number() OVER (
               PARTITION BY fp ORDER BY doc_id, pos) = 1
+            UNION ALL
+            SELECT 'fuzzpara', doc_id, md5(para) AS term, pos AS a,
+                   CAST(2 AS BIGINT) AS b
+            FROM (
+              -- every body survives (pairwise Jaccard 0 by construction)
+              SELECT doc_id, CAST(0 AS INT) AS pos,
+                     'b' || doc_id || 'a b' || doc_id || 'b b' || doc_id ||
+                     'c b' || doc_id || 'd b' || doc_id || 'e b' || doc_id ||
+                     'f b' || doc_id || 'g b' || doc_id || 'h b' || doc_id ||
+                     'i b' || doc_id || 'j' AS para
+              FROM documents
+              UNION ALL
+              -- footers are pairwise J=0.8 >= 0.7: only the global
+              -- min-doc_id footer survives the fuzzy pass
+              SELECT doc_id, 1,
+                     'copyright example corp all rights reserved contact '
+                     || 'the main office g' || (doc_id % 4)
+              FROM documents
+              WHERE doc_id = (SELECT min(doc_id) FROM documents)
+            )
         """,
         "q48_supplemental_filter": """
             SELECT c_mktsegment, count(*) AS n_customers,
