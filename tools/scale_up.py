@@ -71,7 +71,14 @@ FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 4,
          "embeddings": 4, "customer": 2, "part": 2, "supplier": 1}
 
 
-def scale_table(df: DataFrame, name: str, replicas: int) -> DataFrame:
+def scale_table(df: DataFrame, name: str, replicas: int,
+                cpus: int = 32) -> DataFrame:
+    # widen BEFORE the explode: the sf0.1 source is 1-3 parquet splits, so
+    # without this the R× row generation runs on 1-3 of the cores (the
+    # same single-split serialization ensure_min_partitions fixes in the
+    # engine — at replicas=1000 one straggler produced 500M+ rows alone)
+    if df.rdd.getNumPartitions() < cpus:
+        df = df.repartition(cpus)
     rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0),
                                                     F.lit(replicas - 1))))
     r = F.col("__r")
@@ -130,13 +137,20 @@ def main():
         print(f"{name}: fixed, {df.count()} rows")
 
     for name in KEYED:
+        dst = f"{args.dst}/{name}.parquet"
+        if os.path.exists(f"{dst}/_SUCCESS"):
+            print(f"{name}: exists, skipped", flush=True)
+            continue
         df = spark.read.parquet(f"{args.src}/{name}.parquet")
-        out = scale_table(df, name, args.replicas)
-        n_files = FILES.get(name, 4)
-        out.repartition(n_files).write.mode("overwrite").parquet(
-            f"{args.dst}/{name}.parquet")
-        n = spark.read.parquet(f"{args.dst}/{name}.parquet").count()
-        print(f"{name}: {df.count()} -> {n} rows ({args.replicas}x)")
+        out = scale_table(df, name, args.replicas, cpus=int(cpus))
+        # file count scales with replicas so single files never exceed a
+        # few hundred MB (they stay splittable for reads either way)
+        n_files = max(FILES.get(name, 4), FILES.get(name, 4)
+                      * args.replicas // 100 or 1)
+        out.repartition(n_files).write.mode("overwrite").parquet(dst)
+        n = spark.read.parquet(dst).count()
+        print(f"{name}: {df.count()} -> {n} rows ({args.replicas}x)",
+              flush=True)
 
 
 if __name__ == "__main__":
