@@ -1766,20 +1766,23 @@ def q17_expression_extended(spark, sf_dir):
     py_expression_eval ops :352-420): % ** comparisons as masks —
     ``(a * (a > b) + b * (a <= b)) % c`` = elementwise max(a,b) mod c."""
     orders = _t(spark, sf_dir, "orders")
-    a = (
-        orders.filter(F.year("o_orderdate") <= 1996)
-        .groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("value"))
-    )
-    b = (
-        orders.filter(F.year("o_orderdate") > 1996)
-        .groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("value"))
-    )
+    # per-row integer discretization (cents), not float sums: the % c
+    # step keeps the ABSOLUTE last-ULP delta of a cross-engine float-sum
+    # order difference, so at sf100 (3e12 sums) round(fmod) diverged by
+    # 0.1 — integer cents are exact and associative at every scale
+    cents = F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                  .cast("long")).alias("value")
+    a = (orders.filter(F.year("o_orderdate") <= 1996)
+         .groupBy("o_orderpriority").agg(cents))
+    b = (orders.filter(F.year("o_orderdate") > 1996)
+         .groupBy("o_orderpriority").agg(cents))
     c = orders.groupBy("o_orderpriority").agg(
-        F.lit(1000.0).alias("value")
+        F.lit(100000).cast("long").alias("value")
     )
     out = evaluate_expression("(a * (a > b) + b * (a <= b)) % c",
                               {"a": a, "b": b, "c": c})
-    return out.select("o_orderpriority", F.round("value", 2).alias("value"))
+    return out.select("o_orderpriority",
+                      F.col("value").cast("long").alias("value"))
 
 
 def q39_embedding_centroids(spark, sf_dir):
@@ -3070,15 +3073,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q17_expression_extended": """
             WITH a AS (
-              SELECT o_orderpriority, sum(o_totalprice) AS v FROM orders
+              SELECT o_orderpriority,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS v
+              FROM orders
               WHERE extract(year FROM o_orderdate) <= 1996 GROUP BY 1
             ), b AS (
-              SELECT o_orderpriority, sum(o_totalprice) AS v FROM orders
+              SELECT o_orderpriority,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS v
+              FROM orders
               WHERE extract(year FROM o_orderdate) > 1996 GROUP BY 1
             )
             SELECT o_orderpriority,
-                   round(fmod(CASE WHEN a.v > b.v THEN a.v ELSE b.v END,
-                              1000.0), 2) AS value
+                   CAST((CASE WHEN a.v > b.v THEN a.v ELSE b.v END)
+                        % 100000 AS BIGINT) AS value
             FROM a JOIN b USING (o_orderpriority)
         """,
         "q39_embedding_centroids": """

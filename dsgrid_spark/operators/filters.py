@@ -154,20 +154,42 @@ DimensionFilter = Union[
 
 
 def apply_subset_filter(df: DataFrame, column: str, records: DataFrame,
-                        id_column: str = "id") -> DataFrame:
-    """Semi-join form of SubsetFilter for record tables too big to inline."""
+                        id_column: str = "id",
+                        broadcast: bool | None = None) -> DataFrame:
+    """Semi-join form of SubsetFilter for record tables too big to inline.
+
+    ``broadcast`` follows the flag_outliers / TwoTableHandler three-state
+    contract: True forces the hint (subset record lists are usually
+    tiny), False forbids it, None (default) lets the planner + AQE
+    measure — the sf100 rehearsal showed a forced broadcast of a
+    fact-sized right side OOMs the driver (q04 class).
+    """
     keys = records.select(F.col(id_column).alias("__k")).distinct()
-    return df.join(F.broadcast(keys), df[column] == F.col("__k"), "left_semi")
+    if broadcast:
+        keys = F.broadcast(keys)
+    return df.join(keys, df[column] == F.col("__k"), "left_semi")
 
 
 def apply_anti_join(df: DataFrame, missing: DataFrame,
-                    columns: list[str] | None = None) -> DataFrame:
+                    columns: list[str] | None = None,
+                    broadcast: bool | None = None) -> DataFrame:
     """Remove expected-missing dimension associations.
 
     Reference dsgrid/utils/dataset.py:797-817 (SQL ANTI JOIN).
+
+    The reference's expected-missing lists are small (hand-curated
+    association gaps), but the operator is also used with fact-sized
+    right sides (q04: every customer with an order). A forced broadcast
+    of the latter collected 150M keys into the driver at the sf100
+    rehearsal — so ``broadcast`` defaults to None (planner + AQE decide;
+    small sides still static-broadcast via the size estimate) with the
+    usual force/forbid overrides.
     """
     columns = columns or missing.columns
-    return df.join(F.broadcast(missing.select(*columns)), columns, "left_anti")
+    right = missing.select(*columns)
+    if broadcast:
+        right = F.broadcast(right)
+    return df.join(right, columns, "left_anti")
 
 
 def assert_no_nulls(df: DataFrame, exclude: list[str] | None = None) -> None:
