@@ -8,12 +8,29 @@ and only the two scalars cross into Python:
 
     per row:   md5( col1 | col2 | ... )  with
                  - integers/strings cast to their identical decimal text
-                 - doubles discretized floor(x*1e4 + 0.5) -> exact integer
-                   text (identical IEEE on both engines; raw float-to-text
-                   formatting is NOT cross-engine stable)
+                 - doubles discretized by a magnitude-tiered rule (below)
+                   -> exact integer text (identical IEEE sequence on both
+                   engines; raw float-to-text formatting is NOT
+                   cross-engine stable)
     checksum:  sum( first 15 md5 hex digits as bigint  mod 1e8 )
                (order-insensitive; max 1e10 rows * 1e8 < 2^63, no overflow
                 under Spark's ANSI mode)
+
+Double discretization is magnitude-TIERED so the int64 cast can never
+overflow at rehearsal scale (sf100 surfaced group sums ~3.8e15, where the
+old unconditional x*1e4 produced 3.8e19 > 2^63 and DuckDB raised):
+
+    |x| <  9e14   -> floor(x*1e4 + 0.5)   (max ~9e18 < 2^63-1)
+    |x| <  9e18   -> floor(x + 0.5)       (ULP >= 0.125 here: only
+                                            integer-valued doubles, e.g.
+                                            discretized sums cast back to
+                                            double, are exact anyway)
+    else          -> floor(x / 1e6)       (ULP > 1000: any engine delta
+                                            at this magnitude is already
+                                            beyond float determinism)
+
+Every branch is the same IEEE compare/multiply/floor sequence on both
+engines, so the tier choice itself is cross-engine deterministic.
 
 Usage:
     python tools/engine_checksum.py [sf_dir] [query ...]   # default q20
@@ -38,7 +55,10 @@ def spark_checksum(df):
     for name, dtype in df.dtypes:
         c = F.col(name)
         if dtype == "double" or dtype == "float":
-            c = F.floor(c * 10000 + F.lit(0.5)).cast("long")
+            a = F.abs(c)
+            c = (F.when(a < 9e14, F.floor(c * 10000 + F.lit(0.5)))
+                  .when(a < 9e18, F.floor(c + F.lit(0.5)))
+                  .otherwise(F.floor(c / F.lit(1e6)))).cast("long")
         parts.append(c.cast("string"))
     h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10)
     # ONE action: checksum and row count in the same aggregation — the
@@ -53,7 +73,12 @@ def duck_checksum(con, sql, dtypes):
     for name, dtype in dtypes:
         if dtype in ("double", "float"):
             parts.append(
-                f"CAST(CAST(floor(\"{name}\" * 10000 + 0.5) AS BIGINT)"
+                f"CAST(CAST(CASE"
+                f" WHEN abs(\"{name}\") < 9e14"
+                f" THEN floor(\"{name}\" * 10000 + 0.5)"
+                f" WHEN abs(\"{name}\") < 9e18"
+                f" THEN floor(\"{name}\" + 0.5)"
+                f" ELSE floor(\"{name}\" / 1e6) END AS BIGINT)"
                 " AS VARCHAR)")
         else:
             parts.append(f'CAST("{name}" AS VARCHAR)')
