@@ -933,14 +933,17 @@ def q30_minhash_dedup(spark, sf_dir):
 
 
 def q31_simhash_dedup(spark, sf_dir):
-    """SimHash near-dedup survivors with an exact oracle. Natural text
-    defeats any SQL oracle here (simhash distance is word-bag based and
-    not reproducible without xxhash64), so the corpus is constructed:
-    per doc, 24 tokens unique to that doc (signatures mutually far), plus
-    one normalization-identical copy per doc (upper-cased + punctuation
-    → identical signature, hamming 0). Expected survivors = exactly the
-    originals — verifying normalization, signature determinism, chunk
-    blocking, and the xor-verify anti-join end to end."""
+    """SimHash near-dedup survivors with an exact oracle; tagged union
+    over both blocking geometries ('chunk' = 4x16 pigeonhole, 'manku' =
+    wide-prefix C(6,3)). Natural text defeats any SQL oracle here
+    (simhash distance is word-bag based and not reproducible without
+    xxhash64), so the corpus is constructed: per doc, 24 tokens unique
+    to that doc (signatures mutually far), plus one
+    normalization-identical copy per doc (upper-cased + punctuation →
+    identical signature, hamming 0). Expected survivors = exactly the
+    originals under EITHER blocking — verifying normalization, signature
+    determinism, both blocking schemes, and the xor-verify anti-join end
+    to end."""
     from dsgrid_spark.session import ensure_min_partitions
 
     # widen BEFORE constructing text: only 8-byte ids shuffle, and the
@@ -962,8 +965,17 @@ def q31_simhash_dedup(spark, sf_dir):
         F.concat(F.upper("text"), F.lit(" ... !!!")).alias("text"),
     )
     corpus = base.unionByName(copies)
-    out = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3)
-    return out.select("doc_id")
+    # tagged union: 'chunk' = default 4x16-bit pigeonhole blocking;
+    # 'manku' = wide-prefix C(6,3) blocking (the >=10M-doc scale path —
+    # buckets ~n*20/2^33 instead of ~n/2^16). Both satisfy the hamming<=3
+    # pigeonhole bound, so the survivor sets are provably identical.
+    chunk = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3)
+    manku = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3,
+                          n_blocks=6, prefix_blocks=3)
+    return (
+        chunk.select(F.lit("chunk").alias("op"), "doc_id")
+        .unionByName(manku.select(F.lit("manku").alias("op"), "doc_id"))
+    )
 
 
 def q32_similarity_bruteforce(spark, sf_dir):
@@ -3053,7 +3065,9 @@ def oracle_sql() -> dict[str, str]:
         # (signatures mutually far) and every normalization-identical
         # copy (id+1e8, hamming 0) must be dropped
         "q31_simhash_dedup": """
-            SELECT doc_id FROM documents
+            SELECT 'chunk' AS op, doc_id FROM documents
+            UNION ALL
+            SELECT 'manku' AS op, doc_id FROM documents
         """,
         "q26_external_tz": f"""
             SELECT event_id, CAST(user_id % 2 AS VARCHAR) AS geography,

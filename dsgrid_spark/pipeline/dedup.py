@@ -814,23 +814,85 @@ def simhash(text_column: str = "text", bits: int = 64) -> "F.Column":
     )
 
 
+def _simhash_block_keys(sh, bits: int, n_blocks: int,
+                        prefix_blocks: int) -> list["F.Column"]:
+    """Candidate keys for blocked SimHash joins: split the ``bits``-wide
+    signature into ``n_blocks`` nearly-equal bit blocks and pack every
+    C(n_blocks, prefix_blocks) combination of ``prefix_blocks`` block
+    values into one long each.
+
+    Pigeonhole guarantee: k bit flips touch at most k blocks, so two
+    signatures within hamming distance k agree on >= n_blocks - k whole
+    blocks — and therefore share at least one combination of
+    ``prefix_blocks`` blocks whenever prefix_blocks <= n_blocks - k.
+    Keying on every combination finds ALL such pairs (no recall loss);
+    wider prefixes only shrink the buckets.
+    """
+    from itertools import combinations
+
+    base, rem = divmod(bits, n_blocks)
+    widths = [base + 1 if i < rem else base for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    max_w = max(widths)
+    if prefix_blocks * max_w > 63:
+        raise ValueError(
+            f"cannot pack {prefix_blocks} blocks of {max_w} bits into a "
+            "64-bit key; raise n_blocks or lower prefix_blocks")
+    blocks = [
+        F.shiftright(sh, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_blocks)
+    ]
+    keys = []
+    for combo in combinations(range(n_blocks), prefix_blocks):
+        k = F.lit(0).cast("long")
+        for j, bi in enumerate(combo):
+            k = k.bitwiseOR(F.call_function(
+                "shiftleft", blocks[bi].cast("long"), F.lit(j * max_w)))
+        keys.append(k)
+    return keys
+
+
 def simhash_dedup(df: DataFrame, text_column: str = "text",
                   id_column: str = "doc_id",
-                  hamming_threshold: int = 3) -> DataFrame:
-    """Near-dedup by SimHash: block on 4 x 16-bit chunks (any chunk equal
-    → candidate, guaranteed to catch hamming distance <= 3), verify with
-    bit_count(xor) <= threshold, drop higher ids."""
+                  hamming_threshold: int = 3,
+                  n_blocks: int | None = None,
+                  prefix_blocks: int = 1) -> DataFrame:
+    """Near-dedup by SimHash: block on every combination of
+    ``prefix_blocks`` out of ``n_blocks`` signature blocks (pigeonhole —
+    guaranteed to catch hamming distance <= n_blocks - prefix_blocks),
+    verify with bit_count(xor) <= threshold, drop higher ids.
+
+    The default (4, 1) keys on single 16-bit blocks: 4 candidate keys per
+    doc, buckets ~n/2^16 — right-sized through a few million docs. Past
+    ~10M docs the 16-bit buckets saturate and the join probes O(sum
+    bucket^2) pairs; switch to the Manku-style wide prefix (Manku,
+    Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07):
+    ``n_blocks=6, prefix_blocks=3`` keys on C(6,3)=20 combinations of
+    ~33 prefix bits, buckets ~n·20/2^33 — still single-digit at 1e9 docs.
+    Same exact recall for hamming <= 3 (both satisfy the pigeonhole
+    bound); only the shuffle fan-out (4 -> 20 rows of (key, id, sh)) and
+    the bucket geometry change.
+    """
+    if n_blocks is None:
+        # derive a blocking that GUARANTEES the requested recall: the
+        # 4x16 default covers hamming <= 3; wider thresholds get exactly
+        # as many blocks as the pigeonhole bound needs (the old code
+        # silently kept 4 blocks and missed pairs past distance 3)
+        n_blocks = max(4, hamming_threshold + prefix_blocks)
+    if n_blocks - prefix_blocks < hamming_threshold:
+        raise ValueError(
+            f"blocking ({n_blocks} blocks, prefix {prefix_blocks}) only "
+            f"guarantees hamming <= {n_blocks - prefix_blocks}, below the "
+            f"requested threshold {hamming_threshold}")
     # signatures are 8 bytes/doc: persist so the giant bit-vote expression
     # tree runs once, not once per self-join side
     sh = df.select(F.col(id_column), simhash(text_column).alias("__sh"))
     sh = sh.persist()
     sh.count()
+    keys = _simhash_block_keys(F.col("__sh"), 64, n_blocks, prefix_blocks)
     chunks = sh.select(
         id_column, "__sh",
-        F.posexplode(F.array(*[
-            F.shiftright("__sh", 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
-        ])).alias("chunk", "chunk_val"),
+        F.posexplode(F.array(*keys)).alias("chunk", "chunk_val"),
     )
     l, r = chunks.alias("l"), chunks.alias("r")
     # The hamming verify lives INSIDE the join condition: once the corpus

@@ -99,6 +99,66 @@ def test_simhash_dedup(docs):
     assert 0 in kept and 4 in kept
 
 
+def test_simhash_dedup_manku_equivalent(spark, docs):
+    # Manku wide-prefix blocking (6 blocks, 20 x 3-block keys) must keep
+    # exactly the same survivor set as the default 4x16 chunks: both
+    # satisfy the pigeonhole bound for hamming <= 3, so recall is exact
+    # in either geometry and only the bucket sizes differ.
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(24))) for i in range(40)]
+    # normalization-identical copies (hamming 0) + case variants
+    rows += [(100 + i, rows[i][1].upper() + " !!!") for i in range(10)]
+    extra = spark.createDataFrame(rows, "doc_id long, text string")
+    for corpus in (docs, extra):
+        base = sorted(r["doc_id"] for r in simhash_dedup(
+            corpus, "text", "doc_id", hamming_threshold=3).collect())
+        manku = sorted(r["doc_id"] for r in simhash_dedup(
+            corpus, "text", "doc_id", hamming_threshold=3,
+            n_blocks=6, prefix_blocks=3).collect())
+        assert base == manku
+
+
+def test_simhash_block_keys_cover_hamming_3(spark):
+    # adversarial bit-level check of the pigeonhole guarantee: for
+    # signatures differing in EXACTLY 3 bits (worst case), at least one
+    # of the C(6,3) wide-prefix keys must still collide.
+    from dsgrid_spark.pipeline.dedup import _simhash_block_keys
+    import random
+
+    rnd = random.Random(11)
+    pairs = []
+    for i in range(200):
+        a = rnd.getrandbits(64) - (1 << 63)
+        flips = rnd.sample(range(64), 3)
+        b = a
+        for f in flips:
+            b ^= 1 << f
+        b = (b + (1 << 63)) % (1 << 64) - (1 << 63)  # keep in int64
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a long, b long")
+    keys_a = _simhash_block_keys(F.col("a"), 64, 6, 3)
+    keys_b = _simhash_block_keys(F.col("b"), 64, 6, 3)
+    # a candidate requires the SAME combo's key to collide (the join is
+    # on (combo index, key)), so compare positionally:
+    hit = df.select(
+        sum([(ka == kb).cast("int") for ka, kb in zip(keys_a, keys_b)],
+            F.lit(0)).alias("n_shared"))
+    assert hit.filter(F.col("n_shared") == 0).count() == 0
+
+
+def test_simhash_dedup_rejects_uncovered_threshold(docs):
+    import pytest as _pytest
+
+    # explicit blocking narrower than the threshold's pigeonhole bound
+    # must raise (silent recall loss otherwise); defaulted blocking
+    # auto-widens instead (test_simhash_dedup's threshold=10 path).
+    with _pytest.raises(ValueError, match="guarantees hamming"):
+        simhash_dedup(docs, "text", "doc_id", hamming_threshold=4,
+                      n_blocks=4, prefix_blocks=1)
+
+
 def test_brute_force_topk_self_is_best(spark):
     import random
 
