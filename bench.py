@@ -39,6 +39,7 @@ BRANCHES = {
     "q21_scalar_datetime": ("op", ["month", "session"]),
     "q23_time_downsample": ("mode", ["down", "up", "cascade:"]),
     "q30_minhash_dedup": ("op", ["full", "incr"]),
+    "q31_simhash_dedup": ("op", ["chunk", "manku"]),
     "q50_dst_duplicate": ("tag", ["spring", "fall", "interp"]),
 }
 
@@ -76,6 +77,8 @@ def main():
         sf = 0.01
     elif "sf0.001" in sf_dir:
         sf = 0.001
+    elif "sf100" in sf_dir:
+        sf = 100.0
     elif "sf10" in sf_dir:
         sf = 10.0
     elif "sf1" in sf_dir:
