@@ -969,9 +969,16 @@ def q31_simhash_dedup(spark, sf_dir):
     # 'manku' = wide-prefix C(6,3) blocking (the >=10M-doc scale path —
     # buckets ~n*20/2^33 instead of ~n/2^16). Both satisfy the hamming<=3
     # pigeonhole bound, so the survivor sets are provably identical.
-    chunk = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3)
+    # ONE persisted bit-vote fold feeds both geometries (the fold is the
+    # dominant cost; the minhash one-pass-feeds-all-consumers contract).
+    from dsgrid_spark.pipeline.dedup import simhash_signatures
+
+    sigs = simhash_signatures(corpus, "text", "doc_id").persist()
+    sigs.count()
+    chunk = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3,
+                          signatures=sigs)
     manku = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3,
-                          n_blocks=6, prefix_blocks=3)
+                          n_blocks=6, prefix_blocks=3, signatures=sigs)
     return (
         chunk.select(F.lit("chunk").alias("op"), "doc_id")
         .unionByName(manku.select(F.lit("manku").alias("op"), "doc_id"))

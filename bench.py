@@ -105,6 +105,11 @@ def main():
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        # each call persists ITS OWN new DataFrames (q30 signatures/bands,
+        # q31 signatures), so dropping prior slots' cache is timing-neutral
+        # — but without it ~40 runs of persisted 5M-row tables accumulate
+        # and the sf100 rehearsal bench dies in GCLocker allocation retries
+        spark.catalog.clearCache()
 
     # per-branch attribution for merged slots (single run each; the slot
     # totals above stay the comparable series)
@@ -120,6 +125,7 @@ def main():
             qs[name](spark, sf_dir).filter(F.col(col).startswith(p)).count()
             per[p.rstrip(":")] = round(time.time() - t0, 3)
         branch_timings[name] = per
+        spark.catalog.clearCache()
 
     # q28's 'stream' side runs imperatively (writeStream +
     # awaitTermination) at query-construction time, so a tag filter can't

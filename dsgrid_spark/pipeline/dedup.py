@@ -852,11 +852,21 @@ def _simhash_block_keys(sh, bits: int, n_blocks: int,
     return keys
 
 
+def simhash_signatures(df: DataFrame, text_column: str = "text",
+                       id_column: str = "doc_id") -> DataFrame:
+    """(id, simhash) signature table — compute ONCE and pass to several
+    `simhash_dedup` calls via ``signatures=`` (the bit-vote fold is the
+    dominant cost; the same one-pass-feeds-all-consumers contract as
+    `minhash_signatures`/`band_signatures`). Caller persists."""
+    return df.select(F.col(id_column), simhash(text_column).alias("simhash"))
+
+
 def simhash_dedup(df: DataFrame, text_column: str = "text",
                   id_column: str = "doc_id",
                   hamming_threshold: int = 3,
                   n_blocks: int | None = None,
-                  prefix_blocks: int = 1) -> DataFrame:
+                  prefix_blocks: int = 1,
+                  signatures: DataFrame | None = None) -> DataFrame:
     """Near-dedup by SimHash: block on every combination of
     ``prefix_blocks`` out of ``n_blocks`` signature blocks (pigeonhole —
     guaranteed to catch hamming distance <= n_blocks - prefix_blocks),
@@ -885,10 +895,16 @@ def simhash_dedup(df: DataFrame, text_column: str = "text",
             f"guarantees hamming <= {n_blocks - prefix_blocks}, below the "
             f"requested threshold {hamming_threshold}")
     # signatures are 8 bytes/doc: persist so the giant bit-vote expression
-    # tree runs once, not once per self-join side
-    sh = df.select(F.col(id_column), simhash(text_column).alias("__sh"))
-    sh = sh.persist()
-    sh.count()
+    # tree runs once, not once per self-join side (or reuse a shared
+    # precomputed table — q31 runs both blocking geometries off ONE fold)
+    if signatures is not None:
+        sh = signatures.select(F.col(id_column),
+                               F.col("simhash").alias("__sh"))
+    else:
+        sh = simhash_signatures(df, text_column, id_column) \
+            .withColumnRenamed("simhash", "__sh")
+        sh = sh.persist()
+        sh.count()
     keys = _simhash_block_keys(F.col("__sh"), 64, n_blocks, prefix_blocks)
     chunks = sh.select(
         id_column, "__sh",

@@ -148,6 +148,20 @@ def test_simhash_block_keys_cover_hamming_3(spark):
     assert hit.filter(F.col("n_shared") == 0).count() == 0
 
 
+def test_simhash_dedup_shared_signatures(docs):
+    # a precomputed signature table must yield identical survivors to the
+    # internal fold (q31 shares ONE fold across both blocking geometries)
+    from dsgrid_spark.pipeline.dedup import simhash_signatures
+
+    sigs = simhash_signatures(docs, "text", "doc_id")
+    internal = sorted(r["doc_id"] for r in simhash_dedup(
+        docs, "text", "doc_id", hamming_threshold=3).collect())
+    shared = sorted(r["doc_id"] for r in simhash_dedup(
+        docs, "text", "doc_id", hamming_threshold=3,
+        signatures=sigs).collect())
+    assert internal == shared
+
+
 def test_simhash_dedup_rejects_uncovered_threshold(docs):
     import pytest as _pytest
 
