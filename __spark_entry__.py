@@ -841,6 +841,32 @@ def _q28_compact(spark, sf_dir):
         F.lit("compact").alias("op"), "doc_id", "lang", "source")
 
 
+def _q28_bloom(spark, sf_dir):
+    """Bloom-gated incremental exact dedup: the batch (doc_id >= 250) is
+    split MAP-SIDE by a broadcast Bloom filter over the corpus (< 250)
+    fingerprints — "definitely new" rows (no false negatives) skip the
+    exact join entirely; only the maybe-present remainder is verified
+    with an anti join. Provably equal to the plain cross-corpus anti
+    join, which is what the oracle checks. At 100 TB this is the ingest
+    shape: a fixed-size bitset ships once instead of shuffling the batch
+    against the corpus's full key set (pipeline/bloom.py)."""
+    from dsgrid_spark.pipeline.bloom import bloom_prefilter, build_bloom
+    from dsgrid_spark.pipeline.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    fps = corpus.select(fingerprint(F.col("text")).alias("__fp")).distinct()
+    fps = fps.persist()
+    bloom = build_bloom(fps, "__fp", expected_items=max(fps.count(), 1),
+                        fpp=0.01)
+    batch = docs.filter(F.col("doc_id") >= 250).withColumn(
+        "__fp", fingerprint(F.col("text")))
+    maybe, fresh = bloom_prefilter(batch, bloom, "__fp")
+    survivors = fresh.unionByName(maybe.join(fps, "__fp", "left_anti"))
+    return survivors.select(F.lit("bloom").alias("op"), "doc_id",
+                            "lang", "source")
+
+
 def q28_dedup_exact(spark, sf_dir):
     """Exact dedup, batch AND streaming (pipeline + streaming ops),
     tagged union. 'batch' = hash-groupBy representatives. 'stream' =
@@ -851,10 +877,13 @@ def q28_dedup_exact(spark, sf_dir):
     survivors must be exactly the originals, proving streaming dedup
     state equals batch exact_dedup on the same keys. 'compact' =
     small-files compaction round-trip over the documents table (row/value
-    preservation oracled against the source rows)."""
+    preservation oracled against the source rows). 'bloom' = broadcast
+    Bloom pre-filtered incremental dedup (batch vs corpus fingerprints),
+    provably equal to the plain anti join."""
     return (_q28_batch(spark, sf_dir)
             .unionByName(_q28_stream(spark, sf_dir))
-            .unionByName(_q28_compact(spark, sf_dir)))
+            .unionByName(_q28_compact(spark, sf_dir))
+            .unionByName(_q28_bloom(spark, sf_dir)))
 
 
 def q29_text_stats(spark, sf_dir):
@@ -2505,6 +2534,14 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY {_NORM_TEXT} ORDER BY doc_id) = 1
             UNION ALL
             SELECT 'compact', doc_id, lang, source FROM documents
+            UNION ALL
+            SELECT 'bloom', doc_id, lang, source FROM documents d
+            WHERE doc_id >= 250 AND NOT EXISTS (
+              SELECT 1 FROM documents c WHERE c.doc_id < 250
+                AND trim(regexp_replace(regexp_replace(lower(c.text),
+                      '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))
+                  = trim(regexp_replace(regexp_replace(lower(d.text),
+                      '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')))
         """,
         "q29_text_stats": """
             WITH toks AS (

@@ -135,6 +135,7 @@ def main():
     if "q28_dedup_exact" in timings:
         per = {}
         for tag, fn in (("batch", entry_mod._q28_batch),
+                        ("bloom", entry_mod._q28_bloom),
                         ("stream", entry_mod._q28_stream),
                         ("compact", entry_mod._q28_compact)):
             t0 = time.time()

@@ -1283,3 +1283,63 @@ def test_registered_domains_public_suffix_list(spark):
     assert out[2] == ["alice.github.io", "bob.github.io"]
     assert out[3] == ["bucket.s3.amazonaws.com", "ec2-1.amazonaws.com"]
     assert out[4] == ["shop.stuff.ck", "www.ck"]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (pipeline.bloom)
+
+
+def test_bloom_no_false_negatives(spark):
+    from dsgrid_spark.pipeline.bloom import build_bloom, might_contain
+
+    corpus = spark.range(0, 2000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"))
+    bloom = build_bloom(corpus, "k", expected_items=2000, fpp=0.01)
+    # EVERY inserted key must test positive — the load-bearing guarantee
+    misses = corpus.filter(~might_contain(bloom, F.col("k"))).count()
+    assert misses == 0
+
+
+def test_bloom_fp_rate_near_target(spark):
+    from dsgrid_spark.pipeline.bloom import build_bloom, might_contain
+
+    corpus = spark.range(0, 5000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"))
+    bloom = build_bloom(corpus, "k", expected_items=5000, fpp=0.01)
+    absent = spark.range(100000, 120000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"))
+    fp = absent.filter(might_contain(bloom, F.col("k"))).count()
+    # target 1%; allow generous slack for hash variance on 20k trials
+    assert fp / 20000 < 0.03
+
+
+def test_bloom_prefilter_plus_exact_equals_plain_anti_join(spark):
+    from dsgrid_spark.pipeline.bloom import bloom_prefilter, build_bloom
+
+    corpus = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    # batch: 500 overlapping + 500 new keys
+    batch = spark.range(500, 1500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    bloom = build_bloom(corpus, "k", expected_items=1000, fpp=0.01)
+    maybe, fresh = bloom_prefilter(batch, bloom, "k")
+    # only `maybe` needs the exact join; `fresh` passes by construction
+    survivors = fresh.unionByName(
+        maybe.join(corpus, "k", "left_anti"))
+    expected = batch.join(corpus, "k", "left_anti")
+    got = sorted(r["k"] for r in survivors.collect())
+    want = sorted(r["k"] for r in expected.collect())
+    assert got == want
+    # and the pre-filter actually pruned: definitely-new side is nonempty
+    assert fresh.count() > 0
+
+
+def test_bloom_sizing_and_size_bytes(spark):
+    from dsgrid_spark.pipeline.bloom import build_bloom, optimal_params
+
+    m, k = optimal_params(1_000_000, 0.01)
+    assert m % 64 == 0 and 6 <= k <= 8
+    corpus = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    bloom = build_bloom(corpus, "k", expected_items=100, fpp=0.05)
+    assert bloom.size_bytes == len(bloom.words) * 8
+    assert len(bloom.words) == bloom.num_bits // 64
