@@ -857,8 +857,10 @@ def _q28_bloom(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") < 250)
     fps = corpus.select(fingerprint(F.col("text")).alias("__fp")).distinct()
     fps = fps.persist()
-    bloom = build_bloom(fps, "__fp", expected_items=max(fps.count(), 1),
-                        fpp=0.01)
+    # expected_items from the split bound (doc_id < 250 => at most 250
+    # distinct fingerprints): sizing needs only an upper bound, so skip
+    # the extra count() job per call
+    bloom = build_bloom(fps, "__fp", expected_items=250, fpp=0.01)
     batch = docs.filter(F.col("doc_id") >= 250).withColumn(
         "__fp", fingerprint(F.col("text")))
     maybe, fresh = bloom_prefilter(batch, bloom, "__fp")
