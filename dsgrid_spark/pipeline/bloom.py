@@ -123,6 +123,62 @@ def might_contain(bloom: BloomFilter, key: Column) -> Column:
     return cond
 
 
+def merge_into(bloom: BloomFilter, df: DataFrame,
+               key_column: str) -> BloomFilter:
+    """A new BloomFilter with ``df``'s keys OR-ed into ``bloom``.
+
+    The incremental-maintenance primitive: folding a batch in costs one
+    narrow aggregation over THE BATCH ONLY — the previously-inserted
+    corpus is never rescanned (bitset union is bitwise OR). Registry
+    ingest keeps one filter per corpus this way, so the per-batch id
+    check never touches the accumulated id set.
+    """
+    key = F.col(key_column)
+    pos = F.explode(F.array(*_probe_positions(key, bloom.num_bits,
+                                              bloom.num_hashes)))
+    rows = (
+        df.select(pos.alias("p"))
+        .select((F.col("p") / 64).cast("long").alias("w"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    dense = list(bloom.words)
+    for r in rows:
+        dense[r["w"]] |= r["bits"]
+    return BloomFilter(num_bits=bloom.num_bits,
+                       num_hashes=bloom.num_hashes, words=tuple(dense))
+
+
+_MAGIC = b"DSBF1"
+
+
+def to_bytes(bloom: BloomFilter) -> bytes:
+    """Compact serialization (header + little-endian int64 words) for
+    registry metadata storage."""
+    import struct
+
+    head = struct.pack("<5sqi", _MAGIC, bloom.num_bits, bloom.num_hashes)
+    body = struct.pack(f"<{len(bloom.words)}q", *bloom.words)
+    return head + body
+
+
+def from_bytes(data: bytes) -> BloomFilter:
+    import struct
+
+    head = struct.calcsize("<5sqi")
+    magic, num_bits, num_hashes = struct.unpack("<5sqi", data[:head])
+    if magic != _MAGIC:
+        raise ValueError("not a serialized BloomFilter")
+    n = num_bits // 64
+    words = struct.unpack(f"<{n}q", data[head:head + 8 * n])
+    return BloomFilter(num_bits=num_bits, num_hashes=num_hashes,
+                       words=tuple(words))
+
+
 def bloom_prefilter(df: DataFrame, bloom: BloomFilter,
                     key_column: str) -> tuple[DataFrame, DataFrame]:
     """(maybe_present, definitely_new) map-side split of a batch.

@@ -34,13 +34,49 @@ def _sig_id(corpus_id: str) -> str:
     return corpus_id + _SIG_SUFFIX
 
 
+_ID_BLOOM_KEY = "id_bloom"
+
+
+def _store_id_bloom(store, corpus_id: str, bloom) -> None:
+    import base64
+
+    from .bloom import to_bytes
+
+    store.set_meta("datasets", corpus_id, _ID_BLOOM_KEY,
+                   base64.b64encode(to_bytes(bloom)).decode("ascii"))
+
+
+def _load_id_bloom(store, corpus_id: str):
+    import base64
+
+    from .bloom import from_bytes
+
+    raw = store.get_meta("datasets", corpus_id, _ID_BLOOM_KEY, None)
+    return from_bytes(base64.b64decode(raw)) if raw else None
+
+
 def register_corpus(store, corpus_id: str, docs: DataFrame,
                     text_column: str = "text", id_column: str = "doc_id",
                     num_hashes: int = 24, num_bands: int = 8,
                     shingle_k: int = 5, threshold: float = 0.8,
-                    dedup: bool = True) -> str:
+                    dedup: bool = True,
+                    id_bloom_expected: int | None = None) -> str:
     """Register the seed corpus (near-deduped unless ``dedup=False``)
-    plus its signature table; returns the corpus version."""
+    plus its signature table; returns the corpus version.
+
+    ``id_bloom_expected`` (total ids the corpus is expected to reach)
+    additionally stores a Bloom filter over the corpus ids in registry
+    metadata. Every subsequent ``ingest_batch`` then runs its id-clash
+    check MAP-SIDE against the filter — the batch never joins the
+    accumulated corpus id set — and folds its own ids in (one narrow
+    aggregation over the batch only; the corpus is never rescanned).
+    Safe under any additive staleness: a stale EXTRA bit can only route
+    a row to the exact join (a false positive there is then re-checked),
+    never skip a real clash — "definitely new" requires absence, and
+    absence is impossible for an id that was ever folded in. Size the
+    expectation generously (bits ≈ 9.6 per id at 1%): the filter lives
+    in the JSON index, ~1.6 MB base64 per 1M ids.
+    """
     sigs_all = minhash_signatures(docs, text_column, num_hashes,
                                   shingle_k).select(id_column, "minhash")
     sigs_all = sigs_all.persist()
@@ -56,6 +92,12 @@ def register_corpus(store, corpus_id: str, docs: DataFrame,
                                      message="seed corpus")
     store.register_dataset(_sig_id(corpus_id), sigs, validate=False,
                            message="seed signatures")
+    if id_bloom_expected is not None:
+        from .bloom import build_bloom
+
+        _store_id_bloom(store, corpus_id,
+                        build_bloom(clean.select(id_column), id_column,
+                                    expected_items=id_bloom_expected))
     return version
 
 
@@ -86,8 +128,21 @@ def ingest_batch(store, corpus_id: str, batch: DataFrame,
     cat = store.load_catalog()
     corpus, _ = cat.dataset(corpus_id)
     sigs, _ = cat.dataset(_sig_id(corpus_id))
-    clash = (batch.select(id_column)
-             .join(corpus.select(id_column), id_column, "left_semi").count())
+    bloom = _load_id_bloom(store, corpus_id)
+    if bloom is not None:
+        # map-side pre-check: rows the filter rejects CANNOT clash (no
+        # false negatives), so only the maybe-present remainder — true
+        # clashes plus ~fpp false positives, usually zero rows — ever
+        # joins the corpus id set
+        from .bloom import bloom_prefilter
+
+        maybe, _fresh = bloom_prefilter(batch.select(id_column), bloom,
+                                        id_column)
+        check_ids = maybe
+    else:
+        check_ids = batch.select(id_column)
+    clash = check_ids.join(corpus.select(id_column), id_column,
+                           "left_semi").count()
     if clash:
         raise ValueError(
             f"{clash} batch ids already exist in corpus {corpus_id!r} — "
@@ -111,6 +166,15 @@ def ingest_batch(store, corpus_id: str, batch: DataFrame,
         _sig_id(corpus_id), sigs.unionByName(new_sigs), validate=False,
         message=f"ingest: +{n} signatures (corpus "
                 f"{corpus_version}){_message_suffix}")
+    if bloom is not None:
+        # fold ONLY the survivor ids (the ids that actually joined the
+        # corpus — the exact join's semantics): one narrow aggregation
+        # over the batch, the corpus is never rescanned
+        from .bloom import merge_into
+
+        _store_id_bloom(store, corpus_id,
+                        merge_into(bloom, survivors.select(id_column),
+                                   id_column))
     return survivors
 
 

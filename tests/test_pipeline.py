@@ -1343,3 +1343,69 @@ def test_bloom_sizing_and_size_bytes(spark):
     bloom = build_bloom(corpus, "k", expected_items=100, fpp=0.05)
     assert bloom.size_bytes == len(bloom.words) * 8
     assert len(bloom.words) == bloom.num_bits // 64
+
+
+def test_bloom_serialize_roundtrip(spark):
+    from dsgrid_spark.pipeline.bloom import (build_bloom, from_bytes,
+                                             might_contain, to_bytes)
+
+    corpus = spark.range(0, 300).select(F.col("id").cast("string").alias("k"))
+    bloom = build_bloom(corpus, "k", expected_items=300, fpp=0.01)
+    back = from_bytes(to_bytes(bloom))
+    assert back == bloom
+    assert corpus.filter(~might_contain(back, F.col("k"))).count() == 0
+
+
+def test_bloom_merge_into_no_false_negatives(spark):
+    from dsgrid_spark.pipeline.bloom import (build_bloom, merge_into,
+                                             might_contain)
+
+    base = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    extra = spark.range(500, 900).select(F.col("id").cast("string").alias("k"))
+    bloom = build_bloom(base, "k", expected_items=1000, fpp=0.01)
+    merged = merge_into(bloom, extra, "k")
+    both = base.unionByName(extra)
+    assert both.filter(~might_contain(merged, F.col("k"))).count() == 0
+    # merging never clears bits: every base key still present
+    assert base.filter(~might_contain(merged, F.col("k"))).count() == 0
+
+
+def test_registry_ingest_with_id_bloom(spark, tmp_path):
+    """The id-bloom fast path must behave EXACTLY like the plain join
+    path: same survivors, same clash rejection (including an id folded
+    in by a previous batch), with the filter maintained incrementally in
+    registry metadata."""
+    from dsgrid_spark.pipeline.ingest import (corpus_stats, ingest_batch,
+                                              register_corpus)
+    from dsgrid_spark.registry.store import RegistryStore
+
+    store = RegistryStore(tmp_path / "reg", spark)
+    text = lambda i: " ".join(f"w{i}{c}" for c in "abcdefgh")
+    seed = spark.createDataFrame(
+        [(i, text(i)) for i in range(5)], "doc_id long, text string")
+    register_corpus(store, "corpus", seed, id_bloom_expected=10_000)
+    assert store.get_meta("datasets", "corpus", "id_bloom") is not None
+
+    batch1 = spark.createDataFrame(
+        [(10, text(1) + " ..."),      # near-dup of seed doc 1 -> dropped
+         (11, text(11))],
+        "doc_id long, text string")
+    surv1 = {r["doc_id"] for r in
+             ingest_batch(store, "corpus", batch1).collect()}
+    assert surv1 == {11}
+    assert corpus_stats(store, "corpus")["n_docs"] == 6
+
+    # a seed id must clash (pre-filter routes it to the exact join)
+    with pytest.raises(ValueError, match="already exist"):
+        ingest_batch(store, "corpus", spark.createDataFrame(
+            [(3, text(99))], "doc_id long, text string"))
+    # an id folded in by BATCH 1 must clash too (incremental maintenance)
+    with pytest.raises(ValueError, match="already exist"):
+        ingest_batch(store, "corpus", spark.createDataFrame(
+            [(11, text(98))], "doc_id long, text string"))
+    # a dropped batch id (10) was never added to the corpus: reusable,
+    # exactly like the plain join path
+    surv = {r["doc_id"] for r in ingest_batch(
+        store, "corpus", spark.createDataFrame(
+            [(10, text(77))], "doc_id long, text string")).collect()}
+    assert surv == {10}
