@@ -33,6 +33,15 @@ a tested invariant), and False positives occur at ~(1-e^(-kn/m))^k,
 resolved by whatever exact check follows.
 
 Sizing: optimal m = -n ln(fpp)/ln(2)^2 bits, k = (m/n) ln(2).
+
+Size ceiling (documented boundary): the words array rides the plan as a
+literal and the build/merge collect is m/64 longs, so the practical
+range is expected_items <= ~1e7 at 1% fp (~12 MB filter — fine for a
+serialized plan and the JSON registry index). Past that, shard the KEY
+SPACE into B independent filters (pmod(xxhash64(key), B) picks the
+shard) so each stays in range and batches probe only their shard's
+filter; at 1e9+ keys prefer the exact semi join — Spark's AQE runtime
+bloom pushdown already covers the join-local case.
 """
 
 from __future__ import annotations
