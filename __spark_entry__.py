@@ -1515,8 +1515,30 @@ def q47_fingerprint(spark, sf_dir):
         F.col("pos").cast("long").alias("a"),
         F.col("n_paras").cast("long").alias("b"),
     )
+    # 'span' branch: exact duplicate-substring removal (Lee et al.
+    # ACL'22 ExactSubstr) on a constructed provable corpus — every doc
+    # is 120 doc-unique tokens plus the SAME 60-token run, so windows
+    # fully inside the run (starts 120..130 at L=50, covering exactly
+    # tokens 120-179) are duplicated while boundary-spanning windows
+    # differ per doc. Expected: the global min-id doc keeps all 180
+    # tokens; every other doc loses exactly the 60-token suffix. The
+    # oracle rebuilds the expected kept text from doc_id arithmetic.
+    from dsgrid_spark.pipeline.dedup import dedup_substrings
+
+    span_text = F.concat_ws(" ", F.concat_ws(" ", *[
+        F.concat(F.lit("u"), F.col("doc_id").cast("string"),
+                 F.lit(f"t{j}")) for j in range(120)
+    ]), F.lit(" ".join(f"s{j}" for j in range(60))))
+    span_docs = _t(spark, sf_dir, "documents").select("doc_id",
+                                                      span_text.alias("text"))
+    span_rows = dedup_substrings(span_docs, window_tokens=50).select(
+        F.lit("span").alias("op"), "doc_id",
+        F.md5("text").alias("term"),
+        F.col("n_tokens_kept").alias("a"),
+        F.col("n_tokens_dropped").alias("b"),
+    )
     return (fp_rows.unionByName(term_rows).unionByName(para_rows)
-            .unionByName(fuzz_rows))
+            .unionByName(fuzz_rows).unionByName(span_rows))
 
 
 def q48_supplemental_filter(spark, sf_dir):
@@ -2955,6 +2977,33 @@ def oracle_sql() -> dict[str, str]:
                      || 'the main office g' || (doc_id % 4)
               FROM documents
               WHERE doc_id = (SELECT min(doc_id) FROM documents)
+            )
+            UNION ALL
+            -- 'span': exact duplicate-substring removal over a corpus of
+            -- 120 doc-unique tokens + the SAME 60-token run; the global
+            -- min-id doc keeps everything, all others lose exactly the
+            -- shared suffix (windows fully inside the run cover tokens
+            -- 120-179; boundary windows differ per doc)
+            SELECT 'span', doc_id,
+                   md5(CASE WHEN doc_id = (SELECT min(doc_id)
+                                           FROM documents)
+                       THEN uniq || ' ' || shared ELSE uniq END) AS term,
+                   CASE WHEN doc_id = (SELECT min(doc_id) FROM documents)
+                        THEN CAST(180 AS BIGINT)
+                        ELSE CAST(120 AS BIGINT) END AS a,
+                   CASE WHEN doc_id = (SELECT min(doc_id) FROM documents)
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(60 AS BIGINT) END AS b
+            FROM (
+              SELECT doc_id,
+                     array_to_string([
+                       'u' || CAST(doc_id AS VARCHAR) || 't'
+                           || CAST(j AS VARCHAR) for j in range(0, 120)
+                     ], ' ') AS uniq,
+                     array_to_string([
+                       's' || CAST(j AS VARCHAR) for j in range(0, 60)
+                     ], ' ') AS shared
+              FROM documents
             )
         """,
         "q48_supplemental_filter": """

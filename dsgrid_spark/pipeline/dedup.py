@@ -929,3 +929,93 @@ def simhash_dedup(df: DataFrame, text_column: str = "text",
     )
     to_drop = dups.distinct()
     return df.join(to_drop, id_column, "left_anti")
+
+
+def dedup_substrings(df: DataFrame, text_column: str = "text",
+                     id_column: str = "doc_id",
+                     window_tokens: int = 50) -> DataFrame:
+    """Exact duplicate-substring removal (Lee, Ippolito et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    the suffix-array ExactSubstr pass, re-expressed for Spark): any run
+    of ``window_tokens`` consecutive whitespace tokens whose exact
+    sequence also occurs at a globally EARLIER (id, pos) is removed;
+    the first occurrence keeps its text. Within-doc self-repeats dedup
+    the same way. Docs shorter than the window pass through untouched.
+
+    Spark shape (no suffix array — that structure is single-machine):
+
+      1. per doc, double 31-bit polynomial rolling hashes of every
+         L-token window over xxhash64 token hashes, combined into one
+         ~62-bit key — pure integer HOF folds, no per-window string
+         materialization, no overflow under ANSI mode (a < 2^31,
+         a*B + x < 2^62);
+      2. ONE shuffle of (key, id, pos) rows — 8-byte keys, never text —
+         grouped to the global first occurrence ``min(struct(id, pos))``;
+      3. every non-first occurrence marks its doc's token range
+         [pos, pos+L); ranges collect per doc (`collect_list` bounded by
+         the doc's own window count) and coverage is an `exists` over
+         the starts array per token;
+      4. text rebuilds from the kept tokens (single-space joined — the
+         same whitespace normalization for every doc, touched or not).
+
+    Window-key equality stands in for sequence equality at ~2^-62 collision
+    odds per pair — the same reliance `exact_dedup` places on xxhash64.
+    Returns (id, text, n_tokens_kept, n_tokens_dropped).
+    """
+    L = window_tokens
+    _B1, _B2 = 1_000_003, 1_000_033
+    p = _MERSENNE
+
+    words = F.split(F.trim(F.col(text_column)), r"\s+")
+    n = F.size(words)
+
+    def roll(hw, base):
+        return F.transform(
+            F.sequence(F.lit(0), n - L),
+            lambda i: F.aggregate(
+                F.slice(hw, i + 1, L), F.lit(0).cast("long"),
+                lambda a, x: F.pmod(a * base + x, p)),
+        )
+
+    hw = F.transform(words, lambda w: F.pmod(F.xxhash64(w), p))
+    keys = F.when(
+        n >= L,
+        F.zip_with(roll(hw, F.lit(_B1)), roll(hw, F.lit(_B2)),
+                   lambda h1, h2: h1 * p + h2),
+    ).otherwise(F.array().cast("array<long>"))
+
+    base = df.select(F.col(id_column), words.alias("__w"),
+                     keys.alias("__k"))
+    w = base.select(id_column, F.posexplode("__k").alias("pos", "h"))
+    firsts = w.groupBy("h").agg(
+        F.min(F.struct(F.col(id_column).alias("i"),
+                       F.col("pos").alias("p"))).alias("first"))
+    dup = (
+        w.join(firsts, "h")
+        .filter(~((F.col(id_column) == F.col("first.i"))
+                  & (F.col("pos") == F.col("first.p"))))
+        .groupBy(id_column)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    rebuilt = (
+        base.join(dup, id_column, "left")
+        .withColumn("__starts", F.coalesce(
+            F.col("__starts"), F.array().cast("array<int>")))
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.col("__w"),
+                lambda w_, i: ~F.exists(
+                    F.col("__starts"),
+                    lambda s: (s <= i) & (i < s + L)),
+            ),
+        )
+        .select(
+            id_column,
+            F.array_join("__kept", " ").alias(text_column),
+            F.size("__kept").cast("long").alias("n_tokens_kept"),
+            (F.size("__w") - F.size("__kept")).cast("long")
+            .alias("n_tokens_dropped"),
+        )
+    )
+    return rebuilt

@@ -1409,3 +1409,49 @@ def test_registry_ingest_with_id_bloom(spark, tmp_path):
         store, "corpus", spark.createDataFrame(
             [(10, text(77))], "doc_id long, text string")).collect()}
     assert surv == {10}
+
+
+def test_dedup_substrings_drops_shared_suffix(spark):
+    """Lee et al. ExactSubstr semantics: a 60-token run shared by three
+    docs survives only in the globally-first doc; the others lose
+    exactly that suffix (windows spanning the unique/shared boundary
+    differ per doc, so coverage is exactly the shared run)."""
+    from dsgrid_spark.pipeline.dedup import dedup_substrings
+
+    boiler = " ".join(f"b{j}" for j in range(60))
+    rows = [(i, " ".join(f"u{i}t{j}" for j in range(120)) + " " + boiler)
+            for i in (3, 7, 11)]
+    rows.append((1, " ".join(f"u1t{j}" for j in range(80))))  # short-ish, unique
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(df, window_tokens=50).collect()}
+    assert out[3]["n_tokens_dropped"] == 0 and out[3]["n_tokens_kept"] == 180
+    for i in (7, 11):
+        assert out[i]["n_tokens_dropped"] == 60
+        assert out[i]["text"] == " ".join(f"u{i}t{j}" for j in range(120))
+    assert out[1]["n_tokens_dropped"] == 0
+
+
+def test_dedup_substrings_short_docs_untouched(spark):
+    from dsgrid_spark.pipeline.dedup import dedup_substrings
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(df, window_tokens=50).collect()}
+    assert out[1]["text"] == "a b c" and out[2]["text"] == "a b c"
+    assert out[2]["n_tokens_dropped"] == 0
+
+
+def test_dedup_substrings_within_doc_repeat(spark):
+    """A doc repeating its own 50-token run keeps the first occurrence
+    and drops the second."""
+    from dsgrid_spark.pipeline.dedup import dedup_substrings
+
+    run = " ".join(f"r{j}" for j in range(50))
+    mid = " ".join(f"m{j}" for j in range(30))
+    df = spark.createDataFrame(
+        [(5, f"{run} {mid} {run}")], "doc_id long, text string")
+    row = dedup_substrings(df, window_tokens=50).collect()[0]
+    assert row["n_tokens_kept"] == 80 and row["n_tokens_dropped"] == 50
+    assert row["text"] == f"{run} {mid}"
