@@ -147,6 +147,40 @@ def mixture_sample(df: DataFrame, group_column: str,
     )
 
 
+def shuffle_corpus(df: DataFrame, key_column: str, n_shards: int,
+                   salt: str = "") -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    ``(shard, shard_pos)`` pair so that reading shard 0, 1, ... each in
+    ``shard_pos`` order yields a reproducible pseudo-random permutation
+    of the corpus — the data-ordering step before writing training
+    shards. ``df.orderBy(rand())`` is seed-and-layout dependent and a
+    single global sort; this derives the order from md5(key||salt), so
+    the same corpus always shuffles the same way, any engine can
+    re-derive the order for audit, and changing ``salt`` draws an
+    independent permutation (a new data epoch).
+
+    Scale: shard = hash % n_shards spreads rows evenly; the position
+    window partitions BY SHARD, so nothing ever funnels through one
+    partition — pick n_shards >= cluster parallelism (a few thousand at
+    100 TB) and each shard sorts independently. The physical write is
+    ``.repartition(n_shards, 'shard').sortWithinPartitions('shard_pos')``
+    — one shuffle, no global sort. Position ties are broken by the key
+    itself, so the order is total and engine-independent.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.col(key_column)
+    order = hash_bucket(key, salt)
+    shard = (hash_bucket(key, salt + "#shard") % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("__order", key_column)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__order", order)
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__order")
+    )
+
+
 def leakage_safe_split(df: DataFrame, id_column: str,
                        dup_pairs: DataFrame | None,
                        holdout_fraction: float,

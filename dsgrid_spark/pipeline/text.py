@@ -508,6 +508,105 @@ def top_terms(df: DataFrame, id_column: str = "doc_id",
     )
 
 
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_column: str = "doc_id", text_column: str = "text",
+                k1: float = 1.2, b: float = 0.75,
+                micro: bool = False) -> DataFrame:
+    """BM25 relevance of every matching document against a bag-of-terms
+    query (full-text retrieval over the corpus, reference: Robertson &
+    Zaragoza 2009 / the Lucene practical variant).
+
+    Default output is ``(id, bm25)`` with the standard
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf. ``micro=True`` swaps the
+    log idf for its rational core ``(2N - 2df + 1)/(2df + 1)`` and emits
+    integer micro-scores from a FIXED IEEE-double op sequence — the
+    ranking-equivalent form an external SQL engine reproduces bit-exactly
+    (ln differs in the last ulp across libm implementations; products,
+    sums and one floor(×1e6) division do not). Only k1=1.2, b=0.75 are
+    supported in micro mode: the constants 2.2 = k1+1, 0.3 = k1(1-b) and
+    0.9 = k1·b appear literally so both engines parse identical doubles.
+
+    Scale: the term filter sits UNDER the (doc, term) shuffle, so only
+    query-term hits leave the scan; doc lengths ride the same row; the
+    per-term doc-freq table is a handful of rows crossed back broadcast,
+    and corpus totals (N, total tokens) are one broadcast single-row agg
+    — no collect, the whole score is one lazy plan. Docs with no query
+    term are absent (callers left-join + coalesce(0) if they need the
+    full corpus).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if micro and (k1, b) != (1.2, 0.75):
+        raise ValueError("micro mode fixes k1=1.2, b=0.75")
+    terms = [t.lower() for t in query_terms]
+    arr = _word_array(F.col(text_column))
+    base = df.select(
+        F.col(id_column),
+        F.size(F.filter(arr, lambda x: x != "")).cast("long").alias("__dl"),
+        F.array_intersect(arr, F.array(*[F.lit(t) for t in terms]))
+        .alias("__hit_terms"),
+        arr.alias("__words"),
+    )
+    # only rows containing >= 1 query term ever explode or shuffle
+    hits = (
+        base.filter(F.size("__hit_terms") > 0)
+        .select(
+            id_column, "__dl",
+            F.explode("__hit_terms").alias("term"),
+            F.col("__words"),
+        )
+        .withColumn(
+            "tf",
+            F.size(F.filter(F.col("__words"), lambda x: x == F.col("term")))
+            .cast("long"),
+        )
+        .drop("__words")
+    )
+    doc_freq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__dl").cast("long").alias("total_tokens"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        hits.join(broadcast(doc_freq), "term")
+        .crossJoin(broadcast(stats))
+    )
+    n, dfreq = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    tf, dl = F.col("tf").cast("double"), F.col("__dl").cast("double")
+    t_tot = F.col("total_tokens").cast("double")
+    if micro:
+        # literal-for-literal the same expression the SQL oracle runs:
+        # num = ((2N - 2df) + 1) * tf * 2.2
+        # den = (2df + 1) * ((tf + 0.3) + (0.9 * N / T) * dl)
+        num = (F.lit(2.0) * n - F.lit(2.0) * dfreq + F.lit(1.0)) * tf \
+            * F.lit(2.2)
+        den = (F.lit(2.0) * dfreq + F.lit(1.0)) * (
+            (tf + F.lit(0.3)) + (F.lit(0.9) * n / t_tot) * dl)
+        per_term = F.floor(F.lit(1000000.0) * num / den).cast("long")
+        out = F.sum(per_term).alias("bm25_micro")
+    else:
+        idf = F.log(
+            F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)))
+        avgdl = t_tot / n
+        per_term = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+        out = F.sum(per_term).alias("bm25")
+    return scored.groupBy(id_column).agg(out)
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int,
+              id_column: str = "doc_id", text_column: str = "text",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by BM25 (ties broken by
+    id). A global sort+limit that Spark executes as TakeOrderedAndProject
+    — per-partition top-k then a k-row driver merge, never a full sort."""
+    scores = bm25_scores(df, query_terms, id_column, text_column, k1, b)
+    return scores.orderBy(F.desc("bm25"), F.asc(id_column)).limit(k)
+
+
 def chunk_documents(df: DataFrame, id_column: str = "doc_id",
                     text_column: str = "text", chunk_chars: int = 1000,
                     overlap: int = 100) -> DataFrame:

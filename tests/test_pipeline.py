@@ -1455,3 +1455,160 @@ def test_dedup_substrings_within_doc_repeat(spark):
     row = dedup_substrings(df, window_tokens=50).collect()[0]
     assert row["n_tokens_kept"] == 80 and row["n_tokens_dropped"] == 50
     assert row["text"] == f"{run} {mid}"
+
+
+def test_shuffle_corpus_deterministic_and_dense(spark):
+    """Same (key, salt) -> same (shard, shard_pos) regardless of input
+    layout; positions are dense 0..n-1 per shard; a new salt draws a
+    different permutation."""
+    from dsgrid_spark.pipeline.sampling import shuffle_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_corpus(df, "doc_id", 5, salt="s1").collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_corpus(
+             df.repartition(7), "doc_id", 5, salt="s1").collect()}
+    assert a == b  # layout-independent
+    per_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, positions in per_shard.items():
+        assert sorted(positions) == list(range(len(positions)))
+    c = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_corpus(df, "doc_id", 5, salt="s2").collect()}
+    assert a != c  # independent epoch
+    with pytest.raises(ValueError):
+        shuffle_corpus(df, "doc_id", 0)
+
+
+def _py_bm25(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75,
+             micro=False):
+    """Reference BM25 (ln idf, or the rational micro variant) in plain
+    Python, mirroring the documented formula."""
+    import math
+
+    words = {i: t.strip().lower().split() for i, t in docs.items()}
+    n = len(docs)
+    total = sum(len(w) for w in words.values())
+    dfreq = {t: sum(1 for w in words.values() if t in w) for t in terms}
+    out = {}
+    for i, w in words.items():
+        score = 0.0
+        iscore = 0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            dl = len(w)
+            if micro:
+                num = (2.0 * n - 2.0 * dfreq[t] + 1.0) * tf * 2.2
+                den = (2.0 * dfreq[t] + 1.0) * (
+                    (tf + 0.3) + (0.9 * n / total) * dl)
+                iscore += math.floor(1000000.0 * num / den)
+            else:
+                idf = math.log(
+                    1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                score += idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / (total / n)))
+        if iscore or score:
+            out[i] = iscore if micro else score
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    from dsgrid_spark.pipeline.text import bm25_scores, bm25_topk
+
+    corpus = {
+        0: "spark window stream engine window window",
+        1: "stream stream stream of data",
+        2: "no relevant terms here at all",
+        3: "window",
+        4: "a much longer document about many things window appears once "
+           "inside a lot of other words diluting the term frequency body",
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    q = ["window", "stream"]
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(df, q).collect()}
+    exp = _py_bm25(corpus, q)
+    assert set(got) == set(exp)  # doc 2 absent
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-12)
+    gotm = {r["doc_id"]: r["bm25_micro"]
+            for r in bm25_scores(df, q, micro=True).collect()}
+    assert gotm == _py_bm25(corpus, q, micro=True)
+    top = [r["doc_id"] for r in bm25_topk(df, q, 2).collect()]
+    ranked = sorted(exp, key=lambda i: (-exp[i], i))[:2]
+    assert top == ranked
+    with pytest.raises(ValueError):
+        bm25_scores(df, [])
+    with pytest.raises(ValueError):
+        bm25_scores(df, q, k1=2.0, micro=True)
+
+
+def _py_bpe(word_freq: dict[str, int], num_merges: int, min_count=2):
+    """Reference BPE (Sennrich-style, overlapping pair counts, greedy
+    left-to-right merge, ties -> lexicographically smallest pair)."""
+    from dsgrid_spark.pipeline.bpe import END_OF_WORD
+
+    table = {tuple(list(w) + [END_OF_WORD]): c for w, c in word_freq.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in table.items():
+            for a_, b_ in zip(syms, syms[1:]):
+                counts[(a_, b_)] = counts.get((a_, b_), 0) + c
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        if counts[pair] < min_count:
+            break
+        merges.append((pair[0], pair[1], counts[pair]))
+        left, right = pair
+        new_table = {}
+        for syms, c in table.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_table[tuple(out)] = new_table.get(tuple(out), 0) + c
+        table = new_table
+    return merges
+
+
+def test_train_bpe_matches_reference_sequence(spark):
+    from collections import Counter
+
+    from dsgrid_spark.pipeline.bpe import bpe_segment, train_bpe
+
+    sentences = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest widest",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sentences)],
+        "doc_id long, text string")
+    freq = Counter(w for s in sentences for w in s.split())
+    exp = _py_bpe(dict(freq), 8)
+    got = train_bpe(df, num_merges=8)
+    assert [(m["left"], m["right"], m["count"]) for m in got] == exp
+    assert [m["rank"] for m in got] == list(range(len(got)))
+    # early stop: a corpus of unique characters has no pair >= min count
+    tiny = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    assert train_bpe(tiny, num_merges=4, min_pair_count=2) == []
+    # segmentation replays the merges greedily per word
+    seg = df.select(bpe_segment(F.col("text"), got).alias("toks"))
+    toks = seg.collect()[0]["toks"]
+    assert toks and all(isinstance(t, str) for t in toks)
+    from dsgrid_spark.pipeline.bpe import _segment_word
+    expected0 = []
+    for w in sentences[0].split():
+        expected0.extend(
+            _segment_word(w, [(m["left"], m["right"]) for m in got]))
+    assert toks == expected0
