@@ -890,8 +890,11 @@ def q28_dedup_exact(spark, sf_dir):
 
 def q29_text_stats(spark, sf_dir):
     """Token counting + quality components + corpus-trained bigram LM
-    familiarity score (pipeline ops)."""
-    from dsgrid_spark.pipeline.text import bigram_familiarity
+    familiarity score + BM25 relevance against a fixed query (pipeline
+    ops). The bm25_micro column uses the operator's exact-integer mode:
+    rational idf and a fixed IEEE op sequence, so DuckDB reproduces it
+    bit-for-bit (ln idf differs in the last ulp across libm builds)."""
+    from dsgrid_spark.pipeline.text import bigram_familiarity, bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -906,7 +909,13 @@ def q29_text_stats(spark, sf_dir):
         F.floor(F.when(n > 0, alpha * F.lit(1000000.0) / n).otherwise(F.lit(0.0)))
         .cast("long").alias("alpha_ratio_ppm"),
     )
-    return stats.join(bigram_familiarity(docs, "doc_id", "text"), "doc_id")
+    bm25 = bm25_scores(docs, ["window", "stream", "vector"], micro=True)
+    return (
+        stats.join(bigram_familiarity(docs, "doc_id", "text"), "doc_id")
+        .join(bm25, "doc_id", "left")
+        .withColumn("bm25_micro",
+                    F.coalesce(F.col("bm25_micro"), F.lit(0)).cast("long"))
+    )
 
 
 def q30_minhash_dedup(spark, sf_dir):
@@ -1405,10 +1414,13 @@ def q46_sample_and_cap(spark, sf_dir):
     per language in hash-of-key order; survivors pack into 5000-char
     training batches by running total. 'mix' rows: per-language keep
     fractions derived from target char-mass weights (binding group 'de'
-    kept whole, 'zh' excluded from the mix)."""
+    kept whole, 'zh' excluded from the mix). 'shuffle' rows: the
+    deterministic sharded training-order permutation (shuffle_corpus),
+    batch_index = shard*1e6 + shard_pos so the oracle pins the exact
+    order, not just membership."""
     from dsgrid_spark.pipeline.sampling import (
         cap_per_group, deterministic_sample, mixture_sample, pack_sequences,
-        stratified_sample,
+        shuffle_corpus, stratified_sample,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1432,7 +1444,18 @@ def q46_sample_and_cap(spark, sf_dir):
         F.lit("strat").alias("op"), "doc_id", "lang", "source",
         F.lit(-1).cast("long").alias("batch_index"),
     )
-    return pack_rows.unionByName(mix_rows).unionByName(strat_rows)
+    # 'shuffle' rows: deterministic global training order — shard by one
+    # md5 stream, order within shard by another; batch_index packs
+    # (shard, shard_pos) into one long so the oracle checks the exact
+    # permutation, not just membership.
+    shuf = shuffle_corpus(docs, "doc_id", 7, salt="ep0")
+    shuffle_rows = shuf.select(
+        F.lit("shuffle").alias("op"), "doc_id", "lang", "source",
+        (F.col("shard").cast("long") * F.lit(1000000)
+         + F.col("shard_pos")).alias("batch_index"),
+    )
+    return (pack_rows.unionByName(mix_rows).unionByName(strat_rows)
+            .unionByName(shuffle_rows))
 
 
 def q47_fingerprint(spark, sf_dir):
@@ -2582,6 +2605,38 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(sum(m.c) * 1000000.0 / count(*)) AS BIGINT) AS lm
               FROM bigr b JOIN model m USING (bigram)
               GROUP BY b.doc_id
+            ), bmbase AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(w, x -> x != '')) AS BIGINT) AS dl,
+                     w
+              FROM toks
+            ), bmstats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS t
+              FROM bmbase
+            ), bmhits AS (
+              SELECT doc_id, dl, term,
+                     CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, w,
+                           unnest(list_intersect(
+                             w, ['window', 'stream', 'vector'])) AS term
+                    FROM bmbase)
+            ), bmdf AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM bmhits GROUP BY term
+            ), bm25 AS (
+              -- rational-idf BM25 micro-score, literal-for-literal the
+              -- fixed IEEE sequence the Spark operator runs (micro=True)
+              SELECT doc_id,
+                     CAST(sum(CAST(floor(1000000.0 *
+                       ((2.0 * n - 2.0 * df + 1.0)
+                          * CAST(tf AS DOUBLE) * 2.2) /
+                       ((2.0 * df + 1.0) * ((CAST(tf AS DOUBLE) + 0.3)
+                          + (0.9 * n / CAST(t AS DOUBLE))
+                            * CAST(dl AS DOUBLE)))
+                     ) AS BIGINT)) AS BIGINT) AS bm
+              FROM bmhits JOIN bmdf USING (term) CROSS JOIN bmstats
+              GROUP BY doc_id
             )
             SELECT d.doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -2593,8 +2648,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CASE WHEN len(text) > 0 THEN
                      len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 / len(text)
                      ELSE 0.0 END) AS BIGINT) AS alpha_ratio_ppm,
-                   coalesce(fam.lm, 0) AS lm_familiarity_micro
+                   coalesce(fam.lm, 0) AS lm_familiarity_micro,
+                   CAST(coalesce(bm25.bm, 0) AS BIGINT) AS bm25_micro
             FROM documents d LEFT JOIN fam ON d.doc_id = fam.doc_id
+                             LEFT JOIN bm25 ON d.doc_id = bm25.doc_id
         """,
         "q36_index_time": f"""
             SELECT 'index' AS mode, event_id,
@@ -2918,6 +2975,22 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 500000
                               WHEN 'de' THEN 250000
                               ELSE 100000 END
+            UNION ALL
+            SELECT 'shuffle', doc_id, lang, source,
+                   CAST(shard * 1000000
+                        + row_number() OVER (PARTITION BY shard
+                                             ORDER BY ord, doc_id)
+                        - 1 AS BIGINT)
+            FROM (
+              SELECT doc_id, lang, source,
+                     CAST(concat('0x', substr(md5(concat(
+                         CAST(doc_id AS VARCHAR), 'ep0#shard')), 1, 8))
+                       AS BIGINT) % 1000000 % 7 AS shard,
+                     CAST(concat('0x', substr(md5(concat(
+                         CAST(doc_id AS VARCHAR), 'ep0')), 1, 8))
+                       AS BIGINT) % 1000000 AS ord
+              FROM documents
+            )
         """,
         "q47_fingerprint": f"""
             SELECT 'fp' AS op, doc_id, '' AS term,
