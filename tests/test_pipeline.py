@@ -1612,3 +1612,49 @@ def test_train_bpe_matches_reference_sequence(spark):
         expected0.extend(
             _segment_word(w, [(m["left"], m["right"]) for m in got]))
     assert toks == expected0
+
+
+def test_term_index_bm25_search_equals_scan(spark, tmp_path):
+    """The persisted inverted index returns the same BM25 ranking as the
+    direct corpus scan, while reading only the buckets the query terms
+    hash into (partition pruning observable in inputFiles)."""
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+    from dsgrid_spark.pipeline.text import bm25_scores
+
+    corpus = {
+        0: "spark window stream engine window window",
+        1: "stream stream stream of data",
+        2: "no relevant terms here at all",
+        3: "window",
+        4: "a much longer document about many things window appears once "
+           "inside a lot of other words diluting the term frequency body",
+        5: "engine engine data window stream",
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(df, path, n_buckets=16)
+    q = ["window", "stream"]
+    got = {r["id"]: r["bm25"] for r in bm25_search(spark, path, q, k=10)
+           .collect()}
+    exp = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, q).collect()}
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-12)
+    # ranking order, ties by id
+    ranked = [r["id"] for r in bm25_search(spark, path, q, k=3).collect()]
+    assert ranked == sorted(exp, key=lambda i: (-exp[i], i))[:3]
+    # pruning: the probed scan must actually touch fewer files than the
+    # full postings tree (input_file_name reflects post-pruning reads;
+    # inputFiles() would list the whole relation)
+    post_all = spark.read.parquet(f"{path}/postings")
+    n_all = post_all.select(F.input_file_name()).distinct().count()
+    n_probed = (
+        post_all.filter(F.col("bucket").isin([2]) & F.col("term").isin(q))
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert n_probed <= 1 < n_all
+    with pytest.raises(ValueError):
+        bm25_search(spark, path, [])
+    with pytest.raises(ValueError):
+        write_term_index(df, path, n_buckets=0)
