@@ -5,6 +5,8 @@ Chains the pipeline operators the way a real pretraining-data job would:
     quality funnel -> paragraph boilerplate removal -> MinHash near-dedup
     -> benchmark decontamination -> token-weighted mixture sampling
     -> sequence packing -> sharded export (+ manifest)
+    plus the retrieval/vocabulary side: BPE merge induction over the
+    clean corpus and a persisted inverted index probed with BM25.
 
 Every step is a DataFrame transformation; the only actions are the
 prints. Run:
@@ -95,6 +97,19 @@ def main() -> None:
     with open(f"{out}/_manifest.json") as f:
         print("shards:", json.dumps(json.load(f))[:200], "...")
     print("export:", out)
+
+    # 7. vocabulary: first BPE merges learned from the clean corpus
+    from dsgrid_spark.pipeline.bpe import train_bpe
+    merges = train_bpe(clean, num_merges=4)
+    print("bpe merges:", [(m["left"], m["right"], m["count"])
+                          for m in merges])
+
+    # 8. retrieval: persist the inverted index once, probe it with BM25
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+    idx = tempfile.mkdtemp(prefix="term_index_")
+    write_term_index(clean, idx, n_buckets=16)
+    hits = bm25_search(spark, idx, ["window", "stream"], k=3).collect()
+    print("bm25 top3:", [(r["id"], round(r["bm25"], 4)) for r in hits])
 
 
 if __name__ == "__main__":
