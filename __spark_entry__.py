@@ -1419,8 +1419,9 @@ def q46_sample_and_cap(spark, sf_dir):
     batch_index = shard*1e6 + shard_pos so the oracle pins the exact
     order, not just membership."""
     from dsgrid_spark.pipeline.sampling import (
-        cap_per_group, deterministic_sample, mixture_sample, pack_sequences,
-        shuffle_corpus, stratified_sample,
+        cap_per_group, chunk_token_stream, deterministic_sample,
+        mixture_sample, pack_sequences, shuffle_corpus, stratified_sample,
+        take_token_budget,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1454,8 +1455,30 @@ def q46_sample_and_cap(spark, sf_dir):
         (F.col("shard").cast("long") * F.lit(1000000)
          + F.col("shard_pos")).alias("batch_index"),
     )
+    # 'chunks' rows: token-EXACT concat-and-chunk packing — each doc once
+    # per 5000-char chunk it overlaps; batch_index packs
+    # (chunk, tok_start, tok_end) so the oracle pins the exact spans.
+    chunks = chunk_token_stream(docs, ["lang"], "doc_id", "n_chars", 5000,
+                                salt="ck")
+    chunk_rows = chunks.select(
+        F.lit("chunks").alias("op"), "doc_id", "lang", "source",
+        (F.col("chunk_index") * F.lit(100000000)
+         + F.col("tok_start") * F.lit(10000)
+         + F.col("tok_end")).cast("long").alias("batch_index"),
+    )
+    # 'budget' rows: the exact hash-order prefix that fills a 20000-char
+    # budget (distributed prefix sum); batch_index = the global running
+    # total itself, so the oracle verifies the prefix sums, not just
+    # membership.
+    took = take_token_budget(docs, "doc_id", "n_chars", 20000, n_shards=8,
+                             salt="tb", keep_running_total=True)
+    budget_rows = took.select(
+        F.lit("budget").alias("op"), "doc_id", "lang", "source",
+        F.col("running_total").alias("batch_index"),
+    )
     return (pack_rows.unionByName(mix_rows).unionByName(strat_rows)
-            .unionByName(shuffle_rows))
+            .unionByName(shuffle_rows).unionByName(chunk_rows)
+            .unionByName(budget_rows))
 
 
 def q47_fingerprint(spark, sf_dir):
@@ -2991,6 +3014,48 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) % 1000000 AS ord
               FROM documents
             )
+            UNION ALL
+            SELECT 'chunks', doc_id, lang, source,
+                   CAST(c * 100000000
+                        + (greatest(s, c * 5000) - c * 5000) * 10000
+                        + (least(e, (c + 1) * 5000) - c * 5000) AS BIGINT)
+            FROM (
+              SELECT doc_id, lang, source, s, e,
+                     unnest(generate_series(
+                       CAST(floor(s / 5000.0) AS BIGINT),
+                       CAST(floor((e - 1) / 5000.0) AS BIGINT))) AS c
+              FROM (
+                SELECT doc_id, lang, source,
+                       sum(n_chars) OVER (PARTITION BY lang
+                         ORDER BY hb, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_chars AS s,
+                       sum(n_chars) OVER (PARTITION BY lang
+                         ORDER BY hb, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS e
+                FROM (
+                  SELECT doc_id, lang, source, n_chars,
+                         CAST(concat('0x', substr(md5(concat(
+                             CAST(doc_id AS VARCHAR), 'ck')), 1, 8))
+                           AS BIGINT) % 1000000 AS hb
+                  FROM documents WHERE n_chars > 0
+                )
+              )
+            )
+            UNION ALL
+            SELECT 'budget', doc_id, lang, source, CAST(rt AS BIGINT)
+            FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     sum(n_chars) OVER (ORDER BY hb, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS rt
+              FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(doc_id AS VARCHAR), 'tb')), 1, 8))
+                         AS BIGINT) % 1000000 AS hb
+                FROM documents
+              )
+            )
+            WHERE rt - n_chars < 20000
         """,
         "q47_fingerprint": f"""
             SELECT 'fp' AS op, doc_id, '' AS term,

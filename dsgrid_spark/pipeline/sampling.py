@@ -147,6 +147,136 @@ def mixture_sample(df: DataFrame, group_column: str,
     )
 
 
+def chunk_token_stream(df: DataFrame, group_columns: list[str],
+                       key_column: str, size_column: str,
+                       chunk_tokens: int, salt: str = "") -> DataFrame:
+    """Token-EXACT sequence packing (GPT-style concat-and-chunk): within
+    each group, concatenate documents in deterministic hash order into
+    one virtual token stream and cut it every ``chunk_tokens`` tokens.
+    Unlike ``pack_sequences`` (whole documents, budget may overflow),
+    chunks here have exactly ``chunk_tokens`` tokens and documents SPLIT
+    across chunk boundaries: each row comes back once per chunk it
+    overlaps, with the token span it contributes.
+
+    Adds ``chunk_index`` (0-based within the group), ``tok_start`` /
+    ``tok_end`` (the row's half-open token span inside that chunk).
+    Zero-token rows are dropped (they contribute nothing to any chunk).
+
+    Scale: one window per group computes the running offset (same
+    partitioning as the final explode — no extra shuffle); the explode
+    emits size/chunk_tokens + 1 rows per document, i.e. output is
+    proportional to the token stream, never quadratic. Groups pack in
+    parallel; shard a monolithic corpus first (e.g. with
+    ``shuffle_corpus`` and ``shard`` as the group column).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(
+            f"chunk_tokens must be positive, got {chunk_tokens}")
+    w = (
+        Window.partitionBy(*group_columns)
+        .orderBy(hash_bucket(F.col(key_column), salt), F.col(key_column))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    size = F.col(size_column).cast("long")
+    end = F.sum(size).over(w)
+    start = (end - size).alias("__start")
+    L = F.lit(chunk_tokens)
+    out = (
+        df.filter(size > 0)
+        .withColumn("__start", start)
+        .withColumn("__end", end)
+        .withColumn(
+            "chunk_index",
+            F.explode(F.sequence(
+                F.floor(F.col("__start") / L),
+                F.floor((F.col("__end") - 1) / L))),
+        )
+        .withColumn(
+            "tok_start",
+            F.greatest(F.col("__start"), F.col("chunk_index") * L)
+            - F.col("chunk_index") * L,
+        )
+        .withColumn(
+            "tok_end",
+            F.least(F.col("__end"), (F.col("chunk_index") + 1) * L)
+            - F.col("chunk_index") * L,
+        )
+        .drop("__start", "__end")
+    )
+    return out
+
+
+def global_running_total(df: DataFrame, key_column: str, size_column: str,
+                         n_shards: int = 256, salt: str = "") -> DataFrame:
+    """Exact GLOBAL running total of ``size_column`` in deterministic
+    hash-of-key order — the distributed prefix sum a single global-sort
+    window cannot give you (one partition = one straggler at 100 TB).
+
+    Two passes: (1) per-shard totals (n_shards rows to the driver —
+    bounded, independent of data size) become broadcast cumulative
+    offsets; (2) each shard windows its own rows and adds its offset.
+    Adds ``running_total`` = sum of sizes of all rows at-or-before this
+    row in the global (hash, key) order.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.col(key_column)
+    order = hash_bucket(key, salt)
+    # shard by RANGE of the order hash so shard id ascends with the
+    # global order (bucket 0's rows all precede bucket 1's)
+    shard = F.floor(order * F.lit(n_shards) / F.lit(_BUCKETS)).cast("int")
+    tagged = df.withColumn("__ord", order).withColumn("__shard", shard)
+    totals = {
+        r["__shard"]: r["t"]
+        for r in tagged.groupBy("__shard")
+        .agg(F.sum(F.col(size_column).cast("long")).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for s in sorted(totals):
+        offsets[s] = acc
+        acc += totals[s]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(s), int(o)) for s, o in offsets.items()],
+        "__shard int, __offset long")
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy("__ord", key_column)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.join(F.broadcast(off_df), "__shard")
+        .withColumn(
+            "running_total",
+            F.sum(F.col(size_column).cast("long")).over(w)
+            + F.col("__offset"),
+        )
+        .drop("__ord", "__shard", "__offset")
+    )
+
+
+def take_token_budget(df: DataFrame, key_column: str, size_column: str,
+                      budget: int, n_shards: int = 256, salt: str = "",
+                      keep_running_total: bool = False) -> DataFrame:
+    """Keep documents, in deterministic hash order, until ``budget``
+    tokens are filled (the 'give me a 100B-token subset' cut). A row is
+    kept iff the tokens BEFORE it leave room to start it, so the subset
+    may overrun by at most one document — the same streaming guarantee
+    as ``pack_sequences``. Built on the distributed prefix sum, so no
+    global sort and the cut is engine-reproducible.
+    ``keep_running_total=True`` retains the cumulative column (how much
+    of the budget each kept row consumed).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    running = global_running_total(df, key_column, size_column,
+                                   n_shards=n_shards, salt=salt)
+    started_before = (
+        F.col("running_total") - F.col(size_column).cast("long"))
+    kept = running.filter(started_before < budget)
+    return kept if keep_running_total else kept.drop("running_total")
+
+
 def shuffle_corpus(df: DataFrame, key_column: str, n_shards: int,
                    salt: str = "") -> DataFrame:
     """Deterministic global training-order shuffle: assign every row a

@@ -1658,3 +1658,72 @@ def test_term_index_bm25_search_equals_scan(spark, tmp_path):
         bm25_search(spark, path, [])
     with pytest.raises(ValueError):
         write_term_index(df, path, n_buckets=0)
+
+
+def test_chunk_token_stream_tiles_exactly(spark):
+    """Concat-and-chunk: spans tile each group's token stream with
+    exactly chunk_tokens per chunk (except the last), documents split
+    across boundaries with complementary spans, zero-size rows drop."""
+    from dsgrid_spark.pipeline.sampling import chunk_token_stream
+
+    df = spark.createDataFrame(
+        [(i, "g", 70 if i % 3 else 0) for i in range(12)],
+        "doc_id long, grp string, n_tok long")
+    out = chunk_token_stream(df, ["grp"], "doc_id", "n_tok", 100).collect()
+    total = sum(70 for i in range(12) if i % 3)
+    assert sum(r["tok_end"] - r["tok_start"] for r in out) == total
+    by_chunk: dict[int, int] = {}
+    for r in out:
+        assert 0 <= r["tok_start"] < r["tok_end"] <= 100
+        by_chunk[r["chunk_index"]] = (
+            by_chunk.get(r["chunk_index"], 0) + r["tok_end"] - r["tok_start"])
+    last = max(by_chunk)
+    assert set(by_chunk) == set(range(last + 1))
+    for c, n in by_chunk.items():
+        assert n == 100 or (c == last and n == total - 100 * last)
+    # a 70-token doc crossing a boundary appears exactly twice
+    spans: dict[int, int] = {}
+    for r in out:
+        spans[r["doc_id"]] = spans.get(r["doc_id"], 0) + 1
+    assert set(spans) == {i for i in range(12) if i % 3}
+    assert all(n in (1, 2) for n in spans.values())
+    with pytest.raises(ValueError):
+        chunk_token_stream(df, ["grp"], "doc_id", "n_tok", 0)
+
+
+def test_global_running_total_matches_single_partition(spark):
+    """The sharded prefix sum equals a brute-force cumulative sum over
+    the same deterministic (hash, key) order, for several shard counts."""
+    from dsgrid_spark.pipeline.sampling import (
+        global_running_total, hash_bucket, take_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 1) for i in range(300)],
+        "doc_id long, n_tok long")
+    hashed = df.select(
+        "doc_id", "n_tok", hash_bucket(F.col("doc_id"), "s").alias("h")
+    ).collect()
+    order = sorted(hashed, key=lambda r: (r["h"], r["doc_id"]))
+    exp, acc = {}, 0
+    for r in order:
+        acc += r["n_tok"]
+        exp[r["doc_id"]] = acc
+    for n_shards in (1, 4, 64):
+        got = {r["doc_id"]: r["running_total"]
+               for r in global_running_total(
+                   df, "doc_id", "n_tok", n_shards=n_shards,
+                   salt="s").collect()}
+        assert got == exp, n_shards
+    # budget take: the kept set is the exact hash-order prefix, with at
+    # most one overflowing document
+    budget = 1000
+    kept = {r["doc_id"] for r in take_token_budget(
+        df, "doc_id", "n_tok", budget, n_shards=8, salt="s").collect()}
+    acc, exp_kept = 0, set()
+    for r in order:
+        if acc < budget:
+            exp_kept.add(r["doc_id"])
+        acc += r["n_tok"]
+    assert kept == exp_kept
+    assert take_token_budget(df, "doc_id", "n_tok", 0, salt="s").count() == 0
