@@ -431,3 +431,83 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def write_ivf_index(df: DataFrame, path: str,
+                    centroids: list[list[float]],
+                    id_column: str = "vec_id",
+                    vector_column: str = "embedding") -> None:
+    """Persist an IVF index: vectors assigned to their nearest centroid
+    ONCE and written partitioned by cluster id, plus the centroid table.
+
+    ``ivf_topk`` re-assigns the whole corpus on every call — right for a
+    one-shot audit, wrong as the steady-state ANN path at 100 TB. Here
+    assignment is paid at build time; a query then reads ONLY its
+    ``n_probe`` clusters' partitions (Spark partition pruning), i.e.
+    ~n_probe/n_clusters of the corpus, typically a few files.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    # canonical column names inside the index (id, embedding, cluster) —
+    # readers don't need to know the source frame's naming
+    assigned = (
+        assign_nearest_centroid(df, centroids, vector_column)
+        .withColumnRenamed("__cluster", "cluster")
+        .select(F.col(id_column).alias("id"),
+                F.col(vector_column).alias("embedding"), "cluster")
+    )
+    (assigned.repartition("cluster")
+       .write.mode("overwrite").partitionBy("cluster")
+       .parquet(f"{path}/vectors"))
+    spark = df.sparkSession
+    rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
+    (spark.createDataFrame(rows, "cluster int, centroid array<double>")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
+               k: int = 10, n_probe: int = 2) -> DataFrame:
+    """Top-k cosine neighbors per query from a persisted IVF index.
+
+    ``queries`` is a small [(query_id, vector), ...] list (the broadcast
+    side by construction, same convention as ``ivf_topk``). Centroid
+    ranking runs driver-side on the tiny centroid table; the vector scan
+    is pruned to the probed clusters before scoring. Returns
+    (query_id, id, score) with exact cosine re-ranking inside the probed
+    clusters — identical results to ``ivf_topk`` with the same centroids
+    and n_probe (tested).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    import math
+
+    cent = {r["cluster"]: list(r["centroid"])
+            for r in spark.read.parquet(f"{path}/centroids").collect()}
+
+    def cos(a, b):
+        d = (math.sqrt(sum(x * x for x in a))
+             * math.sqrt(sum(x * x for x in b)))
+        return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
+
+    probe_rows = []
+    for qid, qv in queries:
+        ranked = sorted(cent, key=lambda i: -cos(qv, cent[i]))
+        for ci in ranked[:n_probe]:
+            probe_rows.append((qid, ci, [float(x) for x in qv]))
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, cluster int, __qv array<double>")
+    probed_clusters = sorted({r[1] for r in probe_rows})
+    vectors = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cluster").isin(probed_clusters))
+    )
+    scored = vectors.join(F.broadcast(qdf), "cluster").select(
+        "query_id", "id",
+        cosine(F.col("embedding"), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

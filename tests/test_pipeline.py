@@ -1727,3 +1727,42 @@ def test_global_running_total_matches_single_partition(spark):
         acc += r["n_tok"]
     assert kept == exp_kept
     assert take_token_budget(df, "doc_id", "n_tok", 0, salt="s").count() == 0
+
+
+def test_ivf_index_search_equals_inline(spark, tmp_path):
+    """The persisted IVF index returns the same neighbors as the inline
+    ivf_topk with identical centroids/n_probe, reading only the probed
+    cluster partitions."""
+    from dsgrid_spark.pipeline.similarity import (
+        ivf_search, ivf_topk, kmeans_centroids, write_ivf_index,
+    )
+
+    import random
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss((i % 4) * 2.0, 0.3) for _ in range(6)])
+            for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = kmeans_centroids(corpus, 4, 6, iterations=3, seed=7)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, centroids)
+    qs = [(0, rows[5][1]), (1, rows[50][1])]
+    got = {(r["query_id"], r["id"]): r["score"]
+           for r in ivf_search(spark, path, qs, k=5, n_probe=2).collect()}
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qs], "query_id long, embedding array<double>")
+    exp = {(r["query_id"], r["vec_id"]): r["score"]
+           for r in ivf_topk(corpus, qdf, centroids, k=5,
+                             n_probe=2).collect()}
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == pytest.approx(exp[key], rel=1e-12)
+    # pruning: probing 1 cluster reads fewer distinct files than 4
+    vecs = spark.read.parquet(f"{path}/vectors")
+    n_all = vecs.select(F.input_file_name()).distinct().count()
+    n_probed = (vecs.filter(F.col("cluster").isin([0]))
+                .select(F.input_file_name()).distinct().count())
+    assert n_probed < n_all
+    with pytest.raises(ValueError):
+        write_ivf_index(corpus, path, [])
+    with pytest.raises(ValueError):
+        ivf_search(spark, path, [])
