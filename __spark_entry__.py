@@ -1449,7 +1449,10 @@ def q46_sample_and_cap(spark, sf_dir):
     # md5 stream, order within shard by another; batch_index packs
     # (shard, shard_pos) into one long so the oracle checks the exact
     # permutation, not just membership.
-    shuf = shuffle_corpus(docs, "doc_id", 7, salt="ep0")
+    # prune to the carried columns BEFORE the window shuffles: the text
+    # column must never ride a training-order/packing exchange
+    slim = docs.select("doc_id", "lang", "source", "n_chars")
+    shuf = shuffle_corpus(slim, "doc_id", 7, salt="ep0")
     shuffle_rows = shuf.select(
         F.lit("shuffle").alias("op"), "doc_id", "lang", "source",
         (F.col("shard").cast("long") * F.lit(1000000)
@@ -1458,7 +1461,7 @@ def q46_sample_and_cap(spark, sf_dir):
     # 'chunks' rows: token-EXACT concat-and-chunk packing — each doc once
     # per 5000-char chunk it overlaps; batch_index packs
     # (chunk, tok_start, tok_end) so the oracle pins the exact spans.
-    chunks = chunk_token_stream(docs, ["lang"], "doc_id", "n_chars", 5000,
+    chunks = chunk_token_stream(slim, ["lang"], "doc_id", "n_chars", 5000,
                                 salt="ck")
     chunk_rows = chunks.select(
         F.lit("chunks").alias("op"), "doc_id", "lang", "source",
@@ -1470,7 +1473,7 @@ def q46_sample_and_cap(spark, sf_dir):
     # budget (distributed prefix sum); batch_index = the global running
     # total itself, so the oracle verifies the prefix sums, not just
     # membership.
-    took = take_token_budget(docs, "doc_id", "n_chars", 20000, n_shards=8,
+    took = take_token_budget(slim, "doc_id", "n_chars", 20000, n_shards=8,
                              salt="tb", keep_running_total=True)
     budget_rows = took.select(
         F.lit("budget").alias("op"), "doc_id", "lang", "source",
