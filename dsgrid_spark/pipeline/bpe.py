@@ -87,8 +87,16 @@ def train_bpe(df: DataFrame, text_column: str = "text",
         raise ValueError(f"num_merges must be positive, got {num_merges}")
     if vocab is None:
         vocab = word_counts(df, text_column)
+    # a corpus word containing the end-of-word marker would alias the
+    # marker symbol and silently corrupt merge counts — fail loudly
+    # (assert_true in-projection, the library's composite-id convention)
+    guard = F.assert_true(
+        ~F.col("word").contains(F.lit(END_OF_WORD)),
+        F.concat(F.lit("train_bpe: word contains the end-of-word marker "
+                       f"{END_OF_WORD!r}: "), F.col("word")))
     table = vocab.select(
-        F.col("count").cast("long").alias("count"),
+        F.when(guard.isNull(), F.col("count").cast("long"))
+        .otherwise(F.lit(None)).alias("count"),
         _char_symbols(F.col("word")).alias("syms"),
     ).localCheckpoint(eager=True)
     merges: list[dict] = []

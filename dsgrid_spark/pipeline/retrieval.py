@@ -34,7 +34,12 @@ from dsgrid_spark.pipeline.text import _word_array
 def write_term_index(df: DataFrame, path: str,
                      id_column: str = "doc_id", text_column: str = "text",
                      n_buckets: int = 64) -> None:
-    """Build and persist the inverted index (see module docstring)."""
+    """Build and persist the inverted index (see module docstring).
+
+    Stats are written LAST, so a crashed build leaves no readable index
+    rather than a half-written one. Rebuilding over a live index is not
+    reader-safe — build into a fresh path and swap (the
+    ``compact_parquet`` rename convention)."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     arr = _word_array(F.col(text_column))

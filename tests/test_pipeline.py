@@ -1766,3 +1766,14 @@ def test_ivf_index_search_equals_inline(spark, tmp_path):
         write_ivf_index(corpus, path, [])
     with pytest.raises(ValueError):
         ivf_search(spark, path, [])
+
+
+def test_train_bpe_rejects_marker_collision(spark):
+    """A corpus word containing the end-of-word marker fails loudly
+    instead of silently corrupting merge counts."""
+    from dsgrid_spark.pipeline.bpe import END_OF_WORD, train_bpe
+
+    bad = spark.createDataFrame(
+        [(0, f"aa{END_OF_WORD}bb aabb aabb")], "doc_id long, text string")
+    with pytest.raises(Exception, match="end-of-word marker"):
+        train_bpe(bad, num_merges=2)
