@@ -31,17 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dsgrid_spark.pipeline.text import _word_array
 
 
-def write_term_index(df: DataFrame, path: str,
-                     id_column: str = "doc_id", text_column: str = "text",
-                     n_buckets: int = 64) -> None:
-    """Build and persist the inverted index (see module docstring).
-
-    Stats are written LAST, so a crashed build leaves no readable index
-    rather than a half-written one. Rebuilding over a live index is not
-    reader-safe — build into a fresh path and swap (the
-    ``compact_parquet`` rename convention)."""
-    if n_buckets <= 0:
-        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+def _postings(df: DataFrame, id_column: str, text_column: str,
+              n_buckets: int):
+    """(base, tf): per-doc lengths and the bucketed (id, dl, term, tf)
+    postings frame — shared by build and append."""
     arr = _word_array(F.col(text_column))
     base = df.select(
         F.col(id_column).alias("id"),
@@ -55,17 +48,40 @@ def write_term_index(df: DataFrame, path: str,
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
+    return base, tf
+
+
+def _write_postings(tf: DataFrame, path: str, mode: str) -> None:
     (tf.repartition("bucket")
        .sortWithinPartitions("term")
-       .write.mode("overwrite").partitionBy("bucket")
+       .write.mode(mode).partitionBy("bucket")
        .parquet(f"{path}/postings"))
-    spark = df.sparkSession
+
+
+def _write_terms(spark: SparkSession, path: str) -> None:
     postings = spark.read.parquet(f"{path}/postings")
     (postings.groupBy("bucket", "term")
        .agg(F.count(F.lit(1)).cast("long").alias("df"))
        .repartition("bucket")
        .write.mode("overwrite").partitionBy("bucket")
        .parquet(f"{path}/terms"))
+
+
+def write_term_index(df: DataFrame, path: str,
+                     id_column: str = "doc_id", text_column: str = "text",
+                     n_buckets: int = 64) -> None:
+    """Build and persist the inverted index (see module docstring).
+
+    Stats are written LAST, so a crashed build leaves no readable index
+    rather than a half-written one. Rebuilding over a live index is not
+    reader-safe — build into a fresh path and swap (the
+    ``compact_parquet`` rename convention)."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    base, tf = _postings(df, id_column, text_column, n_buckets)
+    _write_postings(tf, path, "overwrite")
+    spark = df.sparkSession
+    _write_terms(spark, path)
     (base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
               F.sum("dl").cast("long").alias("total_tokens"))
        # n_buckets rides the index: probing with a different count than
@@ -124,3 +140,38 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
         .groupBy("id").agg(F.sum(per_term).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+
+
+def append_term_index(df: DataFrame, path: str,
+                      id_column: str = "doc_id",
+                      text_column: str = "text") -> None:
+    """Append a new document batch to an existing index WITHOUT
+    re-tokenizing the existing corpus — the 100 TB maintenance path
+    (a 1% ingest batch should cost 1% of a build, not a rebuild).
+
+    Only the new batch is tokenized (postings parquet appends into the
+    same bucket partitions); per-term doc frequencies are re-aggregated
+    from the postings tree itself (already-tokenized rows — one groupBy
+    over index rows, no text in sight) and corpus totals update
+    additively. Write order is postings -> terms -> stats, so a crash
+    leaves a stale-but-consistent-enough index for debugging; the append
+    is NOT idempotent (a retry would double-count the batch) — on
+    failure restore from the previous index or rebuild.
+
+    Results provably equal a fresh build over the concatenated corpus
+    (tested), searches included.
+    """
+    spark = df.sparkSession
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = int(stats["n_buckets"])
+    base, tf = _postings(df, id_column, text_column, n_buckets)
+    _write_postings(tf, path, "append")
+    _write_terms(spark, path)
+    delta = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t")).collect()[0]
+    (spark.createDataFrame(
+        [(int(stats["n_docs"]) + int(delta["n"]),
+          int(stats["total_tokens"]) + int(delta["t"]), n_buckets)],
+        "n_docs long, total_tokens long, n_buckets int")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))

@@ -1777,3 +1777,31 @@ def test_train_bpe_rejects_marker_collision(spark):
         [(0, f"aa{END_OF_WORD}bb aabb aabb")], "doc_id long, text string")
     with pytest.raises(Exception, match="end-of-word marker"):
         train_bpe(bad, num_merges=2)
+
+
+def test_append_term_index_equals_rebuild(spark, tmp_path):
+    """Appending a batch to the inverted index gives identical postings,
+    doc freqs, stats, and search results to rebuilding from the full
+    corpus."""
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, write_term_index,
+    )
+
+    a = spark.createDataFrame(
+        [(0, "spark window stream"), (1, "stream data"),
+         (2, "window window engine")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(3, "window stream stream vector"), (4, "vector engine")],
+        "doc_id long, text string")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_term_index(a, inc, n_buckets=8)
+    append_term_index(b, inc)
+    write_term_index(a.unionByName(b), full, n_buckets=8)
+    for sub in ("postings", "terms", "stats"):
+        gi = sorted(map(tuple, spark.read.parquet(f"{inc}/{sub}").collect()))
+        gf = sorted(map(tuple, spark.read.parquet(f"{full}/{sub}").collect()))
+        assert gi == gf, sub
+    q = ["window", "stream", "vector"]
+    ri = [(r["id"], r["bm25"]) for r in bm25_search(spark, inc, q, 5).collect()]
+    rf = [(r["id"], r["bm25"]) for r in bm25_search(spark, full, q, 5).collect()]
+    assert ri == rf
