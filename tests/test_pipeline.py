@@ -1805,3 +1805,53 @@ def test_append_term_index_equals_rebuild(spark, tmp_path):
     ri = [(r["id"], r["bm25"]) for r in bm25_search(spark, inc, q, 5).collect()]
     rf = [(r["id"], r["bm25"]) for r in bm25_search(spark, full, q, 5).collect()]
     assert ri == rf
+
+
+def _py_pagerank(edges, iterations=10, damping=0.85):
+    """Reference power iteration with uniform dangling redistribution
+    (NetworkX-equivalent formulation)."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out: dict = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangle = sum(r for v, r in rank.items() if v not in out)
+        base = (1.0 - damping) / n + damping * dangle / n
+        new = {v: base for v in nodes}
+        for a, b in edges:
+            new[b] += damping * rank[a] / out[a]
+        rank = new
+    return rank
+
+
+def test_pagerank_matches_reference(spark):
+    from dsgrid_spark.pipeline.graph import pagerank
+
+    # a small web: 0 is a hub, 4 is dangling, 5 links only to the hub
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (5, 0), (2, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, iterations=12).collect()}
+    exp = _py_pagerank(edges, iterations=12)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # authority ordering: the hub and its co-cycle member dominate
+    top = sorted(got, key=lambda v: -got[v])[:2]
+    assert set(top) == {0, 2}
+    # micro mode: deterministic integer variant, same ordering
+    gotm = {r["node"]: r["rank"]
+            for r in pagerank(e, iterations=12, micro=True).collect()}
+    assert sorted(gotm, key=lambda v: (-gotm[v], v))[:2] == sorted(
+        top, key=lambda v: (-got[v], v))
+    g2 = {r["node"]: r["rank"]
+          for r in pagerank(e.repartition(5), iterations=12,
+                            micro=True).collect()}
+    assert gotm == g2  # layout-independent, bit-identical
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.5)
