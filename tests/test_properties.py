@@ -349,3 +349,90 @@ def test_paragraph_dedup_invariants(spark, docs):
     again = paragraph_dedup(rebuilt)
     assert again.filter(
         F.col("n_paras_kept") != F.col("n_paras_total")).count() == 0
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=500),
+                   min_size=1, max_size=30),
+    chunk=st.sampled_from([7, 64, 500]),
+)
+@SETTINGS
+def test_chunk_token_stream_invariants(spark, sizes, chunk):
+    """Concat-and-chunk tiling laws over random inputs: spans partition
+    the token stream exactly (sum == total, every chunk full except the
+    last, spans within a doc contiguous and in order)."""
+    from dsgrid_spark.pipeline.sampling import chunk_token_stream
+
+    df = spark.createDataFrame(
+        [(i, "g", int(s)) for i, s in enumerate(sizes)],
+        "doc_id long, grp string, n long")
+    out = chunk_token_stream(df, ["grp"], "doc_id", "n", chunk).collect()
+    total = sum(s for s in sizes if s > 0)
+    assert sum(r["tok_end"] - r["tok_start"] for r in out) == total
+    per_chunk: dict[int, int] = {}
+    for r in out:
+        assert 0 <= r["tok_start"] < r["tok_end"] <= chunk
+        per_chunk[r["chunk_index"]] = (
+            per_chunk.get(r["chunk_index"], 0)
+            + r["tok_end"] - r["tok_start"])
+    if per_chunk:
+        last = max(per_chunk)
+        assert set(per_chunk) == set(range(last + 1))
+        for c, tot in per_chunk.items():
+            assert tot == chunk or c == last
+    # each doc's spans tile its own size: count and boundary law
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r["doc_id"]] = (
+            per_doc.get(r["doc_id"], 0) + r["tok_end"] - r["tok_start"])
+    for i, s in enumerate(sizes):
+        assert per_doc.get(i, 0) == (s if s > 0 else 0)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=1000),
+                   min_size=1, max_size=40),
+    n_shards=st.sampled_from([1, 3, 16]),
+)
+@SETTINGS
+def test_global_running_total_invariants(spark, sizes, n_shards):
+    """Prefix-sum laws over random inputs and shard counts: the set of
+    running totals is a strictly consistent prefix of the grand total,
+    independent of sharding."""
+    from dsgrid_spark.pipeline.sampling import global_running_total
+
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sizes)], "doc_id long, n long")
+    got = global_running_total(df, "doc_id", "n",
+                               n_shards=n_shards, salt="p").collect()
+    assert len(got) == len(sizes)
+    by_total = sorted(r["running_total"] for r in got)
+    assert by_total[-1] == sum(sizes)
+    # running totals in global order differ by exactly the row's size
+    rows = sorted(got, key=lambda r: (r["running_total"], r["doc_id"]))
+    prev = 0
+    seen_sizes = []
+    for r in rows:
+        seen_sizes.append(r["running_total"] - prev)
+        prev = r["running_total"]
+    assert sorted(seen_sizes) == sorted(int(s) for s in sizes)
+
+
+@given(n_shards=st.sampled_from([1, 2, 13]))
+@SETTINGS
+def test_shuffle_corpus_is_permutation(spark, n_shards):
+    """(shard, shard_pos) is a bijection onto dense per-shard prefixes
+    for any shard count."""
+    from dsgrid_spark.pipeline.sampling import shuffle_corpus
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(97)], "doc_id long")
+    out = shuffle_corpus(df, "doc_id", n_shards, salt="x").collect()
+    assert len(out) == 97
+    assert len({(r["shard"], r["shard_pos"]) for r in out}) == 97
+    per_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < n_shards
+        per_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for positions in per_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
