@@ -64,9 +64,12 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     ).localCheckpoint(eager=True)
     try:
         for _ in range(iterations):
+            # persisted: both the dangling-mass agg and the flow join
+            # read it, and without the pin the rank⋈degree join would
+            # run twice per iteration
             with_deg = ranks.join(
                 deg, ranks["node"] == deg["src"], "left"
-            ).select("node", "rank", "out_degree")
+            ).select("node", "rank", "out_degree").persist()
             linked = with_deg.filter(F.col("out_degree").isNotNull())
             dangling = with_deg.filter(F.col("out_degree").isNull())
             if micro:
@@ -105,6 +108,7 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
                 )
                 .localCheckpoint(eager=True)
             )
+            with_deg.unpersist()
             ranks.unpersist()
             ranks = new_ranks
     finally:
