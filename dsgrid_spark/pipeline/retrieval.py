@@ -21,7 +21,10 @@ Layout (classic document-at-a-time BM25 postings):
 A common term's postings list is large, but it is a FLAT table — no
 per-term array to overflow an executor, and a query for k terms reads
 at most k buckets. Index build cost: one shuffle of query-independent
-(doc, term) pairs with map-side combine; the same shape as word_counts.
+(doc, term) pairs with map-side combine (the word_counts shape), plus a
+second corpus scan for the two stats scalars — caching the tokenized
+corpus to save that scan would cost corpus-scale memory for a one-time
+build, so it deliberately re-reads.
 """
 
 from __future__ import annotations
