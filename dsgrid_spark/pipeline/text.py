@@ -724,3 +724,62 @@ def filter_funnel(df: DataFrame,
     for _, keep in rules:
         survivors = survivors.filter(keep)
     return survivors, stats
+
+
+def logistic_regression(df: DataFrame, feature_columns: list[str],
+                        label_column: str, iterations: int = 50,
+                        lr: float = 0.5, l2: float = 0.0) -> list[float]:
+    """Train a logistic-regression quality classifier with plain
+    DataFrame aggregations (no MLlib, matching ``kmeans_centroids``):
+    full-batch gradient descent, one aggregate job per iteration.
+
+    Returns ``[bias, w1, ..., wd]``. Labels are 0/1. Features should be
+    pre-scaled to comparable ranges (the text metrics here are ppm/count
+    columns — divide by their scale first).
+
+    Scale: each iteration shuffles d+1 partial sums per partition
+    (map-side combined), never rows; the driver holds only the weight
+    vector. The FineWeb-style use: hand-label a few thousand documents,
+    train on their metric columns, score the full corpus with
+    ``predict_proba`` (a pure column expression — zero Python at
+    inference).
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if not feature_columns:
+        raise ValueError("feature_columns must be non-empty")
+    n = df.count()
+    if n == 0:
+        raise ValueError("training frame is empty")
+    y = F.col(label_column).cast("double")
+    feats = [F.col(c).cast("double") for c in feature_columns]
+    w = [0.0] * (len(feature_columns) + 1)
+    for _ in range(iterations):
+        z = F.lit(w[0])
+        for wi, x in zip(w[1:], feats):
+            z = z + F.lit(wi) * x
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - y
+        grads = df.agg(
+            F.sum(err).alias("g0"),
+            *[F.sum(err * x).alias(f"g{i + 1}")
+              for i, x in enumerate(feats)],
+        ).collect()[0]
+        w[0] -= lr * (grads["g0"] / n)
+        for i in range(1, len(w)):
+            w[i] -= lr * (grads[f"g{i}"] / n + l2 * w[i])
+    return w
+
+
+def predict_proba(weights: list[float],
+                  feature_columns: list[str]) -> Column:
+    """P(label=1) under a trained ``logistic_regression`` model, as a
+    single codegen'd column expression (the zero-UDF inference path)."""
+    if len(weights) != len(feature_columns) + 1:
+        raise ValueError(
+            f"expected {len(feature_columns) + 1} weights (bias first), "
+            f"got {len(weights)}")
+    z = F.lit(weights[0])
+    for wi, c in zip(weights[1:], feature_columns):
+        z = z + F.lit(wi) * F.col(c).cast("double")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -1889,3 +1889,51 @@ def test_pack_sequences_ffd_invariants(spark):
     assert again == {r["doc_id"]: r["batch_index"] for r in out}
     with pytest.raises(ValueError):
         pack_sequences_ffd(df, ["grp"], "doc_id", "n", 0)
+
+
+def test_logistic_regression_matches_reference_and_separates(spark):
+    """Full-batch GD matches a plain-Python reference run of the same
+    recurrence, and the trained model separates a linearly separable
+    quality fixture."""
+    import math
+
+    from dsgrid_spark.pipeline.text import logistic_regression, predict_proba
+
+    rows = [(i, float(i % 10), float((i * 3) % 7),
+             1 if (i % 10) + ((i * 3) % 7) * 0.5 > 6 else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, f1 double, f2 double, y int")
+    w = logistic_regression(df, ["f1", "f2"], "y", iterations=30, lr=0.3)
+
+    def ref(iterations, lr):
+        wv = [0.0, 0.0, 0.0]
+        data = [(r[1], r[2], r[3]) for r in rows]
+        n = len(data)
+        for _ in range(iterations):
+            g = [0.0, 0.0, 0.0]
+            for f1, f2, y in data:
+                z = wv[0] + wv[1] * f1 + wv[2] * f2
+                e = 1.0 / (1.0 + math.exp(-z)) - y
+                g[0] += e
+                g[1] += e * f1
+                g[2] += e * f2
+            for i in range(3):
+                wv[i] -= lr * g[i] / n
+        return wv
+
+    # the distributed recurrence equals the reference step for step
+    exp = ref(30, 0.3)
+    for a, b in zip(w, exp):
+        assert a == pytest.approx(b, rel=1e-9, abs=1e-12)
+    # inference: a converged model (reference-trained to keep the test
+    # at 30 Spark jobs, equality above transfers) separates perfectly
+    w400 = ref(400, 1.0)
+    scored = df.withColumn("p", predict_proba(w400, ["f1", "f2"]))
+    acc = scored.filter(
+        ((F.col("p") > 0.5) & (F.col("y") == 1))
+        | ((F.col("p") <= 0.5) & (F.col("y") == 0))).count() / 200
+    assert acc == 1.0
+    with pytest.raises(ValueError):
+        logistic_regression(df, [], "y")
+    with pytest.raises(ValueError):
+        predict_proba([0.0], ["f1", "f2"])
