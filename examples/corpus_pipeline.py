@@ -104,7 +104,26 @@ def main() -> None:
     print("bpe merges:", [(m["left"], m["right"], m["count"])
                           for m in merges])
 
-    # 8. retrieval: persist the inverted index once, probe it with BM25
+    # 8. quality classifier: train logistic regression on a small
+    # heuristically-labeled sample (stand-in for hand labels), then
+    # score the whole corpus with a zero-UDF column expression
+    from dsgrid_spark.pipeline.text import (
+        logistic_regression, predict_proba, quality_score,
+    )
+    labeled = clean.withColumn(
+        "y", (quality_score(F.col("text")) > 0.5).cast("int"))
+    feats = clean.select(
+        "doc_id", "text",
+        (F.col("n_chars") / 500.0).alias("f_len"),
+        (alpha_ratio_ppm(F.col("text")) / 1000000.0).alias("f_alpha"),
+    ).join(labeled.select("doc_id", "y"), "doc_id")
+    wts = logistic_regression(feats, ["f_len", "f_alpha"], "y",
+                              iterations=20, lr=0.5)
+    scored = feats.withColumn("p", predict_proba(wts, ["f_len", "f_alpha"]))
+    print("classifier: weights", [round(x, 3) for x in wts],
+          "mean p", round(scored.agg(F.avg("p")).collect()[0][0], 3))
+
+    # 9. retrieval: persist the inverted index once, probe it with BM25
     from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
     idx = tempfile.mkdtemp(prefix="term_index_")
     write_term_index(clean, idx, n_buckets=16)
