@@ -1937,3 +1937,31 @@ def test_logistic_regression_matches_reference_and_separates(spark):
         logistic_regression(df, [], "y")
     with pytest.raises(ValueError):
         predict_proba([0.0], ["f1", "f2"])
+
+
+def test_write_zordered_prunes_both_columns(spark, tmp_path):
+    """Z-ordered layout: a selective filter on EITHER column touches
+    fewer files than a hash-scattered layout (parquet row-group stats +
+    file skipping), values preserved exactly."""
+    from dsgrid_spark.sources.writers import write_zordered
+
+    rows = [(i, float(i % 100), float((i * 7919) % 100)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(df, zpath, ["a", "b"], n_files=16)
+    df.repartition(16).write.parquet(rpath)
+
+    def files_hit(path, col, lo, hi):
+        d = spark.read.parquet(path).filter(
+            (F.col(col) >= lo) & (F.col(col) < hi))
+        return d.select(F.input_file_name()).distinct().count()
+
+    z = spark.read.parquet(zpath)
+    assert z.count() == 20000
+    assert sorted(map(tuple, z.collect())) == sorted(rows)
+    for col in ("a", "b"):
+        assert files_hit(zpath, col, 0.0, 10.0) < files_hit(
+            rpath, col, 0.0, 10.0)
+    with pytest.raises(ValueError):
+        from dsgrid_spark.sources.writers import zorder_key
+        zorder_key([F.col("a")], [0.0], [1.0])
