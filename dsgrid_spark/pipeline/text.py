@@ -88,17 +88,20 @@ def _marker_hits(words: Column, lang: str) -> Column:
 def language_id(text: Column) -> Column:
     """Marker-word-count heuristic over 4 languages; 'und' when no hits.
 
-    A case/when ladder over per-language marker counts — pure codegen,
-    one tokenize pass (see `_distinct_words`).
+    One tokenize pass (see `_distinct_words`), then a single array
+    argmax: the per-language marker counts land in ONE array and the
+    winner is ``array_position(scores, array_max(scores))`` — each
+    count evaluates once (the old greatest + when-ladder referenced
+    every count twice, doubling the per-row intersect work; same
+    earliest-language tie-break either way).
     """
     words = _distinct_words(text)
-    scores = {lang: _marker_hits(words, lang) for lang in _LANG_MARKERS}
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    # reversed so earlier languages win ties deterministically
-    for lang in reversed(list(scores)):
-        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    langs = list(_LANG_MARKERS)
+    scores = F.array(*[_marker_hits(words, lang) for lang in langs])
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best).cast("int")
+    names = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(best > 0, F.element_at(names, idx)).otherwise(F.lit("und"))
 
 
 _URL_RE = r"https?://[^\s]+"
