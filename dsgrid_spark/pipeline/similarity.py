@@ -516,3 +516,36 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def append_ivf_index(df: DataFrame, path: str,
+                     id_column: str = "vec_id",
+                     vector_column: str = "embedding") -> None:
+    """Append a new vector batch to a persisted IVF index without
+    touching the existing partitions: the batch is assigned against the
+    INDEX'S OWN centroid table (never caller-supplied — a drifted
+    centroid list would route probes to the wrong partitions) and its
+    rows append into the matching cluster directories.
+
+    Centroids are not re-trained — the standard IVF maintenance
+    trade-off (re-train + rebuild when the distribution drifts; the
+    assignment here stays consistent with every earlier batch, so
+    searches remain exact-within-probed-clusters). Equal to a fresh
+    build over the concatenated corpus with the same centroids (tested).
+    Not idempotent on retry, same caveat as ``append_term_index``.
+    """
+    spark = df.sparkSession
+    cent_rows = sorted(
+        ((r["cluster"], list(r["centroid"])) for r in
+         spark.read.parquet(f"{path}/centroids").collect()),
+        key=lambda t: t[0])
+    centroids = [c for _, c in cent_rows]
+    assigned = (
+        assign_nearest_centroid(df, centroids, vector_column)
+        .withColumnRenamed("__cluster", "cluster")
+        .select(F.col(id_column).alias("id"),
+                F.col(vector_column).alias("embedding"), "cluster")
+    )
+    (assigned.repartition("cluster")
+       .write.mode("append").partitionBy("cluster")
+       .parquet(f"{path}/vectors"))

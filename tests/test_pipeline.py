@@ -1965,3 +1965,37 @@ def test_write_zordered_prunes_both_columns(spark, tmp_path):
     with pytest.raises(ValueError):
         from dsgrid_spark.sources.writers import zorder_key
         zorder_key([F.col("a")], [0.0], [1.0])
+
+
+def test_append_ivf_index_equals_rebuild(spark, tmp_path):
+    """Appending a vector batch (assigned via the index's own centroids)
+    matches a fresh build over the concatenated corpus."""
+    import random
+
+    from dsgrid_spark.pipeline.similarity import (
+        append_ivf_index, ivf_search, kmeans_centroids, write_ivf_index,
+    )
+
+    rnd = random.Random(9)
+    rows_a = [(i, [rnd.gauss((i % 3) * 2.0, 0.3) for _ in range(5)])
+              for i in range(90)]
+    rows_b = [(i + 100, [rnd.gauss((i % 3) * 2.0, 0.3) for _ in range(5)])
+              for i in range(30)]
+    a = spark.createDataFrame(rows_a, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(a, 3, 5, iterations=2, seed=1)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_ivf_index(a, inc, cents)
+    append_ivf_index(b, inc)
+    write_ivf_index(a.unionByName(b), full, cents)
+    gi = sorted(map(tuple, spark.read.parquet(f"{inc}/vectors")
+                    .select("id", "cluster").collect()))
+    gf = sorted(map(tuple, spark.read.parquet(f"{full}/vectors")
+                    .select("id", "cluster").collect()))
+    assert gi == gf
+    qs = [(0, rows_b[0][1])]
+    ri = [(r["id"], r["score"]) for r in
+          ivf_search(spark, inc, qs, k=5, n_probe=2).collect()]
+    rf = [(r["id"], r["score"]) for r in
+          ivf_search(spark, full, qs, k=5, n_probe=2).collect()]
+    assert ri == rf
