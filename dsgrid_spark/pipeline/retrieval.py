@@ -11,12 +11,14 @@ for row-group skipping within those buckets.
 
 Layout (classic document-at-a-time BM25 postings):
 
-- ``postings/bucket=K/``: (term, id, tf, dl) — dl (doc length) is
-  DENORMALIZED into each posting so scoring never joins a doc-length
-  table; postings are sorted by term within each file so row-group
-  stats make the term filter selective.
+- ``postings/bucket=K/``: (term, id, tf, dl[, positions]) — dl (doc
+  length) is DENORMALIZED into each posting so scoring never joins a
+  doc-length table; postings are sorted by term within each file so
+  row-group stats make the term filter selective; ``positions=True``
+  adds per-(doc, term) token positions for ``phrase_search``.
 - ``terms/bucket=K/``: (term, df) — per-term document frequency.
-- ``stats/``: a single (n_docs, total_tokens) row.
+- ``stats/``: a single (n_docs, total_tokens, n_buckets,
+  has_positions) row.
 
 A common term's postings list is large, but it is a FLAT table — no
 per-term array to overflow an executor, and a query for k terms reads
@@ -35,20 +37,30 @@ from dsgrid_spark.pipeline.text import _word_array
 
 
 def _postings(df: DataFrame, id_column: str, text_column: str,
-              n_buckets: int):
-    """(base, tf): per-doc lengths and the bucketed (id, dl, term, tf)
-    postings frame — shared by build and append."""
+              n_buckets: int, positions: bool = False):
+    """(base, tf): per-doc lengths and the bucketed (id, dl, term, tf
+    [, positions]) postings frame — shared by build and append.
+    ``positions`` adds the sorted 1-based token positions per (doc,
+    term) — the phrase-search payload (postings grow by ~1 int per
+    corpus token)."""
     arr = _word_array(F.col(text_column))
     base = df.select(
         F.col(id_column).alias("id"),
         F.size(F.filter(arr, lambda x: x != "")).cast("long").alias("dl"),
         arr.alias("__words"),
     )
-    tf = (
-        base.select("id", "dl", F.explode("__words").alias("term"))
+    toks = (
+        base.select("id", "dl",
+                    F.posexplode("__words").alias("__pos0", "term"))
         .filter(F.col("term") != "")
-        .groupBy("id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("tf")]
+    if positions:
+        aggs.append(F.array_sort(
+            F.collect_list((F.col("__pos0") + 1).cast("int")))
+            .alias("positions"))
+    tf = (
+        toks.groupBy("id", "dl", "term").agg(*aggs)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
     return base, tf
@@ -72,7 +84,7 @@ def _write_terms(spark: SparkSession, path: str) -> None:
 
 def write_term_index(df: DataFrame, path: str,
                      id_column: str = "doc_id", text_column: str = "text",
-                     n_buckets: int = 64) -> None:
+                     n_buckets: int = 64, positions: bool = False) -> None:
     """Build and persist the inverted index (see module docstring).
 
     Stats are written LAST, so a crashed build leaves no readable index
@@ -81,7 +93,7 @@ def write_term_index(df: DataFrame, path: str,
     ``compact_parquet`` rename convention)."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    base, tf = _postings(df, id_column, text_column, n_buckets)
+    base, tf = _postings(df, id_column, text_column, n_buckets, positions)
     _write_postings(tf, path, "overwrite")
     spark = df.sparkSession
     _write_terms(spark, path)
@@ -90,6 +102,7 @@ def write_term_index(df: DataFrame, path: str,
        # n_buckets rides the index: probing with a different count than
        # the writer used silently prunes to the WRONG buckets
        .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+       .withColumn("has_positions", F.lit(bool(positions)))
        .write.mode("overwrite").parquet(f"{path}/stats"))
 
 
@@ -125,6 +138,7 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
     post = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("id", "dl", "term", "tf")  # positions, if any, stay on disk
     )
     dfreq = (
         spark.read.parquet(f"{path}/terms")
@@ -167,7 +181,8 @@ def append_term_index(df: DataFrame, path: str,
     spark = df.sparkSession
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
-    base, tf = _postings(df, id_column, text_column, n_buckets)
+    base, tf = _postings(df, id_column, text_column, n_buckets,
+                         bool(stats.asDict().get("has_positions", False)))
     _write_postings(tf, path, "append")
     _write_terms(spark, path)
     delta = base.agg(
@@ -175,6 +190,54 @@ def append_term_index(df: DataFrame, path: str,
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t")).collect()[0]
     (spark.createDataFrame(
         [(int(stats["n_docs"]) + int(delta["n"]),
-          int(stats["total_tokens"]) + int(delta["t"]), n_buckets)],
-        "n_docs long, total_tokens long, n_buckets int")
+          int(stats["total_tokens"]) + int(delta["t"]), n_buckets,
+          bool(stats.asDict().get("has_positions", False)))],
+        "n_docs long, total_tokens long, n_buckets int, has_positions boolean")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
+    """Documents containing the EXACT token phrase, with occurrence
+    counts, from a positions-enabled index (``write_term_index(...,
+    positions=True)``).
+
+    Classic positional-postings intersection: read each phrase slot's
+    postings (bucket-pruned, like bm25_search), join them on the doc id,
+    and keep the start positions p of slot 0 for which slot i contains
+    p + i for every i — a per-row array filter, no explode. The joins
+    carry only docs containing ALL phrase terms (inner joins shrink
+    monotonically). Returns (id, n_matches), n_matches >= 1.
+    """
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    if not bool(stats.asDict().get("has_positions", False)):
+        raise ValueError(
+            "index was built without positions=True; rebuild to enable "
+            "phrase search")
+    n_buckets = int(stats["n_buckets"])
+    buckets = _buckets_of(spark, sorted(set(terms)), n_buckets)
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets)
+                & F.col("term").isin(sorted(set(terms))))
+        .select("id", "term", "positions")
+    )
+
+    def slot(i):
+        return (post.filter(F.col("term") == terms[i])
+                .select("id", F.col("positions").alias(f"__p{i}")))
+
+    acc = slot(0).withColumnRenamed("__p0", "__starts")
+    for i in range(1, len(terms)):
+        acc = acc.join(slot(i), "id").withColumn(
+            "__starts",
+            F.filter(F.col("__starts"),
+                     lambda p: F.array_contains(F.col(f"__p{i}"),
+                                                p + F.lit(i))),
+        ).drop(f"__p{i}")
+    return (
+        acc.select("id", F.size("__starts").cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )

@@ -1999,3 +1999,46 @@ def test_append_ivf_index_equals_rebuild(spark, tmp_path):
     rf = [(r["id"], r["score"]) for r in
           ivf_search(spark, full, qs, k=5, n_probe=2).collect()]
     assert ri == rf
+
+
+def test_phrase_search_positional_index(spark, tmp_path):
+    """Positional postings + phrase intersection: counts match a plain
+    Python scan, repeated terms in the phrase work, and a
+    positions-less index refuses phrase queries."""
+    from dsgrid_spark.pipeline.retrieval import (
+        bm25_search, phrase_search, write_term_index,
+    )
+
+    corpus = {
+        0: "the quick brown fox jumps over the quick brown dog",
+        1: "quick brown is a color quick brown quick brown",
+        2: "brown quick reversed here",
+        3: "nothing relevant",
+        4: "the the the repeated the the",
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    path = str(tmp_path / "pidx")
+    write_term_index(df, path, n_buckets=8, positions=True)
+
+    def py_count(text, phrase):
+        toks, ph = text.lower().split(), phrase.lower().split()
+        return sum(1 for i in range(len(toks) - len(ph) + 1)
+                   if toks[i:i + len(ph)] == ph)
+
+    for phrase in ("quick brown", "the quick brown", "the the",
+                   "brown quick", "quick brown quick"):
+        got = {r["id"]: r["n_matches"]
+               for r in phrase_search(spark, path, phrase).collect()}
+        exp = {i: py_count(t, phrase) for i, t in corpus.items()
+               if py_count(t, phrase) > 0}
+        assert got == exp, phrase
+    # bm25 still works over the positional index
+    assert bm25_search(spark, path, ["quick"], k=3).count() == 3
+    # a plain index refuses phrase queries
+    plain = str(tmp_path / "plain")
+    write_term_index(df, plain, n_buckets=8)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search(spark, plain, "quick brown")
+    with pytest.raises(ValueError):
+        phrase_search(spark, path, "   ")
