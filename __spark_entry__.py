@@ -1448,7 +1448,10 @@ def q46_sample_and_cap(spark, sf_dir):
     # 'shuffle' rows: deterministic global training order — shard by one
     # md5 stream, order within shard by another; batch_index packs
     # (shard, shard_pos) into one long so the oracle checks the exact
-    # permutation, not just membership.
+    # permutation, not just membership. The 1e6 packing multiplier
+    # bounds shard_pos < 1e6, i.e. corpora up to 7M docs at 7 shards —
+    # sf100 (5M docs, ~714k/shard) fits; a larger rehearsal must widen
+    # the multiplier on BOTH sides.
     # prune to the carried columns BEFORE the window shuffles: the text
     # column must never ride a training-order/packing exchange
     slim = docs.select("doc_id", "lang", "source", "n_chars")
