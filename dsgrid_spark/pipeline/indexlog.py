@@ -1,0 +1,133 @@
+"""Exactly-once batch appends for persisted indexes.
+
+The persisted term index (``retrieval.append_term_index``) and IVF index
+(``similarity.append_ivf_index``) grow by parquet appends. A plain
+append is not idempotent: a retried batch (driver crash, orchestrator
+re-run) double-counts its rows silently. This module supplies the same
+exactly-once discipline the registry's streaming-ingest lineage guard
+uses (``pipeline/ingest.py``), adapted to index trees:
+
+- Every appended batch carries a caller-supplied ``batch_id`` and lands
+  in batch-scoped partition directories
+  (``.../bucket=K/batch=<id>/`` resp. ``.../cluster=K/batch=<id>/``) —
+  the data of one batch is physically addressable.
+- A tiny ``<index>/batches/`` parquet log records one row per committed
+  batch, written LAST. Log entry present == the batch's data, derived
+  tables, and stats are all complete.
+- An append therefore runs: (1) if the batch id is already logged,
+  return without touching anything (replay skip); (2) delete any
+  partition directories left by a previous crashed attempt of the SAME
+  batch (so a retry with drifted content cannot leave orphan rows);
+  (3) write data + derived tables + stats; (4) log the batch.
+
+Crash anywhere before (4) and the retry redoes (2)-(4) to the identical
+end state; crash after (4) and the retry is a no-op. Readers during a
+maintenance window may see a half-updated index (same caveat as a
+rebuild) — the guarantee is about END states, not isolation.
+
+Partition deletion goes through the Hadoop FileSystem API (via the
+JVM gateway), so it works on any Spark-supported filesystem, not just
+``file://``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+#: reserved id for the rows written by the initial index build
+BASE_BATCH = "base"
+
+
+def check_batch_id(batch_id: str) -> str:
+    """Validate a batch id for use as a partition-directory component.
+
+    Restricting to ``[A-Za-z0-9._-]`` keeps the id round-trippable
+    through ``batch=<id>`` partition paths on every filesystem (no
+    escaping, no path traversal).
+    """
+    if not isinstance(batch_id, str) or not _BATCH_ID_RE.match(batch_id):
+        raise ValueError(
+            f"batch_id must match {_BATCH_ID_RE.pattern!r}, got "
+            f"{batch_id!r}")
+    return batch_id
+
+
+def delete_glob(spark: SparkSession, pattern: str) -> int:
+    """Recursively delete every path matching a Hadoop glob; returns the
+    number of paths removed (0 when nothing matched)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(jpath)
+    n = 0
+    for st in (matches or []):
+        fs.delete(st.getPath(), True)
+        n += 1
+    return n
+
+
+def _log_path(index_path: str) -> str:
+    return f"{index_path}/batches"
+
+
+def committed_batches(spark: SparkSession, index_path: str) -> set[str]:
+    """Batch ids whose append fully completed (log entry exists)."""
+    try:
+        rows = (spark.read.parquet(_log_path(index_path))
+                .select("batch").distinct().collect())
+    except Exception:
+        return set()
+    return {r["batch"] for r in rows}
+
+
+def next_auto_batch_id(committed: set[str]) -> str:
+    """Deterministic id for callers that don't name their batches.
+
+    Derived from the committed-log size, so a retry of a crashed append
+    (log not yet written) regenerates the SAME id and stays idempotent;
+    a fresh call after a completed append gets a new id. Skips over
+    collisions with caller-named batches.
+    """
+    n = len(committed) + 1
+    while f"auto{n:06d}" in committed:
+        n += 1
+    return f"auto{n:06d}"
+
+
+def log_batch(spark: SparkSession, index_path: str, batch_id: str,
+              **metrics: int) -> None:
+    """Record a completed batch (call LAST in the append sequence).
+
+    One row, partitioned by batch id so a crashed half-written log
+    attempt is scoped to its own directory and cleaned before rewrite.
+    """
+    lp = _log_path(index_path)
+    delete_glob(spark, f"{lp}/batch={batch_id}")
+    # the constant marker keeps at least one data column next to the
+    # batch partition column (Spark rejects all-partition-column writes)
+    metrics = {"committed": 1, **metrics}
+    cols = sorted(metrics)
+    row = [tuple(int(metrics[c]) for c in cols) + (batch_id,)]
+    schema = ", ".join([f"{c} long" for c in cols] + ["batch string"])
+    (spark.createDataFrame(row, schema)
+       .coalesce(1).write.mode("append").partitionBy("batch").parquet(lp))
+
+
+def logged_totals(spark: SparkSession, index_path: str,
+                  *columns: str) -> dict[str, int]:
+    """Sum the named metric columns across every committed batch.
+
+    Stats derived from the log (plus the in-flight batch's delta) stay
+    correct under retries — unlike read-modify-write against the
+    previous stats file, which double-counts when a crash lands between
+    the stats write and the log write.
+    """
+    agg = (spark.read.parquet(_log_path(index_path))
+           .agg(*[F.coalesce(F.sum(c), F.lit(0)).alias(c)
+                  for c in columns])
+           .collect()[0])
+    return {c: int(agg[c]) for c in columns}

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dsgrid_spark.pipeline import indexlog
 from dsgrid_spark.pipeline.text import _word_array
 
 
@@ -66,10 +67,15 @@ def _postings(df: DataFrame, id_column: str, text_column: str,
     return base, tf
 
 
-def _write_postings(tf: DataFrame, path: str, mode: str) -> None:
-    (tf.repartition("bucket")
+def _write_postings(tf: DataFrame, path: str, mode: str,
+                    batch_id: str) -> None:
+    # batch-scoped partition directories (bucket=K/batch=<id>) make one
+    # batch's rows physically addressable, which is what lets a retried
+    # append clean up after a crashed attempt (see pipeline/indexlog.py)
+    (tf.withColumn("batch", F.lit(batch_id))
+       .repartition("bucket")
        .sortWithinPartitions("term")
-       .write.mode(mode).partitionBy("bucket")
+       .write.mode(mode).partitionBy("bucket", "batch")
        .parquet(f"{path}/postings"))
 
 
@@ -94,16 +100,25 @@ def write_term_index(df: DataFrame, path: str,
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     base, tf = _postings(df, id_column, text_column, n_buckets, positions)
-    _write_postings(tf, path, "overwrite")
+    _write_postings(tf, path, "overwrite", indexlog.BASE_BATCH)
     spark = df.sparkSession
     _write_terms(spark, path)
-    (base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-              F.sum("dl").cast("long").alias("total_tokens"))
-       # n_buckets rides the index: probing with a different count than
-       # the writer used silently prunes to the WRONG buckets
-       .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
-       .withColumn("has_positions", F.lit(bool(positions)))
-       .write.mode("overwrite").parquet(f"{path}/stats"))
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
+         .alias("total_tokens")).collect()[0]
+    (spark.createDataFrame(
+        [(int(totals["n_docs"]), int(totals["total_tokens"]), n_buckets,
+          bool(positions))],
+        # n_buckets rides the index: probing with a different count than
+        # the writer used silently prunes to the WRONG buckets
+        "n_docs long, total_tokens long, n_buckets int,"
+        " has_positions boolean")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+    indexlog.delete_glob(spark, f"{path}/batches")
+    indexlog.log_batch(spark, path, indexlog.BASE_BATCH,
+                       n_docs=int(totals["n_docs"]),
+                       total_tokens=int(totals["total_tokens"]))
 
 
 def _buckets_of(spark: SparkSession, terms: list[str],
@@ -161,19 +176,25 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
 
 def append_term_index(df: DataFrame, path: str,
                       id_column: str = "doc_id",
-                      text_column: str = "text") -> None:
+                      text_column: str = "text",
+                      batch_id: str | None = None) -> bool:
     """Append a new document batch to an existing index WITHOUT
     re-tokenizing the existing corpus — the 100 TB maintenance path
     (a 1% ingest batch should cost 1% of a build, not a rebuild).
 
-    Only the new batch is tokenized (postings parquet appends into the
-    same bucket partitions); per-term doc frequencies are re-aggregated
-    from the postings tree itself (already-tokenized rows — one groupBy
-    over index rows, no text in sight) and corpus totals update
-    additively. Write order is postings -> terms -> stats, so a crash
-    leaves a stale-but-consistent-enough index for debugging; the append
-    is NOT idempotent (a retry would double-count the batch) — on
-    failure restore from the previous index or rebuild.
+    Only the new batch is tokenized, landing in batch-scoped partition
+    directories (``bucket=K/batch=<id>``); per-term doc frequencies are
+    re-aggregated from the postings tree itself (already-tokenized rows
+    — one groupBy over index rows, no text in sight); corpus totals are
+    re-derived from the batch log plus this batch's delta.
+
+    The append is EXACTLY-ONCE per ``batch_id`` (pipeline/indexlog.py):
+    an already-committed id returns False without touching the index; a
+    retry of a crashed attempt first deletes that batch's partition
+    directories, then rewrites postings -> terms -> stats and commits
+    the log entry LAST. Omitting ``batch_id`` derives a deterministic
+    id from the log size — still retry-safe, but two *successful* calls
+    are two distinct batches. Returns True when the batch was ingested.
 
     Results provably equal a fresh build over the concatenated corpus
     (tested), searches included.
@@ -181,19 +202,36 @@ def append_term_index(df: DataFrame, path: str,
     spark = df.sparkSession
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
+    committed = indexlog.committed_batches(spark, path)
+    if batch_id is None:
+        batch_id = indexlog.next_auto_batch_id(committed)
+    indexlog.check_batch_id(batch_id)
+    if batch_id == indexlog.BASE_BATCH:
+        raise ValueError(
+            f"batch_id {indexlog.BASE_BATCH!r} is reserved for the "
+            "initial build")
+    if batch_id in committed:
+        return False  # replayed batch: already fully ingested
+    indexlog.delete_glob(
+        spark, f"{path}/postings/bucket=*/batch={batch_id}")
     base, tf = _postings(df, id_column, text_column, n_buckets,
                          bool(stats.asDict().get("has_positions", False)))
-    _write_postings(tf, path, "append")
+    _write_postings(tf, path, "append", batch_id)
     _write_terms(spark, path)
     delta = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t")).collect()[0]
+    prior = indexlog.logged_totals(spark, path, "n_docs", "total_tokens")
     (spark.createDataFrame(
-        [(int(stats["n_docs"]) + int(delta["n"]),
-          int(stats["total_tokens"]) + int(delta["t"]), n_buckets,
+        [(prior["n_docs"] + int(delta["n"]),
+          prior["total_tokens"] + int(delta["t"]), n_buckets,
           bool(stats.asDict().get("has_positions", False)))],
         "n_docs long, total_tokens long, n_buckets int, has_positions boolean")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+    indexlog.log_batch(spark, path, batch_id,
+                       n_docs=int(delta["n"]),
+                       total_tokens=int(delta["t"]))
+    return True
 
 
 def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:

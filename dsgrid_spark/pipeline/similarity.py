@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from dsgrid_spark.pipeline import indexlog
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -461,13 +463,16 @@ def write_ivf_index(df: DataFrame, path: str,
         .select(F.col(id_column).alias("id"),
                 F.col(vector_column).alias("embedding"), "cluster")
     )
-    (assigned.repartition("cluster")
-       .write.mode("overwrite").partitionBy("cluster")
+    (assigned.withColumn("batch", F.lit(indexlog.BASE_BATCH))
+       .repartition("cluster")
+       .write.mode("overwrite").partitionBy("cluster", "batch")
        .parquet(f"{path}/vectors"))
     spark = df.sparkSession
     rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
     (spark.createDataFrame(rows, "cluster int, centroid array<double>")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    indexlog.delete_glob(spark, f"{path}/batches")
+    indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 
 def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
@@ -520,21 +525,39 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
 
 def append_ivf_index(df: DataFrame, path: str,
                      id_column: str = "vec_id",
-                     vector_column: str = "embedding") -> None:
+                     vector_column: str = "embedding",
+                     batch_id: str | None = None) -> bool:
     """Append a new vector batch to a persisted IVF index without
     touching the existing partitions: the batch is assigned against the
     INDEX'S OWN centroid table (never caller-supplied — a drifted
     centroid list would route probes to the wrong partitions) and its
-    rows append into the matching cluster directories.
+    rows land in batch-scoped cluster directories
+    (``cluster=K/batch=<id>``).
 
     Centroids are not re-trained — the standard IVF maintenance
     trade-off (re-train + rebuild when the distribution drifts; the
     assignment here stays consistent with every earlier batch, so
     searches remain exact-within-probed-clusters). Equal to a fresh
     build over the concatenated corpus with the same centroids (tested).
-    Not idempotent on retry, same caveat as ``append_term_index``.
+
+    EXACTLY-ONCE per ``batch_id`` (pipeline/indexlog.py): a committed
+    id returns False untouched; a retry of a crashed attempt deletes
+    that batch's directories before rewriting, and the log entry
+    commits LAST. Returns True when the batch was ingested.
     """
     spark = df.sparkSession
+    committed = indexlog.committed_batches(spark, path)
+    if batch_id is None:
+        batch_id = indexlog.next_auto_batch_id(committed)
+    indexlog.check_batch_id(batch_id)
+    if batch_id == indexlog.BASE_BATCH:
+        raise ValueError(
+            f"batch_id {indexlog.BASE_BATCH!r} is reserved for the "
+            "initial build")
+    if batch_id in committed:
+        return False  # replayed batch: already fully ingested
+    indexlog.delete_glob(
+        spark, f"{path}/vectors/cluster=*/batch={batch_id}")
     cent_rows = sorted(
         ((r["cluster"], list(r["centroid"])) for r in
          spark.read.parquet(f"{path}/centroids").collect()),
@@ -546,6 +569,9 @@ def append_ivf_index(df: DataFrame, path: str,
         .select(F.col(id_column).alias("id"),
                 F.col(vector_column).alias("embedding"), "cluster")
     )
-    (assigned.repartition("cluster")
-       .write.mode("append").partitionBy("cluster")
+    (assigned.withColumn("batch", F.lit(batch_id))
+       .repartition("cluster")
+       .write.mode("append").partitionBy("cluster", "batch")
        .parquet(f"{path}/vectors"))
+    indexlog.log_batch(spark, path, batch_id)
+    return True

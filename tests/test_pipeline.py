@@ -1795,16 +1795,98 @@ def test_append_term_index_equals_rebuild(spark, tmp_path):
         "doc_id long, text string")
     inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
     write_term_index(a, inc, n_buckets=8)
-    append_term_index(b, inc)
+    assert append_term_index(b, inc) is True
     write_term_index(a.unionByName(b), full, n_buckets=8)
     for sub in ("postings", "terms", "stats"):
-        gi = sorted(map(tuple, spark.read.parquet(f"{inc}/{sub}").collect()))
-        gf = sorted(map(tuple, spark.read.parquet(f"{full}/{sub}").collect()))
+        # the batch provenance column legitimately differs between an
+        # incremental tree (base + auto...) and a one-shot build (base)
+        di = spark.read.parquet(f"{inc}/{sub}").drop("batch")
+        gi = sorted(map(tuple, di.collect()))
+        gf = sorted(map(tuple, spark.read.parquet(f"{full}/{sub}")
+                        .select(*di.columns).collect()))
         assert gi == gf, sub
     q = ["window", "stream", "vector"]
     ri = [(r["id"], r["bm25"]) for r in bm25_search(spark, inc, q, 5).collect()]
     rf = [(r["id"], r["bm25"]) for r in bm25_search(spark, full, q, 5).collect()]
     assert ri == rf
+
+
+def test_append_term_index_exactly_once(spark, tmp_path):
+    """Replayed and crash-retried index appends converge to the same
+    end state as a single successful append (pipeline/indexlog.py)."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, write_term_index,
+    )
+
+    a = spark.createDataFrame(
+        [(0, "spark window stream"), (1, "stream data")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(2, "window vector"), (3, "vector engine")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(a, path, n_buckets=4)
+
+    assert append_term_index(b, path, batch_id="ingest-42") is True
+    want_post = sorted(map(tuple, spark.read.parquet(f"{path}/postings")
+                           .drop("batch").collect()))
+    want_stats = sorted(map(tuple,
+                            spark.read.parquet(f"{path}/stats").collect()))
+
+    # replay of a COMMITTED batch: no-op, nothing double-counted
+    assert append_term_index(b, path, batch_id="ingest-42") is False
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/postings")
+                      .drop("batch").collect())) == want_post
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/stats")
+                      .collect())) == want_stats
+
+    # crashed attempt: data landed but the log entry (written LAST)
+    # didn't — the retry must clean the orphan partitions and re-ingest
+    indexlog.delete_glob(spark, f"{path}/batches/batch=ingest-42")
+    assert append_term_index(b, path, batch_id="ingest-42") is True
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/postings")
+                      .drop("batch").collect())) == want_post
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/stats")
+                      .collect())) == want_stats
+
+    with pytest.raises(ValueError, match="reserved"):
+        append_term_index(b, path, batch_id="base")
+    with pytest.raises(ValueError, match="batch_id"):
+        append_term_index(b, path, batch_id="no/slashes")
+
+
+def test_append_ivf_index_exactly_once(spark, tmp_path):
+    """Same exactly-once contract for the IVF vector index."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.similarity import (
+        append_ivf_index, kmeans_centroids, write_ivf_index,
+    )
+    import random
+
+    rnd = random.Random(3)
+    rows_a = [(i, [rnd.gauss((i % 2) * 3.0, 0.2) for _ in range(4)])
+              for i in range(40)]
+    rows_b = [(i + 100, [rnd.gauss((i % 2) * 3.0, 0.2) for _ in range(4)])
+              for i in range(10)]
+    a = spark.createDataFrame(rows_a, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(a, path, kmeans_centroids(a, 2, 4, iterations=2, seed=1))
+
+    assert append_ivf_index(b, path, batch_id="v7") is True
+    want = sorted(map(tuple, spark.read.parquet(f"{path}/vectors")
+                      .select("id", "cluster").collect()))
+    assert append_ivf_index(b, path, batch_id="v7") is False
+    got = sorted(map(tuple, spark.read.parquet(f"{path}/vectors")
+                     .select("id", "cluster").collect()))
+    assert got == want
+
+    indexlog.delete_glob(spark, f"{path}/batches/batch=v7")
+    assert append_ivf_index(b, path, batch_id="v7") is True
+    got = sorted(map(tuple, spark.read.parquet(f"{path}/vectors")
+                     .select("id", "cluster").collect()))
+    assert got == want
 
 
 def _py_pagerank(edges, iterations=10, damping=0.85):
@@ -1986,7 +2068,7 @@ def test_append_ivf_index_equals_rebuild(spark, tmp_path):
     cents = kmeans_centroids(a, 3, 5, iterations=2, seed=1)
     inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
     write_ivf_index(a, inc, cents)
-    append_ivf_index(b, inc)
+    assert append_ivf_index(b, inc) is True
     write_ivf_index(a.unionByName(b), full, cents)
     gi = sorted(map(tuple, spark.read.parquet(f"{inc}/vectors")
                     .select("id", "cluster").collect()))
