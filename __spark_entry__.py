@@ -1358,7 +1358,47 @@ def q44_embedding_neardup(spark, sf_dir):
     # (sqrt(a)*sqrt(b) vs sqrt(a*b)), so 1.0±ulp would coin-flip under
     # floor; round(...,6) is robust precisely because 1.0 is far from a
     # .5e-6 rounding boundary.
-    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+    pair_rows = out.select(
+        F.lit("pair").alias("op"), "id_a", "id_b",
+        F.round("score", 6).alias("score"))
+
+    # 'sem' branch: SemDeDup cluster-blocked semantic dedup
+    # (similarity.semantic_dedup) on a CONSTRUCTED provable corpus.
+    # Each vec_id becomes a unit vector in its group's own 2D plane
+    # (group g = vec_id % 16 spans dims 2g, 2g+1 — groups pairwise
+    # orthogonal, cosine 0), rotated by angle = 50°*c + j° with class
+    # c = (vec_id div 16) % 2 and jitter j = (vec_id div 32) % 5.
+    # Within a (g, c) class all pairwise cosines are >= cos 4° ≈ 0.9976
+    # (near-dups at threshold 0.99, NOT exact dups thanks to jitter);
+    # across classes <= cos 46° ≈ 0.69; across groups exactly 0. With
+    # the 16 plane axes as centroids every vector provably lands in its
+    # own group's cluster, so the duplicate components are exactly the
+    # (g, c) classes == vec_id % 32 — survivor = min id = the residue
+    # itself, n_members and the survivor's centroid cosine (j = 0 →
+    # cos(50°c)) all derivable by id arithmetic in the oracle.
+    from dsgrid_spark.pipeline.similarity import semantic_dedup
+
+    g = (F.col("vec_id") % 16).cast("int")
+    c = (F.expr("vec_id div 16") % 2).cast("int")
+    j = (F.expr("vec_id div 32") % 5).cast("int")
+    angle = F.radians(F.lit(50.0) * c + j)
+    vec = F.array(*[
+        F.when(F.lit(p) == g * 2, F.cos(angle))
+         .when(F.lit(p) == g * 2 + 1, F.sin(angle))
+         .otherwise(F.lit(0.0))
+        for p in range(32)
+    ])
+    sem_corpus = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", vec.alias("embedding"))
+    axes = [[1.0 if i == 2 * gg else 0.0 for i in range(32)]
+            for gg in range(16)]
+    sem_rows = semantic_dedup(
+        sem_corpus, axes, threshold=0.99, keep="min_id"
+    ).select(
+        F.lit("sem").alias("op"), F.col("id").alias("id_a"),
+        F.col("n_members").cast("long").alias("id_b"),
+        F.round("centroid_sim", 6).alias("score"))
+    return pair_rows.unionByName(sem_rows)
 
 
 def q45_similarity_ivf(spark, sf_dir):
@@ -2919,11 +2959,23 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT vec_id + 100000, list_transform(v, x -> x * 1.01) FROM base
             )
-            SELECT id_a, id_b, round(score, 6) AS score FROM (
+            SELECT 'pair' AS op, id_a, id_b, round(score, 6) AS score FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      list_cosine_similarity(a.v, b.v) AS score
               FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             ) WHERE score >= 0.999
+            UNION ALL
+            -- 'sem': duplicate components are exactly the vec_id % 32
+            -- residue classes (see the Spark-side construction); the
+            -- surviving min id IS the residue, and the survivor's
+            -- cosine to its cluster axis is cos(50° * class), class =
+            -- residue // 16 (survivor jitter j = 0 by construction)
+            SELECT 'sem' AS op,
+                   CAST(r AS BIGINT) AS id_a,
+                   CAST(n AS BIGINT) AS id_b,
+                   round(cos(radians(50.0 * (r // 16))), 6) AS score
+            FROM (SELECT vec_id % 32 AS r, count(*) AS n
+                  FROM embeddings GROUP BY vec_id % 32)
         """,
         "q45_similarity_ivf": """
             SELECT 'ivf' AS op, q.vec_id AS query_id, c.vec_id,

@@ -575,3 +575,92 @@ def append_ivf_index(df: DataFrame, path: str,
        .parquet(f"{path}/vectors"))
     indexlog.log_batch(spark, path, batch_id)
     return True
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.95,
+                   id_column: str = "vec_id",
+                   vector_column: str = "embedding",
+                   keep: str = "min_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, find
+    near-duplicate pairs WITHIN each cluster only, connect them into
+    duplicate groups, and keep one representative per group.
+
+    The cluster is the blocking unit — the all-pairs cosine self-join
+    runs per cluster, so the shuffle carries (cluster, id, vector) once
+    and pair work is O(sum of cluster sizes squared), the standard
+    SemDeDup cost regime (n_clusters grows with the corpus so clusters
+    stay bounded). Near-dups split across two clusters are missed —
+    that is the method's documented recall trade, identical to the
+    paper. Centroids come from the caller (``kmeans_centroids`` or a
+    domain-specific codebook), so assignment is reproducible.
+
+    ``keep`` picks the representative per duplicate group:
+
+    - ``min_id``: smallest id — deterministic, oracle-friendly.
+    - ``far_from_centroid``: the member LEAST similar to its cluster
+      centroid (the paper's choice — keeping the outlier preserves more
+      diversity than keeping the prototype); ties break to smallest id.
+
+    Returns survivors only: (id, cluster, n_members, centroid_sim)
+    where n_members counts the survivor's duplicate group (1 for
+    uniques) and centroid_sim is the survivor's cosine to its own
+    cluster centroid.
+    """
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"keep must be min_id or far_from_centroid, "
+                         f"got {keep!r}")
+    from dsgrid_spark.pipeline.dedup import connected_components
+
+    assigned = (
+        assign_nearest_centroid(df, centroids, vector_column)
+        .select(F.col(id_column).alias("id"),
+                F.col(vector_column).alias("__v"),
+                F.col("__cluster").alias("cluster"))
+        .withColumn(
+            "centroid_sim",
+            # one fold against the row's own centroid via a small
+            # literal lookup array — no join, no second argmax pass
+            F.element_at(
+                F.array(*[cosine(F.col("__v"),
+                                 F.array(*[F.lit(x) for x in c]))
+                          for c in centroids]),
+                F.col("cluster") + 1))
+        .persist()
+    )
+    a = assigned.select("cluster", F.col("id").alias("id_a"),
+                        F.col("__v").alias("__va"))
+    b = assigned.select("cluster", F.col("id").alias("id_b"),
+                        F.col("__v").alias("__vb"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    members = (
+        assigned.join(comp, "id", "left")
+        # vertices with no near-dup edge are their own singleton group
+        .withColumn("component", F.coalesce("component", F.col("id")))
+    )
+    if keep == "min_id":
+        rep = F.struct(F.col("id").alias("k1"), F.col("id").alias("k2"))
+    else:
+        rep = F.struct(F.col("centroid_sim").alias("k1"),
+                       F.col("id").cast("double").alias("k2"))
+    stats = (
+        members.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.min(rep).alias("__rep"))
+    )
+    out = (
+        members.join(stats, "component")
+        .filter(
+            (F.col("id") == F.col("__rep.k2")) if keep == "min_id"
+            else ((F.col("centroid_sim") == F.col("__rep.k1"))
+                  & (F.col("id").cast("double") == F.col("__rep.k2"))))
+        .select("id", "cluster", "n_members", "centroid_sim")
+    )
+    return out

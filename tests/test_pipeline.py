@@ -2124,3 +2124,65 @@ def test_phrase_search_positional_index(spark, tmp_path):
         phrase_search(spark, plain, "quick brown")
     with pytest.raises(ValueError):
         phrase_search(spark, path, "   ")
+
+
+def test_semantic_dedup_min_id(spark):
+    """Cluster-blocked semantic dedup keeps the min-id member of each
+    within-cluster near-dup component; singletons survive untouched."""
+    import math
+
+    from dsgrid_spark.pipeline.similarity import semantic_dedup
+
+    # two orthogonal planes; ids 0-2 near-dups in plane 0 (<=2 deg
+    # apart), ids 3-4 near-dups in plane 1, id 5 alone in plane 0 but
+    # 40 deg away from the 0-2 group (below threshold)
+    def v(plane, deg):
+        a = math.radians(deg)
+        out = [0.0, 0.0, 0.0, 0.0]
+        out[2 * plane], out[2 * plane + 1] = math.cos(a), math.sin(a)
+        return out
+
+    rows = [(0, v(0, 0)), (1, v(0, 1)), (2, v(0, 2)),
+            (3, v(1, 10)), (4, v(1, 11)), (5, v(0, 40))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    axes = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    got = {r["id"]: (r["cluster"], r["n_members"])
+           for r in semantic_dedup(df, axes, threshold=0.999).collect()}
+    assert got == {0: (0, 3), 3: (1, 2), 5: (0, 1)}
+
+
+def test_semantic_dedup_far_from_centroid(spark):
+    """The paper's diversity-preserving policy keeps the member least
+    similar to its cluster centroid (ties to min id)."""
+    import math
+
+    from dsgrid_spark.pipeline.similarity import semantic_dedup
+
+    def v(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a)]
+
+    # one component of three near-dups; id 2 sits farthest from the axis
+    rows = [(0, v(0)), (1, v(1)), (2, v(2))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, [[1.0, 0.0]], threshold=0.999,
+                         keep="far_from_centroid").collect()
+    assert [(r["id"], r["n_members"]) for r in out] == [(2, 3)]
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(df, [[1.0, 0.0]], keep="median")
+
+
+def test_semantic_dedup_cross_cluster_miss_is_the_documented_trade(spark):
+    """Near-dups assigned to different clusters are NOT joined — the
+    SemDeDup recall trade (blocking unit = cluster)."""
+    from dsgrid_spark.pipeline.similarity import semantic_dedup
+
+    # two identical vectors exactly between the axes: argmax ties break
+    # to the first centroid for both -> same cluster -> deduped; but a
+    # pair split by construction (one nudged per axis) survives twice
+    rows = [(0, [1.0, 0.01]), (1, [0.01, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.0)
+    # cosine(v0, v1) ~ 0.02 >= 0.0 would dedup them if they shared a
+    # cluster; they don't, so both survive
+    assert sorted(r["id"] for r in out.collect()) == [0, 1]
