@@ -705,13 +705,33 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     diameters (duplicate clusters are dense), so this converges in 2-3
     iterations; ``max_iterations`` bounds pathological chains.
     """
+    # both edge directions from ONE scan of the pair plan (inline
+    # explode) — a union of two selects would evaluate a possibly
+    # expensive upstream join twice before the persist materializes
+    import math
+
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+            F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
+    # right-size the edge partitioning to the MEASURED edge count: the
+    # loop below runs several tiny jobs per iteration, and on a small
+    # graph per-task overhead dominates — 1M edges per partition keeps
+    # a clique-cleanup graph on a handful of tasks while a web-scale
+    # graph keeps its parallelism (never widened, only narrowed)
+    n_edges = edges.count()
+    width = edges.rdd.getNumPartitions()
+    target = max(1, min(width, math.ceil(n_edges / 1_000_000)))
+    if target < width:
+        small = edges.coalesce(target).persist()
+        small.count()
+        edges.unpersist()
+        edges = small
     # localCheckpoint (not persist) after every round: each iteration's
     # plan embeds TWO copies of the previous labels plan, so without
     # lineage truncation the plan tree doubles per round and the
