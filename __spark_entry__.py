@@ -1335,7 +1335,7 @@ def q43_ngram_jaccard(spark, sf_dir):
     return jac.unionByName(contam).unionByName(split)
 
 
-def q44_embedding_neardup(spark, sf_dir):
+def _q44_pair(spark, sf_dir):
     """Embedding-cosine near-dup pairs (pipeline op).
 
     The synthetic embeddings have no natural near-dups (max pairwise
@@ -1358,10 +1358,12 @@ def q44_embedding_neardup(spark, sf_dir):
     # (sqrt(a)*sqrt(b) vs sqrt(a*b)), so 1.0±ulp would coin-flip under
     # floor; round(...,6) is robust precisely because 1.0 is far from a
     # .5e-6 rounding boundary.
-    pair_rows = out.select(
+    return out.select(
         F.lit("pair").alias("op"), "id_a", "id_b",
         F.round("score", 6).alias("score"))
 
+
+def _q44_sem(spark, sf_dir):
     # 'sem' branch: SemDeDup cluster-blocked semantic dedup
     # (similarity.semantic_dedup) on a CONSTRUCTED provable corpus.
     # Each vec_id becomes a unit vector in its group's own 2D plane
@@ -1388,17 +1390,28 @@ def q44_embedding_neardup(spark, sf_dir):
          .otherwise(F.lit(0.0))
         for p in range(32)
     ])
-    sem_corpus = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", vec.alias("embedding"))
+    # 512 ids = 16 members per residue class at every sf — the operator
+    # contract is fully exercised while the board slot's pair join stays
+    # byte-bounded (scale behavior is the rehearsals' job, not the gate's)
+    sem_corpus = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 512).select("vec_id", vec.alias("embedding"))
     axes = [[1.0 if i == 2 * gg else 0.0 for i in range(32)]
             for gg in range(16)]
-    sem_rows = semantic_dedup(
+    return semantic_dedup(
         sem_corpus, axes, threshold=0.99, keep="min_id"
     ).select(
         F.lit("sem").alias("op"), F.col("id").alias("id_a"),
         F.col("n_members").cast("long").alias("id_b"),
         F.round("centroid_sim", 6).alias("score"))
-    return pair_rows.unionByName(sem_rows)
+
+
+def q44_embedding_neardup(spark, sf_dir):
+    """Tagged union: 'pair' cosine near-dup pairs + 'sem' SemDeDup
+    survivors (see the two sub-functions; bench.py times them
+    separately because connected components inside semantic_dedup runs
+    its convergence jobs at construction time, so a tag filter cannot
+    prune the 'sem' subtree — the q28 'stream' convention)."""
+    return _q44_pair(spark, sf_dir).unionByName(_q44_sem(spark, sf_dir))
 
 
 def q45_similarity_ivf(spark, sf_dir):
@@ -1629,8 +1642,22 @@ def q47_fingerprint(spark, sf_dir):
         F.col("n_tokens_kept").alias("a"),
         F.col("n_tokens_dropped").alias("b"),
     )
+    # 'hh' branch: corpus-wide heavy-hitter trigrams (boilerplate
+    # audit) — doc_id carries the 1-based rank, a the count, b the
+    # n-gram order; total order (count desc, trigram asc) makes the
+    # top-20 deterministic on both engines.
+    from dsgrid_spark.pipeline.text import top_ngrams
+
+    hh_rows = top_ngrams(
+        _t(spark, sf_dir, "documents"), "text", n=3, k=20
+    ).select(
+        F.lit("hh").alias("op"), F.col("rank").alias("doc_id"),
+        F.col("ngram").alias("term"), F.col("count").alias("a"),
+        F.lit(3).cast("long").alias("b"),
+    )
     return (fp_rows.unionByName(term_rows).unionByName(para_rows)
-            .unionByName(fuzz_rows).unionByName(span_rows))
+            .unionByName(fuzz_rows).unionByName(span_rows)
+            .unionByName(hh_rows))
 
 
 def q48_supplemental_filter(spark, sf_dir):
@@ -2975,7 +3002,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS id_b,
                    round(cos(radians(50.0 * (r // 16))), 6) AS score
             FROM (SELECT vec_id % 32 AS r, count(*) AS n
-                  FROM embeddings GROUP BY vec_id % 32)
+                  FROM embeddings WHERE vec_id < 512
+                  GROUP BY vec_id % 32)
         """,
         "q45_similarity_ivf": """
             SELECT 'ivf' AS op, q.vec_id AS query_id, c.vec_id,
@@ -3200,6 +3228,32 @@ def oracle_sql() -> dict[str, str]:
                        's' || CAST(j AS VARCHAR) for j in range(0, 60)
                      ], ' ') AS shared
               FROM documents
+            )
+            UNION ALL
+            -- 'hh': corpus-wide top-20 trigrams; rank rides doc_id,
+            -- total order (count desc, trigram asc) is deterministic
+            SELECT 'hh',
+                   CAST(row_number() OVER (ORDER BY cnt DESC, g) AS BIGINT),
+                   g AS term, cnt AS a, CAST(3 AS BIGINT) AS b
+            FROM (
+              SELECT g, CAST(count(*) AS BIGINT) AS cnt
+              FROM (
+                SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                       || ' ' || w[CAST(i AS INT) + 2] AS g
+                FROM (
+                  SELECT w, unnest(range(1, len(w) - 1)) AS i
+                  FROM (
+                    SELECT list_filter(
+                             string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x != '') AS w
+                    FROM documents
+                  )
+                  WHERE len(w) >= 3
+                )
+              )
+              GROUP BY g
+              ORDER BY cnt DESC, g
+              LIMIT 20
             )
         """,
         "q48_supplemental_filter": """

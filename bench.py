@@ -143,6 +143,19 @@ def main():
             per[tag] = round(time.time() - t0, 3)
         branch_timings["q28_dedup_exact"] = per
 
+    # q44's 'sem' side (semantic_dedup) runs connected-components
+    # convergence jobs at construction time — same imperative shape as
+    # q28 'stream', so its branches are also timed via sub-functions.
+    if "q44_embedding_neardup" in timings:
+        per = {}
+        for tag, fn in (("pair", entry_mod._q44_pair),
+                        ("sem", entry_mod._q44_sem)):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            per[tag] = round(time.time() - t0, 3)
+        branch_timings["q44_embedding_neardup"] = per
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

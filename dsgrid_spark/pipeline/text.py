@@ -786,3 +786,51 @@ def predict_proba(weights: list[float],
     for wi, c in zip(weights[1:], feature_columns):
         z = z + F.lit(wi) * F.col(c).cast("double")
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def ngram_array(text: Column, n: int) -> Column:
+    """Word n-gram array (space-joined) from the library tokenizer,
+    empty tokens dropped; documents shorter than ``n`` tokens yield an
+    empty array. Pure array expressions (sequence + slice inside a
+    transform) — per-row, zero shuffle, SQL-reproducible."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = F.filter(_word_array(text), lambda x: x != "")
+    size = F.size(words)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(df: DataFrame, text_column: str = "text",
+               n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-wide heavy hitters: the k most frequent word n-grams,
+    with a deterministic total order (count desc, then n-gram asc).
+
+    The boilerplate/contamination audit primitive: the most frequent
+    trigrams of a web corpus ARE its templated junk (cookie banners,
+    nav bars), and the list seeds removal rules. Shape at scale: the
+    exploded (ngram) stream gets map-side partial aggregation, so the
+    shuffle carries one row per distinct n-gram per task — corpus size
+    drops out; the global top-k is a TakeOrdered over aggregated
+    counts, never a full sort. Returns (rank, ngram, count), rank
+    1-based.
+    """
+    counts = (
+        df.select(F.explode(ngram_array(F.col(text_column), n))
+                  .alias("ngram"))
+        .groupBy("ngram").agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.desc("count"), F.asc("ngram")).limit(k)
+    # rank is assigned AFTER the limit, so the single-partition window
+    # only ever sees k rows
+    w = Window.orderBy(F.desc("count"), F.asc("ngram"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "ngram", "count")
