@@ -14,6 +14,7 @@ Python UDFs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 
 from dsgrid_spark.pipeline.text import fingerprint
 
@@ -694,7 +695,8 @@ def paragraph_dedup(df: DataFrame, text_column: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         small_graph_edges: int = 100_000) -> DataFrame:
     """Connected components over a duplicate-pair edge list by min-label
     propagation: every vertex converges to the smallest id reachable from
     it. Returns (id, component).
@@ -704,6 +706,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     only checks a scalar convergence count. Near-dup graphs have tiny
     diameters (duplicate clusters are dense), so this converges in 2-3
     iterations; ``max_iterations`` bounds pathological chains.
+
+    Graphs at or under ``small_graph_edges`` (measured AFTER the distinct
+    — the collect is bounded by this constant, never by input size) skip
+    the loop entirely and run driver-side union-find: each distributed
+    iteration costs several scheduler round-trips, which dominates
+    end-to-end time for clique-cleanup graphs by 10x+. 100k edges is
+    ~1.6 MB on the driver; web-scale duplicate graphs stay on the
+    executors.
     """
     # both edge directions from ONE scan of the pair plan (inline
     # explode) — a union of two selects would evaluate a possibly
@@ -725,6 +735,36 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # a clique-cleanup graph on a handful of tasks while a web-scale
     # graph keeps its parallelism (never widened, only narrowed)
     n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        rows = edges.collect()          # bounded by small_graph_edges
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:       # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            s, d = r["src"], r["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by MIN so the root IS the component label
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        out = [(v, find(v)) for v in parent]
+        edges.unpersist()
+        id_field = pairs.schema[id_a]
+        return pairs.sparkSession.createDataFrame(
+            out, schema=StructType([
+                StructField("id", id_field.dataType, True),
+                StructField("component", id_field.dataType, True),
+            ]))
     width = edges.rdd.getNumPartitions()
     target = max(1, min(width, math.ceil(n_edges / 1_000_000)))
     if target < width:

@@ -636,6 +636,16 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     normed = normalize_embeddings(
         df.select(F.col(id_column).alias("id"),
                   F.col(vector_column).alias("__v")), "__v")
+    # truncate lineage BEFORE the k-way score fan-out: the argmax
+    # duplicates __v's defining expression ~2k times (k dots, each
+    # referenced by the ladder AND the max), so a caller that builds the
+    # embedding from a wide column expression would otherwise pay
+    # Catalyst analysis of a k*|expr| tree on EVERY downstream job —
+    # measured 12 s on 512 rows for a 32-term constructed vector. After
+    # the checkpoint __v is a plain column of a LogicalRDD; the
+    # materialized footprint is the same (id, unit-vector) rows the old
+    # persist held.
+    normed = normed.localCheckpoint()
     cent_df = df.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(unit_cents)],
         "cluster int, __cent array<double>")
@@ -659,11 +669,11 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(dot(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
         .select("id_a", "id_b")
-        # materialized once: connected_components walks the edge list
-        # repeatedly, and the blocked self-join must not recompute
-        .persist()
     )
-    pairs.count()
+    # no persist here: connected_components materializes its OWN edge
+    # table from this plan exactly once (explode + distinct + persist),
+    # so persisting pairs too would just run the blocked self-join an
+    # extra time to fill a cache nothing reads
     comp = connected_components(pairs)
     members = (
         assigned.join(comp, "id", "left")
