@@ -1535,9 +1535,23 @@ def q46_sample_and_cap(spark, sf_dir):
         F.lit("budget").alias("op"), "doc_id", "lang", "source",
         F.col("running_total").alias("batch_index"),
     )
+    # 'dsir' rows: hashed n-gram importance resampling toward the 'de'
+    # slice (selection.dsir_select); batch_index carries the
+    # Gumbel-perturbed integer score so the oracle pins the weights and
+    # the exact resample, not just membership. Scores are exact integer
+    # sums of bucket-level discretized log-ratios — the cross-engine
+    # float risk is confined to the 10k-row bucket table.
+    from dsgrid_spark.pipeline.selection import dsir_select
+
+    sel = dsir_select(docs, docs.filter(F.col("lang") == "de"), k=100,
+                      buckets=10_000, salt="dsir")
+    dsir_rows = sel.select(
+        F.lit("dsir").alias("op"), "doc_id", "lang", "source",
+        F.col("gumbel_key").alias("batch_index"),
+    )
     return (pack_rows.unionByName(mix_rows).unionByName(strat_rows)
             .unionByName(shuffle_rows).unionByName(chunk_rows)
-            .unionByName(budget_rows))
+            .unionByName(budget_rows).unionByName(dsir_rows))
 
 
 def q47_fingerprint(spark, sf_dir):
@@ -3142,6 +3156,71 @@ def oracle_sql() -> dict[str, str]:
               )
             )
             WHERE rt - n_chars < 20000
+            UNION ALL
+            -- 'dsir': hashed n-gram importance resampling toward the
+            -- 'de' slice. Bucket log-ratios are discretized at the 10k
+            -- bucket table (ln calls bounded by buckets, not corpus);
+            -- per-doc scores are exact integer sums; Gumbel noise is an
+            -- md5-uniform pure function of doc_id.
+            SELECT 'dsir', k.doc_id, d.lang, d.source,
+                   k.key AS batch_index
+            FROM (
+              WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)),
+                                                      '\\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+              ), grams AS (
+                SELECT doc_id, unnest(w) AS g FROM words
+                UNION ALL
+                SELECT doc_id,
+                       w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                      FROM words WHERE len(w) >= 2)
+              ), bucketed AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(g || 'dsir'), 1, 8))
+                         AS BIGINT) % 10000 AS b
+                FROM grams
+              ), rc AS (
+                SELECT b, count(*) AS rn FROM bucketed GROUP BY b
+              ), tc AS (
+                SELECT bk.b AS b, count(*) AS tn
+                FROM bucketed bk JOIN documents dd USING (doc_id)
+                WHERE dd.lang = 'de' GROUP BY bk.b
+              ), tot AS (
+                SELECT (SELECT coalesce(sum(tn), 0) FROM tc) AS t,
+                       (SELECT coalesce(sum(rn), 0) FROM rc) AS r
+              ), lr AS (
+                SELECT rg.range AS b,
+                       CAST(floor((ln((coalesce(tc.tn, 0) + 1) * 1.0
+                                      / (tot.t + 10000))
+                                   - ln((coalesce(rc.rn, 0) + 1) * 1.0
+                                        / (tot.r + 10000)))
+                                  * 1000000 + 0.5) AS BIGINT) AS lr_micro
+                FROM range(10000) rg
+                LEFT JOIN tc ON tc.b = rg.range
+                LEFT JOIN rc ON rc.b = rg.range
+                CROSS JOIN tot
+              ), per_doc AS (
+                -- CAST: DuckDB sum(BIGINT) is HUGEINT, which would
+                -- poison the whole union's batch_index to decimal128
+                SELECT bk.doc_id, CAST(sum(lr.lr_micro) AS BIGINT) AS s
+                FROM bucketed bk JOIN lr ON lr.b = bk.b
+                GROUP BY bk.doc_id
+              )
+              SELECT d2.doc_id,
+                     coalesce(pd.s, 0)
+                     + CAST(floor(-ln(-ln((CAST(concat('0x', substr(
+                           md5(concat(CAST(d2.doc_id AS VARCHAR),
+                                      'dsir-g')), 1, 8)) AS BIGINT)
+                           % 1000000 + 0.5) / 1000000.0))
+                           * 1000000 + 0.5) AS BIGINT) AS key
+              FROM documents d2 LEFT JOIN per_doc pd USING (doc_id)
+              ORDER BY key DESC, d2.doc_id
+              LIMIT 100
+            ) k JOIN documents d USING (doc_id)
         """,
         "q47_fingerprint": f"""
             SELECT 'fp' AS op, doc_id, '' AS term,
