@@ -734,9 +734,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # graph per-task overhead dominates — 1M edges per partition keeps
     # a clique-cleanup graph on a handful of tasks while a web-scale
     # graph keeps its parallelism (never widened, only narrowed)
-    n_edges = edges.count()
-    if n_edges <= small_graph_edges:
-        rows = edges.collect()          # bounded by small_graph_edges
+    # ONE job decides small-vs-large AND fetches the small graph: take
+    # n+1 rows — if we get fewer, that IS the whole (bounded) edge set;
+    # a separate count-then-collect would walk the graph twice
+    rows = edges.take(small_graph_edges + 1)
+    if len(rows) <= small_graph_edges:
         parent: dict = {}
 
         def find(x):
@@ -765,6 +767,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 StructField("id", id_field.dataType, True),
                 StructField("component", id_field.dataType, True),
             ]))
+    # large graph: the take() above already materialized the persisted
+    # edges, so this count is a cache scan, not a recompute
+    n_edges = edges.count()
     width = edges.rdd.getNumPartitions()
     target = max(1, min(width, math.ceil(n_edges / 1_000_000)))
     if target < width:

@@ -306,3 +306,25 @@ def test_paragraph_dedup_text_shuffles_once(spark):
             "formatted")).split("\n\n")[0]
     n_exchange = sum("Exchange" in l for l in tree.splitlines())
     assert n_exchange <= 5, tree
+
+
+def test_dsir_scoring_broadcasts_bucket_table(spark):
+    """DSIR's scale contract: the <=buckets-row log-ratio table
+    broadcasts into the exploded token stream (the corpus never
+    shuffles to meet the model), and the per-document sum partially
+    aggregates map-side so the only wide exchange carries (id,
+    partial-sum) pairs."""
+    from dsgrid_spark.pipeline.selection import (
+        fit_hashed_ngrams, importance_scores, ngram_logratio)
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(50)],
+        "doc_id long, text string")
+    lr = ngram_logratio(fit_hashed_ngrams(df, buckets=256),
+                        fit_hashed_ngrams(df, buckets=256), buckets=256)
+    out = importance_scores(df, lr, buckets=256)
+    plan = _plan(out)
+    # the model join must broadcast (the zero-fill restore join by id
+    # may legitimately sort-merge — both of ITS sides are corpus-sized)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
