@@ -859,8 +859,13 @@ def _q28_bloom(spark, sf_dir):
     fps = fps.persist()
     # expected_items from the split bound (doc_id < 250 => at most 250
     # distinct fingerprints): sizing needs only an upper bound, so skip
-    # the extra count() job per call
-    bloom = build_bloom(fps, "__fp", expected_items=250, fpp=0.01)
+    # the extra count() job per call. The build's distinct+bit-fold
+    # shuffles a few hundred rows — scope the shuffle width down so the
+    # construction job doesn't schedule 32 tasks per stage for them.
+    from dsgrid_spark.session import scoped_conf
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        bloom = build_bloom(fps, "__fp", expected_items=250, fpp=0.01)
     batch = docs.filter(F.col("doc_id") >= 250).withColumn(
         "__fp", fingerprint(F.col("text")))
     maybe, fresh = bloom_prefilter(batch, bloom, "__fp")

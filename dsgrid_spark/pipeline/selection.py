@@ -53,11 +53,26 @@ def _md5_bucket(s: Column, buckets: int, salt: str) -> Column:
     ).cast("long") % F.lit(buckets)
 
 
+_MAX_BUCKETS = 10_000_000
+
+
+def _check_buckets(buckets: int) -> None:
+    """The log-ratio table materializes one row per bucket and
+    BROADCASTS at scoring time — the whole design assumes it is small
+    (DSIR uses 10k). A cap keeps a typo'd width from silently turning
+    the broadcast into a multi-GB ship-to-every-executor."""
+    if not 1 <= buckets <= _MAX_BUCKETS:
+        raise ValueError(
+            f"buckets must be in [1, {_MAX_BUCKETS}], got {buckets}; "
+            "the bucket table broadcasts to every executor")
+
+
 def hashed_ngram_buckets(text: Column, buckets: int = 10_000,
                          salt: str = "dsir") -> Column:
     """Array of feature-bucket ids for a document: word unigrams and
     bigrams (library tokenizer), each md5-hashed into ``buckets``.
     Duplicates preserved — the models are count-based, not set-based."""
+    _check_buckets(buckets)
     words = F.filter(_word_array(text), lambda x: x != "")
     n = F.size(words)
     # slice with a negative length throws, so the bigram arm must be
@@ -101,6 +116,7 @@ def ngram_logratio(target_counts: DataFrame, raw_counts: DataFrame,
     cross-engine float risk is confined to ~1e-10 * buckets boundary
     probability, not to billions of per-document sums.
     """
+    _check_buckets(buckets)
     spark = target_counts.sparkSession
     t_total = (target_counts.agg(F.sum("n")).collect()[0][0] or 0)
     r_total = (raw_counts.agg(F.sum("n")).collect()[0][0] or 0)

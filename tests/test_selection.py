@@ -160,3 +160,12 @@ def test_heldout_coverage_improves_over_random(spark):
     cov_dsir = heldout_ngram_coverage(picked, target)
     cov_junk = heldout_ngram_coverage(random_ish, target)
     assert cov_dsir > cov_junk
+
+
+def test_buckets_validation():
+    from dsgrid_spark.pipeline.selection import ngram_logratio
+
+    with pytest.raises(ValueError, match="buckets must be in"):
+        ngram_logratio(None, None, buckets=0)
+    with pytest.raises(ValueError, match="broadcasts"):
+        ngram_logratio(None, None, buckets=100_000_000)
