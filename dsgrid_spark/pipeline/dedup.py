@@ -1010,10 +1010,21 @@ def dedup_substrings(df: DataFrame, text_column: str = "text",
     Spark shape (no suffix array — that structure is single-machine):
 
       1. per doc, double 31-bit polynomial rolling hashes of every
-         L-token window over xxhash64 token hashes, combined into one
-         ~62-bit key — pure integer HOF folds, no per-window string
-         materialization, no overflow under ANSI mode (a < 2^31,
-         a*B + x < 2^62);
+         L-token window, combined into one ~62-bit key — pure integer
+         HOF folds, no per-window string materialization, no overflow
+         under ANSI mode (a < 2^31, a*B + x < 2^62). The two
+         polynomials roll over two INDEPENDENT xxhash64 token-hash
+         streams (salted second hash), not one stream with two bases:
+         with a shared stream, two windows differing in a single token
+         collide in BOTH polynomials whenever that token pair collides
+         mod 2^31-1 — only 31-bit resistance exactly where templated
+         corpora live (near-identical windows), observed once at the
+         50k-doc rehearsal (SCALE_R6.md). Independent streams restore
+         the full ~62-bit bound. Both token-hash arrays materialize as
+         per-row columns so window folds slice longs — inlining the
+         hash expression into the window lambda re-evaluates it per
+         window (~L x n string hashes per doc, measured 731 s -> tens
+         of seconds at 50k docs);
       2. ONE shuffle of (key, id, pos) rows — 8-byte keys, never text —
          grouped to the global first occurrence ``min(struct(id, pos))``;
       3. every non-first occurrence marks its doc's token range
@@ -1032,25 +1043,46 @@ def dedup_substrings(df: DataFrame, text_column: str = "text",
     p = _MERSENNE
 
     words = F.split(F.trim(F.col(text_column)), r"\s+")
-    n = F.size(words)
 
-    def roll(hw, base):
+    def roll(hw_col, base, nn):
         return F.transform(
-            F.sequence(F.lit(0), n - L),
+            F.sequence(F.lit(0), nn - L),
             lambda i: F.aggregate(
-                F.slice(hw, i + 1, L), F.lit(0).cast("long"),
+                F.slice(hw_col, i + 1, L), F.lit(0).cast("long"),
                 lambda a, x: F.pmod(a * base + x, p)),
         )
 
-    hw = F.transform(words, lambda w: F.pmod(F.xxhash64(w), p))
-    keys = F.when(
-        n >= L,
-        F.zip_with(roll(hw, F.lit(_B1)), roll(hw, F.lit(_B2)),
-                   lambda h1, h2: h1 * p + h2),
-    ).otherwise(F.array().cast("array<long>"))
+    # HOF "let" binding: the two token-hash streams are packed into a
+    # single-element struct array and consumed through the transform
+    # lambda's VARIABLE — lambda variables are real references, so the
+    # window loop below slices precomputed long arrays. Naively naming
+    # them in a projection does NOT work: CollapseProject re-inlines
+    # the projection into every window lambda (L x n string hashes per
+    # doc instead of n — measured 755 s vs ~30 s at 50k docs).
+    def window_keys(w_col):
+        h1 = F.transform(w_col, lambda t: F.pmod(F.xxhash64(t), p))
+        # independent second stream (salted), NOT a second base over the
+        # same stream — see the docstring's collision note
+        h2 = F.transform(w_col, lambda t: F.pmod(
+            F.xxhash64(F.concat(t, F.lit("\x01s2"))), p))
+        return F.element_at(
+            F.transform(
+                F.array(F.struct(h1.alias("h1"), h2.alias("h2"),
+                                 F.size(w_col).alias("n"))),
+                lambda s: F.when(
+                    s["n"] >= L,
+                    F.zip_with(roll(s["h1"], F.lit(_B1), s["n"]),
+                               roll(s["h2"], F.lit(_B2), s["n"]),
+                               lambda h1_, h2_: h1_ * p + h2_),
+                ).otherwise(F.array().cast("array<long>")),
+            ), 1)
 
+    # one id-partitioned pass computes the keys; ReuseExchange serves
+    # both consumers (the posexplode branch and the rebuild join, which
+    # needs id partitioning anyway) from the same corpus evaluation
     base = df.select(F.col(id_column), words.alias("__w"),
-                     keys.alias("__k"))
+                     window_keys(words).alias("__k")) \
+        .repartition(F.col(id_column))
     w = base.select(id_column, F.posexplode("__k").alias("pos", "h"))
     firsts = w.groupBy("h").agg(
         F.min(F.struct(F.col(id_column).alias("i"),
