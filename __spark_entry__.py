@@ -952,6 +952,10 @@ def q30_minhash_dedup(spark, sf_dir):
     sigs = minhash_signatures(ensure_min_partitions(docs), "text",
                               num_hashes=24,
                               shingle_k=5).select("doc_id", "minhash")
+    # the eager counts are load-bearing, not waste: the union's two
+    # branches become CONCURRENT stages in the one driver action, and
+    # tasks racing to fill a lazy cache each compute their partition
+    # (measured: dropping the counts took the slot 3.9 s -> 6.7 s)
     sigs = sigs.persist()
     sigs.count()
     # ... and ONE banding pass feeds all three band consumers the same
