@@ -585,11 +585,15 @@ def append_ivf_index(df: DataFrame, path: str,
     return True
 
 
-def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+def semantic_dedup(df: DataFrame,
+                   centroids: list[list[float]] | None = None,
                    threshold: float = 0.95,
                    id_column: str = "vec_id",
                    vector_column: str = "embedding",
-                   keep: str = "min_id") -> DataFrame:
+                   keep: str = "min_id",
+                   n_clusters: int | None = None,
+                   target_cluster_size: int = 1024,
+                   kmeans_iterations: int = 5) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, find
     near-duplicate pairs WITHIN each cluster only, connect them into
@@ -602,7 +606,15 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     stay bounded). Near-dups split across two clusters are missed —
     that is the method's documented recall trade, identical to the
     paper. Centroids come from the caller (``kmeans_centroids`` or a
-    domain-specific codebook), so assignment is reproducible.
+    domain-specific codebook), so assignment is reproducible; with
+    ``centroids=None`` they are fit internally, with k derived from the
+    measured corpus size (``ceil(n / target_cluster_size)``, capped at
+    4096) unless ``n_clusters`` pins it — the SCALE_R6 lesson that a
+    FIXED codebook is an O(n²/k) trap operationalized: 100× the corpus
+    under k=32 cost 51× wall; the same corpus at the derived k ran 2.9×
+    faster. Fitting costs ``kmeans_iterations`` extra passes, so for
+    repeated runs fit once with ``kmeans_centroids`` and pass the
+    result in.
 
     ``keep`` picks the representative per duplicate group:
 
@@ -622,6 +634,18 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     import math
 
     from dsgrid_spark.pipeline.dedup import connected_components
+
+    if centroids is None:
+        if target_cluster_size < 1:
+            raise ValueError(f"target_cluster_size must be positive, "
+                             f"got {target_cluster_size}")
+        if n_clusters is None:
+            n_rows = df.count()
+            n_clusters = max(1, min(4096,
+                                    math.ceil(n_rows / target_cluster_size)))
+        dim = len(df.select(vector_column).first()[0])
+        centroids = kmeans_centroids(df, n_clusters, dim, vector_column,
+                                     iterations=kmeans_iterations)
 
     # normalize once so every downstream score is a plain dot product —
     # O(n) norm folds instead of O(pairs x centroids), and (as

@@ -2186,3 +2186,20 @@ def test_semantic_dedup_cross_cluster_miss_is_the_documented_trade(spark):
     # cosine(v0, v1) ~ 0.02 >= 0.0 would dedup them if they shared a
     # cluster; they don't, so both survive
     assert sorted(r["id"] for r in out.collect()) == [0, 1]
+
+
+def test_semantic_dedup_auto_fit_centroids(spark):
+    """centroids=None fits k-means internally with corpus-derived k;
+    exact-duplicate vectors still collapse to the min-id survivor."""
+    import math
+
+    from dsgrid_spark.pipeline.similarity import semantic_dedup
+
+    # 40 vectors in 4 exact-duplicate families of 10 (unit axes in 8d)
+    rows = [(i, [1.0 if d == (i % 4) * 2 else 0.0 for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.99, target_cluster_size=10)
+    got = {r["id"]: r["n_members"] for r in out.collect()}
+    # survivors are the min ids 0..3, each representing its family of 10
+    assert got == {0: 10, 1: 10, 2: 10, 3: 10}
