@@ -705,7 +705,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     shuffle on id — bytes per vertex/edge, never payloads); the driver
     only checks a scalar convergence count. Near-dup graphs have tiny
     diameters (duplicate clusters are dense), so this converges in 2-3
-    iterations; ``max_iterations`` bounds pathological chains.
+    iterations; ``max_iterations`` bounds pathological chains — and a
+    graph that has NOT converged by then (diameter > max_iterations)
+    hands off to the alternating star algorithm
+    (:func:`_cc_alternating_stars`, O(log n) rounds on any topology)
+    instead of returning partial labels.
 
     Graphs at or under ``small_graph_edges`` (measured AFTER the distinct
     — the collect is bounded by this constant, never by input size) skip
@@ -812,9 +816,96 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         )
         labels = new_labels
         if changed == 0:
-            break
+            edges.unpersist()
+            return labels
+    # NOT converged: min-label propagation needs O(diameter) rounds, so
+    # a chain longer than max_iterations would previously return
+    # silently-wrong partial labels. Hand the same edge table to the
+    # alternating star algorithm, which converges in O(log n) rounds on
+    # ANY topology — correctness can no longer depend on the duplicate
+    # graph being dense.
+    result = _cc_alternating_stars(edges)
     edges.unpersist()
-    return labels
+    return result
+
+
+def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 50
+                          ) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round points every node at the minimum of a
+    neighborhood, provably converging in O(log n) rounds to one star
+    per component centered at its minimum id. The high-diameter
+    fallback for :func:`connected_components` — chains and lattices
+    converge logarithmically where min-label propagation needs a round
+    per hop.
+
+    ``edges`` must hold BOTH directions of every undirected edge (the
+    caller's symmetric table). Each round is two groupBy+join phases
+    over (src, dst) pairs — ids only, never payloads — with lineage cut
+    per round; convergence is a single (count, xor-of-hashes) aggregate
+    compared on the driver.
+    """
+    # vertex set up front: star rounds may drop self-loop-only vertices,
+    # and every input vertex must appear in the output labels.
+    # localCheckpoint (not persist): the caller unpersists the edge
+    # table as soon as this function returns, and the returned labels
+    # plan must not re-derive vertices from the raw pair join then
+    verts = edges.select(F.col("src").alias("id")).distinct() \
+        .localCheckpoint()
+    canon = (edges.filter(F.col("src") > F.col("dst"))
+             .select("src", "dst").distinct().localCheckpoint())
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: symmetrize, point every LARGER neighbor at the
+        # neighborhood minimum (including the center itself)
+        sym = canon.unionByName(
+            canon.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+        mtab = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m"))
+        big = (
+            sym.join(mtab, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: on (larger -> smaller) edges, point every smaller
+        # neighbor (and the center) at the minimum neighbor
+        mtab2 = big.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = big.join(mtab2, "src")
+        canon = (
+            joined.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(joined.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        stats = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor, not sum: a 64-bit hash sum overflows ANSI longs
+            F.bit_xor(F.xxhash64("src", "dst")).alias("ck")).collect()[0]
+        cur = (stats["n"], stats["ck"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected components star algorithm did not converge in "
+            f"{max_rounds} rounds — not expected for any graph of "
+            f"< 2^{max_rounds} vertices; check the edge table for "
+            f"pathological churn")
+    # stars: (child, root) edges; roots label themselves; vertices that
+    # dropped out (self-loop-only) are their own component
+    children = canon.groupBy(F.col("src").alias("id")).agg(
+        F.min("dst").alias("component"))
+    return (
+        verts.join(children, "id", "left")
+        .select("id", F.coalesce("component", F.col("id"))
+                .alias("component"))
+    )
 
 
 def duplicate_clusters(df: DataFrame, pairs: DataFrame,

@@ -2203,3 +2203,53 @@ def test_semantic_dedup_auto_fit_centroids(spark):
     got = {r["id"]: r["n_members"] for r in out.collect()}
     # survivors are the min ids 0..3, each representing its family of 10
     assert got == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_connected_components_high_diameter_chain(spark):
+    """A 300-node path graph has diameter 299 >> max_iterations, which
+    previously returned silently-wrong partial labels; the star-
+    algorithm fallback must label the whole chain with its minimum.
+    small_graph_edges=0 forces the distributed path."""
+    from dsgrid_spark.pipeline.dedup import connected_components
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    comp = connected_components(pairs, max_iterations=5,
+                                small_graph_edges=0)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_stars_matches_union_find(spark):
+    """Randomized graphs: the distributed star fallback must agree with
+    driver union-find on component PARTITIONS (same grouping, and the
+    star labels are each group's min)."""
+    import random
+
+    from dsgrid_spark.pipeline.dedup import connected_components
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(120), rnd.randrange(120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs, max_iterations=1,
+                                         small_graph_edges=0).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
