@@ -834,3 +834,81 @@ def top_ngrams(df: DataFrame, text_column: str = "text",
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"),
         "ngram", "count")
+
+
+def approx_top_ngrams(df: DataFrame, text_column: str = "text",
+                      n: int = 3, k: int = 20,
+                      capacity: int = 4096) -> DataFrame:
+    """Heavy-hitter n-grams with BOUNDED state: Misra-Gries candidate
+    generation per partition, then an exact count of the candidates
+    only — the scale path for corpora whose distinct-n-gram universe
+    defeats :func:`top_ngrams`' map-side combine (the SCALE_R6
+    measurement: replica-unique grams made its exchange grow with the
+    corpus).
+
+    Pass 1 streams the exploded gram column through an Arrow
+    ``mapInPandas`` Misra-Gries summary holding at most ``capacity``
+    counters per partition (batched decrement: when the table
+    overflows, every counter drops by the (capacity+1)-th largest value
+    and non-positive ones are evicted — each decrement of d is paid for
+    by d*(capacity+1) stream mass, so any gram with true frequency
+    > N_partition/capacity survives its partition). Pass 2 sums the
+    partial summaries (<= capacity rows per partition on the wire) and
+    exactly recounts ONLY the top candidates via a broadcast semi-join,
+    so the result ranks true counts, never estimates.
+
+    EXACTNESS GUARANTEE: if the true k-th count exceeds
+    N/(capacity+1) (N = total gram occurrences), the result equals
+    :func:`top_ngrams` exactly — every true top-k gram is a candidate
+    and the final counts are exact. Below that skew the top of the list
+    is still exact counts of real heavy candidates, but a tail gram may
+    be missed; size ``capacity`` to the corpus (4096 covers k=20 for
+    any corpus where the 20th boilerplate string is at least ~0.02% of
+    gram mass).
+
+    Returns (rank, ngram, count) like :func:`top_ngrams`, same
+    deterministic total order.
+    """
+    if capacity < k:
+        raise ValueError(
+            f"capacity ({capacity}) must be >= k ({k}); the candidate "
+            "pool cannot be smaller than the requested top-k")
+    import pandas as pd
+
+    grams = df.select(
+        F.explode(ngram_array(F.col(text_column), n)).alias("ngram"))
+
+    def _misra_gries(frames):
+        counters: dict = {}
+        for pdf in frames:
+            for g, c in pdf["ngram"].value_counts().items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > capacity:
+                # batched decrement: drop everything by the
+                # (capacity+1)-th largest value
+                d = sorted(counters.values(), reverse=True)[capacity]
+                counters = {g: v - d for g, v in counters.items()
+                            if v - d > 0}
+        if counters:
+            yield pd.DataFrame({"ngram": list(counters.keys()),
+                                "lb": list(counters.values())})
+
+    partials = grams.mapInPandas(_misra_gries, "ngram string, lb long")
+    candidates = (
+        partials.groupBy("ngram").agg(F.sum("lb").alias("lb"))
+        .orderBy(F.desc("lb"), F.asc("ngram"))
+        .limit(capacity)
+        .select("ngram")
+    )
+    exact = (
+        grams.join(F.broadcast(candidates), "ngram", "left_semi")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+    from pyspark.sql import Window
+
+    top = exact.orderBy(F.desc("count"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("count"), F.asc("ngram"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "ngram", "count")

@@ -2253,3 +2253,46 @@ def test_connected_components_stars_matches_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+def test_approx_top_ngrams_equals_exact_on_skewed_corpus(spark):
+    """Zipf-ish corpus: the MG candidate pass plus the exact recount
+    must reproduce top_ngrams exactly when the k-th count clears the
+    N/(capacity+1) guarantee."""
+    from dsgrid_spark.pipeline.text import approx_top_ngrams, top_ngrams
+
+    rows = []
+    rid = 0
+    for fam in range(30):
+        for copy in range(60 - fam):          # family fam repeats 60-fam x
+            rows.append((rid, f"boiler plate f{fam} footer"))
+            rid += 1
+    for i in range(400):                       # unique-noise tail
+        rows.append((rid, f"x{i} y{i} z{i} w{i}"))
+        rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    exact = [tuple(r) for r in top_ngrams(df, n=3, k=15).collect()]
+    approx = [tuple(r) for r in approx_top_ngrams(df, n=3, k=15,
+                                                  capacity=256).collect()]
+    assert approx == exact
+
+
+def test_approx_top_ngrams_tiny_capacity_keeps_dominant(spark):
+    """Even far below the exactness bound, the single dominant gram
+    must survive the decrements and rank first with its TRUE count."""
+    from dsgrid_spark.pipeline.text import approx_top_ngrams
+
+    rows = [(i, "the same banner") for i in range(500)]
+    rows += [(1000 + i, f"a{i} b{i} c{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = approx_top_ngrams(df, n=3, k=1, capacity=16).collect()
+    assert got[0]["ngram"] == "the same banner"
+    assert got[0]["count"] == 500
+
+
+def test_approx_top_ngrams_capacity_validation():
+    from dsgrid_spark.pipeline.text import approx_top_ngrams
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="capacity"):
+        approx_top_ngrams(None, k=20, capacity=10)
