@@ -378,31 +378,88 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
     return centroids
 
 
+# Above this many inlined doubles the centroid matrix switches from plan
+# literals to broadcast DATA (see assign_nearest_centroid). Measured
+# (tools/scale_centroid_assign.py, 2k rows x dim=512/64): Catalyst
+# analysis of the literal plan is 1.6 s at 2k literals, 5.4 s at 8k,
+# 20.5 s at 32k, 304 s at 512k, while the data path stays 0.1-0.5 s flat
+# in k with equal-or-better runtime. Literal's only edge is avoiding a
+# ~0.3 s driver-side centroid-table build on tiny codebooks.
+LITERAL_CENTROID_BUDGET = 2048
+
+
 def assign_nearest_centroid(df: DataFrame, centroids: list[list[float]],
                             vector_column: str = "embedding",
-                            assume_normalized: bool = False) -> DataFrame:
-    """Nearest centroid by cosine, as a single array argmax expression.
+                            assume_normalized: bool = False,
+                            strategy: str = "auto") -> DataFrame:
+    """Nearest centroid by cosine; ties break to the lowest cluster index.
 
-    The k cosine folds land in ONE array column and the argmax is
-    ``array_position(scores, array_max(scores))`` — each score evaluates
-    once. The previous greatest + when-ladder referenced every score
-    twice (ladder AND greatest), doubling the per-row fold count; at
-    k=16 on 64-dim vectors that was the difference between minutes and
-    a stalled job. Ties break to the lowest index, same as the ladder.
+    Two physical strategies, identical results (same fold order, so the
+    doubles are bit-identical — tested):
+
+    - ``literal`` — the k cosine folds land in ONE array column built
+      from literal centroid arrays and the argmax is
+      ``array_position(scores, array_max(scores))``. Zero joins, but the
+      centroid matrix is inlined into the PLAN: O(k*dim) Literal nodes
+      that Catalyst re-analyzes on every downstream job. Fine for small
+      codebooks; at SemDeDup's derived k=4096 with 768-dim production
+      embeddings that is ~3M expression nodes — an analysis-time
+      scale-killer, not a row-work one.
+    - ``data`` — the centroid matrix is DATA, not plan: the (cluster,
+      centroid) table collapses to a single row holding
+      ``array<struct<cluster,centroid>>``, broadcast-cross-joined onto
+      the corpus (1-row build side), and the argmax is one
+      ``array_max(transform(...))`` over (score, -cluster) structs.
+      Plan size O(1) in k, zero shuffle, zero join-back, JVM HOFs
+      end-to-end; per-row arithmetic identical to the literal path. The
+      broadcast payload is k*dim doubles (k=4096 x dim=1024 = 32 MB)
+      shipped once per executor instead of once per task deserialization
+      of the plan.
+
+    ``strategy="auto"`` (default) picks ``data`` when k*dim exceeds
+    ``LITERAL_CENTROID_BUDGET``. All consumers (kmeans_centroids,
+    semantic_dedup, ivf_* build/append) inherit auto.
 
     ``assume_normalized=True`` replaces each cosine with a plain dot —
     valid ONLY when the caller guarantees unit-norm rows AND centroids;
-    it cuts the per-centroid fold count 3x (no norm recomputation) and,
-    as importantly, shrinks the expression tree Catalyst must analyze
-    per query.
+    it cuts the per-centroid fold count 3x (no norm recomputation).
     """
+    if strategy not in ("auto", "literal", "data"):
+        raise ValueError(f"strategy must be auto|literal|data, got {strategy!r}")
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if strategy == "auto":
+        strategy = ("data" if len(centroids) * len(centroids[0])
+                    > LITERAL_CENTROID_BUDGET else "literal")
     score_of = dot if assume_normalized else cosine
-    scores = F.array(*[
-        score_of(F.col(vector_column), F.array(*[F.lit(x) for x in c]))
-        for c in centroids
-    ])
-    cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return df.withColumn("__cluster", cluster)
+    if strategy == "literal":
+        scores = F.array(*[
+            score_of(F.col(vector_column), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ])
+        cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        return df.withColumn("__cluster", cluster)
+    spark = df.sparkSession
+    cent_one = (
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cluster int, centroid array<double>")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("cluster", "centroid"))).alias("__cents"))
+    )
+    v = F.col(vector_column)
+    # max of (score, -cluster) structs = highest score, tie -> lowest
+    # cluster — same tie-break as array_position-of-first-max above
+    best = F.array_max(F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(score_of(v, c["centroid"]).alias("s"),
+                           (-c["cluster"]).alias("nc")),
+    ))
+    return (
+        df.crossJoin(F.broadcast(cent_one))
+        .withColumn("__cluster", (-best["nc"]).cast("int"))
+        .drop("__cents")
+    )
 
 
 def ivf_topk(

@@ -479,6 +479,64 @@ def test_kmeans_seeds_span_partitions(spark):
     assert any(c[1] > c[0] for c in cents), cents
 
 
+def test_assign_nearest_centroid_data_path_bit_exact(spark):
+    """The broadcast-data argmax must equal the literal-expression argmax
+    bit-for-bit: same fold order, same tie-break (lowest cluster index).
+    This is the scale-safe path auto-selected above
+    LITERAL_CENTROID_BUDGET, so equality is the whole correctness story."""
+    import random
+
+    from dsgrid_spark.pipeline.similarity import assign_nearest_centroid
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(7)]
+    lit = assign_nearest_centroid(df, cents, strategy="literal") \
+        .select("vec_id", "__cluster").collect()
+    dat = assign_nearest_centroid(df, cents, strategy="data") \
+        .select("vec_id", "__cluster").collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, dat))
+    # normalized variant too (plain dot scoring)
+    litn = assign_nearest_centroid(df, cents, assume_normalized=True,
+                                   strategy="literal") \
+        .select("vec_id", "__cluster").collect()
+    datn = assign_nearest_centroid(df, cents, assume_normalized=True,
+                                   strategy="data") \
+        .select("vec_id", "__cluster").collect()
+    assert sorted(map(tuple, litn)) == sorted(map(tuple, datn))
+
+
+def test_assign_nearest_centroid_tie_breaks_to_lowest_cluster(spark):
+    from dsgrid_spark.pipeline.similarity import assign_nearest_centroid
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    # clusters 1 and 2 are the SAME vector -> identical score; both
+    # strategies must pick cluster 1 (lowest index among the tied max)
+    cents = [[0.0, 1.0], [1.0, 0.0], [1.0, 0.0]]
+    for strategy in ("literal", "data"):
+        got = assign_nearest_centroid(df, cents, strategy=strategy).first()
+        assert got["__cluster"] == 1, strategy
+
+
+def test_assign_nearest_centroid_auto_switches_on_budget(spark):
+    from dsgrid_spark.pipeline import similarity as sim
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    big_k = sim.LITERAL_CENTROID_BUDGET // 2 + 1  # k*dim just over budget
+    cents = [[float(i), 1.0] for i in range(big_k)]
+    plan = sim.assign_nearest_centroid(df, cents, strategy="auto") \
+        ._jdf.queryExecution().analyzed().toString()
+    # auto at k*dim > budget must be the broadcast-data plan (a join),
+    # not an inlined literal matrix
+    assert "Join" in plan
+    small = sim.assign_nearest_centroid(df, cents[:3], strategy="auto") \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in small
+
+
 def test_stratified_sample_targets_and_determinism(spark):
     from dsgrid_spark.pipeline.sampling import stratified_sample
 
