@@ -43,6 +43,28 @@ BRANCHES = {
     "q50_dst_duplicate": ("tag", ["spring", "fall", "interp"]),
 }
 
+# canonical-branch headline (round 7, VERDICT r6 item 2): the slot
+# totals grow whenever a slot absorbs a new branch (4 did in r6 alone),
+# so the round-over-round series needs a fixed-work number. For each
+# merged slot ONE named branch — the slot's original operator — is
+# pinned here; the canonical headline is the sum of those branch times
+# plus the unmerged slot times. Recorded as "canonical_value" in the
+# JSON next to the full-slot "value"; the reference point (r6 = 15.71 s)
+# and the convention live in BASELINE.md. Adding a branch to a slot must
+# NOT change this map — that is the whole point.
+CANONICAL_BRANCH = {
+    "q06_join_multi": "multi",
+    "q07_map_dimension": "agg",
+    "q12_peak_load": "peak",
+    "q21_scalar_datetime": "month",
+    "q23_time_downsample": "down",
+    "q30_minhash_dedup": "full",
+    "q31_simhash_dedup": "chunk",
+    "q50_dst_duplicate": "spring",
+    "q28_dedup_exact": "batch",
+    "q44_embedding_neardup": "pair",
+}
+
 # headline set: one per operator family that matters at scale
 HEADLINE = [
     "q01_pricing_summary",
@@ -157,14 +179,22 @@ def main():
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    canonical_queries = {
+        name: (branch_timings[name][CANONICAL_BRANCH[name]]
+               if name in CANONICAL_BRANCH else timings[name])
+        for name in HEADLINE
+    }
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "branches": branch_timings,
+        "canonical_value": round(sum(canonical_queries.values()), 3),
+        "canonical_queries": canonical_queries,
         "sf": sf,
-        "methodology": "min_of_2_runs_per_query; branches 1 run each",
+        "methodology": "min_of_2_runs_per_query; branches 1 run each; "
+                       "canonical = pinned-branch sum (see BASELINE.md)",
     }))
 
 
