@@ -1684,9 +1684,23 @@ def q47_fingerprint(spark, sf_dir):
         F.col("ngram").alias("term"), F.col("count").alias("a"),
         F.lit(3).cast("long").alias("b"),
     )
+    # 'ahh' branch: the BOUNDED-STATE heavy hitter must equal the exact
+    # one — the oracle is the same top-20 SQL. capacity=16384 makes the
+    # Misra-Gries exactness bound hold on this corpus at every sf
+    # (measured max N/f20 = 11,850 at sf0.1 < capacity+1), so equality
+    # is a guarantee, not luck.
+    from dsgrid_spark.pipeline.text import approx_top_ngrams
+
+    ahh_rows = approx_top_ngrams(
+        _t(spark, sf_dir, "documents"), "text", n=3, k=20, capacity=16384
+    ).select(
+        F.lit("ahh").alias("op"), F.col("rank").alias("doc_id"),
+        F.col("ngram").alias("term"), F.col("count").alias("a"),
+        F.lit(3).cast("long").alias("b"),
+    )
     return (fp_rows.unionByName(term_rows).unionByName(para_rows)
             .unionByName(fuzz_rows).unionByName(span_rows)
-            .unionByName(hh_rows))
+            .unionByName(hh_rows).unionByName(ahh_rows))
 
 
 def q48_supplemental_filter(spark, sf_dir):
@@ -3327,6 +3341,33 @@ def oracle_sql() -> dict[str, str]:
             -- 'hh': corpus-wide top-20 trigrams; rank rides doc_id,
             -- total order (count desc, trigram asc) is deterministic
             SELECT 'hh',
+                   CAST(row_number() OVER (ORDER BY cnt DESC, g) AS BIGINT),
+                   g AS term, cnt AS a, CAST(3 AS BIGINT) AS b
+            FROM (
+              SELECT g, CAST(count(*) AS BIGINT) AS cnt
+              FROM (
+                SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                       || ' ' || w[CAST(i AS INT) + 2] AS g
+                FROM (
+                  SELECT w, unnest(range(1, len(w) - 1)) AS i
+                  FROM (
+                    SELECT list_filter(
+                             string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x != '') AS w
+                    FROM documents
+                  )
+                  WHERE len(w) >= 3
+                )
+              )
+              GROUP BY g
+              ORDER BY cnt DESC, g
+              LIMIT 20
+            )
+            UNION ALL
+            -- 'ahh': bounded-state Misra-Gries + exact recount; at
+            -- capacity 16384 the exactness bound (f20 > N/(cap+1))
+            -- holds on this corpus, so the rows must equal 'hh'
+            SELECT 'ahh',
                    CAST(row_number() OVER (ORDER BY cnt DESC, g) AS BIGINT),
                    g AS term, cnt AS a, CAST(3 AS BIGINT) AS b
             FROM (

@@ -852,19 +852,33 @@ def approx_top_ngrams(df: DataFrame, text_column: str = "text",
     overflows, every counter drops by the (capacity+1)-th largest value
     and non-positive ones are evicted — each decrement of d is paid for
     by d*(capacity+1) stream mass, so any gram with true frequency
-    > N_partition/capacity survives its partition). Pass 2 sums the
-    partial summaries (<= capacity rows per partition on the wire) and
-    exactly recounts ONLY the top candidates via a broadcast semi-join,
+    > N_partition/(capacity+1) survives its partition). Pass 2 sums the
+    partial summaries (<= capacity rows per partition on the wire),
+    keeps EVERY gram with a positive summed lower bound as a candidate,
+    and exactly recounts only the candidates via a broadcast semi-join,
     so the result ranks true counts, never estimates.
 
     EXACTNESS GUARANTEE: if the true k-th count exceeds
     N/(capacity+1) (N = total gram occurrences), the result equals
-    :func:`top_ngrams` exactly — every true top-k gram is a candidate
-    and the final counts are exact. Below that skew the top of the list
-    is still exact counts of real heavy candidates, but a tail gram may
-    be missed; size ``capacity`` to the corpus (4096 covers k=20 for
-    any corpus where the 20th boilerplate string is at least ~0.02% of
-    gram mass).
+    :func:`top_ngrams` exactly. Proof sketch: a gram with global
+    f > N/(capacity+1) must have f_p > N_p/(capacity+1) in at least one
+    partition (else summing the per-partition inequalities contradicts
+    the global one), so it survives that partition's Misra-Gries table
+    with a positive counter, enters the candidate set, and its final
+    count is the exact recount. (An earlier revision cut candidates to
+    the top ``capacity`` summed lower bounds, which can evict a true
+    top-k gram whose surviving bound is small — the bound above did NOT
+    hold for that cut.) Below the skew bound the top of the list is
+    still exact counts of real heavy candidates, but a tail gram may be
+    missed; size ``capacity`` to the corpus (4096 covers k=20 for any
+    corpus where the 20th boilerplate string is at least ~0.02% of gram
+    mass).
+
+    State bound: the candidate set is at most ``capacity`` rows per
+    pass-1 partition (the broadcast recount side is <= capacity * P
+    short strings — ~160 MB at capacity 4096 over 1000 partitions;
+    shrink ``capacity`` or partition count if that broadcast is too
+    large for the cluster).
 
     Returns (rank, ngram, count) like :func:`top_ngrams`, same
     deterministic total order.
@@ -894,10 +908,12 @@ def approx_top_ngrams(df: DataFrame, text_column: str = "text",
                                 "lb": list(counters.values())})
 
     partials = grams.mapInPandas(_misra_gries, "ngram string, lb long")
+    # every positive-lb gram stays a candidate — cutting to the top
+    # `capacity` bounds here can evict a true top-k gram whose surviving
+    # bound is small, voiding the exactness guarantee (see docstring)
     candidates = (
         partials.groupBy("ngram").agg(F.sum("lb").alias("lb"))
-        .orderBy(F.desc("lb"), F.asc("ngram"))
-        .limit(capacity)
+        .filter(F.col("lb") > 0)
         .select("ngram")
     )
     exact = (
