@@ -1515,6 +1515,64 @@ def test_dedup_substrings_within_doc_repeat(spark):
     assert row["text"] == f"{run} {mid}"
 
 
+def test_dedup_substrings_rolling_equals_fold(spark):
+    """The O(n) Arrow prefix-hash kernel and the O(n*L) JVM fold must
+    produce identical RESULTS on a messy random corpus (repeats planted
+    within and across docs, varied lengths, short docs, empty doc) —
+    the window keys are the same polynomials, so survivors match
+    token-for-token."""
+    import random
+
+    from dsgrid_spark.pipeline.dedup import dedup_substrings
+
+    rnd = random.Random(13)
+    shared = [f"s{j}" for j in range(25)]
+    rows = []
+    for i in range(40):
+        toks = [f"u{i}t{j}" for j in range(rnd.randrange(0, 60))]
+        if i % 3 == 0:
+            at = rnd.randrange(0, len(toks) + 1)
+            toks = toks[:at] + shared + toks[at:]
+        if i % 7 == 0:
+            toks = toks + toks[:30]  # within-doc repeat
+        rows.append((i, " ".join(toks)))
+    rows.append((99, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(6)
+    key = ["doc_id", "text", "n_tokens_kept", "n_tokens_dropped"]
+    fold = sorted(tuple(r[c] for c in key) for r in
+                  dedup_substrings(df, window_tokens=20,
+                                   hash_method="fold").collect())
+    roll = sorted(tuple(r[c] for c in key) for r in
+                  dedup_substrings(df, window_tokens=20,
+                                   hash_method="rolling").collect())
+    assert fold == roll
+
+
+def test_rolling_kernel_chunks_by_length(spark, monkeypatch):
+    """One long outlier doc must not pad the whole Arrow batch: the
+    kernel re-chunks rows under a padded-cell budget (shrunk here so the
+    flush path actually fires — 35 docs x 5100-token outlier would fit
+    the default budget), and results are unchanged (the long doc's
+    self-repeats still dedup, cross-doc repeats still found across
+    chunk boundaries)."""
+    from dsgrid_spark.pipeline import dedup as dmod
+
+    monkeypatch.setattr(dmod, "_ROLLING_CELL_BUDGET", 2000)
+    run = " ".join(f"r{j}" for j in range(50))
+    long_doc = (5, f"{run} " + " ".join(f"x{j}" for j in range(5000))
+                + f" {run}")
+    rows = [long_doc] + [(i, f"d{i} " + run) for i in range(6, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    out = {r["doc_id"]: r for r in
+           dmod.dedup_substrings(df, window_tokens=50).collect()}
+    # long doc: min id -> keeps its first run, drops its trailing copy
+    assert out[5]["n_tokens_dropped"] == 50
+    # every short doc's run duplicates doc 5's -> dropped, prefix kept
+    assert out[7]["n_tokens_dropped"] == 50
+    assert out[7]["text"] == "d7"
+
+
 def test_shuffle_corpus_deterministic_and_dense(spark):
     """Same (key, salt) -> same (shard, shard_pos) regardless of input
     layout; positions are dense 0..n-1 per shard; a new salt draws a
