@@ -18,12 +18,23 @@ uses (``pipeline/ingest.py``), adapted to index trees:
   return without touching anything (replay skip); (2) delete any
   partition directories left by a previous crashed attempt of the SAME
   batch (so a retry with drifted content cannot leave orphan rows);
-  (3) write data + derived tables + stats; (4) log the batch.
+  (3) write data; (4) log the batch.
 
 Crash anywhere before (4) and the retry redoes (2)-(4) to the identical
-end state; crash after (4) and the retry is a no-op. Readers during a
-maintenance window may see a half-updated index (same caveat as a
-rebuild) — the guarantee is about END states, not isolation.
+end state; crash after (4) and the retry is a no-op. READERS FILTER TO
+COMMITTED BATCHES (:func:`read_committed`): the ``batch`` partition
+column makes the filter a partition-pruning predicate, so a crashed
+append's orphan directories are invisible to every search and derived
+aggregate until the same batch id is retried — readers see each batch
+atomically at its log commit, never half of one.
+
+Auto batch ids are RESERVED before any data is written via an intent
+marker directory (``<index>/intents/<id>/``): a retry of a crashed
+auto-id append finds the open intent (marker present, log entry absent)
+and reuses that id even if other batches committed in between — without
+the marker, the log-size-derived id would drift and the crashed
+attempt's orphans would never be cleaned. The marker is removed when
+the batch commits.
 
 Partition deletion goes through the Hadoop FileSystem API (via the
 JVM gateway), so it works on any Spark-supported filesystem, not just
@@ -87,15 +98,82 @@ def committed_batches(spark: SparkSession, index_path: str) -> set[str]:
 def next_auto_batch_id(committed: set[str]) -> str:
     """Deterministic id for callers that don't name their batches.
 
-    Derived from the committed-log size, so a retry of a crashed append
-    (log not yet written) regenerates the SAME id and stays idempotent;
-    a fresh call after a completed append gets a new id. Skips over
-    collisions with caller-named batches.
+    Derived from the committed-log size; prefer
+    :func:`claim_auto_batch_id`, which additionally persists an intent
+    marker so the id survives a crash even when OTHER batches commit
+    before the retry (this bare derivation regenerates the same id only
+    if the log has not moved).
     """
     n = len(committed) + 1
     while f"auto{n:06d}" in committed:
         n += 1
     return f"auto{n:06d}"
+
+
+def _intents_path(index_path: str) -> str:
+    return f"{index_path}/intents"
+
+
+def open_intents(spark: SparkSession, index_path: str) -> set[str]:
+    """Batch ids with an intent marker on disk (reserved, possibly
+    in-flight or crashed)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{_intents_path(index_path)}/*")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(jpath)
+    return {st.getPath().getName() for st in (matches or [])}
+
+
+def claim_auto_batch_id(spark: SparkSession, index_path: str,
+                        committed: set[str]) -> str:
+    """Reserve and return the auto batch id for an un-named append.
+
+    If a previous auto-id append crashed (intent marker present, no log
+    entry), its id is reused — smallest first, deterministically — so
+    the retry deletes exactly that attempt's orphan directories no
+    matter how many OTHER batches committed in between (the round-6
+    advice hole in the log-size derivation). Otherwise the next free id
+    is derived past every committed AND reserved id, and its marker
+    directory is created BEFORE returning, i.e. before any data write.
+    """
+    intents = open_intents(spark, index_path)
+    crashed = sorted(intents - committed)
+    if crashed:
+        return crashed[0]
+    taken = committed | intents
+    n = len(taken) + 1
+    while f"auto{n:06d}" in taken:
+        n += 1
+    batch_id = f"auto{n:06d}"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        f"{_intents_path(index_path)}/{batch_id}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jpath)
+    return batch_id
+
+
+def clear_intent(spark: SparkSession, index_path: str,
+                 batch_id: str) -> None:
+    """Drop a batch's intent marker (call after ``log_batch``; a no-op
+    for caller-named batches that never claimed one)."""
+    delete_glob(spark, f"{_intents_path(index_path)}/{batch_id}")
+
+
+def read_committed(spark: SparkSession, index_path: str, subdir: str,
+                   include: tuple[str, ...] = ()) -> DataFrame:
+    """Read an index subtree filtered to COMMITTED batches (plus any
+    explicitly included in-flight ids — the append path aggregates over
+    committed + its own batch).
+
+    ``batch`` is a partition column, so the isin filter prunes orphan
+    directories from crashed appends at planning time: they are never
+    listed into the scan, and readers observe each batch atomically at
+    its log commit.
+    """
+    ids = sorted(committed_batches(spark, index_path) | set(include))
+    return (spark.read.parquet(f"{index_path}/{subdir}")
+            .filter(F.col("batch").isin(ids)))
 
 
 def log_batch(spark: SparkSession, index_path: str, batch_id: str,

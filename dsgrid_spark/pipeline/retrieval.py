@@ -11,14 +11,16 @@ for row-group skipping within those buckets.
 
 Layout (classic document-at-a-time BM25 postings):
 
-- ``postings/bucket=K/``: (term, id, tf, dl[, positions]) — dl (doc
-  length) is DENORMALIZED into each posting so scoring never joins a
-  doc-length table; postings are sorted by term within each file so
+- ``postings/bucket=K/batch=B/``: (term, id, tf, dl[, positions]) — dl
+  (doc length) is DENORMALIZED into each posting so scoring never joins
+  a doc-length table; postings are sorted by term within each file so
   row-group stats make the term filter selective; ``positions=True``
   adds per-(doc, term) token positions for ``phrase_search``.
-- ``terms/bucket=K/``: (term, df) — per-term document frequency.
-- ``stats/``: a single (n_docs, total_tokens, n_buckets,
-  has_positions) row.
+- ``stats/``: a single (n_buckets, has_positions, ...) CONFIG row,
+  written once at build and never rewritten.
+- ``batches/``: the committed-batch log (pipeline/indexlog.py) — also
+  the source of truth for corpus totals (n_docs, total_tokens summed
+  over committed batches).
 
 A common term's postings list is large, but it is a FLAT table — no
 per-term array to overflow an executor, and a query for k terms reads
@@ -27,6 +29,17 @@ at most k buckets. Index build cost: one shuffle of query-independent
 second corpus scan for the two stats scalars — caching the tokenized
 corpus to save that scan would cost corpus-scale memory for a one-time
 build, so it deliberately re-reads.
+
+READER ISOLATION (round 7): every read-side structure is either
+append-only (postings batch directories, log batch directories) or
+immutable (the stats config row), and queries filter postings to the
+batch ids committed in the log AT READ TIME — per-term doc frequencies
+are aggregated from that same pruned, committed-filtered postings read
+(a map-side-combined groupBy over rows the query scans anyway) rather
+than from a derived table rewritten in place. A search running
+concurrently with an append therefore sees exactly the pre-commit or
+the post-commit index, never a half-written one, and orphan partitions
+from crashed appends are invisible until their batch id is retried.
 """
 
 from __future__ import annotations
@@ -79,43 +92,42 @@ def _write_postings(tf: DataFrame, path: str, mode: str,
        .parquet(f"{path}/postings"))
 
 
-def _write_terms(spark: SparkSession, path: str) -> None:
-    postings = spark.read.parquet(f"{path}/postings")
-    (postings.groupBy("bucket", "term")
-       .agg(F.count(F.lit(1)).cast("long").alias("df"))
-       .repartition("bucket")
-       .write.mode("overwrite").partitionBy("bucket")
-       .parquet(f"{path}/terms"))
-
-
 def write_term_index(df: DataFrame, path: str,
                      id_column: str = "doc_id", text_column: str = "text",
                      n_buckets: int = 64, positions: bool = False) -> None:
     """Build and persist the inverted index (see module docstring).
 
-    Stats are written LAST, so a crashed build leaves no readable index
-    rather than a half-written one. Rebuilding over a live index is not
-    reader-safe — build into a fresh path and swap (the
-    ``compact_parquet`` rename convention)."""
+    Write order: the old batch LOG (and any intent markers) is deleted
+    FIRST — a crash mid-rebuild must not leave committed ids pointing at
+    vanished data, where a later append with a previously-committed id
+    would silently no-op and drop the batch. Then postings and the
+    config row, then the base-batch log entry LAST: readers filter to
+    logged batches, so a crashed build leaves no readable index rather
+    than a half-written one. Rebuilding over a live index is still not
+    reader-safe (the postings overwrite races a concurrent lister) —
+    build into a fresh path and swap (the ``compact_parquet`` rename
+    convention)."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    spark = df.sparkSession
+    indexlog.delete_glob(spark, f"{path}/batches")
+    indexlog.delete_glob(spark, f"{path}/intents")
     base, tf = _postings(df, id_column, text_column, n_buckets, positions)
     _write_postings(tf, path, "overwrite", indexlog.BASE_BATCH)
-    spark = df.sparkSession
-    _write_terms(spark, path)
     totals = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
          .alias("total_tokens")).collect()[0]
     (spark.createDataFrame(
+        # n_buckets rides the index: probing with a different count than
+        # the writer used silently prunes to the WRONG buckets. The
+        # n_docs/total_tokens here are informational as-of-build; query
+        # totals come from the batch log, which appends keep current.
         [(int(totals["n_docs"]), int(totals["total_tokens"]), n_buckets,
           bool(positions))],
-        # n_buckets rides the index: probing with a different count than
-        # the writer used silently prunes to the WRONG buckets
         "n_docs long, total_tokens long, n_buckets int,"
         " has_positions boolean")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
-    indexlog.delete_glob(spark, f"{path}/batches")
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH,
                        n_docs=int(totals["n_docs"]),
                        total_tokens=int(totals["total_tokens"]))
@@ -148,18 +160,20 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    n_docs, total = stats["n_docs"], stats["total_tokens"]
+    totals = indexlog.logged_totals(spark, path, "n_docs", "total_tokens")
+    n_docs, total = totals["n_docs"], totals["total_tokens"]
     buckets = _buckets_of(spark, terms, stats["n_buckets"])
     post = (
-        spark.read.parquet(f"{path}/postings")
+        indexlog.read_committed(spark, path, "postings")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("id", "dl", "term", "tf")  # positions, if any, stay on disk
     )
-    dfreq = (
-        spark.read.parquet(f"{path}/terms")
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df")
-    )
+    # doc frequency from the SAME pruned committed-filtered read the
+    # scoring scans — never from a derived table rewritten in place
+    # (reader isolation, module docstring); map-side combine makes this
+    # one extra narrow aggregate over rows already in flight
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("df"))
     n = F.lit(float(n_docs))
     avgdl = F.lit(float(total) / float(n_docs))
     tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
@@ -183,18 +197,21 @@ def append_term_index(df: DataFrame, path: str,
     (a 1% ingest batch should cost 1% of a build, not a rebuild).
 
     Only the new batch is tokenized, landing in batch-scoped partition
-    directories (``bucket=K/batch=<id>``); per-term doc frequencies are
-    re-aggregated from the postings tree itself (already-tokenized rows
-    — one groupBy over index rows, no text in sight); corpus totals are
-    re-derived from the batch log plus this batch's delta.
+    directories (``bucket=K/batch=<id>``); corpus totals are carried as
+    the batch's log-entry delta (queries sum the log). NOTHING else is
+    touched — no derived table rewrite, no stats rewrite — so the
+    append's only mutation is append-only directories plus the final
+    log commit, and concurrent searches see the old index until that
+    commit lands (reader isolation, module docstring).
 
     The append is EXACTLY-ONCE per ``batch_id`` (pipeline/indexlog.py):
     an already-committed id returns False without touching the index; a
     retry of a crashed attempt first deletes that batch's partition
-    directories, then rewrites postings -> terms -> stats and commits
-    the log entry LAST. Omitting ``batch_id`` derives a deterministic
-    id from the log size — still retry-safe, but two *successful* calls
-    are two distinct batches. Returns True when the batch was ingested.
+    directories, then rewrites them and commits the log entry LAST.
+    Omitting ``batch_id`` claims a persisted intent marker
+    (:func:`indexlog.claim_auto_batch_id`), so a crashed auto-id append
+    is retried under its ORIGINAL id even when other batches committed
+    in between. Returns True when the batch was ingested.
 
     Results provably equal a fresh build over the concatenated corpus
     (tested), searches included.
@@ -204,7 +221,7 @@ def append_term_index(df: DataFrame, path: str,
     n_buckets = int(stats["n_buckets"])
     committed = indexlog.committed_batches(spark, path)
     if batch_id is None:
-        batch_id = indexlog.next_auto_batch_id(committed)
+        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
     indexlog.check_batch_id(batch_id)
     if batch_id == indexlog.BASE_BATCH:
         raise ValueError(
@@ -217,20 +234,13 @@ def append_term_index(df: DataFrame, path: str,
     base, tf = _postings(df, id_column, text_column, n_buckets,
                          bool(stats.asDict().get("has_positions", False)))
     _write_postings(tf, path, "append", batch_id)
-    _write_terms(spark, path)
     delta = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t")).collect()[0]
-    prior = indexlog.logged_totals(spark, path, "n_docs", "total_tokens")
-    (spark.createDataFrame(
-        [(prior["n_docs"] + int(delta["n"]),
-          prior["total_tokens"] + int(delta["t"]), n_buckets,
-          bool(stats.asDict().get("has_positions", False)))],
-        "n_docs long, total_tokens long, n_buckets int, has_positions boolean")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
     indexlog.log_batch(spark, path, batch_id,
                        n_docs=int(delta["n"]),
                        total_tokens=int(delta["t"]))
+    indexlog.clear_intent(spark, path, batch_id)
     return True
 
 
@@ -257,7 +267,7 @@ def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
     n_buckets = int(stats["n_buckets"])
     buckets = _buckets_of(spark, sorted(set(terms)), n_buckets)
     post = (
-        spark.read.parquet(f"{path}/postings")
+        indexlog.read_committed(spark, path, "postings")
         .filter(F.col("bucket").isin(buckets)
                 & F.col("term").isin(sorted(set(terms))))
         .select("id", "term", "positions")

@@ -520,6 +520,12 @@ def write_ivf_index(df: DataFrame, path: str,
     """
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    # old log (and intents) go FIRST: a crash mid-rebuild must not leave
+    # committed ids pointing at vanished data, where a later append
+    # replaying one of those ids would silently no-op and drop the batch
+    spark = df.sparkSession
+    indexlog.delete_glob(spark, f"{path}/batches")
+    indexlog.delete_glob(spark, f"{path}/intents")
     # canonical column names inside the index (id, embedding, cluster) —
     # readers don't need to know the source frame's naming
     assigned = (
@@ -532,11 +538,9 @@ def write_ivf_index(df: DataFrame, path: str,
        .repartition("cluster")
        .write.mode("overwrite").partitionBy("cluster", "batch")
        .parquet(f"{path}/vectors"))
-    spark = df.sparkSession
     rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
     (spark.createDataFrame(rows, "cluster int, centroid array<double>")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
-    indexlog.delete_glob(spark, f"{path}/batches")
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 
@@ -572,8 +576,10 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     qdf = spark.createDataFrame(
         probe_rows, "query_id long, cluster int, __qv array<double>")
     probed_clusters = sorted({r[1] for r in probe_rows})
+    # committed-batch filter: orphan partitions from a crashed append
+    # are invisible (both cluster and batch prune at planning time)
     vectors = (
-        spark.read.parquet(f"{path}/vectors")
+        indexlog.read_committed(spark, path, "vectors")
         .filter(F.col("cluster").isin(probed_clusters))
     )
     scored = vectors.join(F.broadcast(qdf), "cluster").select(
@@ -608,12 +614,16 @@ def append_ivf_index(df: DataFrame, path: str,
     EXACTLY-ONCE per ``batch_id`` (pipeline/indexlog.py): a committed
     id returns False untouched; a retry of a crashed attempt deletes
     that batch's directories before rewriting, and the log entry
-    commits LAST. Returns True when the batch was ingested.
+    commits LAST. Omitting ``batch_id`` claims a persisted intent
+    marker, so a crashed auto-id append retries under its original id
+    even after other batches commit. ``ivf_search`` filters to
+    committed batches, so readers see each batch atomically at its
+    commit. Returns True when the batch was ingested.
     """
     spark = df.sparkSession
     committed = indexlog.committed_batches(spark, path)
     if batch_id is None:
-        batch_id = indexlog.next_auto_batch_id(committed)
+        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
     indexlog.check_batch_id(batch_id)
     if batch_id == indexlog.BASE_BATCH:
         raise ValueError(
@@ -639,6 +649,7 @@ def append_ivf_index(df: DataFrame, path: str,
        .write.mode("append").partitionBy("cluster", "batch")
        .parquet(f"{path}/vectors"))
     indexlog.log_batch(spark, path, batch_id)
+    indexlog.clear_intent(spark, path, batch_id)
     return True
 
 
@@ -764,8 +775,13 @@ def semantic_dedup(df: DataFrame,
     if keep == "min_id":
         rep = F.struct(F.col("id").alias("k1"), F.col("id").alias("k2"))
     else:
+        # id stays in its NATIVE type as the struct tie-break field
+        # (struct ordering compares field-wise, each in its own type);
+        # a double cast here would collide ids above 2^53 and the
+        # equality filter below could then keep several (or zero)
+        # survivors per component
         rep = F.struct(F.col("centroid_sim").alias("k1"),
-                       F.col("id").cast("double").alias("k2"))
+                       F.col("id").alias("k2"))
     stats = (
         members.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_members"),
@@ -773,10 +789,12 @@ def semantic_dedup(df: DataFrame,
     )
     out = (
         members.join(stats, "component")
-        .filter(
-            (F.col("id") == F.col("__rep.k2")) if keep == "min_id"
-            else ((F.col("centroid_sim") == F.col("__rep.k1"))
-                  & (F.col("id").cast("double") == F.col("__rep.k2"))))
+        .filter(F.col("id") == F.col("__rep.k2"))
         .select("id", "cluster", "n_members", "centroid_sim")
     )
+    # the survivor set is final here: materialize it (small — one row
+    # per kept doc, 4 scalar columns) and release the corpus-scale
+    # (id, vector, cluster) cache instead of leaking it across calls
+    out = out.localCheckpoint()
+    assigned.unpersist()
     return out

@@ -1428,6 +1428,79 @@ def test_bloom_merge_into_no_false_negatives(spark):
     assert base.filter(~might_contain(merged, F.col("k"))).count() == 0
 
 
+def test_sharded_bloom_equals_exact_join_and_no_false_negatives(spark):
+    """The sharded filter must keep the single-filter contract: zero
+    false negatives (prefilter + exact join == plain anti join), with
+    keys spread across shards and probes only touching the key's own
+    shard row."""
+    from dsgrid_spark.pipeline.bloom import (build_sharded_bloom,
+                                             sharded_bloom_prefilter)
+
+    corpus = spark.range(0, 3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    batch = spark.range(1500, 4500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    bloom = build_sharded_bloom(corpus, "k", expected_items=3000,
+                                fpp=0.01, num_shards=5)
+    assert bloom.num_shards == 5
+    assert bloom.words_df.count() == 5
+    maybe, fresh = sharded_bloom_prefilter(batch, bloom, "k")
+    survivors = fresh.unionByName(maybe.join(corpus, "k", "left_anti"))
+    expected = batch.join(corpus, "k", "left_anti")
+    assert (sorted(r["k"] for r in survivors.collect())
+            == sorted(r["k"] for r in expected.collect()))
+    # no false negatives: every true duplicate lands in `maybe`
+    dups = batch.join(corpus, "k", "left_semi")
+    missed = dups.join(maybe, "k", "left_anti").count()
+    assert missed == 0
+    assert fresh.count() > 0  # and the filter actually pruned
+
+
+def test_sharded_bloom_empty_shard_is_definite_miss(spark):
+    """A shard no corpus key hashed into has no words row; batch keys
+    landing there must come out definitely-new (NULL words coalesce to
+    miss), not error or false-positive."""
+    from dsgrid_spark.pipeline.bloom import (build_sharded_bloom,
+                                             sharded_bloom_prefilter)
+
+    corpus = spark.createDataFrame([("onlykey",)], "k string")
+    bloom = build_sharded_bloom(corpus, "k", expected_items=64,
+                                num_shards=8)
+    assert bloom.words_df.count() == 1  # 7 shards empty
+    batch = spark.range(0, 500).select(
+        F.concat(F.lit("b"), F.col("id")).alias("k"))
+    maybe, fresh = sharded_bloom_prefilter(batch, bloom, "k")
+    assert maybe.count() + fresh.count() == 500
+    assert fresh.count() >= 490  # near-all definitely new
+
+
+def test_sharded_bloom_parquet_roundtrip(spark, tmp_path):
+    from dsgrid_spark.pipeline.bloom import (build_sharded_bloom,
+                                             read_sharded_bloom,
+                                             sharded_bloom_prefilter,
+                                             write_sharded_bloom)
+
+    corpus = spark.range(0, 800).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    bloom = build_sharded_bloom(corpus, "k", expected_items=800,
+                                num_shards=3)
+    path = str(tmp_path / "sbloom")
+    write_sharded_bloom(bloom, path)
+    back = read_sharded_bloom(spark, path)
+    assert (back.num_shards, back.num_bits, back.num_hashes) == \
+        (bloom.num_shards, bloom.num_bits, bloom.num_hashes)
+    maybe, fresh = sharded_bloom_prefilter(corpus, back, "k")
+    assert fresh.count() == 0  # every inserted key still hits
+
+
+def test_sharded_bloom_default_shard_count():
+    from dsgrid_spark.pipeline.bloom import _SHARD_KEY_BUDGET
+    import math
+
+    # 1e8 expected keys -> ceil(1e8 / budget) shards
+    assert math.ceil(1e8 / _SHARD_KEY_BUDGET) == 10
+
+
 def test_registry_ingest_with_id_bloom(spark, tmp_path):
     """The id-bloom fast path must behave EXACTLY like the plain join
     path: same survivors, same clash rejection (including an id folded
@@ -1913,14 +1986,20 @@ def test_append_term_index_equals_rebuild(spark, tmp_path):
     write_term_index(a, inc, n_buckets=8)
     assert append_term_index(b, inc) is True
     write_term_index(a.unionByName(b), full, n_buckets=8)
-    for sub in ("postings", "terms", "stats"):
-        # the batch provenance column legitimately differs between an
-        # incremental tree (base + auto...) and a one-shot build (base)
-        di = spark.read.parquet(f"{inc}/{sub}").drop("batch")
-        gi = sorted(map(tuple, di.collect()))
-        gf = sorted(map(tuple, spark.read.parquet(f"{full}/{sub}")
-                        .select(*di.columns).collect()))
-        assert gi == gf, sub
+    # the batch provenance column legitimately differs between an
+    # incremental tree (base + auto...) and a one-shot build (base)
+    di = spark.read.parquet(f"{inc}/postings").drop("batch")
+    gi = sorted(map(tuple, di.collect()))
+    gf = sorted(map(tuple, spark.read.parquet(f"{full}/postings")
+                    .select(*di.columns).collect()))
+    assert gi == gf
+    # corpus totals come from the batch log (stats is a write-once
+    # config row whose totals are as-of-build); the incremental log's
+    # committed sum must equal the one-shot build's
+    from dsgrid_spark.pipeline import indexlog
+    ti = indexlog.logged_totals(spark, inc, "n_docs", "total_tokens")
+    tf = indexlog.logged_totals(spark, full, "n_docs", "total_tokens")
+    assert ti == tf == {"n_docs": 5, "total_tokens": 14}
     q = ["window", "stream", "vector"]
     ri = [(r["id"], r["bm25"]) for r in bm25_search(spark, inc, q, 5).collect()]
     rf = [(r["id"], r["bm25"]) for r in bm25_search(spark, full, q, 5).collect()]
