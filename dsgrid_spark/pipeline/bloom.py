@@ -198,3 +198,144 @@ def bloom_prefilter(df: DataFrame, bloom: BloomFilter,
     """
     hit = might_contain(bloom, F.col(key_column))
     return df.filter(hit), df.filter(~hit)
+
+
+# ---------------------------------------------------------------------------
+# Sharded Bloom filters (ROADMAP 8): past ~1e7 keys a single filter's
+# literal words array outgrows the plan and the driver collect. Shard
+# the KEY SPACE into B independent filters — pmod(xxhash64(key), B)
+# picks the shard — so each shard stays in the single-filter comfort
+# range, and ship the bitsets as broadcast DATA (one (shard, words) row
+# per shard), never as plan literals: the same plan-size lesson as
+# assign_nearest_centroid's data strategy. Membership is a broadcast
+# hash join on the shard id plus the usual k probes against the joined
+# words column — zero shuffle of the probed batch beyond the map-side
+# broadcast, plan size O(1) in B and m.
+# ---------------------------------------------------------------------------
+
+# per-shard key budget: keeps each shard's bitset at the ~12 MB/1e7-key
+# scale the single-filter path is comfortable with
+_SHARD_KEY_BUDGET = 10_000_000
+
+
+@dataclass(frozen=True)
+class ShardedBloomFilter:
+    """B independent bitsets held as a DataFrame of (shard int,
+    words array<long>) — one row per shard, each array num_bits//64
+    long. The words never touch the driver (build aggregates straight
+    into the DataFrame; probing broadcasts it), so total filter size is
+    bounded by executor/broadcast memory, not plan or driver limits."""
+
+    num_shards: int
+    num_bits: int  # per shard
+    num_hashes: int
+    words_df: DataFrame
+
+    @property
+    def size_bytes(self) -> int:
+        return self.num_shards * (self.num_bits // 8)
+
+
+def _shard_of(key: Column, num_shards: int) -> Column:
+    # plain xxhash64(key) — independent of every probe draw, which
+    # always hashes (key, seed_i) with an extra literal column
+    return F.pmod(F.xxhash64(key), F.lit(num_shards)).cast("int")
+
+
+def build_sharded_bloom(df: DataFrame, key_column: str,
+                        expected_items: int, fpp: float = 0.01,
+                        num_shards: int | None = None) -> ShardedBloomFilter:
+    """Build B independent Bloom filters in ONE pass over the keys.
+
+    ``num_shards`` defaults to ``ceil(expected_items / 1e7)`` so every
+    shard sits inside the single-filter sizing range. Each shard is
+    sized for its expected share of keys (xxhash64 sharding is uniform),
+    giving the same total bit budget and fp rate as one giant filter.
+
+    Shape at scale: keys explode to k (shard, word, mask) rows, the
+    groupBy gets map-side combine, and the second aggregation packs each
+    shard's sparse words into a dense array — the result DataFrame holds
+    B rows and never visits the driver. At 1e8 keys / 1% fp that is
+    ~120 MB of bitset across 10 shards, built in one shuffle whose
+    distinct-key count is at most total_bits/64.
+    """
+    if num_shards is None:
+        num_shards = max(1, math.ceil(expected_items / _SHARD_KEY_BUDGET))
+    if num_shards < 1:
+        raise ValueError("num_shards must be positive")
+    per_shard = max(1, math.ceil(expected_items / num_shards))
+    num_bits, num_hashes = optimal_params(per_shard, fpp)
+    n_words = num_bits // 64
+    key = F.col(key_column)
+    pos = F.explode(F.array(*_probe_positions(key, num_bits, num_hashes)))
+    sparse = (
+        df.select(_shard_of(key, num_shards).alias("shard"), pos.alias("p"))
+        .select("shard",
+                (F.col("p") / 64).cast("long").alias("w"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("m"))
+        .groupBy("shard", "w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    words_df = (
+        sparse.groupBy("shard")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("w", "bits"))).alias("__mp"))
+        .select(
+            "shard",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                # try_element_at: absent words are zero (plain
+                # element_at throws on missing map keys under ANSI)
+                lambda i: F.coalesce(F.try_element_at(F.col("__mp"),
+                                                      i.cast("long")),
+                                     F.lit(0).cast("long")),
+            ).alias("words"))
+    )
+    return ShardedBloomFilter(num_shards=num_shards, num_bits=num_bits,
+                              num_hashes=num_hashes, words_df=words_df)
+
+
+def sharded_bloom_prefilter(df: DataFrame, bloom: ShardedBloomFilter,
+                            key_column: str) -> tuple[DataFrame, DataFrame]:
+    """(maybe_present, definitely_new) split against a sharded filter —
+    same contract as :func:`bloom_prefilter` (no false negatives; only
+    ``maybe_present`` needs the exact join), via one broadcast hash join
+    on the shard id. An absent shard row (no corpus key hashed there)
+    means every probe misses: the left join's NULL words coalesce to a
+    definite miss."""
+    key = F.col(key_column)
+    tagged = df.withColumn("__shard", _shard_of(key, bloom.num_shards))
+    wdf = bloom.words_df.withColumnRenamed("shard", "__shard") \
+        .withColumnRenamed("words", "__words")
+    joined = tagged.join(F.broadcast(wdf), "__shard", "left")
+    cond = None
+    for p in _probe_positions(key, bloom.num_bits, bloom.num_hashes):
+        w = F.element_at(F.col("__words"), ((p / 64).cast("long") + 1).cast("int"))
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"),
+                              F.pmod(p, F.lit(64)).cast("int"))
+        hit = w.bitwiseAND(bit) != 0
+        cond = hit if cond is None else cond & hit
+    cond = F.coalesce(cond, F.lit(False))
+    return (joined.filter(cond).drop("__shard", "__words"),
+            joined.filter(~cond).drop("__shard", "__words"))
+
+
+def write_sharded_bloom(bloom: ShardedBloomFilter, path: str) -> None:
+    """Persist as parquet: the per-shard words plus the probe params
+    inlined on every row (B rows — the duplication is noise)."""
+    (bloom.words_df
+     .withColumn("num_shards", F.lit(bloom.num_shards))
+     .withColumn("num_bits", F.lit(bloom.num_bits))
+     .withColumn("num_hashes", F.lit(bloom.num_hashes))
+     .write.mode("overwrite").parquet(path))
+
+
+def read_sharded_bloom(spark, path: str) -> ShardedBloomFilter:
+    raw = spark.read.parquet(path)
+    meta = raw.select("num_shards", "num_bits", "num_hashes").first()
+    return ShardedBloomFilter(
+        num_shards=meta["num_shards"], num_bits=meta["num_bits"],
+        num_hashes=meta["num_hashes"],
+        words_df=raw.select("shard", "words"))
