@@ -252,10 +252,17 @@ def build_sharded_bloom(df: DataFrame, key_column: str,
     sized for its expected share of keys (xxhash64 sharding is uniform),
     giving the same total bit budget and fp rate as one giant filter.
 
-    Shape at scale: keys explode to k (shard, word, mask) rows, the
-    groupBy gets map-side combine, and the second aggregation packs each
-    shard's sparse words into a dense array — the result DataFrame holds
-    B rows and never visits the driver. At 1e8 keys / 1% fp that is
+    Shape at scale: keys explode to k (shard, word, mask) rows, union a
+    zero-mask filler row per (shard, word) slot (``range``-generated,
+    total_bits/64 rows — what makes every shard's slot set DENSE), and
+    one map-side-combined ``bit_or`` groupBy collapses both; the second
+    aggregation packs each shard's now-gapless words into the bitset
+    array via ``array_sort(collect_list(...))`` — strictly linear. (The
+    first cut densified by probing a words->bits MAP per slot; Spark's
+    MapData lookup is a linear scan, so that is O(n_words^2) per shard
+    — it froze the 1e8-key rehearsal and is exactly the plan-shape
+    class this function exists to avoid.) The result DataFrame holds B
+    rows and never visits the driver. At 1e8 keys / 1% fp that is
     ~120 MB of bitset across 10 shards, built in one shuffle whose
     distinct-key count is at most total_bits/64.
     """
@@ -275,23 +282,19 @@ def build_sharded_bloom(df: DataFrame, key_column: str,
                 F.call_function(
                     "shiftleft", F.lit(1).cast("long"),
                     F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("m"))
+    )
+    filler = df.sparkSession.range(num_shards * n_words).select(
+        (F.col("id") / n_words).cast("int").alias("shard"),
+        F.pmod(F.col("id"), F.lit(n_words)).alias("w"),
+        F.lit(0).cast("long").alias("m"))
+    words_df = (
+        sparse.unionByName(filler)
         .groupBy("shard", "w")
         .agg(F.bit_or("m").alias("bits"))
-    )
-    words_df = (
-        sparse.groupBy("shard")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("w", "bits"))).alias("__mp"))
-        .select(
-            "shard",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                # try_element_at: absent words are zero (plain
-                # element_at throws on missing map keys under ANSI)
-                lambda i: F.coalesce(F.try_element_at(F.col("__mp"),
-                                                      i.cast("long")),
-                                     F.lit(0).cast("long")),
-            ).alias("words"))
+        .groupBy("shard")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda s: s["bits"]).alias("words"))
     )
     return ShardedBloomFilter(num_shards=num_shards, num_bits=num_bits,
                               num_hashes=num_hashes, words_df=words_df)

@@ -95,6 +95,27 @@ def committed_batches(spark: SparkSession, index_path: str) -> set[str]:
     return {r["batch"] for r in rows}
 
 
+def log_snapshot(spark: SparkSession, index_path: str,
+                 *columns: str) -> tuple[set[str], dict[str, int]]:
+    """Committed ids AND summed metrics from ONE read of the log.
+
+    A query that derives its corpus stats and its committed-batch
+    filter from two separate log reads can straddle a concurrent
+    commit (new totals, old postings or vice versa); deriving both
+    from a single collect makes the query's view of the index one
+    consistent snapshot. The log is one row per batch — collecting it
+    is bounded by batch count, not data size.
+    """
+    try:
+        rows = (spark.read.parquet(_log_path(index_path))
+                .select("batch", *columns).collect())
+    except Exception:
+        return set(), {c: 0 for c in columns}
+    ids = {r["batch"] for r in rows}
+    totals = {c: sum(int(r[c]) for r in rows) for c in columns}
+    return ids, totals
+
+
 def next_auto_batch_id(committed: set[str]) -> str:
     """Deterministic id for callers that don't name their batches.
 
@@ -161,7 +182,8 @@ def clear_intent(spark: SparkSession, index_path: str,
 
 
 def read_committed(spark: SparkSession, index_path: str, subdir: str,
-                   include: tuple[str, ...] = ()) -> DataFrame:
+                   include: tuple[str, ...] = (),
+                   ids: set[str] | None = None) -> DataFrame:
     """Read an index subtree filtered to COMMITTED batches (plus any
     explicitly included in-flight ids — the append path aggregates over
     committed + its own batch).
@@ -169,11 +191,15 @@ def read_committed(spark: SparkSession, index_path: str, subdir: str,
     ``batch`` is a partition column, so the isin filter prunes orphan
     directories from crashed appends at planning time: they are never
     listed into the scan, and readers observe each batch atomically at
-    its log commit.
+    its log commit. Pass ``ids`` (from :func:`log_snapshot`) when the
+    caller also reads log metrics, so filter and totals come from the
+    same snapshot.
     """
-    ids = sorted(committed_batches(spark, index_path) | set(include))
+    if ids is None:
+        ids = committed_batches(spark, index_path)
+    batch_ids = sorted(ids | set(include))
     return (spark.read.parquet(f"{index_path}/{subdir}")
-            .filter(F.col("batch").isin(ids)))
+            .filter(F.col("batch").isin(batch_ids)))
 
 
 def log_batch(spark: SparkSession, index_path: str, batch_id: str,

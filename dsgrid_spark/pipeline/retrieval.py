@@ -47,17 +47,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dsgrid_spark.pipeline import indexlog
-from dsgrid_spark.pipeline.text import _word_array
+from dsgrid_spark.pipeline.text import ANALYZERS
+
+
+def _analyzer_fn(name: str):
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; available: {sorted(ANALYZERS)}")
+
+
+def _analyze_query(spark: SparkSession, analyzer: str,
+                   parts: list[str]) -> list[str]:
+    """Token list for a query under the INDEX's analyzer (order kept,
+    duplicates kept — phrase search needs both). One 1-row evaluation,
+    same cost class as the existing bucket-hash probe."""
+    row = spark.range(1).select(
+        _analyzer_fn(analyzer)(F.lit(" ".join(parts))).alias("t")
+    ).collect()[0]
+    return [t for t in row["t"] if t != ""]
 
 
 def _postings(df: DataFrame, id_column: str, text_column: str,
-              n_buckets: int, positions: bool = False):
+              n_buckets: int, positions: bool = False,
+              analyzer: str = "simple"):
     """(base, tf): per-doc lengths and the bucketed (id, dl, term, tf
     [, positions]) postings frame — shared by build and append.
     ``positions`` adds the sorted 1-based token positions per (doc,
     term) — the phrase-search payload (postings grow by ~1 int per
-    corpus token)."""
-    arr = _word_array(F.col(text_column))
+    corpus token). Positions index the ANALYZED token stream, so under
+    a stopword-removing analyzer a phrase matches across elided
+    stopwords ("state of the art" ~ "state art") — standard
+    stopped-index phrase semantics."""
+    arr = _analyzer_fn(analyzer)(F.col(text_column))
     base = df.select(
         F.col(id_column).alias("id"),
         F.size(F.filter(arr, lambda x: x != "")).cast("long").alias("dl"),
@@ -94,7 +117,8 @@ def _write_postings(tf: DataFrame, path: str, mode: str,
 
 def write_term_index(df: DataFrame, path: str,
                      id_column: str = "doc_id", text_column: str = "text",
-                     n_buckets: int = 64, positions: bool = False) -> None:
+                     n_buckets: int = 64, positions: bool = False,
+                     analyzer: str = "simple") -> None:
     """Build and persist the inverted index (see module docstring).
 
     Write order: the old batch LOG (and any intent markers) is deleted
@@ -109,24 +133,28 @@ def write_term_index(df: DataFrame, path: str,
     convention)."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    _analyzer_fn(analyzer)  # fail before touching disk on a bad name
     spark = df.sparkSession
     indexlog.delete_glob(spark, f"{path}/batches")
     indexlog.delete_glob(spark, f"{path}/intents")
-    base, tf = _postings(df, id_column, text_column, n_buckets, positions)
+    base, tf = _postings(df, id_column, text_column, n_buckets, positions,
+                         analyzer)
     _write_postings(tf, path, "overwrite", indexlog.BASE_BATCH)
     totals = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
          .alias("total_tokens")).collect()[0]
     (spark.createDataFrame(
-        # n_buckets rides the index: probing with a different count than
-        # the writer used silently prunes to the WRONG buckets. The
-        # n_docs/total_tokens here are informational as-of-build; query
-        # totals come from the batch log, which appends keep current.
+        # n_buckets and the analyzer name ride the index: probing with a
+        # different bucket count silently prunes to the WRONG buckets,
+        # and analyzing queries differently than the writer silently
+        # misses postings. The n_docs/total_tokens here are
+        # informational as-of-build; query totals come from the batch
+        # log, which appends keep current.
         [(int(totals["n_docs"]), int(totals["total_tokens"]), n_buckets,
-          bool(positions))],
+          bool(positions), analyzer)],
         "n_docs long, total_tokens long, n_buckets int,"
-        " has_positions boolean")
+        " has_positions boolean, analyzer string")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH,
                        n_docs=int(totals["n_docs"]),
@@ -158,13 +186,24 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = sorted({t.lower() for t in query_terms})
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    totals = indexlog.logged_totals(spark, path, "n_docs", "total_tokens")
+    analyzer = stats.asDict().get("analyzer", "simple")
+    # queries go through the INDEX's analyzer (stats row), so stemming/
+    # stopping is symmetric with what the writer indexed
+    terms = sorted(set(_analyze_query(spark, analyzer, query_terms)))
+    if not terms:
+        raise ValueError(
+            f"no query term survives the {analyzer!r} analyzer: "
+            f"{query_terms!r}")
+    # ONE log read yields both the committed-batch filter and the corpus
+    # totals — a commit landing mid-query can't produce a mixed view
+    # (new totals scoring old postings or vice versa)
+    committed, totals = indexlog.log_snapshot(
+        spark, path, "n_docs", "total_tokens")
     n_docs, total = totals["n_docs"], totals["total_tokens"]
     buckets = _buckets_of(spark, terms, stats["n_buckets"])
     post = (
-        indexlog.read_committed(spark, path, "postings")
+        indexlog.read_committed(spark, path, "postings", ids=committed)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("id", "dl", "term", "tf")  # positions, if any, stay on disk
     )
@@ -232,7 +271,8 @@ def append_term_index(df: DataFrame, path: str,
     indexlog.delete_glob(
         spark, f"{path}/postings/bucket=*/batch={batch_id}")
     base, tf = _postings(df, id_column, text_column, n_buckets,
-                         bool(stats.asDict().get("has_positions", False)))
+                         bool(stats.asDict().get("has_positions", False)),
+                         stats.asDict().get("analyzer", "simple"))
     _write_postings(tf, path, "append", batch_id)
     delta = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -255,15 +295,20 @@ def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
     p + i for every i — a per-row array filter, no explode. The joins
     carry only docs containing ALL phrase terms (inner joins shrink
     monotonically). Returns (id, n_matches), n_matches >= 1.
+
+    The phrase is analyzed with the INDEX's analyzer; positions index
+    the analyzed stream, so under a stopword-removing analyzer the
+    phrase matches across elided stopwords (see ``_postings``).
     """
-    terms = [t for t in phrase.strip().lower().split() if t]
-    if not terms:
-        raise ValueError("phrase must contain at least one term")
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     if not bool(stats.asDict().get("has_positions", False)):
         raise ValueError(
             "index was built without positions=True; rebuild to enable "
             "phrase search")
+    terms = _analyze_query(spark, stats.asDict().get("analyzer", "simple"),
+                           phrase.strip().split())
+    if not terms:
+        raise ValueError("phrase must contain at least one analyzed term")
     n_buckets = int(stats["n_buckets"])
     buckets = _buckets_of(spark, sorted(set(terms)), n_buckets)
     post = (

@@ -340,29 +340,53 @@ def cosine_neardup_pairs(
 
 def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
                      vector_column: str = "embedding",
-                     iterations: int = 5, seed: int = 11) -> list[list[float]]:
+                     iterations: int = 5, seed: int = 11,
+                     fit_sample_cap: int | None = None) -> list[list[float]]:
     """Plain k-means via DataFrame aggregations (no MLlib dependency).
 
     Each iteration: assign to nearest centroid (broadcast), average per
     cluster (posexplode + groupBy — one shuffle of (cluster, pos, val)).
+
+    ``fit_sample_cap`` bounds what the FIT iterates over: when the
+    corpus exceeds the cap, centroids are fitted on a deterministic
+    content-hash sample (``pmod(xxhash64(vector), ceil(n/cap)) == 0``,
+    so the subset is independent of partitioning and run order),
+    materialized once — every k-means iteration then costs O(cap)
+    assignment work instead of a full corpus pass, which is what makes
+    high-k fits (SemDeDup's derived k at production dims) affordable.
+    Quality trade: centroids are a k-means solution of a uniform-ish
+    sample, not the full corpus — for assignment/quantization workloads
+    the mean cosine-to-centroid is within sampling noise of the full
+    fit (tested; the standard sketched-k-means argument, e.g.
+    Bachem et al., NeurIPS 2018 on uniform coresets for stable
+    clusterings). Callers that need the exact full-corpus fixed point
+    (driver-oracled paths) leave it None.
     """
+    import math
     import random
 
     rnd = random.Random(seed)
+    total = df.count()
+    fit_df = df
+    if fit_sample_cap is not None and total > fit_sample_cap:
+        denom = math.ceil(total / fit_sample_cap)
+        fit_df = (df.filter(
+            F.pmod(F.xxhash64(F.col(vector_column)), F.lit(denom)) == 0)
+            .localCheckpoint())  # ONE corpus pass; iterations reread this
+        total = fit_df.count()
     # seed pool via a seeded Bernoulli sample across ALL partitions —
     # limit() without ordering takes whichever partition answers first,
     # which on sorted/clustered data yields unrepresentative seeds
     n_pool = max(n_clusters * 20, 200)
-    total = df.count()
     fraction = min(1.0, (n_pool * 2.0) / max(total, 1))
-    pool = df.select(vector_column).sample(fraction=fraction, seed=seed)
+    pool = fit_df.select(vector_column).sample(fraction=fraction, seed=seed)
     sample = [list(r[vector_column]) for r in pool.limit(n_pool).collect()]
     if len(sample) < n_clusters:  # tiny corpus: fall back to everything
         sample = [list(r[vector_column])
-                  for r in df.select(vector_column).limit(n_pool).collect()]
+                  for r in fit_df.select(vector_column).limit(n_pool).collect()]
     centroids = rnd.sample(sample, min(n_clusters, len(sample)))
     for _ in range(iterations):
-        assigned = assign_nearest_centroid(df, centroids, vector_column)
+        assigned = assign_nearest_centroid(fit_df, centroids, vector_column)
         means = (
             assigned.select("__cluster",
                             F.posexplode(F.col(vector_column)).alias("pos", "v"))
@@ -661,7 +685,8 @@ def semantic_dedup(df: DataFrame,
                    keep: str = "min_id",
                    n_clusters: int | None = None,
                    target_cluster_size: int = 1024,
-                   kmeans_iterations: int = 5) -> DataFrame:
+                   kmeans_iterations: int = 5,
+                   fit_sample_cap: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, find
     near-duplicate pairs WITHIN each cluster only, connect them into
@@ -712,8 +737,12 @@ def semantic_dedup(df: DataFrame,
             n_clusters = max(1, min(4096,
                                     math.ceil(n_rows / target_cluster_size)))
         dim = len(df.select(vector_column).first()[0])
+        # fit_sample_cap bounds the INTERNAL fit's per-iteration work
+        # (see kmeans_centroids) — at the derived k over a 100 TB corpus
+        # the fit, not the assignment, is the repeated full pass
         centroids = kmeans_centroids(df, n_clusters, dim, vector_column,
-                                     iterations=kmeans_iterations)
+                                     iterations=kmeans_iterations,
+                                     fit_sample_cap=fit_sample_cap)
 
     # normalize once so every downstream score is a plain dot product —
     # O(n) norm folds instead of O(pairs x centroids), and (as

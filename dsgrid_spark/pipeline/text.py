@@ -335,6 +335,73 @@ def _word_array(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+# standard Lucene/Snowball English stopword list (public domain)
+_EN_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+
+def _s_stem(w: Column) -> Column:
+    """Harman S-stemmer (Harman 1991, "How effective is suffixing?"):
+    three plural-folding rules, deterministic and engine-reproducible —
+    chosen over full Porter because the point of the second analyzer is
+    the pluggable swap, and three `when` branches keep the whole stem a
+    codegen'd column expression.
+
+      ies -> y  unless the word ends aies/eies   (ponies -> pony)
+      es  -> e  unless the word ends aes/ees/oes (classes -> classe)
+      s dropped unless the word ends us/ss       (models -> model)
+
+    Words of <= 3 chars pass through (keeps "is"/"as"/"gas" stable even
+    outside the stopword list)."""
+    cut1 = w.substr(F.lit(1), F.length(w) - F.lit(1))
+    # dispatch on the ENDING first: a word ending "ies"/"es" that hits
+    # its rule's exception passes through — it must not fall into a
+    # later rule ("trees" stays "trees", it does not lose the bare s)
+    return (
+        F.when(F.length(w) <= 3, w)
+        .when(w.rlike("ies$"),
+              F.when(w.rlike("[ae]ies$"), w)
+               .otherwise(F.concat(
+                   w.substr(F.lit(1), F.length(w) - F.lit(3)),
+                   F.lit("y"))))
+        .when(w.rlike("es$"),
+              F.when(w.rlike("[aeo]es$"), w).otherwise(cut1))
+        .when(w.rlike("s$"),
+              F.when(w.rlike("[us]s$"), w).otherwise(cut1))
+        .otherwise(w)
+    )
+
+
+def _english_tokens(text: Column) -> Column:
+    """English retrieval analyzer: letters/digits-only folding (every
+    other codepoint becomes a boundary), lowercase, stopword removal,
+    Harman S-stem. Entirely built-in column expressions — the analyzer
+    runs inside whole-stage codegen like the simple one, and downstream
+    consumers (postings build, direct BM25 scan, query analysis) are
+    analyzer-agnostic: they see a token array either way."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^\p{L}\p{Nd}]+", " ")
+    words = F.split(F.trim(cleaned), r"\s+")
+    stop = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    kept = F.filter(words, lambda w: (w != "") & ~F.array_contains(stop, w))
+    return F.transform(kept, _s_stem)
+
+
+# Pluggable analyzer registry (ROADMAP 9): an analyzer is a named pure
+# column transform text -> array<string>. The NAME is persisted in a
+# term index's stats row and every reader analyzes queries with the
+# index's own analyzer — probing with a different one than the writer
+# used would silently miss postings (same failure class as a wrong
+# bucket count).
+ANALYZERS = {
+    "simple": _word_array,
+    "english": _english_tokens,
+}
+
+
 def _bigram_array(text: Column) -> Column:
     words = _word_array(text)
     n = F.size(words)
@@ -514,7 +581,7 @@ def top_terms(df: DataFrame, id_column: str = "doc_id",
 def bm25_scores(df: DataFrame, query_terms: list[str],
                 id_column: str = "doc_id", text_column: str = "text",
                 k1: float = 1.2, b: float = 0.75,
-                micro: bool = False) -> DataFrame:
+                micro: bool = False, analyzer: str = "simple") -> DataFrame:
     """BM25 relevance of every matching document against a bag-of-terms
     query (full-text retrieval over the corpus, reference: Robertson &
     Zaragoza 2009 / the Lucene practical variant).
@@ -541,13 +608,16 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
         raise ValueError("query_terms must be non-empty")
     if micro and (k1, b) != (1.2, 0.75):
         raise ValueError("micro mode fixes k1=1.2, b=0.75")
-    terms = [t.lower() for t in query_terms]
-    arr = _word_array(F.col(text_column))
+    tokenize = ANALYZERS[analyzer]
+    # the query goes through the SAME analyzer as the corpus, as a lazy
+    # column expression (no collect — the whole score stays one plan);
+    # under "simple" this reduces to the old per-term lowercase
+    qarr = tokenize(F.lit(" ".join(query_terms)))
+    arr = tokenize(F.col(text_column))
     base = df.select(
         F.col(id_column),
         F.size(F.filter(arr, lambda x: x != "")).cast("long").alias("__dl"),
-        F.array_intersect(arr, F.array(*[F.lit(t) for t in terms]))
-        .alias("__hit_terms"),
+        F.array_intersect(arr, qarr).alias("__hit_terms"),
         arr.alias("__words"),
     )
     # only rows containing >= 1 query term ever explode or shuffle

@@ -1457,16 +1457,21 @@ def test_sharded_bloom_equals_exact_join_and_no_false_negatives(spark):
 
 
 def test_sharded_bloom_empty_shard_is_definite_miss(spark):
-    """A shard no corpus key hashed into has no words row; batch keys
-    landing there must come out definitely-new (NULL words coalesce to
-    miss), not error or false-positive."""
+    """A shard no corpus key hashed into holds an all-zero bitset (the
+    filler union keeps every shard row present and dense); batch keys
+    landing there must come out definitely-new, not error or
+    false-positive."""
     from dsgrid_spark.pipeline.bloom import (build_sharded_bloom,
                                              sharded_bloom_prefilter)
 
     corpus = spark.createDataFrame([("onlykey",)], "k string")
     bloom = build_sharded_bloom(corpus, "k", expected_items=64,
                                 num_shards=8)
-    assert bloom.words_df.count() == 1  # 7 shards empty
+    rows = bloom.words_df.collect()
+    assert len(rows) == 8  # dense: every shard has a row
+    n_words = bloom.num_bits // 64
+    assert all(len(r["words"]) == n_words for r in rows)
+    assert sum(1 for r in rows if any(w != 0 for w in r["words"])) == 1
     batch = spark.range(0, 500).select(
         F.concat(F.lit("b"), F.col("id")).alias("k"))
     maybe, fresh = sharded_bloom_prefilter(batch, bloom, "k")
@@ -1849,6 +1854,115 @@ def test_term_index_bm25_search_equals_scan(spark, tmp_path):
         write_term_index(df, path, n_buckets=0)
 
 
+def test_s_stemmer_and_english_analyzer(spark):
+    """Harman S-stemmer rule table + the english analyzer's folding,
+    stopword removal, and stemming (ROADMAP 9: second analyzer)."""
+    from dsgrid_spark.pipeline.text import ANALYZERS, _s_stem
+
+    cases = {
+        "ponies": "pony",      # ies -> y
+        "eies": "eies",        # excluded ending (and len guard)
+        "daisies": "daisy",
+        "classes": "classe",   # es -> e
+        "goes": "goes",        # oes excluded
+        "trees": "trees",      # ees excluded
+        "models": "model",     # s dropped
+        "focus": "focus",      # us excluded
+        "class": "class",      # ss excluded
+        "gas": "gas",          # len <= 3 guard
+        "window": "window",    # no rule fires
+    }
+    row = spark.range(1).select(*[
+        _s_stem(F.lit(w)).alias(f"c{i}") for i, w in enumerate(cases)
+    ]).collect()[0]
+    got = {w: row[f"c{i}"] for i, w in enumerate(cases)}
+    assert got == cases
+
+    text = "The Models, engines & streams -- of DATA-driven systems!"
+    toks = spark.range(1).select(
+        ANALYZERS["english"](F.lit(text)).alias("t")).collect()[0]["t"]
+    # stopwords (the, of) gone, punctuation folded, plurals stemmed
+    assert toks == ["model", "engine", "stream", "data", "driven",
+                    "system"]
+    # simple analyzer unchanged: whitespace split only
+    toks2 = spark.range(1).select(
+        ANALYZERS["simple"](F.lit("The Models, of")).alias("t")
+    ).collect()[0]["t"]
+    assert toks2 == ["the", "models,", "of"]
+
+
+def test_term_index_english_analyzer_swap(spark, tmp_path):
+    """The english analyzer plugs into the SAME postings layout: index
+    search == direct corpus scan under the new analyzer, queries are
+    analyzed with the index's persisted analyzer name (stemming makes
+    'Models!' find 'model'), appends inherit it, and phrase search
+    matches across elided stopwords."""
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, phrase_search, write_term_index,
+    )
+    from dsgrid_spark.pipeline.text import bm25_scores
+
+    corpus = {
+        0: "The spark engines stream many windows of data.",
+        1: "Streams and streams of data!",
+        2: "Nothing relevant here, friends.",
+        3: "A window... the windows; windowed models.",
+        4: "State of the art models: the engines will be models too.",
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    path = str(tmp_path / "eidx")
+    write_term_index(df, path, n_buckets=16, positions=True,
+                     analyzer="english")
+    q = ["Windows!", "stream"]
+    got = {r["id"]: r["bm25"]
+           for r in bm25_search(spark, path, q, k=10).collect()}
+    exp = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(df, q, analyzer="english").collect()}
+    assert set(got) == set(exp) and got
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-12)
+    # stemming symmetry: the raw plural query reaches stemmed postings
+    assert 3 in got and 0 in got
+    # phrase across elided stopwords: analyzed phrase is [state, art]
+    hits = {r["id"] for r in
+            phrase_search(spark, path, "state of the art").collect()}
+    assert hits == {4}
+    # appends inherit the index's analyzer from its stats row
+    extra = spark.createDataFrame(
+        [(5, "More windows... the window STREAMS.")],
+        "doc_id long, text string")
+    assert append_term_index(extra, path) is True
+    got2 = {r["id"] for r in bm25_search(spark, path, q, k=10).collect()}
+    assert 5 in got2
+    # an all-stopword query dies loudly, naming the analyzer
+    with pytest.raises(ValueError, match="english"):
+        bm25_search(spark, path, ["the", "of"])
+    # unknown analyzer fails before touching disk
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        write_term_index(df, str(tmp_path / "bad"), analyzer="nope")
+
+
+def test_term_index_stats_without_analyzer_defaults_simple(spark, tmp_path):
+    """Pre-round-7 indexes have no analyzer column in stats; readers
+    must default to the simple analyzer, not error."""
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+
+    df = spark.createDataFrame(
+        [(0, "spark window stream"), (1, "stream data")],
+        "doc_id long, text string")
+    path = str(tmp_path / "old")
+    write_term_index(df, path, n_buckets=8)
+    legacy = (spark.read.parquet(f"{path}/stats").drop("analyzer"))
+    legacy.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats2")
+    import shutil
+    shutil.rmtree(f"{path}/stats")
+    shutil.move(f"{path}/stats2", f"{path}/stats")
+    got = {r["id"] for r in
+           bm25_search(spark, path, ["window"], k=5).collect()}
+    assert got == {0}
+
+
 def test_chunk_token_stream_tiles_exactly(spark):
     """Concat-and-chunk: spans tile each group's token stream with
     exactly chunk_tokens per chunk (except the last), documents split
@@ -2082,6 +2196,179 @@ def test_append_ivf_index_exactly_once(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(f"{path}/vectors")
                      .select("id", "cluster").collect()))
     assert got == want
+
+
+def test_kmeans_fit_sample_cap_matches_full_fit_quality(spark):
+    """fit_sample_cap fits centroids on a deterministic content-hash
+    sample; on a well-separated corpus the capped fit's assignment
+    quality (mean cosine to assigned centroid) must sit within sampling
+    noise of the full fit, and the sampled fit must be deterministic."""
+    from dsgrid_spark.pipeline.similarity import (
+        assign_nearest_centroid, cosine, kmeans_centroids,
+    )
+    import random
+
+    rnd = random.Random(5)
+    centers = [[9.0, 0, 0, 0], [0, 9.0, 0, 0], [0, 0, 9.0, 0],
+               [0, 0, 0, 9.0]]
+    rows = [(i, [c + rnd.gauss(0.0, 0.5) for c in centers[i % 4]])
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def quality(cents):
+        table = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "__cluster int, __cent array<double>")
+        a = assign_nearest_centroid(df, cents).join(
+            F.broadcast(table), "__cluster")
+        return a.agg(F.avg(cosine(F.col("embedding"), F.col("__cent")))
+                     ).collect()[0][0]
+
+    full = kmeans_centroids(df, 4, 4, iterations=4, seed=3)
+    capped = kmeans_centroids(df, 4, 4, iterations=4, seed=3,
+                              fit_sample_cap=400)
+    q_full, q_capped = quality(full), quality(capped)
+    assert q_full > 0.97  # sanity: the corpus really is separable
+    assert q_capped >= q_full - 0.005
+    # repartitioning shifts the seed pool (sample+limit is layout-
+    # dependent, like the full fit) but the capped fit's QUALITY holds
+    capped2 = kmeans_centroids(df.repartition(7), 4, 4, iterations=4,
+                               seed=3, fit_sample_cap=400)
+    assert quality(capped2) >= q_full - 0.005
+    # same lineage, same args -> same fit
+    assert capped == kmeans_centroids(df, 4, 4, iterations=4, seed=3,
+                                      fit_sample_cap=400)
+    # cap above the corpus size is a no-op (identical to the full fit)
+    uncapped = kmeans_centroids(df, 4, 4, iterations=4, seed=3,
+                                fit_sample_cap=100_000)
+    assert uncapped == full
+
+
+def test_index_readers_never_see_uncommitted_batch(spark, tmp_path):
+    """Reader isolation: a search against an index holding a crashed
+    (data written, log entry missing) append returns EXACTLY the
+    pre-append results — scores, doc frequencies, and corpus totals
+    included — and flips atomically to the post-append results once the
+    batch commits. This is the on-disk state a reader observes at any
+    point during a concurrent append, so proving both states correct
+    proves search-during-append correct."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, phrase_search, write_term_index,
+    )
+
+    a = spark.createDataFrame(
+        [(0, "spark window stream engine"), (1, "stream data window"),
+         (2, "window window engine")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(3, "window stream stream vector"), (4, "vector engine window")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(a, path, n_buckets=8, positions=True)
+    q = ["window", "stream"]
+    snap = lambda: [(r["id"], r["bm25"])
+                    for r in bm25_search(spark, path, q, 10).collect()]
+    pre_bm25 = snap()
+    pre_phrase = sorted(r["id"] for r in
+                        phrase_search(spark, path, "window stream").collect())
+
+    # mid-append on-disk state: batch data fully landed, log entry not
+    # yet written (simulated by a real append minus its commit record)
+    assert append_term_index(b, path, batch_id="inflight") is True
+    indexlog.delete_glob(spark, f"{path}/batches/batch=inflight")
+    assert snap() == pre_bm25
+    assert sorted(r["id"] for r in
+                  phrase_search(spark, path, "window stream").collect()) \
+        == pre_phrase
+
+    # retry commits -> readers flip to the full post-append results,
+    # equal to a fresh build over the concatenated corpus
+    assert append_term_index(b, path, batch_id="inflight") is True
+    full = str(tmp_path / "full")
+    write_term_index(a.unionByName(b), full, n_buckets=8, positions=True)
+    want = [(r["id"], r["bm25"])
+            for r in bm25_search(spark, full, q, 10).collect()]
+    assert snap() == want
+
+
+def test_ivf_readers_never_see_uncommitted_batch(spark, tmp_path):
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.similarity import (
+        append_ivf_index, ivf_search, kmeans_centroids, write_ivf_index,
+    )
+    import random
+
+    rnd = random.Random(11)
+    rows_a = [(i, [rnd.gauss((i % 2) * 4.0, 0.3) for _ in range(4)])
+              for i in range(60)]
+    rows_b = [(i + 200, [rnd.gauss((i % 2) * 4.0, 0.3) for _ in range(4)])
+              for i in range(20)]
+    a = spark.createDataFrame(rows_a, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(a, path, kmeans_centroids(a, 2, 4, iterations=3, seed=7))
+    queries = [(0, rows_a[0][1]), (1, rows_b[0][1])]
+    snap = lambda: sorted(
+        (r["query_id"], r["id"]) for r in
+        ivf_search(spark, path, queries, k=5, n_probe=2).collect())
+    pre = snap()
+
+    assert append_ivf_index(b, path, batch_id="inflight") is True
+    indexlog.delete_glob(spark, f"{path}/batches/batch=inflight")
+    assert snap() == pre  # orphan vectors invisible
+
+    assert append_ivf_index(b, path, batch_id="inflight") is True
+    post = snap()
+    assert post != pre  # batch b's own vectors now retrievable
+    assert any(qid == 1 and vid >= 200 for qid, vid in post)
+
+
+def test_auto_batch_id_intent_survives_interleaved_commit(spark, tmp_path):
+    """A crashed auto-id append is retried under its ORIGINAL id even
+    when another batch commits in between (the round-6 advice hole: the
+    log-size-derived id would drift, orphaning the crashed attempt's
+    partitions forever)."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, write_term_index,
+    )
+
+    a = spark.createDataFrame([(0, "spark window")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "stream engine")], "doc_id long, text string")
+    c = spark.createDataFrame([(2, "vector data")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(a, path, n_buckets=4)
+
+    # auto-id append of b crashes after data, before the log commit:
+    # on disk that is data partitions + intent marker, no log entry.
+    # (A completed append clears its marker, so rebuild the crashed
+    # state by removing the commit record and re-claiming the id —
+    # the claim is exactly the marker mkdir the crashed run performed.)
+    assert append_term_index(b, path) is True  # claims auto000002
+    indexlog.delete_glob(spark, f"{path}/batches/batch=auto000002")
+    assert indexlog.claim_auto_batch_id(
+        spark, path, indexlog.committed_batches(spark, path)) == "auto000002"
+    assert indexlog.open_intents(spark, path) == {"auto000002"}
+
+    # a DIFFERENT batch commits in between
+    assert append_term_index(c, path, batch_id="named") is True
+
+    # the retry reuses the reserved id: b's orphans are cleaned and
+    # recommitted under auto000002, nothing is double-counted, and the
+    # intent marker is released
+    assert append_term_index(b, path) is True
+    assert indexlog.committed_batches(spark, path) == {
+        "base", "auto000002", "named"}
+    assert indexlog.open_intents(spark, path) == set()
+    totals = indexlog.logged_totals(spark, path, "n_docs", "total_tokens")
+    assert totals == {"n_docs": 3, "total_tokens": 6}
+    post = indexlog.read_committed(spark, path, "postings")
+    assert post.count() == 6  # 2 terms per doc, each term one posting
+    # a fresh auto claim moves past both committed and reserved ids
+    nxt = indexlog.claim_auto_batch_id(
+        spark, path, indexlog.committed_batches(spark, path))
+    assert nxt == "auto000004"
+    indexlog.clear_intent(spark, path, nxt)
 
 
 def _py_pagerank(edges, iterations=10, damping=0.85):
