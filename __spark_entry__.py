@@ -1035,7 +1035,18 @@ def q31_simhash_dedup(spark, sf_dir):
 
 
 def q32_similarity_bruteforce(spark, sf_dir):
-    """Exact brute-force cosine top-k (pipeline op)."""
+    """Exact brute-force cosine top-k (pipeline op), tagged union with
+    the round-7 'rrf' branch: hybrid retrieval via Reciprocal Rank
+    Fusion (Cormack et al., SIGIR 2009) of the semantic (cosine top-5
+    per query) and lexical (global BM25-micro top-5, the
+    authority-prior pattern) candidate lists. Ranks are integers on
+    both engines (cosine ranks reuse q32's proven ordering; BM25 ranks
+    order integer micro-scores), and the fused score is a fixed-order
+    two-term expression of exact rank reciprocals — floor(x*1e9 + 0.5)
+    discretizes it identically cross-engine."""
+    from dsgrid_spark.pipeline.retrieval import rrf_fuse
+    from dsgrid_spark.pipeline.text import bm25_scores
+
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -1043,8 +1054,23 @@ def q32_similarity_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = brute_force_topk(emb, queries, k=5)
-    return out.select("query_id", "vec_id",
-                      F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score"))
+    brute = out.select(
+        F.lit("brute").alias("op"), "query_id", "vec_id",
+        F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score"))
+
+    docs = _t(spark, sf_dir, "documents")
+    lex_top = (bm25_scores(docs, ["window", "stream", "vector"], micro=True)
+               .orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(5))
+    lex = queries.select("query_id").crossJoin(
+        lex_top.select(F.col("doc_id").alias("vec_id"),
+                       F.col("bm25_micro").cast("double").alias("score")))
+    fused = rrf_fuse([out.select("query_id", "vec_id", "score"), lex],
+                     id_column="vec_id", score_column="score",
+                     group_columns=("query_id",))
+    rrf = fused.select(
+        F.lit("rrf").alias("op"), "query_id", "vec_id",
+        F.floor(F.col("rrf") * 1e9 + 0.5).cast("long").alias("score"))
+    return brute.unionByName(rrf)
 
 
 def q33_similarity_lsh(spark, sf_dir):
@@ -2893,7 +2919,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q42_language_id": _LANG_ID_SQL,
         "q32_similarity_bruteforce": """
-            SELECT q.vec_id AS query_id, c.vec_id,
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ), bmbase AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(w, x -> x != '')) AS BIGINT) AS dl,
+                     w
+              FROM toks
+            ), bmstats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS t
+              FROM bmbase
+            ), bmhits AS (
+              SELECT doc_id, dl, term,
+                     CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, w,
+                           unnest(list_intersect(
+                             w, ['window', 'stream', 'vector'])) AS term
+                    FROM bmbase)
+            ), bmdf AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM bmhits GROUP BY term
+            ), bm AS (
+              -- rational-idf BM25 micro-score, literal-for-literal the
+              -- fixed IEEE sequence the Spark operator runs (micro=True)
+              SELECT doc_id,
+                     CAST(sum(CAST(floor(1000000.0 *
+                       ((2.0 * n - 2.0 * df + 1.0)
+                          * CAST(tf AS DOUBLE) * 2.2) /
+                       ((2.0 * df + 1.0) * ((CAST(tf AS DOUBLE) + 0.3)
+                          + (0.9 * n / CAST(t AS DOUBLE))
+                            * CAST(dl AS DOUBLE)))
+                     ) AS BIGINT)) AS BIGINT) AS bm
+              FROM bmhits JOIN bmdf USING (term) CROSS JOIN bmstats
+              GROUP BY doc_id
+            ), lex0 AS (
+              SELECT doc_id AS vec_id,
+                     row_number() OVER (ORDER BY bm DESC, doc_id) AS r
+              FROM bm
+              QUALIFY row_number() OVER (ORDER BY bm DESC, doc_id) <= 5
+            ), qids AS (
+              SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 3
+            ), lex AS (
+              SELECT q.query_id, l.vec_id, l.r
+              FROM lex0 l CROSS JOIN qids q
+            ), sem AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  CAST(c.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) DESC,
+                                c.vec_id) AS r
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+              QUALIFY row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                  CAST(q.embedding AS DOUBLE[])) DESC,
+                           c.vec_id) <= 5
+            ), fused AS (
+              -- semantic term first, lexical second: the ADDITION ORDER
+              -- matches the Spark expression, so the double is bit-equal
+              SELECT coalesce(s.query_id, l.query_id) AS query_id,
+                     coalesce(s.vec_id, l.vec_id) AS vec_id,
+                     coalesce(1.0 / (60 + s.r), 0.0)
+                       + coalesce(1.0 / (60 + l.r), 0.0) AS rrf
+              FROM sem s FULL OUTER JOIN lex l
+                ON s.query_id = l.query_id AND s.vec_id = l.vec_id
+            )
+            SELECT 'brute' AS op, q.vec_id AS query_id, c.vec_id,
                    CAST(floor(list_cosine_similarity(
                        CAST(c.embedding AS DOUBLE[]),
                        CAST(q.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT) AS score
@@ -2904,6 +3001,10 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                                 CAST(q.embedding AS DOUBLE[])) DESC,
                          c.vec_id) <= 5
+            UNION ALL
+            SELECT 'rrf' AS op, query_id, vec_id,
+                   CAST(floor(rrf * 1e9 + 0.5) AS BIGINT) AS score
+            FROM fused
         """,
         "q33_similarity_lsh": """
             WITH corpus AS (

@@ -40,6 +40,7 @@ BRANCHES = {
     "q23_time_downsample": ("mode", ["down", "up", "cascade:"]),
     "q30_minhash_dedup": ("op", ["full", "incr"]),
     "q31_simhash_dedup": ("op", ["chunk", "manku"]),
+    "q32_similarity_bruteforce": ("op", ["brute", "rrf"]),
     "q50_dst_duplicate": ("tag", ["spring", "fall", "interp"]),
 }
 
@@ -63,6 +64,7 @@ CANONICAL_BRANCH = {
     "q50_dst_duplicate": "spring",
     "q28_dedup_exact": "batch",
     "q44_embedding_neardup": "pair",
+    "q32_similarity_bruteforce": "brute",  # +'rrf' hybrid fusion in r7
 }
 
 # headline set: one per operator family that matters at scale

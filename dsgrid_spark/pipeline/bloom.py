@@ -274,9 +274,20 @@ def build_sharded_bloom(df: DataFrame, key_column: str,
     num_bits, num_hashes = optimal_params(per_shard, fpp)
     n_words = num_bits // 64
     key = F.col(key_column)
+    # Bound each task's partial-agg hash map: the probe explode barely
+    # combines (random positions are nearly all distinct within a
+    # task), so a wide input split means a multi-GB useless map per
+    # task — at 1e8 keys x 7 probes on 32 threads that is GC death,
+    # measured, not hypothetical. Re-split the KEYS (cheap: one narrow
+    # column) so each task explodes to ~4M probe rows.
+    keys = df.select(key.alias("__k"))
+    n_parts = math.ceil(expected_items * num_hashes / 4_000_000)
+    if n_parts > keys.sparkSession.sparkContext.defaultParallelism:
+        keys = keys.repartition(n_parts)
+    key = F.col("__k")
     pos = F.explode(F.array(*_probe_positions(key, num_bits, num_hashes)))
     sparse = (
-        df.select(_shard_of(key, num_shards).alias("shard"), pos.alias("p"))
+        keys.select(_shard_of(key, num_shards).alias("shard"), pos.alias("p"))
         .select("shard",
                 (F.col("p") / 64).cast("long").alias("w"),
                 F.call_function(

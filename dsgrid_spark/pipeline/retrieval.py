@@ -284,6 +284,51 @@ def append_term_index(df: DataFrame, path: str,
     return True
 
 
+def rrf_fuse(ranked: list[DataFrame], id_column: str = "id",
+             score_column: str = "score",
+             group_columns: tuple[str, ...] = (),
+             k: int = 60) -> DataFrame:
+    """Reciprocal Rank Fusion of N candidate lists (Cormack, Clarke &
+    Buettcher, SIGIR 2009): ``rrf(d) = sum_i 1/(k + rank_i(d))``, the
+    standard score-free way to combine a lexical (BM25) and a semantic
+    (ANN) retriever — hybrid search. Items missing from a list
+    contribute 0 for it.
+
+    Each input needs (``group_columns``..., id, score); ranks are
+    derived here as ``row_number`` over (score desc, id) per group, so
+    fusion is deterministic regardless of how the retrievers tie-break,
+    and the fused score is a fixed-order row EXPRESSION (never an
+    aggregation) — bit-reproducible across engines.
+
+    Scale: inputs are top-k candidate lists, i.e. already reduced to
+    (queries x k) rows by their retrievers — the windows and N-way
+    full-outer join here run on candidates, never on the corpus. With
+    no ``group_columns`` the rank window is global, which is the point
+    (a single fused list); pass the query-id column(s) for per-query
+    fusion.
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    keys = [*group_columns, id_column]
+    fused = None
+    for i, df in enumerate(ranked):
+        w = (Window.partitionBy(*[F.col(c) for c in group_columns])
+             .orderBy(F.desc(score_column), F.asc(id_column)))
+        r = df.select(*keys, F.row_number().over(w).alias(f"__r{i}"))
+        fused = r if fused is None else fused.join(r, keys, "full_outer")
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"__r{i}")).cast("double"),
+            F.lit(0.0))
+        score = term if score is None else score + term
+    return fused.select(*keys, score.alias("rrf"))
+
+
 def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
     """Documents containing the EXACT token phrase, with occurrence
     counts, from a positions-enabled index (``write_term_index(...,

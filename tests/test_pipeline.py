@@ -2198,6 +2198,43 @@ def test_append_ivf_index_exactly_once(spark, tmp_path):
     assert got == want
 
 
+def test_rrf_fuse_matches_reference(spark):
+    """Reciprocal Rank Fusion == hand-computed reference: per-group
+    ranks from (score desc, id), absent items contribute 0, fused
+    score is exact double arithmetic."""
+    from dsgrid_spark.pipeline.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 1, 9.0), ("q", 2, 7.0), ("q", 3, 7.0), ("q", 4, 1.0)],
+        "qid string, id int, score double")
+    sem = spark.createDataFrame(
+        [("q", 3, 0.99), ("q", 5, 0.95), ("q", 1, 0.90)],
+        "qid string, id int, score double")
+    out = {r["id"]: r["rrf"]
+           for r in rrf_fuse([lex, sem], group_columns=("qid",),
+                             k=60).collect()}
+    # lex ranks: 1->1, 2->2, 3->3 (tie with 2 broken by id), 4->4
+    # sem ranks: 3->1, 5->2, 1->3
+    exp = {
+        1: 1.0 / 61 + 1.0 / 63,
+        2: 1.0 / 62,
+        3: 1.0 / 63 + 1.0 / 61,
+        4: 1.0 / 64,
+        5: 1.0 / 62,
+    }
+    assert set(out) == set(exp)
+    for i in exp:
+        assert out[i] == exp[i], i  # exact doubles, fixed op order
+    # ungrouped fusion: one global window, same arithmetic
+    g = {r["id"]: r["rrf"]
+         for r in rrf_fuse([lex.drop("qid"), sem.drop("qid")]).collect()}
+    assert g == exp
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([lex], k=0)
+
+
 def test_kmeans_fit_sample_cap_matches_full_fit_quality(spark):
     """fit_sample_cap fits centroids on a deterministic content-hash
     sample; on a well-separated corpus the capped fit's assignment
