@@ -1467,6 +1467,11 @@ def q45_similarity_ivf(spark, sf_dir):
     exact matrix, and integer-valued inputs make the projection sums
     bit-exact in any summation order (the dimensionality-reduction step
     that runs BEFORE LSH/IVF at scale).
+
+    'pq': product quantization (pipeline/pq.py) in its lossless audit
+    regime — exact_codebooks makes encoding bit-faithful, so the ADC
+    score IS the integer dot product and DuckDB recomputes the same
+    top-5 from the quantized vectors directly.
     """
     from dsgrid_spark.pipeline.similarity import (
         ivf_topk, kmeans_centroids, random_projection,
@@ -1497,7 +1502,27 @@ def q45_similarity_ivf(spark, sf_dir):
         F.posexplode("projected").alias("vec_id", "val"),
     ).select("op", "query_id", "vec_id",
              F.col("val").cast("long").alias("score"))
-    return ivf.unionByName(proj)
+
+    # 'pq': product quantization in its lossless audit regime — vectors
+    # are integer-quantized (floor(x*2): 3 distinct values, so <=81
+    # distinct 4-wide subvectors) and every distinct subvector is its
+    # own codebook entry (exact_codebooks), making ip-ADC equal the
+    # true integer dot product: the brute-force SQL oracle applies
+    # while the query exercises the full encode -> LUT -> ADC plumbing.
+    from dsgrid_spark.pipeline.pq import exact_codebooks, pq_encode, pq_topk
+
+    vpq = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: F.floor(x * 2).cast("double")).alias("embedding"),
+    )
+    books = exact_codebooks(vpq, dim=64, n_subvectors=16)
+    pq_queries = vpq.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    pq = pq_topk(pq_encode(vpq, books), books, pq_queries, k=5).select(
+        F.lit("pq").alias("op"), "query_id", "vec_id",
+        F.floor(F.col("score") + 0.5).cast("long").alias("score"))
+    return ivf.unionByName(proj).unionByName(pq)
 
 
 def q46_sample_and_cap(spark, sf_dir):
@@ -3171,6 +3196,20 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS score
             FROM embeddings, (SELECT unnest(range(8)) AS j) js
             WHERE vec_id < 20
+            UNION ALL
+            SELECT 'pq', q.vec_id AS query_id, c.vec_id,
+                   CAST(floor(list_sum(list_transform(range(64), i ->
+                     floor(CAST(c.embedding[i + 1] AS DOUBLE) * 2)
+                     * floor(CAST(q.embedding[i + 1] AS DOUBLE) * 2)))
+                     + 0.5) AS BIGINT) AS score
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_sum(list_transform(range(64), i ->
+                     floor(CAST(c.embedding[i + 1] AS DOUBLE) * 2)
+                     * floor(CAST(q.embedding[i + 1] AS DOUBLE) * 2))) DESC,
+                         c.vec_id) <= 5
         """,
         "q46_sample_and_cap": """
             WITH sampled AS (
