@@ -396,9 +396,52 @@ def _english_tokens(text: Column) -> Column:
 # index's own analyzer — probing with a different one than the writer
 # used would silently miss postings (same failure class as a wrong
 # bucket count).
+# Java regex script classes for the CJK unified range the bigram
+# analyzer treats as one segmentation domain (Lucene CJKAnalyzer's
+# default CJKBigramFilter flags: HAN | HIRAGANA | KATAKANA | HANGUL).
+_CJK = r"\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}"
+
+
+def _cjk_tokens(text: Column) -> Column:
+    """CJK bigram analyzer (the Lucene CJKAnalyzer geometry): CJK runs
+    tokenize as overlapping character bigrams — the standard
+    dictionary-free segmentation for Chinese/Japanese/Korean retrieval
+    (a query phrase matches iff its bigrams appear consecutively, which
+    positional phrase search already checks) — while non-CJK runs
+    tokenize as lowercased whole words, so mixed Latin/CJK text gets
+    both behaviors in one pass.
+
+    Entirely built-in column expressions: fold -> script-boundary split
+    -> per-word HOF expansion (``transform`` + ``substr``), all inside
+    whole-stage codegen like the other analyzers. Single CJK characters
+    standing alone become unigrams (a 1-char run has no bigram).
+    Supplementary-plane Han (surrogate pairs) segments at UTF-16 units,
+    the same trade Lucene's bigram filter makes.
+    """
+    cleaned = F.regexp_replace(F.lower(text), r"[^\p{L}\p{Nd}]+", " ")
+    # boundaries between CJK and non-CJK scripts, both directions
+    split_mixed = F.regexp_replace(
+        cleaned, f"([{_CJK}])([^{_CJK} ])", "$1 $2")
+    split_mixed = F.regexp_replace(
+        split_mixed, f"([^{_CJK} ])([{_CJK}])", "$1 $2")
+    words = F.filter(F.split(F.trim(split_mixed), r"\s+"),
+                     lambda w: w != "")
+
+    def expand(w):
+        n = F.length(w)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: w.substr(i, F.lit(2)))
+        return F.when(w.rlike(f"^[{_CJK}]+$") & (n > 1),
+                      bigrams).otherwise(F.array(w))
+
+    return F.flatten(F.transform(words, expand))
+
+
 ANALYZERS = {
     "simple": _word_array,
     "english": _english_tokens,
+    "cjk": _cjk_tokens,
 }
 
 

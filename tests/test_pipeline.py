@@ -1943,6 +1943,65 @@ def test_term_index_english_analyzer_swap(spark, tmp_path):
         write_term_index(df, str(tmp_path / "bad"), analyzer="nope")
 
 
+def test_cjk_analyzer_tokens(spark):
+    """CJK bigram geometry (Lucene CJKAnalyzer): CJK runs -> overlapping
+    char bigrams, Latin runs -> lowercased words, script boundaries
+    split, lone CJK chars become unigrams."""
+    from dsgrid_spark.pipeline.text import ANALYZERS
+
+    cases = {
+        "Spark入門ガイド hello": ["spark", "入門", "門ガ", "ガイ", "イド",
+                                  "hello"],
+        "北京大学の学生": ["北京", "京大", "大学", "学の", "の学", "学生"],
+        "한국어 처리 test": ["한국", "국어", "처리", "test"],
+        "中 a 文": ["中", "a", "文"],
+        "abc123!!": ["abc123"],
+        "": [],
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = [r["t"] for r in
+           df.select(ANALYZERS["cjk"](F.col("text")).alias("t")).collect()]
+    for (text, want), g in zip(cases.items(), got):
+        assert g == want, (text, g)
+
+
+def test_term_index_cjk_analyzer_swap(spark, tmp_path):
+    """The CJK analyzer plugs into the same postings layout: index
+    search == direct corpus scan, Chinese queries match via bigrams,
+    and positional phrase search distinguishes adjacent from scattered
+    bigrams (the segmentation-free phrase semantics CJK retrieval
+    relies on)."""
+    from dsgrid_spark.pipeline.retrieval import (
+        bm25_search, phrase_search, write_term_index,
+    )
+    from dsgrid_spark.pipeline.text import bm25_scores
+
+    corpus = {
+        0: "北京大学的数据处理课程 covers Spark",
+        1: "大学生活 is fun; 数据 everywhere",
+        2: "nothing relevant here",
+        3: "处理数据的大学课程",  # same bigrams as 0, different order
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    path = str(tmp_path / "cidx")
+    write_term_index(df, path, n_buckets=16, positions=True,
+                     analyzer="cjk")
+    got = {r["id"]: r["bm25"]
+           for r in bm25_search(spark, path, ["数据处理"], k=10).collect()}
+    exp = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(df, ["数据处理"], analyzer="cjk").collect()}
+    assert set(got) == set(exp) and got
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-12)
+    # bag-of-bigrams matches 0, 1 (数据) and 3 (both bigrams, reordered)
+    assert {0, 1, 3} <= set(got)
+    # phrase search needs CONSECUTIVE bigrams: '数据处理' appears as a
+    # contiguous run only in doc 0 (doc 3 has 处理...数据 reversed)
+    hits = {r["id"] for r in phrase_search(spark, path, "数据处理").collect()}
+    assert hits == {0}
+
+
 def test_term_index_stats_without_analyzer_defaults_simple(spark, tmp_path):
     """Pre-round-7 indexes have no analyzer column in stats; readers
     must default to the simple analyzer, not error."""
