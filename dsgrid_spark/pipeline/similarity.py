@@ -79,6 +79,19 @@ def quantize_embeddings(df: DataFrame, vector_column: str = "embedding",
     )
 
 
+def _matrix_row(spark, matrix: list[list[float]], col_name: str):
+    """A float matrix as ONE broadcast DataFrame row of
+    ``array<array<double>>`` — data, not plan literals. The shared
+    escape hatch for every operator that consults a fixed small matrix
+    per row (centroids, projection signs, LSH hyperplanes): above
+    ``LITERAL_CENTROID_BUDGET`` inlined doubles, Catalyst analysis of
+    the literal plan is superlinear in the literal count
+    (tools/scale_centroid_assign.py) while a broadcast row is flat."""
+    payload = [[float(x) for x in row] for row in matrix]
+    return F.broadcast(spark.createDataFrame(
+        [(payload,)], f"{col_name}: array<array<double>>"))
+
+
 def projection_signs(dim: int, out_dim: int, seed: str = "rp") -> list[list[float]]:
     """Deterministic ±1 sign matrix for random projection, derived from
     md5 so ANY engine (or auditor) can recompute the exact matrix from
@@ -96,7 +109,8 @@ def projection_signs(dim: int, out_dim: int, seed: str = "rp") -> list[list[floa
 def random_projection(df: DataFrame, dim: int, out_dim: int,
                       vector_column: str = "embedding",
                       output_column: str = "projected",
-                      seed: str = "rp") -> DataFrame:
+                      seed: str = "rp",
+                      strategy: str = "auto") -> DataFrame:
     """Johnson–Lindenstrauss sign random projection: ``y_j = Σ_i x_i ·
     R[j][i]`` with R ∈ {±1}^(out_dim×dim) (Achlioptas 2003's database-
     friendly projection — beyond the reference, which has no embedding
@@ -106,21 +120,45 @@ def random_projection(df: DataFrame, dim: int, out_dim: int,
     100 TB you project 1024-dim embeddings to 64 BEFORE bucketing —
     sign projections preserve pairwise distances within (1±ε) while
     cutting the shuffled bytes and the per-pair re-rank arithmetic by
-    dim/out_dim. The matrix lives in constant-folded array literals
-    (out_dim folds over one zip_with each, O(1) codegen in dim); per-row
-    column expressions only — zero shuffle, no UDF.
+    dim/out_dim. Per-row column expressions only — zero shuffle, no UDF.
+
+    Like :func:`assign_nearest_centroid`, the sign matrix has two
+    physical homes with bit-identical results (same per-element fold
+    order): ``literal`` inlines out_dim×dim array literals (fine small;
+    a 1536→64 projection is 98k literals — Catalyst-analysis
+    superlinear), ``data`` ships the matrix as ONE broadcast row and
+    projects via ``transform(sequence(...))``. ``auto`` switches to
+    ``data`` above ``LITERAL_CENTROID_BUDGET`` doubles.
     """
+    if strategy not in ("auto", "literal", "data"):
+        raise ValueError(f"strategy must be auto|literal|data, got {strategy!r}")
+    if strategy == "auto":
+        strategy = "data" if dim * out_dim > LITERAL_CENTROID_BUDGET \
+            else "literal"
     signs = projection_signs(dim, out_dim, seed)
-    rows = [F.array(*[F.lit(s) for s in signs[j]]) for j in range(out_dim)]
     v = F.col(vector_column)
-    proj = F.array(*[
-        F.aggregate(
-            F.zip_with(v, rows[j], lambda x, r: x * r),
+    if strategy == "literal":
+        rows = [F.array(*[F.lit(s) for s in signs[j]])
+                for j in range(out_dim)]
+        proj = F.array(*[
+            F.aggregate(
+                F.zip_with(v, rows[j], lambda x, r: x * r),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for j in range(out_dim)
+        ])
+        return df.withColumn(output_column, proj)
+    mat = _matrix_row(df.sparkSession, signs, "__rp_mat")
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(v, F.get(F.col("__rp_mat"), j), lambda x, r: x * r),
             F.lit(0.0), lambda acc, x: acc + x,
-        )
-        for j in range(out_dim)
-    ])
-    return df.withColumn(output_column, proj)
+        ),
+    )
+    return (df.crossJoin(mat)
+            .withColumn(output_column, proj)
+            .drop("__rp_mat"))
 
 
 def embedding_centroids(df: DataFrame, group_columns: list[str],
@@ -195,28 +233,64 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _plane_strategy(strategy: str, n_doubles: int) -> str:
+    if strategy not in ("auto", "literal", "data"):
+        raise ValueError(f"strategy must be auto|literal|data, got {strategy!r}")
+    if strategy == "auto":
+        return "data" if n_doubles > LITERAL_CENTROID_BUDGET else "literal"
+    return strategy
+
+
 def add_lsh_bucket(df: DataFrame, dim: int, vector_column: str = "embedding",
                    n_planes: int = 8, seed: int = 7,
-                   bucket_column: str = "bucket") -> DataFrame:
+                   bucket_column: str = "bucket",
+                   strategy: str = "auto") -> DataFrame:
     """Random-hyperplane signature → integer bucket id.
 
     Same hyperplanes (same seed) must be used for corpus and queries.
+    Hyperplanes are plan literals below ``LITERAL_CENTROID_BUDGET``
+    doubles and ONE broadcast data row above it (``strategy="auto"``;
+    a 16-plane × 1536-dim signature is 25k literals otherwise — the
+    measured Catalyst-analysis blowup). Bucket ids are bit-identical
+    between strategies: per-plane dots share the same fold order and
+    the bit sum is integer.
     """
+    strategy = _plane_strategy(strategy, dim * n_planes)
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = F.when(dot(F.col(vector_column), plane) > 0,
-                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return df.withColumn(bucket_column, bucket)
+    v = F.col(vector_column)
+    if strategy == "literal":
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(x) for x in p])
+            bit = F.when(dot(v, plane) > 0,
+                         F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+            bucket = bucket + bit
+        return df.withColumn(bucket_column, bucket)
+    mat = _matrix_row(df.sparkSession, planes, "__lsh_mat")
+    bucket = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda i: F.when(
+                dot(v, F.get(F.col("__lsh_mat"), i)) > 0,
+                # call_function: the python shiftleft wrapper only takes
+                # an int literal for numBits, not a Column
+                F.call_function("shiftleft", F.lit(1).cast("long"),
+                                i.cast("int"))
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    return (df.crossJoin(mat)
+            .withColumn(bucket_column, bucket)
+            .drop("__lsh_mat"))
 
 
 def lsh_probe_buckets(df: DataFrame, dim: int,
                       vector_column: str = "embedding",
                       n_planes: int = 8, seed: int = 7,
                       n_probes: int = 1,
-                      bucket_column: str = "bucket") -> DataFrame:
+                      bucket_column: str = "bucket",
+                      strategy: str = "auto") -> DataFrame:
     """Multi-probe bucket expansion: one row per (input row, probe).
 
     Probe 0 is the row's own bucket; probes 1..n_probes-1 flip the sign
@@ -227,28 +301,47 @@ def lsh_probe_buckets(df: DataFrame, dim: int,
     no UDF, no shuffle; rows fan out n_probes x, which on the query side
     of an ANN join is a handful of extra broadcast rows.
     """
+    strategy = _plane_strategy(strategy, dim * n_planes)
     planes = _hyperplanes(dim, n_planes, seed)
-    margins = F.array(*[
-        F.struct(
-            F.abs(dot(F.col(vector_column),
-                      F.array(*[F.lit(x) for x in p]))).alias("m"),
-            F.lit(i).alias("i"),
+    if strategy == "literal":
+        margins = F.array(*[
+            F.struct(
+                F.abs(dot(F.col(vector_column),
+                          F.array(*[F.lit(x) for x in p]))).alias("m"),
+                F.lit(i).alias("i"),
+            )
+            for i, p in enumerate(planes)
+        ])
+    else:
+        # same planes as ONE broadcast row (the add_lsh_bucket data
+        # path reuses the identical __lsh_mat column name downstream,
+        # so alias this one)
+        margins = F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda i: F.struct(
+                F.abs(dot(F.col(vector_column),
+                          F.get(F.col("__probe_mat"), i))).alias("m"),
+                i.cast("int").alias("i"),
+            ),
         )
-        for i, p in enumerate(planes)
-    ])
     flips = F.slice(
         F.transform(F.array_sort(margins), lambda s: s.i),
         1, max(n_probes - 1, 0))
     base = add_lsh_bucket(df, dim, vector_column, n_planes, seed,
-                          bucket_column="__b0")
+                          bucket_column="__b0", strategy=strategy)
+    if strategy == "data":
+        base = base.crossJoin(
+            _matrix_row(df.sparkSession, planes, "__probe_mat"))
     probes = F.concat(
         F.array(F.col("__b0")),
         F.transform(flips, lambda i: F.col("__b0").bitwiseXOR(
             F.call_function("shiftleft", F.lit(1).cast("long"),
                             i.cast("int")))),
     )
+    # __probe_mat only exists on the data path; dropping a missing
+    # column is a no-op
     return (base.withColumn(bucket_column, F.explode(probes))
-            .drop("__b0"))
+            .drop("__b0", "__probe_mat"))
 
 
 def lsh_topk(

@@ -537,6 +537,58 @@ def test_assign_nearest_centroid_auto_switches_on_budget(spark):
     assert "Join" not in small
 
 
+def test_random_projection_data_path_bit_exact(spark):
+    """The broadcast-matrix projection must equal the literal-matrix
+    projection bit-for-bit (same per-element fold order) — it is the
+    auto path above LITERAL_CENTROID_BUDGET, where a 1536x64 sign
+    matrix would otherwise be 98k plan literals."""
+    import random
+
+    from dsgrid_spark.pipeline import similarity as sim
+
+    rnd = random.Random(13)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {r["vec_id"]: list(r["projected"]) for r in sim.random_projection(
+        df, dim=16, out_dim=6, strategy="literal").collect()}
+    dat = {r["vec_id"]: list(r["projected"]) for r in sim.random_projection(
+        df, dim=16, out_dim=6, strategy="data").collect()}
+    assert lit == dat  # exact float equality, not approx
+    # data plan carries no sign literals and stays O(1) in the matrix
+    big = sim.random_projection(df, dim=16, out_dim=200, strategy="auto")
+    plan = big._jdf.queryExecution().analyzed().toString()
+    assert "Join" in plan and len(plan) < 30_000
+    # output schema is clean: no helper columns leak
+    assert "__rp_mat" not in big.columns
+
+
+def test_lsh_bucket_and_probes_data_path_bit_exact(spark):
+    """LSH bucket ids and multi-probe fan-out are strategy-invariant:
+    the broadcast-plane path must reproduce the literal path exactly
+    (bucket ids are integer bit-sums; probe order follows the same
+    margin sort)."""
+    import random
+
+    from dsgrid_spark.pipeline import similarity as sim
+
+    rnd = random.Random(17)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(12)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {r["vec_id"]: r["bucket"] for r in sim.add_lsh_bucket(
+        df, dim=12, n_planes=10, strategy="literal").collect()}
+    dat = {r["vec_id"]: r["bucket"] for r in sim.add_lsh_bucket(
+        df, dim=12, n_planes=10, strategy="data").collect()}
+    assert lit == dat
+    plit = sorted((r["vec_id"], r["bucket"]) for r in sim.lsh_probe_buckets(
+        df, dim=12, n_planes=10, n_probes=3, strategy="literal").collect())
+    pdat = sorted((r["vec_id"], r["bucket"]) for r in sim.lsh_probe_buckets(
+        df, dim=12, n_planes=10, n_probes=3, strategy="data").collect())
+    assert plit == pdat
+    out = sim.lsh_probe_buckets(df, dim=12, n_planes=10, n_probes=2,
+                                strategy="data")
+    assert "__probe_mat" not in out.columns and "__b0" not in out.columns
+
+
 def test_stratified_sample_targets_and_determinism(spark):
     from dsgrid_spark.pipeline.sampling import stratified_sample
 
