@@ -112,6 +112,31 @@ def mixture_thresholds(totals: dict[str, int],
     }
 
 
+def temperature_weights(totals: dict[str, int],
+                        alpha: float = 0.3) -> dict[str, float]:
+    """Temperature-based mixture weights from corpus masses:
+    ``w_g ∝ (n_g / N)^alpha``, normalized to sum 1 — the multilingual
+    rebalancing rule (XLM-R / mT5 style alpha-sampling: alpha=1
+    reproduces natural proportions, alpha→0 approaches uniform, the
+    usual 0.2–0.7 range boosts low-resource groups without drowning
+    high-resource ones). Feed the result straight into
+    :func:`mixture_thresholds` / :func:`mixture_sample`.
+
+    Driver-side arithmetic over one row per group (the same bounded
+    totals dict mixture_sample already aggregates); deterministic IEEE
+    doubles so an auditor recomputes identical weights.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    present = {g: n for g, n in totals.items() if n > 0}
+    if not present:
+        return {}
+    total = sum(present.values())
+    raw = {g: (n / total) ** alpha for g, n in present.items()}
+    z = sum(raw.values())
+    return {g: r / z for g, r in raw.items()}
+
+
 def mixture_sample(df: DataFrame, group_column: str,
                    weights: dict[str, float], key_column: str,
                    size_column: str | None = None,

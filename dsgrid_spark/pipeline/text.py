@@ -901,6 +901,116 @@ def predict_proba(weights: list[float],
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def hashed_ngram_features(df: DataFrame, id_column: str = "doc_id",
+                          text_column: str = "text",
+                          n_buckets: int = 1 << 18, max_n: int = 2,
+                          salt: str = "ft",
+                          feature_column: str = "features",
+                          keep_columns: tuple[str, ...] = ()) -> DataFrame:
+    """fastText-style feature extraction: every word 1..max_n-gram of
+    the document, hashed into ``n_buckets`` via
+    ``pmod(xxhash64(salt, gram), n_buckets)`` — the hashing trick
+    (Weinberger ICML'09; Joulin 2017 uses the same trick for fastText
+    n-gram buckets). Output is (id, features array<int>), a BAG: a gram
+    occurring twice contributes its bucket twice, matching the linear
+    model's term-frequency semantics.
+
+    Pure column expressions (tokenize -> ngram arrays -> hash
+    transform), zero shuffle; the feature space is fixed at n_buckets
+    regardless of vocabulary, which is what makes the downstream
+    classifier's state driver-boundable at 100 TB.
+    """
+    if n_buckets <= 0 or max_n < 1:
+        raise ValueError(f"n_buckets and max_n must be positive, got "
+                         f"{n_buckets}, {max_n}")
+    grams = F.concat(*[ngram_array(F.col(text_column), n)
+                       for n in range(1, max_n + 1)])
+    idx = F.transform(
+        grams,
+        lambda g: F.pmod(F.xxhash64(F.lit(salt), g),
+                         F.lit(n_buckets)).cast("int"))
+    return df.select(F.col(id_column), idx.alias(feature_column),
+                     *[F.col(c) for c in keep_columns])
+
+
+def _sparse_z(bias: float, feature_column: str,
+              weight_column: str = "__w") -> Column:
+    """z = bias + Σ w[idx] over the feature bag — m array lookups into
+    the broadcast weight row, zero Python."""
+    return F.lit(float(bias)) + F.aggregate(
+        F.transform(F.col(feature_column),
+                    lambda i: F.get(F.col(weight_column), i)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sparse_logistic_regression(df: DataFrame, label_column: str = "label",
+                               feature_column: str = "features",
+                               n_buckets: int = 1 << 18,
+                               iterations: int = 30, lr: float = 0.5,
+                               l2: float = 0.0) -> tuple[float, list[float]]:
+    """Train a hashed-n-gram linear classifier (the fastText-without-
+    embeddings model) with distributed full-batch gradient descent.
+
+    Input rows are (features array<int>, 0/1 label) from
+    :func:`hashed_ngram_features`. Per iteration:
+
+    - the weight vector rides ONE broadcast row of ``array<double>``
+      (n_buckets doubles — 2 MB at 2^18; data, never plan literals);
+    - per-row score = bias + Σ w[idx] (array lookups, codegen'd);
+    - the weight gradient is ``explode(features) -> groupBy(idx) ->
+      sum(err)`` — map-side combined, so the shuffle and the driver
+      collect are bounded by n_buckets, NEVER by corpus size or
+      vocabulary. That bound is the entire point of the hashing trick
+      at scale.
+
+    The driver holds only (bias, weights). Returns them; score with
+    :func:`sparse_predict_proba`. Training input is localCheckpointed
+    once — each of the ``iterations`` jobs rereads materialized
+    (features, label) rows, not the text-processing lineage.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    spark = df.sparkSession
+    data = df.select(F.col(feature_column).alias("__f"),
+                     F.col(label_column).cast("double").alias("__y")) \
+        .localCheckpoint()
+    n = data.count()
+    if n == 0:
+        raise ValueError("training frame is empty")
+    bias = 0.0
+    w = [0.0] * n_buckets
+    for _ in range(iterations):
+        w_row = F.broadcast(spark.createDataFrame(
+            [(w,)], "__w: array<double>"))
+        scored = data.crossJoin(w_row)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_sparse_z(bias, "__f")))
+        err = (p - F.col("__y")).alias("__e")
+        g0 = scored.agg(F.sum(p - F.col("__y")).alias("g")).collect()[0]["g"]
+        grads = (scored.select(err, F.explode("__f").alias("__i"))
+                 .groupBy("__i").agg(F.sum("__e").alias("g"))
+                 .collect())
+        bias -= lr * (g0 / n)
+        if l2:
+            w = [wi - lr * l2 * wi for wi in w]
+        for r in grads:
+            w[r["__i"]] -= lr * (r["g"] / n)
+    return bias, w
+
+
+def sparse_predict_proba(df: DataFrame, bias: float, weights: list[float],
+                         feature_column: str = "features",
+                         output_column: str = "proba") -> DataFrame:
+    """P(label=1) for each row under a ``sparse_logistic_regression``
+    model: weights broadcast as one data row, score = m lookups — the
+    zero-Python inference path over any corpus size."""
+    w_row = F.broadcast(df.sparkSession.createDataFrame(
+        [([float(x) for x in weights],)], "__w: array<double>"))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_sparse_z(bias, feature_column)))
+    return (df.crossJoin(w_row)
+            .withColumn(output_column, p)
+            .drop("__w"))
+
+
 def ngram_array(text: Column, n: int) -> Column:
     """Word n-gram array (space-joined) from the library tokenizer,
     empty tokens dropped; documents shorter than ``n`` tokens yield an

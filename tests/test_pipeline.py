@@ -735,6 +735,33 @@ def test_bigram_logprob_orders_typical_above_rare(spark):
     assert abs(got[0] - expected) < 1e-9
 
 
+def test_temperature_weights_alpha_limits_and_mixture_integration():
+    from dsgrid_spark.pipeline.sampling import (
+        mixture_thresholds, temperature_weights,
+    )
+
+    totals = {"en": 8_000_000, "de": 1_500_000, "sw": 500_000}
+    # alpha=1: natural proportions
+    nat = temperature_weights(totals, alpha=1.0)
+    assert nat["en"] == pytest.approx(0.8)
+    assert nat["sw"] == pytest.approx(0.05)
+    # alpha=0: uniform
+    uni = temperature_weights(totals, alpha=0.0)
+    assert all(v == pytest.approx(1 / 3) for v in uni.values())
+    # intermediate alpha boosts low-resource relative share monotonically
+    mid = temperature_weights(totals, alpha=0.3)
+    assert 0.05 < mid["sw"] < 1 / 3 and 1 / 3 < mid["en"] < 0.8
+    assert sum(mid.values()) == pytest.approx(1.0)
+    # zero-mass groups drop; thresholds accept the result directly
+    thr = mixture_thresholds(totals, temperature_weights(
+        {**totals, "empty": 0}, alpha=0.3))
+    assert set(thr) == {"en", "de", "sw"}
+    # binding group under rebalancing is the most-boosted (smallest)
+    assert thr["sw"] == 1_000_000
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(totals, alpha=-1)
+
+
 def test_mixture_sample_targets_binding_group_and_determinism(spark):
     from dsgrid_spark.pipeline.sampling import mixture_sample, mixture_thresholds
 
@@ -2601,6 +2628,67 @@ def test_pack_sequences_ffd_invariants(spark):
     assert again == {r["doc_id"]: r["batch_index"] for r in out}
     with pytest.raises(ValueError):
         pack_sequences_ffd(df, ["grp"], "doc_id", "n", 0)
+
+
+def test_sparse_logistic_regression_matches_reference_and_separates(spark):
+    """The hashed-n-gram linear classifier (fastText-without-embeddings)
+    matches a plain-Python run of the same GD recurrence on the SAME
+    collected features, and separates a keyword-separable corpus."""
+    import math
+
+    from dsgrid_spark.pipeline.text import (
+        hashed_ngram_features, sparse_logistic_regression,
+        sparse_predict_proba,
+    )
+
+    rows = [(i,
+             ("buy cheap pills now click here " if i % 3 == 0
+              else "the quarterly report discusses revenue and strategy ")
+             + f"filler{i % 7} token{i % 5}",
+             1 if i % 3 == 0 else 0)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    nb = 1 << 10
+    feats = hashed_ngram_features(df, n_buckets=nb, max_n=2,
+                                  keep_columns=("y",))
+    bias, w = sparse_logistic_regression(feats, "y", n_buckets=nb,
+                                         iterations=15, lr=0.5)
+
+    # reference: identical recurrence over the SAME hashed features
+    data = [(list(r["features"]), r["y"]) for r in feats.collect()]
+    n = len(data)
+    rb, rw = 0.0, [0.0] * nb
+
+    def z_of(fs):
+        return rb + sum(rw[i] for i in fs)
+
+    for _ in range(15):
+        g0 = 0.0
+        g = {}
+        for fs, y in data:
+            e = 1.0 / (1.0 + math.exp(-z_of(fs))) - y
+            g0 += e
+            for i in fs:
+                g[i] = g.get(i, 0.0) + e
+        rb -= 0.5 * g0 / n
+        for i, gi in g.items():
+            rw[i] -= 0.5 * gi / n
+    assert bias == pytest.approx(rb, rel=1e-9, abs=1e-12)
+    touched = {i for fs, _ in data for i in fs}
+    for i in touched:
+        assert w[i] == pytest.approx(rw[i], rel=1e-6, abs=1e-9), i
+    assert all(w[i] == 0.0 for i in range(nb) if i not in touched)
+
+    # inference separates the spam class perfectly
+    scored = sparse_predict_proba(feats, bias, w)
+    acc = scored.filter(
+        ((F.col("proba") > 0.5) & (F.col("y") == 1))
+        | ((F.col("proba") <= 0.5) & (F.col("y") == 0))).count() / 90
+    assert acc == 1.0
+    # feature bag keeps duplicate grams (term frequency semantics)
+    one = spark.createDataFrame([(0, "spam spam")], "doc_id long, text string")
+    fs = hashed_ngram_features(one, n_buckets=nb).first()["features"]
+    assert len(fs) == 3 and fs[0] == fs[1]  # two unigrams + one bigram
 
 
 def test_logistic_regression_matches_reference_and_separates(spark):
