@@ -84,28 +84,79 @@ def pq_fit(df: DataFrame, dim: int, n_subvectors: int, n_centroids: int,
            vector_column: str = "embedding", iterations: int = 5,
            seed: int = 11,
            fit_sample_cap: int | None = None) -> list[list[list[float]]]:
-    """Fit per-subspace codebooks: ``m`` independent k-means runs, one
-    per ``dim/m``-wide slice of the vector.
+    """Fit per-subspace L2 k-means codebooks — all ``m`` subspaces in
+    the SAME Spark jobs, not m sequential fits.
 
-    Each run reuses :func:`kmeans_centroids` on the sliced column — the
-    fit work is m separate small-dim fits (k*dsub centroid doubles
-    each), NOT one dim-wide fit, which is exactly why PQ codebooks stay
-    cheap at production dims. ``fit_sample_cap`` flows through to each
-    subspace fit (the high-k fit-cost rule, ROADMAP 11).
+    The first cut fit each subspace with its own k-means loop: m ×
+    iterations driver-synchronized mini-jobs, measured 1068 s at
+    m=8/k=256 over a 50k sample (tools/rehearsal_pq.py) — the latency
+    was job count, not row work. A second cut ran one JVM-HOF
+    assignment job per iteration across all subspaces (160 s — HOFs
+    are interpreted per element). This version assigns with the SAME
+    numpy Arrow kernel ``pq_encode`` uses (one matmul per subspace per
+    batch) and aggregates means in one shuffle whose rows are bounded
+    by m*k*dsub — never by corpus size; the codebook ships per
+    iteration via closure, the driver collects k*dim doubles back.
 
-    Returns ``codebooks[m][k][dsub]``. Subspace ``j`` covers vector
-    positions ``[j*dsub, (j+1)*dsub)``.
+    Distances are L2 (the PQ objective is reconstruction error — Jegou
+    TPAMI'11 §III), ties to the lowest centroid index.
+    ``fit_sample_cap`` bounds what the iterations scan, as in
+    ``kmeans_centroids``. Returns ``codebooks[m][k][dsub]``; subspace
+    ``j`` covers vector positions ``[j*dsub, (j+1)*dsub)``.
     """
-    from dsgrid_spark.pipeline.similarity import kmeans_centroids
+    import math
+    import random
 
     dsub = _check_geometry(dim, n_subvectors)
+    m = n_subvectors
+    rnd = random.Random(seed)
+    total = df.count()
+    fit_df = df.select(F.col(vector_column).alias("__v"))
+    if fit_sample_cap is not None and total > fit_sample_cap:
+        denom = math.ceil(total / fit_sample_cap)
+        fit_df = fit_df.filter(
+            F.pmod(F.xxhash64(F.col("__v")), F.lit(denom)) == 0)
+    # ONE materialization; every iteration rereads these rows
+    fit_df = fit_df.localCheckpoint()
+    n_fit = fit_df.count()
+    # seed pool: full vectors sampled across partitions, sliced per
+    # subspace driver-side — one collect seeds all m codebooks
+    n_pool = max(n_centroids * 20, 200)
+    fraction = min(1.0, (n_pool * 2.0) / max(n_fit, 1))
+    pool = [list(r["__v"]) for r in
+            fit_df.sample(fraction=fraction, seed=seed)
+            .limit(n_pool).collect()]
+    if len(pool) < n_centroids:
+        pool = [list(r["__v"]) for r in fit_df.limit(n_pool).collect()]
     books = []
-    for j in range(n_subvectors):
-        sub = df.select(
-            F.slice(F.col(vector_column), j * dsub + 1, dsub).alias("__sub"))
-        books.append(kmeans_centroids(
-            sub, n_centroids, dsub, "__sub", iterations=iterations,
-            seed=seed + j, fit_sample_cap=fit_sample_cap))
+    for j in range(m):
+        rows = [v[j * dsub:(j + 1) * dsub] for v in pool]
+        books.append(rnd.sample(rows, min(n_centroids, len(rows))))
+
+    for _ in range(iterations):
+        coded = _encode_rows(fit_df, books, "__v", keep_vector=True)
+        # (j, cluster, pos, x) exploded from each (vector, code) row;
+        # the groupBy shuffle carries map-side partial means only
+        parts = coded.select(F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.struct(
+                j.cast("int").alias("j"),
+                F.get(F.col("__code"), j).alias("cl"),
+                F.slice(F.col("__v"), j * dsub + 1, dsub).alias("sub")),
+        )).alias("e")).select("e.j", "e.cl", "e.sub")
+        means = (
+            parts.select("j", "cl", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("j", "cl", "pos").agg(F.avg("x").alias("mu"))
+            .groupBy("j", "cl")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "mu"))).alias("ps"))
+            .select("j", "cl",
+                    F.transform("ps", lambda s: s["mu"]).alias("c"))
+            .collect()
+        )
+        got = {(r["j"], r["cl"]): list(r["c"]) for r in means}
+        books = [[got.get((j, i), books[j][i])
+                  for i in range(len(books[j]))] for j in range(m)]
     return books
 
 
@@ -158,35 +209,110 @@ def _l2sq(a: Column, b: Column) -> Column:
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               id_column: str = "vec_id",
               vector_column: str = "embedding",
-              code_column: str = "code") -> DataFrame:
+              code_column: str = "code",
+              method: str = "arrow") -> DataFrame:
     """Encode each vector as ``m`` codebook indices (``array<int>``):
     code[j] = argmin over subspace j's centroids of L2 distance to the
     j-th subvector; ties break to the lowest centroid index.
 
-    One narrow projection — zero joins, zero shuffle; the codebook
-    arrives as a single broadcast row and the per-row work (m argmins,
-    O(k*dim) fused arithmetic) runs inside codegen. Output is
+    Two methods, same results:
+
+    - ``arrow`` (default) — a ``mapInPandas`` numpy kernel: per Arrow
+      batch, distances for ALL rows × subspaces × centroids come from
+      one ``||x||² − 2·x·Cᵀ + ||c||²`` matmul per subspace and the
+      argmin is vectorized. The library's honest-Arrow convention for
+      inherently numeric kernels (the rolling-hash precedent): Spark's
+      higher-order functions are interpreted per element, not
+      codegen'd, and the measured HOF encode was ~36 µs/row·(m·k
+      =2048) at sf10 — the numpy kernel removes that constant. Only
+      (id, code) crosses Arrow back.
+    - ``hof`` — pure JVM column expressions (nested
+      transform/aggregate over one broadcast codebook row): zero
+      Python anywhere, the audit/fallback path and the independent
+      implementation the equality test checks against.
+
+    Tie-break parity: the numpy path computes ``-2·x·c + ||c||²`` per
+    centroid (same winner as full L2; the row term is constant) and
+    takes the FIRST minimum — on exact ties both paths pick the lowest
+    index. Near-ties within float error can differ between the paths
+    by an ULP-order rounding flip; the lossless exact-codebook regime
+    has true zero distances, so audits are unaffected.
+
+    One narrow projection either way — no join, no shuffle. Output is
     (id, code) only: the corpus' scan-time footprint from here on.
     """
+    if method not in ("arrow", "hof"):
+        raise ValueError(f"method must be arrow|hof, got {method!r}")
     m, k, dsub = _check_codebooks(codebooks)
-    spark = df.sparkSession
-    v = F.col(vector_column)
-    # per subspace j: max over (−dist², −index) structs == min dist,
-    # tie -> lowest index (assign_nearest_centroid's tie-break idiom)
-    code = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: -F.array_max(F.transform(
-            F.get(F.col("__cbs"), j),
-            lambda c, i: F.struct(
-                (-_l2sq(F.slice(v, j * dsub + 1, dsub), c)).alias("nd"),
-                (-i).alias("ni"),
-            ),
-        ))["ni"].cast("int"),
-    )
-    return (
-        df.crossJoin(_codebook_row(spark, codebooks))
-        .select(F.col(id_column), code.alias(code_column))
-    )
+    if method == "hof":
+        spark = df.sparkSession
+        v = F.col(vector_column)
+        # per subspace j: max over (−dist², −index) structs == min
+        # dist, tie -> lowest index (assign_nearest_centroid's idiom)
+        code = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: -F.array_max(F.transform(
+                F.get(F.col("__cbs"), j),
+                lambda c, i: F.struct(
+                    (-_l2sq(F.slice(v, j * dsub + 1, dsub), c)).alias("nd"),
+                    (-i).alias("ni"),
+                ),
+            ))["ni"].cast("int"),
+        )
+        return (
+            df.crossJoin(_codebook_row(spark, codebooks))
+            .select(F.col(id_column), code.alias(code_column))
+        )
+    return _encode_rows(df, codebooks, vector_column,
+                        id_column=id_column, code_column=code_column)
+
+
+def _encode_rows(df: DataFrame, codebooks: list[list[list[float]]],
+                 vector_column: str, id_column: str | None = None,
+                 code_column: str = "__code",
+                 keep_vector: bool = False) -> DataFrame:
+    """The shared numpy ``mapInPandas`` encode kernel: per Arrow batch,
+    one ``−2·x·Cᵀ + ||c||²`` matmul per subspace and a vectorized
+    first-minimum argmin. ``keep_vector=True`` passes the vector
+    through as ``__v`` (the fit loop needs (vector, code) pairs without
+    a join); ``id_column`` passes an id through for the public encode.
+    """
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, IntegerType, StructField,
+                                   StructType)
+
+    m, k, dsub = _check_codebooks(codebooks)
+    cols = [F.col(id_column)] if id_column else []
+    in_df = df.select(*cols, F.col(vector_column).alias("__v"))
+    fields = [StructField(f.name, f.dataType)
+              for f in in_df.schema if f.name != "__v"]
+    if keep_vector:
+        fields.append(in_df.schema["__v"])
+    out_schema = StructType(
+        fields + [StructField(code_column, ArrayType(IntegerType()))])
+    # the codebook tensor ships once per task via closure serialization
+    # (m*k*dsub doubles — 2 MB at 16x256x64), not per batch
+    cb = np.asarray(codebooks, dtype=np.float64)          # (m, k, dsub)
+    cb_sq = (cb * cb).sum(axis=2)                         # (m, k)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.assign(**{code_column: []})
+                yield out if keep_vector else out.drop(columns="__v")
+                continue
+            x = np.asarray(
+                [np.asarray(r, dtype=np.float64) for r in pdf["__v"]])
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xj = x[:, j * dsub:(j + 1) * dsub]        # (n, dsub)
+                # argmin ||x-c||² == argmin (−2xc + ||c||²); first min
+                scores = -2.0 * (xj @ cb[j].T) + cb_sq[j]  # (n, k)
+                codes[:, j] = np.argmin(scores, axis=1)
+            out = pdf.assign(**{code_column: list(codes)})
+            yield out if keep_vector else out.drop(columns="__v")
+
+    return in_df.mapInPandas(encode, out_schema)
 
 
 def _adc_luts(spark, codebooks, queries, query_id_column, vector_column,
@@ -282,8 +408,13 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     if metric not in ("ip", "l2"):
         raise ValueError(f"metric must be ip|l2, got {metric!r}")
     spark = corpus.sparkSession
-    assigned = assign_nearest_centroid(corpus, coarse_centroids,
-                                       vector_column)
+    # materialize the coarse assignment once: both the encode input and
+    # the (id, cluster) join side read it, and without the pin the
+    # k-wide argmax would run twice over the corpus
+    assigned = (assign_nearest_centroid(corpus, coarse_centroids,
+                                        vector_column)
+                .select(id_column, vector_column, "__cluster")
+                .localCheckpoint())
     coded = pq_encode(assigned, codebooks, id_column=id_column,
                       vector_column=vector_column).join(
         assigned.select(id_column, "__cluster"), id_column)

@@ -143,11 +143,30 @@ def test_ivf_pq_partial_probe_contains_self(spark):
 
 
 def test_pq_codebooks_are_data_not_plan_literals(spark):
-    """The encode plan must stay O(1) in k*dim: no literal centroid
+    """The HOF encode plan must stay O(1) in k*dim: no literal centroid
     arrays inlined (the assign_nearest_centroid 'data' lesson)."""
     emb = _corpus(spark, n=10, dim=8, quant=2)
     books = [[[float(i + j) for _ in range(2)] for i in range(64)]
              for j in range(4)]
-    plan = pq_encode(emb, books)._jdf.queryExecution().analyzed().toString()
+    plan = pq_encode(emb, books, method="hof") \
+        ._jdf.queryExecution().analyzed().toString()
     assert "63.0" not in plan  # the largest centroid value never appears
     assert len(plan) < 20_000, len(plan)
+
+
+def test_pq_encode_arrow_equals_hof(spark):
+    """The numpy Arrow kernel and the pure-JVM HOF path are independent
+    implementations of the same argmin; codes must agree on random
+    vectors and on the tie-heavy lossless fixture."""
+    for quant in (None, 2):
+        emb = _corpus(spark, n=60, dim=8, seed=21, quant=quant)
+        books = (exact_codebooks(emb, dim=8, n_subvectors=4) if quant
+                 else pq_fit(emb, dim=8, n_subvectors=4, n_centroids=8,
+                             iterations=2))
+        a = {r["vec_id"]: list(r["code"]) for r in
+             pq_encode(emb, books, method="arrow").collect()}
+        h = {r["vec_id"]: list(r["code"]) for r in
+             pq_encode(emb, books, method="hof").collect()}
+        assert a == h, quant
+    with pytest.raises(ValueError, match="arrow|hof"):
+        pq_encode(emb, books, method="nope")
