@@ -130,6 +130,26 @@ def main() -> None:
     hits = bm25_search(spark, idx, ["window", "stream"], k=3).collect()
     print("bm25 top3:", [(r["id"], round(r["bm25"], 4)) for r in hits])
 
+    # 10. ANN over the embeddings table: PQ-compress the vectors
+    # (12x here), ADC-shortlist 20 candidates per query, re-rank the
+    # shortlist exactly — the billion-vector search recipe at demo size
+    from dsgrid_spark.pipeline.pq import pq_encode, pq_fit, pq_topk
+    from dsgrid_spark.pipeline.similarity import dot
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    books = pq_fit(emb, dim=64, n_subvectors=16, n_centroids=16,
+                   iterations=3)
+    codes = pq_encode(emb, books)
+    qs = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    short = pq_topk(codes, books, qs, k=20)
+    rerank = (short.join(emb, "vec_id")
+              .join(F.broadcast(qs.withColumnRenamed("embedding", "__q")),
+                    "query_id")
+              .withColumn("s", dot(F.col("embedding"), F.col("__q")))
+              .orderBy("query_id", F.desc("s")))
+    print("pq ann:", [(r["query_id"], r["vec_id"], round(r["s"], 3))
+                      for r in rerank.limit(4).collect()])
+
 
 if __name__ == "__main__":
     main()
