@@ -947,29 +947,40 @@ def sparse_logistic_regression(df: DataFrame, label_column: str = "label",
                                feature_column: str = "features",
                                n_buckets: int = 1 << 18,
                                iterations: int = 30, lr: float = 0.5,
-                               l2: float = 0.0) -> tuple[float, list[float]]:
+                               l2: float = 0.0,
+                               method: str = "arrow") -> tuple[float, list[float]]:
     """Train a hashed-n-gram linear classifier (the fastText-without-
     embeddings model) with distributed full-batch gradient descent.
 
     Input rows are (features array<int>, 0/1 label) from
-    :func:`hashed_ngram_features`. Per iteration:
+    :func:`hashed_ngram_features`. Per iteration, ONE job:
 
-    - the weight vector rides ONE broadcast row of ``array<double>``
-      (n_buckets doubles — 2 MB at 2^18; data, never plan literals);
-    - per-row score = bias + Σ w[idx] (array lookups, codegen'd);
-    - the weight gradient is ``explode(features) -> groupBy(idx) ->
+    - per-row error ``σ(bias + Σ w[idx]) − y``, computed by the
+      ``arrow`` numpy kernel by default (``np.take`` +
+      ``np.add.reduceat`` over the batch's concatenated indices — the
+      same ascending per-row summation order as the JVM fold, so the
+      two methods agree bit-for-bit; the sf10 rehearsal measured the
+      interpreted-HOF lookup loop at ~0.2 ms/doc, ~90 s per
+      full-corpus pass, which the kernel removes — ROADMAP 14). The
+      ``hof`` method keeps the pure-JVM broadcast-weight-row path as
+      the tested-equal fallback.
+    - the gradient is ``explode(features) -> groupBy(idx) ->
       sum(err)`` — map-side combined, so the shuffle and the driver
       collect are bounded by n_buckets, NEVER by corpus size or
-      vocabulary. That bound is the entire point of the hashing trick
-      at scale.
+      vocabulary (the entire point of the hashing trick at scale). A
+      sentinel bucket −1 prepended to every row's features folds the
+      bias gradient into the SAME pass: Σ err lands in bucket −1, so
+      one job per iteration carries everything.
 
     The driver holds only (bias, weights). Returns them; score with
     :func:`sparse_predict_proba`. Training input is localCheckpointed
-    once — each of the ``iterations`` jobs rereads materialized
-    (features, label) rows, not the text-processing lineage.
+    once — each iteration rereads materialized (features, label) rows,
+    not the text-processing lineage.
     """
     if iterations <= 0:
         raise ValueError(f"iterations must be positive, got {iterations}")
+    if method not in ("arrow", "hof"):
+        raise ValueError(f"method must be arrow|hof, got {method!r}")
     spark = df.sparkSession
     data = df.select(F.col(feature_column).alias("__f"),
                      F.col(label_column).cast("double").alias("__y")) \
@@ -980,21 +991,81 @@ def sparse_logistic_regression(df: DataFrame, label_column: str = "label",
     bias = 0.0
     w = [0.0] * n_buckets
     for _ in range(iterations):
-        w_row = F.broadcast(spark.createDataFrame(
-            [(w,)], "__w: array<double>"))
-        scored = data.crossJoin(w_row)
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_sparse_z(bias, "__f")))
-        err = (p - F.col("__y")).alias("__e")
-        g0 = scored.agg(F.sum(p - F.col("__y")).alias("g")).collect()[0]["g"]
-        grads = (scored.select(err, F.explode("__f").alias("__i"))
-                 .groupBy("__i").agg(F.sum("__e").alias("g"))
-                 .collect())
-        bias -= lr * (g0 / n)
+        if method == "arrow":
+            scored = _sparse_err_arrow(data, bias, w)
+        else:
+            w_row = F.broadcast(spark.createDataFrame(
+                [(w,)], "__w: array<double>"))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_sparse_z(bias, "__f")))
+            # __e must be a RESOLVED column BELOW the explode: selecting
+            # the raw expression next to explode() would place its
+            # Project above Generate, recomputing the whole z-aggregate
+            # once per exploded feature — O(tokens²) per document
+            # (caught by the sf10 rehearsal)
+            scored = (data.crossJoin(w_row)
+                      .withColumn("__e", p - F.col("__y"))
+                      .select("__e", "__f"))
+        grads = (scored.select(
+            "__e",
+            F.explode(F.concat(F.array(F.lit(-1)), "__f")).alias("__i"))
+            .groupBy("__i").agg(F.sum("__e").alias("g"))
+            .collect())
         if l2:
             w = [wi - lr * l2 * wi for wi in w]
         for r in grads:
-            w[r["__i"]] -= lr * (r["g"] / n)
+            if r["__i"] == -1:
+                bias -= lr * (r["g"] / n)
+            else:
+                w[r["__i"]] -= lr * (r["g"] / n)
     return bias, w
+
+
+def _sparse_err_arrow(data: DataFrame, bias: float,
+                      w: list[float]) -> DataFrame:
+    """One Arrow pass computing (``__e`` = σ(z) − y, ``__f``) for the
+    sparse GD iteration: z for the whole batch is ``np.take`` of the
+    weight vector at the concatenated feature indices, summed per row
+    with ``np.add.reduceat`` (sequential ascending within each row —
+    the same order as the JVM fold, keeping the two methods
+    bit-identical). The weight vector ships per task via closure
+    (2 MB at 2^18 buckets)."""
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    wv = np.asarray(w, dtype=np.float64)
+    b = float(bias)
+    out_schema = StructType([
+        StructField("__e", DoubleType()),
+        StructField("__f", ArrayType(IntegerType())),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(__e=[]).drop(columns="__y")[
+                    ["__e", "__f"]]
+                continue
+            feats = [np.asarray(r, dtype=np.int64) for r in pdf["__f"]]
+            lens = np.fromiter((len(f) for f in feats), dtype=np.int64,
+                               count=len(feats))
+            flat = (np.concatenate(feats) if lens.sum()
+                    else np.empty(0, dtype=np.int64))
+            starts = np.zeros(len(feats), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            looked = np.take(wv, flat)
+            z = np.zeros(len(feats), dtype=np.float64)
+            # reduceat over the nonzero rows' starts only: an empty
+            # row's start would alias its neighbor's and reduceat
+            # returns a[i] (not 0.0) for empty slices
+            nz = lens > 0
+            if flat.size:
+                z[nz] = np.add.reduceat(looked, starts[nz])
+            z += b
+            e = 1.0 / (1.0 + np.exp(-z)) - pdf["__y"].to_numpy()
+            yield pdf.assign(__e=e)[["__e", "__f"]]
+
+    return data.mapInPandas(score, out_schema)
 
 
 def sparse_predict_proba(df: DataFrame, bias: float, weights: list[float],

@@ -2679,6 +2679,15 @@ def test_sparse_logistic_regression_matches_reference_and_separates(spark):
         assert w[i] == pytest.approx(rw[i], rel=1e-6, abs=1e-9), i
     assert all(w[i] == 0.0 for i in range(nb) if i not in touched)
 
+    # the pure-JVM HOF method is the tested-equal independent
+    # implementation of the same iteration (identical summation order)
+    bias_h, w_h = sparse_logistic_regression(feats, "y", n_buckets=nb,
+                                             iterations=15, lr=0.5,
+                                             method="hof")
+    assert bias_h == pytest.approx(bias, rel=1e-12, abs=1e-15)
+    for i in touched:
+        assert w_h[i] == pytest.approx(w[i], rel=1e-9, abs=1e-12), i
+
     # inference separates the spam class perfectly
     scored = sparse_predict_proba(feats, bias, w)
     acc = scored.filter(
