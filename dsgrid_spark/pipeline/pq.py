@@ -387,7 +387,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                 id_column: str = "vec_id",
                 vector_column: str = "embedding",
                 query_id_column: str = "query_id",
-                metric: str = "ip") -> DataFrame:
+                metric: str = "ip",
+                assign_strategy: str = "auto") -> DataFrame:
     """IVF-PQ: coarse-quantize the corpus into inverted lists
     (``assign_nearest_centroid``, auto literal/data strategy), PQ-encode
     once, then each query ADC-scores ONLY its ``n_probe`` nearest
@@ -412,7 +413,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     # the (id, cluster) join side read it, and without the pin the
     # k-wide argmax would run twice over the corpus
     assigned = (assign_nearest_centroid(corpus, coarse_centroids,
-                                        vector_column)
+                                        vector_column,
+                                        strategy=assign_strategy)
                 .select(id_column, vector_column, "__cluster")
                 .localCheckpoint())
     coded = pq_encode(assigned, codebooks, id_column=id_column,

@@ -434,8 +434,14 @@ def cosine_neardup_pairs(
 def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
                      vector_column: str = "embedding",
                      iterations: int = 5, seed: int = 11,
-                     fit_sample_cap: int | None = None) -> list[list[float]]:
+                     fit_sample_cap: int | None = None,
+                     assign_strategy: str = "auto") -> list[list[float]]:
     """Plain k-means via DataFrame aggregations (no MLlib dependency).
+
+    ``assign_strategy`` flows to :func:`assign_nearest_centroid`; pass
+    ``"arrow"`` for the numpy kernel when the fit need not be
+    bit-reproducible against the JVM fold (rehearsals, throwaway fits —
+    near-tied centroids can flip by a last-ULP rounding difference).
 
     Each iteration: assign to nearest centroid (broadcast), average per
     cluster (posexplode + groupBy — one shuffle of (cluster, pos, val)).
@@ -479,7 +485,8 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
                   for r in fit_df.select(vector_column).limit(n_pool).collect()]
     centroids = rnd.sample(sample, min(n_clusters, len(sample)))
     for _ in range(iterations):
-        assigned = assign_nearest_centroid(fit_df, centroids, vector_column)
+        assigned = assign_nearest_centroid(fit_df, centroids, vector_column,
+                                           strategy=assign_strategy)
         means = (
             assigned.select("__cluster",
                             F.posexplode(F.col(vector_column)).alias("pos", "v"))
@@ -540,9 +547,22 @@ def assign_nearest_centroid(df: DataFrame, centroids: list[list[float]],
     ``assume_normalized=True`` replaces each cosine with a plain dot —
     valid ONLY when the caller guarantees unit-norm rows AND centroids;
     it cuts the per-centroid fold count 3x (no norm recomputation).
+
+    A third, OPT-IN strategy ``arrow`` runs the argmax as a numpy
+    `mapInPandas` matmul kernel (ROADMAP 14: the JVM HOF fold is
+    interpreted per element — the sf10 PQ rehearsal measured the k=64
+    corpus assignment at ~60 s where the kernel is ~2 s). It is never
+    auto-selected: numpy's summation order differs from the JVM fold
+    by last-ULP rounding, so near-tied centroids can flip — fine for
+    fits and rehearsals, not for bit-exact oracled paths. Exact ties
+    break to the lowest index on every strategy.
     """
-    if strategy not in ("auto", "literal", "data"):
-        raise ValueError(f"strategy must be auto|literal|data, got {strategy!r}")
+    if strategy not in ("auto", "literal", "data", "arrow"):
+        raise ValueError(
+            f"strategy must be auto|literal|data|arrow, got {strategy!r}")
+    if strategy == "arrow":
+        return _assign_arrow(df, centroids, vector_column,
+                             assume_normalized)
     if not centroids:
         raise ValueError("centroids must be non-empty")
     if strategy == "auto":
@@ -577,6 +597,45 @@ def assign_nearest_centroid(df: DataFrame, centroids: list[list[float]],
         .withColumn("__cluster", (-best["nc"]).cast("int"))
         .drop("__cents")
     )
+
+
+def _assign_arrow(df: DataFrame, centroids: list[list[float]],
+                  vector_column: str, assume_normalized: bool) -> DataFrame:
+    """The numpy argmax kernel behind ``strategy="arrow"``: one
+    ``X @ Cᵀ`` per Arrow batch (cosine = dot over norms unless
+    ``assume_normalized``), first-max argmax (ties -> lowest index,
+    matching the JVM strategies). All input columns pass through; the
+    centroid matrix ships per task via closure."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cm = np.asarray([[float(x) for x in c] for c in centroids],
+                    dtype=np.float64)                      # (k, dim)
+    cn = np.sqrt((cm * cm).sum(axis=1))                    # (k,)
+    out_schema = StructType(
+        list(df.schema) + [StructField("__cluster", IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(__cluster=[])
+                continue
+            x = np.asarray(
+                [np.asarray(r, dtype=np.float64)
+                 for r in pdf[vector_column]])
+            scores = x @ cm.T                              # (n, k)
+            if not assume_normalized:
+                xn = np.sqrt((x * x).sum(axis=1))          # (n,)
+                denom = xn[:, None] * cn[None, :]
+                # zero-norm row or centroid -> cosine 0.0, the same
+                # convention as the JVM `cosine` helper
+                scores = np.divide(scores, denom,
+                                   out=np.zeros_like(scores),
+                                   where=denom > 0)
+            yield pdf.assign(
+                __cluster=np.argmax(scores, axis=1).astype(np.int32))
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(

@@ -507,6 +507,46 @@ def test_assign_nearest_centroid_data_path_bit_exact(spark):
     assert sorted(map(tuple, litn)) == sorted(map(tuple, datn))
 
 
+def test_assign_nearest_centroid_arrow_strategy_matches(spark):
+    """The opt-in numpy kernel agrees with the JVM strategies away from
+    float ties, keeps the zero-vector cosine-0 convention, preserves
+    passthrough columns, and is never auto-selected (oracled paths must
+    stay on the bit-exact JVM fold)."""
+    import random
+
+    from dsgrid_spark.pipeline import similarity as sim
+
+    rnd = random.Random(29)
+    rows = [(i, f"t{i}", [rnd.gauss(0, 1) for _ in range(12)])
+            for i in range(200)] + [(999, "zero", [0.0] * 12)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, tag string, embedding array<double>")
+    cents = [[rnd.gauss(0, 1) for _ in range(12)] for _ in range(6)]
+    dat = {r["vec_id"]: (r["__cluster"], r["tag"]) for r in
+           sim.assign_nearest_centroid(df, cents, strategy="data").collect()}
+    arw = {r["vec_id"]: (r["__cluster"], r["tag"]) for r in
+           sim.assign_nearest_centroid(df, cents, strategy="arrow").collect()}
+    assert dat == arw
+    # zero vector: every cosine is 0.0 -> lowest index on both paths
+    assert arw[999][0] == 0
+    # normalized variant agrees too
+    unit = sim.normalize_embeddings(df.filter(F.col("vec_id") != 999))
+    ucents = []
+    for c in cents:
+        n = sum(x * x for x in c) ** 0.5
+        ucents.append([x / n for x in c])
+    d2 = {r["vec_id"]: r["__cluster"] for r in sim.assign_nearest_centroid(
+        unit, ucents, assume_normalized=True, strategy="data").collect()}
+    a2 = {r["vec_id"]: r["__cluster"] for r in sim.assign_nearest_centroid(
+        unit, ucents, assume_normalized=True, strategy="arrow").collect()}
+    assert d2 == a2
+    # auto never picks arrow: a big codebook goes to the data JOIN plan
+    big = [[float(i), 1.0] + [0.0] * 10 for i in range(2000)]
+    plan = sim.assign_nearest_centroid(df, big, strategy="auto") \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "Join" in plan  # data strategy, not a mapInPandas node
+
+
 def test_assign_nearest_centroid_tie_breaks_to_lowest_cluster(spark):
     from dsgrid_spark.pipeline.similarity import assign_nearest_centroid
 
