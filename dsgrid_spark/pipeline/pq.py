@@ -48,6 +48,8 @@ pipeline scope) the same way ivf_topk/lsh_topk do.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               StructField, StructType)
 
 __all__ = [
     "pq_fit",
@@ -186,6 +188,9 @@ def exact_codebooks(df: DataFrame, dim: int, n_subvectors: int,
             raise ValueError(f"subspace {j} has more than {max_distinct} "
                              f"distinct subvectors; use pq_fit for real "
                              f"corpora")
+        if not rows:
+            raise ValueError("corpus is empty: exact_codebooks needs at "
+                             "least one vector per subspace")
         books.append(sorted([list(r["__sub"]) for r in rows]))
     k = max(len(b) for b in books)
     for b in books:
@@ -339,8 +344,13 @@ def _adc_luts(spark, codebooks, queries, query_id_column, vector_column,
                 lut.append([-sum((a - b) ** 2 for a, b in zip(qj, c))
                             for c in cb])
         rows.append((r[query_id_column], lut))
-    return F.broadcast(spark.createDataFrame(
-        rows, f"{query_id_column} long, __lut array<array<double>>"))
+    # query-id dtype follows the caller's frame (string / int / long
+    # ids all join correctly) instead of a hardcoded long
+    schema = StructType([
+        queries.schema[query_id_column],
+        StructField("__lut", ArrayType(ArrayType(DoubleType()))),
+    ])
+    return F.broadcast(spark.createDataFrame(rows, schema))
 
 
 def _adc_score(code_column: str) -> Column:
@@ -435,7 +445,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         for ci in ranked[:n_probe]:
             probe_rows.append((r[query_id_column], ci))
     probes = F.broadcast(spark.createDataFrame(
-        probe_rows, f"{query_id_column} long, __cluster int"))
+        probe_rows, StructType([queries.schema[query_id_column],
+                                StructField("__cluster", IntegerType())])))
     luts = _adc_luts(spark, codebooks, queries, query_id_column,
                      vector_column, metric)
     scored = (

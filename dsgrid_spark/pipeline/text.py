@@ -923,7 +923,12 @@ def hashed_ngram_features(df: DataFrame, id_column: str = "doc_id",
     if n_buckets <= 0 or max_n < 1:
         raise ValueError(f"n_buckets and max_n must be positive, got "
                          f"{n_buckets}, {max_n}")
-    grams = F.concat(*[ngram_array(F.col(text_column), n)
+    # NULL text coalesces to '' (empty feature bag) so every downstream
+    # consumer sees the row: without this, concat/transform propagate
+    # null and the arrow GD kernel crashes on np.asarray(None) while the
+    # hof fold silently drops the row — the two methods would diverge
+    txt = F.coalesce(F.col(text_column), F.lit(""))
+    grams = F.concat(*[ngram_array(txt, n)
                        for n in range(1, max_n + 1)])
     idx = F.transform(
         grams,
@@ -959,7 +964,10 @@ def sparse_logistic_regression(df: DataFrame, label_column: str = "label",
       ``arrow`` numpy kernel by default (``np.take`` +
       ``np.add.reduceat`` over the batch's concatenated indices — the
       same ascending per-row summation order as the JVM fold, so the
-      two methods agree bit-for-bit; the sf10 rehearsal measured the
+      two methods agree to within last-ULP rounding — the summation
+      order matches but numpy's exp and JVM Math.exp are not
+      guaranteed ULP-identical, so no oracled path may rely on
+      exactness; the sf10 rehearsal measured the
       interpreted-HOF lookup loop at ~0.2 ms/doc, ~90 s per
       full-corpus pass, which the kernel removes — ROADMAP 14). The
       ``hof`` method keeps the pure-JVM broadcast-weight-row path as
@@ -1026,9 +1034,9 @@ def _sparse_err_arrow(data: DataFrame, bias: float,
     sparse GD iteration: z for the whole batch is ``np.take`` of the
     weight vector at the concatenated feature indices, summed per row
     with ``np.add.reduceat`` (sequential ascending within each row —
-    the same order as the JVM fold, keeping the two methods
-    bit-identical). The weight vector ships per task via closure
-    (2 MB at 2^18 buckets)."""
+    the same order as the JVM fold, keeping the two methods equal to
+    within last-ULP rounding of σ). The weight vector ships per task
+    via closure (2 MB at 2^18 buckets)."""
     import numpy as np
     from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
                                    StructField, StructType)

@@ -2740,6 +2740,31 @@ def test_sparse_logistic_regression_matches_reference_and_separates(spark):
     assert len(fs) == 3 and fs[0] == fs[1]  # two unigrams + one bigram
 
 
+def test_sparse_lr_null_text_rows_agree_across_methods(spark):
+    """A NULL text row must yield an EMPTY feature bag (not null), so
+    the arrow kernel and the hof fold train on the same rows and agree
+    — the r7 advice divergence (arrow crashed, hof silently dropped)."""
+    from dsgrid_spark.pipeline.text import (
+        hashed_ngram_features, sparse_logistic_regression,
+    )
+
+    rows = [(0, "good text here", 0), (1, None, 1),
+            (2, "buy pills now", 1), (3, None, 0),
+            (4, "quarterly report revenue", 0), (5, "buy cheap pills", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    nb = 1 << 8
+    feats = hashed_ngram_features(df, n_buckets=nb, keep_columns=("y",))
+    bags = {r["doc_id"]: r["features"] for r in feats.collect()}
+    assert bags[1] == [] and bags[3] == []  # empty bag, not null
+    ba, wa = sparse_logistic_regression(feats, "y", n_buckets=nb,
+                                        iterations=5, method="arrow")
+    bh, wh = sparse_logistic_regression(feats, "y", n_buckets=nb,
+                                        iterations=5, method="hof")
+    assert ba == pytest.approx(bh, rel=1e-12, abs=1e-15)
+    for i in range(nb):
+        assert wa[i] == pytest.approx(wh[i], rel=1e-9, abs=1e-12), i
+
+
 def test_logistic_regression_matches_reference_and_separates(spark):
     """Full-batch GD matches a plain-Python reference run of the same
     recurrence, and the trained model separates a linearly separable

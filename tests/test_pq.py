@@ -154,6 +154,25 @@ def test_pq_codebooks_are_data_not_plan_literals(spark):
     assert len(plan) < 20_000, len(plan)
 
 
+def test_pq_string_query_ids_and_empty_corpus(spark):
+    """Query-id dtype follows the caller's frame (r7 advice: the LUT
+    schema used to hardcode long), and an empty corpus raises a clear
+    ValueError instead of IndexError."""
+    emb = _corpus(spark, n=30, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        "embedding")
+    out = pq_topk(codes, books, queries, k=3).collect()
+    assert {r["query_id"] for r in out} == {"q0", "q1"}
+    assert all(len([r for r in out if r["query_id"] == q]) == 3
+               for q in ("q0", "q1"))
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="corpus is empty"):
+        exact_codebooks(empty, dim=8, n_subvectors=4)
+
+
 def test_pq_encode_arrow_equals_hof(spark):
     """The numpy Arrow kernel and the pure-JVM HOF path are independent
     implementations of the same argmin; codes must agree on random
