@@ -57,6 +57,9 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_pq_topk",
+    "write_pq_index",
+    "append_pq_index",
+    "pq_search",
 ]
 
 
@@ -320,19 +323,17 @@ def _encode_rows(df: DataFrame, codebooks: list[list[list[float]]],
     return in_df.mapInPandas(encode, out_schema)
 
 
-def _adc_luts(spark, codebooks, queries, query_id_column, vector_column,
-              metric):
-    """(query_id, __lut array<array<double>>) — one m x k ADC table per
-    query, built driver-side from the small-by-construction query set
-    and broadcast. ``ip``: lut[j][i] = dot(q_j, c_{j,i}), so the summed
-    score approximates dot(q, v). ``l2``: lut[j][i] = −‖q_j − c_{j,i}‖²,
-    so the summed score is −(approximate squared distance) — larger is
-    closer for both, and top-k ordering code is shared.
-    """
+def _lut_rows(codebooks, query_vectors: list[tuple], metric: str):
+    """[(query_id, m x k lut), ...] driver-side from a small
+    [(query_id, vector), ...] list. ``ip``: lut[j][i] = dot(q_j,
+    c_{j,i}), so the summed score approximates dot(q, v). ``l2``:
+    lut[j][i] = −‖q_j − c_{j,i}‖², so the summed score is −(approximate
+    squared distance) — larger is closer for both, and top-k ordering
+    code is shared."""
     m, k, dsub = _check_codebooks(codebooks)
     rows = []
-    for r in queries.collect():
-        qv = [float(x) for x in r[vector_column]]
+    for qid, qv in query_vectors:
+        qv = [float(x) for x in qv]
         if len(qv) != m * dsub:
             raise ValueError(f"query dim {len(qv)} != m*dsub {m * dsub}")
         lut = []
@@ -343,7 +344,19 @@ def _adc_luts(spark, codebooks, queries, query_id_column, vector_column,
             else:
                 lut.append([-sum((a - b) ** 2 for a, b in zip(qj, c))
                             for c in cb])
-        rows.append((r[query_id_column], lut))
+        rows.append((qid, lut))
+    return rows
+
+
+def _adc_luts(spark, codebooks, queries, query_id_column, vector_column,
+              metric):
+    """(query_id, __lut array<array<double>>) — one m x k ADC table per
+    query, built driver-side from the small-by-construction query set
+    and broadcast (see :func:`_lut_rows` for score semantics)."""
+    rows = _lut_rows(
+        codebooks,
+        [(r[query_id_column], r[vector_column])
+         for r in queries.collect()], metric)
     # query-id dtype follows the caller's frame (string / int / long
     # ids all join correctly) instead of a hardcoded long
     schema = StructType([
@@ -360,34 +373,144 @@ def _adc_score(code_column: str) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _adc_scan_arrow(codes: DataFrame, lut_rows, k: int, id_column: str,
+                    code_column: str, qid_field: StructField) -> DataFrame:
+    """Fan every Arrow batch of codes out over all queries with ONE
+    numpy gather per query — ``lut[arange(m), code_matrix]`` row-summed
+    — and emit only each query's per-batch top-k (ordered by score
+    desc, id asc), so the Arrow return path carries batches × Q × k
+    rows, never n × Q. The global window over these local winners is
+    exact: any global top-k row is a top-k row of its own batch.
+
+    This is the scale path for the full-corpus ADC scan (the canonical
+    PQ deployment): the interpreted-HOF fold costs ~17.6 µs per
+    (candidate, query) — ~5 h per 1e9 codes — where this kernel is one
+    vectorized gather. Scores agree with the HOF fold to within
+    last-ULP rounding (numpy row-sum vs sequential JVM fold); the
+    exact-codebook integer regime is bit-equal, which is what the
+    equality tests pin.
+    """
+    import numpy as np
+
+    luts = np.asarray([lut for _, lut in lut_rows], dtype=np.float64)
+    qids = [qid for qid, _ in lut_rows]
+    nq, m, _ = luts.shape
+    jj = np.arange(m)
+    in_df = codes.select(F.col(id_column), F.col(code_column))
+    out_schema = StructType([
+        StructField(qid_field.name, qid_field.dataType),
+        in_df.schema[id_column],
+        StructField("score", DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cm = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf[code_column]])
+            ids = pdf[id_column].to_numpy()
+            kk = min(k, n)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                s = luts[qi][jj, cm].sum(axis=1)          # (n,)
+                top = np.lexsort((ids, -s))[:kk]
+                out_q.extend([qids[qi]] * kk)
+                out_i.extend(ids[top])
+                out_s.extend(s[top])
+            yield pd.DataFrame({qid_field.name: out_q,
+                                id_column: out_i, "score": out_s})
+
+    return in_df.mapInPandas(score, out_schema)
+
+
+def _check_method(method: str) -> str:
+    if method not in ("hof", "arrow"):
+        raise ValueError(f"method must be hof|arrow, got {method!r}")
+    return method
+
+
 def pq_topk(codes: DataFrame, codebooks: list[list[list[float]]],
             queries: DataFrame, k: int = 10,
             id_column: str = "vec_id", code_column: str = "code",
             query_id_column: str = "query_id",
             vector_column: str = "embedding",
-            metric: str = "ip") -> DataFrame:
+            metric: str = "ip", method: str = "hof") -> DataFrame:
     """ADC top-k over a PQ-encoded corpus: per candidate, ``m`` lookups
     into the query's broadcast LUT — the corpus' float vectors are
     never read. Returns (query_id, id, score) with score descending,
     ties to the lowest id; ``ip`` scores approximate dot(q, v), ``l2``
     scores are negated approximate squared distances.
 
-    The scan is codes ⨯ broadcast-LUTs (a broadcast nested-loop over
-    the tiny query set) followed by one per-query TakeOrdered-shaped
-    window — the same shape as brute_force_topk but reading m ints per
-    row instead of dim floats.
+    ``method="hof"`` (default) scans codes ⨯ broadcast-LUTs (a
+    broadcast nested-loop over the tiny query set) with a pure-JVM
+    aggregate fold, followed by one per-query TakeOrdered-shaped window
+    — the same shape as brute_force_topk but reading m ints per row
+    instead of dim floats. ``method="arrow"`` (opt-in, never
+    auto-selected — the ROADMAP 14 convention) replaces the fold with
+    a numpy gather kernel plus per-batch top-k pruning
+    (:func:`_adc_scan_arrow`): Spark's HOF evaluator is interpreted per
+    element, measured ~17.6 µs/(candidate, query) at sf10, which is
+    the difference between minutes and hours on a 1e9-code full scan.
+    Results are identical up to last-ULP rounding of the score sum
+    (bit-equal in the exact-codebook integer regime).
     """
     if metric not in ("ip", "l2"):
         raise ValueError(f"metric must be ip|l2, got {metric!r}")
+    _check_method(method)
     spark = codes.sparkSession
-    luts = _adc_luts(spark, codebooks, queries, query_id_column,
-                     vector_column, metric)
-    scored = codes.crossJoin(luts).select(
-        query_id_column, id_column, _adc_score(code_column).alias("score"))
+    if method == "arrow":
+        lut_rows = _lut_rows(
+            codebooks,
+            [(r[query_id_column], r[vector_column])
+             for r in queries.collect()], metric)
+        scored = _adc_scan_arrow(codes, lut_rows, k, id_column,
+                                 code_column,
+                                 queries.schema[query_id_column])
+    else:
+        luts = _adc_luts(spark, codebooks, queries, query_id_column,
+                         vector_column, metric)
+        scored = codes.crossJoin(luts).select(
+            query_id_column, id_column,
+            _adc_score(code_column).alias("score"))
     w = Window.partitionBy(query_id_column).orderBy(
         F.desc("score"), F.col(id_column))
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def _adc_rows_arrow(candidates: DataFrame, lut_rows, query_id_column: str,
+                    id_column: str, code_column: str) -> DataFrame:
+    """Row-wise numpy ADC for pre-joined (query_id, id, code) candidate
+    rows (the IVF-PQ probe output, where each query scores only its own
+    probed lists): one gather ``luts[q_idx, arange(m), code_matrix]``
+    per Arrow batch. Same ULP contract as :func:`_adc_scan_arrow`."""
+    import numpy as np
+
+    luts = np.asarray([lut for _, lut in lut_rows], dtype=np.float64)
+    qidx = {qid: i for i, (qid, _) in enumerate(lut_rows)}
+    m = luts.shape[1]
+    jj = np.arange(m)
+    in_df = candidates.select(query_id_column, id_column, code_column)
+    out_schema = StructType([
+        in_df.schema[query_id_column],
+        in_df.schema[id_column],
+        StructField("score", DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf[code_column]])
+            qi = pdf[query_id_column].map(qidx).to_numpy(dtype=np.int64)
+            s = luts[qi[:, None], jj[None, :], cm].sum(axis=1)
+            yield pdf.drop(columns=code_column).assign(score=s)
+
+    return in_df.mapInPandas(score, out_schema)
 
 
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
@@ -398,7 +521,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                 vector_column: str = "embedding",
                 query_id_column: str = "query_id",
                 metric: str = "ip",
-                assign_strategy: str = "auto") -> DataFrame:
+                assign_strategy: str = "auto",
+                method: str = "hof") -> DataFrame:
     """IVF-PQ: coarse-quantize the corpus into inverted lists
     (``assign_nearest_centroid``, auto literal/data strategy), PQ-encode
     once, then each query ADC-scores ONLY its ``n_probe`` nearest
@@ -410,7 +534,9 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     the vector minus its coarse centroid) — the IVFFlat+PQ variant:
     LUTs stay one-per-query instead of one-per-(query, probed list),
     which is the right trade when n_probe is small and lists are many.
-    Returns (query_id, id, score), score semantics as :func:`pq_topk`.
+    Returns (query_id, id, score), score semantics as :func:`pq_topk`;
+    ``method`` as :func:`pq_topk` (``arrow`` swaps the interpreted-HOF
+    fold for the numpy gather over the probed candidates).
     """
     import math
 
@@ -418,6 +544,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
 
     if metric not in ("ip", "l2"):
         raise ValueError(f"metric must be ip|l2, got {metric!r}")
+    _check_method(method)
     spark = corpus.sparkSession
     # materialize the coarse assignment once: both the encode input and
     # the (id, cluster) join side read it, and without the pin the
@@ -447,15 +574,319 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     probes = F.broadcast(spark.createDataFrame(
         probe_rows, StructType([queries.schema[query_id_column],
                                 StructField("__cluster", IntegerType())])))
-    luts = _adc_luts(spark, codebooks, queries, query_id_column,
-                     vector_column, metric)
-    scored = (
-        coded.join(probes, "__cluster")
-        .join(luts, query_id_column)
-        .select(query_id_column, id_column,
-                _adc_score("code").alias("score"))
-    )
+    candidates = coded.join(probes, "__cluster")
+    if method == "arrow":
+        lut_rows = _lut_rows(
+            codebooks,
+            [(r[query_id_column], r[vector_column])
+             for r in queries.collect()], metric)
+        scored = _adc_rows_arrow(candidates, lut_rows, query_id_column,
+                                 id_column, "code")
+    else:
+        luts = _adc_luts(spark, codebooks, queries, query_id_column,
+                         vector_column, metric)
+        scored = (
+            candidates.join(luts, query_id_column)
+            .select(query_id_column, id_column,
+                    _adc_score("code").alias("score"))
+        )
     w = Window.partitionBy(query_id_column).orderBy(
         F.desc("score"), F.col(id_column))
     return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index: the storage half of the PQ argument. In-memory
+# ivf_pq_topk re-encodes the corpus per call; a real 1e9-vector
+# deployment encodes ONCE and every search reads m small ints per
+# candidate instead of dim floats — write_pq_index/pq_search realize
+# that on disk. Layout (all per-index-path):
+#
+#   meta/        one row: (dim, m, k, dsub, store_vectors)
+#   centroids/   (cluster int, centroid array<double>)   coarse lists
+#   codebooks/   (j int, i int, centroid array<double>)  m*k rows
+#   codes/cluster=K/batch=B/    (id, code array<int>)    the scan payload
+#   vectors/cluster=K/batch=B/  (id, embedding)          re-rank only
+#   batches/ + intents/         indexlog exactly-once machinery
+#
+# codes/ and vectors/ are SEPARATE subtrees (not columns of one table)
+# so the ADC scan never lists a single vector file: at 1e9 x 768-dim
+# float64, codes at m=16 are ~20 GB where vectors are ~6 TB — the scan
+# payload ratio the module docstring promises, now true for bytes read
+# off disk, not just rows in memory. Appends and searches share
+# pipeline/indexlog.py with the IVF/term indexes: batch-scoped
+# partition dirs, log-commit-last, reader isolation via committed-batch
+# partition pruning.
+# ---------------------------------------------------------------------------
+
+
+def _codebooks_to_rows(codebooks):
+    return [(j, i, [float(x) for x in c])
+            for j, cb in enumerate(codebooks) for i, c in enumerate(cb)]
+
+
+def _read_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["j"] for r in rows) + 1
+    k = max(r["i"] for r in rows) + 1
+    books = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["j"]][r["i"]] = list(r["centroid"])
+    return books
+
+
+def _read_centroids(spark, path: str) -> list[list[float]]:
+    rows = sorted(spark.read.parquet(f"{path}/centroids").collect(),
+                  key=lambda r: r["cluster"])
+    return [list(r["centroid"]) for r in rows]
+
+
+def _read_meta(spark, path: str) -> dict:
+    return spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+
+
+def _assign_encode(df, centroids, codebooks, id_column, vector_column,
+                   assign_strategy, batch_id):
+    """(codes, vectors) frames for one batch, both carrying
+    (cluster, batch) partition columns; the coarse assignment is
+    localCheckpointed because both outputs read it."""
+    from dsgrid_spark.pipeline.similarity import assign_nearest_centroid
+
+    assigned = (
+        assign_nearest_centroid(df, centroids, vector_column,
+                                strategy=assign_strategy)
+        .withColumnRenamed("__cluster", "cluster")
+        .select(F.col(id_column).alias("id"),
+                F.col(vector_column).alias("embedding"), "cluster")
+        .localCheckpoint())
+    codes = (pq_encode(assigned, codebooks, id_column="id",
+                       vector_column="embedding")
+             .join(assigned.select("id", "cluster"), "id")
+             .withColumn("batch", F.lit(batch_id)))
+    vectors = assigned.withColumn("batch", F.lit(batch_id))
+    return codes, vectors
+
+
+def write_pq_index(df: DataFrame, path: str,
+                   coarse_centroids: list[list[float]],
+                   codebooks: list[list[list[float]]],
+                   id_column: str = "vec_id",
+                   vector_column: str = "embedding",
+                   store_vectors: bool = True,
+                   assign_strategy: str = "auto") -> None:
+    """Build a persisted IVF-PQ index: assign each vector to its
+    nearest coarse centroid, PQ-encode ONCE, and write codes (and,
+    with ``store_vectors``, the originals for exact re-ranking)
+    partitioned by cluster — a search then reads only its probed
+    clusters' CODE partitions (Spark partition pruning) and, when
+    re-ranking, only the shortlist's vectors (id-pushdown scan).
+
+    ``store_vectors=False`` builds a codes-only index (12–24x smaller
+    on disk at production m); searches are then ADC-only
+    (``rerank`` unavailable). Rebuild order follows write_ivf_index:
+    the old log and intents are deleted FIRST so a crash mid-rebuild
+    cannot leave committed ids pointing at vanished data.
+    """
+    from dsgrid_spark.pipeline import indexlog
+
+    if not coarse_centroids:
+        raise ValueError("coarse_centroids must be non-empty")
+    m, k, dsub = _check_codebooks(codebooks)
+    dim = len(coarse_centroids[0])
+    if dim != m * dsub:
+        raise ValueError(f"coarse centroid dim {dim} != codebook "
+                         f"m*dsub {m * dsub}")
+    spark = df.sparkSession
+    indexlog.delete_glob(spark, f"{path}/batches")
+    indexlog.delete_glob(spark, f"{path}/intents")
+    codes, vectors = _assign_encode(df, coarse_centroids, codebooks,
+                                    id_column, vector_column,
+                                    assign_strategy, indexlog.BASE_BATCH)
+    (codes.repartition("cluster")
+       .write.mode("overwrite").partitionBy("cluster", "batch")
+       .parquet(f"{path}/codes"))
+    if store_vectors:
+        (vectors.repartition("cluster")
+           .write.mode("overwrite").partitionBy("cluster", "batch")
+           .parquet(f"{path}/vectors"))
+    cent_rows = [(i, [float(x) for x in c])
+                 for i, c in enumerate(coarse_centroids)]
+    (spark.createDataFrame(cent_rows,
+                           "cluster int, centroid array<double>")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    (spark.createDataFrame(_codebooks_to_rows(codebooks),
+                           "j int, i int, centroid array<double>")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
+    (spark.createDataFrame(
+        [(dim, m, k, dsub, bool(store_vectors))],
+        "dim int, m int, k int, dsub int, store_vectors boolean")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
+
+
+def append_pq_index(df: DataFrame, path: str,
+                    id_column: str = "vec_id",
+                    vector_column: str = "embedding",
+                    batch_id: str | None = None,
+                    assign_strategy: str = "auto") -> bool:
+    """Append a vector batch to a persisted PQ index, exactly-once per
+    ``batch_id`` (pipeline/indexlog.py — committed ids no-op, crashed
+    retries clean their own orphans first, auto ids claim intent
+    markers, the log entry commits LAST so readers see the batch
+    atomically). Assignment and encoding use the INDEX'S OWN centroids
+    and codebooks — never caller-supplied, which would desync probes
+    from partitions. Codebooks are not re-trained (the standard PQ
+    maintenance trade; rebuild when the distribution drifts). Equal to
+    a fresh build over the concatenated corpus with the same
+    centroids/codebooks (tested). Returns True when ingested.
+    """
+    from dsgrid_spark.pipeline import indexlog
+
+    spark = df.sparkSession
+    committed = indexlog.committed_batches(spark, path)
+    if batch_id is None:
+        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+    indexlog.check_batch_id(batch_id)
+    if batch_id == indexlog.BASE_BATCH:
+        raise ValueError(f"batch_id {indexlog.BASE_BATCH!r} is reserved "
+                         "for the initial build")
+    if batch_id in committed:
+        return False  # replayed batch: already fully ingested
+    meta = _read_meta(spark, path)
+    first = df.select(vector_column).first()
+    if first is not None and len(first[0]) != meta["dim"]:
+        raise ValueError(f"batch vector dim {len(first[0])} != index "
+                         f"dim {meta['dim']}")
+    indexlog.delete_glob(spark, f"{path}/codes/cluster=*/batch={batch_id}")
+    indexlog.delete_glob(spark,
+                         f"{path}/vectors/cluster=*/batch={batch_id}")
+    centroids = _read_centroids(spark, path)
+    codebooks = _read_codebooks(spark, path)
+    codes, vectors = _assign_encode(df, centroids, codebooks, id_column,
+                                    vector_column, assign_strategy,
+                                    batch_id)
+    (codes.repartition("cluster")
+       .write.mode("append").partitionBy("cluster", "batch")
+       .parquet(f"{path}/codes"))
+    if meta["store_vectors"]:
+        (vectors.repartition("cluster")
+           .write.mode("append").partitionBy("cluster", "batch")
+           .parquet(f"{path}/vectors"))
+    indexlog.log_batch(spark, path, batch_id)
+    indexlog.clear_intent(spark, path, batch_id)
+    return True
+
+
+def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
+              n_probe: int = 2, shortlist: int | None = None,
+              rerank: bool | None = None, metric: str = "ip",
+              method: str = "hof") -> DataFrame:
+    """Search a persisted PQ index: coarse probe ranking driver-side on
+    the tiny centroid table, ADC over the probed clusters' CODE
+    partitions only (partition-pruned, committed-batch filtered), then
+    — when the index stores vectors — an exact re-rank that reads ONLY
+    the shortlist's vectors (an isin-pushdown scan of Q x shortlist
+    ids, bounded by construction).
+
+    ``queries`` is a small [(query_id, vector), ...] list (the
+    ivf_search convention). ``shortlist`` is the ADC candidate count
+    per query fed to the re-rank (default 4k, floored at k);
+    ``rerank=None`` re-ranks exactly when the index stores vectors.
+    Returns (query_id, id, score): re-ranked scores are EXACT
+    (dot(q, v) for ``ip``, −‖q−v‖² for ``l2``); ADC-only scores are
+    the LUT approximations, as :func:`pq_topk`. ``method`` as
+    :func:`pq_topk`.
+    """
+    import math
+
+    from dsgrid_spark.pipeline import indexlog
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if metric not in ("ip", "l2"):
+        raise ValueError(f"metric must be ip|l2, got {metric!r}")
+    _check_method(method)
+    meta = _read_meta(spark, path)
+    if rerank is None:
+        rerank = bool(meta["store_vectors"])
+    if rerank and not meta["store_vectors"]:
+        raise ValueError("index was built with store_vectors=False; "
+                         "pass rerank=False for ADC-only search")
+    centroids = _read_centroids(spark, path)
+    codebooks = _read_codebooks(spark, path)
+
+    def cos(a, b):
+        d = (math.sqrt(sum(x * x for x in a))
+             * math.sqrt(sum(x * x for x in b)))
+        return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
+
+    qid0 = queries[0][0]
+    qid_type = "string" if isinstance(qid0, str) else "long"
+    probe_rows, lut_queries = [], []
+    for qid, qv in queries:
+        qv = [float(x) for x in qv]
+        if len(qv) != meta["dim"]:
+            raise ValueError(f"query dim {len(qv)} != index dim "
+                             f"{meta['dim']}")
+        lut_queries.append((qid, qv))
+        ranked = sorted(range(len(centroids)),
+                        key=lambda i: -cos(qv, centroids[i]))
+        for ci in ranked[:n_probe]:
+            probe_rows.append((qid, ci))
+    probed_clusters = sorted({c for _, c in probe_rows})
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows, f"query_id {qid_type}, cluster int"))
+    committed = indexlog.committed_batches(spark, path)
+    codes = (indexlog.read_committed(spark, path, "codes", ids=committed)
+             .filter(F.col("cluster").isin(probed_clusters)))
+    candidates = codes.join(probes, "cluster")
+    lut_rows = _lut_rows(codebooks, lut_queries, metric)
+    if method == "arrow":
+        scored = _adc_rows_arrow(candidates, lut_rows, "query_id",
+                                 "id", "code")
+    else:
+        schema = StructType([
+            StructField("query_id",
+                        candidates.schema["query_id"].dataType),
+            StructField("__lut", ArrayType(ArrayType(DoubleType()))),
+        ])
+        luts = F.broadcast(spark.createDataFrame(lut_rows, schema))
+        scored = (candidates.join(luts, "query_id")
+                  .select("query_id", "id",
+                          _adc_score("code").alias("score")))
+    n_short = k if not rerank else max(k, shortlist or 4 * k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.col("id"))
+    short = (scored.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= n_short).drop("__rn"))
+    if not rerank:
+        return short
+    # shortlist ids collect driver-side: Q x shortlist rows, bounded by
+    # construction — the isin pushes into the parquet scan so the
+    # re-rank reads only shortlist row groups of the probed clusters
+    pairs = [(r["query_id"], r["id"]) for r in
+             short.select("query_id", "id").collect()]
+    ids = sorted({i for _, i in pairs})
+    vectors = (indexlog.read_committed(spark, path, "vectors",
+                                       ids=committed)
+               .filter(F.col("cluster").isin(probed_clusters))
+               .filter(F.col("id").isin(ids))
+               .select("id", "embedding"))
+    pair_df = F.broadcast(spark.createDataFrame(
+        pairs, StructType([StructField("query_id",
+                                       short.schema["query_id"].dataType),
+                           short.schema["id"]])))
+    qvec = F.broadcast(spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        f"query_id {qid_type}, __qv array<double>"))
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("__qv"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    exact = dot if metric == "ip" else -_l2sq(F.col("embedding"),
+                                              F.col("__qv"))
+    rescored = (vectors.join(pair_df, "id").join(qvec, "query_id")
+                .select("query_id", "id", exact.alias("score")))
+    return (rescored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))

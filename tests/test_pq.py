@@ -189,3 +189,140 @@ def test_pq_encode_arrow_equals_hof(spark):
         assert a == h, quant
     with pytest.raises(ValueError, match="arrow|hof"):
         pq_encode(emb, books, method="nope")
+
+
+def test_pq_topk_arrow_equals_hof_exact_regime(spark):
+    """Opt-in arrow ADC vs the interpreted-HOF fold: the exact-codebook
+    integer regime is bit-stable, so scores AND ordering must be
+    identical; the fitted regime must agree on ids with approx scores."""
+    emb = _corpus(spark, n=60, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    for metric in ("ip", "l2"):
+        h = sorted((r["query_id"], r["vec_id"], r["score"]) for r in
+                   pq_topk(codes, books, queries, k=5,
+                           metric=metric).collect())
+        a = sorted((r["query_id"], r["vec_id"], r["score"]) for r in
+                   pq_topk(codes, books, queries, k=5, metric=metric,
+                           method="arrow").collect())
+        assert h == a, metric  # bit-equal in the integer regime
+    with pytest.raises(ValueError, match="hof|arrow"):
+        pq_topk(codes, books, queries, method="nope")
+
+
+def test_ivf_pq_arrow_equals_hof(spark):
+    emb = _corpus(spark, n=80, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    h = sorted((r["query_id"], r["vec_id"], r["score"]) for r in
+               ivf_pq_topk(emb, queries, cents, books, k=4,
+                           n_probe=2).collect())
+    a = sorted((r["query_id"], r["vec_id"], r["score"]) for r in
+               ivf_pq_topk(emb, queries, cents, books, k=4, n_probe=2,
+                           method="arrow").collect())
+    assert h == a
+
+
+def test_pq_index_search_matches_in_memory(spark, tmp_path):
+    """Disk search == in-memory PQ: full-probe ADC-only search equals
+    pq_topk over the same codes; re-ranked search in the lossless
+    regime equals true dot-product top-k."""
+    from dsgrid_spark.pipeline.pq import pq_search, write_pq_index
+
+    emb = _corpus(spark, n=80, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=8, iterations=2)
+    path = str(tmp_path / "pqidx")
+    write_pq_index(emb, path, cents, books)
+    queries = [(r["vec_id"], list(r["embedding"]))
+               for r in emb.filter(F.col("vec_id") < 3).collect()]
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    flat = sorted((r["query_id"], r["vec_id"], r["score"]) for r in
+                  pq_topk(pq_encode(emb, books), books, qdf,
+                          k=5).collect())
+    for method in ("hof", "arrow"):
+        disk = sorted((r["query_id"], r["id"], r["score"]) for r in
+                      pq_search(spark, path, queries, k=5, n_probe=4,
+                                rerank=False, method=method).collect())
+        assert disk == flat, method  # lossless regime: bit-equal
+    # re-rank: exact dot top-k (shortlist covers everything at n=80)
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    rr = {}
+    for r in pq_search(spark, path, queries, k=5, n_probe=4,
+                       shortlist=80).collect():
+        rr.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qid, _ in queries:
+        scored = sorted(
+            ((sum(a * b for a, b in zip(vecs[qid], v)), -i), i)
+            for i, v in vecs.items())
+        want = [(i, s[0]) for s, i in reversed(scored[-5:])]
+        assert rr[qid] == want, qid
+
+
+def test_pq_index_append_equals_rebuild_and_replay(spark, tmp_path):
+    from dsgrid_spark.pipeline.pq import (append_pq_index, pq_search,
+                                          write_pq_index)
+
+    emb = _corpus(spark, n=100, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=8, iterations=2)
+    a = emb.filter(F.col("vec_id") < 60)
+    b = emb.filter(F.col("vec_id") >= 60)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_pq_index(a, inc, cents, books)
+    assert append_pq_index(b, inc, batch_id="b1") is True
+    assert append_pq_index(b, inc, batch_id="b1") is False  # replay no-op
+    write_pq_index(emb, full, cents, books)
+    queries = [(r["vec_id"], list(r["embedding"]))
+               for r in emb.filter(F.col("vec_id").isin(5, 70)).collect()]
+    got = sorted((r["query_id"], r["id"], r["score"]) for r in
+                 pq_search(spark, inc, queries, k=6, n_probe=4).collect())
+    want = sorted((r["query_id"], r["id"], r["score"]) for r in
+                  pq_search(spark, full, queries, k=6,
+                            n_probe=4).collect())
+    assert got == want
+    with pytest.raises(ValueError, match="reserved"):
+        append_pq_index(b, inc, batch_id="base")
+    with pytest.raises(ValueError, match="dim"):
+        bad = spark.createDataFrame([(999, [1.0, 2.0])],
+                                    "vec_id long, embedding array<double>")
+        append_pq_index(bad, inc, batch_id="b2")
+
+
+def test_pq_index_orphans_invisible_and_codes_only(spark, tmp_path):
+    """A crashed append's orphan partitions (data on disk, no log
+    entry) never reach a search; store_vectors=False indexes refuse
+    re-ranking but serve ADC-only searches."""
+    from dsgrid_spark.pipeline.pq import pq_search, write_pq_index
+
+    emb = _corpus(spark, n=60, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=8, iterations=2)
+    path = str(tmp_path / "pqidx")
+    write_pq_index(emb, path, cents, books)
+    queries = [(0, list(emb.filter(F.col("vec_id") == 0)
+                        .first()["embedding"]))]
+    before = [(r["id"], r["score"]) for r in
+              pq_search(spark, path, queries, k=5, n_probe=4).collect()]
+    # fake a crashed append: orphan code rows under an unlogged batch
+    orphan = (pq_encode(emb.limit(10), books)
+              .withColumn("cluster", F.lit(0))
+              .withColumn("batch", F.lit("crashed1")))
+    (orphan.write.mode("append").partitionBy("cluster", "batch")
+       .parquet(f"{path}/codes"))
+    after = [(r["id"], r["score"]) for r in
+             pq_search(spark, path, queries, k=5, n_probe=4).collect()]
+    assert before == after
+    lean = str(tmp_path / "lean")
+    write_pq_index(emb, lean, cents, books, store_vectors=False)
+    with pytest.raises(ValueError, match="store_vectors"):
+        pq_search(spark, lean, queries, k=5, rerank=True)
+    adc = pq_search(spark, lean, queries, k=5, n_probe=4,
+                    rerank=False).collect()
+    assert adc[0]["id"] == 0  # lossless: self is the ip argmax
