@@ -1034,7 +1034,7 @@ def q31_simhash_dedup(spark, sf_dir):
     )
 
 
-def q32_similarity_bruteforce(spark, sf_dir):
+def q32_similarity_bruteforce(spark, sf_dir, branch=None):
     """Exact brute-force cosine top-k (pipeline op), tagged union with
     the round-7 'rrf' branch: hybrid retrieval via Reciprocal Rank
     Fusion (Cormack et al., SIGIR 2009) of the semantic (cosine top-5
@@ -1043,7 +1043,15 @@ def q32_similarity_bruteforce(spark, sf_dir):
     both engines (cosine ranks reuse q32's proven ordering; BM25 ranks
     order integer micro-scores), and the fused score is a fixed-order
     two-term expression of exact rank reciprocals — floor(x*1e9 + 0.5)
-    discretizes it identically cross-engine."""
+    discretizes it identically cross-engine.
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named branch's plan: the r7 canonical series drifted
+    0.536 -> 0.858 s on 'brute' with zero row-work change because a
+    tag filter prunes the rrf side's EXECUTION but the branch timing
+    still paid the whole union's plan construction/analysis (BM25
+    scoring + full-outer fuse). Per-branch construction restores the
+    fixed-work meaning of the pinned series."""
     from dsgrid_spark.pipeline.retrieval import rrf_fuse
     from dsgrid_spark.pipeline.text import bm25_scores
 
@@ -1057,6 +1065,8 @@ def q32_similarity_bruteforce(spark, sf_dir):
     brute = out.select(
         F.lit("brute").alias("op"), "query_id", "vec_id",
         F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score"))
+    if branch == "brute":
+        return brute
 
     docs = _t(spark, sf_dir, "documents")
     lex_top = (bm25_scores(docs, ["window", "stream", "vector"], micro=True)
@@ -1070,6 +1080,8 @@ def q32_similarity_bruteforce(spark, sf_dir):
     rrf = fused.select(
         F.lit("rrf").alias("op"), "query_id", "vec_id",
         F.floor(F.col("rrf") * 1e9 + 0.5).cast("long").alias("score"))
+    if branch == "rrf":
+        return rrf
     return brute.unionByName(rrf)
 
 

@@ -139,14 +139,25 @@ def main():
     # totals above stay the comparable series)
     from pyspark.sql import functions as F
 
+    import inspect
+
     branch_timings: dict[str, dict[str, float]] = {}
     for name, (col, prefixes) in BRANCHES.items():
         if name not in timings:
             continue
+        # slots exposing a branch= kwarg construct ONLY that branch's
+        # plan, so the timing excludes sibling-branch plan analysis
+        # (the r7 q32 'brute' drift: tag filters prune execution, not
+        # construction). Slots without it keep the tag-filter fallback.
+        takes_branch = "branch" in inspect.signature(qs[name]).parameters
         per = {}
         for p in prefixes:
             t0 = time.time()
-            qs[name](spark, sf_dir).filter(F.col(col).startswith(p)).count()
+            if takes_branch:
+                qs[name](spark, sf_dir, branch=p.rstrip(":")).count()
+            else:
+                qs[name](spark, sf_dir).filter(
+                    F.col(col).startswith(p)).count()
             per[p.rstrip(":")] = round(time.time() - t0, 3)
         branch_timings[name] = per
         spark.catalog.clearCache()
@@ -195,8 +206,11 @@ def main():
         "canonical_value": round(sum(canonical_queries.values()), 3),
         "canonical_queries": canonical_queries,
         "sf": sf,
-        "methodology": "min_of_2_runs_per_query; branches 1 run each; "
-                       "canonical = pinned-branch sum (see BASELINE.md)",
+        "methodology": "min_of_2_runs_per_query; branches 1 run each, "
+                       "on per-branch plans where the slot supports "
+                       "branch= (r8: sibling-branch plan construction "
+                       "no longer pollutes pinned branches); canonical "
+                       "= pinned-branch sum (see BASELINE.md)",
     }))
 
 

@@ -235,3 +235,73 @@ def logged_totals(spark: SparkSession, index_path: str,
                   for c in columns])
            .collect()[0])
     return {c: int(agg[c]) for c in columns}
+
+
+def vacuum(spark: SparkSession, index_path: str,
+           ttl_seconds: float = 86400.0) -> dict[str, int]:
+    """Delete crashed-append debris from an index tree: batch data
+    directories whose id never committed, and expired or stale intent
+    markers.
+
+    Reader isolation already makes orphans INVISIBLE
+    (:func:`read_committed` prunes them at planning time) and intent
+    markers make crashed auto-id appends RETRYABLE — but an abandoned
+    crashed batch leaks its partition directories forever; vacuum
+    closes that lifecycle. Rules:
+
+    - Committed batches are never touched (their ids are in the log).
+    - An uncommitted batch's data dirs are removed only when the dir
+      itself AND its intent marker (if any) are older than
+      ``ttl_seconds`` — an in-flight append younger than the TTL
+      always survives, whether auto-id (open intent) or caller-named
+      (young data dirs).
+    - Expired intents are removed with their data; an intent whose
+      batch COMMITTED (a crash landed between ``log_batch`` and
+      ``clear_intent``) is stale bookkeeping and removed regardless
+      of age — the committed data is never touched.
+
+    Readers racing a vacuum stay consistent: every search filters to
+    committed batch ids, so a concurrently deleted orphan was never in
+    any reader's plan. Data dirs are matched two levels deep
+    (``<subtree>/<col>=K/batch=B`` — the postings/vectors/codes layout
+    shared by every index in this package), which can never match the
+    ``batches/batch=B`` log itself. Returns removal counts.
+    """
+    import time as _time
+
+    committed = committed_batches(spark, index_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    cutoff = _time.time() * 1000.0 - ttl_seconds * 1000.0
+
+    def statuses(pattern):
+        p = jvm.org.apache.hadoop.fs.Path(pattern)
+        fs = p.getFileSystem(conf)
+        return fs, list(fs.globStatus(p) or [])
+
+    fs_i, intent_sts = statuses(f"{_intents_path(index_path)}/*")
+    fresh_intents: set[str] = set()
+    expired_intents = []
+    for st in intent_sts:
+        bid = st.getPath().getName()
+        if bid in committed:
+            expired_intents.append(st)  # stale marker; data is committed
+        elif st.getModificationTime() >= cutoff:
+            fresh_intents.add(bid)
+        else:
+            expired_intents.append(st)
+
+    removed_dirs = 0
+    fs_d, data_sts = statuses(f"{index_path}/*/*/batch=*")
+    for st in data_sts:
+        bid = st.getPath().getName().split("=", 1)[1]
+        if bid in committed or bid in fresh_intents:
+            continue
+        if st.getModificationTime() >= cutoff:
+            continue  # young intent-less dir: possibly in-flight, keep
+        fs_d.delete(st.getPath(), True)
+        removed_dirs += 1
+    for st in expired_intents:
+        fs_i.delete(st.getPath(), True)
+    return {"data_dirs_removed": removed_dirs,
+            "intents_removed": len(expired_intents)}

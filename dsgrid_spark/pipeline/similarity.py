@@ -838,7 +838,10 @@ def semantic_dedup(df: DataFrame,
                    n_clusters: int | None = None,
                    target_cluster_size: int = 1024,
                    kmeans_iterations: int = 5,
-                   fit_sample_cap: int | None = None) -> DataFrame:
+                   fit_sample_cap: int | None = None,
+                   n_clusterings: int = 1,
+                   extra_clusterings: list[list[list[float]]] | None = None,
+                   ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, find
     near-duplicate pairs WITHIN each cluster only, connect them into
@@ -849,8 +852,17 @@ def semantic_dedup(df: DataFrame,
     and pair work is O(sum of cluster sizes squared), the standard
     SemDeDup cost regime (n_clusters grows with the corpus so clusters
     stay bounded). Near-dups split across two clusters are missed —
-    that is the method's documented recall trade, identical to the
-    paper. Centroids come from the caller (``kmeans_centroids`` or a
+    the method's documented recall trade, identical to the paper.
+    ``n_clusterings > 1`` is the standard cheap mitigation: run the
+    blocked pair scan under that many INDEPENDENT clusterings
+    (different k-means seeds, or caller-supplied ``extra_clusterings``)
+    and union the pair sets before connected components — a pair
+    straddling one clustering's boundary is caught when any other
+    clustering co-locates it. Cost is one extra assignment + blocked
+    self-join per clustering (the union feeds ONE components run);
+    survivor metadata (cluster, centroid_sim) always reports the
+    PRIMARY clustering. Centroids come from the caller
+    (``kmeans_centroids`` or a
     domain-specific codebook), so assignment is reproducible; with
     ``centroids=None`` they are fit internally, with k derived from the
     measured corpus size (``ceil(n / target_cluster_size)``, capped at
@@ -895,6 +907,16 @@ def semantic_dedup(df: DataFrame,
         centroids = kmeans_centroids(df, n_clusters, dim, vector_column,
                                      iterations=kmeans_iterations,
                                      fit_sample_cap=fit_sample_cap)
+    if n_clusterings < 1:
+        raise ValueError(f"n_clusterings must be >= 1, got {n_clusterings}")
+    extras = [list(c) for c in (extra_clusterings or [])]
+    # fit any still-missing independent clusterings with shifted seeds
+    # (each is one more kmeans fit + assignment + blocked self-join)
+    for i in range(len(extras), n_clusterings - 1):
+        extras.append(kmeans_centroids(
+            df, len(centroids), len(centroids[0]), vector_column,
+            iterations=kmeans_iterations, seed=11 + 101 * (i + 1),
+            fit_sample_cap=fit_sample_cap))
 
     # normalize once so every downstream score is a plain dot product —
     # O(n) norm folds instead of O(pairs x centroids), and (as
@@ -933,16 +955,28 @@ def semantic_dedup(df: DataFrame,
         .drop("__cent")
         .persist()
     )
-    a = assigned.select("cluster", F.col("id").alias("id_a"),
-                        F.col("__v").alias("__va"))
-    b = assigned.select("cluster", F.col("id").alias("id_b"),
-                        F.col("__v").alias("__vb"))
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
-        .select("id_a", "id_b")
-    )
+    def within_pairs(frame):
+        a = frame.select("cluster", F.col("id").alias("id_a"),
+                         F.col("__v").alias("__va"))
+        b = frame.select("cluster", F.col("id").alias("id_b"),
+                         F.col("__v").alias("__vb"))
+        return (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(dot(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+            .select("id_a", "id_b")
+        )
+
+    pairs = within_pairs(assigned)
+    for extra in extras:
+        unit_extra = []
+        for c in extra:
+            d = math.sqrt(sum(x * x for x in c))
+            unit_extra.append([x / d for x in c] if d else list(c))
+        pairs = pairs.unionByName(within_pairs(
+            assign_nearest_centroid(normed, unit_extra, "__v",
+                                    assume_normalized=True)
+            .withColumnRenamed("__cluster", "cluster")))
     # no persist here: connected_components materializes its OWN edge
     # table from this plan exactly once (explode + distinct + persist),
     # so persisting pairs too would just run the blocked self-join an

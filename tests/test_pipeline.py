@@ -2586,6 +2586,66 @@ def test_auto_batch_id_intent_survives_interleaved_commit(spark, tmp_path):
     indexlog.clear_intent(spark, path, nxt)
 
 
+def test_vacuum_cleans_expired_orphans_keeps_inflight(spark, tmp_path):
+    """indexlog.vacuum lifecycle: a crashed append's orphan data is
+    invisible to readers but leaks disk forever — vacuum removes it
+    once its intent expires, keeps in-flight (young-intent) batches,
+    removes stale intents of COMMITTED batches without touching their
+    data, and never touches committed partitions."""
+    import time
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, write_term_index,
+    )
+
+    a = spark.createDataFrame([(0, "spark window")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "stream engine")], "doc_id long, text string")
+    c = spark.createDataFrame([(2, "vector data")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(a, path, n_buckets=4)
+
+    # crashed auto-id append: data dirs + intent marker, no log entry
+    assert append_term_index(b, path) is True
+    indexlog.delete_glob(spark, f"{path}/batches/batch=auto000002")
+    indexlog.claim_auto_batch_id(
+        spark, path, indexlog.committed_batches(spark, path))
+    # committed named batch + a STALE intent for it (crash between
+    # log_batch and clear_intent)
+    assert append_term_index(c, path, batch_id="named") is True
+    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/intents/named")
+    jp.getFileSystem(spark._jsc.hadoopConfiguration()).mkdirs(jp)
+
+    def orphan_dirs():
+        jg = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/*/*/batch=auto000002")
+        fs = jg.getFileSystem(spark._jsc.hadoopConfiguration())
+        return len(list(fs.globStatus(jg) or []))
+
+    assert orphan_dirs() > 0
+    baseline = sorted(map(tuple, indexlog.read_committed(
+        spark, path, "postings").collect()))
+
+    # generous TTL: the crashed batch's intent is young -> in-flight,
+    # data survives; the committed batch's stale intent goes regardless
+    out = indexlog.vacuum(spark, path, ttl_seconds=3600)
+    assert out == {"data_dirs_removed": 0, "intents_removed": 1}
+    assert indexlog.open_intents(spark, path) == {"auto000002"}
+    assert orphan_dirs() > 0
+
+    time.sleep(1.1)
+    out = indexlog.vacuum(spark, path, ttl_seconds=1.0)
+    assert out["intents_removed"] == 1  # the expired auto000002 intent
+    assert out["data_dirs_removed"] > 0
+    assert orphan_dirs() == 0
+    assert indexlog.open_intents(spark, path) == set()
+    # committed data untouched; readers see exactly what they saw before
+    assert indexlog.committed_batches(spark, path) == {"base", "named"}
+    after = sorted(map(tuple, indexlog.read_committed(
+        spark, path, "postings").collect()))
+    assert after == baseline
+
+
 def _py_pagerank(edges, iterations=10, damping=0.85):
     """Reference power iteration with uniform dangling redistribution
     (NetworkX-equivalent formulation)."""
@@ -2978,6 +3038,39 @@ def test_semantic_dedup_cross_cluster_miss_is_the_documented_trade(spark):
     # cosine(v0, v1) ~ 0.02 >= 0.0 would dedup them if they shared a
     # cluster; they don't, so both survive
     assert sorted(r["id"] for r in out.collect()) == [0, 1]
+
+
+def test_semantic_dedup_second_clustering_recovers_straddlers(spark):
+    """The standard mitigation for the cross-cluster miss above: a
+    second independent clustering whose boundaries fall elsewhere
+    co-locates the straddling pair; the unioned pair sets feed one
+    connected-components run, so the pair now dedups. Survivor
+    metadata stays on the PRIMARY clustering."""
+    from dsgrid_spark.pipeline.similarity import semantic_dedup
+
+    rows = [(0, [1.0, 0.01]), (1, [0.01, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    primary = [[1.0, 0.0], [0.0, 1.0]]
+    # clustering 2 puts both vectors in its first cluster
+    second = [[0.7, 0.7], [-1.0, 0.0]]
+    out = semantic_dedup(df, primary, threshold=0.0,
+                         extra_clusterings=[second]).collect()
+    assert len(out) == 1
+    assert out[0]["id"] == 0 and out[0]["n_members"] == 2
+    # cluster column reports the primary clustering's assignment
+    assert out[0]["cluster"] == 0
+    with pytest.raises(ValueError, match="n_clusterings"):
+        semantic_dedup(df, primary, n_clusterings=0)
+    # n_clusterings=2 with internally fitted extras stays green on the
+    # exact-duplicate corpus (recall can only grow: pair sets union)
+    fam = [(i, [1.0 if d == (i % 4) * 2 else 0.0 for d in range(8)])
+           for i in range(40)]
+    fdf = spark.createDataFrame(fam, "vec_id long, embedding array<double>")
+    got = {r["id"]: r["n_members"]
+           for r in semantic_dedup(fdf, threshold=0.99,
+                                   target_cluster_size=10,
+                                   n_clusterings=2).collect()}
+    assert got == {0: 10, 1: 10, 2: 10, 3: 10}
 
 
 def test_semantic_dedup_auto_fit_centroids(spark):
