@@ -1294,10 +1294,19 @@ def q42_language_id(spark, sf_dir):
     Gopher-style repetition metrics + the C4-style filter FUNNEL
     (pipeline ops), tagged union: 'doc' = per-document metrics; 'funnel'
     = each document charged to the first quality rule it fails, one
-    row per rule with the drop count."""
+    row per rule with the drop count; 'clf' (r8) = the sparse
+    hashed-n-gram classifier (pipeline/text.py
+    sparse_logistic_regression) TRAINED at query time on a constructed
+    keyword-separable corpus and scored over it — the cross-engine
+    oracle is the construction rule itself (doc_id % 3 spam/ham): on a
+    separable corpus full-batch GD converges to margins orders of
+    magnitude above float-sum noise, so the predicted LABEL (never the
+    probability) is engine-reproducible. Truth is echoed in
+    dup_word_ppm so the oracle cross-checks prediction == rule."""
     from dsgrid_spark.pipeline.text import (
-        alpha_ratio_ppm, dup_word_ppm, filter_funnel, language_id,
-        quality_score, top_bigram_ppm,
+        alpha_ratio_ppm, dup_word_ppm, filter_funnel,
+        hashed_ngram_features, language_id, quality_score,
+        sparse_logistic_regression, sparse_predict_proba, top_bigram_ppm,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1330,7 +1339,38 @@ def q42_language_id(spark, sf_dir):
         F.lit(0).cast("long").alias("dup_word_ppm"),
         F.lit(0).cast("long").alias("top_bigram_ppm"),
     )
-    return doc_rows.unionByName(funnel_rows)
+
+    # 'clf': constructed separable training corpus over the table's own
+    # doc ids (fixed 200 rows at every sf — training cost is constant);
+    # feature hashing + full-batch GD run HERE (driver loop, bounded
+    # collects of <= n_buckets gradient rows per iteration)
+    train = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("buy cheap pills now click here "))
+            .otherwise(F.lit("the quarterly report discusses revenue "
+                             "and strategy ")),
+            F.lit("filler"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" token"), (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+    )
+    nb = 1 << 10
+    feats = hashed_ngram_features(train, n_buckets=nb,
+                                  keep_columns=("y",)).localCheckpoint()
+    bias, wts = sparse_logistic_regression(feats, "y", n_buckets=nb,
+                                           iterations=15, lr=0.5)
+    clf_rows = sparse_predict_proba(feats, bias, wts).select(
+        F.lit("clf").alias("op"),
+        "doc_id",
+        F.when(F.col("proba") > 0.5, F.lit("spam"))
+         .otherwise(F.lit("ham")).alias("lang_pred"),
+        (F.col("proba") > 0.5).cast("long").alias("quality"),
+        F.col("y").cast("long").alias("dup_word_ppm"),
+        F.lit(0).cast("long").alias("top_bigram_ppm"),
+    )
+    return doc_rows.unionByName(funnel_rows).unionByName(clf_rows)
 
 
 def q43_ngram_jaccard(spark, sf_dir):
@@ -2363,6 +2403,13 @@ _LANG_ID_SQL = f"""
       FROM metrics
     )
     GROUP BY rule
+    UNION ALL
+    SELECT 'clf', doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'spam' ELSE 'ham' END,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT),
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM documents WHERE doc_id < 200
 """
 
 

@@ -150,12 +150,26 @@ def _segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-def bpe_segment(text_column, merges: list[dict]):
+def bpe_segment(text_column, merges: list[dict],
+                cache_size: int | None = 1 << 20):
     """array<string> of BPE tokens per row — the Arrow slow path (see
-    module docstring). ``merges`` is ``train_bpe``'s output."""
+    module docstring). ``merges`` is ``train_bpe``'s output.
+
+    Each distinct word is segmented ONCE per executor task: the merge
+    replay is O(num_merges x word_len) of pure Python per word, and
+    natural text is Zipf-distributed, so an uncached apply re-pays that
+    cost for every occurrence of "the" (the r8 sf10 rehearsal measured
+    the uncached path at 10.9x the cached wall at 64 merges —
+    tools/rehearsal_bpe_apply.py). The memo rides the UDF closure:
+    pickled EMPTY to each worker, grown per-task executor-side, bounded
+    by ``cache_size`` distinct words (~tens of MB at the default;
+    ``None`` caps nothing, ``0`` disables — the rehearsal baseline).
+    Results are identical with or without the cache by construction
+    (same ``_segment_word``, tested)."""
     from pyspark.sql.functions import pandas_udf
 
     seq = [(m["left"], m["right"]) for m in merges]
+    memo: dict[str, list[str]] = {}
 
     @pandas_udf("array<string>")
     def seg(texts: pd.Series) -> pd.Series:
@@ -164,7 +178,12 @@ def bpe_segment(text_column, merges: list[dict]):
                 return []
             toks: list[str] = []
             for w in t.strip().lower().split():
-                toks.extend(_segment_word(w, seq))
+                got = memo.get(w)
+                if got is None:
+                    got = _segment_word(w, seq)
+                    if cache_size is None or len(memo) < cache_size:
+                        memo[w] = got
+                toks.extend(got)
             return toks
 
         return texts.map(one)

@@ -57,6 +57,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_pq_topk",
+    "coarse_residuals",
     "write_pq_index",
     "append_pq_index",
     "pq_search",
@@ -482,18 +483,24 @@ def pq_topk(codes: DataFrame, codebooks: list[list[list[float]]],
 
 
 def _adc_rows_arrow(candidates: DataFrame, lut_rows, query_id_column: str,
-                    id_column: str, code_column: str) -> DataFrame:
+                    id_column: str, code_column: str,
+                    cluster_column: str | None = None) -> DataFrame:
     """Row-wise numpy ADC for pre-joined (query_id, id, code) candidate
     rows (the IVF-PQ probe output, where each query scores only its own
-    probed lists): one gather ``luts[q_idx, arange(m), code_matrix]``
-    per Arrow batch. Same ULP contract as :func:`_adc_scan_arrow`."""
+    probed lists): one gather ``luts[key_idx, arange(m), code_matrix]``
+    per Arrow batch. ``lut_rows`` entries are (query_id, lut) keyed by
+    query, or — with ``cluster_column`` set, the residual-PQ case —
+    ((query_id, cluster), lut) keyed per probed list. Same ULP contract
+    as :func:`_adc_scan_arrow`."""
     import numpy as np
 
     luts = np.asarray([lut for _, lut in lut_rows], dtype=np.float64)
-    qidx = {qid: i for i, (qid, _) in enumerate(lut_rows)}
+    kidx = {key: i for i, (key, _) in enumerate(lut_rows)}
     m = luts.shape[1]
     jj = np.arange(m)
-    in_df = candidates.select(query_id_column, id_column, code_column)
+    key_cols = ([query_id_column] if cluster_column is None
+                else [query_id_column, cluster_column])
+    in_df = candidates.select(*key_cols, id_column, code_column)
     out_schema = StructType([
         in_df.schema[query_id_column],
         in_df.schema[id_column],
@@ -506,11 +513,74 @@ def _adc_rows_arrow(candidates: DataFrame, lut_rows, query_id_column: str,
                 continue
             cm = np.asarray(
                 [np.asarray(c, dtype=np.int64) for c in pdf[code_column]])
-            qi = pdf[query_id_column].map(qidx).to_numpy(dtype=np.int64)
+            if cluster_column is None:
+                qi = pdf[query_id_column].map(kidx).to_numpy(
+                    dtype=np.int64)
+            else:
+                qi = np.asarray(
+                    [kidx[k] for k in zip(pdf[query_id_column],
+                                          pdf[cluster_column])],
+                    dtype=np.int64)
             s = luts[qi[:, None], jj[None, :], cm].sum(axis=1)
-            yield pdf.drop(columns=code_column).assign(score=s)
+            out = pdf[[query_id_column, id_column]].assign(score=s)
+            yield out
 
     return in_df.mapInPandas(score, out_schema)
+
+
+def coarse_residuals(df: DataFrame, coarse_centroids: list[list[float]],
+                     id_column: str = "vec_id",
+                     vector_column: str = "embedding",
+                     assign_strategy: str = "auto",
+                     residual_column: str = "residual") -> DataFrame:
+    """(id, cluster, residual) — each vector minus its nearest coarse
+    centroid. Feed this to :func:`pq_fit` (``vector_column=residual``)
+    to train RESIDUAL codebooks for ``ivf_pq_topk(residual=True)``:
+    residuals concentrate near 0 regardless of which list a vector
+    lives in, so a fixed codebook budget m*k quantizes them with far
+    less error than raw vectors — the standard IVFADC recall boost
+    (Jegou TPAMI'11 §IV). One broadcast join, no extra shuffle."""
+    from dsgrid_spark.pipeline.similarity import assign_nearest_centroid
+
+    spark = df.sparkSession
+    cent_df = F.broadcast(spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(coarse_centroids)],
+        "__cluster int, __cent array<double>"))
+    return (assign_nearest_centroid(df, coarse_centroids, vector_column,
+                                    strategy=assign_strategy)
+            .join(cent_df, "__cluster")
+            .select(F.col(id_column), F.col("__cluster").alias("cluster"),
+                    F.zip_with(F.col(vector_column), F.col("__cent"),
+                               lambda x, y: x - y).alias(residual_column)))
+
+
+def _residual_lut_rows(codebooks, query_vectors, probe_map, centroids,
+                       metric):
+    """[((query_id, cluster), m x k lut)] — one ADC table per (query,
+    probed list), the residual-PQ scoring shape. ``ip``: dot(q, v) =
+    dot(q, c_l) + dot(q, r), so each list's table is the query's
+    residual-codebook table with the constant dot(q, c_l) folded into
+    subspace 0 (added exactly once by the row-sum). ``l2``:
+    ‖q − v‖² = ‖(q − c_l) − r‖², so each list's table is the l2 table
+    of the SHIFTED query q − c_l. Table count is Q x n_probe — still
+    driver-bounded by construction."""
+    out = []
+    for qid, qv in query_vectors:
+        qv = [float(x) for x in qv]
+        if metric == "ip":
+            base = _lut_rows(codebooks, [(qid, qv)], "ip")[0][1]
+        for cl in probe_map[qid]:
+            cent = centroids[cl]
+            if metric == "ip":
+                const = sum(a * b for a, b in zip(qv, cent))
+                lut = ([[x + const for x in base[0]]]
+                       + [row[:] for row in base[1:]])
+            else:
+                shifted = [a - b for a, b in zip(qv, cent)]
+                lut = _lut_rows(codebooks, [(qid, shifted)], "l2")[0][1]
+            out.append(((qid, cl), lut))
+    return out
 
 
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
@@ -522,7 +592,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                 query_id_column: str = "query_id",
                 metric: str = "ip",
                 assign_strategy: str = "auto",
-                method: str = "hof") -> DataFrame:
+                method: str = "hof",
+                residual: bool = False) -> DataFrame:
     """IVF-PQ: coarse-quantize the corpus into inverted lists
     (``assign_nearest_centroid``, auto literal/data strategy), PQ-encode
     once, then each query ADC-scores ONLY its ``n_probe`` nearest
@@ -530,13 +601,20 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     candidate cost m lookups from PQ — a full scan touches neither all
     rows nor any full vector.
 
-    Codes here are non-residual (subvectors of the raw vector, not of
-    the vector minus its coarse centroid) — the IVFFlat+PQ variant:
-    LUTs stay one-per-query instead of one-per-(query, probed list),
-    which is the right trade when n_probe is small and lists are many.
-    Returns (query_id, id, score), score semantics as :func:`pq_topk`;
-    ``method`` as :func:`pq_topk` (``arrow`` swaps the interpreted-HOF
-    fold for the numpy gather over the probed candidates).
+    ``residual=False`` encodes subvectors of the raw vector — the
+    IVFFlat+PQ variant: LUTs stay one-per-query instead of
+    one-per-(query, probed list), the right trade when n_probe is
+    small and lists are many. ``residual=True`` is the paper's IVFADC:
+    codes quantize (vector − coarse centroid), which concentrates the
+    quantized distribution near 0 and buys recall at the SAME m — the
+    price is Q x n_probe LUTs (still driver-bounded) keyed
+    (query, list). Pass codebooks trained on :func:`coarse_residuals`
+    output; raw-vector codebooks would mis-center every cell. Returns
+    (query_id, id, score), score semantics as :func:`pq_topk` (both
+    variants approximate the same quantity, so scores are comparable
+    across them); ``method`` as :func:`pq_topk` (``arrow`` swaps the
+    interpreted-HOF fold for the numpy gather over the probed
+    candidates).
     """
     import math
 
@@ -554,9 +632,22 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                                         strategy=assign_strategy)
                 .select(id_column, vector_column, "__cluster")
                 .localCheckpoint())
-    coded = pq_encode(assigned, codebooks, id_column=id_column,
-                      vector_column=vector_column).join(
-        assigned.select(id_column, "__cluster"), id_column)
+    if residual:
+        cent_df = F.broadcast(spark.createDataFrame(
+            [(i, [float(x) for x in c])
+             for i, c in enumerate(coarse_centroids)],
+            "__cluster int, __cent array<double>"))
+        enc_in = assigned.join(cent_df, "__cluster").select(
+            id_column,
+            F.zip_with(F.col(vector_column), F.col("__cent"),
+                       lambda x, y: x - y).alias("__r"))
+        coded = pq_encode(enc_in, codebooks, id_column=id_column,
+                          vector_column="__r").join(
+            assigned.select(id_column, "__cluster"), id_column)
+    else:
+        coded = pq_encode(assigned, codebooks, id_column=id_column,
+                          vector_column=vector_column).join(
+            assigned.select(id_column, "__cluster"), id_column)
     # the probe list per query is driver-computed over the small
     # centroid table, like ivf_topk — cosine ranking of coarse lists
     def cos(a, b):
@@ -565,21 +656,42 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
 
     probe_rows = []
+    probe_map: dict = {}
+    qvecs = []
     for r in queries.collect():
         qv = [float(x) for x in r[vector_column]]
+        qvecs.append((r[query_id_column], qv))
         ranked = sorted(range(len(coarse_centroids)),
                         key=lambda i: -cos(qv, coarse_centroids[i]))
+        probe_map[r[query_id_column]] = ranked[:n_probe]
         for ci in ranked[:n_probe]:
             probe_rows.append((r[query_id_column], ci))
     probes = F.broadcast(spark.createDataFrame(
         probe_rows, StructType([queries.schema[query_id_column],
                                 StructField("__cluster", IntegerType())])))
     candidates = coded.join(probes, "__cluster")
-    if method == "arrow":
-        lut_rows = _lut_rows(
-            codebooks,
-            [(r[query_id_column], r[vector_column])
-             for r in queries.collect()], metric)
+    if residual:
+        lut_rows = _residual_lut_rows(codebooks, qvecs, probe_map,
+                                      coarse_centroids, metric)
+        if method == "arrow":
+            scored = _adc_rows_arrow(candidates, lut_rows,
+                                     query_id_column, id_column, "code",
+                                     cluster_column="__cluster")
+        else:
+            schema = StructType([
+                queries.schema[query_id_column],
+                StructField("__cluster", IntegerType()),
+                StructField("__lut", ArrayType(ArrayType(DoubleType()))),
+            ])
+            luts = F.broadcast(spark.createDataFrame(
+                [(qid, cl, lut) for (qid, cl), lut in lut_rows], schema))
+            scored = (
+                candidates.join(luts, [query_id_column, "__cluster"])
+                .select(query_id_column, id_column,
+                        _adc_score("code").alias("score"))
+            )
+    elif method == "arrow":
+        lut_rows = _lut_rows(codebooks, qvecs, metric)
         scored = _adc_rows_arrow(candidates, lut_rows, query_id_column,
                                  id_column, "code")
     else:

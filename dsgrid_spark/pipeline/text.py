@@ -376,14 +376,67 @@ def _s_stem(w: Column) -> Column:
     )
 
 
+def _build_fold_table() -> tuple[str, str, dict[str, str]]:
+    """Accent-fold table derived from NFKD at import time (driver-side,
+    once): every codepoint in the Latin supplement/extended ranges whose
+    compatibility decomposition is one ASCII letter plus combining marks
+    maps to that letter (for ``F.translate``, strictly 1:1); the few
+    multi-letter foldings (ae/oe/ss/ij ligatures) go through literal
+    ``regexp_replace`` chains. This is the Lucene ASCIIFoldingFilter
+    approach re-expressed as data for Spark's codegen'd translate —
+    no per-row Python, no UDF."""
+    import unicodedata
+
+    # letters with NO compatibility decomposition (stroked/crossed
+    # forms) need explicit entries — the Lucene table has the same
+    src = list("øłđðħŧıŋ")
+    dst = list("oldd htin".replace(" ", ""))
+    multi = {"ß": "ss", "æ": "ae", "œ": "oe", "ĳ": "ij", "þ": "th"}
+    for cp in range(0xA0, 0x250):
+        ch = chr(cp)
+        if ch in multi:
+            continue
+        base = "".join(c for c in unicodedata.normalize("NFKD", ch)
+                       if not unicodedata.combining(c))
+        if base == ch or not base or not base.isascii():
+            continue
+        if len(base) == 1 and base.isalpha():
+            src.append(ch)
+            dst.append(base)
+        elif base.isalpha():
+            multi[ch] = base
+    return "".join(src), "".join(dst), multi
+
+
+_FOLD_SRC, _FOLD_DST, _FOLD_MULTI = _build_fold_table()
+
+
+def _fold_unicode(text: Column) -> Column:
+    """Lowercase + accent-fold: strip combining marks (handles NFD
+    'e' + U+0301 input), translate precomposed accented letters to
+    their ASCII base, expand the ligature/sharp-s multi-letter cases.
+    ``é``/``e`` now index as the same term whichever form the source
+    document used. English-analyzer only BY DESIGN: the CJK analyzer
+    must NOT strip combining marks — Japanese dakuten decompose to
+    base + U+3099 under NFD, and folding would conflate が/か (distinct
+    syllables), so _cjk_tokens keeps codepoints verbatim."""
+    folded = F.regexp_replace(F.lower(text), r"\p{Mn}+", "")
+    folded = F.translate(folded, _FOLD_SRC, _FOLD_DST)
+    for ch, rep in sorted(_FOLD_MULTI.items()):
+        folded = F.regexp_replace(folded, ch, rep)
+    return folded
+
+
 def _english_tokens(text: Column) -> Column:
-    """English retrieval analyzer: letters/digits-only folding (every
-    other codepoint becomes a boundary), lowercase, stopword removal,
+    """English retrieval analyzer: unicode folding (lowercase, accent
+    fold — see :func:`_fold_unicode`), letters/digits-only splitting
+    (every other codepoint becomes a boundary), stopword removal,
     Harman S-stem. Entirely built-in column expressions — the analyzer
     runs inside whole-stage codegen like the simple one, and downstream
     consumers (postings build, direct BM25 scan, query analysis) are
     analyzer-agnostic: they see a token array either way."""
-    cleaned = F.regexp_replace(F.lower(text), r"[^\p{L}\p{Nd}]+", " ")
+    cleaned = F.regexp_replace(_fold_unicode(text),
+                               r"[^\p{L}\p{Nd}]+", " ")
     words = F.split(F.trim(cleaned), r"\s+")
     stop = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
     kept = F.filter(words, lambda w: (w != "") & ~F.array_contains(stop, w))

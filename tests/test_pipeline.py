@@ -1925,6 +1925,20 @@ def test_train_bpe_matches_reference_sequence(spark):
         expected0.extend(
             _segment_word(w, [(m["left"], m["right"]) for m in got]))
     assert toks == expected0
+    # r8: per-executor word memo is a pure speedup — cached (default),
+    # capacity-capped, and uncached segmentations are identical,
+    # including None text (empty token array)
+    df2 = df.unionByName(spark.createDataFrame(
+        [(9, None)], "doc_id long, text string"))
+    outs = [df2.select("doc_id",
+                       bpe_segment(F.col("text"), got,
+                                   cache_size=c).alias("toks"))
+            .orderBy("doc_id").collect()
+            for c in (0, 2, None, 1 << 20)]
+    base = [(r["doc_id"], list(r["toks"])) for r in outs[0]]
+    assert base[-1] == (9, [])
+    for other in outs[1:]:
+        assert [(r["doc_id"], list(r["toks"])) for r in other] == base
 
 
 def test_term_index_bm25_search_equals_scan(spark, tmp_path):
@@ -2060,6 +2074,45 @@ def test_term_index_english_analyzer_swap(spark, tmp_path):
     # unknown analyzer fails before touching disk
     with pytest.raises(ValueError, match="unknown analyzer"):
         write_term_index(df, str(tmp_path / "bad"), analyzer="nope")
+
+
+def test_english_analyzer_unicode_folding(spark, tmp_path):
+    """r8 (verdict item 6): accent-folded indexing — precomposed é,
+    decomposed e+U+0301, and plain e all index and query as the same
+    term; ligatures expand (œ -> oe, ß -> ss); the CJK analyzer keeps
+    combining marks by design (dakuten must not fold が into か)."""
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+    from dsgrid_spark.pipeline.text import ANALYZERS, bm25_scores
+
+    cases = {
+        "Résumé CAFÉ naïve": ["resume", "cafe", "naive"],
+        "résumé café": ["resume", "cafe"],  # NFD input
+        "Œuvre straße łódź": ["oeuvre", "strasse", "lodz"],
+    }
+    for text, want in cases.items():
+        got = spark.range(1).select(
+            ANALYZERS["english"](F.lit(text)).alias("t")).collect()[0]["t"]
+        assert got == want, text
+    # index == direct scan under the folded analyzer; an unaccented
+    # query term hits every accent variant of the word
+    corpus = [(0, "Résumé writing"), (1, "resumé tips"),
+              (2, "plain resume text"), (3, "unrelated prose")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    path = str(tmp_path / "fidx")
+    write_term_index(df, path, n_buckets=16, analyzer="english")
+    got = {r["id"]: r["bm25"]
+           for r in bm25_search(spark, path, ["resume"], k=10).collect()}
+    exp = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(df, ["resume"],
+                                analyzer="english").collect()}
+    assert set(got) == {0, 1, 2} and set(exp) == {0, 1, 2}
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-12)
+    # CJK: dakuten-carrying and bare syllables stay DISTINCT bigram
+    # domains (no mark stripping)
+    cjk = spark.range(1).select(
+        ANALYZERS["cjk"](F.lit("がき")).alias("t")).collect()[0]["t"]
+    assert all("゙" in t or "が" not in t for t in cjk)
 
 
 def test_cjk_analyzer_tokens(spark):

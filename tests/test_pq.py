@@ -326,3 +326,87 @@ def test_pq_index_orphans_invisible_and_codes_only(spark, tmp_path):
     adc = pq_search(spark, lean, queries, k=5, n_probe=4,
                     rerank=False).collect()
     assert adc[0]["id"] == 0  # lossless: self is the ip argmax
+
+
+def test_residual_ivf_pq_exact_regime_and_methods_agree(spark):
+    """IVFADC (residual=True): exact RESIDUAL codebooks make encoding
+    lossless, so full-probe residual IVF-PQ == true dot-product top-k
+    (score = dot(q, c_l) + dot(q, r) reassembles exactly up to one
+    addition); hof and arrow agree; l2 metric ranks self first."""
+    from dsgrid_spark.pipeline.pq import coarse_residuals
+
+    emb = _corpus(spark, n=60, dim=8, quant=2)
+    cents = kmeans_centroids(emb, n_clusters=3, dim=8, iterations=2)
+    resid = coarse_residuals(emb, cents)
+    # residual + centroid == vector (the decomposition the scoring relies on)
+    cmap = {i: c for i, c in enumerate(cents)}
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for r in resid.collect():
+        back = [a + b for a, b in zip(r["residual"], cmap[r["cluster"]])]
+        assert back == pytest.approx(vecs[r["vec_id"]], abs=1e-12)
+
+    books = exact_codebooks(resid, dim=8, n_subvectors=4,
+                            vector_column="residual")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    h = ivf_pq_topk(emb, queries, cents, books, k=5, n_probe=3,
+                    residual=True).collect()
+    got = {}
+    for r in h:
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9)))
+    for qid in (0, 1, 2):
+        scored = sorted(
+            ((sum(a * b for a, b in zip(vecs[qid], v)), -i), i)
+            for i, v in vecs.items())
+        want = [(i, round(s[0], 9)) for s, i in reversed(scored[-5:])]
+        assert got[qid] == want, qid
+    a = ivf_pq_topk(emb, queries, cents, books, k=5, n_probe=3,
+                    residual=True, method="arrow").collect()
+    key = lambda rows: sorted((r["query_id"], r["vec_id"],
+                               round(r["score"], 9)) for r in rows)
+    assert key(a) == key(h)
+    # l2: lossless residual codes put the query's own vector at
+    # distance 0 — the maximum possible score
+    q7 = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_pq_topk(emb, q7, cents, books, k=3, n_probe=3,
+                      residual=True, metric="l2").collect()
+    assert out[0]["vec_id"] == 7 and abs(out[0]["score"]) < 1e-9
+
+
+def test_residual_vs_flat_recall_on_fitted_codebooks(spark):
+    """With the SAME m*k budget of FITTED (lossy) codebooks, residual
+    coding must not lose to flat coding on recall@5 — the IVFADC
+    argument (residuals concentrate near zero)."""
+    from dsgrid_spark.pipeline.pq import coarse_residuals
+
+    emb = _corpus(spark, n=300, dim=16, seed=5)
+    cents = kmeans_centroids(emb, n_clusters=6, dim=16, iterations=3)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    truth = {}
+    for qid in range(6):
+        truth[qid] = set(sorted(
+            vecs, key=lambda i: (-sum(a * b for a, b in
+                                      zip(vecs[qid], vecs[i])), i))[:5])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & truth[q])
+                   for q in truth) / (len(truth) * 5)
+
+    flat_books = pq_fit(emb, dim=16, n_subvectors=4, n_centroids=8,
+                        iterations=3)
+    resid = coarse_residuals(emb, cents)
+    res_books = pq_fit(resid, dim=16, n_subvectors=4, n_centroids=8,
+                       vector_column="residual", iterations=3)
+    r_flat = recall(ivf_pq_topk(emb, queries, cents, flat_books, k=5,
+                                n_probe=6).collect())
+    r_res = recall(ivf_pq_topk(emb, queries, cents, res_books, k=5,
+                               n_probe=6, residual=True).collect())
+    assert r_res >= r_flat - 1e-9, (r_res, r_flat)
+    assert r_res >= 0.5, r_res
