@@ -1574,7 +1574,33 @@ def q45_similarity_ivf(spark, sf_dir):
     pq = pq_topk(pq_encode(vpq, books), books, pq_queries, k=5).select(
         F.lit("pq").alias("op"), "query_id", "vec_id",
         F.floor(F.col("score") + 0.5).cast("long").alias("score"))
-    return ivf.unionByName(proj).unionByName(pq)
+
+    # 'disk' (r8): the PERSISTED PQ index end-to-end — build to a temp
+    # path (codes + vectors in cluster/batch-partitioned subtrees),
+    # then the two-phase search: pruned code partitions -> ADC
+    # shortlist -> exact re-rank reading only the shortlist's vectors.
+    # Full probe + the lossless regime make the re-ranked dot equal
+    # the 'pq' integers, so the same brute-force SQL oracle applies.
+    import shutil
+    import tempfile
+
+    from dsgrid_spark.pipeline.pq import pq_search, write_pq_index
+
+    tmp = tempfile.mkdtemp(prefix="dsgrid_q45_disk_")
+    try:
+        write_pq_index(vpq, f"{tmp}/idx", centroids, books)
+        disk_queries = [(r["query_id"], list(r["embedding"]))
+                        for r in pq_queries.collect()]
+        disk = pq_search(spark, f"{tmp}/idx", disk_queries, k=5,
+                         n_probe=len(centroids), shortlist=20).select(
+            F.lit("disk").alias("op"),
+            "query_id",
+            F.col("id").alias("vec_id"),
+            F.floor(F.col("score") + 0.5).cast("long").alias("score"),
+        ).localCheckpoint()  # materialize before the index dir vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return ivf.unionByName(proj).unionByName(pq).unionByName(disk)
 
 
 def q46_sample_and_cap(spark, sf_dir):
@@ -3257,6 +3283,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id < 20
             UNION ALL
             SELECT 'pq', q.vec_id AS query_id, c.vec_id,
+                   CAST(floor(list_sum(list_transform(range(64), i ->
+                     floor(CAST(c.embedding[i + 1] AS DOUBLE) * 2)
+                     * floor(CAST(q.embedding[i + 1] AS DOUBLE) * 2)))
+                     + 0.5) AS BIGINT) AS score
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_sum(list_transform(range(64), i ->
+                     floor(CAST(c.embedding[i + 1] AS DOUBLE) * 2)
+                     * floor(CAST(q.embedding[i + 1] AS DOUBLE) * 2))) DESC,
+                         c.vec_id) <= 5
+            UNION ALL
+            SELECT 'disk', q.vec_id AS query_id, c.vec_id,
                    CAST(floor(list_sum(list_transform(range(64), i ->
                      floor(CAST(c.embedding[i + 1] AS DOUBLE) * 2)
                      * floor(CAST(q.embedding[i + 1] AS DOUBLE) * 2)))
