@@ -759,10 +759,13 @@ def _read_meta(spark, path: str) -> dict:
 
 
 def _assign_encode(df, centroids, codebooks, id_column, vector_column,
-                   assign_strategy, batch_id):
+                   assign_strategy, batch_id, residual=False):
     """(codes, vectors) frames for one batch, both carrying
     (cluster, batch) partition columns; the coarse assignment is
-    localCheckpointed because both outputs read it."""
+    localCheckpointed because both outputs read it. ``residual``
+    encodes (vector − coarse centroid) instead of the raw vector —
+    the IVFADC layout; the stored VECTORS stay raw either way (the
+    re-rank wants the true vector)."""
     from dsgrid_spark.pipeline.similarity import assign_nearest_centroid
 
     assigned = (
@@ -772,7 +775,16 @@ def _assign_encode(df, centroids, codebooks, id_column, vector_column,
         .select(F.col(id_column).alias("id"),
                 F.col(vector_column).alias("embedding"), "cluster")
         .localCheckpoint())
-    codes = (pq_encode(assigned, codebooks, id_column="id",
+    if residual:
+        cent_df = F.broadcast(df.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cluster int, __cent array<double>"))
+        enc_in = assigned.join(cent_df, "cluster").select(
+            "id", F.zip_with(F.col("embedding"), F.col("__cent"),
+                             lambda x, y: x - y).alias("embedding"))
+    else:
+        enc_in = assigned
+    codes = (pq_encode(enc_in, codebooks, id_column="id",
                        vector_column="embedding")
              .join(assigned.select("id", "cluster"), "id")
              .withColumn("batch", F.lit(batch_id)))
@@ -786,7 +798,8 @@ def write_pq_index(df: DataFrame, path: str,
                    id_column: str = "vec_id",
                    vector_column: str = "embedding",
                    store_vectors: bool = True,
-                   assign_strategy: str = "auto") -> None:
+                   assign_strategy: str = "auto",
+                   residual: bool = False) -> None:
     """Build a persisted IVF-PQ index: assign each vector to its
     nearest coarse centroid, PQ-encode ONCE, and write codes (and,
     with ``store_vectors``, the originals for exact re-ranking)
@@ -796,7 +809,11 @@ def write_pq_index(df: DataFrame, path: str,
 
     ``store_vectors=False`` builds a codes-only index (12–24x smaller
     on disk at production m); searches are then ADC-only
-    (``rerank`` unavailable). Rebuild order follows write_ivf_index:
+    (``rerank`` unavailable). ``residual=True`` stores IVFADC codes
+    (quantized vector − coarse centroid; pass codebooks trained on
+    :func:`coarse_residuals` output) — the flag rides the meta row, so
+    appends encode and searches score consistently without the caller
+    restating it. Rebuild order follows write_ivf_index:
     the old log and intents are deleted FIRST so a crash mid-rebuild
     cannot leave committed ids pointing at vanished data.
     """
@@ -814,7 +831,8 @@ def write_pq_index(df: DataFrame, path: str,
     indexlog.delete_glob(spark, f"{path}/intents")
     codes, vectors = _assign_encode(df, coarse_centroids, codebooks,
                                     id_column, vector_column,
-                                    assign_strategy, indexlog.BASE_BATCH)
+                                    assign_strategy, indexlog.BASE_BATCH,
+                                    residual=residual)
     (codes.repartition("cluster")
        .write.mode("overwrite").partitionBy("cluster", "batch")
        .parquet(f"{path}/codes"))
@@ -831,8 +849,9 @@ def write_pq_index(df: DataFrame, path: str,
                            "j int, i int, centroid array<double>")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
     (spark.createDataFrame(
-        [(dim, m, k, dsub, bool(store_vectors))],
-        "dim int, m int, k int, dsub int, store_vectors boolean")
+        [(dim, m, k, dsub, bool(store_vectors), bool(residual))],
+        "dim int, m int, k int, dsub int, store_vectors boolean, "
+        "residual boolean")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
@@ -877,7 +896,9 @@ def append_pq_index(df: DataFrame, path: str,
     codebooks = _read_codebooks(spark, path)
     codes, vectors = _assign_encode(df, centroids, codebooks, id_column,
                                     vector_column, assign_strategy,
-                                    batch_id)
+                                    batch_id,
+                                    residual=bool(meta.get("residual",
+                                                           False)))
     (codes.repartition("cluster")
        .write.mode("append").partitionBy("cluster", "batch")
        .parquet(f"{path}/codes"))
@@ -908,7 +929,9 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     Returns (query_id, id, score): re-ranked scores are EXACT
     (dot(q, v) for ``ip``, −‖q−v‖² for ``l2``); ADC-only scores are
     the LUT approximations, as :func:`pq_topk`. ``method`` as
-    :func:`pq_topk`.
+    :func:`pq_topk`. An index built with ``residual=True`` is scored
+    with per-(query, probed-list) IVFADC tables automatically — the
+    flag rides the meta row, callers never restate it.
     """
     import math
 
@@ -953,20 +976,44 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     codes = (indexlog.read_committed(spark, path, "codes", ids=committed)
              .filter(F.col("cluster").isin(probed_clusters)))
     candidates = codes.join(probes, "cluster")
-    lut_rows = _lut_rows(codebooks, lut_queries, metric)
-    if method == "arrow":
-        scored = _adc_rows_arrow(candidates, lut_rows, "query_id",
-                                 "id", "code")
+    if meta.get("residual", False):
+        # IVFADC codes: per-(query, probed list) tables, keyed on both
+        # columns (the in-memory ivf_pq_topk(residual=True) shape)
+        probe_map: dict = {}
+        for qid, cl in probe_rows:
+            probe_map.setdefault(qid, []).append(cl)
+        lut_rows = _residual_lut_rows(codebooks, lut_queries, probe_map,
+                                      centroids, metric)
+        if method == "arrow":
+            scored = _adc_rows_arrow(candidates, lut_rows, "query_id",
+                                     "id", "code", cluster_column="cluster")
+        else:
+            schema = StructType([
+                StructField("query_id",
+                            candidates.schema["query_id"].dataType),
+                StructField("cluster", IntegerType()),
+                StructField("__lut", ArrayType(ArrayType(DoubleType()))),
+            ])
+            luts = F.broadcast(spark.createDataFrame(
+                [(qid, cl, lut) for (qid, cl), lut in lut_rows], schema))
+            scored = (candidates.join(luts, ["query_id", "cluster"])
+                      .select("query_id", "id",
+                              _adc_score("code").alias("score")))
     else:
-        schema = StructType([
-            StructField("query_id",
-                        candidates.schema["query_id"].dataType),
-            StructField("__lut", ArrayType(ArrayType(DoubleType()))),
-        ])
-        luts = F.broadcast(spark.createDataFrame(lut_rows, schema))
-        scored = (candidates.join(luts, "query_id")
-                  .select("query_id", "id",
-                          _adc_score("code").alias("score")))
+        lut_rows = _lut_rows(codebooks, lut_queries, metric)
+        if method == "arrow":
+            scored = _adc_rows_arrow(candidates, lut_rows, "query_id",
+                                     "id", "code")
+        else:
+            schema = StructType([
+                StructField("query_id",
+                            candidates.schema["query_id"].dataType),
+                StructField("__lut", ArrayType(ArrayType(DoubleType()))),
+            ])
+            luts = F.broadcast(spark.createDataFrame(lut_rows, schema))
+            scored = (candidates.join(luts, "query_id")
+                      .select("query_id", "id",
+                              _adc_score("code").alias("score")))
     n_short = k if not rerank else max(k, shortlist or 4 * k)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.col("id"))

@@ -410,3 +410,38 @@ def test_residual_vs_flat_recall_on_fitted_codebooks(spark):
                                n_probe=6, residual=True).collect())
     assert r_res >= r_flat - 1e-9, (r_res, r_flat)
     assert r_res >= 0.5, r_res
+
+
+def test_pq_index_residual_flag_rides_meta(spark, tmp_path):
+    """A residual=True index encodes IVFADC codes and pq_search scores
+    them with per-(query, list) tables WITHOUT the caller restating the
+    flag; appends inherit it from the meta row. Lossless residual
+    codebooks make the full-probe ADC search equal true dot top-k."""
+    from dsgrid_spark.pipeline.pq import (
+        append_pq_index, coarse_residuals, pq_search, write_pq_index,
+    )
+
+    emb = _corpus(spark, n=90, dim=8, quant=2)
+    cents = kmeans_centroids(emb, n_clusters=3, dim=8, iterations=2)
+    books = exact_codebooks(coarse_residuals(emb, cents), dim=8,
+                            n_subvectors=4, vector_column="residual")
+    path = str(tmp_path / "residx")
+    a = emb.filter(F.col("vec_id") < 60)
+    b = emb.filter(F.col("vec_id") >= 60)
+    write_pq_index(a, path, cents, books, residual=True)
+    assert append_pq_index(b, path, batch_id="b1") is True
+    queries = [(r["vec_id"], list(r["embedding"]))
+               for r in emb.filter(F.col("vec_id") < 3).collect()]
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for method in ("hof", "arrow"):
+        got = {}
+        for r in pq_search(spark, path, queries, k=5, n_probe=3,
+                           rerank=False, method=method).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["id"], round(r["score"], 9)))
+        for qid, _ in queries:
+            scored = sorted(
+                ((sum(x * y for x, y in zip(vecs[qid], v)), -i), i)
+                for i, v in vecs.items())
+            want = [(i, round(sc[0], 9)) for sc, i in reversed(scored[-5:])]
+            assert got[qid] == want, (method, qid)
