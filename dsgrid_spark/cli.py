@@ -384,6 +384,162 @@ def cmd_registry_prune(args) -> int:
     return 0
 
 
+def _index_kind(spark, path: str) -> str:
+    """term | ivf | pq, detected from the index layout (works over any
+    Spark-supported filesystem, like the indexlog helpers)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def exists(sub: str) -> bool:
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        return jp.getFileSystem(conf).exists(jp)
+
+    if exists("meta") and exists("codes"):
+        return "pq"
+    if exists("postings"):
+        return "term"
+    if exists("vectors") and exists("centroids"):
+        return "ivf"
+    raise SystemExit(f"no term/ivf/pq index found at {path}")
+
+
+def _parse_vectors(raw: list[str]) -> list[tuple[int, list[float]]]:
+    out = []
+    for i, v in enumerate(raw):
+        out.append((i, [float(x) for x in json.loads(v)]))
+    return out
+
+
+def cmd_index_build(args) -> int:
+    """Build a persisted index from a parquet table — the CLI face of
+    write_term_index / write_ivf_index / write_pq_index (fits k-means
+    coarse lists, and PQ codebooks, from the input itself)."""
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    df = spark.read.parquet(args.input)
+    if args.kind == "term":
+        from dsgrid_spark.pipeline.retrieval import write_term_index
+
+        write_term_index(df, args.path, id_column=args.id_column,
+                         text_column=args.text_column,
+                         n_buckets=args.n_buckets,
+                         positions=args.positions,
+                         analyzer=args.analyzer)
+    else:
+        from dsgrid_spark.pipeline.similarity import kmeans_centroids
+
+        dim = len(df.select(args.vector_column).first()[0])
+        cents = kmeans_centroids(df, args.n_clusters, dim,
+                                 args.vector_column,
+                                 fit_sample_cap=args.fit_sample_cap)
+        if args.kind == "ivf":
+            from dsgrid_spark.pipeline.similarity import write_ivf_index
+
+            write_ivf_index(df, args.path, cents,
+                            id_column=args.id_column,
+                            vector_column=args.vector_column)
+        else:
+            from dsgrid_spark.pipeline.pq import (
+                coarse_residuals, pq_fit, write_pq_index,
+            )
+
+            fit_df, fit_col = df, args.vector_column
+            if args.residual:
+                fit_df = coarse_residuals(df, cents,
+                                          id_column=args.id_column,
+                                          vector_column=args.vector_column)
+                fit_col = "residual"
+            books = pq_fit(fit_df, dim=dim, n_subvectors=args.m,
+                           n_centroids=args.k, vector_column=fit_col,
+                           fit_sample_cap=args.fit_sample_cap)
+            write_pq_index(df, args.path, cents, books,
+                           id_column=args.id_column,
+                           vector_column=args.vector_column,
+                           store_vectors=not args.no_vectors,
+                           residual=args.residual)
+    print(f"built {args.kind} index at {args.path}")
+    return 0
+
+
+def cmd_index_append(args) -> int:
+    """Exactly-once batch append; the index kind is detected from the
+    layout and the batch id defaults to an intent-claimed auto id."""
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    df = spark.read.parquet(args.input)
+    kind = _index_kind(spark, args.path)
+    if kind == "term":
+        from dsgrid_spark.pipeline.retrieval import append_term_index
+
+        ok = append_term_index(df, args.path, id_column=args.id_column,
+                               text_column=args.text_column,
+                               batch_id=args.batch_id)
+    elif kind == "ivf":
+        from dsgrid_spark.pipeline.similarity import append_ivf_index
+
+        ok = append_ivf_index(df, args.path, id_column=args.id_column,
+                              vector_column=args.vector_column,
+                              batch_id=args.batch_id)
+    else:
+        from dsgrid_spark.pipeline.pq import append_pq_index
+
+        ok = append_pq_index(df, args.path, id_column=args.id_column,
+                             vector_column=args.vector_column,
+                             batch_id=args.batch_id)
+    print("ingested" if ok else "replay: batch already committed")
+    return 0
+
+
+def cmd_index_search(args) -> int:
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    kind = _index_kind(spark, args.path)
+    if kind == "term":
+        if args.phrase:
+            from dsgrid_spark.pipeline.retrieval import phrase_search
+
+            df = phrase_search(spark, args.path, " ".join(args.terms))
+        else:
+            from dsgrid_spark.pipeline.retrieval import bm25_search
+
+            if not args.terms:
+                raise SystemExit("term index search needs query terms")
+            df = bm25_search(spark, args.path, args.terms, k=args.k)
+    else:
+        if not args.vector:
+            raise SystemExit(f"{kind} index search needs --vector")
+        queries = _parse_vectors(args.vector)
+        if kind == "ivf":
+            from dsgrid_spark.pipeline.similarity import ivf_search
+
+            df = ivf_search(spark, args.path, queries, k=args.k,
+                            n_probe=args.n_probe)
+        else:
+            from dsgrid_spark.pipeline.pq import pq_search
+
+            df = pq_search(spark, args.path, queries, k=args.k,
+                           n_probe=args.n_probe,
+                           rerank=None if not args.no_rerank else False,
+                           method=args.method)
+    for row in df.collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
+def cmd_index_vacuum(args) -> int:
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    _index_kind(spark, args.path)  # refuse to vacuum a non-index dir
+    out = indexlog.vacuum(spark, args.path, ttl_seconds=args.ttl)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dsgrid-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -501,6 +657,65 @@ def main(argv: list[str] | None = None) -> int:
                     help="also drop data for all but the newest N versions "
                          "per entity (current always kept)")
     rp.set_defaults(fn=cmd_registry_prune)
+
+    idx = sub.add_parser("index", help="build/search/append/vacuum "
+                                       "persisted term/ivf/pq indexes")
+    idxsub = idx.add_subparsers(dest="index_command", required=True)
+
+    ib = idxsub.add_parser("build", help="build an index from parquet")
+    ib.add_argument("kind", choices=["term", "ivf", "pq"])
+    ib.add_argument("input", help="input parquet table")
+    ib.add_argument("path", help="index root directory")
+    ib.add_argument("--id-column", default="doc_id")
+    ib.add_argument("--text-column", default="text")
+    ib.add_argument("--vector-column", default="embedding")
+    ib.add_argument("--n-buckets", type=int, default=64,
+                    help="term: postings hash buckets")
+    ib.add_argument("--positions", action="store_true",
+                    help="term: positional postings (phrase search)")
+    ib.add_argument("--analyzer", default="simple")
+    ib.add_argument("--n-clusters", type=int, default=64,
+                    help="ivf/pq: coarse k-means lists")
+    ib.add_argument("--m", type=int, default=8,
+                    help="pq: subvectors per vector")
+    ib.add_argument("--k", type=int, default=256,
+                    help="pq: centroids per subspace")
+    ib.add_argument("--residual", action="store_true",
+                    help="pq: IVFADC residual codes")
+    ib.add_argument("--no-vectors", action="store_true",
+                    help="pq: codes-only index (no exact re-rank)")
+    ib.add_argument("--fit-sample-cap", type=int, default=100_000)
+    ib.set_defaults(fn=cmd_index_build)
+
+    ia = idxsub.add_parser("append", help="exactly-once batch append")
+    ia.add_argument("path")
+    ia.add_argument("input", help="batch parquet table")
+    ia.add_argument("--batch-id", default=None)
+    ia.add_argument("--id-column", default="doc_id")
+    ia.add_argument("--text-column", default="text")
+    ia.add_argument("--vector-column", default="embedding")
+    ia.set_defaults(fn=cmd_index_append)
+
+    isr = idxsub.add_parser("search", help="search a persisted index")
+    isr.add_argument("path")
+    isr.add_argument("terms", nargs="*", help="term index: query terms")
+    isr.add_argument("--phrase", action="store_true",
+                     help="term index: exact phrase search")
+    isr.add_argument("--vector", action="append", default=[],
+                     help="ivf/pq: JSON query vector (repeatable; "
+                          "query ids are 0..n-1)")
+    isr.add_argument("-k", type=int, default=10)
+    isr.add_argument("--n-probe", type=int, default=2)
+    isr.add_argument("--no-rerank", action="store_true",
+                     help="pq: ADC-only scores")
+    isr.add_argument("--method", default="hof", choices=["hof", "arrow"])
+    isr.set_defaults(fn=cmd_index_search)
+
+    iv = idxsub.add_parser("vacuum", help="reclaim crashed-append debris")
+    iv.add_argument("path")
+    iv.add_argument("--ttl", type=float, default=86400.0,
+                    help="seconds; younger intents/dirs survive")
+    iv.set_defaults(fn=cmd_index_vacuum)
 
     args = p.parse_args(argv)
     if hasattr(args, "kind") and args.command == "registry":

@@ -812,3 +812,64 @@ def test_alias_version_metadata_only_bump(spark, load_df, tmp_path):
     assert dst.latest_version("datasets", "load") == "4.0.0"
     ddf, _ = dst.load_catalog().dataset("load")
     assert ddf.count() == 2
+
+
+def test_cli_index_build_search_append_vacuum(spark, tmp_path, capsys):
+    """The `index` CLI group drives the persisted-index lifecycle end
+    to end: build term + pq indexes from parquet, search both (bm25
+    terms; pq vector with re-rank), exactly-once append (replay
+    message), vacuum reporting zero removals on a clean index, and
+    kind auto-detection refusing a non-index dir."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from dsgrid_spark.cli import main as cli_main
+
+    docs = spark.createDataFrame(
+        [(0, "spark window stream"), (1, "stream engine data"),
+         (2, "window window vector")], "doc_id long, text string")
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    tidx = str(tmp_path / "tidx")
+    assert cli_main(["index", "build", "term", src, tidx,
+                     "--n-buckets", "8"]) == 0
+    capsys.readouterr()
+    assert cli_main(["index", "search", tidx, "window", "-k", "2"]) == 0
+    rows = [_json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["id"] for r in rows} <= {0, 2} and rows
+
+    extra = spark.createDataFrame([(3, "more window text")],
+                                  "doc_id long, text string")
+    src2 = str(tmp_path / "docs2.parquet")
+    extra.write.parquet(src2)
+    assert cli_main(["index", "append", tidx, src2,
+                     "--batch-id", "b1"]) == 0
+    assert "ingested" in capsys.readouterr().out
+    assert cli_main(["index", "append", tidx, src2,
+                     "--batch-id", "b1"]) == 0
+    assert "replay" in capsys.readouterr().out
+    assert cli_main(["index", "vacuum", tidx, "--ttl", "3600"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out == {"data_dirs_removed": 0, "intents_removed": 0}
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5) for j in range(8)])
+         for i in range(30)], "vec_id long, embedding array<double>")
+    esrc = str(tmp_path / "emb.parquet")
+    emb.write.parquet(esrc)
+    pidx = str(tmp_path / "pidx")
+    assert cli_main(["index", "build", "pq", esrc, pidx,
+                     "--id-column", "vec_id", "--n-clusters", "2",
+                     "--m", "4", "--k", "8"]) == 0
+    capsys.readouterr()
+    qv = _json.dumps([float((7 + j * 3) % 5) for j in range(8)])
+    assert cli_main(["index", "search", pidx, "--vector", qv,
+                     "-k", "3", "--n-probe", "2"]) == 0
+    rows = [_json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3 and rows[0]["id"] == 1  # self is the argmax
+
+    with _pytest.raises(SystemExit, match="no term/ivf/pq index"):
+        cli_main(["index", "vacuum", str(tmp_path)])
