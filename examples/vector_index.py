@@ -1,0 +1,88 @@
+"""End-to-end billion-scale-shaped ANN lifecycle over the synthetic
+embeddings table — at toy size, but every step is the 1e9-vector
+recipe:
+
+    coarse k-means lists -> residual (IVFADC) codebooks
+    -> persisted PQ index (codes + re-rank vectors, partition-pruned)
+    -> exactly-once batch append -> two-phase search
+       (pruned code scan -> ADC shortlist -> exact re-rank of ONLY the
+        shortlist's vectors) -> crash-debris vacuum
+
+The same flow is scriptable from the CLI:
+
+    python -m dsgrid_spark index build pq emb.parquet /idx \\
+        --id-column vec_id --residual
+    python -m dsgrid_spark index search /idx --vector "[...]" -k 10
+    python -m dsgrid_spark index append /idx batch.parquet
+    python -m dsgrid_spark index vacuum /idx --ttl 86400
+
+Run:  python examples/vector_index.py [sf_dir]      # default sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dsgrid_spark.pipeline import indexlog  # noqa: E402
+from dsgrid_spark.pipeline.pq import (  # noqa: E402
+    append_pq_index,
+    coarse_residuals,
+    pq_fit,
+    pq_search,
+    write_pq_index,
+)
+from dsgrid_spark.pipeline.similarity import kmeans_centroids  # noqa: E402
+from dsgrid_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("vector-index-example", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    dim = len(emb.select("embedding").first()[0])
+
+    # 1. coarse inverted lists + residual codebooks (IVFADC)
+    cents = kmeans_centroids(emb, n_clusters=8, dim=dim, iterations=3)
+    books = pq_fit(coarse_residuals(emb, cents), dim=dim, n_subvectors=8,
+                   n_centroids=16, vector_column="residual")
+
+    # 2. build the persisted index from the first half, append the rest
+    half = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    path = tempfile.mkdtemp(prefix="vector_index_") + "/idx"
+    write_pq_index(emb.filter(F.col("vec_id") <= half), path, cents,
+                   books, residual=True)
+    appended = append_pq_index(emb.filter(F.col("vec_id") > half), path,
+                               batch_id="batch2")
+    replay = append_pq_index(emb.filter(F.col("vec_id") > half), path,
+                             batch_id="batch2")
+    print(f"index at {path}: appended={appended}, replay no-op={not replay}")
+
+    # 3. two-phase search: ADC shortlist over pruned code partitions,
+    #    exact re-rank reading only the shortlist's vectors
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in emb.orderBy("vec_id").limit(3).collect()]
+    hits = pq_search(spark, path, queries, k=5, n_probe=4,
+                     shortlist=50).collect()
+    for qid in sorted({r["query_id"] for r in hits}):
+        top = [(r["id"], round(r["score"], 3))
+               for r in hits if r["query_id"] == qid]
+        print(f"query {qid}: top-5 {top}")
+
+    # 4. lifecycle hygiene: reclaim any crashed-append debris
+    print("vacuum:", indexlog.vacuum(spark, path, ttl_seconds=0.0))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
