@@ -328,3 +328,45 @@ def test_dsir_scoring_broadcasts_bucket_table(spark):
     # may legitimately sort-merge — both of ITS sides are corpus-sized)
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_pq_search_prunes_partitions_and_pushes_shortlist_ids(
+        spark, tmp_path):
+    """The persisted-PQ re-rank scan must (a) prune to probed cluster
+    partitions AND the committed batch, and (b) push the shortlist's id
+    list into the parquet scan — the 'reads ONLY the shortlist's
+    vectors' claim as a plan assertion. The ADC scan side is covered by
+    partition pruning on codes/ (same layout), asserted via the final
+    plan's scan when rerank=False."""
+    import math
+    import random
+
+    from dsgrid_spark.pipeline.pq import (
+        exact_codebooks, pq_search, write_pq_index,
+    )
+    from dsgrid_spark.pipeline.similarity import kmeans_centroids
+
+    rnd = random.Random(3)
+    rows = [(i, [float(math.floor(rnd.gauss(0, 1) * 2))
+                 for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=8, iterations=2)
+    path = str(tmp_path / "pqidx")
+    write_pq_index(emb, path, cents, books)
+    queries = [(0, rows[0][1])]
+
+    rr = pq_search(spark, path, queries, k=5, n_probe=2)
+    plan = _plan(rr)
+    # re-rank scan: committed-batch + probed-cluster partition filters,
+    # shortlist ids pushed into the parquet reader
+    assert "PartitionFilters" in plan
+    assert "batch" in plan and "cluster" in plan.lower()
+    assert "In(id, [" in plan
+    assert "vectors" in plan  # it is the vectors subtree being scanned
+
+    adc = pq_search(spark, path, queries, k=5, n_probe=2, rerank=False)
+    plan2 = _plan(adc)
+    assert "/codes" in plan2 and "/vectors" not in plan2
+    assert "cluster" in plan2.lower() and "PartitionFilters" in plan2
