@@ -431,11 +431,45 @@ def cosine_neardup_pairs(
     )
 
 
+def _kmeanspp_seeds(sample: list[list[float]], k: int, rnd) -> list[list[float]]:
+    """k-means++ (Arthur/Vassilvitskii SODA'07) D² seeding over the
+    collected sample, with COSINE distance (1 − cos) to match the
+    assignment metric. Driver-side numpy: each new seed costs one
+    matrix-vector product over the pool — O(k · pool · dim) flops,
+    bounded because the pool is already capped at max(20k, 200) rows."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    norms = np.sqrt((x * x).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = x / norms[:, None]
+    first = rnd.randrange(len(sample))
+    picked = [first]
+    d = 1.0 - unit @ unit[first]
+    np.maximum(d, 0.0, out=d)
+    for _ in range(1, min(k, len(sample))):
+        w = d * d
+        total = float(w.sum())
+        if total <= 0:  # every point coincides with a seed already
+            remaining = [i for i in range(len(sample)) if i not in picked]
+            if not remaining:
+                break
+            picked.append(remaining[rnd.randrange(len(remaining))])
+            continue
+        r = rnd.random() * total
+        i = int(np.searchsorted(np.cumsum(w), r))
+        i = min(i, len(sample) - 1)
+        picked.append(i)
+        d = np.minimum(d, np.maximum(1.0 - unit @ unit[i], 0.0))
+    return [list(map(float, x[i])) for i in picked]
+
+
 def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
                      vector_column: str = "embedding",
                      iterations: int = 5, seed: int = 11,
                      fit_sample_cap: int | None = None,
-                     assign_strategy: str = "auto") -> list[list[float]]:
+                     assign_strategy: str = "auto",
+                     init: str = "sample") -> list[list[float]]:
     """Plain k-means via DataFrame aggregations (no MLlib dependency).
 
     ``assign_strategy`` flows to :func:`assign_nearest_centroid`; pass
@@ -460,6 +494,12 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
     Bachem et al., NeurIPS 2018 on uniform coresets for stable
     clusterings). Callers that need the exact full-corpus fixed point
     (driver-oracled paths) leave it None.
+
+    ``init``: ``sample`` (default — uniform draw from the seed pool,
+    the historical behavior every oracled path pins) or ``kmeanspp``
+    (opt-in D² seeding over the same pool, cosine metric): rare-but-
+    distinct clusters that uniform sampling misses get a seed with
+    near-certainty, at O(k · pool · dim) driver numpy cost.
     """
     import math
     import random
@@ -483,7 +523,12 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
     if len(sample) < n_clusters:  # tiny corpus: fall back to everything
         sample = [list(r[vector_column])
                   for r in fit_df.select(vector_column).limit(n_pool).collect()]
-    centroids = rnd.sample(sample, min(n_clusters, len(sample)))
+    if init == "kmeanspp":
+        centroids = _kmeanspp_seeds(sample, n_clusters, rnd)
+    elif init == "sample":
+        centroids = rnd.sample(sample, min(n_clusters, len(sample)))
+    else:
+        raise ValueError(f"init must be sample|kmeanspp, got {init!r}")
     for _ in range(iterations):
         assigned = assign_nearest_centroid(fit_df, centroids, vector_column,
                                            strategy=assign_strategy)

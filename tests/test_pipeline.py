@@ -3234,3 +3234,39 @@ def test_approx_top_ngrams_capacity_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="capacity"):
         approx_top_ngrams(None, k=20, capacity=10)
+
+
+def test_kmeanspp_init_covers_rare_cluster(spark):
+    """Opt-in k-means++ D² seeding: a tiny-but-orthogonal cluster that
+    uniform pool sampling usually misses gets a seed with
+    near-certainty, so every family ends up owning a centroid; default
+    init unchanged (oracled paths pin it) and bad names fail loudly."""
+    from dsgrid_spark.pipeline.similarity import (
+        assign_nearest_centroid, kmeans_centroids,
+    )
+
+    # 3 dense orthogonal families + 1 rare family (3 rows, spread
+    # through the id range so the capped seed pool contains them)
+    rare = {50, 150, 250}
+    rows = []
+    for i in range(303):
+        fam = 3 if i in rare else i % 3
+        mag = float(1 + i % 5)
+        rows.append((i, [mag if d == fam * 2 else 0.0 for d in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, n_clusters=4, dim=8, iterations=3,
+                             init="kmeanspp")
+    assigned = assign_nearest_centroid(df, cents)
+    fams = (assigned.withColumn(
+        "fam", F.when(F.col("vec_id").isin(50, 150, 250), F.lit(3))
+        .otherwise(F.col("vec_id") % 3))
+        .select("fam", "__cluster").distinct().collect())
+    by_fam = {}
+    for r in fams:
+        by_fam.setdefault(r["fam"], set()).add(r["__cluster"])
+    # orthogonal families: every family maps to exactly one centroid,
+    # and no two families share one — 4 clusters, 4 families, bijective
+    assert all(len(v) == 1 for v in by_fam.values()), by_fam
+    assert len({next(iter(v)) for v in by_fam.values()}) == 4, by_fam
+    with pytest.raises(ValueError, match="init"):
+        kmeans_centroids(df, n_clusters=4, dim=8, init="nope")
