@@ -168,6 +168,15 @@ def test_pq_string_query_ids_and_empty_corpus(spark):
     assert {r["query_id"] for r in out} == {"q0", "q1"}
     assert all(len([r for r in out if r["query_id"] == q]) == 3
                for q in ("q0", "q1"))
+    # the arrow kernel handles string ids too (object-dtype lexsort)
+    scodes = codes.select(F.concat(F.lit("v"), F.col("vec_id"))
+                          .alias("vec_id"), "code")
+    arrow = pq_topk(scodes, books, queries, k=3, method="arrow").collect()
+    hof = pq_topk(scodes, books, queries, k=3).collect()
+    key = lambda rows: sorted((r["query_id"], r["vec_id"], r["score"])
+                              for r in rows)
+    assert key(arrow) == key(hof)
+    assert all(r["vec_id"].startswith("v") for r in arrow)
     empty = emb.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="corpus is empty"):
         exact_codebooks(empty, dim=8, n_subvectors=4)
