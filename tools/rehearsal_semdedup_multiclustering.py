@@ -1,5 +1,6 @@
 """Round-8 SemDeDup multi-clustering rehearsal at sf10: plant known
-near-duplicate pairs into the 200k-vector embeddings table (each
+near-duplicate pairs into the embeddings table (vec_id < 100k = 20k
+rows — the table's ids are sparse; each
 planted copy is a deterministic small perturbation, cosine ~0.999),
 then measure how many planted pairs semantic_dedup catches under 1 vs
 2 independent clusterings, and what the second clustering costs. The
