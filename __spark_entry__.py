@@ -1117,10 +1117,27 @@ def q33_similarity_lsh(spark, sf_dir):
     single = lsh_topk(corpus, queries, dim=6, k=5, n_planes=6)
     probe = lsh_topk(corpus, queries, dim=6, k=5, n_planes=6, n_probes=3)
     sc = F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score")
+
+    # 'ham' (r8): 1-bit sign quantization + Hamming top-k over the REAL
+    # embeddings table — the binary-embedding scan (~1 bit/dim payload,
+    # XOR+popcount per candidate). Hamming distance is an exact integer
+    # (count of sign disagreements), so the oracle recomputes it
+    # directly from element signs with identical (distance asc, id asc)
+    # ordering — no packing needed cross-engine.
+    from dsgrid_spark.pipeline.similarity import hamming_topk
+
+    emb_full = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    hq = emb_full.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ham = hamming_topk(emb_full, hq, k=5).select(
+        F.lit("ham").alias("op"), "query_id", "vec_id",
+        F.col("hamming").cast("long").alias("score"))
     return (single.select(F.lit("single").alias("op"),
                           "query_id", "vec_id", sc)
             .unionByName(probe.select(F.lit("probe").alias("op"),
-                                      "query_id", "vec_id", sc)))
+                                      "query_id", "vec_id", sc))
+            .unionByName(ham))
 
 
 def q34_multimodal_features(spark, sf_dir):
@@ -3148,6 +3165,23 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY q.vec_id
                 ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                         c.vec_id) <= 5
+            )
+            UNION ALL
+            SELECT op, query_id, vec_id, score FROM (
+              SELECT 'ham' AS op, q.vec_id AS query_id, c.vec_id,
+                   CAST(list_sum(list_transform(range(64), i ->
+                     CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
+                            <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS score
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_sum(list_transform(range(64), i ->
+                     CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
+                            <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
+                          THEN 1 ELSE 0 END)) ASC,
                          c.vec_id) <= 5
             )
         """,

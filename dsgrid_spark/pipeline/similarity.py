@@ -226,6 +226,98 @@ def brute_force_topk(
     )
 
 
+#: sign bits packed per long — 62 (not 64) so the high->low fold
+#: ``acc*2 + bit`` can never touch the sign bit (max 2^62−1), which
+#: keeps the packing exact under ANSI arithmetic with no shift ops
+BINARY_WORD_BITS = 62
+
+
+def binary_quantize(df: DataFrame, vector_column: str = "embedding",
+                    output_column: str = "bits") -> DataFrame:
+    """1-bit sign quantization: each vector becomes
+    ``ceil(dim/62)`` packed longs — element ``62·w + j > 0`` sets a
+    bit of word ``w``. The most aggressive point on the library's
+    quantization ladder (float64 → int8 ``quantize_embeddings`` →
+    PQ codes → sign bits): ~1 bit per dimension (a ~62× payload cut
+    vs float64), and Hamming distance between two packed vectors is
+    exactly the count of sign disagreements — the standard
+    binary-embedding recipe (bit-sliced candidate scan, exact re-rank
+    behind it).
+
+    Packing is one fold per word — ``aggregate(slice(v, ...), 0L,
+    (acc, x) -> acc*2 + sign_bit(x))`` — pure column expressions, zero
+    shuffle, no shift functions, engine-reproducible: the bit
+    semantics are integer-exact, so cross-engine oracles can compare
+    sign disagreements directly without packing.
+    """
+    v = F.col(vector_column)
+    n = F.size(v)
+    wb = BINARY_WORD_BITS
+    words = F.ceil(n / F.lit(wb)).cast("int")
+    bits = F.transform(
+        F.sequence(F.lit(0), words - 1),
+        lambda w: F.aggregate(
+            F.slice(v, w * wb + 1, wb),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return df.withColumn(output_column, bits)
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed-bits arrays (from
+    :func:`binary_quantize`): Σ bit_count(a[w] XOR b[w]) — whole-stage
+    codegen bit arithmetic, the cheapest distance the library has."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_column: str = "vec_id",
+                 vector_column: str = "embedding",
+                 query_id_column: str = "query_id",
+                 rerank: int | None = None) -> DataFrame:
+    """Top-k nearest neighbors by SIGN-BIT Hamming distance — the
+    binary-embedding scan: both sides quantize to packed longs
+    (:func:`binary_quantize`), each candidate costs ceil(dim/62)
+    XOR + popcount words instead of dim float multiplies, and the scan
+    payload is ~1 bit per dimension. Returns (query_id, id, hamming)
+    ascending, ties to the lowest id.
+
+    ``rerank=N`` keeps an N-deep Hamming shortlist per query and
+    re-ranks it by EXACT cosine against the original vectors (the
+    standard two-phase binary recipe); the result is then
+    (query_id, id, score) cosine-descending like brute_force_topk.
+    """
+    qb = binary_quantize(
+        queries.select(F.col(query_id_column),
+                       F.col(vector_column).alias("__qv")),
+        "__qv", "__qbits")
+    cb = binary_quantize(corpus, vector_column, "__bits")
+    scored = cb.crossJoin(F.broadcast(qb)).select(
+        query_id_column, id_column, F.col(vector_column).alias("__cv"),
+        F.col("__qv"),
+        hamming_distance(F.col("__bits"), F.col("__qbits"))
+        .alias("hamming"))
+    w = Window.partitionBy(query_id_column).orderBy(
+        F.asc("hamming"), F.col(id_column))
+    depth = k if rerank is None else max(k, rerank)
+    short = (scored.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= depth).drop("__rn"))
+    if rerank is None:
+        return short.select(query_id_column, id_column, "hamming")
+    rescored = short.select(
+        query_id_column, id_column,
+        cosine(F.col("__cv"), F.col("__qv")).alias("score"))
+    w2 = Window.partitionBy(query_id_column).orderBy(
+        F.desc("score"), F.col(id_column))
+    return (rescored.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     import random
 

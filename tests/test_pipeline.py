@@ -3270,3 +3270,49 @@ def test_kmeanspp_init_covers_rare_cluster(spark):
     assert len({next(iter(v)) for v in by_fam.values()}) == 4, by_fam
     with pytest.raises(ValueError, match="init"):
         kmeans_centroids(df, n_clusters=4, dim=8, init="nope")
+
+
+def test_binary_quantize_hamming_reference_and_rerank(spark):
+    """1-bit sign quantization + Hamming top-k vs a plain-Python
+    reference: packed words equal the high->low fold, the distance
+    equals the sign-disagreement count, top-k ordering matches
+    (hamming asc, id asc), and the rerank path returns exact cosine
+    with self first."""
+    import random
+
+    from dsgrid_spark.pipeline.similarity import (
+        BINARY_WORD_BITS, binary_quantize, hamming_topk,
+    )
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(70)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pack(v):
+        words = []
+        for w in range(0, len(v), BINARY_WORD_BITS):
+            acc = 0
+            for x in v[w:w + BINARY_WORD_BITS]:
+                acc = acc * 2 + (1 if x > 0 else 0)
+            words.append(acc)
+        return words
+
+    for r in binary_quantize(df).collect():
+        assert list(r["bits"]) == pack(rows[r["vec_id"]][1]), r["vec_id"]
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a, b) if (x > 0) != (y > 0))
+
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {}
+    for r in hamming_topk(df, q, k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["hamming"], r["vec_id"]))
+    for qid in (0, 1):
+        want = sorted((ham(rows[qid][1], v), i) for i, v in rows)[:4]
+        assert got[qid] == want, qid
+    rr = [r for r in hamming_topk(df, q, k=3, rerank=10).collect()
+          if r["query_id"] == 0]
+    assert rr[0]["vec_id"] == 0 and rr[0]["score"] == pytest.approx(1.0)
+    assert [r["score"] for r in rr] == sorted(
+        (r["score"] for r in rr), reverse=True)
