@@ -396,6 +396,12 @@ def _index_kind(spark, path: str) -> str:
 
     if exists("meta") and exists("codes"):
         return "pq"
+    if exists("codes") or exists("codebooks") or exists("meta"):
+        # PQ remnants without a complete (meta + codes) pair: a build
+        # that crashed mid-write. Refusing beats falling through to
+        # "ivf" and appending raw vectors into a half-built PQ tree.
+        raise SystemExit(f"incomplete pq index at {path}: rebuild it "
+                         "with `index build pq`")
     if exists("postings"):
         return "term"
     if exists("vectors") and exists("centroids"):

@@ -250,15 +250,18 @@ def vacuum(spark: SparkSession, index_path: str,
     closes that lifecycle. Rules:
 
     - Committed batches are never touched (their ids are in the log).
-    - An uncommitted batch's data dirs are removed only when the dir
-      itself AND its intent marker (if any) are older than
-      ``ttl_seconds`` — an in-flight append younger than the TTL
-      always survives, whether auto-id (open intent) or caller-named
-      (young data dirs).
-    - Expired intents are removed with their data; an intent whose
-      batch COMMITTED (a crash landed between ``log_batch`` and
-      ``clear_intent``) is stale bookkeeping and removed regardless
-      of age — the committed data is never touched.
+    - An uncommitted batch is judged as a UNIT: it expires only when
+      EVERY artifact it has — its intent marker and all of its data
+      directories — is older than ``ttl_seconds``. A single young
+      artifact keeps the whole batch (an in-flight append always
+      survives, whether auto-id or caller-named), and an intent is
+      only ever removed TOGETHER with the batch's data dirs — removing
+      the marker while data remained would free the auto id for
+      re-claim over leftover rows and strand a crashed retry's own
+      orphan cleanup (the intent contract).
+    - An intent whose batch COMMITTED (a crash landed between
+      ``log_batch`` and ``clear_intent``) is stale bookkeeping and is
+      removed regardless of age — the committed data is never touched.
 
     Readers racing a vacuum stay consistent: every search filters to
     committed batch ids, so a concurrently deleted orphan was never in
@@ -280,28 +283,43 @@ def vacuum(spark: SparkSession, index_path: str,
         return fs, list(fs.globStatus(p) or [])
 
     fs_i, intent_sts = statuses(f"{_intents_path(index_path)}/*")
-    fresh_intents: set[str] = set()
-    expired_intents = []
+    fs_d, data_sts = statuses(f"{index_path}/*/*/batch=*")
+
+    # group every artifact of each UNCOMMITTED batch; stale intents of
+    # committed batches are removable immediately (data never touched)
+    stale_committed_intents = []
+    intent_of: dict[str, object] = {}
+    artifacts: dict[str, list] = {}
     for st in intent_sts:
         bid = st.getPath().getName()
         if bid in committed:
-            expired_intents.append(st)  # stale marker; data is committed
-        elif st.getModificationTime() >= cutoff:
-            fresh_intents.add(bid)
+            stale_committed_intents.append(st)
         else:
-            expired_intents.append(st)
-
-    removed_dirs = 0
-    fs_d, data_sts = statuses(f"{index_path}/*/*/batch=*")
+            intent_of[bid] = st
+            artifacts.setdefault(bid, []).append(st)
+    data_of: dict[str, list] = {}
     for st in data_sts:
         bid = st.getPath().getName().split("=", 1)[1]
-        if bid in committed or bid in fresh_intents:
+        if bid in committed:
             continue
-        if st.getModificationTime() >= cutoff:
-            continue  # young intent-less dir: possibly in-flight, keep
-        fs_d.delete(st.getPath(), True)
-        removed_dirs += 1
-    for st in expired_intents:
+        data_of.setdefault(bid, []).append(st)
+        artifacts.setdefault(bid, []).append(st)
+
+    removed_dirs = 0
+    removed_intents = 0
+    for bid, sts in artifacts.items():
+        if any(st.getModificationTime() >= cutoff for st in sts):
+            continue  # some artifact is young: the batch may be live
+        for st in data_of.get(bid, []):
+            fs_d.delete(st.getPath(), True)
+            removed_dirs += 1
+        # marker removed LAST, and only with its data gone: a crash
+        # mid-vacuum leaves the id reserved over the remaining orphans
+        if bid in intent_of:
+            fs_i.delete(intent_of[bid].getPath(), True)
+            removed_intents += 1
+    for st in stale_committed_intents:
         fs_i.delete(st.getPath(), True)
+        removed_intents += 1
     return {"data_dirs_removed": removed_dirs,
-            "intents_removed": len(expired_intents)}
+            "intents_removed": removed_intents}

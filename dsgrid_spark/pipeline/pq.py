@@ -393,16 +393,19 @@ def _adc_scan_arrow(codes: DataFrame, lut_rows, k: int, id_column: str,
     """
     import numpy as np
 
-    luts = np.asarray([lut for _, lut in lut_rows], dtype=np.float64)
-    qids = [qid for qid, _ in lut_rows]
-    nq, m, _ = luts.shape
-    jj = np.arange(m)
     in_df = codes.select(F.col(id_column), F.col(code_column))
     out_schema = StructType([
         StructField(qid_field.name, qid_field.dataType),
         in_df.schema[id_column],
         StructField("score", DoubleType()),
     ])
+    if not lut_rows:
+        # empty query set: same empty result the hof crossJoin yields
+        return codes.sparkSession.createDataFrame([], out_schema)
+    luts = np.asarray([lut for _, lut in lut_rows], dtype=np.float64)
+    qids = [qid for qid, _ in lut_rows]
+    nq, m, _ = luts.shape
+    jj = np.arange(m)
 
     def score(batches):
         import pandas as pd
@@ -494,10 +497,6 @@ def _adc_rows_arrow(candidates: DataFrame, lut_rows, query_id_column: str,
     as :func:`_adc_scan_arrow`."""
     import numpy as np
 
-    luts = np.asarray([lut for _, lut in lut_rows], dtype=np.float64)
-    kidx = {key: i for i, (key, _) in enumerate(lut_rows)}
-    m = luts.shape[1]
-    jj = np.arange(m)
     key_cols = ([query_id_column] if cluster_column is None
                 else [query_id_column, cluster_column])
     in_df = candidates.select(*key_cols, id_column, code_column)
@@ -506,6 +505,14 @@ def _adc_rows_arrow(candidates: DataFrame, lut_rows, query_id_column: str,
         in_df.schema[id_column],
         StructField("score", DoubleType()),
     ])
+    if not lut_rows:
+        # empty query set: no candidates can resolve (the probes join
+        # is empty too) — return the same empty frame the hof path does
+        return candidates.sparkSession.createDataFrame([], out_schema)
+    luts = np.asarray([lut for _, lut in lut_rows], dtype=np.float64)
+    kidx = {key: i for i, (key, _) in enumerate(lut_rows)}
+    m = luts.shape[1]
+    jj = np.arange(m)
 
     def score(batches):
         for pdf in batches:
@@ -528,6 +535,22 @@ def _adc_rows_arrow(candidates: DataFrame, lut_rows, query_id_column: str,
     return in_df.mapInPandas(score, out_schema)
 
 
+def _subtract_coarse(assigned: DataFrame, centroids: list[list[float]],
+                     cluster_column: str, vector_column: str,
+                     output_column: str) -> DataFrame:
+    """vector − assigned coarse centroid, via ONE broadcast centroid
+    join + zip_with — the shared residual step of coarse_residuals,
+    the residual encode path, and residual IVF-PQ."""
+    cent_df = F.broadcast(assigned.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        f"{cluster_column} int, __cent array<double>"))
+    return (assigned.join(cent_df, cluster_column)
+            .withColumn(output_column,
+                        F.zip_with(F.col(vector_column), F.col("__cent"),
+                                   lambda x, y: x - y))
+            .drop("__cent"))
+
+
 def coarse_residuals(df: DataFrame, coarse_centroids: list[list[float]],
                      id_column: str = "vec_id",
                      vector_column: str = "embedding",
@@ -542,17 +565,13 @@ def coarse_residuals(df: DataFrame, coarse_centroids: list[list[float]],
     (Jegou TPAMI'11 §IV). One broadcast join, no extra shuffle."""
     from dsgrid_spark.pipeline.similarity import assign_nearest_centroid
 
-    spark = df.sparkSession
-    cent_df = F.broadcast(spark.createDataFrame(
-        [(i, [float(x) for x in c])
-         for i, c in enumerate(coarse_centroids)],
-        "__cluster int, __cent array<double>"))
-    return (assign_nearest_centroid(df, coarse_centroids, vector_column,
-                                    strategy=assign_strategy)
-            .join(cent_df, "__cluster")
+    assigned = assign_nearest_centroid(df, coarse_centroids,
+                                       vector_column,
+                                       strategy=assign_strategy)
+    return (_subtract_coarse(assigned, coarse_centroids, "__cluster",
+                             vector_column, residual_column)
             .select(F.col(id_column), F.col("__cluster").alias("cluster"),
-                    F.zip_with(F.col(vector_column), F.col("__cent"),
-                               lambda x, y: x - y).alias(residual_column)))
+                    residual_column))
 
 
 def _residual_lut_rows(codebooks, query_vectors, probe_map, centroids,
@@ -616,9 +635,9 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     interpreted-HOF fold for the numpy gather over the probed
     candidates).
     """
-    import math
-
-    from dsgrid_spark.pipeline.similarity import assign_nearest_centroid
+    from dsgrid_spark.pipeline.similarity import (
+        assign_nearest_centroid, rank_probes,
+    )
 
     if metric not in ("ip", "l2"):
         raise ValueError(f"metric must be ip|l2, got {metric!r}")
@@ -633,14 +652,9 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                 .select(id_column, vector_column, "__cluster")
                 .localCheckpoint())
     if residual:
-        cent_df = F.broadcast(spark.createDataFrame(
-            [(i, [float(x) for x in c])
-             for i, c in enumerate(coarse_centroids)],
-            "__cluster int, __cent array<double>"))
-        enc_in = assigned.join(cent_df, "__cluster").select(
-            id_column,
-            F.zip_with(F.col(vector_column), F.col("__cent"),
-                       lambda x, y: x - y).alias("__r"))
+        enc_in = _subtract_coarse(assigned, coarse_centroids,
+                                  "__cluster", vector_column,
+                                  "__r").select(id_column, "__r")
         coded = pq_encode(enc_in, codebooks, id_column=id_column,
                           vector_column="__r").join(
             assigned.select(id_column, "__cluster"), id_column)
@@ -649,22 +663,16 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                           vector_column=vector_column).join(
             assigned.select(id_column, "__cluster"), id_column)
     # the probe list per query is driver-computed over the small
-    # centroid table, like ivf_topk — cosine ranking of coarse lists
-    def cos(a, b):
-        d = (math.sqrt(sum(x * x for x in a))
-             * math.sqrt(sum(x * x for x in b)))
-        return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
-
+    # centroid table (rank_probes: the shared IVF-family ranking)
     probe_rows = []
     probe_map: dict = {}
     qvecs = []
     for r in queries.collect():
         qv = [float(x) for x in r[vector_column]]
         qvecs.append((r[query_id_column], qv))
-        ranked = sorted(range(len(coarse_centroids)),
-                        key=lambda i: -cos(qv, coarse_centroids[i]))
-        probe_map[r[query_id_column]] = ranked[:n_probe]
-        for ci in ranked[:n_probe]:
+        ranked = rank_probes(coarse_centroids, qv, n_probe)
+        probe_map[r[query_id_column]] = ranked
+        for ci in ranked:
             probe_rows.append((r[query_id_column], ci))
     probes = F.broadcast(spark.createDataFrame(
         probe_rows, StructType([queries.schema[query_id_column],
@@ -776,12 +784,9 @@ def _assign_encode(df, centroids, codebooks, id_column, vector_column,
                 F.col(vector_column).alias("embedding"), "cluster")
         .localCheckpoint())
     if residual:
-        cent_df = F.broadcast(df.sparkSession.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cluster int, __cent array<double>"))
-        enc_in = assigned.join(cent_df, "cluster").select(
-            "id", F.zip_with(F.col("embedding"), F.col("__cent"),
-                             lambda x, y: x - y).alias("embedding"))
+        enc_in = (_subtract_coarse(assigned, centroids, "cluster",
+                                   "embedding", "__r")
+                  .select("id", F.col("__r").alias("embedding")))
     else:
         enc_in = assigned
     codes = (pq_encode(enc_in, codebooks, id_column="id",
@@ -840,6 +845,11 @@ def write_pq_index(df: DataFrame, path: str,
         (vectors.repartition("cluster")
            .write.mode("overwrite").partitionBy("cluster", "batch")
            .parquet(f"{path}/vectors"))
+    else:
+        # a rebuild DOWN from store_vectors=True must reclaim the old
+        # full-precision subtree (the dominant payload): meta now says
+        # no vectors, so nothing would ever read OR vacuum it
+        indexlog.delete_glob(spark, f"{path}/vectors")
     cent_rows = [(i, [float(x) for x in c])
                  for i, c in enumerate(coarse_centroids)]
     (spark.createDataFrame(cent_rows,
@@ -933,8 +943,6 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     with per-(query, probed-list) IVFADC tables automatically — the
     flag rides the meta row, callers never restate it.
     """
-    import math
-
     from dsgrid_spark.pipeline import indexlog
 
     if not queries:
@@ -948,14 +956,10 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     if rerank and not meta["store_vectors"]:
         raise ValueError("index was built with store_vectors=False; "
                          "pass rerank=False for ADC-only search")
+    from dsgrid_spark.pipeline.similarity import rank_probes
+
     centroids = _read_centroids(spark, path)
     codebooks = _read_codebooks(spark, path)
-
-    def cos(a, b):
-        d = (math.sqrt(sum(x * x for x in a))
-             * math.sqrt(sum(x * x for x in b)))
-        return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
-
     qid0 = queries[0][0]
     qid_type = "string" if isinstance(qid0, str) else "long"
     probe_rows, lut_queries = [], []
@@ -965,9 +969,7 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
             raise ValueError(f"query dim {len(qv)} != index dim "
                              f"{meta['dim']}")
         lut_queries.append((qid, qv))
-        ranked = sorted(range(len(centroids)),
-                        key=lambda i: -cos(qv, centroids[i]))
-        for ci in ranked[:n_probe]:
+        for ci in rank_probes(centroids, qv, n_probe):
             probe_rows.append((qid, ci))
     probed_clusters = sorted({c for _, c in probe_rows})
     probes = F.broadcast(spark.createDataFrame(

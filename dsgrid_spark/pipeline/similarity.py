@@ -254,7 +254,7 @@ def binary_quantize(df: DataFrame, vector_column: str = "embedding",
     n = F.size(v)
     wb = BINARY_WORD_BITS
     words = F.ceil(n / F.lit(wb)).cast("int")
-    bits = F.transform(
+    packed = F.transform(
         F.sequence(F.lit(0), words - 1),
         lambda w: F.aggregate(
             F.slice(v, w * wb + 1, wb),
@@ -263,6 +263,10 @@ def binary_quantize(df: DataFrame, vector_column: str = "embedding",
             .otherwise(F.lit(0).cast("long")),
         ),
     )
+    # empty vectors pack to an EMPTY array — without the guard,
+    # sequence(0, -1) yields the descending [0, -1] and two junk words
+    bits = F.when(n > 0, packed).otherwise(
+        F.array().cast("array<long>"))
     return df.withColumn(output_column, bits)
 
 
@@ -775,6 +779,28 @@ def _assign_arrow(df: DataFrame, centroids: list[list[float]],
     return df.mapInPandas(assign, out_schema)
 
 
+def rank_probes(centroids: list[list[float]], query_vector,
+                n_probe: int) -> list[int]:
+    """Driver-side coarse-list ranking shared by every IVF-family
+    search (ivf_topk, ivf_search, IVF-PQ, persisted-PQ search): cosine
+    of the query against the tiny centroid table, descending, ties to
+    the LOWER cluster index (deterministic — a dict-order sort would
+    let probe sets flip between runs on exact ties), zero norms -> 0.0
+    (the `cosine` column helper's convention). Returns the n_probe
+    best centroid indices."""
+    import math
+
+    qv = [float(x) for x in query_vector]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cos(c):
+        d = qn * math.sqrt(sum(x * x for x in c))
+        return sum(x * y for x, y in zip(qv, c)) / d if d else 0.0
+
+    return sorted(range(len(centroids)),
+                  key=lambda i: (-cos(centroids[i]), i))[:n_probe]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -792,15 +818,7 @@ def ivf_topk(
     probe_rows = []
     for r in q.collect():  # query set is small by construction
         qv = list(r[vector_column])
-        import math
-
-        def cos(a, b):
-            d = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
-            return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
-
-        ranked = sorted(range(len(centroids)),
-                        key=lambda i: -cos(qv, centroids[i]))
-        for ci in ranked[:n_probe]:
+        for ci in rank_probes(centroids, qv, n_probe):
             probe_rows.append((r[query_id_column], ci, qv))
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(
@@ -871,21 +889,14 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     """
     if not queries:
         raise ValueError("queries must be non-empty")
-    import math
-
     cent = {r["cluster"]: list(r["centroid"])
             for r in spark.read.parquet(f"{path}/centroids").collect()}
-
-    def cos(a, b):
-        d = (math.sqrt(sum(x * x for x in a))
-             * math.sqrt(sum(x * x for x in b)))
-        return sum(x * y for x, y in zip(a, b)) / d if d else 0.0
-
+    keys = sorted(cent)
+    cent_list = [cent[i] for i in keys]
     probe_rows = []
     for qid, qv in queries:
-        ranked = sorted(cent, key=lambda i: -cos(qv, cent[i]))
-        for ci in ranked[:n_probe]:
-            probe_rows.append((qid, ci, [float(x) for x in qv]))
+        for ci in rank_probes(cent_list, qv, n_probe):
+            probe_rows.append((qid, keys[ci], [float(x) for x in qv]))
     qdf = spark.createDataFrame(
         probe_rows, "query_id long, cluster int, __qv array<double>")
     probed_clusters = sorted({r[1] for r in probe_rows})

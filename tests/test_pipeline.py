@@ -2686,6 +2686,19 @@ def test_vacuum_cleans_expired_orphans_keeps_inflight(spark, tmp_path):
     assert indexlog.open_intents(spark, path) == {"auto000002"}
     assert orphan_dirs() > 0
 
+    # the batch expires as a UNIT: back-date the intent marker past any
+    # TTL while its data dirs stay young — vacuum must keep BOTH
+    # (removing just the marker would free the auto id for re-claim
+    # over the leftover rows)
+    jm = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{path}/intents/auto000002")
+    fs = jm.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.setTimes(jm, 1_000, -1)  # epoch ~1970: expired by any TTL
+    out = indexlog.vacuum(spark, path, ttl_seconds=3600)
+    assert out == {"data_dirs_removed": 0, "intents_removed": 0}
+    assert indexlog.open_intents(spark, path) == {"auto000002"}
+    assert orphan_dirs() > 0
+
     time.sleep(1.1)
     out = indexlog.vacuum(spark, path, ttl_seconds=1.0)
     assert out["intents_removed"] == 1  # the expired auto000002 intent
@@ -3316,3 +3329,8 @@ def test_binary_quantize_hamming_reference_and_rerank(spark):
     assert rr[0]["vec_id"] == 0 and rr[0]["score"] == pytest.approx(1.0)
     assert [r["score"] for r in rr] == sorted(
         (r["score"] for r in rr), reverse=True)
+    # (r8 review) an empty vector packs to an EMPTY word array — not
+    # the two junk words sequence(0, -1) would emit
+    ev = spark.createDataFrame([(0, [])],
+                               "vec_id long, embedding array<double>")
+    assert list(binary_quantize(ev).first()["bits"]) == []

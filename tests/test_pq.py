@@ -454,3 +454,37 @@ def test_pq_index_residual_flag_rides_meta(spark, tmp_path):
                 for i, v in vecs.items())
             want = [(i, round(sc[0], 9)) for sc, i in reversed(scored[-5:])]
             assert got[qid] == want, (method, qid)
+
+
+def test_pq_arrow_empty_queries_and_vectorless_rebuild(spark, tmp_path):
+    """(r8 review) method='arrow' with an empty query set returns the
+    same empty frame as hof instead of crashing at plan construction;
+    rebuilding an index DOWN to store_vectors=False reclaims the old
+    full-precision vectors subtree."""
+    import os
+
+    from dsgrid_spark.pipeline.pq import pq_search, write_pq_index
+
+    emb = _corpus(spark, n=30, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    codes = pq_encode(emb, books)
+    empty_q = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    for metric in ("ip", "l2"):
+        a = pq_topk(codes, books, empty_q, k=3, metric=metric,
+                    method="arrow")
+        h = pq_topk(codes, books, empty_q, k=3, metric=metric)
+        assert a.count() == 0 == h.count()
+        assert a.schema == h.schema
+    cents = kmeans_centroids(emb, n_clusters=2, dim=8, iterations=2)
+    assert ivf_pq_topk(emb, empty_q, cents, books, k=3,
+                       method="arrow").count() == 0
+
+    path = str(tmp_path / "idx")
+    write_pq_index(emb, path, cents, books, store_vectors=True)
+    assert os.path.isdir(f"{path}/vectors")
+    write_pq_index(emb, path, cents, books, store_vectors=False)
+    assert not os.path.isdir(f"{path}/vectors")
+    queries = [(0, list(emb.first()["embedding"]))]
+    assert pq_search(spark, path, queries, k=3, n_probe=2,
+                     rerank=False).count() == 3

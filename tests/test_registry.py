@@ -873,3 +873,28 @@ def test_cli_index_build_search_append_vacuum(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="no term/ivf/pq index"):
         cli_main(["index", "vacuum", str(tmp_path)])
+
+
+def test_cli_index_kind_refuses_incomplete_pq(spark, tmp_path, capsys):
+    """(r8 review) a PQ build that crashed before the meta write leaves
+    codes/codebooks without meta — the CLI must refuse rather than
+    misclassify the tree as 'ivf' and append raw vectors into it."""
+    import pytest as _pytest
+
+    from dsgrid_spark.cli import main as cli_main
+
+    emb = spark.createDataFrame(
+        [(i, [float(j + i) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    esrc = str(tmp_path / "emb.parquet")
+    emb.write.parquet(esrc)
+    pidx = str(tmp_path / "pidx")
+    assert cli_main(["index", "build", "pq", esrc, pidx,
+                     "--id-column", "vec_id", "--n-clusters", "2",
+                     "--m", "4", "--k", "4"]) == 0
+    capsys.readouterr()
+    # simulate the crash: meta never landed
+    import shutil
+    shutil.rmtree(f"{pidx}/meta")
+    with _pytest.raises(SystemExit, match="incomplete pq index"):
+        cli_main(["index", "append", pidx, esrc])

@@ -4,7 +4,8 @@ codebook budget, across probe widths — the paper's claim is that
 quantizing (vector − coarse centroid) concentrates the distribution
 and buys recall at fixed code size.
 
-Usage: PYTHONPATH=/root/repo python tools/rehearsal_residual_pq.py [sf_dir]
+Usage: PYTHONPATH=/root/repo python tools/rehearsal_residual_pq.py [n_probe ...]
+(sf dir is pinned to .scale/sf10; args are integer probe widths, default 4 16)
 Prints one JSON line for SCALE_R8.md.
 """
 import json
