@@ -385,8 +385,8 @@ def cmd_registry_prune(args) -> int:
 
 
 def _index_kind(spark, path: str) -> str:
-    """term | ivf | pq, detected from the index layout (works over any
-    Spark-supported filesystem, like the indexlog helpers)."""
+    """term | ivf | pq | binary, detected from the index layout (works
+    over any Spark-supported filesystem, like the indexlog helpers)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
@@ -396,17 +396,25 @@ def _index_kind(spark, path: str) -> str:
 
     if exists("meta") and exists("codes"):
         return "pq"
-    if exists("codes") or exists("codebooks") or exists("meta"):
+    if exists("meta") and exists("bits"):
+        return "binary"
+    if exists("codes") or exists("codebooks"):
         # PQ remnants without a complete (meta + codes) pair: a build
         # that crashed mid-write. Refusing beats falling through to
         # "ivf" and appending raw vectors into a half-built PQ tree.
         raise SystemExit(f"incomplete pq index at {path}: rebuild it "
                          "with `index build pq`")
+    if exists("bits"):
+        raise SystemExit(f"incomplete binary index at {path}: rebuild "
+                         "it with `index build binary`")
+    if exists("meta"):
+        raise SystemExit(f"incomplete pq/binary index at {path} (meta "
+                         "without data): rebuild it")
     if exists("postings"):
         return "term"
     if exists("vectors") and exists("centroids"):
         return "ivf"
-    raise SystemExit(f"no term/ivf/pq index found at {path}")
+    raise SystemExit(f"no term/ivf/pq/binary index found at {path}")
 
 
 def _parse_vectors(raw: list[str]) -> list[tuple[int, list[float]]]:
@@ -435,7 +443,12 @@ def cmd_index_build(args) -> int:
     else:
         from dsgrid_spark.pipeline.similarity import kmeans_centroids
 
-        dim = len(df.select(args.vector_column).first()[0])
+        first = df.select(args.vector_column).first()
+        if first is None or first[0] is None:
+            raise SystemExit(
+                f"cannot derive vector dim: input table {args.input} is "
+                f"empty or its {args.vector_column!r} column is null")
+        dim = len(first[0])
         cents = kmeans_centroids(df, args.n_clusters, dim,
                                  args.vector_column,
                                  fit_sample_cap=args.fit_sample_cap)
@@ -445,6 +458,13 @@ def cmd_index_build(args) -> int:
             write_ivf_index(df, args.path, cents,
                             id_column=args.id_column,
                             vector_column=args.vector_column)
+        elif args.kind == "binary":
+            from dsgrid_spark.pipeline.similarity import write_binary_index
+
+            write_binary_index(df, args.path, cents,
+                               id_column=args.id_column,
+                               vector_column=args.vector_column,
+                               store_vectors=not args.no_vectors)
         else:
             from dsgrid_spark.pipeline.pq import (
                 coarse_residuals, pq_fit, write_pq_index,
@@ -488,6 +508,12 @@ def cmd_index_append(args) -> int:
         ok = append_ivf_index(df, args.path, id_column=args.id_column,
                               vector_column=args.vector_column,
                               batch_id=args.batch_id)
+    elif kind == "binary":
+        from dsgrid_spark.pipeline.similarity import append_binary_index
+
+        ok = append_binary_index(df, args.path, id_column=args.id_column,
+                                 vector_column=args.vector_column,
+                                 batch_id=args.batch_id)
     else:
         from dsgrid_spark.pipeline.pq import append_pq_index
 
@@ -523,11 +549,20 @@ def cmd_index_search(args) -> int:
 
             df = ivf_search(spark, args.path, queries, k=args.k,
                             n_probe=args.n_probe)
+        elif kind == "binary":
+            from dsgrid_spark.pipeline.similarity import hamming_search
+
+            df = hamming_search(spark, args.path, queries, k=args.k,
+                                n_probe=args.n_probe,
+                                shortlist=args.shortlist,
+                                rerank=None if not args.no_rerank
+                                else False)
         else:
             from dsgrid_spark.pipeline.pq import pq_search
 
             df = pq_search(spark, args.path, queries, k=args.k,
                            n_probe=args.n_probe,
+                           shortlist=args.shortlist,
                            rerank=None if not args.no_rerank else False,
                            method=args.method)
     for row in df.collect():
@@ -669,7 +704,7 @@ def main(argv: list[str] | None = None) -> int:
     idxsub = idx.add_subparsers(dest="index_command", required=True)
 
     ib = idxsub.add_parser("build", help="build an index from parquet")
-    ib.add_argument("kind", choices=["term", "ivf", "pq"])
+    ib.add_argument("kind", choices=["term", "ivf", "pq", "binary"])
     ib.add_argument("input", help="input parquet table")
     ib.add_argument("path", help="index root directory")
     ib.add_argument("--id-column", default="doc_id")
@@ -689,7 +724,7 @@ def main(argv: list[str] | None = None) -> int:
     ib.add_argument("--residual", action="store_true",
                     help="pq: IVFADC residual codes")
     ib.add_argument("--no-vectors", action="store_true",
-                    help="pq: codes-only index (no exact re-rank)")
+                    help="pq/binary: codes-only index (no exact re-rank)")
     ib.add_argument("--fit-sample-cap", type=int, default=100_000)
     ib.set_defaults(fn=cmd_index_build)
 
@@ -713,8 +748,15 @@ def main(argv: list[str] | None = None) -> int:
     isr.add_argument("-k", type=int, default=10)
     isr.add_argument("--n-probe", type=int, default=2)
     isr.add_argument("--no-rerank", action="store_true",
-                     help="pq: ADC-only scores")
-    isr.add_argument("--method", default="hof", choices=["hof", "arrow"])
+                     help="pq: ADC-only scores; binary: Hamming-only")
+    isr.add_argument("--shortlist", type=int, default=None,
+                     help="pq/binary: per-query candidate depth fed to "
+                          "the exact re-rank (default 4k)")
+    isr.add_argument("--method", default="hof", choices=["hof", "arrow"],
+                     help="pq ADC scorer: hof = pure-JVM fold (the "
+                          "tested-equal default), arrow = opt-in numpy "
+                          "gather kernel (~20x on full-corpus scans; "
+                          "last-ULP score rounding may differ)")
     isr.set_defaults(fn=cmd_index_search)
 
     iv = idxsub.add_parser("vacuum", help="reclaim crashed-append debris")

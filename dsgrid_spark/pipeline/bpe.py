@@ -32,7 +32,7 @@ from __future__ import annotations
 import pandas as pd  # module-level so the pandas_udf type hints resolve
 from pyspark.sql import DataFrame, functions as F
 
-from dsgrid_spark.pipeline.text import _word_array
+from dsgrid_spark.pipeline.text import _word_array, py_words
 
 END_OF_WORD = "▁"  # sentence-piece-style word-end marker
 
@@ -178,7 +178,11 @@ def bpe_segment(text_column, merges: list[dict],
             if t is None:
                 return []
             toks: list[str] = []
-            for w in t.strip().lower().split():
+            # py_words == the Spark-side _word_array tokenization that
+            # word_counts trained on: a bare str.split() would also
+            # break on Unicode whitespace and segment a word the vocab
+            # holds whole (the r8 train/apply divergence)
+            for w in py_words(t):
                 got = memo.get(w)
                 if got is None:
                     got = _segment_word(w, seq)

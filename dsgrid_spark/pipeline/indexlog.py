@@ -262,6 +262,12 @@ def vacuum(spark: SparkSession, index_path: str,
     - An intent whose batch COMMITTED (a crash landed between
       ``log_batch`` and ``clear_intent``) is stale bookkeeping and is
       removed regardless of age — the committed data is never touched.
+    - Every expired batch is RE-CHECKED immediately before deletion
+      (committed? data dirs appeared or rejuvenated? intent mtime
+      moved?) so a slow append racing the vacuum's upfront snapshot is
+      skipped; the residual check-to-delete window is covered by the
+      contract that ``ttl_seconds`` exceeds the longest possible append
+      duration.
 
     Readers racing a vacuum stay consistent: every search filters to
     committed batch ids, so a concurrently deleted orphan was never in
@@ -310,6 +316,29 @@ def vacuum(spark: SparkSession, index_path: str,
     for bid, sts in artifacts.items():
         if any(st.getModificationTime() >= cutoff for st in sts):
             continue  # some artifact is young: the batch may be live
+        # TOCTOU re-check immediately before deletion: the upfront
+        # snapshot may predate a slow in-flight append's FIRST data
+        # write (an intent claimed > ttl ago whose append only now
+        # started writing would otherwise lose its marker mid-append,
+        # freeing the auto id for re-claim over its rows). The batch is
+        # skipped if it committed since the snapshot, if its data-dir
+        # set changed or grew young entries, or if its intent marker's
+        # mtime moved. The residual window between this re-check and
+        # the deletes is bounded by ``ttl_seconds``, which must exceed
+        # the longest possible append duration (the intent contract).
+        if bid in committed_batches(spark, index_path):
+            continue
+        _, fresh = statuses(f"{index_path}/*/*/batch={bid}")
+        snap = {str(st.getPath()) for st in data_of.get(bid, [])}
+        if ({str(st.getPath()) for st in fresh} != snap
+                or any(st.getModificationTime() >= cutoff for st in fresh)):
+            continue
+        if bid in intent_of:
+            _, ist = statuses(f"{_intents_path(index_path)}/{bid}")
+            old_mtime = intent_of[bid].getModificationTime()
+            if (not ist
+                    or ist[0].getModificationTime() != old_mtime):
+                continue
         for st in data_of.get(bid, []):
             fs_d.delete(st.getPath(), True)
             removed_dirs += 1

@@ -436,6 +436,25 @@ def _check_method(method: str) -> str:
     return method
 
 
+def query_id_type(queries: list[tuple]) -> str:
+    """``"string" | "long"`` for the query-id column of a list-based
+    search's ``[(query_id, vector), ...]`` queries. All ids must be str,
+    or all must be int (bools rejected — they'd silently coerce to 0/1;
+    numpy scalars rejected — createDataFrame needs plain Python ints):
+    a float, mixed, or exotic id fails HERE with the offending id named
+    instead of deep inside createDataFrame. The frame-based entry points
+    (pq_topk/ivf_pq_topk) inherit the caller's schema; this is the
+    list-based equivalent, shared by pq_search and hamming_search."""
+    if all(isinstance(q, str) for q, _ in queries):
+        return "string"
+    for qid, _ in queries:
+        if isinstance(qid, bool) or not isinstance(qid, int):
+            raise ValueError(
+                f"query ids must be all int or all str, got {qid!r} "
+                f"({type(qid).__name__})")
+    return "long"
+
+
 def pq_topk(codes: DataFrame, codebooks: list[list[list[float]]],
             queries: DataFrame, k: int = 10,
             id_column: str = "vec_id", code_column: str = "code",
@@ -960,8 +979,7 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
 
     centroids = _read_centroids(spark, path)
     codebooks = _read_codebooks(spark, path)
-    qid0 = queries[0][0]
-    qid_type = "string" if isinstance(qid0, str) else "long"
+    qid_type = query_id_type(queries)
     probe_rows, lut_queries = [], []
     for qid, qv in queries:
         qv = [float(x) for x in qv]

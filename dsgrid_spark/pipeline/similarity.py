@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import StructField, StructType
 
 from dsgrid_spark.pipeline import indexlog
 
@@ -295,27 +296,45 @@ def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     re-ranks it by EXACT cosine against the original vectors (the
     standard two-phase binary recipe); the result is then
     (query_id, id, score) cosine-descending like brute_force_topk.
+
+    Scale shape: the shortlist window sees ONLY (query_id, id, hamming)
+    — the full float vectors never ride the shortlist exchange (on an
+    engine without the InferWindowGroupLimit rule that exchange would
+    otherwise carry n x Q vectors); the re-rank joins the Q x depth
+    shortlist (broadcast — bounded by construction) back to the corpus
+    for its vectors, the pq_search re-rank shape. Degenerate rows
+    (null/empty embeddings) hash to a NULL Hamming distance and sort
+    LAST, so they can never displace a real candidate.
     """
     qb = binary_quantize(
         queries.select(F.col(query_id_column),
                        F.col(vector_column).alias("__qv")),
         "__qv", "__qbits")
-    cb = binary_quantize(corpus, vector_column, "__bits")
-    scored = cb.crossJoin(F.broadcast(qb)).select(
-        query_id_column, id_column, F.col(vector_column).alias("__cv"),
-        F.col("__qv"),
+    cb = binary_quantize(
+        corpus.select(F.col(id_column), F.col(vector_column)),
+        vector_column, "__bits")
+    scored = cb.crossJoin(F.broadcast(qb.select(query_id_column,
+                                                "__qbits"))).select(
+        query_id_column, id_column,
         hamming_distance(F.col("__bits"), F.col("__qbits"))
         .alias("hamming"))
     w = Window.partitionBy(query_id_column).orderBy(
-        F.asc("hamming"), F.col(id_column))
+        F.asc_nulls_last("hamming"), F.col(id_column))
     depth = k if rerank is None else max(k, rerank)
     short = (scored.withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") <= depth).drop("__rn"))
     if rerank is None:
         return short.select(query_id_column, id_column, "hamming")
-    rescored = short.select(
-        query_id_column, id_column,
-        cosine(F.col("__cv"), F.col("__qv")).alias("score"))
+    cvec = corpus.select(F.col(id_column),
+                         F.col(vector_column).alias("__cv"))
+    qvec = queries.select(F.col(query_id_column),
+                          F.col(vector_column).alias("__qv"))
+    rescored = (cvec.join(F.broadcast(short.select(query_id_column,
+                                                   id_column)), id_column)
+                .join(F.broadcast(qvec), query_id_column)
+                .select(query_id_column, id_column,
+                        cosine(F.col("__cv"), F.col("__qv"))
+                        .alias("score")))
     w2 = Window.partitionBy(query_id_column).orderBy(
         F.desc("score"), F.col(id_column))
     return (rescored.withColumn("__rn", F.row_number().over(w2))
@@ -975,6 +994,267 @@ def append_ivf_index(df: DataFrame, path: str,
     indexlog.log_batch(spark, path, batch_id)
     indexlog.clear_intent(spark, path, batch_id)
     return True
+
+
+# ---------------------------------------------------------------------------
+# Persisted binary (sign-bit) index: the storage half of the cheapest
+# rung on the quantization ladder (float64 -> int8 -> PQ codes -> sign
+# bits). The in-memory hamming_topk re-packs the corpus per call and
+# scans ALL of it; here bits are packed ONCE at build and a search
+# reads only its probed clusters' BIT partitions — at 1e9 x 768-dim,
+# packed bits are ~96 MB per 1M vectors (~62x smaller than float64
+# vectors), the natural "scan replica" tier in front of the exact
+# re-rank. Layout mirrors write_pq_index (pq.py) with bits/ in place
+# of codes/:
+#
+#   meta/        one row: (dim, word_bits, store_vectors)
+#   centroids/   (cluster int, centroid array<double>)   coarse lists
+#   bits/cluster=K/batch=B/     (id, bits array<long>)   the scan payload
+#   vectors/cluster=K/batch=B/  (id, embedding)          re-rank only
+#   batches/ + intents/         indexlog exactly-once machinery
+#
+# bits/ and vectors/ are SEPARATE subtrees so the Hamming scan never
+# lists a single vector file; appends/searches share pipeline/indexlog
+# with the term/IVF/PQ indexes (batch-scoped partition dirs,
+# log-commit-last, reader isolation via committed-batch pruning).
+# ---------------------------------------------------------------------------
+
+
+def pack_sign_bits(vector) -> list[int]:
+    """Driver-side packing identical to :func:`binary_quantize`'s JVM
+    fold (62 bits per long, high->low ``acc*2 + sign_bit``): the bit
+    semantics are integer-exact, so the two implementations agree
+    bit-for-bit and query vectors can pack in Python while the corpus
+    packs in codegen."""
+    wb = BINARY_WORD_BITS
+    v = [float(x) for x in vector]
+    words = []
+    for w in range(0, len(v), wb):
+        acc = 0
+        for x in v[w:w + wb]:
+            acc = acc * 2 + (1 if x > 0 else 0)
+        words.append(acc)
+    return words
+
+
+def _assign_canonical(df: DataFrame, centroids: list[list[float]],
+                      id_column: str, vector_column: str,
+                      assign_strategy: str) -> DataFrame:
+    """(id, embedding, cluster) — the canonical columns every persisted
+    vector index stores, shared by the IVF and binary build/append
+    paths."""
+    return (
+        assign_nearest_centroid(df, centroids, vector_column,
+                                strategy=assign_strategy)
+        .withColumnRenamed("__cluster", "cluster")
+        .select(F.col(id_column).alias("id"),
+                F.col(vector_column).alias("embedding"), "cluster")
+    )
+
+
+def write_binary_index(df: DataFrame, path: str,
+                       coarse_centroids: list[list[float]],
+                       id_column: str = "vec_id",
+                       vector_column: str = "embedding",
+                       store_vectors: bool = True,
+                       assign_strategy: str = "auto") -> None:
+    """Build a persisted sign-bit index: assign each vector to its
+    nearest coarse centroid, pack sign bits ONCE
+    (:func:`binary_quantize`), and write the packed bits partitioned by
+    cluster — a search reads only its probed clusters' BIT partitions
+    (Spark partition pruning) and, when re-ranking, only the
+    shortlist's vectors (id-pushdown scan, the pq_search shape).
+
+    ``store_vectors=False`` builds a bits-only index (~62x smaller on
+    disk at float64 dims); searches are then Hamming-only (``rerank``
+    unavailable). Rebuild order follows write_ivf_index/write_pq_index:
+    the old log and intents are deleted FIRST so a crash mid-rebuild
+    cannot leave committed ids pointing at vanished data.
+    """
+    from dsgrid_spark.pipeline import indexlog
+
+    if not coarse_centroids:
+        raise ValueError("coarse_centroids must be non-empty")
+    dim = len(coarse_centroids[0])
+    spark = df.sparkSession
+    indexlog.delete_glob(spark, f"{path}/batches")
+    indexlog.delete_glob(spark, f"{path}/intents")
+    assigned = _assign_canonical(df, coarse_centroids, id_column,
+                                 vector_column,
+                                 assign_strategy).localCheckpoint()
+    bits = (binary_quantize(assigned, "embedding", "bits")
+            .select("id", "bits", "cluster")
+            .withColumn("batch", F.lit(indexlog.BASE_BATCH)))
+    (bits.repartition("cluster")
+       .write.mode("overwrite").partitionBy("cluster", "batch")
+       .parquet(f"{path}/bits"))
+    if store_vectors:
+        (assigned.withColumn("batch", F.lit(indexlog.BASE_BATCH))
+           .repartition("cluster")
+           .write.mode("overwrite").partitionBy("cluster", "batch")
+           .parquet(f"{path}/vectors"))
+    else:
+        # a rebuild DOWN from store_vectors=True must reclaim the old
+        # full-precision subtree (the dominant payload): meta now says
+        # no vectors, so nothing would ever read OR vacuum it
+        indexlog.delete_glob(spark, f"{path}/vectors")
+    cent_rows = [(i, [float(x) for x in c])
+                 for i, c in enumerate(coarse_centroids)]
+    (spark.createDataFrame(cent_rows,
+                           "cluster int, centroid array<double>")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    (spark.createDataFrame(
+        [(dim, BINARY_WORD_BITS, bool(store_vectors))],
+        "dim int, word_bits int, store_vectors boolean")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
+
+
+def append_binary_index(df: DataFrame, path: str,
+                        id_column: str = "vec_id",
+                        vector_column: str = "embedding",
+                        batch_id: str | None = None,
+                        assign_strategy: str = "auto") -> bool:
+    """Append a vector batch to a persisted binary index, exactly-once
+    per ``batch_id`` (pipeline/indexlog.py — committed ids no-op,
+    crashed retries clean their own orphans first, auto ids claim
+    intent markers, the log entry commits LAST so readers see the
+    batch atomically). Assignment uses the INDEX'S OWN centroids —
+    never caller-supplied, which would desync probes from partitions.
+    Equal to a fresh build over the concatenated corpus with the same
+    centroids (tested). Returns True when ingested.
+    """
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.pq import _read_centroids, _read_meta
+
+    spark = df.sparkSession
+    committed = indexlog.committed_batches(spark, path)
+    if batch_id is None:
+        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+    indexlog.check_batch_id(batch_id)
+    if batch_id == indexlog.BASE_BATCH:
+        raise ValueError(f"batch_id {indexlog.BASE_BATCH!r} is reserved "
+                         "for the initial build")
+    if batch_id in committed:
+        return False  # replayed batch: already fully ingested
+    meta = _read_meta(spark, path)
+    first = df.select(vector_column).first()
+    if first is not None and first[0] is not None \
+            and len(first[0]) != meta["dim"]:
+        raise ValueError(f"batch vector dim {len(first[0])} != index "
+                         f"dim {meta['dim']}")
+    indexlog.delete_glob(spark, f"{path}/bits/cluster=*/batch={batch_id}")
+    indexlog.delete_glob(spark,
+                         f"{path}/vectors/cluster=*/batch={batch_id}")
+    centroids = _read_centroids(spark, path)
+    assigned = _assign_canonical(df, centroids, id_column, vector_column,
+                                 assign_strategy).localCheckpoint()
+    bits = (binary_quantize(assigned, "embedding", "bits")
+            .select("id", "bits", "cluster")
+            .withColumn("batch", F.lit(batch_id)))
+    (bits.repartition("cluster")
+       .write.mode("append").partitionBy("cluster", "batch")
+       .parquet(f"{path}/bits"))
+    if meta["store_vectors"]:
+        (assigned.withColumn("batch", F.lit(batch_id))
+           .repartition("cluster")
+           .write.mode("append").partitionBy("cluster", "batch")
+           .parquet(f"{path}/vectors"))
+    indexlog.log_batch(spark, path, batch_id)
+    indexlog.clear_intent(spark, path, batch_id)
+    return True
+
+
+def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
+                   n_probe: int = 2, shortlist: int | None = None,
+                   rerank: bool | None = None) -> DataFrame:
+    """Search a persisted binary index: coarse probe ranking
+    driver-side on the tiny centroid table, XOR+popcount Hamming over
+    the probed clusters' BIT partitions only (partition-pruned,
+    committed-batch filtered), then — when the index stores vectors —
+    an exact cosine re-rank that reads ONLY the shortlist's vectors
+    (an isin-pushdown scan of Q x shortlist ids, bounded by
+    construction).
+
+    ``queries`` is a small [(query_id, vector), ...] list (the
+    ivf_search/pq_search convention); query vectors pack driver-side
+    with :func:`pack_sign_bits` (bit-identical to the corpus packing).
+    ``shortlist`` is the Hamming candidate count per query fed to the
+    re-rank (default 4k, floored at k); ``rerank=None`` re-ranks
+    exactly when the index stores vectors. Returns (query_id, id,
+    hamming) ascending when ``rerank=False`` — identical to
+    :func:`hamming_topk` under a full probe (tested) — else
+    (query_id, id, score) with exact cosine descending. Degenerate
+    (null/empty) corpus vectors pack to empty bit arrays, score a NULL
+    Hamming distance, and sort last, as in hamming_topk.
+    """
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.pq import (_read_centroids, _read_meta,
+                                          query_id_type)
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qid_type = query_id_type(queries)
+    meta = _read_meta(spark, path)
+    if rerank is None:
+        rerank = bool(meta["store_vectors"])
+    if rerank and not meta["store_vectors"]:
+        raise ValueError("index was built with store_vectors=False; "
+                         "pass rerank=False for Hamming-only search")
+    centroids = _read_centroids(spark, path)
+    probe_rows = []
+    for qid, qv in queries:
+        qv = [float(x) for x in qv]
+        if len(qv) != meta["dim"]:
+            raise ValueError(f"query dim {len(qv)} != index dim "
+                             f"{meta['dim']}")
+        qbits = pack_sign_bits(qv)
+        for ci in rank_probes(centroids, qv, n_probe):
+            probe_rows.append((qid, ci, qbits))
+    probed_clusters = sorted({c for _, c, _ in probe_rows})
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows,
+        f"query_id {qid_type}, cluster int, __qbits array<long>"))
+    committed = indexlog.committed_batches(spark, path)
+    bits = (indexlog.read_committed(spark, path, "bits", ids=committed)
+            .filter(F.col("cluster").isin(probed_clusters)))
+    scored = bits.join(probes, "cluster").select(
+        "query_id", "id",
+        hamming_distance(F.col("bits"), F.col("__qbits"))
+        .alias("hamming"))
+    n_short = k if not rerank else max(k, shortlist or 4 * k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("hamming"), F.col("id"))
+    short = (scored.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= n_short).drop("__rn"))
+    if not rerank:
+        return short
+    # shortlist ids collect driver-side: Q x shortlist rows, bounded by
+    # construction — the isin pushes into the parquet scan so the
+    # re-rank reads only shortlist row groups of the probed clusters
+    pairs = [(r["query_id"], r["id"]) for r in
+             short.select("query_id", "id").collect()]
+    ids = sorted({i for _, i in pairs})
+    vectors = (indexlog.read_committed(spark, path, "vectors",
+                                       ids=committed)
+               .filter(F.col("cluster").isin(probed_clusters))
+               .filter(F.col("id").isin(ids))
+               .select("id", "embedding"))
+    pair_df = F.broadcast(spark.createDataFrame(
+        pairs, StructType([StructField("query_id",
+                                       short.schema["query_id"].dataType),
+                           short.schema["id"]])))
+    qvec = F.broadcast(spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        f"query_id {qid_type}, __qv array<double>"))
+    rescored = (vectors.join(pair_df, "id").join(qvec, "query_id")
+                .select("query_id", "id",
+                        cosine(F.col("embedding"), F.col("__qv"))
+                        .alias("score")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                F.col("id"))
+    return (rescored.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= k).drop("__rn"))
 
 
 def semantic_dedup(df: DataFrame,

@@ -335,6 +335,22 @@ def _word_array(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+#: Python-side equivalent of :func:`_word_array`'s split — Java regex
+#: ``\s`` is ASCII-only, so the pandas-UDF consumers (bpe_segment) must
+#: split with ``re.ASCII`` too: a bare ``str.split()`` also breaks on
+#: Unicode whitespace (U+00A0, U+2009, ...), and a corpus word
+#: containing a non-breaking space would then train as ONE vocab entry
+#: but segment as TWO words. Empty tokens (from edge whitespace) are
+#: filtered on both sides.
+PY_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def py_words(text: str) -> list[str]:
+    """Tokenize one string exactly as :func:`_word_array` does
+    (lowercase, ASCII-whitespace split, empty tokens dropped)."""
+    return [w for w in PY_WS_RE.split(text.lower()) if w]
+
+
 # standard Lucene/Snowball English stopword list (public domain)
 _EN_STOPWORDS = (
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
@@ -389,10 +405,18 @@ def _build_fold_table() -> tuple[str, str, dict[str, str]]:
 
     # letters with NO compatibility decomposition (stroked/crossed
     # forms) need explicit entries — the Lucene table has the same
+    import itertools
+
     src = list("øłđðħŧıŋ")
     dst = list("oldd htin".replace(" ", ""))
     multi = {"ß": "ss", "æ": "ae", "œ": "oe", "ĳ": "ij", "þ": "th"}
-    for cp in range(0xA0, 0x250):
+    # Latin-1 supplement + Extended-A/B (0xA0-0x24F) AND Latin Extended
+    # Additional (0x1E00-0x1EFF — Vietnamese precomposed vowels like ệ,
+    # dotted/ringed consonants): without the second range a precomposed
+    # NFC source word folds differently from its NFD form (the \p{Mn}
+    # strip catches decomposed input), so the same word would index as
+    # two different terms depending on the source's normalization form.
+    for cp in itertools.chain(range(0xA0, 0x250), range(0x1E00, 0x1F00)):
         ch = chr(cp)
         if ch in multi:
             continue

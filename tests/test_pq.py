@@ -488,3 +488,170 @@ def test_pq_arrow_empty_queries_and_vectorless_rebuild(spark, tmp_path):
     queries = [(0, list(emb.first()["embedding"]))]
     assert pq_search(spark, path, queries, k=3, n_probe=2,
                      rerank=False).count() == 3
+
+
+def test_query_id_type_validates_at_api_boundary(spark, tmp_path):
+    """(r9, ADVICE) list-based searches derive the query-id Spark type
+    from ALL ids: homogeneous int -> long, homogeneous str -> string,
+    anything else (float, bool, numpy scalar, mixed) raises a
+    ValueError naming the offending id instead of failing deep inside
+    createDataFrame."""
+    import numpy as np
+
+    from dsgrid_spark.pipeline.pq import pq_search, query_id_type
+
+    assert query_id_type([(0, []), (7, [])]) == "long"
+    assert query_id_type([("a", []), ("b", [])]) == "string"
+    for bad in [(0, []), (1.5, [])], [(0, []), ("x", [])], \
+            [(True, [])], [(np.int32(3), [])]:
+        with pytest.raises(ValueError, match="query ids must be"):
+            query_id_type(bad)
+    # the pq_search entry point rejects the same way, up front
+    emb = _corpus(spark, n=20, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    cents = kmeans_centroids(emb, n_clusters=2, dim=8, iterations=1)
+    path = str(tmp_path / "idx")
+    from dsgrid_spark.pipeline.pq import write_pq_index
+
+    write_pq_index(emb, path, cents, books)
+    qv = list(emb.first()["embedding"])
+    with pytest.raises(ValueError, match="query ids must be"):
+        pq_search(spark, path, [(0, qv), (1.5, qv)], k=2)
+    # string ids still search fine end to end
+    got = pq_search(spark, path, [("q0", qv)], k=2, n_probe=2).collect()
+    assert got and got[0]["query_id"] == "q0"
+
+
+def _bin_corpus(spark, n=80, dim=70, seed=9):
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+
+
+def test_binary_index_search_matches_in_memory(spark, tmp_path):
+    """(r9) Disk Hamming search == in-memory hamming_topk under a full
+    probe: the bits-only path returns identical (query_id, id, hamming)
+    rows, and the re-ranked path equals hamming_topk(rerank=N)'s exact
+    cosine — through a real cluster/batch-partitioned on-disk index."""
+    from dsgrid_spark.pipeline.similarity import (
+        hamming_search, hamming_topk, write_binary_index,
+    )
+
+    emb = _bin_corpus(spark)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=70, iterations=2)
+    path = str(tmp_path / "bidx")
+    write_binary_index(emb, path, cents)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    queries = [(r["query_id"], list(r["embedding"]))
+               for r in qdf.collect()]
+    mem = sorted((r["query_id"], r["vec_id"], r["hamming"]) for r in
+                 hamming_topk(emb, qdf, k=6).collect())
+    disk = sorted((r["query_id"], r["id"], r["hamming"]) for r in
+                  hamming_search(spark, path, queries, k=6, n_probe=4,
+                                 rerank=False).collect())
+    assert disk == mem  # integer-exact: bit-for-bit
+    mem_rr = sorted((r["query_id"], r["vec_id"], r["score"]) for r in
+                    hamming_topk(emb, qdf, k=4, rerank=12).collect())
+    disk_rr = sorted((r["query_id"], r["id"], r["score"]) for r in
+                     hamming_search(spark, path, queries, k=4, n_probe=4,
+                                    shortlist=12).collect())
+    assert [(q, i) for q, i, _ in disk_rr] == \
+        [(q, i) for q, i, _ in mem_rr]
+    for (_, _, a), (_, _, b) in zip(disk_rr, mem_rr):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_binary_index_append_equals_rebuild_and_replay(spark, tmp_path):
+    from dsgrid_spark.pipeline.similarity import (
+        append_binary_index, hamming_search, write_binary_index,
+    )
+
+    emb = _bin_corpus(spark, n=100)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=70, iterations=2)
+    a = emb.filter(F.col("vec_id") < 60)
+    b = emb.filter(F.col("vec_id") >= 60)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_binary_index(a, inc, cents)
+    assert append_binary_index(b, inc, batch_id="b1") is True
+    assert append_binary_index(b, inc, batch_id="b1") is False  # replay
+    write_binary_index(emb, full, cents)
+    queries = [(r["vec_id"], list(r["embedding"]))
+               for r in emb.filter(F.col("vec_id").isin(5, 70)).collect()]
+    for kw in (dict(rerank=False), dict(shortlist=20)):
+        got = sorted((r["query_id"], r["id"], r[-1]) for r in
+                     hamming_search(spark, inc, queries, k=6, n_probe=4,
+                                    **kw).collect())
+        want = sorted((r["query_id"], r["id"], r[-1]) for r in
+                      hamming_search(spark, full, queries, k=6, n_probe=4,
+                                     **kw).collect())
+        assert got == want, kw
+    with pytest.raises(ValueError, match="reserved"):
+        append_binary_index(b, inc, batch_id="base")
+    with pytest.raises(ValueError, match="dim"):
+        bad = spark.createDataFrame([(999, [1.0, 2.0])],
+                                    "vec_id long, embedding array<double>")
+        append_binary_index(bad, inc, batch_id="b2")
+
+
+def test_binary_index_orphans_invisible_and_bits_only(spark, tmp_path):
+    """A crashed append's orphan bit partitions never reach a search;
+    store_vectors=False indexes refuse re-ranking but serve
+    Hamming-only searches; a rebuild DOWN reclaims the old vectors
+    subtree; the bits payload is a fraction of the vector payload."""
+    import os
+
+    from dsgrid_spark.pipeline.similarity import (
+        binary_quantize, hamming_search, write_binary_index,
+    )
+
+    emb = _bin_corpus(spark, n=60)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=70, iterations=2)
+    path = str(tmp_path / "bidx")
+    write_binary_index(emb, path, cents)
+    queries = [(0, list(emb.filter(F.col("vec_id") == 0)
+                        .first()["embedding"]))]
+    before = [(r["id"], r["hamming"]) for r in
+              hamming_search(spark, path, queries, k=5, n_probe=4,
+                             rerank=False).collect()]
+    orphan = (binary_quantize(emb.limit(10)).select(
+        F.col("vec_id").alias("id"), "bits")
+        .withColumn("cluster", F.lit(0))
+        .withColumn("batch", F.lit("crashed1")))
+    (orphan.write.mode("append").partitionBy("cluster", "batch")
+       .parquet(f"{path}/bits"))
+    after = [(r["id"], r["hamming"]) for r in
+             hamming_search(spark, path, queries, k=5, n_probe=4,
+                            rerank=False).collect()]
+    assert before == after
+
+    def tree_bytes(sub):
+        total = 0
+        for root, _, files in os.walk(f"{path}/{sub}"):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
+    assert tree_bytes("bits") < tree_bytes("vectors") / 3
+
+    lean = str(tmp_path / "lean")
+    write_binary_index(emb, lean, cents, store_vectors=False)
+    assert not os.path.isdir(f"{lean}/vectors")
+    with pytest.raises(ValueError, match="store_vectors"):
+        hamming_search(spark, lean, queries, k=5, rerank=True)
+    got = hamming_search(spark, lean, queries, k=5, n_probe=4,
+                         rerank=False).collect()
+    assert got[0]["id"] == 0 and got[0]["hamming"] == 0  # self
+    # rebuild DOWN on the vector-carrying index reclaims its subtree
+    write_binary_index(emb, path, cents, store_vectors=False)
+    assert not os.path.isdir(f"{path}/vectors")
+    # ... and string query ids flow through the shared validation
+    sq = [("q0", queries[0][1])]
+    rows = hamming_search(spark, path, sq, k=3, n_probe=4,
+                          rerank=False).collect()
+    assert rows and rows[0]["query_id"] == "q0"
+    with pytest.raises(ValueError, match="query ids must be"):
+        hamming_search(spark, path, [(0, queries[0][1]),
+                                     (1.5, queries[0][1])], k=2)

@@ -871,7 +871,7 @@ def test_cli_index_build_search_append_vacuum(spark, tmp_path, capsys):
             capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 3 and rows[0]["id"] == 1  # self is the argmax
 
-    with _pytest.raises(SystemExit, match="no term/ivf/pq index"):
+    with _pytest.raises(SystemExit, match="no term/ivf/pq/binary index"):
         cli_main(["index", "vacuum", str(tmp_path)])
 
 
@@ -898,3 +898,72 @@ def test_cli_index_kind_refuses_incomplete_pq(spark, tmp_path, capsys):
     shutil.rmtree(f"{pidx}/meta")
     with _pytest.raises(SystemExit, match="incomplete pq index"):
         cli_main(["index", "append", pidx, esrc])
+
+
+def test_cli_index_build_empty_input_fails_clearly(spark, tmp_path):
+    """(r9, ADVICE) building a vector index from an empty table, or one
+    whose first embedding is null, exits with a clear CLI error instead
+    of a TypeError inside the dim derivation."""
+    import pytest as _pytest
+
+    from dsgrid_spark.cli import main as cli_main
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    esrc = str(tmp_path / "empty.parquet")
+    empty.write.parquet(esrc)
+    with _pytest.raises(SystemExit, match="cannot derive vector dim"):
+        cli_main(["index", "build", "ivf", esrc, str(tmp_path / "i1"),
+                  "--id-column", "vec_id"])
+    nulls = spark.createDataFrame([(0, None)],
+                                  "vec_id long, embedding array<double>")
+    nsrc = str(tmp_path / "nulls.parquet")
+    nulls.write.parquet(nsrc)
+    with _pytest.raises(SystemExit, match="cannot derive vector dim"):
+        cli_main(["index", "build", "pq", nsrc, str(tmp_path / "i2"),
+                  "--id-column", "vec_id"])
+
+
+def test_cli_binary_index_roundtrip(spark, tmp_path, capsys):
+    """(r9) the `index` CLI group drives the persisted BINARY index:
+    build (kind 'binary'), kind auto-detected search (re-ranked cosine
+    by default, --no-rerank for raw Hamming), exactly-once append, and
+    vacuum."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + j * 3) % 5) - 2) for j in range(8)])
+         for i in range(30)], "vec_id long, embedding array<double>")
+    esrc = str(tmp_path / "emb.parquet")
+    emb.write.parquet(esrc)
+    bidx = str(tmp_path / "bidx")
+    assert cli_main(["index", "build", "binary", esrc, bidx,
+                     "--id-column", "vec_id", "--n-clusters", "2"]) == 0
+    capsys.readouterr()
+    qv = _json.dumps([float(((7 + j * 3) % 5) - 2) for j in range(8)])
+    assert cli_main(["index", "search", bidx, "--vector", qv,
+                     "-k", "3", "--n-probe", "2",
+                     "--shortlist", "10"]) == 0
+    rows = [_json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3 and rows[0]["id"] == 1  # self: cosine 1.0
+    assert "score" in rows[0]
+    assert cli_main(["index", "search", bidx, "--vector", qv,
+                     "-k", "3", "--no-rerank"]) == 0
+    rows = [_json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["id"] == 1 and rows[0]["hamming"] == 0
+    extra = spark.createDataFrame(
+        [(99, [1.0] * 8)], "vec_id long, embedding array<double>")
+    src2 = str(tmp_path / "emb2.parquet")
+    extra.write.parquet(src2)
+    assert cli_main(["index", "append", bidx, src2, "--id-column",
+                     "vec_id", "--batch-id", "b1"]) == 0
+    assert "ingested" in capsys.readouterr().out
+    assert cli_main(["index", "append", bidx, src2, "--id-column",
+                     "vec_id", "--batch-id", "b1"]) == 0
+    assert "replay" in capsys.readouterr().out
+    assert cli_main(["index", "vacuum", bidx, "--ttl", "3600"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out == {"data_dirs_removed": 0, "intents_removed": 0}
