@@ -1133,11 +1133,43 @@ def q33_similarity_lsh(spark, sf_dir):
     ham = hamming_topk(emb_full, hq, k=5).select(
         F.lit("ham").alias("op"), "query_id", "vec_id",
         F.col("hamming").cast("long").alias("score"))
+
+    # 'hdisk' (r9): the PERSISTED binary index end-to-end — sign bits
+    # packed ONCE into a temp cluster/batch-partitioned tree
+    # (bits-only: store_vectors=False is the ~62x scan-replica tier),
+    # then the committed-batch, partition-pruned XOR+popcount search.
+    # A full probe (n_probe = n_clusters = 2) makes the search
+    # exhaustive, so results equal the in-memory 'ham' scan and the
+    # same sign-disagreement SQL oracle applies. Hamming distances are
+    # integer-exact, so disk == memory bit-for-bit.
+    import shutil
+    import tempfile
+
+    from dsgrid_spark.pipeline.similarity import (
+        hamming_search, write_binary_index,
+    )
+
+    cents = [[1.0] + [0.0] * 63, [-1.0] + [0.0] * 63]
+    tmp = tempfile.mkdtemp(prefix="dsgrid_q33_hdisk_")
+    try:
+        write_binary_index(emb_full, f"{tmp}/idx", cents,
+                           store_vectors=False)
+        hq_list = [(r["query_id"], list(r["embedding"]))
+                   for r in hq.collect()]
+        hdisk = hamming_search(spark, f"{tmp}/idx", hq_list, k=5,
+                               n_probe=2, rerank=False).select(
+            F.lit("hdisk").alias("op"), "query_id",
+            F.col("id").alias("vec_id"),
+            F.col("hamming").cast("long").alias("score"),
+        ).localCheckpoint()  # materialize before the index dir vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return (single.select(F.lit("single").alias("op"),
                           "query_id", "vec_id", sc)
             .unionByName(probe.select(F.lit("probe").alias("op"),
                                       "query_id", "vec_id", sc))
-            .unionByName(ham))
+            .unionByName(ham)
+            .unionByName(hdisk))
 
 
 def q34_multimodal_features(spark, sf_dir):
@@ -3170,6 +3202,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT op, query_id, vec_id, score FROM (
               SELECT 'ham' AS op, q.vec_id AS query_id, c.vec_id,
+                   CAST(list_sum(list_transform(range(64), i ->
+                     CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
+                            <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS score
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_sum(list_transform(range(64), i ->
+                     CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
+                            <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
+                          THEN 1 ELSE 0 END)) ASC,
+                         c.vec_id) <= 5
+            )
+            UNION ALL
+            -- 'hdisk': the persisted binary index under a FULL probe is
+            -- exhaustive, so the expected rows are the same
+            -- sign-disagreement top-5 as 'ham' (integer-exact)
+            SELECT op, query_id, vec_id, score FROM (
+              SELECT 'hdisk' AS op, q.vec_id AS query_id, c.vec_id,
                    CAST(list_sum(list_transform(range(64), i ->
                      CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
                             <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
