@@ -934,7 +934,9 @@ def q30_minhash_dedup(spark, sf_dir):
     docs >= 250 deduped against the < 250 corpus via its PRECOMPUTED
     signatures (incremental_dedup), which must provably equal the full
     survivors restricted to the new ids (same all-pairs oracle with a
-    WHERE)."""
+    WHERE); 'store' (r9) = the same batch deduped against a PERSISTED
+    signature store (sigstore.py) — the cross-run ingest path, same
+    expected survivors by bit-exact signature equality."""
     from dsgrid_spark.pipeline.dedup import (
         band_signatures, incremental_dedup, minhash_signatures,
     )
@@ -977,8 +979,36 @@ def q30_minhash_dedup(spark, sf_dir):
                              reference_bands=bands.filter(
                                  F.col("doc_id") < 250),
                              new_bands=bands.filter(F.col("doc_id") >= 250))
-    return full.select(F.lit("full").alias("op"), "doc_id").unionByName(
-        incr.select(F.lit("incr").alias("op"), "doc_id"))
+    # 'store' (r9): the SAME incremental pass with the reference side
+    # read back from a persisted, indexlog-managed signature store
+    # (pipeline/sigstore.py) — the continuous-ingest path where the
+    # corpus' signatures survive across runs with exactly-once appends.
+    # Signatures are integer-exact, so store == DataFrame reference
+    # bit-for-bit and the same restricted all-pairs oracle applies.
+    import shutil
+    import tempfile
+
+    from dsgrid_spark.pipeline.sigstore import (
+        read_sig_store, write_sig_store,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dsgrid_q30_store_")
+    try:
+        write_sig_store(ref, f"{tmp}/store", num_hashes=24, shingle_k=5,
+                        signatures=sigs.filter(F.col("doc_id") < 250))
+        store = incremental_dedup(
+            new, read_sig_store(spark, f"{tmp}/store"), ref,
+            "text", "doc_id", num_hashes=24, num_bands=8, shingle_k=5,
+            threshold=0.8,
+            new_sigs=sigs.filter(F.col("doc_id") >= 250),
+            new_bands=bands.filter(F.col("doc_id") >= 250))
+        store = (store.select(F.lit("store").alias("op"), "doc_id")
+                 .localCheckpoint())  # materialize before the dir vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (full.select(F.lit("full").alias("op"), "doc_id")
+            .unionByName(incr.select(F.lit("incr").alias("op"), "doc_id"))
+            .unionByName(store))
 
 
 def q31_simhash_dedup(spark, sf_dir):
@@ -3864,6 +3894,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM p WHERE p.ib = d.doc_id AND p.jac >= 0.8)
             UNION ALL
             SELECT 'incr', doc_id FROM documents d
+            WHERE d.doc_id >= 250 AND NOT EXISTS (
+              SELECT 1 FROM p WHERE p.ib = d.doc_id AND p.jac >= 0.8)
+            UNION ALL
+            -- 'store': the persisted-signature-store reference side is
+            -- bit-identical to the DataFrame one, so the expected rows
+            -- are the same restricted survivors as 'incr'
+            SELECT 'store', doc_id FROM documents d
             WHERE d.doc_id >= 250 AND NOT EXISTS (
               SELECT 1 FROM p WHERE p.ib = d.doc_id AND p.jac >= 0.8)
         """,

@@ -398,6 +398,8 @@ def _index_kind(spark, path: str) -> str:
         return "pq"
     if exists("meta") and exists("bits"):
         return "binary"
+    if exists("meta") and exists("sigs"):
+        return "sigs"
     if exists("codes") or exists("codebooks"):
         # PQ remnants without a complete (meta + codes) pair: a build
         # that crashed mid-write. Refusing beats falling through to
@@ -407,9 +409,12 @@ def _index_kind(spark, path: str) -> str:
     if exists("bits"):
         raise SystemExit(f"incomplete binary index at {path}: rebuild "
                          "it with `index build binary`")
+    if exists("sigs"):
+        raise SystemExit(f"incomplete signature store at {path}: "
+                         "rebuild it with `index build sigs`")
     if exists("meta"):
-        raise SystemExit(f"incomplete pq/binary index at {path} (meta "
-                         "without data): rebuild it")
+        raise SystemExit(f"incomplete pq/binary/sigs index at {path} "
+                         "(meta without data): rebuild it")
     if exists("postings"):
         return "term"
     if exists("vectors") and exists("centroids"):
@@ -440,6 +445,13 @@ def cmd_index_build(args) -> int:
                          n_buckets=args.n_buckets,
                          positions=args.positions,
                          analyzer=args.analyzer)
+    elif args.kind == "sigs":
+        from dsgrid_spark.pipeline.sigstore import write_sig_store
+
+        write_sig_store(df, args.path, text_column=args.text_column,
+                        id_column=args.id_column,
+                        num_hashes=args.num_hashes,
+                        shingle_k=args.shingle_k)
     else:
         from dsgrid_spark.pipeline.similarity import kmeans_centroids
 
@@ -514,6 +526,12 @@ def cmd_index_append(args) -> int:
         ok = append_binary_index(df, args.path, id_column=args.id_column,
                                  vector_column=args.vector_column,
                                  batch_id=args.batch_id)
+    elif kind == "sigs":
+        from dsgrid_spark.pipeline.sigstore import append_sig_store
+
+        ok = append_sig_store(df, args.path, text_column=args.text_column,
+                              id_column=args.id_column,
+                              batch_id=args.batch_id)
     else:
         from dsgrid_spark.pipeline.pq import append_pq_index
 
@@ -529,6 +547,10 @@ def cmd_index_search(args) -> int:
 
     spark = get_spark("dsgrid-spark-cli")
     kind = _index_kind(spark, args.path)
+    if kind == "sigs":
+        raise SystemExit("signature stores are not searchable — they "
+                         "feed incremental dedup (pipeline.sigstore."
+                         "ingest_dedup_batch)")
     if kind == "term":
         if args.phrase:
             from dsgrid_spark.pipeline.retrieval import phrase_search
@@ -700,11 +722,13 @@ def main(argv: list[str] | None = None) -> int:
     rp.set_defaults(fn=cmd_registry_prune)
 
     idx = sub.add_parser("index", help="build/search/append/vacuum "
-                                       "persisted term/ivf/pq indexes")
+                                       "persisted term/ivf/pq/binary "
+                                       "indexes and signature stores")
     idxsub = idx.add_subparsers(dest="index_command", required=True)
 
     ib = idxsub.add_parser("build", help="build an index from parquet")
-    ib.add_argument("kind", choices=["term", "ivf", "pq", "binary"])
+    ib.add_argument("kind", choices=["term", "ivf", "pq", "binary",
+                                     "sigs"])
     ib.add_argument("input", help="input parquet table")
     ib.add_argument("path", help="index root directory")
     ib.add_argument("--id-column", default="doc_id")
@@ -726,6 +750,10 @@ def main(argv: list[str] | None = None) -> int:
     ib.add_argument("--no-vectors", action="store_true",
                     help="pq/binary: codes-only index (no exact re-rank)")
     ib.add_argument("--fit-sample-cap", type=int, default=100_000)
+    ib.add_argument("--num-hashes", type=int, default=32,
+                    help="sigs: minhash permutations")
+    ib.add_argument("--shingle-k", type=int, default=5,
+                    help="sigs: word-shingle width")
     ib.set_defaults(fn=cmd_index_build)
 
     ia = idxsub.add_parser("append", help="exactly-once batch append")

@@ -1,0 +1,227 @@
+"""Persisted MinHash signature store for cross-run incremental dedup.
+
+``incremental_dedup`` (pipeline/dedup.py) dedups a new batch against an
+accumulated corpus using the corpus' signatures — but it takes
+``reference_sigs`` as a DataFrame the CALLER must manage. A daily
+100 TB ingest wants that table to be a first-class store with the same
+guarantees the term/IVF/PQ/binary indexes already have: exactly-once
+append of each accepted batch's signatures, committed-batch reads
+(a crashed append's rows are invisible), and vacuum. This module
+supplies exactly that, on the shared ``pipeline/indexlog.py``
+machinery. Layout at ``<path>``:
+
+    meta/    one row: (num_hashes, shingle_k, seed, n_shards)
+    sigs/shard=K/batch=B/   (id, minhash array<long>)
+    batches/ + intents/     indexlog exactly-once machinery
+
+The signature params ride the META row and every append re-signs its
+batch with the STORE'S OWN params — a caller-supplied num_hashes that
+drifted from the stored signatures would silently mis-band every
+future bucket join (the same failure class as probing an IVF index
+with foreign centroids). ``shard = pmod(xxhash64(id), n_shards)`` is a
+content-derived intermediate partition level: it bounds per-directory
+file counts at corpus scale, parallelizes writes, and keeps the data
+dirs on the ``<subtree>/<col>=K/batch=B`` two-level layout that
+``indexlog.vacuum`` manages. Reads never prune on it (every dedup run
+needs all shards); banding happens at read time from the raw
+signatures, so ``num_bands`` stays a per-run knob while the store
+stays banding-agnostic.
+
+``ingest_dedup_batch`` is the turnkey continuous-ingest step: dedup
+the incoming batch against the committed store (within-batch + versus
+corpus), then register the SURVIVORS' signatures exactly-once under
+the batch id. Replaying a committed batch recomputes nothing and
+changes nothing: the survivor set is recovered from the store itself
+(the appended ids ARE the survivors), so a crashed orchestrator can
+re-run the step idempotently — the crash/replay contract the
+round-9 spec asks for.
+
+Reference parity: the reference engine has no dedup surface; this
+extends the dedup family (SURVEY.md "beyond the reference" pipeline
+scope) the same way the persisted term/IVF/PQ indexes extend
+retrieval/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dsgrid_spark.pipeline import indexlog
+from dsgrid_spark.pipeline.dedup import incremental_dedup, minhash_signatures
+
+__all__ = [
+    "write_sig_store",
+    "append_sig_store",
+    "read_sig_store",
+    "sig_store_params",
+    "ingest_dedup_batch",
+]
+
+
+def _read_params(spark: SparkSession, path: str) -> dict:
+    return spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+
+
+def sig_store_params(spark: SparkSession, path: str) -> dict:
+    """The store's signature parameters (num_hashes, shingle_k, seed,
+    n_shards) — the values every reader and appender must use."""
+    return _read_params(spark, path)
+
+
+def _sig_rows(df: DataFrame, text_column: str, id_column: str,
+              params: dict, batch_id: str,
+              signatures: DataFrame | None) -> DataFrame:
+    """(id, minhash, shard, batch) rows for one batch, signed with the
+    store's params unless the caller passes a precomputed ``signatures``
+    table (which MUST come from minhash_signatures with those params —
+    the usual reuse contract, same as minhash_dedup(signatures=...))."""
+    if signatures is None:
+        signatures = minhash_signatures(
+            df, text_column, num_hashes=int(params["num_hashes"]),
+            shingle_k=int(params["shingle_k"]), seed=int(params["seed"]))
+    return (signatures.select(F.col(id_column).alias("id"), "minhash")
+            .withColumn("shard", F.pmod(F.xxhash64(F.col("id")),
+                                        F.lit(int(params["n_shards"])))
+                        .cast("int"))
+            .withColumn("batch", F.lit(batch_id)))
+
+
+def write_sig_store(df: DataFrame, path: str, text_column: str = "text",
+                    id_column: str = "doc_id", num_hashes: int = 32,
+                    shingle_k: int = 5, seed: int = 42,
+                    n_shards: int = 16,
+                    signatures: DataFrame | None = None) -> None:
+    """Build the store from an initial corpus: sign every row ONCE and
+    persist (id, minhash) sharded by content hash. Rebuild order
+    follows the other indexes: the old log and intents are deleted
+    FIRST so a crash mid-rebuild cannot leave committed ids pointing at
+    vanished data."""
+    if num_hashes <= 0 or shingle_k <= 0 or n_shards <= 0:
+        raise ValueError("num_hashes, shingle_k, and n_shards must be "
+                         "positive")
+    spark = df.sparkSession
+    indexlog.delete_glob(spark, f"{path}/batches")
+    indexlog.delete_glob(spark, f"{path}/intents")
+    params = {"num_hashes": num_hashes, "shingle_k": shingle_k,
+              "seed": seed, "n_shards": n_shards}
+    rows = _sig_rows(df, text_column, id_column, params,
+                     indexlog.BASE_BATCH, signatures)
+    (rows.repartition("shard")
+       .write.mode("overwrite").partitionBy("shard", "batch")
+       .parquet(f"{path}/sigs"))
+    (spark.createDataFrame(
+        [(num_hashes, shingle_k, seed, n_shards)],
+        "num_hashes int, shingle_k int, seed int, n_shards int")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
+
+
+def append_sig_store(df: DataFrame, path: str,
+                     text_column: str = "text",
+                     id_column: str = "doc_id",
+                     batch_id: str | None = None,
+                     signatures: DataFrame | None = None) -> bool:
+    """Register one batch's signatures, exactly-once per ``batch_id``
+    (pipeline/indexlog.py — committed ids no-op, crashed retries clean
+    their own orphans first, auto ids claim intent markers, the log
+    entry commits LAST so readers see the batch atomically). Signing
+    uses the STORE'S OWN params. Returns True when ingested."""
+    spark = df.sparkSession
+    committed = indexlog.committed_batches(spark, path)
+    if batch_id is None:
+        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+    indexlog.check_batch_id(batch_id)
+    if batch_id == indexlog.BASE_BATCH:
+        raise ValueError(f"batch_id {indexlog.BASE_BATCH!r} is reserved "
+                         "for the initial build")
+    if batch_id in committed:
+        return False  # replayed batch: already fully ingested
+    params = _read_params(spark, path)
+    indexlog.delete_glob(spark, f"{path}/sigs/shard=*/batch={batch_id}")
+    rows = _sig_rows(df, text_column, id_column, params, batch_id,
+                     signatures)
+    (rows.repartition("shard")
+       .write.mode("append").partitionBy("shard", "batch")
+       .parquet(f"{path}/sigs"))
+    indexlog.log_batch(spark, path, batch_id)
+    indexlog.clear_intent(spark, path, batch_id)
+    return True
+
+
+def read_sig_store(spark: SparkSession, path: str,
+                   id_column: str = "doc_id") -> DataFrame:
+    """(id_column, minhash) over COMMITTED batches only — the
+    ``reference_sigs`` input incremental_dedup expects. The ``batch``
+    partition filter prunes crashed-append orphans at planning time
+    (indexlog.read_committed), so a racing reader never sees half a
+    batch."""
+    return (indexlog.read_committed(spark, path, "sigs")
+            .select(F.col("id").alias(id_column), "minhash"))
+
+
+def ingest_dedup_batch(new_df: DataFrame, path: str,
+                       reference_df: DataFrame,
+                       text_column: str = "text",
+                       id_column: str = "doc_id",
+                       batch_id: str | None = None,
+                       num_bands: int = 4, threshold: float = 0.8,
+                       within_batch: bool = True,
+                       max_bucket_size: int | None = None) -> DataFrame:
+    """Dedup one incoming batch against the persisted store and
+    register the survivors' signatures — the crash-safe continuous-
+    ingest step.
+
+    Runs :func:`incremental_dedup` with the store's committed
+    signatures as the reference side (``reference_df`` supplies the
+    corpus TEXT for candidate verification only, semi-join-pruned to
+    candidates as usual), appends the SURVIVORS' signatures
+    exactly-once under ``batch_id``, and returns the surviving rows of
+    ``new_df``.
+
+    Crash/replay contract: if ``batch_id`` already committed, nothing
+    is recomputed or re-registered — the survivor set is recovered
+    from the store itself (the batch's registered ids ARE the
+    survivors) via one batch-pruned id scan, so a re-run returns the
+    identical rows. If a previous attempt crashed mid-append, the
+    retry recomputes against the UNCHANGED committed state (the
+    crashed batch was never visible to readers), deletes its orphan
+    directories, and lands the same survivors. Signature params come
+    from the store's meta; ``num_bands``/``threshold`` stay per-run
+    knobs (banding happens at read time).
+    """
+    spark = new_df.sparkSession
+    committed = indexlog.committed_batches(spark, path)
+    if batch_id is None:
+        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+    indexlog.check_batch_id(batch_id)
+    if batch_id in committed:
+        # replay: recover the survivor ids from the store (batch
+        # pruning makes this a scan of just this batch's directories)
+        kept = (spark.read.parquet(f"{path}/sigs")
+                .filter(F.col("batch") == batch_id)
+                .select(F.col("id").alias(id_column)).distinct())
+        return new_df.join(kept, id_column, "left_semi")
+    params = _read_params(spark, path)
+    ref_sigs = read_sig_store(spark, path, id_column)
+    new_sigs = minhash_signatures(
+        new_df, text_column, num_hashes=int(params["num_hashes"]),
+        shingle_k=int(params["shingle_k"]), seed=int(params["seed"]))
+    survivors = incremental_dedup(
+        new_df, ref_sigs, reference_df, text_column, id_column,
+        num_hashes=int(params["num_hashes"]), num_bands=num_bands,
+        shingle_k=int(params["shingle_k"]), threshold=threshold,
+        within_batch=within_batch, new_sigs=new_sigs,
+        max_bucket_size=max_bucket_size)
+    # materialize the survivor set once: the append below and the
+    # caller's consumption must see the SAME rows, and the append
+    # re-reads it
+    survivors = survivors.localCheckpoint()
+    # ONE signing pass serves dedup and registration: the batch's
+    # signature table sliced to the survivor ids (extra signatures of
+    # dropped rows never reach the store)
+    ok = append_sig_store(
+        survivors, path, text_column, id_column, batch_id=batch_id,
+        signatures=new_sigs.join(
+            survivors.select(id_column), id_column, "left_semi"))
+    assert ok, "batch flipped to committed mid-ingest"  # claimed above
+    return survivors

@@ -3425,3 +3425,177 @@ def test_fold_table_latin_extended_additional(spark):
         ANALYZERS["english"](F.lit(t)).alias("t")).collect()[0]["t"]
         for t in (nfc, nfd)]
     assert out[0] == out[1] == ["viet", "dien", "e"]
+
+
+def _sigstore_fixture(spark):
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "red green blue yellow purple orange pink brown black white"),
+    ]
+    batch = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota NOPE"),
+        (11, "spark catalyst tungsten shuffle broadcast partition codegen "
+             "adaptive skew salt"),
+        (12, "spark catalyst tungsten shuffle broadcast partition codegen "
+             "adaptive skew salt"),
+        (13, "spark catalyst tungsten shuffle broadcast partition codegen "
+             "adaptive skew SALTY"),
+    ]
+    return (spark.createDataFrame(base, "doc_id long, text string"),
+            spark.createDataFrame(batch, "doc_id long, text string"))
+
+
+def test_sig_store_equals_dataframe_reference(spark, tmp_path):
+    """(r9) the persisted signature store is a drop-in for the
+    caller-managed reference_sigs DataFrame: stored rows equal a fresh
+    minhash_signatures pass exactly, and incremental_dedup through the
+    store returns the same survivors as through the DataFrame (both
+    equal full-corpus dedup restricted to the batch)."""
+    from dsgrid_spark.pipeline.dedup import (
+        incremental_dedup, minhash_dedup, minhash_signatures,
+    )
+    from dsgrid_spark.pipeline.sigstore import (
+        read_sig_store, sig_store_params, write_sig_store,
+    )
+
+    ref, new = _sigstore_fixture(spark)
+    path = str(tmp_path / "store")
+    write_sig_store(ref, path, num_hashes=64, shingle_k=3)
+    params = sig_store_params(spark, path)
+    assert (params["num_hashes"], params["shingle_k"]) == (64, 3)
+    stored = {r["doc_id"]: list(r["minhash"])
+              for r in read_sig_store(spark, path).collect()}
+    fresh = {r["doc_id"]: list(r["minhash"])
+             for r in minhash_signatures(ref, num_hashes=64,
+                                         shingle_k=3).collect()}
+    assert stored == fresh  # integer-exact signatures, bit-for-bit
+    via_store = sorted(r["doc_id"] for r in incremental_dedup(
+        new, read_sig_store(spark, path), ref, num_hashes=64,
+        num_bands=32, shingle_k=3, threshold=0.5).collect())
+    via_df = sorted(r["doc_id"] for r in incremental_dedup(
+        new, minhash_signatures(ref, num_hashes=64, shingle_k=3), ref,
+        num_hashes=64, num_bands=32, shingle_k=3,
+        threshold=0.5).collect())
+    full = minhash_dedup(ref.unionByName(new), num_hashes=64,
+                         num_bands=32, shingle_k=3, threshold=0.5)
+    full_kept = sorted(r["doc_id"] for r in full.collect()
+                       if r["doc_id"] >= 10)
+    assert via_store == via_df == full_kept == [11]
+
+
+def test_ingest_dedup_batch_exactly_once_and_replay(spark, tmp_path):
+    """(r9) the turnkey ingest step: dedup vs the committed store,
+    register survivors exactly-once. A replayed batch neither
+    double-registers signatures nor changes the survivor set; a later
+    batch deduplicates against the GROWN corpus (earlier survivors
+    included); a crashed append's orphans are invisible and cleaned by
+    the retry."""
+    from dsgrid_spark.pipeline.sigstore import (
+        append_sig_store, ingest_dedup_batch, read_sig_store,
+        write_sig_store,
+    )
+
+    ref, new = _sigstore_fixture(spark)
+    path = str(tmp_path / "store")
+    write_sig_store(ref, path, num_hashes=64, shingle_k=3)
+    surv1 = ingest_dedup_batch(new, path, ref, batch_id="b1",
+                               num_bands=32, threshold=0.5)
+    assert sorted(r["doc_id"] for r in surv1.collect()) == [11]
+    after1 = sorted(r["doc_id"]
+                    for r in read_sig_store(spark, path).collect())
+    assert after1 == [0, 1, 2, 11]
+    # replay: identical survivors, store unchanged (no recompute path —
+    # the ids come back from the store itself)
+    replay = ingest_dedup_batch(new, path, ref, batch_id="b1",
+                                num_bands=32, threshold=0.5)
+    assert sorted(r["doc_id"] for r in replay.collect()) == [11]
+    assert sorted(r["doc_id"] for r in
+                  read_sig_store(spark, path).collect()) == after1
+    # next batch: a near-dup of SURVIVOR 11 drops (corpus text now
+    # includes prior survivors), fresh content lands
+    batch2 = spark.createDataFrame(
+        [(20, "spark catalyst tungsten shuffle broadcast partition "
+              "codegen adaptive skew SALTED"),
+         (21, "entirely novel words nobody used before in any batch "
+              "here today")],
+        "doc_id long, text string")
+    corpus_text = ref.unionByName(surv1.select("doc_id", "text"))
+    surv2 = ingest_dedup_batch(batch2, path, corpus_text,
+                               batch_id="b2", num_bands=32,
+                               threshold=0.5)
+    assert sorted(r["doc_id"] for r in surv2.collect()) == [21]
+    assert sorted(r["doc_id"] for r in
+                  read_sig_store(spark, path).collect()) == \
+        [0, 1, 2, 11, 21]
+    # crashed append: orphan signature dirs under an unlogged batch id
+    # are invisible to readers, and the retry cleans them first
+    from dsgrid_spark.pipeline.dedup import minhash_signatures
+
+    orphan = (minhash_signatures(batch2, num_hashes=64, shingle_k=3)
+              .select(F.col("doc_id").alias("id"), "minhash")
+              .withColumn("shard", F.lit(0))
+              .withColumn("batch", F.lit("crashed1")))
+    (orphan.write.mode("append").partitionBy("shard", "batch")
+       .parquet(f"{path}/sigs"))
+    assert sorted(r["doc_id"] for r in
+                  read_sig_store(spark, path).collect()) == \
+        [0, 1, 2, 11, 21]
+    one = spark.createDataFrame([(30, "single retry row text")],
+                                "doc_id long, text string")
+    assert append_sig_store(one, path, batch_id="crashed1") is True
+    got = (spark.read.parquet(f"{path}/sigs")
+           .filter(F.col("batch") == "crashed1").collect())
+    assert [r["id"] for r in got] == [30]  # orphans gone, batch landed
+    with pytest.raises(ValueError, match="reserved"):
+        append_sig_store(one, path, batch_id="base")
+
+
+def test_sig_store_vacuum_and_cli(spark, tmp_path, capsys):
+    """(r9) indexlog.vacuum manages the store's two-level
+    sigs/shard=K/batch=B layout: expired orphans reclaimed, committed
+    batches untouched; the index CLI builds/appends/vacuums sig stores
+    by kind auto-detection and refuses to 'search' one."""
+    import json as _json
+    import os
+    import time
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.sigstore import read_sig_store
+
+    ref, new = _sigstore_fixture(spark)
+    src = str(tmp_path / "ref.parquet")
+    ref.write.parquet(src)
+    path = str(tmp_path / "store")
+    assert cli_main(["index", "build", "sigs", src, path,
+                     "--num-hashes", "16", "--shingle-k", "3"]) == 0
+    capsys.readouterr()
+    src2 = str(tmp_path / "new.parquet")
+    new.write.parquet(src2)
+    assert cli_main(["index", "append", path, src2,
+                     "--batch-id", "b1"]) == 0
+    assert "ingested" in capsys.readouterr().out
+    assert cli_main(["index", "append", path, src2,
+                     "--batch-id", "b1"]) == 0
+    assert "replay" in capsys.readouterr().out
+    assert read_sig_store(spark, path).count() == 7
+    # plant an expired orphan (back-dated data dir + intent marker)
+    orphan_dir = f"{path}/sigs/shard=0/batch=dead1"
+    os.makedirs(orphan_dir)
+    with open(f"{orphan_dir}/part-0.parquet", "wb") as f:
+        f.write(b"junk")
+    os.makedirs(f"{path}/intents/dead1")
+    old = time.time() - 7200
+    os.utime(orphan_dir, (old, old))
+    os.utime(f"{orphan_dir}/part-0.parquet", (old, old))
+    os.utime(f"{path}/intents/dead1", (old, old))
+    out = indexlog.vacuum(spark, path, ttl_seconds=3600)
+    assert out == {"data_dirs_removed": 1, "intents_removed": 1}
+    assert not os.path.exists(orphan_dir)
+    assert read_sig_store(spark, path).count() == 7
+    assert cli_main(["index", "vacuum", path, "--ttl", "3600"]) == 0
+    assert _json.loads(capsys.readouterr().out.strip()) == \
+        {"data_dirs_removed": 0, "intents_removed": 0}
+    with pytest.raises(SystemExit, match="not searchable"):
+        cli_main(["index", "search", path, "whatever"])
