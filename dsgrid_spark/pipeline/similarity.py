@@ -546,24 +546,43 @@ def cosine_neardup_pairs(
     )
 
 
-def _kmeanspp_seeds(sample: list[list[float]], k: int, rnd) -> list[list[float]]:
+def _kmeanspp_seeds(sample: list[list[float]], k: int, rnd,
+                    weights: list[float] | None = None) -> list[list[float]]:
     """k-means++ (Arthur/Vassilvitskii SODA'07) D² seeding over the
     collected sample, with COSINE distance (1 − cos) to match the
     assignment metric. Driver-side numpy: each new seed costs one
     matrix-vector product over the pool — O(k · pool · dim) flops,
-    bounded because the pool is already capped at max(20k, 200) rows."""
+    bounded because the pool is already capped at max(20k, 200) rows.
+
+    ``weights`` (the k-means‖ recluster step: each candidate weighted
+    by its corpus attraction count) scales the D² sampling mass and the
+    first draw; ``None`` keeps the historical unweighted behavior
+    bit-for-bit (first seed via ``rnd.randrange``)."""
     import numpy as np
 
     x = np.asarray(sample, dtype=np.float64)
     norms = np.sqrt((x * x).sum(axis=1))
     norms[norms == 0] = 1.0
     unit = x / norms[:, None]
-    first = rnd.randrange(len(sample))
+    wts = (None if weights is None
+           else np.maximum(np.asarray(weights, dtype=np.float64), 0.0))
+    if wts is None:
+        first = rnd.randrange(len(sample))
+    else:
+        total = float(wts.sum())
+        if total <= 0:
+            wts = np.ones(len(sample))
+            total = float(len(sample))
+        r = rnd.random() * total
+        first = min(int(np.searchsorted(np.cumsum(wts), r)),
+                    len(sample) - 1)
     picked = [first]
     d = 1.0 - unit @ unit[first]
     np.maximum(d, 0.0, out=d)
     for _ in range(1, min(k, len(sample))):
         w = d * d
+        if wts is not None:
+            w = w * wts
         total = float(w.sum())
         if total <= 0:  # every point coincides with a seed already
             remaining = [i for i in range(len(sample)) if i not in picked]
@@ -577,6 +596,99 @@ def _kmeanspp_seeds(sample: list[list[float]], k: int, rnd) -> list[list[float]]
         picked.append(i)
         d = np.minimum(d, np.maximum(1.0 - unit @ unit[i], 0.0))
     return [list(map(float, x[i])) for i in picked]
+
+
+def _kmeans_parallel_seeds(fit_df: DataFrame, k: int, vector_column: str,
+                           seed: int, rnd, oversample: int | None = None,
+                           rounds: int = 5,
+                           assign_strategy: str = "auto") -> list[list[float]]:
+    """k-means‖ (Bahmani et al., VLDB 2012) seeding: DISTRIBUTED D²
+    oversampling in O(rounds) corpus passes, then a driver-side
+    weighted k-means++ recluster of the O(oversample · rounds)
+    candidates.
+
+    Why it exists: the pool-based inits (``sample``/``kmeanspp``) see
+    only a max(20·k, 200)-row uniform sample — a cluster rarer than
+    ~1/pool has no seed with high probability, and Lloyd iterations
+    never recover it (no centroid moves toward an unseeded island). In
+    each round here, every corpus row is a candidate with probability
+    ∝ its squared cosine distance to the CURRENT candidate set — once
+    the bulk is covered, the residual mass concentrates exactly on the
+    unseeded islands, so a 5-member cluster in a 100k-row corpus is
+    sampled with near-certainty by round 2–3 (the paper's argument:
+    each round halves the remaining potential in expectation).
+
+    Per round: ONE broadcast candidate table (the data-path idiom —
+    candidates are data, not plan literals), one agg for the potential
+    φ = Σd², one filter-collect of the newly sampled rows (expected
+    ``oversample`` rows, default 2k — driver-bounded). The Bernoulli
+    draw is CONTENT-HASHED over the WHOLE row plus (round, seed), not
+    F.rand: identical candidate sets regardless of partitioning or
+    cluster layout. Hashing all columns (not just the vector) matters
+    on duplicate-heavy corpora: rows sharing a vector would otherwise
+    draw identically — all or none per round — and a corpus of few
+    distinct vectors could starve the sampler; any id column makes the
+    draws row-independent. Final weights = corpus attraction counts per
+    candidate (one assign + groupBy), fed to the weighted k-means++
+    recluster. Cost: rounds + 1 corpus passes against the pool inits'
+    zero — the price of covering clusters the pool provably misses.
+    """
+    import numpy as np  # noqa: F401  (parity with the pp seeder's deps)
+
+    l = oversample or 2 * k
+    # first center: deterministic content-hash argmin — no collect of a
+    # pool, independent of partition layout
+    v = F.col(vector_column)
+    first = (fit_df.select(v.alias("__v"))
+             .agg(F.min_by("__v", F.xxhash64(F.col("__v"))).alias("c"))
+             .collect()[0]["c"])
+    if first is None:
+        raise ValueError("corpus is empty: k-means|| needs at least one "
+                         "vector")
+    centers: list[list[float]] = [[float(x) for x in first]]
+    denom = float(1 << 30)
+    row_cols = [F.col(c) for c in fit_df.columns]
+    for rnd_i in range(rounds):
+        cent_one = (
+            fit_df.sparkSession.createDataFrame(
+                [(c,) for c in centers], "__c array<double>")
+            .agg(F.collect_list("__c").alias("__cands")))
+        best = F.array_max(F.transform(F.col("__cands"),
+                                       lambda c: cosine(v, c)))
+        d2c = F.pow(F.lit(1.0) - best, F.lit(2.0))
+        u = (F.pmod(F.xxhash64(*row_cols, F.lit(rnd_i), F.lit(seed)),
+                    F.lit(1 << 30)) / F.lit(denom))
+        frame = (fit_df.crossJoin(F.broadcast(cent_one))
+                 .select(v.alias("__v"), d2c.alias("__d2"),
+                         u.alias("__u")))
+        phi = frame.agg(F.sum("__d2")).collect()[0][0] or 0.0
+        if phi <= 0:
+            break  # every row coincides with a candidate
+        new = (frame.filter(F.col("__u") * F.lit(float(phi))
+                            < F.lit(float(l)) * F.col("__d2"))
+               .select("__v").collect())
+        # the sampled SET is layout-independent (content-hash draws)
+        # but collect order is not — sort so the candidate list, and
+        # everything downstream of it, is deterministic
+        centers.extend(sorted([list(map(float, r["__v"])) for r in new]))
+    # de-dup exact repeats (a row sampled in two rounds) — weights
+    # would double-count its attraction otherwise
+    seen, uniq_centers = set(), []
+    for c in centers:
+        key = tuple(c)
+        if key not in seen:
+            seen.add(key)
+            uniq_centers.append(c)
+    centers = uniq_centers
+    if len(centers) <= k:
+        return centers
+    # weight candidates by corpus attraction and recluster driver-side
+    counts = (assign_nearest_centroid(fit_df, centers, vector_column,
+                                      strategy=assign_strategy)
+              .groupBy("__cluster").count().collect())
+    wmap = {r["__cluster"]: float(r["count"]) for r in counts}
+    weights = [wmap.get(i, 0.0) for i in range(len(centers))]
+    return _kmeanspp_seeds(centers, k, rnd, weights=weights)
 
 
 def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
@@ -611,10 +723,16 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
     (driver-oracled paths) leave it None.
 
     ``init``: ``sample`` (default — uniform draw from the seed pool,
-    the historical behavior every oracled path pins) or ``kmeanspp``
+    the historical behavior every oracled path pins), ``kmeanspp``
     (opt-in D² seeding over the same pool, cosine metric): rare-but-
     distinct clusters that uniform sampling misses get a seed with
-    near-certainty, at O(k · pool · dim) driver numpy cost.
+    near-certainty, at O(k · pool · dim) driver numpy cost — but still
+    bounded by what the max(20·k, 200)-row POOL contains; or
+    ``parallel`` (k-means‖, Bahmani VLDB'12): distributed D²
+    oversampling over the WHOLE fit corpus in O(log k)-ish passes, then
+    a driver-side weighted k-means++ recluster of the O(k) candidates —
+    the init for clusters rarer than ~1/pool, which no pool-based
+    seeding can see (see :func:`_kmeans_parallel_seeds`).
     """
     import math
     import random
@@ -642,8 +760,16 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
         centroids = _kmeanspp_seeds(sample, n_clusters, rnd)
     elif init == "sample":
         centroids = rnd.sample(sample, min(n_clusters, len(sample)))
+    elif init == "parallel":
+        # k-means|| — DISTRIBUTED D² oversampling: seed quality no
+        # longer bounded by the driver pool, at rounds+1 extra corpus
+        # passes (see _kmeans_parallel_seeds)
+        centroids = _kmeans_parallel_seeds(fit_df, n_clusters,
+                                           vector_column, seed, rnd,
+                                           assign_strategy=assign_strategy)
     else:
-        raise ValueError(f"init must be sample|kmeanspp, got {init!r}")
+        raise ValueError(f"init must be sample|kmeanspp|parallel, "
+                         f"got {init!r}")
     for _ in range(iterations):
         assigned = assign_nearest_centroid(fit_df, centroids, vector_column,
                                            strategy=assign_strategy)

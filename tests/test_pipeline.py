@@ -3599,3 +3599,72 @@ def test_sig_store_vacuum_and_cli(spark, tmp_path, capsys):
         {"data_dirs_removed": 0, "intents_removed": 0}
     with pytest.raises(SystemExit, match="not searchable"):
         cli_main(["index", "search", path, "whatever"])
+
+
+def test_kmeans_parallel_init_covers_pool_invisible_cluster(spark):
+    """(r9) k-means|| (init='parallel'): distributed D² oversampling
+    finds a 4-member cluster in a 6000-row corpus that the
+    max(20k, 200)-row uniform pool under-samples (expected pool hits
+    ~0.13 — with these seeds, zero: pool-kmeanspp provably merges the
+    rare family into a dense family's centroid while parallel gives it
+    its own). Draws are content-hashed over the whole row, so the
+    candidate set — and hence the centroids — is deterministic across
+    runs and partitionings."""
+    from dsgrid_spark.pipeline.similarity import (
+        assign_nearest_centroid, kmeans_centroids,
+    )
+
+    rare_ids = {1501, 3001, 4501, 5901}
+    rows = []
+    for i in range(6000):
+        fam = 3 if i in rare_ids else i % 3
+        mag = float(1 + i % 5)
+        rows.append((i, [mag if d == fam * 2 else 0.0
+                         for d in range(8)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").localCheckpoint()
+
+    def fam_cover(cents):
+        assigned = assign_nearest_centroid(df, cents)
+        fams = (assigned.withColumn(
+            "fam", F.when(F.col("vec_id").isin(*rare_ids), F.lit(3))
+            .otherwise(F.col("vec_id") % 3))
+            .select("fam", "__cluster").distinct().collect())
+        by = {}
+        for r in fams:
+            by.setdefault(r["fam"], set()).add(r["__cluster"])
+        return by
+
+    def potential(cents):
+        scores = F.array(*[
+            F.aggregate(F.zip_with("embedding",
+                                   F.array(*[F.lit(x) for x in c]),
+                                   lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            / (F.sqrt(F.aggregate(F.transform("embedding",
+                                              lambda a: a * a),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+               * (sum(x * x for x in c) ** 0.5))
+            for c in cents])
+        return df.agg(F.avg(F.lit(1.0) - F.array_max(scores))) \
+            .collect()[0][0]
+
+    cpar = kmeans_centroids(df, n_clusters=4, dim=8, iterations=2,
+                            init="parallel")
+    by_par = fam_cover(cpar)
+    # orthogonal families: bijective family -> centroid, rare included
+    # (k-means|| guarantees this regardless of layout; the pool inits
+    # cover the rare family only if the 200-row draw happens to hit one
+    # of its 4 members)
+    assert all(len(v) == 1 for v in by_par.values()), by_par
+    assert len({next(iter(v)) for v in by_par.values()}) == 4, by_par
+    # seed quality >= pool-k-means++ by quantization potential: equal
+    # (both 0) when the pool got lucky, strictly better when it missed
+    cpp = kmeans_centroids(df, n_clusters=4, dim=8, iterations=2,
+                           init="kmeanspp")
+    assert potential(cpar) <= potential(cpp) + 1e-12
+    # deterministic across runs and input partitionings (content-hash
+    # draws — a property no pool-based init has)
+    cpar2 = kmeans_centroids(df.repartition(13), n_clusters=4, dim=8,
+                             iterations=2, init="parallel")
+    assert cpar == cpar2
