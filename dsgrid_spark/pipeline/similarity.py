@@ -649,18 +649,29 @@ def _kmeans_parallel_seeds(fit_df: DataFrame, k: int, vector_column: str,
     denom = float(1 << 30)
     row_cols = [F.col(c) for c in fit_df.columns]
     for rnd_i in range(rounds):
-        cent_one = (
-            fit_df.sparkSession.createDataFrame(
-                [(c,) for c in centers], "__c array<double>")
-            .agg(F.collect_list("__c").alias("__cands")))
-        best = F.array_max(F.transform(F.col("__cands"),
-                                       lambda c: cosine(v, c)))
-        d2c = F.pow(F.lit(1.0) - best, F.lit(2.0))
         u = (F.pmod(F.xxhash64(*row_cols, F.lit(rnd_i), F.lit(seed)),
                     F.lit(1 << 30)) / F.lit(denom))
-        frame = (fit_df.crossJoin(F.broadcast(cent_one))
-                 .select(v.alias("__v"), d2c.alias("__d2"),
-                         u.alias("__u")))
+        if assign_strategy == "arrow":
+            # rehearsal/throwaway-fit path (ROADMAP 14): at high k the
+            # candidate set reaches O(oversample · rounds) and the
+            # per-row HOF cosine ladder is interpreted per element —
+            # one numpy matmul per Arrow batch instead; sampling can
+            # flip on last-ULP near-ties, fine for non-oracled fits
+            frame = _max_cosine_arrow(
+                fit_df.select(v.alias("__v"), u.alias("__u")),
+                centers, "__v", "__best").withColumn(
+                "__d2", F.pow(F.lit(1.0) - F.col("__best"), F.lit(2.0)))
+        else:
+            cent_one = (
+                fit_df.sparkSession.createDataFrame(
+                    [(c,) for c in centers], "__c array<double>")
+                .agg(F.collect_list("__c").alias("__cands")))
+            best = F.array_max(F.transform(F.col("__cands"),
+                                           lambda c: cosine(v, c)))
+            d2c = F.pow(F.lit(1.0) - best, F.lit(2.0))
+            frame = (fit_df.crossJoin(F.broadcast(cent_one))
+                     .select(v.alias("__v"), d2c.alias("__d2"),
+                             u.alias("__u")))
         phi = frame.agg(F.sum("__d2")).collect()[0][0] or 0.0
         if phi <= 0:
             break  # every row coincides with a candidate
@@ -883,6 +894,39 @@ def assign_nearest_centroid(df: DataFrame, centroids: list[list[float]],
         .withColumn("__cluster", (-best["nc"]).cast("int"))
         .drop("__cents")
     )
+
+
+def _max_cosine_arrow(df: DataFrame, centers: list[list[float]],
+                      vector_column: str, out_col: str) -> DataFrame:
+    """Append the max cosine of each row's vector against ``centers``
+    — the numpy twin of ``array_max(transform(cands, cos))``, one
+    ``X @ Cᵀ`` per Arrow batch. The k-means‖ round kernel at high k
+    (opt-in via assign_strategy='arrow'; last-ULP rounding vs the JVM
+    fold, same caveat as :func:`_assign_arrow`)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cm = np.asarray([[float(x) for x in c] for c in centers],
+                    dtype=np.float64)                      # (k, dim)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    out_schema = StructType(
+        list(df.schema) + [StructField(out_col, DoubleType())])
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: []})
+                continue
+            x = np.asarray([np.asarray(r, dtype=np.float64)
+                            for r in pdf[vector_column]])
+            scores = x @ cm.T
+            xn = np.sqrt((x * x).sum(axis=1))
+            den = xn[:, None] * cn[None, :]
+            scores = np.divide(scores, den, out=np.zeros_like(scores),
+                               where=den > 0)
+            yield pdf.assign(**{out_col: scores.max(axis=1)})
+
+    return df.mapInPandas(kern, out_schema)
 
 
 def _assign_arrow(df: DataFrame, centroids: list[list[float]],

@@ -3668,3 +3668,10 @@ def test_kmeans_parallel_init_covers_pool_invisible_cluster(spark):
     cpar2 = kmeans_centroids(df.repartition(13), n_clusters=4, dim=8,
                              iterations=2, init="parallel")
     assert cpar == cpar2
+    # the opt-in numpy round kernel (high-k rehearsal path) covers the
+    # rare family the same way
+    carw = kmeans_centroids(df, n_clusters=4, dim=8, iterations=2,
+                            init="parallel", assign_strategy="arrow")
+    by_arw = fam_cover(carw)
+    assert all(len(v) == 1 for v in by_arw.values()), by_arw
+    assert len({next(iter(v)) for v in by_arw.values()}) == 4, by_arw
