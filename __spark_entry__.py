@@ -923,12 +923,18 @@ def q29_text_stats(spark, sf_dir):
     )
 
 
-def q30_minhash_dedup(spark, sf_dir):
+def q30_minhash_dedup(spark, sf_dir, branch=None):
     """MinHash+LSH near-dedup survivors, oracle-checked against exact
     all-pairs Jaccard in DuckDB: drop any doc with a smaller-id neighbor
     at jaccard >= 0.8. 8 bands x 3 rows keeps catch probability ~1 at
     the 0.8 threshold (1-(1-s^3)^8 = 0.997 at s=0.8, ~1 above 0.9)
     while costing 25% less signature codegen than 32 hashes.
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named branch's plan — the r8 per-branch-plan convention:
+    the r9 'store' branch WRITES a signature store during query
+    construction, and without this the pinned 'full'/'incr' timings
+    would each pay that disk write (the q32 r7 drift failure class).
 
     Tagged union: 'full' = whole-corpus dedup; 'incr' = the batch path —
     docs >= 250 deduped against the < 250 corpus via its PRECOMPUTED
@@ -969,6 +975,8 @@ def q30_minhash_dedup(spark, sf_dir):
     full = minhash_dedup(docs, "text", "doc_id", num_hashes=24, num_bands=8,
                          shingle_k=5, threshold=0.8, signatures=sigs,
                          bands=bands)
+    if branch == "full":
+        return full.select(F.lit("full").alias("op"), "doc_id")
     ref = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
     incr = incremental_dedup(new, sigs.filter(F.col("doc_id") < 250), ref,
@@ -979,6 +987,8 @@ def q30_minhash_dedup(spark, sf_dir):
                              reference_bands=bands.filter(
                                  F.col("doc_id") < 250),
                              new_bands=bands.filter(F.col("doc_id") >= 250))
+    if branch == "incr":
+        return incr.select(F.lit("incr").alias("op"), "doc_id")
     # 'store' (r9): the SAME incremental pass with the reference side
     # read back from a persisted, indexlog-managed signature store
     # (pipeline/sigstore.py) — the continuous-ingest path where the
