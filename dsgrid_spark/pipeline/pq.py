@@ -850,6 +850,11 @@ def write_pq_index(df: DataFrame, path: str,
     if dim != m * dsub:
         raise ValueError(f"coarse centroid dim {dim} != codebook "
                          f"m*dsub {m * dsub}")
+    first = df.select(vector_column).first()
+    if first is not None and first[0] is not None \
+            and len(first[0]) != dim:
+        raise ValueError(f"corpus vector dim {len(first[0])} != coarse "
+                         f"centroid dim {dim}")
     spark = df.sparkSession
     indexlog.delete_glob(spark, f"{path}/batches")
     indexlog.delete_glob(spark, f"{path}/intents")
@@ -915,7 +920,8 @@ def append_pq_index(df: DataFrame, path: str,
         return False  # replayed batch: already fully ingested
     meta = _read_meta(spark, path)
     first = df.select(vector_column).first()
-    if first is not None and len(first[0]) != meta["dim"]:
+    if first is not None and first[0] is not None \
+            and len(first[0]) != meta["dim"]:
         raise ValueError(f"batch vector dim {len(first[0])} != index "
                          f"dim {meta['dim']}")
     indexlog.delete_glob(spark, f"{path}/codes/cluster=*/batch={batch_id}")

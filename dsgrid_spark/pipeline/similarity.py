@@ -1246,6 +1246,11 @@ def write_binary_index(df: DataFrame, path: str,
     if not coarse_centroids:
         raise ValueError("coarse_centroids must be non-empty")
     dim = len(coarse_centroids[0])
+    first = df.select(vector_column).first()
+    if first is not None and first[0] is not None \
+            and len(first[0]) != dim:
+        raise ValueError(f"corpus vector dim {len(first[0])} != coarse "
+                         f"centroid dim {dim}")
     spark = df.sparkSession
     indexlog.delete_glob(spark, f"{path}/batches")
     indexlog.delete_glob(spark, f"{path}/intents")

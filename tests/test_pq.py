@@ -655,3 +655,42 @@ def test_binary_index_orphans_invisible_and_bits_only(spark, tmp_path):
     with pytest.raises(ValueError, match="query ids must be"):
         hamming_search(spark, path, [(0, queries[0][1]),
                                      (1.5, queries[0][1])], k=2)
+
+
+def test_index_build_and_append_dim_validation(spark, tmp_path):
+    """(r9 self-review) builds validate the corpus dim against the
+    coarse centroids up front (a mismatched corpus would silently
+    mis-assign); the append dim guard skips a NULL first embedding
+    instead of crashing on len(None) — and the BINARY index (whose
+    packing has a null convention: empty bits, NULL Hamming) ingests
+    such a batch end to end. PQ appends still require non-null
+    vectors (the encode kernel is dense by design)."""
+    from dsgrid_spark.pipeline.pq import write_pq_index
+    from dsgrid_spark.pipeline.similarity import (
+        append_binary_index, hamming_search, write_binary_index,
+    )
+
+    emb = _corpus(spark, n=20, dim=8, quant=2)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    cents4 = [[1.0] * 4, [-1.0] * 4]   # wrong dim on purpose
+    with pytest.raises(ValueError, match="corpus vector dim"):
+        write_binary_index(emb, str(tmp_path / "b"), cents4)
+    cents8 = [[1.0] * 8, [-1.0] * 8]
+    with pytest.raises(ValueError, match="codebook"):
+        write_pq_index(emb, str(tmp_path / "p"), cents4, books)
+    wrong = _corpus(spark, n=20, dim=4, quant=2)
+    with pytest.raises(ValueError, match="corpus vector dim"):
+        write_pq_index(wrong, str(tmp_path / "p"), cents8, books)
+    # null-first-embedding append on the binary index: the dim guard
+    # skips the null (no TypeError) and the row lands as empty bits
+    bpath = str(tmp_path / "b8")
+    write_binary_index(emb, bpath, cents8)
+    nulls = spark.createDataFrame([(999, None), (998, [1.0] * 8)],
+                                  "vec_id long, embedding array<double>")
+    assert append_binary_index(nulls, bpath, batch_id="nb") is True
+    got = hamming_search(spark, bpath, [(0, [1.0] * 8)], k=25,
+                         n_probe=2, rerank=False).collect()
+    ids = [r["id"] for r in got]
+    assert 998 in ids and 999 in ids
+    # the null row's NULL distance sorts LAST
+    assert ids[-1] == 999
