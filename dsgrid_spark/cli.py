@@ -476,7 +476,8 @@ def cmd_index_build(args) -> int:
             write_binary_index(df, args.path, cents,
                                id_column=args.id_column,
                                vector_column=args.vector_column,
-                               store_vectors=not args.no_vectors)
+                               store_vectors=not args.no_vectors,
+                               vectors_dtype=args.vectors_dtype)
         else:
             from dsgrid_spark.pipeline.pq import (
                 coarse_residuals, pq_fit, write_pq_index,
@@ -495,7 +496,8 @@ def cmd_index_build(args) -> int:
                            id_column=args.id_column,
                            vector_column=args.vector_column,
                            store_vectors=not args.no_vectors,
-                           residual=args.residual)
+                           residual=args.residual,
+                           vectors_dtype=args.vectors_dtype)
     print(f"built {args.kind} index at {args.path}")
     return 0
 
@@ -600,6 +602,21 @@ def cmd_index_vacuum(args) -> int:
     _index_kind(spark, args.path)  # refuse to vacuum a non-index dir
     out = indexlog.vacuum(spark, args.path, ttl_seconds=args.ttl)
     print(json.dumps(out))
+    return 0
+
+
+def cmd_index_compact(args) -> int:
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    _index_kind(spark, args.path)  # refuse to compact a non-index dir
+    new_id = indexlog.compact(spark, args.path, batches=args.batches,
+                              purge=args.purge)
+    merged = 0 if new_id is None else len(
+        [r for r, by in indexlog._replacements(spark, args.path)
+         if by == new_id])
+    print(json.dumps({"compacted_batch": new_id, "merged": merged}))
     return 0
 
 
@@ -721,9 +738,10 @@ def main(argv: list[str] | None = None) -> int:
                          "per entity (current always kept)")
     rp.set_defaults(fn=cmd_registry_prune)
 
-    idx = sub.add_parser("index", help="build/search/append/vacuum "
-                                       "persisted term/ivf/pq/binary "
-                                       "indexes and signature stores")
+    idx = sub.add_parser("index",
+                         help="build/search/append/compact/vacuum "
+                              "persisted term/ivf/pq/binary indexes "
+                              "and signature stores")
     idxsub = idx.add_subparsers(dest="index_command", required=True)
 
     ib = idxsub.add_parser("build", help="build an index from parquet")
@@ -749,6 +767,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="pq: IVFADC residual codes")
     ib.add_argument("--no-vectors", action="store_true",
                     help="pq/binary: codes-only index (no exact re-rank)")
+    ib.add_argument("--vectors-dtype", choices=["float64", "int8"],
+                    default="float64",
+                    help="pq/binary: re-rank payload storage — int8 is "
+                    "8x fewer bytes/dim, scores within per-vector "
+                    "quantization error of float64")
     ib.add_argument("--fit-sample-cap", type=int, default=100_000)
     ib.add_argument("--num-hashes", type=int, default=32,
                     help="sigs: minhash permutations")
@@ -792,6 +815,18 @@ def main(argv: list[str] | None = None) -> int:
     iv.add_argument("--ttl", type=float, default=86400.0,
                     help="seconds; younger intents/dirs survive")
     iv.set_defaults(fn=cmd_index_vacuum)
+
+    ic = idxsub.add_parser(
+        "compact", help="merge small committed batch dirs into one "
+        "(exactly-once; sources invisible at commit, reclaimed by "
+        "vacuum or --purge)")
+    ic.add_argument("path")
+    ic.add_argument("--batches", nargs="+", default=None,
+                    help="batch ids to merge (default: all visible)")
+    ic.add_argument("--purge", action="store_true",
+                    help="delete replaced data now (offline only; "
+                    "default leaves it for vacuum's ttl grace)")
+    ic.set_defaults(fn=cmd_index_compact)
 
     args = p.parse_args(argv)
     if hasattr(args, "kind") and args.command == "registry":

@@ -39,6 +39,28 @@ the batch commits.
 Partition deletion goes through the Hadoop FileSystem API (via the
 JVM gateway), so it works on any Spark-supported filesystem, not just
 ``file://``.
+
+COMPACTION (:func:`compact`) merges many small committed batch
+directories into one coalesced batch — the antidote to the small-files
+problem a long-running daily append regime accumulates (thousands of
+``batch=`` dirs each holding a few row groups turn every search's file
+listing and scan-task scheduling into the bottleneck long before the
+bytes do). The replacement is recorded in a tiny
+``<index>/compactions/`` parquet log (one row per replaced batch,
+partitioned by the replacing id) written BEFORE the compacted batch
+commits; a replaced batch becomes invisible exactly at the replacing
+batch's log commit — the same atomic-at-commit contract appends have.
+Readers derive "visible = logged − replaced-by-a-logged-batch" from
+:func:`committed_batches` / :func:`log_snapshot`, so no search or
+stats query changes. Replaced batches' data and log rows are PURGED by
+:func:`vacuum` under the same ttl contract that protects in-flight
+appends (a reader planned against the pre-compaction snapshot must
+finish within ``ttl_seconds``), or immediately via ``compact(...,
+purge=True)`` when the caller knows no reader is live. Compaction
+rows are kept forever (bytes per corpus lifetime: one short row per
+retired batch id) because they also guard id reuse: a purged batch id
+must never be re-issued to, or replayed as, a fresh append — both
+checks go through :func:`batch_sets`'s ``ingested`` view.
 """
 
 from __future__ import annotations
@@ -85,14 +107,56 @@ def _log_path(index_path: str) -> str:
     return f"{index_path}/batches"
 
 
-def committed_batches(spark: SparkSession, index_path: str) -> set[str]:
-    """Batch ids whose append fully completed (log entry exists)."""
+def _compactions_path(index_path: str) -> str:
+    return f"{index_path}/compactions"
+
+
+def _raw_logged(spark: SparkSession, index_path: str) -> set[str]:
+    """Every batch id with a log row — INCLUDING batches already
+    replaced by a committed compaction (internal; readers want
+    :func:`committed_batches`)."""
     try:
         rows = (spark.read.parquet(_log_path(index_path))
                 .select("batch").distinct().collect())
     except Exception:
         return set()
     return {r["batch"] for r in rows}
+
+
+def _replacements(spark: SparkSession, index_path: str) -> list[tuple]:
+    """(replaced, by) pairs from the compaction log ([] when none)."""
+    try:
+        rows = (spark.read.parquet(_compactions_path(index_path))
+                .select("replaced", "by").collect())
+    except Exception:
+        return []
+    return [(r["replaced"], r["by"]) for r in rows]
+
+
+def batch_sets(spark: SparkSession,
+               index_path: str) -> tuple[set[str], set[str]]:
+    """``(visible, ingested)`` batch-id sets from one log view.
+
+    ``visible`` — logged batches minus those replaced by a COMMITTED
+    compaction: the set every reader filters to. ``ingested`` —
+    logged OR ever-replaced: the set appenders must consult for the
+    replay check and for auto-id claims. A batch compacted away and
+    purged is absent from ``visible`` (its rows live on in the
+    compacted batch) but must stay in ``ingested`` forever — a replay
+    of it must no-op, and its id must never be re-issued to a NEW
+    batch (the compaction row naming it as replaced would make the
+    newcomer invisible).
+    """
+    raw = _raw_logged(spark, index_path)
+    replaced = {r for r, by in _replacements(spark, index_path)
+                if by in raw}
+    return raw - replaced, raw | replaced
+
+
+def committed_batches(spark: SparkSession, index_path: str) -> set[str]:
+    """Batch ids visible to readers: append fully committed (log entry
+    exists) and not replaced by a committed compaction."""
+    return batch_sets(spark, index_path)[0]
 
 
 def log_snapshot(spark: SparkSession, index_path: str,
@@ -104,15 +168,24 @@ def log_snapshot(spark: SparkSession, index_path: str,
     commit (new totals, old postings or vice versa); deriving both
     from a single collect makes the query's view of the index one
     consistent snapshot. The log is one row per batch — collecting it
-    is bounded by batch count, not data size.
+    is bounded by batch count, not data size. Batches replaced by a
+    committed compaction are excluded from ids AND totals (the
+    compacted batch's row carries their summed metrics, so totals are
+    unchanged by compaction); the compaction-log read happens AFTER
+    the log read, so a compaction committing in between is simply not
+    seen yet — the snapshot stays the consistent pre-compaction view.
     """
     try:
         rows = (spark.read.parquet(_log_path(index_path))
                 .select("batch", *columns).collect())
     except Exception:
         return set(), {c: 0 for c in columns}
-    ids = {r["batch"] for r in rows}
-    totals = {c: sum(int(r[c]) for r in rows) for c in columns}
+    raw = {r["batch"] for r in rows}
+    replaced = {r for r, by in _replacements(spark, index_path)
+                if by in raw}
+    kept = [r for r in rows if r["batch"] not in replaced]
+    ids = {r["batch"] for r in kept}
+    totals = {c: sum(int(r[c]) for r in kept) for c in columns}
     return ids, totals
 
 
@@ -228,13 +301,171 @@ def logged_totals(spark: SparkSession, index_path: str,
     Stats derived from the log (plus the in-flight batch's delta) stay
     correct under retries — unlike read-modify-write against the
     previous stats file, which double-counts when a crash lands between
-    the stats write and the log write.
+    the stats write and the log write. Batches replaced by a committed
+    compaction contribute nothing (their metrics ride the compacted
+    batch's row), so totals are invariant under compaction.
     """
-    agg = (spark.read.parquet(_log_path(index_path))
-           .agg(*[F.coalesce(F.sum(c), F.lit(0)).alias(c)
-                  for c in columns])
-           .collect()[0])
-    return {c: int(agg[c]) for c in columns}
+    return log_snapshot(spark, index_path, *columns)[1]
+
+
+def reset_log(spark: SparkSession, index_path: str) -> None:
+    """Delete the exactly-once bookkeeping (batch log, intents, and
+    compaction log) ahead of a full index REBUILD — called FIRST by
+    every ``write_*`` so a crash mid-rebuild cannot leave committed ids
+    pointing at vanished data. The compaction log must go too: a stale
+    ``(replaced=X, by=Y)`` row would lie dormant until some future
+    append commits a NEW batch named ``Y`` and then silently hide a
+    healthy batch ``X``."""
+    delete_glob(spark, _log_path(index_path))
+    delete_glob(spark, _intents_path(index_path))
+    delete_glob(spark, _compactions_path(index_path))
+
+
+def payload_subdirs(spark: SparkSession,
+                    index_path: str) -> dict[str, str]:
+    """Discover the index's payload subtrees: every first-level subdir
+    holding the shared ``<subdir>/<col>=K/batch=B`` layout, mapped to
+    its partition column name. Derived from the tree itself (the same
+    two-level glob :func:`vacuum` trusts), so :func:`compact` needs no
+    per-index schema registry — postings/sigs/codes/bits/vectors are
+    all found, while ``batches/`` (one level), ``meta/``, and
+    ``centroids/`` (no batch dirs) never match."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/*/*/batch=*")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    subs: dict[str, str] = {}
+    for st in (fs.globStatus(p) or []):
+        coldir = st.getPath().getParent()
+        sub = coldir.getParent().getName()
+        col = coldir.getName().split("=", 1)[0]
+        if subs.setdefault(sub, col) != col:
+            raise ValueError(
+                f"subtree {sub!r} mixes partition columns "
+                f"({subs[sub]!r} and {col!r}); refusing to compact")
+    return subs
+
+
+def compact(spark: SparkSession, index_path: str,
+            batches: list[str] | None = None,
+            purge: bool = False) -> str | None:
+    """Merge committed batch directories into ONE coalesced batch,
+    exactly-once and crash-safe — the maintenance pass that keeps a
+    daily-append index from drowning in small files (a year of appends
+    is 365 ``batch=`` dirs per partition key; scan-task scheduling and
+    file listing degrade long before the bytes do).
+
+    Every payload subtree (:func:`payload_subdirs`) is rewritten for
+    the source batches into ``batch=<new id>`` with one shuffle per
+    subtree (``repartition`` on the partition key — the same file
+    shape as a fresh build), the source batches' log metrics are summed
+    onto the new batch's log row (so :func:`logged_totals` is invariant
+    under compaction), and the replacement is recorded in
+    ``compactions/`` BEFORE the commit. The sequence:
+
+    1. claim an auto id (intent marker — a crashed compaction retries
+       under the same id and cleans its own orphans);
+    2. delete any previous attempt's data dirs and compaction rows;
+    3. rewrite payloads; 4. write ``(replaced, by)`` rows;
+    5. ``log_batch`` — THE COMMIT: the new batch becomes visible and
+       the sources invisible at this instant, atomically, because
+       readers resolve "replaced" only against logged ``by`` ids;
+    6. clear the intent.
+
+    Source data/log rows are NOT deleted here unless ``purge=True``
+    (safe only when no reader is live); the default leaves them for
+    :func:`vacuum`, whose ``ttl_seconds`` contract guarantees any
+    reader that planned against the pre-compaction snapshot has
+    finished. ONE COMPACTOR AT A TIME per index — two concurrent
+    compactions over the same sources would both commit a full copy
+    (the single-writer discipline appends already require per batch
+    id, lifted to the index).
+
+    ``batches=None`` compacts every visible batch; an explicit list
+    must name visible batches only. Returns the new batch id, or None
+    when there is nothing to merge (fewer than two sources).
+    """
+    visible, ingested = batch_sets(spark, index_path)
+    if batches is None:
+        sources = sorted(visible)
+    else:
+        sources = sorted(set(batches))
+        unknown = set(sources) - visible
+        if unknown:
+            raise ValueError(
+                f"cannot compact non-visible batches: {sorted(unknown)}"
+                " (not committed, or already replaced)")
+    if len(sources) < 2:
+        return None
+    batch_id = claim_auto_batch_id(spark, index_path, ingested)
+    delete_glob(spark, f"{index_path}/*/*/batch={batch_id}")
+    delete_glob(spark, f"{_compactions_path(index_path)}/by={batch_id}")
+    log_rows = (spark.read.parquet(_log_path(index_path))
+                .filter(F.col("batch").isin(sources)).collect())
+    metrics = {}
+    for r in log_rows:
+        for c, v in r.asDict().items():
+            if c in ("batch", "committed") or v is None:
+                continue
+            metrics[c] = metrics.get(c, 0) + int(v)
+    subs = payload_subdirs(spark, index_path)
+    if not subs:
+        # committing a data-less batch while marking sources replaced
+        # would purge real data later — refuse loudly instead
+        raise ValueError(f"no <subdir>/<col>=K/batch=B payload found "
+                         f"under {index_path!r}; not an index tree?")
+    for sub, col in sorted(subs.items()):
+        df = (spark.read.parquet(f"{index_path}/{sub}")
+              .filter(F.col("batch").isin(sources)))
+        (df.drop("batch").withColumn("batch", F.lit(batch_id))
+           .repartition(F.col(col))
+           .write.mode("append").partitionBy(col, "batch")
+           .parquet(f"{index_path}/{sub}"))
+    (spark.createDataFrame([(s, batch_id) for s in sources],
+                           "replaced string, by string")
+       .coalesce(1).write.mode("append").partitionBy("by")
+       .parquet(_compactions_path(index_path)))
+    log_batch(spark, index_path, batch_id, **metrics)
+    clear_intent(spark, index_path, batch_id)
+    if purge:
+        purge_replaced(spark, index_path)
+    return batch_id
+
+
+def purge_replaced(spark: SparkSession, index_path: str,
+                   older_than_ms: float | None = None) -> dict[str, int]:
+    """Delete the data directories and log rows of batches replaced by
+    a COMMITTED compaction. ``older_than_ms`` (epoch millis) skips any
+    batch with a data directory modified at or after that instant —
+    :func:`vacuum` passes its ttl cutoff so the purge honors the same
+    reader-grace contract as orphan cleanup; ``None`` purges
+    immediately (offline maintenance). Deletion order is data first,
+    log row last: a crash in between leaves a data-less log row that
+    stays invisible (still marked replaced) and is finished by the
+    next purge. Compaction rows themselves are never deleted — they
+    are the permanent guard against reuse of retired ids."""
+    raw = _raw_logged(spark, index_path)
+    replaced = {r for r, by in _replacements(spark, index_path)
+                if by in raw}
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    removed_dirs = 0
+    removed_log_rows = 0
+    for bid in sorted(replaced & raw):
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/*/*/batch={bid}")
+        fs = p.getFileSystem(conf)
+        dirs = list(fs.globStatus(p) or [])
+        if older_than_ms is not None and any(
+                st.getModificationTime() >= older_than_ms
+                for st in dirs):
+            continue
+        for st in dirs:
+            fs.delete(st.getPath(), True)
+            removed_dirs += 1
+        removed_log_rows += delete_glob(
+            spark, f"{_log_path(index_path)}/batch={bid}")
+    return {"data_dirs_removed": removed_dirs,
+            "log_rows_removed": removed_log_rows}
 
 
 def vacuum(spark: SparkSession, index_path: str,
@@ -274,14 +505,20 @@ def vacuum(spark: SparkSession, index_path: str,
     any reader's plan. Data dirs are matched two levels deep
     (``<subtree>/<col>=K/batch=B`` — the postings/vectors/codes layout
     shared by every index in this package), which can never match the
-    ``batches/batch=B`` log itself. Returns removal counts.
+    ``batches/batch=B`` log itself. Batches replaced by a committed
+    compaction are purged under the same cutoff
+    (:func:`purge_replaced`); for the orphan rules above, "committed"
+    means EVER LOGGED OR REPLACED — a replaced-but-unpurged batch is
+    retired bookkeeping handled by the purge pass, never an orphan.
+    Returns removal counts.
     """
     import time as _time
 
-    committed = committed_batches(spark, index_path)
+    cutoff = _time.time() * 1000.0 - ttl_seconds * 1000.0
+    purged = purge_replaced(spark, index_path, older_than_ms=cutoff)
+    committed = batch_sets(spark, index_path)[1]
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    cutoff = _time.time() * 1000.0 - ttl_seconds * 1000.0
 
     def statuses(pattern):
         p = jvm.org.apache.hadoop.fs.Path(pattern)
@@ -326,7 +563,7 @@ def vacuum(spark: SparkSession, index_path: str,
         # mtime moved. The residual window between this re-check and
         # the deletes is bounded by ``ttl_seconds``, which must exceed
         # the longest possible append duration (the intent contract).
-        if bid in committed_batches(spark, index_path):
+        if bid in batch_sets(spark, index_path)[1]:
             continue
         _, fresh = statuses(f"{index_path}/*/*/batch={bid}")
         snap = {str(st.getPath()) for st in data_of.get(bid, [])}
@@ -350,5 +587,6 @@ def vacuum(spark: SparkSession, index_path: str,
     for st in stale_committed_intents:
         fs_i.delete(st.getPath(), True)
         removed_intents += 1
-    return {"data_dirs_removed": removed_dirs,
-            "intents_removed": removed_intents}
+    return {"data_dirs_removed": removed_dirs + purged["data_dirs_removed"],
+            "intents_removed": removed_intents,
+            "replaced_log_rows_removed": purged["log_rows_removed"]}

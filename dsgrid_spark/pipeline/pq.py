@@ -816,6 +816,52 @@ def _assign_encode(df, centroids, codebooks, id_column, vector_column,
     return codes, vectors
 
 
+VECTOR_DTYPES = ("float64", "int8")
+
+
+def _check_vectors_dtype(dtype: str, store_vectors: bool) -> str:
+    if dtype not in VECTOR_DTYPES:
+        raise ValueError(f"vectors_dtype must be one of {VECTOR_DTYPES},"
+                         f" got {dtype!r}")
+    if dtype != "float64" and not store_vectors:
+        raise ValueError("vectors_dtype is the re-rank payload's type; "
+                         "it needs store_vectors=True")
+    return dtype
+
+
+def _vectors_for_store(vframe: DataFrame, dtype: str) -> DataFrame:
+    """The re-rank payload rows for one batch: raw float64 embeddings,
+    or the int8 tier — per-vector symmetric quantization
+    (:func:`similarity.quantize_embeddings`, scale = max_abs/127)
+    stored as (qvec array<tinyint>, qscale). 8x fewer payload bytes
+    per dimension; the search dequantizes with one array transform."""
+    if dtype == "float64":
+        return vframe
+    from dsgrid_spark.pipeline.similarity import quantize_embeddings
+
+    q = quantize_embeddings(vframe, "embedding", bits=8,
+                            output_column="qvec",
+                            scale_column="qscale")
+    return q.select(
+        "id",
+        F.transform(F.col("qvec"),
+                    lambda x: x.cast("tinyint")).alias("qvec"),
+        "qscale", "cluster", "batch")
+
+
+def _rerank_embedding(vectors: DataFrame, dtype: str) -> DataFrame:
+    """(id, embedding array<double>) for the exact re-rank,
+    dequantizing the int8 tier (embedding ≈ qvec · qscale; for cosine
+    the scale cancels entirely, for ip/l2 it is the per-vector unit)."""
+    if dtype == "float64":
+        return vectors.select("id", "embedding")
+    return vectors.select(
+        "id",
+        F.transform(F.col("qvec"),
+                    lambda x: x.cast("double") * F.col("qscale"))
+        .alias("embedding"))
+
+
 def write_pq_index(df: DataFrame, path: str,
                    coarse_centroids: list[list[float]],
                    codebooks: list[list[list[float]]],
@@ -823,7 +869,8 @@ def write_pq_index(df: DataFrame, path: str,
                    vector_column: str = "embedding",
                    store_vectors: bool = True,
                    assign_strategy: str = "auto",
-                   residual: bool = False) -> None:
+                   residual: bool = False,
+                   vectors_dtype: str = "float64") -> None:
     """Build a persisted IVF-PQ index: assign each vector to its
     nearest coarse centroid, PQ-encode ONCE, and write codes (and,
     with ``store_vectors``, the originals for exact re-ranking)
@@ -837,7 +884,12 @@ def write_pq_index(df: DataFrame, path: str,
     (quantized vector − coarse centroid; pass codebooks trained on
     :func:`coarse_residuals` output) — the flag rides the meta row, so
     appends encode and searches score consistently without the caller
-    restating it. Rebuild order follows write_ivf_index:
+    restating it. ``vectors_dtype="int8"`` stores the re-rank payload
+    per-vector-quantized (8x fewer bytes per dimension than float64) —
+    re-ranked scores are then the quantized vectors' exact scores, i.e.
+    within per-coordinate rounding (≤ max_abs/254) of the float
+    originals; rank flips are possible only between near-ties. Both
+    knobs ride the meta row. Rebuild order follows write_ivf_index:
     the old log and intents are deleted FIRST so a crash mid-rebuild
     cannot leave committed ids pointing at vanished data.
     """
@@ -845,6 +897,7 @@ def write_pq_index(df: DataFrame, path: str,
 
     if not coarse_centroids:
         raise ValueError("coarse_centroids must be non-empty")
+    _check_vectors_dtype(vectors_dtype, store_vectors)
     m, k, dsub = _check_codebooks(codebooks)
     dim = len(coarse_centroids[0])
     if dim != m * dsub:
@@ -856,8 +909,7 @@ def write_pq_index(df: DataFrame, path: str,
         raise ValueError(f"corpus vector dim {len(first[0])} != coarse "
                          f"centroid dim {dim}")
     spark = df.sparkSession
-    indexlog.delete_glob(spark, f"{path}/batches")
-    indexlog.delete_glob(spark, f"{path}/intents")
+    indexlog.reset_log(spark, path)
     codes, vectors = _assign_encode(df, coarse_centroids, codebooks,
                                     id_column, vector_column,
                                     assign_strategy, indexlog.BASE_BATCH,
@@ -866,7 +918,8 @@ def write_pq_index(df: DataFrame, path: str,
        .write.mode("overwrite").partitionBy("cluster", "batch")
        .parquet(f"{path}/codes"))
     if store_vectors:
-        (vectors.repartition("cluster")
+        (_vectors_for_store(vectors, vectors_dtype)
+           .repartition("cluster")
            .write.mode("overwrite").partitionBy("cluster", "batch")
            .parquet(f"{path}/vectors"))
     else:
@@ -883,9 +936,10 @@ def write_pq_index(df: DataFrame, path: str,
                            "j int, i int, centroid array<double>")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
     (spark.createDataFrame(
-        [(dim, m, k, dsub, bool(store_vectors), bool(residual))],
+        [(dim, m, k, dsub, bool(store_vectors), bool(residual),
+          vectors_dtype)],
         "dim int, m int, k int, dsub int, store_vectors boolean, "
-        "residual boolean")
+        "residual boolean, vectors_dtype string")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
@@ -909,15 +963,17 @@ def append_pq_index(df: DataFrame, path: str,
     from dsgrid_spark.pipeline import indexlog
 
     spark = df.sparkSession
-    committed = indexlog.committed_batches(spark, path)
+    committed, ingested = indexlog.batch_sets(spark, path)
     if batch_id is None:
-        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+        batch_id = indexlog.claim_auto_batch_id(spark, path, ingested)
     indexlog.check_batch_id(batch_id)
     if batch_id == indexlog.BASE_BATCH:
         raise ValueError(f"batch_id {indexlog.BASE_BATCH!r} is reserved "
                          "for the initial build")
-    if batch_id in committed:
-        return False  # replayed batch: already fully ingested
+    if batch_id in ingested:
+        # replayed batch: already fully ingested (possibly since
+        # compacted away -- its rows live on in the compacted batch)
+        return False
     meta = _read_meta(spark, path)
     first = df.select(vector_column).first()
     if first is not None and first[0] is not None \
@@ -938,7 +994,9 @@ def append_pq_index(df: DataFrame, path: str,
        .write.mode("append").partitionBy("cluster", "batch")
        .parquet(f"{path}/codes"))
     if meta["store_vectors"]:
-        (vectors.repartition("cluster")
+        (_vectors_for_store(vectors,
+                            meta.get("vectors_dtype") or "float64")
+           .repartition("cluster")
            .write.mode("append").partitionBy("cluster", "batch")
            .parquet(f"{path}/vectors"))
     indexlog.log_batch(spark, path, batch_id)
@@ -1053,11 +1111,11 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     pairs = [(r["query_id"], r["id"]) for r in
              short.select("query_id", "id").collect()]
     ids = sorted({i for _, i in pairs})
-    vectors = (indexlog.read_committed(spark, path, "vectors",
-                                       ids=committed)
-               .filter(F.col("cluster").isin(probed_clusters))
-               .filter(F.col("id").isin(ids))
-               .select("id", "embedding"))
+    vectors = _rerank_embedding(
+        indexlog.read_committed(spark, path, "vectors", ids=committed)
+        .filter(F.col("cluster").isin(probed_clusters))
+        .filter(F.col("id").isin(ids)),
+        meta.get("vectors_dtype") or "float64")
     pair_df = F.broadcast(spark.createDataFrame(
         pairs, StructType([StructField("query_id",
                                        short.schema["query_id"].dataType),

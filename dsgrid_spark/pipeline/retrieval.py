@@ -135,8 +135,7 @@ def write_term_index(df: DataFrame, path: str,
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     _analyzer_fn(analyzer)  # fail before touching disk on a bad name
     spark = df.sparkSession
-    indexlog.delete_glob(spark, f"{path}/batches")
-    indexlog.delete_glob(spark, f"{path}/intents")
+    indexlog.reset_log(spark, path)
     base, tf = _postings(df, id_column, text_column, n_buckets, positions,
                          analyzer)
     _write_postings(tf, path, "overwrite", indexlog.BASE_BATCH)
@@ -258,16 +257,18 @@ def append_term_index(df: DataFrame, path: str,
     spark = df.sparkSession
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
-    committed = indexlog.committed_batches(spark, path)
+    committed, ingested = indexlog.batch_sets(spark, path)
     if batch_id is None:
-        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+        batch_id = indexlog.claim_auto_batch_id(spark, path, ingested)
     indexlog.check_batch_id(batch_id)
     if batch_id == indexlog.BASE_BATCH:
         raise ValueError(
             f"batch_id {indexlog.BASE_BATCH!r} is reserved for the "
             "initial build")
-    if batch_id in committed:
-        return False  # replayed batch: already fully ingested
+    if batch_id in ingested:
+        # replayed batch: already fully ingested (possibly since
+        # compacted away -- its rows live on in the compacted batch)
+        return False
     indexlog.delete_glob(
         spark, f"{path}/postings/bucket=*/batch={batch_id}")
     base, tf = _postings(df, id_column, text_column, n_buckets,

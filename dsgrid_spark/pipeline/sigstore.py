@@ -100,8 +100,7 @@ def write_sig_store(df: DataFrame, path: str, text_column: str = "text",
         raise ValueError("num_hashes, shingle_k, and n_shards must be "
                          "positive")
     spark = df.sparkSession
-    indexlog.delete_glob(spark, f"{path}/batches")
-    indexlog.delete_glob(spark, f"{path}/intents")
+    indexlog.reset_log(spark, path)
     params = {"num_hashes": num_hashes, "shingle_k": shingle_k,
               "seed": seed, "n_shards": n_shards}
     rows = _sig_rows(df, text_column, id_column, params,
@@ -127,15 +126,17 @@ def append_sig_store(df: DataFrame, path: str,
     entry commits LAST so readers see the batch atomically). Signing
     uses the STORE'S OWN params. Returns True when ingested."""
     spark = df.sparkSession
-    committed = indexlog.committed_batches(spark, path)
+    committed, ingested = indexlog.batch_sets(spark, path)
     if batch_id is None:
-        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+        batch_id = indexlog.claim_auto_batch_id(spark, path, ingested)
     indexlog.check_batch_id(batch_id)
     if batch_id == indexlog.BASE_BATCH:
         raise ValueError(f"batch_id {indexlog.BASE_BATCH!r} is reserved "
                          "for the initial build")
-    if batch_id in committed:
-        return False  # replayed batch: already fully ingested
+    if batch_id in ingested:
+        # replayed batch: already fully ingested (possibly since
+        # compacted away -- its rows live on in the compacted batch)
+        return False
     params = _read_params(spark, path)
     indexlog.delete_glob(spark, f"{path}/sigs/shard=*/batch={batch_id}")
     rows = _sig_rows(df, text_column, id_column, params, batch_id,
@@ -190,9 +191,9 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
     knobs (banding happens at read time).
     """
     spark = new_df.sparkSession
-    committed = indexlog.committed_batches(spark, path)
+    committed, ingested = indexlog.batch_sets(spark, path)
     if batch_id is None:
-        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+        batch_id = indexlog.claim_auto_batch_id(spark, path, ingested)
     indexlog.check_batch_id(batch_id)
     if batch_id in committed:
         # replay: recover the survivor ids from the store (batch
@@ -200,6 +201,15 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
         kept = (spark.read.parquet(f"{path}/sigs")
                 .filter(F.col("batch") == batch_id)
                 .select(F.col("id").alias(id_column)).distinct())
+        return new_df.join(kept, id_column, "left_semi")
+    if batch_id in ingested:
+        # replay of a batch a compaction absorbed: its directories are
+        # gone and its rows ride the compacted batch, so batch pruning
+        # can't find them — recover by id against the visible store
+        # (id is the store's global key: a row is present iff it
+        # survived). Full-store id scan, but only on this rare path.
+        kept = (read_sig_store(spark, path, id_column)
+                .select(id_column).distinct())
         return new_df.join(kept, id_column, "left_semi")
     params = _read_params(spark, path)
     ref_sigs = read_sig_store(spark, path, id_column)

@@ -743,7 +743,15 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
     oversampling over the WHOLE fit corpus in O(log k)-ish passes, then
     a driver-side weighted k-means++ recluster of the O(k) candidates —
     the init for clusters rarer than ~1/pool, which no pool-based
-    seeding can see (see :func:`_kmeans_parallel_seeds`).
+    seeding can see (see :func:`_kmeans_parallel_seeds`); or ``auto``:
+    ``parallel`` exactly when its extra passes can pay off — the fit
+    corpus is big enough that ``fit_sample_cap`` binds (the high-k
+    production regime, where the pool is a sample OF a sample) AND k
+    exceeds the pool floor/20 (= 10: below that the 200-row floor
+    gives ≥20 pool draws per cluster even for clusters at uniform
+    share, and SCALE_R9 §4 measured all three inits tying) — else the
+    cheap ``sample``. ``auto`` is never the default: oracled paths
+    pin ``sample``.
     """
     import math
     import random
@@ -751,12 +759,15 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
     rnd = random.Random(seed)
     total = df.count()
     fit_df = df
-    if fit_sample_cap is not None and total > fit_sample_cap:
+    cap_binds = fit_sample_cap is not None and total > fit_sample_cap
+    if cap_binds:
         denom = math.ceil(total / fit_sample_cap)
         fit_df = (df.filter(
             F.pmod(F.xxhash64(F.col(vector_column)), F.lit(denom)) == 0)
             .localCheckpoint())  # ONE corpus pass; iterations reread this
         total = fit_df.count()
+    if init == "auto":
+        init = "parallel" if cap_binds and n_clusters > 10 else "sample"
     # seed pool via a seeded Bernoulli sample across ALL partitions —
     # limit() without ordering takes whichever partition answers first,
     # which on sorted/clustered data yields unrepresentative seeds
@@ -779,7 +790,7 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
                                            vector_column, seed, rnd,
                                            assign_strategy=assign_strategy)
     else:
-        raise ValueError(f"init must be sample|kmeanspp|parallel, "
+        raise ValueError(f"init must be sample|kmeanspp|parallel|auto, "
                          f"got {init!r}")
     for _ in range(iterations):
         assigned = assign_nearest_centroid(fit_df, centroids, vector_column,
@@ -1044,8 +1055,7 @@ def write_ivf_index(df: DataFrame, path: str,
     # committed ids pointing at vanished data, where a later append
     # replaying one of those ids would silently no-op and drop the batch
     spark = df.sparkSession
-    indexlog.delete_glob(spark, f"{path}/batches")
-    indexlog.delete_glob(spark, f"{path}/intents")
+    indexlog.reset_log(spark, path)
     # canonical column names inside the index (id, embedding, cluster) —
     # readers don't need to know the source frame's naming
     assigned = (
@@ -1134,16 +1144,18 @@ def append_ivf_index(df: DataFrame, path: str,
     commit. Returns True when the batch was ingested.
     """
     spark = df.sparkSession
-    committed = indexlog.committed_batches(spark, path)
+    committed, ingested = indexlog.batch_sets(spark, path)
     if batch_id is None:
-        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+        batch_id = indexlog.claim_auto_batch_id(spark, path, ingested)
     indexlog.check_batch_id(batch_id)
     if batch_id == indexlog.BASE_BATCH:
         raise ValueError(
             f"batch_id {indexlog.BASE_BATCH!r} is reserved for the "
             "initial build")
-    if batch_id in committed:
-        return False  # replayed batch: already fully ingested
+    if batch_id in ingested:
+        # replayed batch: already fully ingested (possibly since
+        # compacted away -- its rows live on in the compacted batch)
+        return False
     indexlog.delete_glob(
         spark, f"{path}/vectors/cluster=*/batch={batch_id}")
     cent_rows = sorted(
@@ -1227,7 +1239,8 @@ def write_binary_index(df: DataFrame, path: str,
                        id_column: str = "vec_id",
                        vector_column: str = "embedding",
                        store_vectors: bool = True,
-                       assign_strategy: str = "auto") -> None:
+                       assign_strategy: str = "auto",
+                       vectors_dtype: str = "float64") -> None:
     """Build a persisted sign-bit index: assign each vector to its
     nearest coarse centroid, pack sign bits ONCE
     (:func:`binary_quantize`), and write the packed bits partitioned by
@@ -1237,14 +1250,22 @@ def write_binary_index(df: DataFrame, path: str,
 
     ``store_vectors=False`` builds a bits-only index (~62x smaller on
     disk at float64 dims); searches are then Hamming-only (``rerank``
-    unavailable). Rebuild order follows write_ivf_index/write_pq_index:
+    unavailable). ``vectors_dtype="int8"`` keeps the re-rank but stores
+    the payload per-vector-quantized (pq._vectors_for_store; 8x fewer
+    bytes per dimension) — and because the re-rank metric is COSINE,
+    which is invariant to the per-vector scale, the int8 re-rank is
+    exactly the cosine of the rounded vector: error bounded by
+    per-coordinate rounding (≤ max_abs/254), rank flips only between
+    near-ties. Rebuild order follows write_ivf_index/write_pq_index:
     the old log and intents are deleted FIRST so a crash mid-rebuild
     cannot leave committed ids pointing at vanished data.
     """
     from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.pq import _check_vectors_dtype
 
     if not coarse_centroids:
         raise ValueError("coarse_centroids must be non-empty")
+    _check_vectors_dtype(vectors_dtype, store_vectors)
     dim = len(coarse_centroids[0])
     first = df.select(vector_column).first()
     if first is not None and first[0] is not None \
@@ -1252,8 +1273,7 @@ def write_binary_index(df: DataFrame, path: str,
         raise ValueError(f"corpus vector dim {len(first[0])} != coarse "
                          f"centroid dim {dim}")
     spark = df.sparkSession
-    indexlog.delete_glob(spark, f"{path}/batches")
-    indexlog.delete_glob(spark, f"{path}/intents")
+    indexlog.reset_log(spark, path)
     assigned = _assign_canonical(df, coarse_centroids, id_column,
                                  vector_column,
                                  assign_strategy).localCheckpoint()
@@ -1264,7 +1284,10 @@ def write_binary_index(df: DataFrame, path: str,
        .write.mode("overwrite").partitionBy("cluster", "batch")
        .parquet(f"{path}/bits"))
     if store_vectors:
-        (assigned.withColumn("batch", F.lit(indexlog.BASE_BATCH))
+        from dsgrid_spark.pipeline.pq import _vectors_for_store
+        (_vectors_for_store(
+            assigned.withColumn("batch", F.lit(indexlog.BASE_BATCH)),
+            vectors_dtype)
            .repartition("cluster")
            .write.mode("overwrite").partitionBy("cluster", "batch")
            .parquet(f"{path}/vectors"))
@@ -1279,8 +1302,9 @@ def write_binary_index(df: DataFrame, path: str,
                            "cluster int, centroid array<double>")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
     (spark.createDataFrame(
-        [(dim, BINARY_WORD_BITS, bool(store_vectors))],
-        "dim int, word_bits int, store_vectors boolean")
+        [(dim, BINARY_WORD_BITS, bool(store_vectors), vectors_dtype)],
+        "dim int, word_bits int, store_vectors boolean, "
+        "vectors_dtype string")
        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
@@ -1303,15 +1327,17 @@ def append_binary_index(df: DataFrame, path: str,
     from dsgrid_spark.pipeline.pq import _read_centroids, _read_meta
 
     spark = df.sparkSession
-    committed = indexlog.committed_batches(spark, path)
+    committed, ingested = indexlog.batch_sets(spark, path)
     if batch_id is None:
-        batch_id = indexlog.claim_auto_batch_id(spark, path, committed)
+        batch_id = indexlog.claim_auto_batch_id(spark, path, ingested)
     indexlog.check_batch_id(batch_id)
     if batch_id == indexlog.BASE_BATCH:
         raise ValueError(f"batch_id {indexlog.BASE_BATCH!r} is reserved "
                          "for the initial build")
-    if batch_id in committed:
-        return False  # replayed batch: already fully ingested
+    if batch_id in ingested:
+        # replayed batch: already fully ingested (possibly since
+        # compacted away -- its rows live on in the compacted batch)
+        return False
     meta = _read_meta(spark, path)
     first = df.select(vector_column).first()
     if first is not None and first[0] is not None \
@@ -1331,7 +1357,9 @@ def append_binary_index(df: DataFrame, path: str,
        .write.mode("append").partitionBy("cluster", "batch")
        .parquet(f"{path}/bits"))
     if meta["store_vectors"]:
-        (assigned.withColumn("batch", F.lit(batch_id))
+        from dsgrid_spark.pipeline.pq import _vectors_for_store
+        (_vectors_for_store(assigned.withColumn("batch", F.lit(batch_id)),
+                            meta.get("vectors_dtype") or "float64")
            .repartition("cluster")
            .write.mode("append").partitionBy("cluster", "batch")
            .parquet(f"{path}/vectors"))
@@ -1410,11 +1438,12 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     pairs = [(r["query_id"], r["id"]) for r in
              short.select("query_id", "id").collect()]
     ids = sorted({i for _, i in pairs})
-    vectors = (indexlog.read_committed(spark, path, "vectors",
-                                       ids=committed)
-               .filter(F.col("cluster").isin(probed_clusters))
-               .filter(F.col("id").isin(ids))
-               .select("id", "embedding"))
+    from dsgrid_spark.pipeline.pq import _rerank_embedding
+    vectors = _rerank_embedding(
+        indexlog.read_committed(spark, path, "vectors", ids=committed)
+        .filter(F.col("cluster").isin(probed_clusters))
+        .filter(F.col("id").isin(ids)),
+        meta.get("vectors_dtype") or "float64")
     pair_df = F.broadcast(spark.createDataFrame(
         pairs, StructType([StructField("query_id",
                                        short.schema["query_id"].dataType),

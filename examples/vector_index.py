@@ -107,7 +107,10 @@ def main() -> None:
                for r in hits if r["query_id"] == qid]
         print(f"query {qid}: top-5 {top}")
 
-    # 4. lifecycle hygiene: reclaim any crashed-append debris
+    # 4. lifecycle hygiene: merge the accumulated batch dirs into one
+    #    (results invariant; a daily-append index would do this weekly)
+    #    and reclaim crashed-append debris + the replaced directories
+    print("compacted into:", indexlog.compact(spark, path))
     print("vacuum:", indexlog.vacuum(spark, path, ttl_seconds=0.0))
 
     # 5. the binary (sign-bit) tier: ~62x smaller scan payload, Hamming
@@ -117,7 +120,10 @@ def main() -> None:
     )
 
     bpath = tempfile.mkdtemp(prefix="vector_index_bin_") + "/idx"
-    write_binary_index(emb, bpath, cents)
+    # vectors_dtype="int8" stores the re-rank payload per-vector
+    # quantized (8x fewer bytes/dim; cosine is scale-invariant, so
+    # scores differ only by the rounding) — same API either way
+    write_binary_index(emb, bpath, cents, vectors_dtype="int8")
     bhits = hamming_search(spark, bpath, queries, k=5, n_probe=4,
                            shortlist=50).collect()
     for qid in sorted({r["query_id"] for r in bhits}):

@@ -2682,7 +2682,8 @@ def test_vacuum_cleans_expired_orphans_keeps_inflight(spark, tmp_path):
     # generous TTL: the crashed batch's intent is young -> in-flight,
     # data survives; the committed batch's stale intent goes regardless
     out = indexlog.vacuum(spark, path, ttl_seconds=3600)
-    assert out == {"data_dirs_removed": 0, "intents_removed": 1}
+    assert out == {"data_dirs_removed": 0, "intents_removed": 1,
+                   "replaced_log_rows_removed": 0}
     assert indexlog.open_intents(spark, path) == {"auto000002"}
     assert orphan_dirs() > 0
 
@@ -2695,7 +2696,8 @@ def test_vacuum_cleans_expired_orphans_keeps_inflight(spark, tmp_path):
     fs = jm.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.setTimes(jm, 1_000, -1)  # epoch ~1970: expired by any TTL
     out = indexlog.vacuum(spark, path, ttl_seconds=3600)
-    assert out == {"data_dirs_removed": 0, "intents_removed": 0}
+    assert out == {"data_dirs_removed": 0, "intents_removed": 0,
+                   "replaced_log_rows_removed": 0}
     assert indexlog.open_intents(spark, path) == {"auto000002"}
     assert orphan_dirs() > 0
 
@@ -3591,12 +3593,14 @@ def test_sig_store_vacuum_and_cli(spark, tmp_path, capsys):
     os.utime(f"{orphan_dir}/part-0.parquet", (old, old))
     os.utime(f"{path}/intents/dead1", (old, old))
     out = indexlog.vacuum(spark, path, ttl_seconds=3600)
-    assert out == {"data_dirs_removed": 1, "intents_removed": 1}
+    assert out == {"data_dirs_removed": 1, "intents_removed": 1,
+                   "replaced_log_rows_removed": 0}
     assert not os.path.exists(orphan_dir)
     assert read_sig_store(spark, path).count() == 7
     assert cli_main(["index", "vacuum", path, "--ttl", "3600"]) == 0
     assert _json.loads(capsys.readouterr().out.strip()) == \
-        {"data_dirs_removed": 0, "intents_removed": 0}
+        {"data_dirs_removed": 0, "intents_removed": 0,
+                   "replaced_log_rows_removed": 0}
     with pytest.raises(SystemExit, match="not searchable"):
         cli_main(["index", "search", path, "whatever"])
 
@@ -3675,3 +3679,201 @@ def test_kmeans_parallel_init_covers_pool_invisible_cluster(spark):
     by_arw = fam_cover(carw)
     assert all(len(v) == 1 for v in by_arw.values()), by_arw
     assert len({next(iter(v)) for v in by_arw.values()}) == 4, by_arw
+
+
+def test_index_compact_merges_batches_exactly_once(spark, tmp_path):
+    """(r9) indexlog.compact: N committed batch dirs become ONE
+    coalesced batch — searches and logged totals are invariant, the
+    sources turn invisible atomically at the compacted batch's log
+    commit, vacuum purges the replaced data under the same ttl grace
+    that protects in-flight appends, a replay of an absorbed batch
+    no-ops, and retired ids are never re-issued to new appends."""
+    import time
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, write_term_index,
+    )
+
+    a = spark.createDataFrame(
+        [(0, "spark window shuffle"), (1, "broadcast join")],
+        "doc_id long, text string")
+    b = spark.createDataFrame([(2, "spark catalyst codegen")],
+                              "doc_id long, text string")
+    c = spark.createDataFrame([(3, "window aggregate spark")],
+                              "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(a, path, n_buckets=4)
+    assert append_term_index(b, path, batch_id="b1") is True
+    assert append_term_index(c, path, batch_id="b2") is True
+
+    def results():
+        return sorted(map(tuple, bm25_search(
+            spark, path, ["spark", "window"]).collect()))
+
+    def batch_dirs(sub):
+        jg = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{sub}/*/batch=*")
+        fs = jg.getFileSystem(spark._jsc.hadoopConfiguration())
+        return sorted({st.getPath().getName().split("=", 1)[1]
+                       for st in (fs.globStatus(jg) or [])})
+
+    pre = results()
+    pre_totals = indexlog.logged_totals(spark, path, "n_docs",
+                                        "total_tokens")
+    assert indexlog.committed_batches(spark, path) == {
+        "base", "b1", "b2"}
+
+    new_id = indexlog.compact(spark, path)
+    assert new_id == "auto000004"  # past base + b1 + b2
+    # sources invisible, exactly one visible batch, totals invariant
+    assert indexlog.committed_batches(spark, path) == {new_id}
+    assert indexlog.logged_totals(
+        spark, path, "n_docs", "total_tokens") == pre_totals
+    assert results() == pre
+    # data not purged yet (reader ttl grace): old dirs still on disk
+    assert set(batch_dirs("postings")) >= {"base", "b1", "b2", new_id}
+    # a young replaced batch survives vacuum (same ttl contract)
+    out = indexlog.vacuum(spark, path, ttl_seconds=3600)
+    assert out["replaced_log_rows_removed"] == 0
+    assert results() == pre
+    # ... and is purged once its dirs age out
+    time.sleep(1.1)
+    out = indexlog.vacuum(spark, path, ttl_seconds=1.0)
+    assert out["replaced_log_rows_removed"] == 3
+    assert out["data_dirs_removed"] > 0
+    assert batch_dirs("postings") == [new_id]
+    assert results() == pre
+    assert indexlog.committed_batches(spark, path) == {new_id}
+    # replay of an absorbed batch is a no-op even after the purge
+    assert append_term_index(b, path, batch_id="b1") is False
+    assert results() == pre
+    # a retired id is never re-issued: the next auto claim skips every
+    # replaced id (a new batch named like one would turn invisible)
+    nxt = indexlog.claim_auto_batch_id(
+        spark, path, indexlog.batch_sets(spark, path)[1])
+    assert nxt not in {"base", "b1", "b2", new_id}
+    indexlog.clear_intent(spark, path, nxt)
+    # nothing to merge in a single-batch index
+    assert indexlog.compact(spark, path) is None
+    # appends keep working after compaction
+    d = spark.createDataFrame([(4, "spark spark")],
+                              "doc_id long, text string")
+    assert append_term_index(d, path, batch_id="b3") is True
+    after = bm25_search(spark, path, ["spark"]).collect()
+    assert {r["id"] for r in after} >= {0, 2, 3, 4}
+
+
+def test_index_compact_crash_retry_and_guards(spark, tmp_path):
+    """(r9) a compaction that crashes after writing data and
+    replacement rows but BEFORE its log commit changes nothing for
+    readers; the retry reuses the claimed id, cleans the orphan
+    attempt, and converges to the same end state. Non-visible sources
+    are refused."""
+    import pytest as _pytest
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.sigstore import (
+        append_sig_store, read_sig_store, write_sig_store,
+    )
+
+    ref, new = _sigstore_fixture(spark)
+    path = str(tmp_path / "store")
+    write_sig_store(ref, path, num_hashes=16, shingle_k=3)
+    assert append_sig_store(new, path, batch_id="b1") is True
+    n = read_sig_store(spark, path).count()
+    baseline = sorted(map(tuple, read_sig_store(spark, path)
+                          .select("doc_id").collect()))
+
+    # simulate the crashed attempt: intent claimed, junk data dir and
+    # replacement rows written, NO log row
+    crash_id = indexlog.claim_auto_batch_id(
+        spark, path, indexlog.batch_sets(spark, path)[1])
+    (spark.createDataFrame([(999999, [0], 0)],
+                           "id long, minhash array<long>, shard int")
+       .withColumn("batch", F.lit(crash_id))
+       .write.mode("append").partitionBy("shard", "batch")
+       .parquet(f"{path}/sigs"))
+    (spark.createDataFrame([("base", crash_id), ("b1", crash_id)],
+                           "replaced string, by string")
+       .write.mode("append").partitionBy("by")
+       .parquet(f"{path}/compactions"))
+    # uncommitted: readers see the pre-crash state, junk invisible
+    assert indexlog.committed_batches(spark, path) == {"base", "b1"}
+    assert read_sig_store(spark, path).count() == n
+
+    # retry completes under the SAME id and drops the junk attempt
+    got = indexlog.compact(spark, path, purge=True)
+    assert got == crash_id
+    assert indexlog.committed_batches(spark, path) == {crash_id}
+    assert read_sig_store(spark, path).count() == n
+    assert sorted(map(tuple, read_sig_store(spark, path)
+                      .select("doc_id").collect())) == baseline
+    assert indexlog.open_intents(spark, path) == set()
+
+    # guards: unknown/replaced sources are refused loudly
+    with _pytest.raises(ValueError, match="non-visible"):
+        indexlog.compact(spark, path, batches=["b1", crash_id])
+    # a log without any payload tree must refuse (committing a
+    # data-less batch would purge real data later)
+    fake = str(tmp_path / "not_an_index")
+    indexlog.log_batch(spark, fake, "x")
+    indexlog.log_batch(spark, fake, "y")
+    with _pytest.raises(ValueError, match="payload"):
+        indexlog.compact(spark, fake)
+
+
+def test_sig_store_compact_replay_recovers_survivors(spark, tmp_path):
+    """(r9) ingest_dedup_batch replayed AFTER its batch was compacted
+    away (and purged) still returns the identical survivor rows — the
+    recovery falls back from batch pruning to the store-wide id scan."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.sigstore import (
+        ingest_dedup_batch, read_sig_store, write_sig_store,
+    )
+
+    ref, new = _sigstore_fixture(spark)
+    path = str(tmp_path / "store")
+    write_sig_store(ref, path, num_hashes=16, shingle_k=3)
+    kept = ingest_dedup_batch(new, path, ref, batch_id="day1")
+    want = sorted(map(tuple, kept.collect()))
+    n = read_sig_store(spark, path).count()
+
+    assert indexlog.compact(spark, path, purge=True) is not None
+    assert read_sig_store(spark, path).count() == n
+    replay = ingest_dedup_batch(new, path, ref, batch_id="day1")
+    assert sorted(map(tuple, replay.collect())) == want
+    # and the store did not double-register anything
+    assert read_sig_store(spark, path).count() == n
+
+
+def test_kmeans_init_auto_resolution(spark):
+    """(r9) init='auto' resolves to 'sample' when the corpus fits the
+    fit cap (bit-identical centroids) and to k-means|| when the cap
+    binds at k>10 — the regime where the seed pool is a sample of a
+    sample and SCALE_R9 measured parallel covering clusters the pool
+    cannot see."""
+    import random
+
+    from dsgrid_spark.pipeline.similarity import kmeans_centroids
+
+    rnd = random.Random(4)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(6)]) for i in range(600)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").localCheckpoint()
+    # no cap: auto == sample exactly (same seeded draw, same Lloyd path)
+    assert kmeans_centroids(df, 4, 6, iterations=1, init="auto") == \
+        kmeans_centroids(df, 4, 6, iterations=1, init="sample")
+    # cap binds, k>10: auto == parallel exactly
+    a = kmeans_centroids(df, 12, 6, iterations=1, init="auto",
+                         fit_sample_cap=300)
+    p = kmeans_centroids(df, 12, 6, iterations=1, init="parallel",
+                         fit_sample_cap=300)
+    assert a == p and len(a) == 12
+    # cap binds but k<=10: still the cheap sample init
+    assert kmeans_centroids(df, 4, 6, iterations=1, init="auto",
+                            fit_sample_cap=300) == \
+        kmeans_centroids(df, 4, 6, iterations=1, init="sample",
+                         fit_sample_cap=300)
+    with pytest.raises(ValueError, match="init must be"):
+        kmeans_centroids(df, 4, 6, init="bogus")

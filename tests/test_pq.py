@@ -694,3 +694,139 @@ def test_index_build_and_append_dim_validation(spark, tmp_path):
     assert 998 in ids and 999 in ids
     # the null row's NULL distance sorts LAST
     assert ids[-1] == 999
+
+
+def test_binary_index_compact_cli_search_identical(spark, tmp_path, capsys):
+    """(r9) compaction rewrites BOTH payload subtrees (bits + vectors)
+    consistently: searches (Hamming-only and exact-rerank) are
+    bit-identical before and after `index compact --purge`, and the
+    tree ends with exactly one batch directory set per subtree."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.similarity import (
+        append_binary_index, hamming_search, write_binary_index,
+    )
+
+    emb = _bin_corpus(spark, n=90)
+    cents = kmeans_centroids(emb, n_clusters=3, dim=70, iterations=2)
+    path = str(tmp_path / "bidx")
+    write_binary_index(emb.filter(F.col("vec_id") < 40), path, cents)
+    assert append_binary_index(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 70)),
+        path, batch_id="d1") is True
+    assert append_binary_index(
+        emb.filter(F.col("vec_id") >= 70), path, batch_id="d2") is True
+    queries = [(r["vec_id"], list(r["embedding"])) for r in
+               emb.filter(F.col("vec_id").isin(2, 77)).collect()]
+
+    def run(**kw):
+        return sorted(tuple(r) for r in hamming_search(
+            spark, path, queries, k=5, n_probe=3, **kw).collect())
+
+    pre_raw, pre_rr = run(rerank=False), run(shortlist=15)
+    assert cli_main(["index", "compact", path, "--purge"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["merged"] == 3 and out["compacted_batch"] is not None
+    assert run(rerank=False) == pre_raw
+    assert run(shortlist=15) == pre_rr
+    for sub in ("bits", "vectors"):
+        jg = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{sub}/*/batch=*")
+        fs = jg.getFileSystem(spark._jsc.hadoopConfiguration())
+        got = {st.getPath().getName() for st in fs.globStatus(jg)}
+        assert got == {f"batch={out['compacted_batch']}"}, sub
+    # the store keeps appending and searching normally afterwards
+    assert indexlog.committed_batches(spark, path) == {
+        out["compacted_batch"]}
+
+
+def _dir_bytes(path):
+    import os
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_pq_index_int8_vector_tier(spark, tmp_path):
+    """(r9) vectors_dtype='int8': the re-rank payload persists as
+    (qvec array<tinyint>, qscale) — materially smaller than float64 —
+    and pq_search dequantizes transparently: same API, scores within
+    per-vector quantization error, appends inherit the tier from meta.
+    Bits-only + int8 is refused (the tier IS the re-rank payload)."""
+    from dsgrid_spark.pipeline.pq import (
+        append_pq_index, exact_codebooks, pq_search, write_pq_index,
+    )
+    from dsgrid_spark.pipeline.similarity import kmeans_centroids
+
+    emb = _bin_corpus(spark, n=300, dim=64, seed=3)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=64, iterations=2)
+    books = exact_codebooks(emb.limit(40), dim=64, n_subvectors=8)
+    f64 = str(tmp_path / "f64")
+    i8 = str(tmp_path / "i8")
+    a = emb.filter(F.col("vec_id") < 250)
+    b = emb.filter(F.col("vec_id") >= 250)
+    write_pq_index(a, f64, cents, books)
+    write_pq_index(a, i8, cents, books, vectors_dtype="int8")
+    assert append_pq_index(b, f64, batch_id="b1") is True
+    assert append_pq_index(b, i8, batch_id="b1") is True
+
+    # the payload tier is physically what meta says
+    vcols = set(spark.read.parquet(f"{i8}/vectors").columns)
+    assert {"qvec", "qscale"} <= vcols and "embedding" not in vcols
+    assert _dir_bytes(f"{i8}/vectors") < 0.5 * _dir_bytes(f"{f64}/vectors")
+
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in
+               emb.filter(F.col("vec_id").isin(1, 260)).collect()]
+    want = sorted((r["query_id"], r["id"], r["score"]) for r in
+                  pq_search(spark, f64, queries, k=5, n_probe=4).collect())
+    got = sorted((r["query_id"], r["id"], r["score"]) for r in
+                 pq_search(spark, i8, queries, k=5, n_probe=4).collect())
+    # same neighbors (margins >> int8 rounding here), near-equal scores
+    assert [(q, i) for q, i, _ in got] == [(q, i) for q, i, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=2e-2, abs=1e-6)
+
+    with pytest.raises(ValueError, match="store_vectors"):
+        write_pq_index(a, str(tmp_path / "bad"), cents, books,
+                       store_vectors=False, vectors_dtype="int8")
+    with pytest.raises(ValueError, match="vectors_dtype"):
+        write_pq_index(a, str(tmp_path / "bad"), cents, books,
+                       vectors_dtype="float16")
+
+
+def test_binary_index_int8_rerank(spark, tmp_path):
+    """(r9) int8 tier under the binary index: the exact-cosine re-rank
+    is scale-invariant per vector, so the int8 path returns the cosine
+    of the ROUNDED vector — ids match the float64 index wherever
+    margins exceed the rounding, scores track within ~1%."""
+    from dsgrid_spark.pipeline.similarity import (
+        hamming_search, kmeans_centroids, write_binary_index,
+    )
+
+    emb = _bin_corpus(spark, n=200, dim=64, seed=5)
+    cents = kmeans_centroids(emb, n_clusters=3, dim=64, iterations=2)
+    f64 = str(tmp_path / "f64")
+    i8 = str(tmp_path / "i8")
+    write_binary_index(emb, f64, cents)
+    write_binary_index(emb, i8, cents, vectors_dtype="int8")
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in
+               emb.filter(F.col("vec_id").isin(7, 42)).collect()]
+    want = sorted((r["query_id"], r["id"], r["score"]) for r in
+                  hamming_search(spark, f64, queries, k=4, n_probe=3,
+                                 shortlist=16).collect())
+    got = sorted((r["query_id"], r["id"], r["score"]) for r in
+                 hamming_search(spark, i8, queries, k=4, n_probe=3,
+                                shortlist=16).collect())
+    assert [(q, i) for q, i, _ in got] == [(q, i) for q, i, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-2)
+    # the Hamming phase is payload-independent: raw results identical
+    raw64 = sorted(map(tuple, hamming_search(
+        spark, f64, queries, k=6, n_probe=3, rerank=False).collect()))
+    raw8 = sorted(map(tuple, hamming_search(
+        spark, i8, queries, k=6, n_probe=3, rerank=False).collect()))
+    assert raw8 == raw64
