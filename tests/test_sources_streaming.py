@@ -505,3 +505,82 @@ def test_dedup_stream_prebatch_same_result(spark, tmp_path):
     df = spark.createDataFrame(rows1, schema).repartition(1)
     local = local_prededup(df, ["k"]).collect()
     assert sorted(r.k for r in local) == [0, 1, 2]
+
+
+def test_streaming_index_append_exactly_once(spark, tmp_path):
+    """(r9) streaming_index_append: a file stream drains into a
+    persisted term index one micro-batch at a time; batch ids derive
+    from (checkpoint lineage, micro-batch id), so an at-least-once
+    redelivery no-ops through the indexlog ingested-set check, a
+    restart on the same checkpoint commits nothing, and the
+    accumulated micro-batch dirs compact like any other batches."""
+    import os
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, write_term_index,
+    )
+    from dsgrid_spark.pipeline.stream_index import (
+        index_kind, stream_batch_id, streaming_index_append,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "spark shuffle window"), (1, "broadcast join")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(seed, path, n_buckets=4)
+    assert index_kind(spark, path) == "term"
+
+    stream_dir = tmp_path / "incoming"
+    b1 = spark.createDataFrame([(10, "spark catalyst codegen")],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(11, "window aggregate spark")],
+                               "doc_id long, text string")
+    b1.coalesce(1).write.parquet(str(stream_dir / "b1"))
+    b2.coalesce(1).write.parquet(str(stream_dir / "b2"))
+    now = os.path.getmtime(stream_dir)
+    for sub, t in (("b1", now - 100), ("b2", now + 100)):
+        d = stream_dir / sub
+        for f in os.listdir(d):
+            os.utime(d / f, (t, t))
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(stream_dir / "b*")))
+    q = streaming_index_append(stream, path, ckpt)
+    assert q.awaitTermination(120)
+    # two micro-batches landed under lineage-scoped ids
+    sids = {stream_batch_id(ckpt, 0), stream_batch_id(ckpt, 1)}
+    assert indexlog.committed_batches(spark, path) == {"base"} | sids
+    hits = {r["id"] for r in bm25_search(spark, path, ["spark"]).collect()}
+    assert hits == {0, 10, 11}
+    totals = indexlog.logged_totals(spark, path, "n_docs", "total_tokens")
+    assert totals["n_docs"] == 4
+
+    # at-least-once redelivery of a committed micro-batch: same derived
+    # id -> the appender no-ops (this is exactly what a crashed-then-
+    # restarted foreachBatch does)
+    redelivered = append_term_index(b1, path,
+                                    batch_id=stream_batch_id(ckpt, 0))
+    assert redelivered is False
+    assert indexlog.logged_totals(spark, path, "n_docs")["n_docs"] == 4
+
+    # restart on the SAME checkpoint: offsets committed, nothing fires
+    q2 = streaming_index_append(stream, path, ckpt)
+    assert q2.awaitTermination(120)
+    assert indexlog.committed_batches(spark, path) == {"base"} | sids
+
+    # the stream's micro-batch dirs are ordinary indexlog batches:
+    # compaction merges them and search is invariant
+    pre = sorted(map(tuple, bm25_search(spark, path, ["spark"]).collect()))
+    new_id = indexlog.compact(spark, path, purge=True)
+    assert new_id is not None
+    assert indexlog.committed_batches(spark, path) == {new_id}
+    assert sorted(map(tuple,
+                      bm25_search(spark, path, ["spark"]).collect())) == pre
+
+    # guards: streaming into nothing / half-built trees refuses
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="build one first"):
+        index_kind(spark, str(tmp_path / "nope"))
