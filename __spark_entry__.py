@@ -1004,10 +1004,22 @@ def q30_minhash_dedup(spark, sf_dir, branch=None):
 
     tmp = tempfile.mkdtemp(prefix="dsgrid_q30_store_")
     try:
+        # n_shards=4: the shard level exists to bound per-directory file
+        # counts at corpus scale; a 250-doc reference store pays 16
+        # write tasks' fixed latency for nothing (layout-only knob,
+        # signatures identical)
         write_sig_store(ref, f"{tmp}/store", num_hashes=24, shingle_k=5,
+                        n_shards=4,
                         signatures=sigs.filter(F.col("doc_id") < 250))
+        # materialize the reference read ONCE: incremental_dedup
+        # traverses its reference side several times (banding + bucket
+        # join), and each lazy traversal would re-run the committed-
+        # batch log read + store scan (measured 7.5 s -> ~4 s at
+        # sf0.1) — the same read-once discipline a real ingest uses
+        store_ref = read_sig_store(spark,
+                                   f"{tmp}/store").localCheckpoint()
         store = incremental_dedup(
-            new, read_sig_store(spark, f"{tmp}/store"), ref,
+            new, store_ref, ref,
             "text", "doc_id", num_hashes=24, num_bands=8, shingle_k=5,
             threshold=0.8,
             new_sigs=sigs.filter(F.col("doc_id") >= 250),

@@ -38,7 +38,7 @@ BRANCHES = {
     "q12_peak_load": ("tag", ["peak", "top3"]),
     "q21_scalar_datetime": ("op", ["month", "session"]),
     "q23_time_downsample": ("mode", ["down", "up", "cascade:"]),
-    "q30_minhash_dedup": ("op", ["full", "incr"]),
+    "q30_minhash_dedup": ("op", ["full", "incr", "store"]),
     "q31_simhash_dedup": ("op", ["chunk", "manku"]),
     "q32_similarity_bruteforce": ("op", ["brute", "rrf"]),
     "q50_dst_duplicate": ("tag", ["spring", "fall", "interp"]),

@@ -544,6 +544,23 @@ def cmd_index_append(args) -> int:
     return 0
 
 
+def _parse_candidates(spark, spec: str | None):
+    """--candidates: a parquet path (its id column or single column) or
+    a comma-separated id list (ints when every token parses as one) —
+    the filtered-ANN restriction, forwarded to candidate_filter."""
+    if not spec:
+        return None
+    import os
+
+    if os.path.exists(spec):
+        return spark.read.parquet(spec)
+    toks = [t.strip() for t in spec.split(",") if t.strip()]
+    try:
+        return [int(t) for t in toks]
+    except ValueError:
+        return toks
+
+
 def cmd_index_search(args) -> int:
     from dsgrid_spark.session import get_spark
 
@@ -568,11 +585,12 @@ def cmd_index_search(args) -> int:
         if not args.vector:
             raise SystemExit(f"{kind} index search needs --vector")
         queries = _parse_vectors(args.vector)
+        cand = _parse_candidates(spark, args.candidates)
         if kind == "ivf":
             from dsgrid_spark.pipeline.similarity import ivf_search
 
             df = ivf_search(spark, args.path, queries, k=args.k,
-                            n_probe=args.n_probe)
+                            n_probe=args.n_probe, candidates=cand)
         elif kind == "binary":
             from dsgrid_spark.pipeline.similarity import hamming_search
 
@@ -580,7 +598,7 @@ def cmd_index_search(args) -> int:
                                 n_probe=args.n_probe,
                                 shortlist=args.shortlist,
                                 rerank=None if not args.no_rerank
-                                else False)
+                                else False, candidates=cand)
         else:
             from dsgrid_spark.pipeline.pq import pq_search
 
@@ -588,7 +606,7 @@ def cmd_index_search(args) -> int:
                            n_probe=args.n_probe,
                            shortlist=args.shortlist,
                            rerank=None if not args.no_rerank else False,
-                           method=args.method)
+                           method=args.method, candidates=cand)
     for row in df.collect():
         print(json.dumps(row.asDict()))
     return 0
@@ -602,6 +620,61 @@ def cmd_index_vacuum(args) -> int:
     _index_kind(spark, args.path)  # refuse to vacuum a non-index dir
     out = indexlog.vacuum(spark, args.path, ttl_seconds=args.ttl)
     print(json.dumps(out))
+    return 0
+
+
+def cmd_index_describe(args) -> int:
+    """One JSON line of operational truth about an index: kind, meta
+    params, batch-lifecycle state (visible / retired / open intents),
+    log-metric totals, and per-subtree directory/file/byte footprints —
+    the numbers that decide when to compact or vacuum. Metadata and
+    filesystem stats only; ``--counts`` adds committed row counts per
+    payload subtree (a scan)."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    kind = _index_kind(spark, args.path)
+    visible, ingested = indexlog.batch_sets(spark, args.path)
+    out = {
+        "kind": kind, "path": args.path,
+        "visible_batches": len(visible),
+        "retired_batches": len(ingested - visible),
+        "open_intents": sorted(indexlog.open_intents(spark, args.path)),
+    }
+    meta_sub = "stats" if kind == "term" else "meta"
+    try:
+        out["meta"] = (spark.read.parquet(f"{args.path}/{meta_sub}")
+                       .collect()[0].asDict())
+    except Exception:
+        out["meta"] = None
+    log = spark.read.parquet(f"{args.path}/batches")
+    metric_cols = [c for c in log.columns
+                   if c not in ("batch", "committed")]
+    out["totals"] = indexlog.logged_totals(spark, args.path,
+                                           *metric_cols)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    subs = {}
+    for sub, col in sorted(indexlog.payload_subdirs(spark,
+                                                    args.path).items()):
+        jp = jvm.org.apache.hadoop.fs.Path(f"{args.path}/{sub}")
+        fs = jp.getFileSystem(conf)
+        cs = fs.getContentSummary(jp)
+        bglob = jvm.org.apache.hadoop.fs.Path(
+            f"{args.path}/{sub}/*/batch=*")
+        info = {
+            "partition_column": col,
+            "batch_dirs": len(list(fs.globStatus(bglob) or [])),
+            "files": int(cs.getFileCount()),
+            "bytes": int(cs.getLength()),
+        }
+        if args.counts:
+            info["committed_rows"] = indexlog.read_committed(
+                spark, args.path, sub, ids=visible).count()
+        subs[sub] = info
+    out["payload"] = subs
+    print(json.dumps(out, default=str))
     return 0
 
 
@@ -800,6 +873,9 @@ def main(argv: list[str] | None = None) -> int:
     isr.add_argument("--n-probe", type=int, default=2)
     isr.add_argument("--no-rerank", action="store_true",
                      help="pq: ADC-only scores; binary: Hamming-only")
+    isr.add_argument("--candidates", default=None,
+                     help="filtered ANN: parquet path of ids, or "
+                     "comma-separated id list — top-k among these only")
     isr.add_argument("--shortlist", type=int, default=None,
                      help="pq/binary: per-query candidate depth fed to "
                           "the exact re-rank (default 4k)")
@@ -827,6 +903,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="delete replaced data now (offline only; "
                     "default leaves it for vacuum's ttl grace)")
     ic.set_defaults(fn=cmd_index_compact)
+
+    idd = idxsub.add_parser(
+        "describe", help="JSON summary: kind, meta, batch lifecycle, "
+        "totals, per-subtree files/bytes")
+    idd.add_argument("path")
+    idd.add_argument("--counts", action="store_true",
+                     help="also count committed rows per subtree (scan)")
+    idd.set_defaults(fn=cmd_index_describe)
 
     args = p.parse_args(argv)
     if hasattr(args, "kind") and args.command == "registry":

@@ -1007,7 +1007,7 @@ def append_pq_index(df: DataFrame, path: str,
 def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
               n_probe: int = 2, shortlist: int | None = None,
               rerank: bool | None = None, metric: str = "ip",
-              method: str = "hof") -> DataFrame:
+              method: str = "hof", candidates=None) -> DataFrame:
     """Search a persisted PQ index: coarse probe ranking driver-side on
     the tiny centroid table, ADC over the probed clusters' CODE
     partitions only (partition-pruned, committed-batch filtered), then
@@ -1024,7 +1024,13 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     the LUT approximations, as :func:`pq_topk`. ``method`` as
     :func:`pq_topk`. An index built with ``residual=True`` is scored
     with per-(query, probed-list) IVFADC tables automatically — the
-    flag rides the meta row, callers never restate it.
+    flag rides the meta row, callers never restate it. ``candidates``
+    (id list or DataFrame, :func:`similarity.candidate_filter`)
+    restricts the ADC scan to a metadata-selected subset BEFORE the
+    shortlist window — filtered ANN, filter-then-top-k (selective
+    filters lose no shortlist depth to non-candidates). Probe caveat
+    as :func:`similarity.ivf_search`: candidates outside the probed
+    clusters are unreachable; selective filters want wider ``n_probe``.
     """
     from dsgrid_spark.pipeline import indexlog
 
@@ -1057,8 +1063,13 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     probes = F.broadcast(spark.createDataFrame(
         probe_rows, f"query_id {qid_type}, cluster int"))
     committed = indexlog.committed_batches(spark, path)
-    codes = (indexlog.read_committed(spark, path, "codes", ids=committed)
-             .filter(F.col("cluster").isin(probed_clusters)))
+    from dsgrid_spark.pipeline.similarity import candidate_filter
+    codes = candidate_filter(
+        indexlog.read_committed(spark, path, "codes", ids=committed)
+        .filter(F.col("cluster").isin(probed_clusters)),
+        candidates)
+    # (the scan-restricted candidate rows; shadows the caller's filter
+    # spec, which is fully consumed by candidate_filter above)
     candidates = codes.join(probes, "cluster")
     if meta.get("residual", False):
         # IVFADC codes: per-(query, probed list) tables, keyed on both

@@ -80,6 +80,50 @@ def quantize_embeddings(df: DataFrame, vector_column: str = "embedding",
     )
 
 
+#: above this many literal ids, candidate lists ship as broadcast data
+#: (semi-join) instead of an In() plan literal — same rationale as
+#: LITERAL_CENTROID_BUDGET (Catalyst analysis superlinear in literals)
+LITERAL_CANDIDATE_BUDGET = 10_000
+
+
+def candidate_filter(df: DataFrame, candidates,
+                     id_column: str = "id") -> DataFrame:
+    """Restrict a scan to a caller-supplied candidate set — the
+    FILTERED vector-search shape ("nearest neighbors among documents
+    matching a metadata predicate"). Two physical forms:
+
+    - a Python list/set of ids → an ``isin`` predicate, which pushes
+      into the parquet scan (``PushedFilters: In(id, …)``) like the
+      re-rank's shortlist read; right for bounded driver-known sets.
+    - a DataFrame (its ``id_column``, or its single column) → a
+      LEFT SEMI join, the distributed form for candidate sets that are
+      themselves query results; Spark broadcasts it when small (AQE).
+
+    Filter-THEN-top-k semantics: k survivors are the best among
+    candidates, never fewer because non-candidates crowded a window.
+    """
+    if candidates is None:
+        return df
+    if isinstance(candidates, DataFrame):
+        cols = candidates.columns
+        key = id_column if id_column in cols else cols[0]
+        return df.join(
+            candidates.select(F.col(key).alias(id_column)).distinct(),
+            id_column, "left_semi")
+    ids = sorted(set(candidates))
+    if not ids:
+        raise ValueError("candidates is empty: no rows could ever "
+                         "match (pass None for an unfiltered search)")
+    if len(ids) > LITERAL_CANDIDATE_BUDGET:
+        # a 1M-literal In() bloats the plan tree and its analysis the
+        # same way inline centroids did (ROADMAP 8): ship big sets as
+        # DATA — one broadcast semi-join — instead of plan literals
+        ids_df = df.sparkSession.createDataFrame(
+            [(i,) for i in ids], [id_column])
+        return df.join(F.broadcast(ids_df), id_column, "left_semi")
+    return df.filter(F.col(id_column).isin(ids))
+
+
 def _matrix_row(spark, matrix: list[list[float]], col_name: str):
     """A float matrix as ONE broadcast DataFrame row of
     ``array<array<double>>`` — data, not plan literals. The shared
@@ -1075,7 +1119,8 @@ def write_ivf_index(df: DataFrame, path: str,
 
 
 def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
-               k: int = 10, n_probe: int = 2) -> DataFrame:
+               k: int = 10, n_probe: int = 2,
+               candidates=None) -> DataFrame:
     """Top-k cosine neighbors per query from a persisted IVF index.
 
     ``queries`` is a small [(query_id, vector), ...] list (the broadcast
@@ -1085,6 +1130,15 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     (query_id, id, score) with exact cosine re-ranking inside the probed
     clusters — identical results to ``ivf_topk`` with the same centroids
     and n_probe (tested).
+
+    ``candidates`` (id list or DataFrame, :func:`candidate_filter`)
+    restricts the search to a metadata-selected subset — filtered ANN.
+    Filter-then-top-k: the k results are the best AMONG candidates.
+    Probe caveat: candidates living outside the probed clusters are
+    unreachable like any other vector; highly selective filters want a
+    wider ``n_probe`` (or the full ``n_probe = n_clusters``, which this
+    index's exact within-cluster scoring makes an exact filtered
+    search).
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -1101,10 +1155,10 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     probed_clusters = sorted({r[1] for r in probe_rows})
     # committed-batch filter: orphan partitions from a crashed append
     # are invisible (both cluster and batch prune at planning time)
-    vectors = (
+    vectors = candidate_filter(
         indexlog.read_committed(spark, path, "vectors")
-        .filter(F.col("cluster").isin(probed_clusters))
-    )
+        .filter(F.col("cluster").isin(probed_clusters)),
+        candidates)
     scored = vectors.join(F.broadcast(qdf), "cluster").select(
         "query_id", "id",
         cosine(F.col("embedding"), F.col("__qv")).alias("score"),
@@ -1370,7 +1424,8 @@ def append_binary_index(df: DataFrame, path: str,
 
 def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
                    n_probe: int = 2, shortlist: int | None = None,
-                   rerank: bool | None = None) -> DataFrame:
+                   rerank: bool | None = None,
+                   candidates=None) -> DataFrame:
     """Search a persisted binary index: coarse probe ranking
     driver-side on the tiny centroid table, XOR+popcount Hamming over
     the probed clusters' BIT partitions only (partition-pruned,
@@ -1390,6 +1445,12 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     (query_id, id, score) with exact cosine descending. Degenerate
     (null/empty) corpus vectors pack to empty bit arrays, score a NULL
     Hamming distance, and sort last, as in hamming_topk.
+
+    ``candidates`` (id list or DataFrame, :func:`candidate_filter`)
+    restricts the scan to a metadata-selected subset BEFORE the
+    shortlist window — filtered ANN with filter-then-top-k semantics
+    (the shortlist holds only candidates, so selective filters lose no
+    re-rank depth). Probe caveat as :func:`ivf_search`.
     """
     from dsgrid_spark.pipeline import indexlog
     from dsgrid_spark.pipeline.pq import (_read_centroids, _read_meta,
@@ -1419,8 +1480,10 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
         probe_rows,
         f"query_id {qid_type}, cluster int, __qbits array<long>"))
     committed = indexlog.committed_batches(spark, path)
-    bits = (indexlog.read_committed(spark, path, "bits", ids=committed)
-            .filter(F.col("cluster").isin(probed_clusters)))
+    bits = candidate_filter(
+        indexlog.read_committed(spark, path, "bits", ids=committed)
+        .filter(F.col("cluster").isin(probed_clusters)),
+        candidates)
     scored = bits.join(probes, "cluster").select(
         "query_id", "id",
         hamming_distance(F.col("bits"), F.col("__qbits"))

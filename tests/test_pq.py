@@ -830,3 +830,111 @@ def test_binary_index_int8_rerank(spark, tmp_path):
     raw8 = sorted(map(tuple, hamming_search(
         spark, i8, queries, k=6, n_probe=3, rerank=False).collect()))
     assert raw8 == raw64
+
+
+def test_filtered_search_candidates(spark, tmp_path):
+    """(r9) filtered ANN: `candidates=` (id list or DataFrame) restricts
+    pq_search / hamming_search / ivf_search to a metadata-selected
+    subset with filter-then-top-k semantics — under a full probe each
+    equals the same search over the pre-filtered corpus, and the
+    shortlist holds only candidates (selective filters lose no re-rank
+    depth to non-candidates)."""
+    from dsgrid_spark.pipeline.pq import (
+        exact_codebooks, pq_search, write_pq_index,
+    )
+    from dsgrid_spark.pipeline.similarity import (
+        candidate_filter, hamming_search, ivf_search, kmeans_centroids,
+        write_binary_index, write_ivf_index,
+    )
+
+    emb = _bin_corpus(spark, n=120, dim=64, seed=7)
+    cents = kmeans_centroids(emb, n_clusters=4, dim=64, iterations=2)
+    allowed = [i for i in range(120) if i % 3 == 0]  # metadata subset
+    sub = emb.filter(F.col("vec_id").isin(allowed))
+    cand_df = emb.select("vec_id").filter(F.col("vec_id") % 3 == 0)
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in
+               emb.filter(F.col("vec_id").isin(0, 50)).collect()]
+
+    # --- ivf: filtered index search == unfiltered search over an index
+    # built from ONLY the candidates (exact within full probe)
+    full_ivf = str(tmp_path / "ivf_full")
+    sub_ivf = str(tmp_path / "ivf_sub")
+    write_ivf_index(emb, full_ivf, cents)
+    write_ivf_index(sub, sub_ivf, cents)
+    for cand in (allowed, cand_df):
+        got = sorted(map(tuple, ivf_search(
+            spark, full_ivf, queries, k=5, n_probe=4,
+            candidates=cand).collect()))
+        want = sorted(map(tuple, ivf_search(
+            spark, sub_ivf, queries, k=5, n_probe=4).collect()))
+        assert got == want, type(cand)
+
+    # --- binary (Hamming + exact rerank)
+    full_bin = str(tmp_path / "bin_full")
+    sub_bin = str(tmp_path / "bin_sub")
+    write_binary_index(emb, full_bin, cents)
+    write_binary_index(sub, sub_bin, cents)
+    got = sorted(map(tuple, hamming_search(
+        spark, full_bin, queries, k=5, n_probe=4, shortlist=15,
+        candidates=allowed).collect()))
+    want = sorted(map(tuple, hamming_search(
+        spark, sub_bin, queries, k=5, n_probe=4,
+        shortlist=15).collect()))
+    assert got == want
+
+    # --- pq (exact codebooks -> ADC is exact; rerank on)
+    books = exact_codebooks(emb, dim=64, n_subvectors=8)
+    full_pq = str(tmp_path / "pq_full")
+    sub_pq = str(tmp_path / "pq_sub")
+    write_pq_index(emb, full_pq, cents, books)
+    write_pq_index(sub, sub_pq, cents, books)
+    got = sorted(map(tuple, pq_search(
+        spark, full_pq, queries, k=5, n_probe=4,
+        candidates=cand_df).collect()))
+    want = sorted(map(tuple, pq_search(
+        spark, sub_pq, queries, k=5, n_probe=4).collect()))
+    assert got == want
+    # every returned id is a candidate, k survivors among candidates
+    for q, i, _ in got:
+        assert i % 3 == 0
+
+    # empty candidate list refuses loudly
+    with pytest.raises(ValueError, match="empty"):
+        candidate_filter(emb, [], "vec_id")
+
+
+def test_cli_index_describe(spark, tmp_path, capsys):
+    """(r9) `index describe`: kind, meta, batch lifecycle, metric
+    totals, and per-subtree footprints in one JSON line; --counts adds
+    committed row counts. Retired (compacted-away) batches show up in
+    the lifecycle numbers."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, write_term_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=4)
+    append_term_index(
+        spark.createDataFrame([(2, "alpha zeta")], "doc_id long, text string"),
+        path, batch_id="b1")
+    assert cli_main(["index", "describe", path, "--counts"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["kind"] == "term"
+    assert out["visible_batches"] == 2 and out["retired_batches"] == 0
+    assert out["totals"]["n_docs"] == 3
+    post = out["payload"]["postings"]
+    assert post["partition_column"] == "bucket"
+    assert post["batch_dirs"] > 0 and post["bytes"] > 0
+    assert post["committed_rows"] == 6  # 2 terms/doc
+    # compaction retires the sources; describe reflects it
+    indexlog.compact(spark, path)
+    assert cli_main(["index", "describe", path]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip())
+    assert out2["visible_batches"] == 1 and out2["retired_batches"] == 2
+    assert out2["totals"]["n_docs"] == 3  # invariant under compaction
