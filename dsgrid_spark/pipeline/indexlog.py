@@ -74,18 +74,37 @@ _BATCH_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
 #: reserved id for the rows written by the initial index build
 BASE_BATCH = "base"
 
+#: id namespace reserved for compaction batches. The separation is
+#: load-bearing, not cosmetic: a compaction that crashes between its
+#: ``compactions/`` write and its log commit leaves an open intent and
+#: dormant ``(replaced, by=<id>)`` rows — if an ordinary auto-id append
+#: could ever adopt that intent (the crashed-id reuse rule) and commit
+#: under it, the dormant rows would activate and silently hide every
+#: batch they name. Appends therefore may not claim or be named inside
+#: this namespace; only a compact retry adopts a crashed ``cmp`` id,
+#: and its cleanup deletes the stale rows before rewriting.
+COMPACT_PREFIX = "cmp"
+
 
 def check_batch_id(batch_id: str) -> str:
-    """Validate a batch id for use as a partition-directory component.
+    """Validate a CALLER-SUPPLIED batch id for use as a
+    partition-directory component.
 
     Restricting to ``[A-Za-z0-9._-]`` keeps the id round-trippable
     through ``batch=<id>`` partition paths on every filesystem (no
-    escaping, no path traversal).
+    escaping, no path traversal). The ``cmp`` namespace is reserved
+    for compaction (see :data:`COMPACT_PREFIX`): an append committing
+    under a crashed compaction's id would activate its dormant
+    replacement rows.
     """
     if not isinstance(batch_id, str) or not _BATCH_ID_RE.match(batch_id):
         raise ValueError(
             f"batch_id must match {_BATCH_ID_RE.pattern!r}, got "
             f"{batch_id!r}")
+    if batch_id.startswith(COMPACT_PREFIX):
+        raise ValueError(
+            f"batch ids starting with {COMPACT_PREFIX!r} are reserved "
+            f"for compaction, got {batch_id!r}")
     return batch_id
 
 
@@ -219,26 +238,37 @@ def open_intents(spark: SparkSession, index_path: str) -> set[str]:
 
 
 def claim_auto_batch_id(spark: SparkSession, index_path: str,
-                        committed: set[str]) -> str:
+                        committed: set[str],
+                        prefix: str = "auto") -> str:
     """Reserve and return the auto batch id for an un-named append.
 
-    If a previous auto-id append crashed (intent marker present, no log
-    entry), its id is reused — smallest first, deterministically — so
-    the retry deletes exactly that attempt's orphan directories no
-    matter how many OTHER batches committed in between (the round-6
-    advice hole in the log-size derivation). Otherwise the next free id
-    is derived past every committed AND reserved id, and its marker
-    directory is created BEFORE returning, i.e. before any data write.
+    If a previous auto-id attempt IN THIS NAMESPACE crashed (intent
+    marker present, no log entry), its id is reused — smallest first,
+    deterministically — so the retry deletes exactly that attempt's
+    orphan directories no matter how many OTHER batches committed in
+    between (the round-6 advice hole in the log-size derivation).
+    Otherwise the next free id is derived past every committed AND
+    reserved id, and its marker directory is created BEFORE returning,
+    i.e. before any data write.
+
+    ``prefix`` namespaces the claim: appends use ``auto``, compaction
+    uses :data:`COMPACT_PREFIX`. Adoption of crashed intents never
+    crosses namespaces — an append adopting a crashed COMPACTION id
+    would activate that attempt's dormant replacement rows when it
+    commits (and a compact retry adopting a crashed APPEND id would
+    delete an in-flight append's data). This also makes one concurrent
+    auto append safe alongside one compaction.
     """
     intents = open_intents(spark, index_path)
-    crashed = sorted(intents - committed)
+    crashed = sorted(i for i in (intents - committed)
+                     if i.startswith(prefix))
     if crashed:
         return crashed[0]
     taken = committed | intents
     n = len(taken) + 1
-    while f"auto{n:06d}" in taken:
+    while f"{prefix}{n:06d}" in taken:
         n += 1
-    batch_id = f"auto{n:06d}"
+    batch_id = f"{prefix}{n:06d}"
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(
         f"{_intents_path(index_path)}/{batch_id}")
@@ -290,8 +320,9 @@ def log_batch(spark: SparkSession, index_path: str, batch_id: str,
     cols = sorted(metrics)
     row = [tuple(int(metrics[c]) for c in cols) + (batch_id,)]
     schema = ", ".join([f"{c} long" for c in cols] + ["batch string"])
-    (spark.createDataFrame(row, schema)
-       .coalesce(1).write.mode("append").partitionBy("batch").parquet(lp))
+    from dsgrid_spark.session import one_slice_df
+    (one_slice_df(spark, row, schema)
+       .write.mode("append").partitionBy("batch").parquet(lp))
 
 
 def logged_totals(spark: SparkSession, index_path: str,
@@ -378,7 +409,10 @@ def compact(spark: SparkSession, index_path: str,
     finished. ONE COMPACTOR AT A TIME per index — two concurrent
     compactions over the same sources would both commit a full copy
     (the single-writer discipline appends already require per batch
-    id, lifted to the index).
+    id, lifted to the index). Concurrent APPENDS are safe: an
+    uncommitted batch is not visible, so it is never a source, and the
+    ``cmp`` id namespace keeps the compactor's intent from ever
+    colliding with an append's (see :data:`COMPACT_PREFIX`).
 
     ``batches=None`` compacts every visible batch; an explicit list
     must name visible batches only. Returns the new batch id, or None
@@ -396,7 +430,8 @@ def compact(spark: SparkSession, index_path: str,
                 " (not committed, or already replaced)")
     if len(sources) < 2:
         return None
-    batch_id = claim_auto_batch_id(spark, index_path, ingested)
+    batch_id = claim_auto_batch_id(spark, index_path, ingested,
+                                   prefix=COMPACT_PREFIX)
     delete_glob(spark, f"{index_path}/*/*/batch={batch_id}")
     delete_glob(spark, f"{_compactions_path(index_path)}/by={batch_id}")
     log_rows = (spark.read.parquet(_log_path(index_path))
@@ -420,9 +455,10 @@ def compact(spark: SparkSession, index_path: str,
            .repartition(F.col(col))
            .write.mode("append").partitionBy(col, "batch")
            .parquet(f"{index_path}/{sub}"))
-    (spark.createDataFrame([(s, batch_id) for s in sources],
-                           "replaced string, by string")
-       .coalesce(1).write.mode("append").partitionBy("by")
+    from dsgrid_spark.session import one_slice_df
+    (one_slice_df(spark, [(s, batch_id) for s in sources],
+                  "replaced string, by string")
+       .write.mode("append").partitionBy("by")
        .parquet(_compactions_path(index_path)))
     log_batch(spark, index_path, batch_id, **metrics)
     clear_intent(spark, index_path, batch_id)

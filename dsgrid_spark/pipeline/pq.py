@@ -51,6 +51,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
                                StructField, StructType)
 
+from dsgrid_spark.session import one_slice_df as _osdf
+
 __all__ = [
     "pq_fit",
     "exact_codebooks",
@@ -206,7 +208,7 @@ def _codebook_row(spark, codebooks: list[list[list[float]]]):
     """The m x k x dsub codebook as ONE broadcast row (column
     ``__cbs``) — data, not plan literals."""
     payload = [[[float(x) for x in c] for c in cb] for cb in codebooks]
-    return F.broadcast(spark.createDataFrame(
+    return F.broadcast(_osdf(spark, 
         [(payload,)], "__cbs: array<array<array<double>>>"))
 
 
@@ -364,7 +366,7 @@ def _adc_luts(spark, codebooks, queries, query_id_column, vector_column,
         queries.schema[query_id_column],
         StructField("__lut", ArrayType(ArrayType(DoubleType()))),
     ])
-    return F.broadcast(spark.createDataFrame(rows, schema))
+    return F.broadcast(_osdf(spark, rows, schema))
 
 
 def _adc_score(code_column: str) -> Column:
@@ -693,7 +695,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         probe_map[r[query_id_column]] = ranked
         for ci in ranked:
             probe_rows.append((r[query_id_column], ci))
-    probes = F.broadcast(spark.createDataFrame(
+    probes = F.broadcast(_osdf(spark, 
         probe_rows, StructType([queries.schema[query_id_column],
                                 StructField("__cluster", IntegerType())])))
     candidates = coded.join(probes, "__cluster")
@@ -710,7 +712,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                 StructField("__cluster", IntegerType()),
                 StructField("__lut", ArrayType(ArrayType(DoubleType()))),
             ])
-            luts = F.broadcast(spark.createDataFrame(
+            luts = F.broadcast(_osdf(spark, 
                 [(qid, cl, lut) for (qid, cl), lut in lut_rows], schema))
             scored = (
                 candidates.join(luts, [query_id_column, "__cluster"])
@@ -929,18 +931,20 @@ def write_pq_index(df: DataFrame, path: str,
         indexlog.delete_glob(spark, f"{path}/vectors")
     cent_rows = [(i, [float(x) for x in c])
                  for i, c in enumerate(coarse_centroids)]
-    (spark.createDataFrame(cent_rows,
-                           "cluster int, centroid array<double>")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
-    (spark.createDataFrame(_codebooks_to_rows(codebooks),
-                           "j int, i int, centroid array<double>")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
-    (spark.createDataFrame(
+    from dsgrid_spark.session import one_slice_df
+    (one_slice_df(spark, cent_rows,
+                  "cluster int, centroid array<double>")
+       .write.mode("overwrite").parquet(f"{path}/centroids"))
+    (one_slice_df(spark, _codebooks_to_rows(codebooks),
+                  "j int, i int, centroid array<double>")
+       .write.mode("overwrite").parquet(f"{path}/codebooks"))
+    (one_slice_df(
+        spark,
         [(dim, m, k, dsub, bool(store_vectors), bool(residual),
           vectors_dtype)],
         "dim int, m int, k int, dsub int, store_vectors boolean, "
         "residual boolean, vectors_dtype string")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+       .write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 
@@ -1060,7 +1064,7 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
         for ci in rank_probes(centroids, qv, n_probe):
             probe_rows.append((qid, ci))
     probed_clusters = sorted({c for _, c in probe_rows})
-    probes = F.broadcast(spark.createDataFrame(
+    probes = F.broadcast(_osdf(spark, 
         probe_rows, f"query_id {qid_type}, cluster int"))
     committed = indexlog.committed_batches(spark, path)
     from dsgrid_spark.pipeline.similarity import candidate_filter
@@ -1089,7 +1093,7 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
                 StructField("cluster", IntegerType()),
                 StructField("__lut", ArrayType(ArrayType(DoubleType()))),
             ])
-            luts = F.broadcast(spark.createDataFrame(
+            luts = F.broadcast(_osdf(spark, 
                 [(qid, cl, lut) for (qid, cl), lut in lut_rows], schema))
             scored = (candidates.join(luts, ["query_id", "cluster"])
                       .select("query_id", "id",
@@ -1105,7 +1109,7 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
                             candidates.schema["query_id"].dataType),
                 StructField("__lut", ArrayType(ArrayType(DoubleType()))),
             ])
-            luts = F.broadcast(spark.createDataFrame(lut_rows, schema))
+            luts = F.broadcast(_osdf(spark, lut_rows, schema))
             scored = (candidates.join(luts, "query_id")
                       .select("query_id", "id",
                               _adc_score("code").alias("score")))
@@ -1127,11 +1131,11 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
         .filter(F.col("cluster").isin(probed_clusters))
         .filter(F.col("id").isin(ids)),
         meta.get("vectors_dtype") or "float64")
-    pair_df = F.broadcast(spark.createDataFrame(
+    pair_df = F.broadcast(_osdf(spark, 
         pairs, StructType([StructField("query_id",
                                        short.schema["query_id"].dataType),
                            short.schema["id"]])))
-    qvec = F.broadcast(spark.createDataFrame(
+    qvec = F.broadcast(_osdf(spark, 
         [(qid, [float(x) for x in qv]) for qid, qv in queries],
         f"query_id {qid_type}, __qv array<double>"))
     dot = F.aggregate(

@@ -143,7 +143,9 @@ def write_term_index(df: DataFrame, path: str,
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
          .alias("total_tokens")).collect()[0]
-    (spark.createDataFrame(
+    from dsgrid_spark.session import one_slice_df
+    (one_slice_df(
+        spark,
         # n_buckets and the analyzer name ride the index: probing with a
         # different bucket count silently prunes to the WRONG buckets,
         # and analyzing queries differently than the writer silently
@@ -154,7 +156,7 @@ def write_term_index(df: DataFrame, path: str,
           bool(positions), analyzer)],
         "n_docs long, total_tokens long, n_buckets int,"
         " has_positions boolean, analyzer string")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+       .write.mode("overwrite").parquet(f"{path}/stats"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH,
                        n_docs=int(totals["n_docs"]),
                        total_tokens=int(totals["total_tokens"]))

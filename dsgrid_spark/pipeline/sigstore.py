@@ -108,10 +108,10 @@ def write_sig_store(df: DataFrame, path: str, text_column: str = "text",
     (rows.repartition("shard")
        .write.mode("overwrite").partitionBy("shard", "batch")
        .parquet(f"{path}/sigs"))
-    (spark.createDataFrame(
-        [(num_hashes, shingle_k, seed, n_shards)],
-        "num_hashes int, shingle_k int, seed int, n_shards int")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+    from dsgrid_spark.session import one_slice_df
+    (one_slice_df(spark, [(num_hashes, shingle_k, seed, n_shards)],
+                  "num_hashes int, shingle_k int, seed int, n_shards int")
+       .write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import StructField, StructType
 
+from dsgrid_spark.session import one_slice_df as _osdf
+
 from dsgrid_spark.pipeline import indexlog
 
 
@@ -106,7 +108,15 @@ def candidate_filter(df: DataFrame, candidates,
         return df
     if isinstance(candidates, DataFrame):
         cols = candidates.columns
-        key = id_column if id_column in cols else cols[0]
+        if id_column in cols:
+            key = id_column
+        elif len(cols) == 1:
+            key = cols[0]
+        else:
+            raise ValueError(
+                f"candidates frame has no {id_column!r} column and is "
+                f"not single-column ({cols}); name the id column "
+                f"{id_column!r} or select it alone")
         return df.join(
             candidates.select(F.col(key).alias(id_column)).distinct(),
             id_column, "left_semi")
@@ -133,7 +143,7 @@ def _matrix_row(spark, matrix: list[list[float]], col_name: str):
     the literal plan is superlinear in the literal count
     (tools/scale_centroid_assign.py) while a broadcast row is flat."""
     payload = [[float(x) for x in row] for row in matrix]
-    return F.broadcast(spark.createDataFrame(
+    return F.broadcast(_osdf(spark, 
         [(payload,)], f"{col_name}: array<array<double>>"))
 
 
@@ -930,7 +940,7 @@ def assign_nearest_centroid(df: DataFrame, centroids: list[list[float]],
         return df.withColumn("__cluster", cluster)
     spark = df.sparkSession
     cent_one = (
-        spark.createDataFrame(
+        _osdf(spark, 
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cluster int, centroid array<double>")
         .agg(F.array_sort(
@@ -1065,7 +1075,7 @@ def ivf_topk(
         for ci in rank_probes(centroids, qv, n_probe):
             probe_rows.append((r[query_id_column], ci, qv))
     spark = corpus.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = _osdf(spark, 
         probe_rows, f"{query_id_column} long, __cluster int, __qv array<double>"
     )
     scored = c.join(F.broadcast(qdf), "__cluster").select(
@@ -1112,9 +1122,10 @@ def write_ivf_index(df: DataFrame, path: str,
        .repartition("cluster")
        .write.mode("overwrite").partitionBy("cluster", "batch")
        .parquet(f"{path}/vectors"))
+    from dsgrid_spark.session import one_slice_df
     rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
-    (spark.createDataFrame(rows, "cluster int, centroid array<double>")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    (one_slice_df(spark, rows, "cluster int, centroid array<double>")
+       .write.mode("overwrite").parquet(f"{path}/centroids"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 
@@ -1150,7 +1161,7 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     for qid, qv in queries:
         for ci in rank_probes(cent_list, qv, n_probe):
             probe_rows.append((qid, keys[ci], [float(x) for x in qv]))
-    qdf = spark.createDataFrame(
+    qdf = _osdf(spark, 
         probe_rows, "query_id long, cluster int, __qv array<double>")
     probed_clusters = sorted({r[1] for r in probe_rows})
     # committed-batch filter: orphan partitions from a crashed append
@@ -1352,14 +1363,16 @@ def write_binary_index(df: DataFrame, path: str,
         indexlog.delete_glob(spark, f"{path}/vectors")
     cent_rows = [(i, [float(x) for x in c])
                  for i, c in enumerate(coarse_centroids)]
-    (spark.createDataFrame(cent_rows,
-                           "cluster int, centroid array<double>")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
-    (spark.createDataFrame(
+    from dsgrid_spark.session import one_slice_df
+    (one_slice_df(spark, cent_rows,
+                  "cluster int, centroid array<double>")
+       .write.mode("overwrite").parquet(f"{path}/centroids"))
+    (one_slice_df(
+        spark,
         [(dim, BINARY_WORD_BITS, bool(store_vectors), vectors_dtype)],
         "dim int, word_bits int, store_vectors boolean, "
         "vectors_dtype string")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+       .write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 
@@ -1476,7 +1489,7 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
         for ci in rank_probes(centroids, qv, n_probe):
             probe_rows.append((qid, ci, qbits))
     probed_clusters = sorted({c for _, c, _ in probe_rows})
-    probes = F.broadcast(spark.createDataFrame(
+    probes = F.broadcast(_osdf(spark, 
         probe_rows,
         f"query_id {qid_type}, cluster int, __qbits array<long>"))
     committed = indexlog.committed_batches(spark, path)
@@ -1507,11 +1520,11 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
         .filter(F.col("cluster").isin(probed_clusters))
         .filter(F.col("id").isin(ids)),
         meta.get("vectors_dtype") or "float64")
-    pair_df = F.broadcast(spark.createDataFrame(
+    pair_df = F.broadcast(_osdf(spark, 
         pairs, StructType([StructField("query_id",
                                        short.schema["query_id"].dataType),
                            short.schema["id"]])))
-    qvec = F.broadcast(spark.createDataFrame(
+    qvec = F.broadcast(_osdf(spark, 
         [(qid, [float(x) for x in qv]) for qid, qv in queries],
         f"query_id {qid_type}, __qv array<double>"))
     rescored = (vectors.join(pair_df, "id").join(qvec, "query_id")

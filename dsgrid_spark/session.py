@@ -121,6 +121,23 @@ def ensure_min_partitions(df, min_partitions: int | None = None):
     return df.repartition(min_partitions)
 
 
+def one_slice_df(spark: SparkSession, rows, schema):
+    """``createDataFrame`` for SMALL driver-side row lists destined for
+    a single-file write (meta rows, batch-log rows, centroid tables).
+
+    Plain ``createDataFrame(list)`` parallelizes into
+    ``defaultParallelism`` Python slices; a downstream ``coalesce(1)``
+    then evaluates ALL of them sequentially inside one task — 32
+    Python-worker round-trips, measured ~3 s PER TINY WRITE on
+    local[32] (a PQ index build pays it four times: centroids,
+    codebooks, meta, log). One explicit slice makes it one round-trip
+    (~0.3 s). Only for driver-bounded lists — anything scale-bearing
+    wants the parallel default.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 @contextmanager
 def session_time_zone(spark: SparkSession, tz: str):
     """Scope ``spark.sql.session.timeZone`` without leaking across queries.

@@ -3725,7 +3725,7 @@ def test_index_compact_merges_batches_exactly_once(spark, tmp_path):
         "base", "b1", "b2"}
 
     new_id = indexlog.compact(spark, path)
-    assert new_id == "auto000004"  # past base + b1 + b2
+    assert new_id == "cmp000004"  # cmp namespace, past base + b1 + b2
     # sources invisible, exactly one visible batch, totals invariant
     assert indexlog.committed_batches(spark, path) == {new_id}
     assert indexlog.logged_totals(
@@ -3788,7 +3788,8 @@ def test_index_compact_crash_retry_and_guards(spark, tmp_path):
     # simulate the crashed attempt: intent claimed, junk data dir and
     # replacement rows written, NO log row
     crash_id = indexlog.claim_auto_batch_id(
-        spark, path, indexlog.batch_sets(spark, path)[1])
+        spark, path, indexlog.batch_sets(spark, path)[1],
+        prefix=indexlog.COMPACT_PREFIX)
     (spark.createDataFrame([(999999, [0], 0)],
                            "id long, minhash array<long>, shard int")
        .withColumn("batch", F.lit(crash_id))
@@ -3801,6 +3802,19 @@ def test_index_compact_crash_retry_and_guards(spark, tmp_path):
     # uncommitted: readers see the pre-crash state, junk invisible
     assert indexlog.committed_batches(spark, path) == {"base", "b1"}
     assert read_sig_store(spark, path).count() == n
+
+    # an auto APPEND arriving before the retry must NOT adopt the
+    # crashed compaction's intent (committing an ordinary batch under
+    # it would activate the dormant replacement rows and hide base+b1):
+    # the claim namespaces keep them apart, and naming a batch into the
+    # cmp namespace is refused outright
+    aid = indexlog.claim_auto_batch_id(
+        spark, path, indexlog.batch_sets(spark, path)[1])
+    assert aid.startswith("auto") and aid != crash_id
+    indexlog.clear_intent(spark, path, aid)
+    with _pytest.raises(ValueError, match="reserved"):
+        append_sig_store(new, path, batch_id=crash_id)
+    assert indexlog.committed_batches(spark, path) == {"base", "b1"}
 
     # retry completes under the SAME id and drops the junk attempt
     got = indexlog.compact(spark, path, purge=True)
