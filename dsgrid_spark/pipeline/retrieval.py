@@ -176,7 +176,8 @@ def _buckets_of(spark: SparkSession, terms: list[str],
 
 
 def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
-                k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                k: int = 10, k1: float = 1.2, b: float = 0.75,
+                candidates=None) -> DataFrame:
     """Top-k documents for a bag-of-terms query from the persisted index.
 
     Reads only the buckets the query terms hash into (partition pruning;
@@ -184,6 +185,13 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
     caller) plus a pushed ``term IN (...)`` residual; scoring is the same
     ln-idf BM25 as ``text.bm25_scores`` and the result provably matches
     it (tested). Returns (id, bm25) ordered desc, ties by id.
+
+    ``candidates`` (id list or DataFrame,
+    :func:`similarity.candidate_filter`) restricts scoring to a
+    metadata-selected subset — filtered retrieval, filter-then-top-k.
+    Corpus statistics (idf, avgdl) intentionally stay CORPUS-wide: the
+    filter narrows which documents compete, not what words mean, the
+    standard behavior of a filtered search engine query.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -203,11 +211,13 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
         spark, path, "n_docs", "total_tokens")
     n_docs, total = totals["n_docs"], totals["total_tokens"]
     buckets = _buckets_of(spark, terms, stats["n_buckets"])
-    post = (
+    from dsgrid_spark.pipeline.similarity import candidate_filter
+
+    post = candidate_filter(
         indexlog.read_committed(spark, path, "postings", ids=committed)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("id", "dl", "term", "tf")  # positions, if any, stay on disk
-    )
+        .select("id", "dl", "term", "tf"),  # positions stay on disk
+        candidates)
     # doc frequency from the SAME pruned committed-filtered read the
     # scoring scans — never from a derived table rewritten in place
     # (reader isolation, module docstring); map-side combine makes this
@@ -382,3 +392,58 @@ def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
         acc.select("id", F.size("__starts").cast("long").alias("n_matches"))
         .filter(F.col("n_matches") > 0)
     )
+
+
+def hybrid_search(spark: SparkSession, term_path: str, vector_path: str,
+                  query_terms: list[str], query_vector: list[float],
+                  k: int = 10, k_each: int = 50, n_probe: int = 4,
+                  rrf_k: int = 60, candidates=None) -> DataFrame:
+    """One-call hybrid retrieval over PERSISTED indexes: BM25 top-k_each
+    from the term index, vector top-k_each from whichever ANN index
+    lives at ``vector_path`` (IVF / PQ / binary — detected from the
+    layout), fused with Reciprocal Rank Fusion (:func:`rrf_fuse`).
+    Returns (id, rrf) descending, ties by id — the standard lexical +
+    semantic recipe, score-free so neither side's scale dominates.
+
+    Both retrievers run over candidate lists bounded by construction
+    (each reduced to k_each rows before the fuse joins), and both
+    accept the same ``candidates`` restriction for filtered hybrid
+    search. ``k_each`` is the fusion pool depth — at least k, usually
+    several times k so a document ranked modestly by BOTH retrievers
+    can beat one ranked well by a single side (the RRF premise).
+    """
+    from dsgrid_spark.pipeline.stream_index import index_kind
+
+    if k_each < k:
+        raise ValueError(f"k_each ({k_each}) must be >= k ({k})")
+    lex = (bm25_search(spark, term_path, query_terms, k=k_each,
+                       candidates=candidates)
+           .select("id", F.col("bm25").alias("score")))
+    kind = index_kind(spark, vector_path)
+    # int query id: the single-query convention every persisted search
+    # accepts (ivf_search's probe frame types query_id as long)
+    queries = [(0, [float(x) for x in query_vector])]
+    if kind == "ivf":
+        from dsgrid_spark.pipeline.similarity import ivf_search
+        vec = ivf_search(spark, vector_path, queries, k=k_each,
+                         n_probe=n_probe, candidates=candidates)
+    elif kind == "binary":
+        from dsgrid_spark.pipeline.similarity import hamming_search
+        vec = hamming_search(spark, vector_path, queries, k=k_each,
+                             n_probe=n_probe, candidates=candidates)
+    elif kind == "pq":
+        from dsgrid_spark.pipeline.pq import pq_search
+        vec = pq_search(spark, vector_path, queries, k=k_each,
+                        n_probe=n_probe, candidates=candidates)
+    else:
+        raise ValueError(f"no vector index at {vector_path!r} "
+                         f"(found kind {kind!r})")
+    cols = vec.columns
+    score_col = "score" if "score" in cols else "hamming"
+    vscore = (F.col(score_col) if score_col == "score"
+              # bits-only binary index: Hamming ASCENDS; negate so the
+              # shared desc-rank convention holds
+              else (-F.col("hamming")).cast("double"))
+    vec = vec.select("id", vscore.alias("score"))
+    fused = rrf_fuse([lex, vec], id_column="id", k=rrf_k)
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)

@@ -938,3 +938,67 @@ def test_cli_index_describe(spark, tmp_path, capsys):
     out2 = _json.loads(capsys.readouterr().out.strip())
     assert out2["visible_batches"] == 1 and out2["retired_batches"] == 2
     assert out2["totals"]["n_docs"] == 3  # invariant under compaction
+
+
+def test_hybrid_search_over_persisted_indexes(spark, tmp_path):
+    """(r9) hybrid_search: BM25 + ANN from persisted indexes, RRF-fused
+    — equals composing bm25_search/ivf_search/rrf_fuse by hand, accepts
+    the same candidates= restriction on both sides, and handles the
+    bits-only binary index (ascending Hamming negated into the shared
+    desc-rank convention)."""
+    from dsgrid_spark.pipeline.retrieval import (
+        bm25_search, hybrid_search, rrf_fuse, write_term_index,
+    )
+    from dsgrid_spark.pipeline.similarity import (
+        ivf_search, kmeans_centroids, write_binary_index, write_ivf_index,
+    )
+
+    words = ["spark", "catalyst", "tungsten", "shuffle", "window",
+             "broadcast", "codegen", "adaptive"]
+    rows = []
+    for i in range(40):
+        text = " ".join(words[j % len(words)]
+                        for j in range(i, i + 4))
+        emb = [1.0 if d == i % 5 else 0.1 * ((i + d) % 3)
+               for d in range(8)]
+        rows.append((i, text, emb))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+    tpath = str(tmp_path / "term")
+    write_term_index(df, tpath, n_buckets=4)
+    emb = df.select(F.col("doc_id").alias("vec_id"), "embedding")
+    cents = kmeans_centroids(emb, 3, 8, iterations=2)
+    vpath = str(tmp_path / "ivf")
+    write_ivf_index(emb, vpath, cents)
+
+    qterms = ["spark", "window"]
+    qvec = [1.0, 0.0, 0.0, 0.0, 0.0, 0.1, 0.1, 0.1]
+    got = [tuple(r) for r in hybrid_search(
+        spark, tpath, vpath, qterms, qvec, k=5, k_each=15,
+        n_probe=3).collect()]
+    # hand-composed equivalent
+    lex = bm25_search(spark, tpath, qterms, k=15).select(
+        "id", F.col("bm25").alias("score"))
+    vec = ivf_search(spark, vpath, [(0, qvec)], k=15, n_probe=3
+                     ).select("id", "score")
+    want = [tuple(r) for r in
+            rrf_fuse([lex, vec], id_column="id", k=60)
+            .orderBy(F.desc("rrf"), F.asc("id")).limit(5).collect()]
+    assert got == want and len(got) == 5
+
+    # filtered hybrid: only even ids can appear
+    allowed = [i for i in range(40) if i % 2 == 0]
+    filt = hybrid_search(spark, tpath, vpath, qterms, qvec, k=5,
+                         k_each=15, n_probe=3,
+                         candidates=allowed).collect()
+    assert filt and all(r["id"] % 2 == 0 for r in filt)
+
+    # bits-only binary vector side (no rerank available -> negated
+    # Hamming ranks): fusion still runs and returns k rows
+    bpath = str(tmp_path / "bin")
+    write_binary_index(emb, bpath, cents, store_vectors=False)
+    got_b = hybrid_search(spark, tpath, bpath, qterms, qvec, k=5,
+                          k_each=15, n_probe=3).collect()
+    assert len(got_b) == 5
+    with pytest.raises(ValueError, match="k_each"):
+        hybrid_search(spark, tpath, vpath, qterms, qvec, k=9, k_each=5)
