@@ -1161,8 +1161,11 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     for qid, qv in queries:
         for ci in rank_probes(cent_list, qv, n_probe):
             probe_rows.append((qid, keys[ci], [float(x) for x in qv]))
-    qdf = _osdf(spark, 
-        probe_rows, "query_id long, cluster int, __qv array<double>")
+    from dsgrid_spark.pipeline.pq import query_id_type
+    qid_type = query_id_type(queries)
+    qdf = _osdf(
+        spark, probe_rows,
+        f"query_id {qid_type}, cluster int, __qv array<double>")
     probed_clusters = sorted({r[1] for r in probe_rows})
     # committed-batch filter: orphan partitions from a crashed append
     # are invisible (both cluster and batch prune at planning time)

@@ -1002,3 +1002,21 @@ def test_hybrid_search_over_persisted_indexes(spark, tmp_path):
     assert len(got_b) == 5
     with pytest.raises(ValueError, match="k_each"):
         hybrid_search(spark, tpath, vpath, qterms, qvec, k=9, k_each=5)
+
+
+def test_ivf_search_string_query_ids(spark, tmp_path):
+    """(r9) ivf_search shares query_id_type with pq/hamming: string ids
+    type the probe frame correctly, float ids fail at the boundary."""
+    from dsgrid_spark.pipeline.similarity import (
+        ivf_search, kmeans_centroids, write_ivf_index,
+    )
+
+    emb = _bin_corpus(spark, n=40, dim=16, seed=2)
+    cents = kmeans_centroids(emb, 2, 16, iterations=1)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, cents)
+    qv = list(emb.first()["embedding"])
+    got = ivf_search(spark, path, [("qA", qv)], k=3, n_probe=2).collect()
+    assert got and got[0]["query_id"] == "qA"
+    with pytest.raises(ValueError, match="all int or all str"):
+        ivf_search(spark, path, [(1.5, qv)], k=3)
