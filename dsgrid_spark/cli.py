@@ -385,41 +385,14 @@ def cmd_registry_prune(args) -> int:
 
 
 def _index_kind(spark, path: str) -> str:
-    """term | ivf | pq | binary, detected from the index layout (works
-    over any Spark-supported filesystem, like the indexlog helpers)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
+    """term | ivf | pq | binary | sigs — one shared detector
+    (pipeline.stream_index.index_kind), CLI-flavored errors."""
+    from dsgrid_spark.pipeline.stream_index import index_kind
 
-    def exists(sub: str) -> bool:
-        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
-        return jp.getFileSystem(conf).exists(jp)
-
-    if exists("meta") and exists("codes"):
-        return "pq"
-    if exists("meta") and exists("bits"):
-        return "binary"
-    if exists("meta") and exists("sigs"):
-        return "sigs"
-    if exists("codes") or exists("codebooks"):
-        # PQ remnants without a complete (meta + codes) pair: a build
-        # that crashed mid-write. Refusing beats falling through to
-        # "ivf" and appending raw vectors into a half-built PQ tree.
-        raise SystemExit(f"incomplete pq index at {path}: rebuild it "
-                         "with `index build pq`")
-    if exists("bits"):
-        raise SystemExit(f"incomplete binary index at {path}: rebuild "
-                         "it with `index build binary`")
-    if exists("sigs"):
-        raise SystemExit(f"incomplete signature store at {path}: "
-                         "rebuild it with `index build sigs`")
-    if exists("meta"):
-        raise SystemExit(f"incomplete pq/binary/sigs index at {path} "
-                         "(meta without data): rebuild it")
-    if exists("postings"):
-        return "term"
-    if exists("vectors") and exists("centroids"):
-        return "ivf"
-    raise SystemExit(f"no term/ivf/pq/binary index found at {path}")
+    try:
+        return index_kind(spark, path)
+    except ValueError as exc:
+        raise SystemExit(str(exc)) from None
 
 
 def _parse_vectors(raw: list[str]) -> list[tuple[int, list[float]]]:
@@ -554,6 +527,10 @@ def _parse_candidates(spark, spec: str | None):
 
     if os.path.exists(spec):
         return spark.read.parquet(spec)
+    if os.sep in spec or spec.endswith(".parquet"):
+        # path-shaped but absent: fail loudly — treating a typo'd path
+        # as a one-string id list would "succeed" with zero results
+        raise SystemExit(f"--candidates path does not exist: {spec}")
     toks = [t.strip() for t in spec.split(",") if t.strip()]
     try:
         return [int(t) for t in toks]
@@ -572,6 +549,9 @@ def cmd_index_search(args) -> int:
                          "ingest_dedup_batch)")
     if kind == "term":
         if args.phrase:
+            if args.candidates:
+                raise SystemExit("--candidates is not supported with "
+                                 "--phrase")
             from dsgrid_spark.pipeline.retrieval import phrase_search
 
             df = phrase_search(spark, args.path, " ".join(args.terms))
@@ -580,7 +560,9 @@ def cmd_index_search(args) -> int:
 
             if not args.terms:
                 raise SystemExit("term index search needs query terms")
-            df = bm25_search(spark, args.path, args.terms, k=args.k)
+            df = bm25_search(spark, args.path, args.terms, k=args.k,
+                             candidates=_parse_candidates(
+                                 spark, args.candidates))
     else:
         if not args.vector:
             raise SystemExit(f"{kind} index search needs --vector")

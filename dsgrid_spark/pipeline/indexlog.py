@@ -85,6 +85,11 @@ BASE_BATCH = "base"
 #: and its cleanup deletes the stale rows before rewriting.
 COMPACT_PREFIX = "cmp"
 
+#: the claimable compaction-id shape; only THIS is refused to callers
+#: (a broader startswith ban would break replays of pre-existing
+#: committed batches that happen to start with "cmp")
+_COMPACT_ID_RE = re.compile(rf"^{COMPACT_PREFIX}\d{{6}}$")
+
 
 def check_batch_id(batch_id: str) -> str:
     """Validate a CALLER-SUPPLIED batch id for use as a
@@ -101,10 +106,14 @@ def check_batch_id(batch_id: str) -> str:
         raise ValueError(
             f"batch_id must match {_BATCH_ID_RE.pattern!r}, got "
             f"{batch_id!r}")
-    if batch_id.startswith(COMPACT_PREFIX):
+    if _COMPACT_ID_RE.match(batch_id):
+        # only the exact claimable shape is reserved — "cmp-jan" or
+        # "cmpany2024" remain valid caller names (a pre-existing
+        # committed batch with such a name must keep replaying as a
+        # no-op, not start raising)
         raise ValueError(
-            f"batch ids starting with {COMPACT_PREFIX!r} are reserved "
-            f"for compaction, got {batch_id!r}")
+            f"batch ids of the form {COMPACT_PREFIX}NNNNNN are "
+            f"reserved for compaction, got {batch_id!r}")
     return batch_id
 
 
@@ -167,9 +176,32 @@ def batch_sets(spark: SparkSession,
     newcomer invisible).
     """
     raw = _raw_logged(spark, index_path)
-    replaced = {r for r, by in _replacements(spark, index_path)
-                if by in raw}
+    replaced = _retired(raw, _replacements(spark, index_path))
     return raw - replaced, raw | replaced
+
+
+def _retired(raw: set[str], pairs: list[tuple]) -> set[str]:
+    """Batch ids retired by a committed compaction, resolved
+    TRANSITIVELY: a pair ``(r, by)`` retires ``r`` when its replacer
+    chain terminates in a raw-logged batch — ``by`` logged, or ``by``
+    itself retired by such a chain. Non-transitive resolution (the
+    first cut's ``by in raw``) broke the permanent replay/id-reuse
+    guard: compact b1,b2 → cmp3, later compact cmp3 → cmp5, purge
+    cmp3's log row — b1's pair then pointed at a no-longer-logged
+    cmp3 and b1 silently left ``ingested``, so a replay re-ingested
+    rows that live on inside cmp5. Pairs whose chain never reaches a
+    logged batch (a crashed compaction's dormant rows) stay inert.
+    Fixpoint depth is the compaction-chain length, bounded by the
+    number of compactions ever run."""
+    retired: set[str] = set()
+    changed = True
+    while changed:
+        changed = False
+        for r, by in pairs:
+            if r not in retired and (by in raw or by in retired):
+                retired.add(r)
+                changed = True
+    return retired
 
 
 def committed_batches(spark: SparkSession, index_path: str) -> set[str]:
@@ -200,8 +232,7 @@ def log_snapshot(spark: SparkSession, index_path: str,
     except Exception:
         return set(), {c: 0 for c in columns}
     raw = {r["batch"] for r in rows}
-    replaced = {r for r, by in _replacements(spark, index_path)
-                if by in raw}
+    replaced = _retired(raw, _replacements(spark, index_path))
     kept = [r for r in rows if r["batch"] not in replaced]
     ids = {r["batch"] for r in kept}
     totals = {c: sum(int(r[c]) for r in kept) for c in columns}
@@ -470,31 +501,55 @@ def compact(spark: SparkSession, index_path: str,
 def purge_replaced(spark: SparkSession, index_path: str,
                    older_than_ms: float | None = None) -> dict[str, int]:
     """Delete the data directories and log rows of batches replaced by
-    a COMMITTED compaction. ``older_than_ms`` (epoch millis) skips any
-    batch with a data directory modified at or after that instant —
-    :func:`vacuum` passes its ttl cutoff so the purge honors the same
-    reader-grace contract as orphan cleanup; ``None`` purges
-    immediately (offline maintenance). Deletion order is data first,
-    log row last: a crash in between leaves a data-less log row that
-    stays invisible (still marked replaced) and is finished by the
-    next purge. Compaction rows themselves are never deleted — they
-    are the permanent guard against reuse of retired ids."""
+    a COMMITTED compaction. ``older_than_ms`` (epoch millis) gives
+    readers a grace window measured FROM THE RETIREMENT INSTANT: a
+    batch is skipped while the compaction that retired it (its direct
+    replacer's ``compactions/by=…`` dir, or the replacer's own log
+    row) is younger than the cutoff — the moment the sources became
+    invisible, NOT the sources' own write times, which may predate the
+    compaction by months (keying on those purged just-replaced data
+    out from under a reader seconds after the commit).
+    :func:`vacuum` passes its ttl cutoff; ``None`` purges immediately
+    (offline maintenance). Deletion order is data first, log row last:
+    a crash in between leaves a data-less log row that stays invisible
+    (still marked retired — resolution is transitive, :func:`_retired`)
+    and is finished by the next purge. Compaction rows themselves are
+    never deleted — they are the permanent guard against reuse of
+    retired ids."""
     raw = _raw_logged(spark, index_path)
-    replaced = {r for r, by in _replacements(spark, index_path)
-                if by in raw}
+    pairs = _replacements(spark, index_path)
+    replaced = _retired(raw, pairs)
+    direct_by = {r: by for r, by in pairs}
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+
+    def _mtime(path_str):
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = p.getFileSystem(conf)
+        sts = list(fs.globStatus(p) or [])
+        return max((st.getModificationTime() for st in sts),
+                   default=None)
+
     removed_dirs = 0
     removed_log_rows = 0
     for bid in sorted(replaced & raw):
+        if older_than_ms is not None:
+            by = direct_by.get(bid)
+            retired_at = max(
+                (t for t in (
+                    _mtime(f"{_compactions_path(index_path)}/by={by}"),
+                    _mtime(f"{_log_path(index_path)}/batch={by}"))
+                 if t is not None),
+                default=None)
+            # unknown retirement time (replacer already purged of both
+            # artifacts) means the retirement is at least one full
+            # purge cycle old — eligible
+            if retired_at is not None and retired_at >= older_than_ms:
+                continue
         p = jvm.org.apache.hadoop.fs.Path(
             f"{index_path}/*/*/batch={bid}")
         fs = p.getFileSystem(conf)
         dirs = list(fs.globStatus(p) or [])
-        if older_than_ms is not None and any(
-                st.getModificationTime() >= older_than_ms
-                for st in dirs):
-            continue
         for st in dirs:
             fs.delete(st.getPath(), True)
             removed_dirs += 1

@@ -77,14 +77,18 @@ def index_kind(spark: SparkSession, path: str) -> str:
         return "binary"
     if exists("meta") and exists("sigs"):
         return "sigs"
+    # the remnant guard must run BEFORE the term/ivf fallthroughs: a
+    # pq/binary build that crashed before its meta write still has
+    # codes/bits + vectors + centroids on disk, and falling through to
+    # "ivf" would append raw vectors into the crashed tree
+    if any(exists(s) for s in ("codes", "codebooks", "bits", "sigs",
+                               "meta")):
+        raise ValueError(f"incomplete index tree at {path!r}: rebuild "
+                         "it before appending or searching")
     if exists("postings"):
         return "term"
     if exists("vectors") and exists("centroids"):
         return "ivf"
-    if any(exists(s) for s in ("codes", "codebooks", "bits", "sigs",
-                               "meta")):
-        raise ValueError(f"incomplete index tree at {path!r}: rebuild "
-                         "it before streaming into it")
     raise ValueError(f"no term/ivf/pq/binary/sigs index at {path!r}; "
                      "build one first (the sink only appends)")
 
@@ -147,9 +151,15 @@ def streaming_index_append(stream_df: DataFrame, path: str,
                batch_id=stream_batch_id(checkpoint_dir, batch_id),
                **append_kwargs)
 
+    # append mode: only FINALIZED rows reach the sink (for stateful
+    # queries, at watermark close). Update mode would re-deliver every
+    # still-changing aggregate row each trigger under a FRESH batch id
+    # — the exactly-once guard covers redelivery of the same
+    # micro-batch, not re-emission across micro-batches — and an
+    # append-only index would accumulate duplicates.
     writer = (stream_df.writeStream.foreachBatch(_sink)
               .option("checkpointLocation", checkpoint_dir)
-              .outputMode("update"))
+              .outputMode("append"))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

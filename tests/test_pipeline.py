@@ -3891,3 +3891,120 @@ def test_kmeans_init_auto_resolution(spark):
                          fit_sample_cap=300)
     with pytest.raises(ValueError, match="init must be"):
         kmeans_centroids(df, 4, 6, init="bogus")
+
+
+def test_compaction_chain_replay_and_purge_grace(spark, tmp_path):
+    """(r9 review) two holes the inline review caught, pinned:
+
+    1. TRANSITIVE retirement — after compacting a compacted batch and
+       purging the intermediate, the original batches must stay in the
+       ingested set (a replay must no-op, not re-ingest rows that live
+       on inside the final compacted batch).
+    2. Purge grace measured from the RETIREMENT instant — a vacuum run
+       seconds after a compaction must not delete the replaced data
+       just because the source directories' own mtimes are old (a
+       reader planned pre-compaction may still be scanning them)."""
+    import time
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, write_term_index,
+    )
+
+    a = spark.createDataFrame([(0, "spark window")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "spark catalyst")], "doc_id long, text string")
+    c = spark.createDataFrame([(2, "spark codegen")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(a, path, n_buckets=2)
+    assert append_term_index(b, path, batch_id="day1") is True
+
+    def backdate(glob_pat, ts):
+        jg = spark._jvm.org.apache.hadoop.fs.Path(glob_pat)
+        fs = jg.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in (fs.globStatus(jg) or []):
+            fs.setTimes(st.getPath(), int(ts * 1000), -1)
+
+    # age the source data dirs far past any ttl BEFORE compacting
+    old = time.time() - 10 * 86400
+    backdate(f"{path}/postings/*/batch=*", old)
+
+    cmp1 = indexlog.compact(spark, path)
+    assert cmp1 == "cmp000003"
+    pre = sorted(map(tuple, bm25_search(spark, path, ["spark"]).collect()))
+
+    # (2) retirement is seconds old: a ttl'd vacuum must keep the
+    # replaced data even though the dirs themselves are 10 days old
+    out = indexlog.vacuum(spark, path, ttl_seconds=3600)
+    assert out["replaced_log_rows_removed"] == 0
+    assert indexlog._raw_logged(spark, path) == {"base", "day1", cmp1}
+    assert sorted(map(tuple,
+                      bm25_search(spark, path, ["spark"]).collect())) == pre
+
+    # chain: append day2, compact {cmp1, day2} -> cmp2, then purge
+    # EVERYTHING (offline semantics) including cmp1's log row
+    assert append_term_index(c, path, batch_id="day2") is True
+    cmp2 = indexlog.compact(spark, path)
+    backdate(f"{path}/compactions/by=*", old)
+    backdate(f"{path}/batches/batch={cmp1}", old)
+    backdate(f"{path}/batches/batch={cmp2}", time.time())  # keep cmp2
+    indexlog.purge_replaced(spark, path)
+    assert indexlog._raw_logged(spark, path) == {cmp2}
+
+    # (1) the intermediate cmp1 is gone from the raw log, but base/
+    # day1/day2 must STILL be ingested (transitive chain through cmp1
+    # to cmp2) — a replay no-ops and the search stays duplicate-free
+    visible, ingested = indexlog.batch_sets(spark, path)
+    assert visible == {cmp2}
+    assert {"base", "day1", "day2", cmp1} <= ingested
+    assert append_term_index(b, path, batch_id="day1") is False
+    after = bm25_search(spark, path, ["spark"]).collect()
+    assert {r["id"] for r in after} == {0, 1, 2}
+    totals = indexlog.logged_totals(spark, path, "n_docs")
+    assert totals == {"n_docs": 3}
+
+
+def test_index_kind_refuses_crashed_pq_as_ivf(spark, tmp_path):
+    """(r9 review) the shared detector's remnant guard runs before the
+    ivf fallthrough: codes+vectors+centroids without meta (a pq build
+    that crashed pre-meta) must refuse, never detect as 'ivf'."""
+    import pytest as _pytest
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.pq import exact_codebooks, write_pq_index
+    from dsgrid_spark.pipeline.similarity import kmeans_centroids
+    from dsgrid_spark.pipeline.stream_index import index_kind
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(emb, 2, 8, iterations=1)
+    books = exact_codebooks(emb, dim=8, n_subvectors=4)
+    path = str(tmp_path / "pq")
+    write_pq_index(emb, path, cents, books)
+    assert index_kind(spark, path) == "pq"
+    indexlog.delete_glob(spark, f"{path}/meta")
+    with _pytest.raises(ValueError, match="incomplete index tree"):
+        index_kind(spark, path)
+
+
+def test_check_batch_id_reserves_only_claimable_cmp_shape(spark, tmp_path):
+    """(r9 review) only cmpNNNNNN is reserved; caller names that merely
+    start with 'cmp' stay valid (pre-existing committed batches with
+    such names must keep replaying as no-ops, not start raising)."""
+    import pytest as _pytest
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, write_term_index,
+    )
+
+    assert indexlog.check_batch_id("cmp-jan") == "cmp-jan"
+    assert indexlog.check_batch_id("cmpany2024") == "cmpany2024"
+    with _pytest.raises(ValueError, match="reserved"):
+        indexlog.check_batch_id("cmp000001")
+    docs = spark.createDataFrame([(0, "alpha")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=2)
+    more = spark.createDataFrame([(1, "beta")], "doc_id long, text string")
+    assert append_term_index(more, path, batch_id="cmp-jan") is True
+    assert append_term_index(more, path, batch_id="cmp-jan") is False

@@ -1020,3 +1020,33 @@ def test_ivf_search_string_query_ids(spark, tmp_path):
     assert got and got[0]["query_id"] == "qA"
     with pytest.raises(ValueError, match="all int or all str"):
         ivf_search(spark, path, [(1.5, qv)], k=3)
+
+
+def test_cli_candidates_term_and_path_guard(spark, tmp_path, capsys):
+    """(r9 review) `index search --candidates` applies to TERM indexes
+    (bm25 results restricted to the candidate set) and a path-shaped
+    but absent --candidates spec fails loudly instead of degrading into
+    a never-matching one-string id list."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline.retrieval import write_term_index
+
+    docs = spark.createDataFrame(
+        [(0, "spark window"), (1, "spark catalyst"), (2, "spark codegen")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=2)
+    assert cli_main(["index", "search", path, "spark",
+                     "--candidates", "0,2"]) == 0
+    ids = {_json.loads(l)["id"] for l in
+           capsys.readouterr().out.strip().splitlines()}
+    assert ids == {0, 2}
+    with _pytest.raises(SystemExit, match="does not exist"):
+        cli_main(["index", "search", path, "spark",
+                  "--candidates", str(tmp_path / "missing.parqet")])
+    with _pytest.raises(SystemExit, match="not supported"):
+        cli_main(["index", "search", path, "spark", "window",
+                  "--phrase", "--candidates", "0"])

@@ -872,7 +872,7 @@ def test_cli_index_build_search_append_vacuum(spark, tmp_path, capsys):
             capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 3 and rows[0]["id"] == 1  # self is the argmax
 
-    with _pytest.raises(SystemExit, match="no term/ivf/pq/binary index"):
+    with _pytest.raises(SystemExit, match="no term/ivf/pq/binary"):
         cli_main(["index", "vacuum", str(tmp_path)])
 
 
@@ -897,7 +897,7 @@ def test_cli_index_kind_refuses_incomplete_pq(spark, tmp_path, capsys):
     # simulate the crash: meta never landed
     import shutil
     shutil.rmtree(f"{pidx}/meta")
-    with _pytest.raises(SystemExit, match="incomplete pq index"):
+    with _pytest.raises(SystemExit, match="incomplete index tree"):
         cli_main(["index", "append", pidx, esrc])
 
 
