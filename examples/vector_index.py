@@ -109,9 +109,12 @@ def main() -> None:
 
     # 4. lifecycle hygiene: merge the accumulated batch dirs into one
     #    (results invariant; a daily-append index would do this weekly)
-    #    and reclaim crashed-append debris + the replaced directories
-    print("compacted into:", indexlog.compact(spark, path))
-    print("vacuum:", indexlog.vacuum(spark, path, ttl_seconds=0.0))
+    #    and reclaim the replaced directories immediately (purge=True:
+    #    offline semantics — a scheduled vacuum would wait out the ttl
+    #    grace measured from the compaction commit) plus any
+    #    crashed-append debris
+    print("compacted into:", indexlog.compact(spark, path, purge=True))
+    print("vacuum:", indexlog.vacuum(spark, path, ttl_seconds=3600))
 
     # 5. the binary (sign-bit) tier: ~62x smaller scan payload, Hamming
     #    shortlist -> exact cosine re-rank, same index machinery
