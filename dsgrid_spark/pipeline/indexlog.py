@@ -210,8 +210,46 @@ def committed_batches(spark: SparkSession, index_path: str) -> set[str]:
     return batch_sets(spark, index_path)[0]
 
 
+def resolve_as_of(spark: SparkSession, index_path: str,
+                  as_of) -> set[str]:
+    """Validate a PINNED batch set for a reproducible read.
+
+    Capture ``committed_batches(...)`` once, pass it back as ``as_of``
+    to any search, and the read returns identical results no matter
+    what appends or compactions commit in between — batch dirs are
+    immutable and a replaced-but-unpurged batch remains readable (the
+    pin's validity ends exactly when :func:`vacuum`/:func:`purge_replaced`
+    reclaims a pinned batch, which the ttl grace delays past any
+    reasonably-lived pin; a stale pin then fails HERE, loudly, instead
+    of silently returning partial data). Two checks:
+
+    - every pinned id must still have a log row (not purged, not a
+      typo, not an id from some other index);
+    - the pin must not mix a batch with its own replacement chain
+      (e.g. ``{day1, cmp000003}`` where cmp000003 absorbed day1 —
+      reading both would double-count day1's rows).
+    """
+    pin = set(as_of)
+    if not pin:
+        raise ValueError("as_of is empty: pin the result of "
+                         "committed_batches(...) / log_snapshot(...)")
+    raw = _raw_logged(spark, index_path)
+    missing = sorted(pin - raw)
+    if missing:
+        raise ValueError(
+            f"as_of batches no longer readable (purged, or never "
+            f"committed here): {missing}")
+    doubled = _retired(pin, _replacements(spark, index_path)) & pin
+    if doubled:
+        raise ValueError(
+            f"as_of mixes batches with their own replacements "
+            f"(double-counted rows): {sorted(doubled)}")
+    return pin
+
+
 def log_snapshot(spark: SparkSession, index_path: str,
-                 *columns: str) -> tuple[set[str], dict[str, int]]:
+                 *columns: str,
+                 as_of=None) -> tuple[set[str], dict[str, int]]:
     """Committed ids AND summed metrics from ONE read of the log.
 
     A query that derives its corpus stats and its committed-batch
@@ -225,16 +263,28 @@ def log_snapshot(spark: SparkSession, index_path: str,
     unchanged by compaction); the compaction-log read happens AFTER
     the log read, so a compaction committing in between is simply not
     seen yet — the snapshot stays the consistent pre-compaction view.
+
+    ``as_of`` (a batch set from an earlier snapshot, validated by
+    :func:`resolve_as_of`) pins the view: ids and totals come from
+    exactly those batches' log rows, reproducing the earlier read
+    regardless of appends or compactions since.
     """
     try:
         rows = (spark.read.parquet(_log_path(index_path))
                 .select("batch", *columns).collect())
     except Exception:
+        if as_of is not None:
+            raise ValueError("as_of given but the index has no batch "
+                             "log")
         return set(), {c: 0 for c in columns}
-    raw = {r["batch"] for r in rows}
-    replaced = _retired(raw, _replacements(spark, index_path))
-    kept = [r for r in rows if r["batch"] not in replaced]
-    ids = {r["batch"] for r in kept}
+    if as_of is not None:
+        ids = resolve_as_of(spark, index_path, as_of)
+        kept = [r for r in rows if r["batch"] in ids]
+    else:
+        raw = {r["batch"] for r in rows}
+        replaced = _retired(raw, _replacements(spark, index_path))
+        kept = [r for r in rows if r["batch"] not in replaced]
+        ids = {r["batch"] for r in kept}
     totals = {c: sum(int(r[c]) for r in kept) for c in columns}
     return ids, totals
 

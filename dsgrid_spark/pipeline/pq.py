@@ -1011,7 +1011,8 @@ def append_pq_index(df: DataFrame, path: str,
 def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
               n_probe: int = 2, shortlist: int | None = None,
               rerank: bool | None = None, metric: str = "ip",
-              method: str = "hof", candidates=None) -> DataFrame:
+              method: str = "hof", candidates=None,
+              as_of=None) -> DataFrame:
     """Search a persisted PQ index: coarse probe ranking driver-side on
     the tiny centroid table, ADC over the probed clusters' CODE
     partitions only (partition-pruned, committed-batch filtered), then
@@ -1066,7 +1067,9 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     probed_clusters = sorted({c for _, c in probe_rows})
     probes = F.broadcast(_osdf(spark, 
         probe_rows, f"query_id {qid_type}, cluster int"))
-    committed = indexlog.committed_batches(spark, path)
+    committed = (indexlog.resolve_as_of(spark, path, as_of)
+                 if as_of is not None
+                 else indexlog.committed_batches(spark, path))
     from dsgrid_spark.pipeline.similarity import candidate_filter
     codes = candidate_filter(
         indexlog.read_committed(spark, path, "codes", ids=committed)

@@ -177,7 +177,7 @@ def _buckets_of(spark: SparkSession, terms: list[str],
 
 def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
                 k: int = 10, k1: float = 1.2, b: float = 0.75,
-                candidates=None) -> DataFrame:
+                candidates=None, as_of=None) -> DataFrame:
     """Top-k documents for a bag-of-terms query from the persisted index.
 
     Reads only the buckets the query terms hash into (partition pruning;
@@ -192,6 +192,13 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
     Corpus statistics (idf, avgdl) intentionally stay CORPUS-wide: the
     filter narrows which documents compete, not what words mean, the
     standard behavior of a filtered search engine query.
+
+    ``as_of`` (a batch set captured from ``indexlog.committed_batches``
+    / ``log_snapshot``) pins the read: identical results — postings,
+    doc frequencies, AND the corpus totals scoring uses — no matter
+    what appends or compactions commit in between
+    (:func:`indexlog.resolve_as_of`; validity ends when vacuum purges
+    a pinned batch, which fails loudly here).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -208,7 +215,7 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
     # totals — a commit landing mid-query can't produce a mixed view
     # (new totals scoring old postings or vice versa)
     committed, totals = indexlog.log_snapshot(
-        spark, path, "n_docs", "total_tokens")
+        spark, path, "n_docs", "total_tokens", as_of=as_of)
     n_docs, total = totals["n_docs"], totals["total_tokens"]
     buckets = _buckets_of(spark, terms, stats["n_buckets"])
     from dsgrid_spark.pipeline.similarity import candidate_filter

@@ -1131,7 +1131,7 @@ def write_ivf_index(df: DataFrame, path: str,
 
 def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
                k: int = 10, n_probe: int = 2,
-               candidates=None) -> DataFrame:
+               candidates=None, as_of=None) -> DataFrame:
     """Top-k cosine neighbors per query from a persisted IVF index.
 
     ``queries`` is a small [(query_id, vector), ...] list (the broadcast
@@ -1169,8 +1169,10 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     probed_clusters = sorted({r[1] for r in probe_rows})
     # committed-batch filter: orphan partitions from a crashed append
     # are invisible (both cluster and batch prune at planning time)
+    committed = (indexlog.resolve_as_of(spark, path, as_of)
+                 if as_of is not None else None)
     vectors = candidate_filter(
-        indexlog.read_committed(spark, path, "vectors")
+        indexlog.read_committed(spark, path, "vectors", ids=committed)
         .filter(F.col("cluster").isin(probed_clusters)),
         candidates)
     scored = vectors.join(F.broadcast(qdf), "cluster").select(
@@ -1441,7 +1443,7 @@ def append_binary_index(df: DataFrame, path: str,
 def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
                    n_probe: int = 2, shortlist: int | None = None,
                    rerank: bool | None = None,
-                   candidates=None) -> DataFrame:
+                   candidates=None, as_of=None) -> DataFrame:
     """Search a persisted binary index: coarse probe ranking
     driver-side on the tiny centroid table, XOR+popcount Hamming over
     the probed clusters' BIT partitions only (partition-pruned,
@@ -1495,7 +1497,9 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     probes = F.broadcast(_osdf(spark, 
         probe_rows,
         f"query_id {qid_type}, cluster int, __qbits array<long>"))
-    committed = indexlog.committed_batches(spark, path)
+    committed = (indexlog.resolve_as_of(spark, path, as_of)
+                 if as_of is not None
+                 else indexlog.committed_batches(spark, path))
     bits = candidate_filter(
         indexlog.read_committed(spark, path, "bits", ids=committed)
         .filter(F.col("cluster").isin(probed_clusters)),

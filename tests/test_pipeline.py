@@ -4008,3 +4008,97 @@ def test_check_batch_id_reserves_only_claimable_cmp_shape(spark, tmp_path):
     more = spark.createDataFrame([(1, "beta")], "doc_id long, text string")
     assert append_term_index(more, path, batch_id="cmp-jan") is True
     assert append_term_index(more, path, batch_id="cmp-jan") is False
+
+
+def test_as_of_pinned_reads_reproducible(spark, tmp_path):
+    """(r9) as_of pins: capture the committed set once and every later
+    search reproduces it exactly — through appends AND through a
+    compaction (replaced-but-unpurged batches stay readable). Purging a
+    pinned batch ends the pin loudly; pins mixing a batch with its own
+    replacement are refused (double-counted rows)."""
+    import pytest as _pytest
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, write_term_index,
+    )
+
+    a = spark.createDataFrame(
+        [(0, "spark window shuffle"), (1, "broadcast spark")],
+        "doc_id long, text string")
+    b = spark.createDataFrame([(2, "spark catalyst")],
+                              "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(a, path, n_buckets=2)
+    pin = indexlog.committed_batches(spark, path)
+    want = sorted(map(tuple, bm25_search(
+        spark, path, ["spark"], as_of=pin).collect()))
+
+    # an append lands: current view grows, the pin does not (scores
+    # identical too — idf/avgdl come from the pinned log rows)
+    assert append_term_index(b, path, batch_id="b1") is True
+    assert {r["id"] for r in bm25_search(spark, path, ["spark"])
+            .collect()} == {0, 1, 2}
+    assert sorted(map(tuple, bm25_search(
+        spark, path, ["spark"], as_of=pin).collect())) == want
+
+    # compaction retires base+b1; the pin still reads (dirs unpurged)
+    cmp_id = indexlog.compact(spark, path)
+    assert sorted(map(tuple, bm25_search(
+        spark, path, ["spark"], as_of=pin).collect())) == want
+    # a pin mixing a source with its replacement is refused
+    with _pytest.raises(ValueError, match="replacement"):
+        bm25_search(spark, path, ["spark"], as_of={"base", cmp_id})
+    # purge ends the pin's validity loudly, never silently partial
+    indexlog.purge_replaced(spark, path)
+    with _pytest.raises(ValueError, match="no longer readable"):
+        bm25_search(spark, path, ["spark"], as_of=pin).collect()
+    with _pytest.raises(ValueError, match="empty"):
+        bm25_search(spark, path, ["spark"], as_of=set())
+
+
+def test_as_of_pinned_vector_searches(spark, tmp_path):
+    """(r9) the same pin contract on the vector side: hamming_search /
+    ivf_search(as_of=pre-append set) return the pre-append results
+    bit-for-bit while the live view includes the new batch."""
+    import random
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.similarity import (
+        hamming_search, ivf_search, kmeans_centroids,
+        write_binary_index, write_ivf_index,
+    )
+    from dsgrid_spark.pipeline.similarity import append_binary_index
+    from dsgrid_spark.pipeline.similarity import append_ivf_index
+
+    rnd = random.Random(6)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    old = emb.filter(F.col("vec_id") < 40)
+    new = emb.filter(F.col("vec_id") >= 40)
+    cents = kmeans_centroids(old, 2, 16, iterations=1)
+    queries = [(0, rows[0][1])]
+
+    bpath = str(tmp_path / "bin")
+    write_binary_index(old, bpath, cents)
+    pin = indexlog.committed_batches(spark, bpath)
+    want = sorted(map(tuple, hamming_search(
+        spark, bpath, queries, k=8, n_probe=2, rerank=False).collect()))
+    assert append_binary_index(new, bpath, batch_id="b1") is True
+    assert sorted(map(tuple, hamming_search(
+        spark, bpath, queries, k=8, n_probe=2, rerank=False,
+        as_of=pin).collect())) == want
+    live = {r["id"] for r in hamming_search(
+        spark, bpath, queries, k=60, n_probe=2, rerank=False).collect()}
+    assert live & {i for i in range(40, 60)}
+
+    ipath = str(tmp_path / "ivf")
+    write_ivf_index(old, ipath, cents)
+    ipin = indexlog.committed_batches(spark, ipath)
+    iwant = sorted(map(tuple, ivf_search(
+        spark, ipath, queries, k=8, n_probe=2).collect()))
+    assert append_ivf_index(new, ipath, batch_id="b1") is True
+    assert sorted(map(tuple, ivf_search(
+        spark, ipath, queries, k=8, n_probe=2,
+        as_of=ipin).collect())) == iwant
