@@ -1036,6 +1036,9 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     filters lose no shortlist depth to non-candidates). Probe caveat
     as :func:`similarity.ivf_search`: candidates outside the probed
     clusters are unreachable; selective filters want wider ``n_probe``.
+    ``as_of`` pins the read to a captured batch set
+    (indexlog.resolve_as_of): reproducible results through appends and
+    compactions.
     """
     from dsgrid_spark.pipeline import indexlog
 

@@ -150,13 +150,18 @@ def append_sig_store(df: DataFrame, path: str,
 
 
 def read_sig_store(spark: SparkSession, path: str,
-                   id_column: str = "doc_id") -> DataFrame:
+                   id_column: str = "doc_id",
+                   as_of=None) -> DataFrame:
     """(id_column, minhash) over COMMITTED batches only — the
     ``reference_sigs`` input incremental_dedup expects. The ``batch``
     partition filter prunes crashed-append orphans at planning time
     (indexlog.read_committed), so a racing reader never sees half a
-    batch."""
-    return (indexlog.read_committed(spark, path, "sigs")
+    batch. ``as_of`` pins the read to a captured batch set
+    (indexlog.resolve_as_of — the same reproducibility contract the
+    searches carry)."""
+    ids = (indexlog.resolve_as_of(spark, path, as_of)
+           if as_of is not None else None)
+    return (indexlog.read_committed(spark, path, "sigs", ids=ids)
             .select(F.col("id").alias(id_column), "minhash"))
 
 

@@ -1149,7 +1149,9 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     unreachable like any other vector; highly selective filters want a
     wider ``n_probe`` (or the full ``n_probe = n_clusters``, which this
     index's exact within-cluster scoring makes an exact filtered
-    search).
+    search). ``as_of`` pins the read to a captured batch set
+    (indexlog.resolve_as_of): reproducible results through appends and
+    compactions.
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -1468,7 +1470,9 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     restricts the scan to a metadata-selected subset BEFORE the
     shortlist window — filtered ANN with filter-then-top-k semantics
     (the shortlist holds only candidates, so selective filters lose no
-    re-rank depth). Probe caveat as :func:`ivf_search`.
+    re-rank depth). Probe caveat as :func:`ivf_search`. ``as_of`` pins
+    the read to a captured batch set (indexlog.resolve_as_of):
+    reproducible results through appends and compactions.
     """
     from dsgrid_spark.pipeline import indexlog
     from dsgrid_spark.pipeline.pq import (_read_centroids, _read_meta,
