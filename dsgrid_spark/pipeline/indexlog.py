@@ -152,9 +152,18 @@ def _raw_logged(spark: SparkSession, index_path: str) -> set[str]:
 
 
 def _replacements(spark: SparkSession, index_path: str) -> list[tuple]:
-    """(replaced, by) pairs from the compaction log ([] when none)."""
+    """(replaced, by) pairs from the compaction log ([] when none).
+
+    Existence is probed with one FileSystem call first: most indexes
+    are never compacted, and letting the parquet read throw would cost
+    a full analysis failure plus a noisy stack-trace WARN on EVERY
+    committed-batch resolution."""
+    cp = _compactions_path(index_path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path(cp)
+    if not jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp):
+        return []
     try:
-        rows = (spark.read.parquet(_compactions_path(index_path))
+        rows = (spark.read.parquet(cp)
                 .select("replaced", "by").collect())
     except Exception:
         return []
