@@ -220,7 +220,7 @@ def committed_batches(spark: SparkSession, index_path: str) -> set[str]:
 
 
 def resolve_as_of(spark: SparkSession, index_path: str,
-                  as_of) -> set[str]:
+                  as_of, raw: set[str] | None = None) -> set[str]:
     """Validate a PINNED batch set for a reproducible read.
 
     Capture ``committed_batches(...)`` once, pass it back as ``as_of``
@@ -238,22 +238,59 @@ def resolve_as_of(spark: SparkSession, index_path: str,
       (e.g. ``{day1, cmp000003}`` where cmp000003 absorbed day1 —
       reading both would double-count day1's rows).
     """
+    if isinstance(as_of, str):
+        # set("base") would explode into characters and report them as
+        # purged batches — the same string-degrades-silently family as
+        # the --candidates path guard
+        raise ValueError("as_of must be a collection of batch ids, "
+                         f"got the single string {as_of!r}")
     pin = set(as_of)
     if not pin:
         raise ValueError("as_of is empty: pin the result of "
                          "committed_batches(...) / log_snapshot(...)")
-    raw = _raw_logged(spark, index_path)
+    raw = _raw_logged(spark, index_path) if raw is None else raw
     missing = sorted(pin - raw)
     if missing:
         raise ValueError(
             f"as_of batches no longer readable (purged, or never "
             f"committed here): {missing}")
-    doubled = _retired(pin, _replacements(spark, index_path)) & pin
+    pairs = _replacements(spark, index_path)
+    doubled = _retired(pin, pairs) & pin
     if doubled:
         raise ValueError(
             f"as_of mixes batches with their own replacements "
             f"(double-counted rows): {sorted(doubled)}")
+    # a purge that crashed between data-dir deletion and log-row
+    # deletion leaves a pinned RETIRED batch with a log row but no
+    # data — without this check the pin would read silently partial
+    # (pinned totals present, pinned rows gone). Only retired pinned
+    # ids can be purge victims, so only they pay the glob. A crash
+    # mid-deletion can still leave partial dirs briefly; re-running
+    # purge finishes the deletion and this check then fails the pin
+    # loudly.
+    retired_in_pin = _retired(raw, pairs) & pin
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for bid in sorted(retired_in_pin):
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/*/*/batch={bid}")
+        if not list(p.getFileSystem(conf).globStatus(p) or []):
+            raise ValueError(
+                f"as_of batch {bid!r} was replaced and its data has "
+                f"been purged (crashed purge left its log row); the "
+                f"pin is no longer readable")
     return pin
+
+
+def resolve_batches(spark: SparkSession, index_path: str,
+                    as_of=None) -> set[str]:
+    """The batch set a search should read: the validated pin when
+    ``as_of`` is given (:func:`resolve_as_of`), else the live
+    committed set — the one helper every ``as_of=``-bearing entry
+    point shares, so the pin contract lives in exactly one place."""
+    if as_of is not None:
+        return resolve_as_of(spark, index_path, as_of)
+    return committed_batches(spark, index_path)
 
 
 def log_snapshot(spark: SparkSession, index_path: str,
@@ -287,7 +324,8 @@ def log_snapshot(spark: SparkSession, index_path: str,
                              "log")
         return set(), {c: 0 for c in columns}
     if as_of is not None:
-        ids = resolve_as_of(spark, index_path, as_of)
+        ids = resolve_as_of(spark, index_path, as_of,
+                            raw={r["batch"] for r in rows})
         kept = [r for r in rows if r["batch"] in ids]
     else:
         raw = {r["batch"] for r in rows}

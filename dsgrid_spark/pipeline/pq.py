@@ -1070,9 +1070,7 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     probed_clusters = sorted({c for _, c in probe_rows})
     probes = F.broadcast(_osdf(spark, 
         probe_rows, f"query_id {qid_type}, cluster int"))
-    committed = (indexlog.resolve_as_of(spark, path, as_of)
-                 if as_of is not None
-                 else indexlog.committed_batches(spark, path))
+    committed = indexlog.resolve_batches(spark, path, as_of)
     from dsgrid_spark.pipeline.similarity import candidate_filter
     codes = candidate_filter(
         indexlog.read_committed(spark, path, "codes", ids=committed)

@@ -159,8 +159,7 @@ def read_sig_store(spark: SparkSession, path: str,
     batch. ``as_of`` pins the read to a captured batch set
     (indexlog.resolve_as_of — the same reproducibility contract the
     searches carry)."""
-    ids = (indexlog.resolve_as_of(spark, path, as_of)
-           if as_of is not None else None)
+    ids = indexlog.resolve_batches(spark, path, as_of)
     return (indexlog.read_committed(spark, path, "sigs", ids=ids)
             .select(F.col("id").alias(id_column), "minhash"))
 
@@ -183,6 +182,14 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
     candidates as usual), appends the SURVIVORS' signatures
     exactly-once under ``batch_id``, and returns the surviving rows of
     ``new_df``.
+
+    ``reference_df`` MUST cover the text of EVERY committed id in the
+    store, not just the original seed corpus: the verification join
+    looks candidate texts up by id, and a candidate whose reference
+    text is absent is silently dropped — i.e. the near-duplicate is
+    KEPT. In a continuous-ingest loop pass the accumulated corpus (or
+    any superset table keyed by id); a reference scoped to the seed
+    quietly stops deduping against later batches' survivors.
 
     Crash/replay contract: if ``batch_id`` already committed, nothing
     is recomputed or re-registered — the survivor set is recovered

@@ -1171,8 +1171,7 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     probed_clusters = sorted({r[1] for r in probe_rows})
     # committed-batch filter: orphan partitions from a crashed append
     # are invisible (both cluster and batch prune at planning time)
-    committed = (indexlog.resolve_as_of(spark, path, as_of)
-                 if as_of is not None else None)
+    committed = indexlog.resolve_batches(spark, path, as_of)
     vectors = candidate_filter(
         indexlog.read_committed(spark, path, "vectors", ids=committed)
         .filter(F.col("cluster").isin(probed_clusters)),
@@ -1501,9 +1500,7 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     probes = F.broadcast(_osdf(spark, 
         probe_rows,
         f"query_id {qid_type}, cluster int, __qbits array<long>"))
-    committed = (indexlog.resolve_as_of(spark, path, as_of)
-                 if as_of is not None
-                 else indexlog.committed_batches(spark, path))
+    committed = indexlog.resolve_batches(spark, path, as_of)
     bits = candidate_filter(
         indexlog.read_committed(spark, path, "bits", ids=committed)
         .filter(F.col("cluster").isin(probed_clusters)),

@@ -70,7 +70,12 @@ def main() -> None:
         if batch_df.isEmpty():
             return
         bid = stream_batch_id(ckpt, batch_id)
-        survivors = ingest_dedup_batch(batch_df, sig_path, seed,
+        # reference_df must cover the TEXT of every committed id (it is
+        # the verification-text source for candidate pairs from the sig
+        # store) — the full docs table is a safe superset here; passing
+        # only `seed` would silently skip verification against earlier
+        # micro-batches' survivors and keep their near-duplicates
+        survivors = ingest_dedup_batch(batch_df, sig_path, docs,
                                        batch_id=bid)
         from dsgrid_spark.pipeline.retrieval import append_term_index
         append_term_index(survivors, term_path, batch_id=bid)

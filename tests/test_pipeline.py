@@ -4102,3 +4102,34 @@ def test_as_of_pinned_vector_searches(spark, tmp_path):
     assert sorted(map(tuple, ivf_search(
         spark, ipath, queries, k=8, n_probe=2,
         as_of=ipin).collect())) == iwant
+
+
+def test_as_of_guards_string_pin_and_crashed_purge(spark, tmp_path):
+    """(r9 review #2) a plain-string pin fails with the real cause (not
+    character-exploded 'missing batches'), and a purge that crashed
+    between data-dir deletion and log-row deletion fails the pin loudly
+    instead of reading silently-partial data."""
+    import pytest as _pytest
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, write_term_index,
+    )
+
+    a = spark.createDataFrame([(0, "spark window")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "spark catalyst")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(a, path, n_buckets=2)
+    with _pytest.raises(ValueError, match="single string"):
+        bm25_search(spark, path, ["spark"], as_of="base")
+
+    assert append_term_index(b, path, batch_id="b1") is True
+    pin = indexlog.committed_batches(spark, path)
+    indexlog.compact(spark, path)
+    # simulate the crashed purge: base's data dirs deleted, log row kept
+    indexlog.delete_glob(spark, f"{path}/*/*/batch=base")
+    with _pytest.raises(ValueError, match="purged"):
+        bm25_search(spark, path, ["spark"], as_of=pin)
+    # the live view is unaffected (base is retired anyway)
+    assert {r["id"] for r in bm25_search(spark, path, ["spark"])
+            .collect()} == {0, 1}
