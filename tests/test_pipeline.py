@@ -4133,3 +4133,55 @@ def test_as_of_guards_string_pin_and_crashed_purge(spark, tmp_path):
     # the live view is unaffected (base is retired anyway)
     assert {r["id"] for r in bm25_search(spark, path, ["spark"])
             .collect()} == {0, 1}
+
+
+def test_compaction_invisible_to_concurrent_readers(spark, tmp_path):
+    """(r9) readers racing a compaction (without purge) always see the
+    one invariant result — never a torn view with a source and its
+    replacement double-counted, never a partial batch. Readers re-plan
+    per query from the log, so each query lands wholly before or wholly
+    after the commit; compaction preserves results either way."""
+    import threading
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, write_term_index,
+    )
+
+    docs = [(i, f"spark term{i} shared") for i in range(30)]
+    path = str(tmp_path / "idx")
+    write_term_index(
+        spark.createDataFrame(docs[:10], "doc_id long, text string"),
+        path, n_buckets=4)
+    for j, lo in enumerate((10, 20)):
+        append_term_index(
+            spark.createDataFrame(docs[lo:lo + 10],
+                                  "doc_id long, text string"),
+            path, batch_id=f"d{j}")
+    expected = sorted(map(tuple, bm25_search(
+        spark, path, ["spark", "shared"], k=30).collect()))
+
+    results, errors = [], []
+
+    def reader():
+        try:
+            for _ in range(6):
+                got = sorted(map(tuple, bm25_search(
+                    spark, path, ["spark", "shared"], k=30).collect()))
+                results.append(got)
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    new_id = indexlog.compact(spark, path)  # no purge: dirs persist
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert new_id is not None
+    # every concurrent read saw exactly the invariant result
+    assert results and all(got == expected for got in results)
+    # and the post-compaction view is still that result
+    assert sorted(map(tuple, bm25_search(
+        spark, path, ["spark", "shared"], k=30).collect())) == expected

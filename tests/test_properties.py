@@ -436,3 +436,39 @@ def test_shuffle_corpus_is_permutation(spark, n_shards):
         per_shard.setdefault(r["shard"], []).append(r["shard_pos"])
     for positions in per_shard.values():
         assert sorted(positions) == list(range(len(positions)))
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_retired_fixpoint_algebra(data):
+    """(r9) indexlog._retired over random replacement DAGs: a batch is
+    retired iff some replacer chain from it terminates in a raw-logged
+    id; pairs whose chain never reaches raw are inert; visible and
+    retired partition cleanly; adding MORE raw ids never un-retires."""
+    from dsgrid_spark.pipeline.indexlog import _retired
+
+    ids = [f"b{i}" for i in range(data.draw(st.integers(2, 10)))]
+    raw = set(data.draw(st.lists(st.sampled_from(ids), max_size=6)))
+    pairs = data.draw(st.lists(
+        st.tuples(st.sampled_from(ids), st.sampled_from(ids)),
+        max_size=12))
+    retired = _retired(raw, pairs)
+
+    # reference: BFS over the replacement edges r -> by
+    def reaches_raw(r, seen=()):
+        for (rr, by) in pairs:
+            if rr != r or by in seen:
+                continue
+            if by in raw or reaches_raw(by, (*seen, by)):
+                return True
+        return False
+
+    expect = {r for r, _ in pairs if reaches_raw(r)}
+    assert retired == expect
+    # partition: nothing both visible and retired
+    assert not (raw - retired) & retired
+    # monotone in raw: committing more batches can only retire MORE
+    bigger = _retired(raw | set(ids[:1]), pairs)
+    assert retired <= bigger
+    # idempotent under pair duplication
+    assert _retired(raw, pairs + pairs) == retired
