@@ -632,7 +632,7 @@ def cmd_index_describe(args) -> int:
         out["meta"] = None
     log = spark.read.parquet(f"{args.path}/batches")
     metric_cols = [c for c in log.columns
-                   if c not in ("batch", "committed")]
+                   if c not in ("batch", "committed", "committed_at_ms")]
     out["totals"] = indexlog.logged_totals(spark, args.path,
                                            *metric_cols)
     jvm = spark._jvm

@@ -87,8 +87,18 @@ COMPACT_PREFIX = "cmp"
 
 #: the claimable compaction-id shape; only THIS is refused to callers
 #: (a broader startswith ban would break replays of pre-existing
-#: committed batches that happen to start with "cmp")
-_COMPACT_ID_RE = re.compile(rf"^{COMPACT_PREFIX}\d{{6}}$")
+#: committed batches that happen to start with "cmp"). 6-or-more
+#: digits, anchored: claim_auto_batch_id's %06d format emits SEVEN
+#: digits once the taken-count passes 999999, and a caller-supplied id
+#: of that shape must be refused too or it could later collide with a
+#: compaction claim and activate its dormant replacement rows. Shorter
+#: cmp-prefixed names ("cmp-jan", "cmpany2024") stay valid.
+_COMPACT_ID_RE = re.compile(rf"^{COMPACT_PREFIX}\d{{6,}}$")
+
+
+class ConcurrentCompactionError(RuntimeError):
+    """A second compactor tried to run while another holds the index's
+    compaction lock (see :func:`acquire_compact_lock`)."""
 
 
 def check_batch_id(batch_id: str) -> str:
@@ -112,7 +122,7 @@ def check_batch_id(batch_id: str) -> str:
         # committed batch with such a name must keep replaying as a
         # no-op, not start raising)
         raise ValueError(
-            f"batch ids of the form {COMPACT_PREFIX}NNNNNN are "
+            f"batch ids of the form {COMPACT_PREFIX}<6+ digits> are "
             f"reserved for compaction, got {batch_id!r}")
     return batch_id
 
@@ -282,12 +292,86 @@ def resolve_as_of(spark: SparkSession, index_path: str,
     return pin
 
 
+def _parse_as_of_ms(as_of: str) -> int:
+    """Epoch millis for an ISO-8601 ``as_of`` string (naive timestamps
+    are read as UTC — commit times are recorded in UTC epoch millis)."""
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(as_of)
+    except ValueError:
+        raise ValueError(
+            f"as_of must be a collection of batch ids or an ISO-8601 "
+            f"timestamp, got {as_of!r}")
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def resolve_timestamp(spark: SparkSession, index_path: str,
+                      as_of: str) -> set[str]:
+    """The batch set that was VISIBLE at time T — time-travel for
+    callers who did not capture a pin before they needed one.
+
+    T is an ISO-8601 string (``"2026-08-16T12:00:00+00:00"``; naive =
+    UTC). Resolution replays the log's own commit times
+    (``committed_at_ms``, written by :func:`log_batch`): batches
+    committed at or before T, minus those retired by a compaction
+    whose replacing batch ALSO committed at or before T — exactly
+    :func:`committed_batches` as it would have answered then. The
+    result is a plain batch set; pass it through :func:`resolve_as_of`
+    (``resolve_batches`` does) so the purged-data checks still apply —
+    a view whose data vacuum already reclaimed fails loudly, never
+    partially. Log rows predating the commit-time column (older
+    engines) carry NULL and count as committed in the unknown past,
+    i.e. at-or-before every T.
+    """
+    t_ms = _parse_as_of_ms(as_of)
+    try:
+        rows = (spark.read.option("mergeSchema", "true")
+                .parquet(_log_path(index_path))
+                .select("batch", "committed_at_ms").collect())
+    except Exception:
+        raise ValueError(
+            f"as_of timestamp given but no batch log at {index_path!r}")
+    at_ms = {r["batch"]: r["committed_at_ms"] for r in rows}
+    raw_at_t = {b for b, ms in at_ms.items()
+                if ms is None or int(ms) <= t_ms}
+    pairs = _replacements(spark, index_path)
+    # a pair retires its source at T exactly when its replacer CHAIN
+    # reaches a batch committed by T (the flip instant is the
+    # replacer's commit); _retired resolves that transitively, so a
+    # chain through a purged intermediate (no log row, but its own
+    # pair's replacer committed <= T) still dates the retirement
+    retired_at_t = _retired(raw_at_t, pairs)
+    # a PURGED batch (pair source with no log row) whose retirement
+    # cannot be dated at-or-before T may have been visible at T — its
+    # rows are gone, so the view is unreconstructible; fail loudly
+    # rather than silently partial (the resolve_as_of contract)
+    lost = sorted({r for r, _ in pairs
+                   if r not in at_ms and r not in retired_at_t})
+    if lost:
+        raise ValueError(
+            f"cannot reconstruct the view at {as_of!r}: batches purged "
+            f"from the log may have been visible then ({lost}); "
+            f"time-travel reaches only unpurged history")
+    if not raw_at_t:
+        raise ValueError(
+            f"no batch was committed at or before {as_of!r}")
+    return raw_at_t - retired_at_t
+
+
 def resolve_batches(spark: SparkSession, index_path: str,
                     as_of=None) -> set[str]:
     """The batch set a search should read: the validated pin when
     ``as_of`` is given (:func:`resolve_as_of`), else the live
     committed set — the one helper every ``as_of=``-bearing entry
-    point shares, so the pin contract lives in exactly one place."""
+    point shares, so the pin contract lives in exactly one place.
+    ``as_of`` may also be an ISO-8601 timestamp STRING — resolved to
+    the batch set visible at that instant (:func:`resolve_timestamp`)
+    and then validated like any pin."""
+    if isinstance(as_of, str):
+        as_of = resolve_timestamp(spark, index_path, as_of)
     if as_of is not None:
         return resolve_as_of(spark, index_path, as_of)
     return committed_batches(spark, index_path)
@@ -311,10 +395,13 @@ def log_snapshot(spark: SparkSession, index_path: str,
     seen yet — the snapshot stays the consistent pre-compaction view.
 
     ``as_of`` (a batch set from an earlier snapshot, validated by
-    :func:`resolve_as_of`) pins the view: ids and totals come from
+    :func:`resolve_as_of`; or an ISO-8601 timestamp string resolved by
+    :func:`resolve_timestamp`) pins the view: ids and totals come from
     exactly those batches' log rows, reproducing the earlier read
     regardless of appends or compactions since.
     """
+    if isinstance(as_of, str):
+        as_of = resolve_timestamp(spark, index_path, as_of)
     try:
         rows = (spark.read.parquet(_log_path(index_path))
                 .select("batch", *columns).collect())
@@ -412,6 +499,77 @@ def clear_intent(spark: SparkSession, index_path: str,
     delete_glob(spark, f"{_intents_path(index_path)}/{batch_id}")
 
 
+def _lock_path(index_path: str, name: str) -> str:
+    # locks live in their own subtree: intents/ names are batch ids
+    # (open_intents/claim_auto_batch_id treat every entry as one), and
+    # the 2-level batch globs never look here
+    return f"{index_path}/locks/{name}.lock"
+
+
+def acquire_compact_lock(spark: SparkSession, index_path: str,
+                         ttl_seconds: float = 86400.0,
+                         name: str = "compact") -> None:
+    """Claim the index's single-compactor lock, or raise
+    :class:`ConcurrentCompactionError`.
+
+    Two compactions racing over the same sources would BOTH commit a
+    full copy and readers would then double-count every compacted row —
+    the one operational mistake the rest of this module's armor turns
+    into silent corruption rather than a loud failure. The lock is an
+    atomic ``createNewFile`` of a well-known marker: exactly one of two
+    racers creates it; the loser raises. A crashed holder's stale lock
+    (mtime older than ``ttl_seconds``, the same contract vacuum uses:
+    the ttl must exceed the longest possible compaction) is broken —
+    but only if its mtime is unchanged at the delete, so a breaker
+    never removes a lock a faster breaker just re-acquired.
+    """
+    import time as _time
+
+    jvm = spark._jvm
+    lp = jvm.org.apache.hadoop.fs.Path(_lock_path(index_path, name))
+    fs = lp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(lp.getParent())
+    if fs.createNewFile(lp):
+        return
+    cutoff = _time.time() * 1000.0 - ttl_seconds * 1000.0
+    try:
+        seen = fs.getFileStatus(lp).getModificationTime()
+    except Exception:
+        # holder released between our create and stat: one retry
+        if fs.createNewFile(lp):
+            return
+        raise ConcurrentCompactionError(
+            f"another compaction holds {_lock_path(index_path, name)}")
+    if seen >= cutoff:
+        raise ConcurrentCompactionError(
+            f"another compaction holds {_lock_path(index_path, name)} "
+            f"(age under ttl_seconds={ttl_seconds}); if its holder "
+            f"crashed, retry after the ttl or delete the lock")
+    # stale: break it, guarded by the mtime we judged stale — a fresh
+    # lock another breaker just created has a young mtime and survives
+    try:
+        if fs.getFileStatus(lp).getModificationTime() != seen:
+            raise ConcurrentCompactionError(
+                f"lock {_lock_path(index_path, name)} was re-acquired "
+                f"while being broken")
+        fs.delete(lp, False)
+    except ConcurrentCompactionError:
+        raise
+    except Exception:
+        pass  # already gone: fall through to the create race
+    if not fs.createNewFile(lp):
+        raise ConcurrentCompactionError(
+            f"lost the race re-claiming stale lock "
+            f"{_lock_path(index_path, name)}")
+
+
+def release_compact_lock(spark: SparkSession, index_path: str,
+                         name: str = "compact") -> None:
+    """Drop the single-compactor lock (call in a finally around
+    :func:`compact` / rebalance work)."""
+    delete_glob(spark, _lock_path(index_path, name))
+
+
 def read_committed(spark: SparkSession, index_path: str, subdir: str,
                    include: tuple[str, ...] = (),
                    ids: set[str] | None = None) -> DataFrame:
@@ -439,12 +597,19 @@ def log_batch(spark: SparkSession, index_path: str, batch_id: str,
 
     One row, partitioned by batch id so a crashed half-written log
     attempt is scoped to its own directory and cleaned before rewrite.
+    Every row carries ``committed_at_ms`` (epoch millis at commit) —
+    the column :func:`resolve_timestamp` turns into time-travel; it is
+    excluded from metric summing everywhere (it is a timestamp, not a
+    delta).
     """
+    import time as _time
+
     lp = _log_path(index_path)
     delete_glob(spark, f"{lp}/batch={batch_id}")
     # the constant marker keeps at least one data column next to the
     # batch partition column (Spark rejects all-partition-column writes)
-    metrics = {"committed": 1, **metrics}
+    metrics = {"committed": 1,
+               "committed_at_ms": int(_time.time() * 1000), **metrics}
     cols = sorted(metrics)
     row = [tuple(int(metrics[c]) for c in cols) + (batch_id,)]
     schema = ", ".join([f"{c} long" for c in cols] + ["batch string"])
@@ -506,7 +671,8 @@ def payload_subdirs(spark: SparkSession,
 
 def compact(spark: SparkSession, index_path: str,
             batches: list[str] | None = None,
-            purge: bool = False) -> str | None:
+            purge: bool = False,
+            lock_ttl_seconds: float = 86400.0) -> str | None:
     """Merge committed batch directories into ONE coalesced batch,
     exactly-once and crash-safe — the maintenance pass that keeps a
     daily-append index from drowning in small files (a year of appends
@@ -534,18 +700,32 @@ def compact(spark: SparkSession, index_path: str,
     (safe only when no reader is live); the default leaves them for
     :func:`vacuum`, whose ``ttl_seconds`` contract guarantees any
     reader that planned against the pre-compaction snapshot has
-    finished. ONE COMPACTOR AT A TIME per index — two concurrent
-    compactions over the same sources would both commit a full copy
-    (the single-writer discipline appends already require per batch
-    id, lifted to the index). Concurrent APPENDS are safe: an
-    uncommitted batch is not visible, so it is never a source, and the
-    ``cmp`` id namespace keeps the compactor's intent from ever
-    colliding with an append's (see :data:`COMPACT_PREFIX`).
+    finished. ONE COMPACTOR AT A TIME per index, ENFORCED: the run
+    holds the :func:`acquire_compact_lock` marker for its duration —
+    two concurrent compactions over the same sources would both commit
+    a full copy and readers would double-count every compacted row, so
+    the second compactor raises :class:`ConcurrentCompactionError`
+    instead (``lock_ttl_seconds`` is the stale-lock grace; it must
+    exceed the longest possible compaction). Concurrent APPENDS are
+    safe: an uncommitted batch is not visible, so it is never a
+    source, and the ``cmp`` id namespace keeps the compactor's intent
+    from ever colliding with an append's (see :data:`COMPACT_PREFIX`).
 
     ``batches=None`` compacts every visible batch; an explicit list
     must name visible batches only. Returns the new batch id, or None
     when there is nothing to merge (fewer than two sources).
     """
+    acquire_compact_lock(spark, index_path,
+                         ttl_seconds=lock_ttl_seconds)
+    try:
+        return _compact_locked(spark, index_path, batches, purge)
+    finally:
+        release_compact_lock(spark, index_path)
+
+
+def _compact_locked(spark: SparkSession, index_path: str,
+                    batches: list[str] | None,
+                    purge: bool) -> str | None:
     visible, ingested = batch_sets(spark, index_path)
     if batches is None:
         sources = sorted(visible)
@@ -567,7 +747,8 @@ def compact(spark: SparkSession, index_path: str,
     metrics = {}
     for r in log_rows:
         for c, v in r.asDict().items():
-            if c in ("batch", "committed") or v is None:
+            if c in ("batch", "committed", "committed_at_ms") \
+                    or v is None:
                 continue
             metrics[c] = metrics.get(c, 0) + int(v)
     subs = payload_subdirs(spark, index_path)
@@ -775,6 +956,16 @@ def vacuum(spark: SparkSession, index_path: str,
     for st in stale_committed_intents:
         fs_i.delete(st.getPath(), True)
         removed_intents += 1
+    # a compactor that died holding the single-compactor lock would
+    # otherwise block compaction until someone notices; the lock's own
+    # ttl contract (acquire_compact_lock) makes expiry safe to reap
+    removed_locks = 0
+    fs_l, lock_sts = statuses(f"{index_path}/locks/*.lock")
+    for st in lock_sts:
+        if st.getModificationTime() < cutoff:
+            fs_l.delete(st.getPath(), False)
+            removed_locks += 1
     return {"data_dirs_removed": removed_dirs + purged["data_dirs_removed"],
             "intents_removed": removed_intents,
-            "replaced_log_rows_removed": purged["log_rows_removed"]}
+            "replaced_log_rows_removed": purged["log_rows_removed"],
+            "stale_locks_removed": removed_locks}

@@ -853,7 +853,7 @@ def test_cli_index_build_search_append_vacuum(spark, tmp_path, capsys):
     assert cli_main(["index", "vacuum", tidx, "--ttl", "3600"]) == 0
     out = _json.loads(capsys.readouterr().out.strip())
     assert out == {"data_dirs_removed": 0, "intents_removed": 0,
-                   "replaced_log_rows_removed": 0}
+                   "replaced_log_rows_removed": 0, "stale_locks_removed": 0}
 
     emb = spark.createDataFrame(
         [(i, [float((i * 7 + j * 3) % 5) for j in range(8)])
@@ -968,4 +968,4 @@ def test_cli_binary_index_roundtrip(spark, tmp_path, capsys):
     assert cli_main(["index", "vacuum", bidx, "--ttl", "3600"]) == 0
     out = _json.loads(capsys.readouterr().out.strip())
     assert out == {"data_dirs_removed": 0, "intents_removed": 0,
-                   "replaced_log_rows_removed": 0}
+                   "replaced_log_rows_removed": 0, "stale_locks_removed": 0}
