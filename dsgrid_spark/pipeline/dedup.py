@@ -392,7 +392,8 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
                       new_sigs: DataFrame | None = None,
                       max_bucket_size: int | None = None,
                       reference_bands: DataFrame | None = None,
-                      new_bands: DataFrame | None = None) -> DataFrame:
+                      new_bands: DataFrame | None = None,
+                      require_reference_coverage: bool = False) -> DataFrame:
     """Dedup a NEW batch against an already-registered corpus using the
     corpus's persisted minhash signatures — the continuous-ingest path.
 
@@ -428,6 +429,14 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     buckets of the cross join — on a boilerplate-heavy accumulated
     corpus one low-entropy reference bucket would otherwise fan every
     matching batch doc into thousands of verify pairs per band.
+
+    ``require_reference_coverage=True`` turns the reference-text
+    contract into a loud error: a candidate whose reference text is
+    absent from ``reference_df`` cannot be verified and would silently
+    KEEP the near-duplicate — with the flag on, any candidate
+    reference id missing from ``reference_df`` raises instead. Cost:
+    the candidate-pruned reference slice is persisted and counted once
+    (candidate-bounded rows; no extra corpus shuffle).
     """
     uniq = (exact_dedup(new_df, text_column, id_column)
             if within_batch else new_df)
@@ -473,6 +482,21 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
         .select(F.col(id_column).alias("id_a"),
                 shingles(text_column, shingle_k).alias("sh_a"))
     )
+    if require_reference_coverage:
+        # both sides are candidate-bounded: `cross` is persisted above
+        # and sh_a is the candidate-pruned reference slice — persisting
+        # it here also saves the verify join its recompute
+        sh_a = sh_a.persist()
+        n_cand_ref = cross.select("id_a").distinct().count()
+        n_covered = sh_a.select("id_a").distinct().count()
+        if n_covered < n_cand_ref:
+            raise ValueError(
+                f"reference_df lacks the text of "
+                f"{n_cand_ref - n_covered} of {n_cand_ref} candidate "
+                f"reference id(s); their near-duplicates in the new "
+                f"batch would silently be KEPT. Pass the accumulated "
+                f"corpus (every committed id), or set "
+                f"require_reference_coverage=False to accept the gap.")
     sh_b = (
         uniq
         .join(cross.select(F.col("id_b").alias(id_column)).distinct(),

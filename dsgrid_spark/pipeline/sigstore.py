@@ -55,7 +55,17 @@ __all__ = [
     "read_sig_store",
     "sig_store_params",
     "ingest_dedup_batch",
+    "ConcurrentBatchError",
 ]
+
+
+class ConcurrentBatchError(RuntimeError):
+    """Another writer committed this batch id mid-ingest (the batch was
+    unregistered when the run started, registered by someone else by
+    the time it tried to append). The colliding writers were ingesting
+    DIFFERENT content under one id — replaying the same content would
+    have no-opped at the top — so the caller must not treat its own
+    survivors as registered; re-run under a fresh batch id."""
 
 
 def _read_params(spark: SparkSession, path: str) -> dict:
@@ -171,7 +181,8 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
                        batch_id: str | None = None,
                        num_bands: int = 4, threshold: float = 0.8,
                        within_batch: bool = True,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       require_reference_coverage: bool = True) -> DataFrame:
     """Dedup one incoming batch against the persisted store and
     register the survivors' signatures — the crash-safe continuous-
     ingest step.
@@ -186,10 +197,14 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
     ``reference_df`` MUST cover the text of EVERY committed id in the
     store, not just the original seed corpus: the verification join
     looks candidate texts up by id, and a candidate whose reference
-    text is absent is silently dropped — i.e. the near-duplicate is
-    KEPT. In a continuous-ingest loop pass the accumulated corpus (or
-    any superset table keyed by id); a reference scoped to the seed
-    quietly stops deduping against later batches' survivors.
+    text is absent cannot be verified — the near-duplicate would be
+    KEPT. By default (``require_reference_coverage=True``) any
+    candidate reference id missing from ``reference_df`` now raises
+    (a candidate-bounded count, no extra corpus shuffle) instead of
+    degrading silently. In a continuous-ingest loop pass the
+    accumulated corpus (or any superset table keyed by id); a
+    reference scoped to the seed quietly stops deduping against later
+    batches' survivors.
 
     Crash/replay contract: if ``batch_id`` already committed, nothing
     is recomputed or re-registered — the survivor set is recovered
@@ -233,7 +248,8 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
         num_hashes=int(params["num_hashes"]), num_bands=num_bands,
         shingle_k=int(params["shingle_k"]), threshold=threshold,
         within_batch=within_batch, new_sigs=new_sigs,
-        max_bucket_size=max_bucket_size)
+        max_bucket_size=max_bucket_size,
+        require_reference_coverage=require_reference_coverage)
     # materialize the survivor set once: the append below and the
     # caller's consumption must see the SAME rows, and the append
     # re-reads it
@@ -245,5 +261,13 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
         survivors, path, text_column, id_column, batch_id=batch_id,
         signatures=new_sigs.join(
             survivors.select(id_column), id_column, "left_semi"))
-    assert ok, "batch flipped to committed mid-ingest"  # claimed above
+    if not ok:
+        # another writer committed this id between our batch_sets
+        # snapshot and the append — a REAL exception, not an assert
+        # (python -O would otherwise let the caller silently treat its
+        # unregistered survivors as registered)
+        raise ConcurrentBatchError(
+            f"batch {batch_id!r} was committed by another writer "
+            f"mid-ingest; these survivors were NOT registered — "
+            f"re-run under a fresh batch id")
     return survivors

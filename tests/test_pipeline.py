@@ -4343,3 +4343,80 @@ def test_time_travel_by_timestamp(spark, tmp_path):
     # the live view (and any T at-or-after the compaction) still works
     assert indexlog.resolve_timestamp(
         spark, path, iso(time.time())) == {cmp_id}
+
+
+def test_ingest_dedup_reference_coverage_guard(spark, tmp_path):
+    """(r10, VERDICT wrong-#3) a reference_df missing committed ids'
+    text is now a loud error by default — the documented foot-gun that
+    silently KEPT near-duplicates (the builder's own r9 review caught
+    the example doing it). Opting out restores the old behavior."""
+    import pytest as _pytest
+
+    from dsgrid_spark.pipeline.sigstore import (
+        ingest_dedup_batch, read_sig_store, write_sig_store,
+    )
+
+    ref, new = _sigstore_fixture(spark)
+    path = str(tmp_path / "store")
+    write_sig_store(ref, path, num_hashes=64, shingle_k=3)
+    surv1 = ingest_dedup_batch(new, path, ref, batch_id="b1",
+                               num_bands=32, threshold=0.5)
+    kept1 = sorted(r["doc_id"] for r in surv1.collect())
+    assert kept1 == [11]
+
+    # batch2 near-duplicates SURVIVOR 11; a reference scoped to the
+    # seed lacks 11's text -> candidate unverifiable -> raise
+    near11 = new.filter(F.col("doc_id") == 11).first()["text"]
+    batch2 = spark.createDataFrame(
+        [(20, near11 + " extra"),
+         (21, "entirely novel words nobody used before today")],
+        "doc_id long, text string")
+    with _pytest.raises(ValueError, match="lacks the text"):
+        ingest_dedup_batch(batch2, path, ref, batch_id="b2",
+                           num_bands=32, threshold=0.5)
+    # the failed attempt registered nothing (append never ran)
+    assert sorted(r["doc_id"] for r in
+                  read_sig_store(spark, path).collect()) == [0, 1, 2, 11]
+    # explicit opt-out: the documented old behavior (dup KEPT)
+    surv2 = ingest_dedup_batch(batch2, path, ref, batch_id="b2",
+                               num_bands=32, threshold=0.5,
+                               require_reference_coverage=False)
+    assert sorted(r["doc_id"] for r in surv2.collect()) == [20, 21]
+    # with full coverage (including the opt-out batch's registered
+    # survivors) the near-dup of 11/20 drops and fresh text lands
+    corpus = (ref.unionByName(surv1.select("doc_id", "text"))
+              .unionByName(surv2.select("doc_id", "text")))
+    batch3 = spark.createDataFrame(
+        [(30, near11 + " extra"),
+         (31, "completely different fresh vocabulary zebra quantum "
+              "lighthouse")],
+        "doc_id long, text string")
+    surv3 = ingest_dedup_batch(batch3, path, corpus, batch_id="b3",
+                               num_bands=32, threshold=0.5)
+    assert sorted(r["doc_id"] for r in surv3.collect()) == [31]
+
+
+def test_ingest_dedup_concurrent_batch_raises(spark, tmp_path,
+                                              monkeypatch):
+    """(r10, VERDICT wrong-#2) the batch_sets->append race is a REAL
+    exception now: if another writer commits the same batch id
+    mid-ingest, the caller must not treat its unregistered survivors
+    as registered (the assert vanished under python -O)."""
+    import pytest as _pytest
+
+    from dsgrid_spark.pipeline import sigstore
+    from dsgrid_spark.pipeline.sigstore import (
+        ConcurrentBatchError, ingest_dedup_batch, write_sig_store,
+    )
+
+    ref, new = _sigstore_fixture(spark)
+    path = str(tmp_path / "store")
+    write_sig_store(ref, path, num_hashes=64, shingle_k=3)
+    # simulate the loser of the race: the appender reports the id
+    # already committed (as it does when a racer's log entry landed
+    # between this run's batch_sets snapshot and its append)
+    monkeypatch.setattr(sigstore, "append_sig_store",
+                        lambda *a, **k: False)
+    with _pytest.raises(ConcurrentBatchError, match="another writer"):
+        ingest_dedup_batch(new, path, ref, batch_id="b1",
+                           num_bands=32, threshold=0.5)
