@@ -624,6 +624,11 @@ def cmd_index_describe(args) -> int:
         "retired_batches": len(ingested - visible),
         "open_intents": sorted(indexlog.open_intents(spark, args.path)),
     }
+    if kind in ("ivf", "pq", "binary"):
+        # which centroid generation the live view reads (None = the
+        # legacy flat layout; the establisher's id otherwise)
+        out["centroid_generation"] = indexlog.resolve_generation(
+            spark, args.path, visible)
     meta_sub = "stats" if kind == "term" else "meta"
     try:
         out["meta"] = (spark.read.parquet(f"{args.path}/{meta_sub}")
@@ -654,9 +659,30 @@ def cmd_index_describe(args) -> int:
         if args.counts:
             info["committed_rows"] = indexlog.read_committed(
                 spark, args.path, sub, ids=visible).count()
+            if col == "cluster":
+                # per-cluster skew: the when-to-rebalance signal (a
+                # drifting corpus piles appends into a few clusters)
+                from dsgrid_spark.pipeline.rebalance import cluster_skew
+
+                info["skew"] = cluster_skew(spark, args.path, sub,
+                                            ids=visible)
         subs[sub] = info
     out["payload"] = subs
     print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_index_rebalance(args) -> int:
+    from dsgrid_spark.pipeline.rebalance import rebalance_index
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    new_id = rebalance_index(spark, args.path,
+                             n_clusters=args.n_clusters,
+                             iterations=args.iterations,
+                             init=args.init,
+                             fit_sample_cap=args.fit_sample_cap)
+    print(json.dumps({"rebalanced_batch": new_id}))
     return 0
 
 
@@ -891,8 +917,25 @@ def main(argv: list[str] | None = None) -> int:
         "totals, per-subtree files/bytes")
     idd.add_argument("path")
     idd.add_argument("--counts", action="store_true",
-                     help="also count committed rows per subtree (scan)")
+                     help="also count committed rows per subtree (scan), "
+                          "plus per-cluster skew for vector indexes — "
+                          "the when-to-rebalance signal")
     idd.set_defaults(fn=cmd_index_describe)
+
+    irb = idxsub.add_parser(
+        "rebalance", help="retrain coarse centroids on the committed "
+        "vectors and reassign every row — the drift fix (atomic flip "
+        "through the compaction log; sources reclaimed by vacuum)")
+    irb.add_argument("path")
+    irb.add_argument("--n-clusters", type=int, default=None,
+                     help="re-size the index (default: keep current k)")
+    irb.add_argument("--iterations", type=int, default=5)
+    irb.add_argument("--init", default="parallel",
+                     choices=["parallel", "sample", "kmeanspp", "auto"],
+                     help="k-means init (parallel = k-means||, the "
+                          "drift-structure default)")
+    irb.add_argument("--fit-sample-cap", type=int, default=None)
+    irb.set_defaults(fn=cmd_index_rebalance)
 
     args = p.parse_args(argv)
     if hasattr(args, "kind") and args.command == "registry":

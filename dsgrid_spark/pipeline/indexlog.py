@@ -645,6 +645,49 @@ def reset_log(spark: SparkSession, index_path: str) -> None:
     delete_glob(spark, _compactions_path(index_path))
 
 
+def _centroids_path(index_path: str) -> str:
+    return f"{index_path}/centroids"
+
+
+def centroid_generations(spark: SparkSession,
+                         index_path: str) -> set[str]:
+    """Batch ids that ESTABLISHED a centroid generation — the initial
+    build (``base``) and every committed rebalance (its ``cmp`` id) —
+    i.e. the ``centroids/batch=<id>`` directory names. Empty for
+    indexes without centroids (term, sigs) and for the legacy flat
+    ``centroids/`` layout (pre-generation builds)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{_centroids_path(index_path)}/batch=*")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return {st.getPath().getName().split("=", 1)[1]
+            for st in (fs.globStatus(p) or [])}
+
+
+def resolve_generation(spark: SparkSession, index_path: str,
+                       batch_ids) -> str | None:
+    """The centroid generation a batch view reads: the UNIQUE
+    generation-establishing batch inside ``batch_ids`` (the committed
+    set, or a pin). Cluster numbers are only meaningful within one
+    generation — every batch in a consistent view was assigned against
+    the same centroids, and the view always contains the batch that
+    established them (a rebalance retires EVERY previously-visible
+    batch, and :func:`compact` copies the generation marker onto any
+    batch that absorbs its establisher). ``None`` means the legacy
+    flat ``centroids/`` layout (single implicit generation)."""
+    gens = centroid_generations(spark, index_path)
+    if not gens:
+        return None
+    hit = set(batch_ids) & gens
+    if len(hit) != 1:
+        raise ValueError(
+            f"cannot resolve the centroid generation for batch view "
+            f"{sorted(batch_ids)}: generation markers {sorted(gens)} "
+            f"intersect it as {sorted(hit)} (expected exactly one). "
+            f"The view mixes generations or its generation was purged.")
+    return hit.pop()
+
+
 def payload_subdirs(spark: SparkSession,
                     index_path: str) -> dict[str, str]:
     """Discover the index's payload subtrees: every first-level subdir
@@ -742,6 +785,8 @@ def _compact_locked(spark: SparkSession, index_path: str,
                                    prefix=COMPACT_PREFIX)
     delete_glob(spark, f"{index_path}/*/*/batch={batch_id}")
     delete_glob(spark, f"{_compactions_path(index_path)}/by={batch_id}")
+    delete_glob(spark,
+                f"{_centroids_path(index_path)}/batch={batch_id}")
     log_rows = (spark.read.parquet(_log_path(index_path))
                 .filter(F.col("batch").isin(sources)).collect())
     metrics = {}
@@ -764,6 +809,20 @@ def _compact_locked(spark: SparkSession, index_path: str,
            .repartition(F.col(col))
            .write.mode("append").partitionBy(col, "batch")
            .parquet(f"{index_path}/{sub}"))
+    # absorbing the batch that ESTABLISHED the current centroid
+    # generation transfers its marker: the compacted batch becomes the
+    # establisher of the SAME generation (identical centroid rows
+    # under the new batch id), so readers' generation resolution —
+    # "the unique gen-marked batch in my view" — keeps working after
+    # the source retires. Tiny payload (K centroid rows).
+    gen_sources = centroid_generations(spark, index_path) & set(sources)
+    for g in sorted(gen_sources):
+        (spark.read.parquet(_centroids_path(index_path))
+           .filter(F.col("batch") == g)
+           .drop("batch").withColumn("batch", F.lit(batch_id))
+           .coalesce(1)
+           .write.mode("append").partitionBy("batch")
+           .parquet(_centroids_path(index_path)))
     from dsgrid_spark.session import one_slice_df
     (one_slice_df(spark, [(s, batch_id) for s in sources],
                   "replaced string, by string")
@@ -831,6 +890,12 @@ def purge_replaced(spark: SparkSession, index_path: str,
         for st in dirs:
             fs.delete(st.getPath(), True)
             removed_dirs += 1
+        # a retired generation-establishing batch's centroid dir goes
+        # with its data (compact/rebalance already transferred the
+        # live generation's marker to the replacing batch); pins into
+        # that generation fail loudly at resolve_generation afterwards
+        removed_dirs += delete_glob(
+            spark, f"{_centroids_path(index_path)}/batch={bid}")
         removed_log_rows += delete_glob(
             spark, f"{_log_path(index_path)}/batch={bid}")
     return {"data_dirs_removed": removed_dirs,
@@ -896,6 +961,11 @@ def vacuum(spark: SparkSession, index_path: str,
 
     fs_i, intent_sts = statuses(f"{_intents_path(index_path)}/*")
     fs_d, data_sts = statuses(f"{index_path}/*/*/batch=*")
+    # a crashed rebalance's centroid generation dir is an artifact of
+    # its (uncommitted) batch like any payload dir — judged and
+    # deleted with the batch as a unit
+    data_sts = data_sts + statuses(
+        f"{_centroids_path(index_path)}/batch=*")[1]
 
     # group every artifact of each UNCOMMITTED batch; stale intents of
     # committed batches are removable immediately (data never touched)
@@ -935,6 +1005,8 @@ def vacuum(spark: SparkSession, index_path: str,
         if bid in batch_sets(spark, index_path)[1]:
             continue
         _, fresh = statuses(f"{index_path}/*/*/batch={bid}")
+        fresh = fresh + statuses(
+            f"{_centroids_path(index_path)}/batch={bid}")[1]
         snap = {str(st.getPath()) for st in data_of.get(bid, [])}
         if ({str(st.getPath()) for st in fresh} != snap
                 or any(st.getModificationTime() >= cutoff for st in fresh)):

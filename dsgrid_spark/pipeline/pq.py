@@ -777,9 +777,21 @@ def _read_codebooks(spark, path: str) -> list[list[list[float]]]:
     return books
 
 
-def _read_centroids(spark, path: str) -> list[list[float]]:
-    rows = sorted(spark.read.parquet(f"{path}/centroids").collect(),
+def _read_centroids(spark, path: str,
+                    gen: str | None = None) -> list[list[float]]:
+    """Coarse centroid table, filtered to one GENERATION when the index
+    uses the ``centroids/batch=<establisher>`` layout (``gen`` from
+    :func:`indexlog.resolve_generation`; ``None`` = the legacy flat
+    layout's single implicit generation)."""
+    df = spark.read.parquet(f"{path}/centroids")
+    if gen is not None:
+        df = df.filter(F.col("batch") == gen)
+    rows = sorted(df.select("cluster", "centroid").collect(),
                   key=lambda r: r["cluster"])
+    if not rows:
+        raise ValueError(
+            f"no centroid rows for generation {gen!r} at {path!r} "
+            f"(purged generation, or a half-built index)")
     return [list(r["centroid"]) for r in rows]
 
 
@@ -929,12 +941,10 @@ def write_pq_index(df: DataFrame, path: str,
         # full-precision subtree (the dominant payload): meta now says
         # no vectors, so nothing would ever read OR vacuum it
         indexlog.delete_glob(spark, f"{path}/vectors")
-    cent_rows = [(i, [float(x) for x in c])
-                 for i, c in enumerate(coarse_centroids)]
+    from dsgrid_spark.pipeline.similarity import write_centroid_generation
+    write_centroid_generation(spark, path, coarse_centroids,
+                              indexlog.BASE_BATCH)
     from dsgrid_spark.session import one_slice_df
-    (one_slice_df(spark, cent_rows,
-                  "cluster int, centroid array<double>")
-       .write.mode("overwrite").parquet(f"{path}/centroids"))
     (one_slice_df(spark, _codebooks_to_rows(codebooks),
                   "j int, i int, centroid array<double>")
        .write.mode("overwrite").parquet(f"{path}/codebooks"))
@@ -987,7 +997,8 @@ def append_pq_index(df: DataFrame, path: str,
     indexlog.delete_glob(spark, f"{path}/codes/cluster=*/batch={batch_id}")
     indexlog.delete_glob(spark,
                          f"{path}/vectors/cluster=*/batch={batch_id}")
-    centroids = _read_centroids(spark, path)
+    centroids = _read_centroids(
+        spark, path, indexlog.resolve_generation(spark, path, committed))
     codebooks = _read_codebooks(spark, path)
     codes, vectors = _assign_encode(df, centroids, codebooks, id_column,
                                     vector_column, assign_strategy,
@@ -1055,7 +1066,9 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
                          "pass rerank=False for ADC-only search")
     from dsgrid_spark.pipeline.similarity import rank_probes
 
-    centroids = _read_centroids(spark, path)
+    committed = indexlog.resolve_batches(spark, path, as_of)
+    centroids = _read_centroids(
+        spark, path, indexlog.resolve_generation(spark, path, committed))
     codebooks = _read_codebooks(spark, path)
     qid_type = query_id_type(queries)
     probe_rows, lut_queries = [], []
@@ -1068,9 +1081,8 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
         for ci in rank_probes(centroids, qv, n_probe):
             probe_rows.append((qid, ci))
     probed_clusters = sorted({c for _, c in probe_rows})
-    probes = F.broadcast(_osdf(spark, 
+    probes = F.broadcast(_osdf(spark,
         probe_rows, f"query_id {qid_type}, cluster int"))
-    committed = indexlog.resolve_batches(spark, path, as_of)
     from dsgrid_spark.pipeline.similarity import candidate_filter
     codes = candidate_filter(
         indexlog.read_committed(spark, path, "codes", ids=committed)

@@ -1090,6 +1090,25 @@ def ivf_topk(
     )
 
 
+def write_centroid_generation(spark, path: str,
+                              centroids: list[list[float]],
+                              gen: str, mode: str = "overwrite") -> None:
+    """Persist a centroid table under ``centroids/batch=<gen>`` — the
+    generation layout every persisted vector index shares. ``gen`` is
+    the batch id that ESTABLISHES the generation (``indexlog.BASE_BATCH``
+    at build; the rebalance's ``cmp`` id on retrain): readers resolve
+    which generation to load as the unique gen-marked batch in their
+    committed/pinned view (:func:`indexlog.resolve_generation`), which
+    makes a rebalance's new centroids visible ATOMICALLY at its log
+    commit — the centroid dirs themselves are immutable per generation.
+    """
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (_osdf(spark, rows, "cluster int, centroid array<double>")
+       .withColumn("batch", F.lit(gen))
+       .write.mode(mode).partitionBy("batch")
+       .parquet(f"{path}/centroids"))
+
+
 def write_ivf_index(df: DataFrame, path: str,
                     centroids: list[list[float]],
                     id_column: str = "vec_id",
@@ -1122,10 +1141,8 @@ def write_ivf_index(df: DataFrame, path: str,
        .repartition("cluster")
        .write.mode("overwrite").partitionBy("cluster", "batch")
        .parquet(f"{path}/vectors"))
-    from dsgrid_spark.session import one_slice_df
-    rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
-    (one_slice_df(spark, rows, "cluster int, centroid array<double>")
-       .write.mode("overwrite").parquet(f"{path}/centroids"))
+    write_centroid_generation(spark, path, centroids,
+                              indexlog.BASE_BATCH)
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 
@@ -1155,15 +1172,17 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     """
     if not queries:
         raise ValueError("queries must be non-empty")
-    cent = {r["cluster"]: list(r["centroid"])
-            for r in spark.read.parquet(f"{path}/centroids").collect()}
-    keys = sorted(cent)
-    cent_list = [cent[i] for i in keys]
+    # committed batches FIRST, then the centroid GENERATION that view
+    # reads (cluster numbers only mean anything within one generation;
+    # a rebalance committing after this snapshot changes neither)
+    committed = indexlog.resolve_batches(spark, path, as_of)
+    from dsgrid_spark.pipeline.pq import _read_centroids, query_id_type
+    gen = indexlog.resolve_generation(spark, path, committed)
+    cent_list = _read_centroids(spark, path, gen)
     probe_rows = []
     for qid, qv in queries:
         for ci in rank_probes(cent_list, qv, n_probe):
-            probe_rows.append((qid, keys[ci], [float(x) for x in qv]))
-    from dsgrid_spark.pipeline.pq import query_id_type
+            probe_rows.append((qid, ci, [float(x) for x in qv]))
     qid_type = query_id_type(queries)
     qdf = _osdf(
         spark, probe_rows,
@@ -1171,7 +1190,6 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     probed_clusters = sorted({r[1] for r in probe_rows})
     # committed-batch filter: orphan partitions from a crashed append
     # are invisible (both cluster and batch prune at planning time)
-    committed = indexlog.resolve_batches(spark, path, as_of)
     vectors = candidate_filter(
         indexlog.read_committed(spark, path, "vectors", ids=committed)
         .filter(F.col("cluster").isin(probed_clusters)),
@@ -1229,11 +1247,9 @@ def append_ivf_index(df: DataFrame, path: str,
         return False
     indexlog.delete_glob(
         spark, f"{path}/vectors/cluster=*/batch={batch_id}")
-    cent_rows = sorted(
-        ((r["cluster"], list(r["centroid"])) for r in
-         spark.read.parquet(f"{path}/centroids").collect()),
-        key=lambda t: t[0])
-    centroids = [c for _, c in cent_rows]
+    from dsgrid_spark.pipeline.pq import _read_centroids
+    centroids = _read_centroids(
+        spark, path, indexlog.resolve_generation(spark, path, committed))
     assigned = (
         assign_nearest_centroid(df, centroids, vector_column)
         .withColumnRenamed("__cluster", "cluster")
@@ -1367,12 +1383,9 @@ def write_binary_index(df: DataFrame, path: str,
         # full-precision subtree (the dominant payload): meta now says
         # no vectors, so nothing would ever read OR vacuum it
         indexlog.delete_glob(spark, f"{path}/vectors")
-    cent_rows = [(i, [float(x) for x in c])
-                 for i, c in enumerate(coarse_centroids)]
+    write_centroid_generation(spark, path, coarse_centroids,
+                              indexlog.BASE_BATCH)
     from dsgrid_spark.session import one_slice_df
-    (one_slice_df(spark, cent_rows,
-                  "cluster int, centroid array<double>")
-       .write.mode("overwrite").parquet(f"{path}/centroids"))
     (one_slice_df(
         spark,
         [(dim, BINARY_WORD_BITS, bool(store_vectors), vectors_dtype)],
@@ -1420,7 +1433,8 @@ def append_binary_index(df: DataFrame, path: str,
     indexlog.delete_glob(spark, f"{path}/bits/cluster=*/batch={batch_id}")
     indexlog.delete_glob(spark,
                          f"{path}/vectors/cluster=*/batch={batch_id}")
-    centroids = _read_centroids(spark, path)
+    centroids = _read_centroids(
+        spark, path, indexlog.resolve_generation(spark, path, committed))
     assigned = _assign_canonical(df, centroids, id_column, vector_column,
                                  assign_strategy).localCheckpoint()
     bits = (binary_quantize(assigned, "embedding", "bits")
@@ -1486,7 +1500,9 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     if rerank and not meta["store_vectors"]:
         raise ValueError("index was built with store_vectors=False; "
                          "pass rerank=False for Hamming-only search")
-    centroids = _read_centroids(spark, path)
+    committed = indexlog.resolve_batches(spark, path, as_of)
+    centroids = _read_centroids(
+        spark, path, indexlog.resolve_generation(spark, path, committed))
     probe_rows = []
     for qid, qv in queries:
         qv = [float(x) for x in qv]
@@ -1497,10 +1513,9 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
         for ci in rank_probes(centroids, qv, n_probe):
             probe_rows.append((qid, ci, qbits))
     probed_clusters = sorted({c for _, c, _ in probe_rows})
-    probes = F.broadcast(_osdf(spark, 
+    probes = F.broadcast(_osdf(spark,
         probe_rows,
         f"query_id {qid_type}, cluster int, __qbits array<long>"))
-    committed = indexlog.resolve_batches(spark, path, as_of)
     bits = candidate_filter(
         indexlog.read_committed(spark, path, "bits", ids=committed)
         .filter(F.col("cluster").isin(probed_clusters)),

@@ -4420,3 +4420,241 @@ def test_ingest_dedup_concurrent_batch_raises(spark, tmp_path,
     with _pytest.raises(ConcurrentBatchError, match="another writer"):
         ingest_dedup_batch(new, path, ref, batch_id="b1",
                            num_bands=32, threshold=0.5)
+
+
+_DRIFT_SIGNS = [  # four well-separated sign patterns + a drifted fifth
+    [1, 1, 1, 1, 1, 1, 1, 1],
+    [1, -1, 1, -1, 1, -1, 1, -1],
+    [-1, -1, 1, 1, -1, -1, 1, 1],
+    [-1, 1, -1, 1, 1, -1, 1, -1],
+]
+_DRIFT_NEW = [-1, -1, -1, -1, 1, 1, -1, -1]
+
+
+def _drift_vectors(spark, per_cluster=10, n_new=25, dim=8):
+    """Two-phase corpus: 'old' rows in four tight regions (a k=4 fit
+    covers them one-to-one), a drifted batch in a FIFTH region — every
+    drifted append piles into one old cluster, the skew rebalance
+    fixes."""
+    rows = []
+    for c, signs in enumerate(_DRIFT_SIGNS):
+        for i in range(per_cluster):
+            rows.append((c * per_cluster + i,
+                         [s * (1.0 + 0.01 * ((i * 7 + j) % 5))
+                          for j, s in enumerate(signs)]))
+    old = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(100 + i, [s * (1.0 + 0.01 * ((i + j) % 7))
+                    for j, s in enumerate(_DRIFT_NEW)])
+         for i in range(n_new)], "vec_id long, embedding array<double>")
+    return old, new
+
+
+def test_rebalance_binary_index_equals_rebuild(spark, tmp_path):
+    """(r10, VERDICT next-#1) rebalance retrains centroids on the
+    committed corpus and rewrites every subtree as one atomic
+    replacement: post-rebalance search == a fresh build with the SAME
+    retrained centroids; packed bits are moved, never recomputed
+    (bit-identical); full-probe results are invariant; a pre-rebalance
+    pin reproduces the OLD generation until purge ends it loudly."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.pq import _read_centroids
+    from dsgrid_spark.pipeline.rebalance import cluster_skew, rebalance_index
+    from dsgrid_spark.pipeline.similarity import (
+        append_binary_index, hamming_search, kmeans_centroids,
+        write_binary_index,
+    )
+
+    old, new = _drift_vectors(spark)
+    path = str(tmp_path / "bidx")
+    # centroids fitted on the OLD region only: the drifted appends all
+    # pile into whatever list is nearest — the skew rebalance fixes
+    cents0 = kmeans_centroids(old, 4, 8, iterations=3)
+    write_binary_index(old, path, cents0)
+    assert append_binary_index(new, path, batch_id="drift") is True
+    pin = indexlog.committed_batches(spark, path)
+    queries = [(0, [2.0] * 8), (1, [1.0] * 8)]
+    pinned_want = sorted(map(tuple, hamming_search(
+        spark, path, queries, k=5, n_probe=1, as_of=pin).collect()))
+    full_before = sorted(map(tuple, hamming_search(
+        spark, path, queries, k=5, n_probe=4).collect()))
+    skew_before = cluster_skew(spark, path, "bits")
+    bits_before = {r["id"]: list(r["bits"]) for r in indexlog.read_committed(
+        spark, path, "bits").collect()}
+
+    # kmeanspp/parallel init: a rebalance exists because the corpus
+    # grew structure the old centroids miss — uniform seeding can
+    # merge regions (it does here with seed=7), D-squared seeding not
+    new_id = rebalance_index(spark, path, n_clusters=5, iterations=3,
+                             init="kmeanspp", seed=7)
+    assert new_id.startswith("cmp")
+    # full-probe search is exact within the corpus -> invariant
+    assert sorted(map(tuple, hamming_search(
+        spark, path, queries, k=5, n_probe=4).collect())) == full_before
+    # bits moved, never recomputed
+    bits_after = {r["id"]: list(r["bits"]) for r in indexlog.read_committed(
+        spark, path, "bits").collect()}
+    assert bits_after == bits_before
+    # the new generation's centroids reproduce a fresh build EXACTLY
+    cents1 = _read_centroids(spark, path, new_id)
+    assert len(cents1) == 5  # resized
+    fresh = str(tmp_path / "fresh")
+    write_binary_index(old.unionByName(new), fresh, cents1)
+    for np_ in (1, 3, 5):
+        assert sorted(map(tuple, hamming_search(
+            spark, path, queries, k=5, n_probe=np_).collect())) == \
+            sorted(map(tuple, hamming_search(
+                spark, fresh, queries, k=5, n_probe=np_).collect()))
+    # before: all 25 drifted rows piled into ONE old cluster (35 of 65
+    # rows); after: the drifted region has its own centroid and the
+    # heaviest cluster shrinks to ~one region
+    skew_after = cluster_skew(spark, path, "bits")
+    assert skew_after["rows"] == skew_before["rows"] == 65
+    assert skew_before["max_rows"] >= 28  # drift piled onto one region
+    assert skew_after["max_rows"] < skew_before["max_rows"]
+    # the pre-rebalance pin still reads the OLD generation bit-for-bit
+    assert sorted(map(tuple, hamming_search(
+        spark, path, queries, k=5, n_probe=1, as_of=pin).collect())) == \
+        pinned_want
+    # purge reclaims the old generation; the pin then fails loudly
+    indexlog.purge_replaced(spark, path)
+    with pytest.raises(ValueError, match="no longer readable|generation"):
+        hamming_search(spark, path, queries, k=5, n_probe=1,
+                       as_of=pin).collect()
+    # live searches unaffected by the purge
+    assert sorted(map(tuple, hamming_search(
+        spark, path, queries, k=5, n_probe=4).collect())) == full_before
+
+
+def test_rebalance_ivf_readers_see_one_view(spark, tmp_path):
+    """(r10) readers racing a rebalance (full probe, no purge) see
+    either the old or the new view — both exact under full probe, so
+    every read returns the one invariant result; and the appender path
+    assigns new batches against the NEW generation afterwards."""
+    import threading
+
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.rebalance import rebalance_index
+    from dsgrid_spark.pipeline.similarity import (
+        append_ivf_index, ivf_search, kmeans_centroids, write_ivf_index,
+    )
+
+    old, new = _drift_vectors(spark)
+    path = str(tmp_path / "ividx")
+    cents0 = kmeans_centroids(old, 3, 8, iterations=2)
+    write_ivf_index(old, path, cents0)
+    append_ivf_index(new, path, batch_id="drift")
+    queries = [(0, [2.0] * 8), (1, [1.0] * 8)]
+    expected = sorted(map(tuple, ivf_search(
+        spark, path, queries, k=5, n_probe=3).collect()))
+
+    results, errors = [], []
+
+    def reader():
+        try:
+            for _ in range(4):
+                got = sorted(map(tuple, ivf_search(
+                    spark, path, queries, k=5,
+                    n_probe=4).collect()))
+                results.append(got)
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    new_id = rebalance_index(spark, path, n_clusters=4, iterations=2,
+                             init="sample")
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # full probe covers every cluster in EITHER generation: exact
+    assert results and all(got == expected for got in results)
+    assert sorted(map(tuple, ivf_search(
+        spark, path, queries, k=5, n_probe=4).collect())) == expected
+    # an append after the rebalance assigns against the new generation
+    extra = spark.createDataFrame(
+        [(500, [2.0] * 8)], "vec_id long, embedding array<double>")
+    assert append_ivf_index(extra, path, batch_id="post") is True
+    got = ivf_search(spark, path, [(9, [2.0] * 8)], k=1, n_probe=1)
+    assert [r["id"] for r in got.collect()] == [500]
+    # resizing took effect (n_clusters=4 > the original 3)
+    from dsgrid_spark.pipeline.pq import _read_centroids
+    assert len(_read_centroids(spark, path, new_id)) == 4
+
+
+def test_rebalance_aborts_on_concurrent_append(spark, tmp_path):
+    """(r10) a batch committing mid-rebalance would survive the flip
+    assigned against the OLD generation — the run aborts before its
+    commit instead, leaves nothing visible, and the retry (after
+    quiescing) reuses the same cmp intent and succeeds."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.rebalance import (
+        RebalanceAborted, rebalance_index,
+    )
+    from dsgrid_spark.pipeline.similarity import (
+        append_ivf_index, ivf_search, kmeans_centroids, write_ivf_index,
+    )
+
+    old, new = _drift_vectors(spark)
+    path = str(tmp_path / "ividx")
+    write_ivf_index(old, path, kmeans_centroids(old, 3, 8, iterations=2))
+    queries = [(0, [1.0] * 8)]
+
+    def sneak_append():
+        assert append_ivf_index(new, path, batch_id="mid") is True
+
+    with pytest.raises(RebalanceAborted, match="committed during"):
+        rebalance_index(spark, path, iterations=2, init="sample",
+                        _pre_commit_hook=sneak_append)
+    # nothing of the aborted attempt is visible; the mid-run append is
+    visible = indexlog.committed_batches(spark, path)
+    assert visible == {"base", "mid"}
+    assert not any(b.startswith("cmp") for b in visible)
+    before = sorted(map(tuple, ivf_search(
+        spark, path, queries, k=5, n_probe=3).collect()))
+    # the retry adopts the crashed cmp intent and completes
+    open_before = {i for i in indexlog.open_intents(spark, path)
+                   if i.startswith("cmp")}
+    assert len(open_before) == 1
+    new_id = rebalance_index(spark, path, iterations=2, init="sample")
+    assert new_id == next(iter(open_before))
+    assert sorted(map(tuple, ivf_search(
+        spark, path, queries, k=5, n_probe=3).collect())) == before
+
+
+def test_rebalance_pq_residual_reencodes(spark, tmp_path):
+    """(r10) residual (IVFADC) codes depend on the coarse centroids,
+    so rebalance RE-ENCODES them against the new generation with the
+    index's existing codebooks: ADC-only scores equal a fresh residual
+    build with the same centroids+codebooks; plain-PQ codes and int8
+    re-rank payloads are moved untouched."""
+    from dsgrid_spark.pipeline.pq import (
+        _read_centroids, coarse_residuals, pq_fit, pq_search,
+        write_pq_index,
+    )
+    from dsgrid_spark.pipeline.rebalance import rebalance_index
+    from dsgrid_spark.pipeline.similarity import kmeans_centroids
+
+    old, new = _drift_vectors(spark)
+    corpus = old.unionByName(new)
+    path = str(tmp_path / "pqidx")
+    cents0 = kmeans_centroids(old, 3, 8, iterations=2)
+    res = coarse_residuals(corpus, cents0)
+    books = pq_fit(res, dim=8, n_subvectors=2, n_centroids=4,
+                   vector_column="residual")
+    write_pq_index(corpus, path, cents0, books, residual=True)
+    queries = [(0, [2.0] * 8), (1, [1.0] * 8)]
+
+    new_id = rebalance_index(spark, path, iterations=2, init="sample")
+    cents1 = _read_centroids(spark, path, new_id)
+    fresh = str(tmp_path / "fresh")
+    write_pq_index(corpus, fresh, cents1, books, residual=True)
+    for np_ in (1, 3):
+        got = sorted(map(tuple, pq_search(
+            spark, path, queries, k=5, n_probe=np_,
+            rerank=False).collect()))
+        want = sorted(map(tuple, pq_search(
+            spark, fresh, queries, k=5, n_probe=np_,
+            rerank=False).collect()))
+        assert got == want

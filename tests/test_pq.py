@@ -1050,3 +1050,46 @@ def test_cli_candidates_term_and_path_guard(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="not supported"):
         cli_main(["index", "search", path, "spark", "window",
                   "--phrase", "--candidates", "0"])
+
+
+def test_cli_index_rebalance_and_skew(spark, tmp_path, capsys):
+    """(r10) `index rebalance` retrains + reassigns through the CLI;
+    `index describe --counts` reports the centroid generation and the
+    per-cluster skew that says when to rebalance."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline.similarity import (
+        kmeans_centroids, write_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + j * 3) % 5) - 2) for j in range(8)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ividx")
+    write_ivf_index(emb, path, kmeans_centroids(emb, 4, 8, iterations=2))
+
+    assert cli_main(["index", "describe", path, "--counts"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["centroid_generation"] == "base"
+    skew = out["payload"]["vectors"]["skew"]
+    assert skew["rows"] == 40 and skew["n_clusters"] >= 1
+    assert skew["top"][0]["rows"] == skew["max_rows"]
+
+    assert cli_main(["index", "rebalance", path, "--n-clusters", "3",
+                     "--iterations", "2", "--init", "kmeanspp"]) == 0
+    reb = _json.loads(capsys.readouterr().out.strip())
+    new_id = reb["rebalanced_batch"]
+    assert new_id.startswith("cmp")
+    assert cli_main(["index", "describe", path, "--counts"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip())
+    assert out2["centroid_generation"] == new_id
+    assert out2["visible_batches"] == 1 and out2["retired_batches"] == 1
+    assert out2["payload"]["vectors"]["skew"]["rows"] == 40
+    assert out2["payload"]["vectors"]["skew"]["n_clusters"] <= 3
+    # searching through the CLI still works on the new generation
+    assert cli_main(["index", "search", path, "--vector",
+                     "[0,1,2,-2,-1,0,1,2]", "-k", "3"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 3
