@@ -175,62 +175,84 @@ def _buckets_of(spark: SparkSession, terms: list[str],
     return sorted(set(row["b"]))
 
 
-def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
+def bm25_search(spark: SparkSession, path: str, query_terms,
                 k: int = 10, k1: float = 1.2, b: float = 0.75,
                 candidates=None, as_of=None) -> DataFrame:
-    """Top-k documents for a bag-of-terms query from the persisted index.
+    """Top-k documents per bag-of-terms query from the persisted index.
 
-    Reads only the buckets the query terms hash into (partition pruning;
-    the bucket count comes from the index's own stats file, never the
-    caller) plus a pushed ``term IN (...)`` residual; scoring is the same
-    ln-idf BM25 as ``text.bm25_scores`` and the result provably matches
-    it (tested). Returns (id, bm25) ordered desc, ties by id.
+    ``query_terms`` is either ONE query — a list of term strings,
+    returning (id, bm25) ordered desc, ties by id — or a BATCH:
+    ``[(query_id, [terms...]), ...]``, returning (query_id, id, bm25)
+    with per-query top-k. The batch form is the offline-eval path: ONE
+    pruned postings read for the UNION of all queries' terms and one
+    job score every query (a (query_id, term) broadcast fans the
+    shared postings out per query), instead of per-query job launches.
+
+    Reads only the buckets the terms hash into (partition pruning; the
+    bucket count comes from the index's own stats file, never the
+    caller) plus a pushed ``term IN (...)`` residual; scoring is the
+    same ln-idf BM25 as ``text.bm25_scores`` and the result provably
+    matches it (tested).
 
     ``candidates`` (id list or DataFrame,
     :func:`similarity.candidate_filter`) restricts scoring to a
     metadata-selected subset — filtered retrieval, filter-then-top-k.
-    Corpus statistics (idf, avgdl) intentionally stay CORPUS-wide: the
-    filter narrows which documents compete, not what words mean, the
-    standard behavior of a filtered search engine query.
+    Corpus statistics (idf via per-term doc frequency, avgdl, n_docs)
+    stay CORPUS-wide: the filter narrows which documents compete, not
+    what words mean — doc frequencies are therefore aggregated from
+    the pruned postings read BEFORE the candidate restriction, so a
+    document's filtered score equals its unfiltered score (tested; the
+    r9 ADVICE fix — df from the filtered subset inflated idf for
+    corpus-common terms with few candidates).
 
     ``as_of`` (a batch set captured from ``indexlog.committed_batches``
-    / ``log_snapshot``) pins the read: identical results — postings,
-    doc frequencies, AND the corpus totals scoring uses — no matter
-    what appends or compactions commit in between
-    (:func:`indexlog.resolve_as_of`; validity ends when vacuum purges
-    a pinned batch, which fails loudly here).
+    / ``log_snapshot``, or an ISO-8601 timestamp) pins the read:
+    identical results — postings, doc frequencies, AND the corpus
+    totals scoring uses — no matter what appends or compactions commit
+    in between (:func:`indexlog.resolve_as_of`; validity ends when
+    vacuum purges a pinned batch, which fails loudly here).
     """
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
+    single = not (query_terms and isinstance(query_terms[0], tuple))
+    queries = [(0, query_terms)] if single else list(query_terms)
+    if not queries or any(not terms for _, terms in queries):
+        raise ValueError("query_terms must be non-empty (every batch "
+                         "entry needs at least one term)")
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     analyzer = stats.asDict().get("analyzer", "simple")
     # queries go through the INDEX's analyzer (stats row), so stemming/
     # stopping is symmetric with what the writer indexed
-    terms = sorted(set(_analyze_query(spark, analyzer, query_terms)))
-    if not terms:
-        raise ValueError(
-            f"no query term survives the {analyzer!r} analyzer: "
-            f"{query_terms!r}")
+    per_query: list[tuple] = []
+    for qid, terms in queries:
+        analyzed = sorted(set(_analyze_query(spark, analyzer,
+                                             list(terms))))
+        if not analyzed:
+            raise ValueError(
+                f"no query term survives the {analyzer!r} analyzer: "
+                f"{list(terms)!r} (query {qid!r})")
+        per_query.append((qid, analyzed))
+    union_terms = sorted({t for _, ts in per_query for t in ts})
     # ONE log read yields both the committed-batch filter and the corpus
     # totals — a commit landing mid-query can't produce a mixed view
     # (new totals scoring old postings or vice versa)
     committed, totals = indexlog.log_snapshot(
         spark, path, "n_docs", "total_tokens", as_of=as_of)
     n_docs, total = totals["n_docs"], totals["total_tokens"]
-    buckets = _buckets_of(spark, terms, stats["n_buckets"])
+    buckets = _buckets_of(spark, union_terms, stats["n_buckets"])
     from dsgrid_spark.pipeline.similarity import candidate_filter
 
-    post = candidate_filter(
+    post_all = (
         indexlog.read_committed(spark, path, "postings", ids=committed)
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("id", "dl", "term", "tf"),  # positions stay on disk
-        candidates)
+        .filter(F.col("bucket").isin(buckets)
+                & F.col("term").isin(union_terms))
+        .select("id", "dl", "term", "tf"))  # positions stay on disk
     # doc frequency from the SAME pruned committed-filtered read the
     # scoring scans — never from a derived table rewritten in place
-    # (reader isolation, module docstring); map-side combine makes this
-    # one extra narrow aggregate over rows already in flight
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long")
-                                     .alias("df"))
+    # (reader isolation, module docstring) — and BEFORE the candidate
+    # restriction (corpus-wide idf, docstring); map-side combine makes
+    # this one extra narrow aggregate over rows already in flight
+    dfreq = post_all.groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                         .alias("df"))
+    post = candidate_filter(post_all, candidates)
     n = F.lit(float(n_docs))
     avgdl = F.lit(float(total) / float(n_docs))
     tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
@@ -238,11 +260,28 @@ def bm25_search(spark: SparkSession, path: str, query_terms: list[str],
                 + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
     per_term = idf * tf * F.lit(k1 + 1.0) / (
         tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+    if single:
+        scored = (
+            post.join(F.broadcast(dfreq), "term")
+            .groupBy("id").agg(F.sum(per_term).alias("bm25"))
+        )
+        return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+    from dsgrid_spark.pipeline.pq import query_id_type
+    from dsgrid_spark.session import one_slice_df
+    from pyspark.sql import Window
+
+    qid_type = query_id_type(per_query)
+    qterms = F.broadcast(one_slice_df(
+        spark, [(qid, t) for qid, ts in per_query for t in ts],
+        f"query_id {qid_type}, term string"))
     scored = (
-        post.join(F.broadcast(dfreq), "term")
-        .groupBy("id").agg(F.sum(per_term).alias("bm25"))
+        post.join(F.broadcast(dfreq), "term").join(qterms, "term")
+        .groupBy("query_id", "id").agg(F.sum(per_term).alias("bm25"))
     )
-    return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
+                                               F.asc("id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
 
 
 def append_term_index(df: DataFrame, path: str,
@@ -419,38 +458,85 @@ def hybrid_search(spark: SparkSession, term_path: str, vector_path: str,
     several times k so a document ranked modestly by BOTH retrievers
     can beat one ranked well by a single side (the RRF premise).
     """
-    from dsgrid_spark.pipeline.stream_index import index_kind
-
     if k_each < k:
         raise ValueError(f"k_each ({k_each}) must be >= k ({k})")
     lex = (bm25_search(spark, term_path, query_terms, k=k_each,
                        candidates=candidates)
            .select("id", F.col("bm25").alias("score")))
+    # int query id 0: the single-query convention every persisted
+    # search accepts (ivf_search's probe frame types query_id as long)
+    vec = _vector_search(
+        spark, vector_path, [(0, [float(x) for x in query_vector])],
+        k=k_each, n_probe=n_probe, candidates=candidates
+    ).drop("query_id")
+    fused = rrf_fuse([lex, vec], id_column="id", k=rrf_k)
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
+
+
+def _vector_search(spark: SparkSession, vector_path: str,
+                   queries: list[tuple], k: int, n_probe: int,
+                   candidates) -> DataFrame:
+    """(query_id, id, score) from whichever ANN index lives at
+    ``vector_path`` (hybrid_search's dispatch, factored for the batch
+    path — every persisted ANN search already takes a query LIST)."""
+    from dsgrid_spark.pipeline.stream_index import index_kind
+
     kind = index_kind(spark, vector_path)
-    # int query id: the single-query convention every persisted search
-    # accepts (ivf_search's probe frame types query_id as long)
-    queries = [(0, [float(x) for x in query_vector])]
     if kind == "ivf":
         from dsgrid_spark.pipeline.similarity import ivf_search
-        vec = ivf_search(spark, vector_path, queries, k=k_each,
+        vec = ivf_search(spark, vector_path, queries, k=k,
                          n_probe=n_probe, candidates=candidates)
     elif kind == "binary":
         from dsgrid_spark.pipeline.similarity import hamming_search
-        vec = hamming_search(spark, vector_path, queries, k=k_each,
+        vec = hamming_search(spark, vector_path, queries, k=k,
                              n_probe=n_probe, candidates=candidates)
     elif kind == "pq":
         from dsgrid_spark.pipeline.pq import pq_search
-        vec = pq_search(spark, vector_path, queries, k=k_each,
+        vec = pq_search(spark, vector_path, queries, k=k,
                         n_probe=n_probe, candidates=candidates)
     else:
         raise ValueError(f"no vector index at {vector_path!r} "
                          f"(found kind {kind!r})")
-    cols = vec.columns
-    score_col = "score" if "score" in cols else "hamming"
+    score_col = "score" if "score" in vec.columns else "hamming"
     vscore = (F.col(score_col) if score_col == "score"
               # bits-only binary index: Hamming ASCENDS; negate so the
               # shared desc-rank convention holds
               else (-F.col("hamming")).cast("double"))
-    vec = vec.select("id", vscore.alias("score"))
-    fused = rrf_fuse([lex, vec], id_column="id", k=rrf_k)
-    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
+    return vec.select("query_id", "id", vscore.alias("score"))
+
+
+def hybrid_search_batch(spark: SparkSession, term_path: str,
+                        vector_path: str,
+                        queries: list[tuple],
+                        k: int = 10, k_each: int = 50, n_probe: int = 4,
+                        rrf_k: int = 60, candidates=None) -> DataFrame:
+    """Batch hybrid retrieval: ``queries`` is
+    ``[(query_id, [terms...], vector), ...]`` and the result is
+    (query_id, id, rrf) with per-query top-k — equal to running
+    :func:`hybrid_search` per query (tested) at a fraction of the
+    launches: ONE batched BM25 job over the union of terms
+    (:func:`bm25_search`'s batch form), ONE ANN search over the query
+    list (every persisted ANN search already takes one), and ONE
+    per-query RRF fuse (:func:`rrf_fuse` with ``query_id`` as the
+    rank-window group). The offline-eval sweep path: a 1k-query set is
+    3 jobs, not 2k.
+    """
+    if k_each < k:
+        raise ValueError(f"k_each ({k_each}) must be >= k ({k})")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    lex = (bm25_search(spark, term_path,
+                       [(qid, terms) for qid, terms, _ in queries],
+                       k=k_each, candidates=candidates)
+           .select("query_id", "id", F.col("bm25").alias("score")))
+    vec = _vector_search(
+        spark, vector_path,
+        [(qid, [float(x) for x in v]) for qid, _, v in queries],
+        k=k_each, n_probe=n_probe, candidates=candidates)
+    fused = rrf_fuse([lex, vec], id_column="id",
+                     group_columns=("query_id",), k=rrf_k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("id"))
+    return (fused.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))

@@ -55,6 +55,7 @@ __all__ = [
     "read_sig_store",
     "sig_store_params",
     "ingest_dedup_batch",
+    "read_corpus",
     "ConcurrentBatchError",
 ]
 
@@ -96,16 +97,44 @@ def _sig_rows(df: DataFrame, text_column: str, id_column: str,
             .withColumn("batch", F.lit(batch_id)))
 
 
+def _write_corpus_batch(df: DataFrame, corpus_path: str,
+                        batch_id: str, mode: str = "append") -> None:
+    """One batch's surviving rows (ALL their columns) under
+    ``<corpus_path>/batch=<id>`` — the accumulated-corpus side table a
+    continuous-ingest loop needs for verification text. Written BEFORE
+    the signature-store commit and read filtered to the store's
+    committed batches, it inherits the store's atomicity: a batch's
+    corpus rows become visible exactly when its signatures do, and a
+    crashed attempt's rows are invisible and rewritten by the retry."""
+    (df.withColumn("batch", F.lit(batch_id))
+       .write.mode(mode).partitionBy("batch").parquet(corpus_path))
+
+
+def read_corpus(spark: SparkSession, path: str, corpus_path: str,
+                as_of=None) -> DataFrame:
+    """The accumulated corpus rows of COMMITTED batches — the
+    ``reference_df`` a store-managed ingest loop uses (``path`` is the
+    signature store whose log governs visibility; ``as_of`` pins as in
+    :func:`read_sig_store`)."""
+    ids = indexlog.resolve_batches(spark, path, as_of)
+    return (spark.read.parquet(corpus_path)
+            .filter(F.col("batch").isin(sorted(ids))).drop("batch"))
+
+
 def write_sig_store(df: DataFrame, path: str, text_column: str = "text",
                     id_column: str = "doc_id", num_hashes: int = 32,
                     shingle_k: int = 5, seed: int = 42,
                     n_shards: int = 16,
-                    signatures: DataFrame | None = None) -> None:
+                    signatures: DataFrame | None = None,
+                    corpus_path: str | None = None) -> None:
     """Build the store from an initial corpus: sign every row ONCE and
     persist (id, minhash) sharded by content hash. Rebuild order
     follows the other indexes: the old log and intents are deleted
     FIRST so a crash mid-rebuild cannot leave committed ids pointing at
-    vanished data."""
+    vanished data. ``corpus_path`` additionally seeds the accumulated-
+    corpus table (the seed rows under ``batch=base``) so later
+    :func:`ingest_dedup_batch` calls can manage reference text
+    automatically (see its ``corpus_path``)."""
     if num_hashes <= 0 or shingle_k <= 0 or n_shards <= 0:
         raise ValueError("num_hashes, shingle_k, and n_shards must be "
                          "positive")
@@ -118,6 +147,9 @@ def write_sig_store(df: DataFrame, path: str, text_column: str = "text",
     (rows.repartition("shard")
        .write.mode("overwrite").partitionBy("shard", "batch")
        .parquet(f"{path}/sigs"))
+    if corpus_path is not None:
+        _write_corpus_batch(df, corpus_path, indexlog.BASE_BATCH,
+                            mode="overwrite")
     from dsgrid_spark.session import one_slice_df
     (one_slice_df(spark, [(num_hashes, shingle_k, seed, n_shards)],
                   "num_hashes int, shingle_k int, seed int, n_shards int")
@@ -175,14 +207,15 @@ def read_sig_store(spark: SparkSession, path: str,
 
 
 def ingest_dedup_batch(new_df: DataFrame, path: str,
-                       reference_df: DataFrame,
+                       reference_df: DataFrame | None = None,
                        text_column: str = "text",
                        id_column: str = "doc_id",
                        batch_id: str | None = None,
                        num_bands: int = 4, threshold: float = 0.8,
                        within_batch: bool = True,
                        max_bucket_size: int | None = None,
-                       require_reference_coverage: bool = True) -> DataFrame:
+                       require_reference_coverage: bool = True,
+                       corpus_path: str | None = None) -> DataFrame:
     """Dedup one incoming batch against the persisted store and
     register the survivors' signatures — the crash-safe continuous-
     ingest step.
@@ -206,6 +239,17 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
     reference scoped to the seed quietly stops deduping against later
     batches' survivors.
 
+    ``corpus_path`` makes the loop TURNKEY: the store manages the
+    accumulated corpus itself. Each batch's surviving rows (all
+    columns) are written under ``<corpus_path>/batch=<id>`` BEFORE the
+    signature commit — visible exactly when the batch's signatures
+    are, rewritten by crashed-attempt retries — and when
+    ``reference_df`` is omitted, the reference becomes the committed
+    corpus read (:func:`read_corpus`), which by construction covers
+    every committed id: the coverage foot-gun is designed out rather
+    than guarded. Seed it at build time
+    (``write_sig_store(..., corpus_path=...)``).
+
     Crash/replay contract: if ``batch_id`` already committed, nothing
     is recomputed or re-registered — the survivor set is recovered
     from the store itself (the batch's registered ids ARE the
@@ -218,6 +262,9 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
     knobs (banding happens at read time).
     """
     spark = new_df.sparkSession
+    if reference_df is None and corpus_path is None:
+        raise ValueError("pass reference_df (caller-managed corpus "
+                         "text) or corpus_path (store-managed)")
     committed, ingested = indexlog.batch_sets(spark, path)
     if batch_id is None:
         batch_id = indexlog.claim_auto_batch_id(spark, path, ingested)
@@ -239,6 +286,8 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
                 .select(id_column).distinct())
         return new_df.join(kept, id_column, "left_semi")
     params = _read_params(spark, path)
+    if reference_df is None:
+        reference_df = read_corpus(spark, path, corpus_path)
     ref_sigs = read_sig_store(spark, path, id_column)
     new_sigs = minhash_signatures(
         new_df, text_column, num_hashes=int(params["num_hashes"]),
@@ -254,6 +303,12 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
     # caller's consumption must see the SAME rows, and the append
     # re-reads it
     survivors = survivors.localCheckpoint()
+    if corpus_path is not None:
+        # corpus rows land BEFORE the commit (retry deletes+rewrites);
+        # readers filter to committed batches, so they flip atomically
+        # with the signatures at the log write below
+        indexlog.delete_glob(spark, f"{corpus_path}/batch={batch_id}")
+        _write_corpus_batch(survivors, corpus_path, batch_id)
     # ONE signing pass serves dedup and registration: the batch's
     # signature table sliced to the survivor ids (extra signatures of
     # dropped rows never reach the store)

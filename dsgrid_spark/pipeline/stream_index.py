@@ -32,11 +32,11 @@ Contract notes:
   have no per-document identity, so this sink documents the hazard
   instead — keep one checkpoint per (source, index) pair.
 - For the signature store the sink uses :func:`sigstore.append_sig_store`
-  (register incoming signatures verbatim). To DEDUP each micro-batch
-  against the corpus before registering, compose
-  ``sigstore.ingest_dedup_batch`` in your own foreachBatch with
-  :func:`stream_batch_id` — the id derivation is public for exactly
-  this purpose.
+  (register incoming signatures verbatim). For the most common
+  production loop — dedup each micro-batch against the corpus,
+  register the survivors, and index them, all under ONE derived batch
+  id — use :func:`streaming_dedup_index` (below); the id derivation
+  (:func:`stream_batch_id`) stays public for bespoke sinks.
 
 Reference parity: the reference engine has no streaming or index
 surface; this composes the package's beyond-reference streaming and
@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dsgrid_spark.pipeline.ingest import _stream_id
 
-__all__ = ["index_kind", "stream_batch_id", "streaming_index_append"]
+__all__ = ["index_kind", "stream_batch_id", "streaming_index_append",
+           "streaming_dedup_index"]
 
 #: index kind -> exactly-once appender (resolved lazily to keep module
 #: import light); every appender shares the (df, path, batch_id=...)
@@ -157,6 +158,67 @@ def streaming_index_append(stream_df: DataFrame, path: str,
     # — the exactly-once guard covers redelivery of the same
     # micro-batch, not re-emission across micro-batches — and an
     # append-only index would accumulate duplicates.
+    writer = (stream_df.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_dedup_index(stream_df: DataFrame, sig_path: str,
+                          checkpoint_dir: str,
+                          index_path: str | None = None,
+                          corpus_path: str | None = None,
+                          reference_df=None,
+                          text_column: str = "text",
+                          id_column: str = "doc_id",
+                          num_bands: int = 4, threshold: float = 0.8,
+                          available_now: bool = True,
+                          index_kwargs: dict | None = None):
+    """The turnkey continuous-ingest stream: every micro-batch is
+    DEDUPED against the committed signature store
+    (:func:`sigstore.ingest_dedup_batch`), its SURVIVORS registered,
+    and (optionally) appended to a persisted index — all under ONE
+    checkpoint-lineage-derived batch id, exactly-once END TO END.
+
+    The shared id is what makes the multi-sink step crash-safe: a
+    redelivered micro-batch re-derives it, the dedup step recovers the
+    survivor set from the store without recomputing, and the index
+    appender no-ops if its half already committed — so a crash BETWEEN
+    the signature commit and the index append resumes precisely at the
+    index append, with identical survivors.
+
+    Reference text: pass ``corpus_path`` (recommended — the store
+    manages the accumulated corpus itself and the reference ALWAYS
+    covers every committed id, see ``ingest_dedup_batch``; seed it via
+    ``write_sig_store(..., corpus_path=...)``) or ``reference_df`` (a
+    DataFrame, or a zero-arg callable re-evaluated per micro-batch for
+    sources whose file listing is frozen at DataFrame creation).
+    ``index_kwargs`` forward to the index kind's appender
+    (``id_column``/``text_column``/``vector_column``...). Returns the
+    started ``StreamingQuery``.
+    """
+    from dsgrid_spark.pipeline.sigstore import ingest_dedup_batch
+
+    spark = stream_df.sparkSession
+    if index_path is not None:
+        kind = index_kind(spark, index_path)
+        append = _appender(kind)
+    kwargs = dict(index_kwargs or {})
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bid = stream_batch_id(checkpoint_dir, batch_id)
+        ref = reference_df() if callable(reference_df) else reference_df
+        survivors = ingest_dedup_batch(
+            batch_df, sig_path, ref, text_column=text_column,
+            id_column=id_column, batch_id=bid, num_bands=num_bands,
+            threshold=threshold, corpus_path=corpus_path)
+        if index_path is not None:
+            append(survivors, index_path, batch_id=bid, **kwargs)
+
     writer = (stream_df.writeStream.foreachBatch(_sink)
               .option("checkpointLocation", checkpoint_dir)
               .outputMode("append"))

@@ -30,9 +30,9 @@ from dsgrid_spark.pipeline import indexlog
 from dsgrid_spark.pipeline.retrieval import (
     bm25_search, hybrid_search, write_term_index,
 )
-from dsgrid_spark.pipeline.sigstore import ingest_dedup_batch, write_sig_store
+from dsgrid_spark.pipeline.sigstore import write_sig_store
 from dsgrid_spark.pipeline.similarity import kmeans_centroids, write_ivf_index
-from dsgrid_spark.pipeline.stream_index import stream_batch_id
+from dsgrid_spark.pipeline.stream_index import streaming_dedup_index
 from dsgrid_spark.session import get_spark
 
 
@@ -49,48 +49,35 @@ def main() -> None:
 
     root = tempfile.mkdtemp(prefix="continuous_ingest_")
     sig_path, term_path = f"{root}/sigs", f"{root}/term"
+    corpus_path = f"{root}/corpus"
 
-    # 1. seed the stores from the initial corpus
+    # 1. seed the stores from the initial corpus — corpus_path makes
+    #    the store manage its own accumulated reference text, so the
+    #    verification reference ALWAYS covers every committed id
     write_sig_store(seed, sig_path, num_hashes=16, shingle_k=4,
-                    n_shards=4)
+                    n_shards=4, corpus_path=corpus_path)
     write_term_index(seed, term_path, n_buckets=16)
     print(f"seeded {seed.count()} docs")
 
-    # 2. the streaming leg: new docs arrive as files; each micro-batch
-    #    dedups against the committed store, survivors feed the index.
-    #    (A custom foreachBatch because the sink does dedup-then-append;
-    #    stream_batch_id supplies the same lineage-scoped exactly-once
-    #    ids streaming_index_append uses.)
+    # 2. the streaming leg, ONE call: each micro-batch dedups against
+    #    the committed store, survivors register + append to the term
+    #    index under one lineage-derived batch id, exactly-once end to
+    #    end (crash between the two sinks resumes at the index append)
     inc_dir, ckpt = f"{root}/incoming", f"{root}/ckpt"
     incoming.coalesce(2).write.parquet(inc_dir)
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(inc_dir))
-
-    def sink(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        bid = stream_batch_id(ckpt, batch_id)
-        # reference_df must cover the TEXT of every committed id (it is
-        # the verification-text source for candidate pairs from the sig
-        # store) — the full docs table is a safe superset here; passing
-        # only `seed` would silently skip verification against earlier
-        # micro-batches' survivors and keep their near-duplicates
-        survivors = ingest_dedup_batch(batch_df, sig_path, docs,
-                                       batch_id=bid)
-        from dsgrid_spark.pipeline.retrieval import append_term_index
-        append_term_index(survivors, term_path, batch_id=bid)
-
-    q = (stream.writeStream.foreachBatch(sink)
-         .option("checkpointLocation", ckpt)
-         .outputMode("append").trigger(availableNow=True).start())
+    q = streaming_dedup_index(stream, sig_path, ckpt,
+                              index_path=term_path,
+                              corpus_path=corpus_path)
     q.awaitTermination(300)
     visible = sorted(indexlog.committed_batches(spark, term_path))
     print(f"streamed in; index batches: {visible}")
 
     # rerun the same stream: offsets committed -> nothing re-fires
-    q2 = (stream.writeStream.foreachBatch(sink)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(availableNow=True).start())
+    q2 = streaming_dedup_index(stream, sig_path, ckpt,
+                               index_path=term_path,
+                               corpus_path=corpus_path)
     q2.awaitTermination(300)
     assert sorted(indexlog.committed_batches(spark, term_path)) == visible
     print("replayed stream: no new commits (exactly-once)")

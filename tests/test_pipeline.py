@@ -4658,3 +4658,194 @@ def test_rebalance_pq_residual_reencodes(spark, tmp_path):
             spark, fresh, queries, k=5, n_probe=np_,
             rerank=False).collect()))
         assert got == want
+
+
+def test_bm25_batch_queries_equal_per_query_loop(spark, tmp_path):
+    """(r10, VERDICT missing-#4) the batch form of bm25_search — one
+    pruned postings read for the UNION of terms, one job — returns
+    exactly what the per-query loop returns, per-query top-k."""
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+
+    docs = spark.createDataFrame(
+        [(i, f"spark shuffle {'broadcast ' * (i % 3)}window catalyst "
+             f"{'tungsten ' if i % 2 else 'codegen '}stage task")
+         for i in range(30)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=8)
+    batch = [(0, ["spark", "broadcast"]), (1, ["tungsten", "window"]),
+             (2, ["codegen"])]
+    got = sorted(map(tuple, bm25_search(spark, path, batch,
+                                        k=5).collect()))
+    want = sorted(
+        (qid, r["id"], r["bm25"])
+        for qid, terms in batch
+        for r in bm25_search(spark, path, terms, k=5).collect())
+    assert got == want
+    # empty-terms entries fail loudly, as the single form does
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search(spark, path, [(0, ["spark"]), (1, [])])
+
+
+def test_bm25_filtered_scores_stay_corpus_wide(spark, tmp_path):
+    """(r10, ADVICE) candidates= narrows WHO competes, not what words
+    mean: per-term doc frequency now aggregates BEFORE the candidate
+    restriction, so a document's filtered score equals its unfiltered
+    score (previously a corpus-common term with few candidates got
+    inflated idf)."""
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+
+    # 'common' appears in every doc; 'rare' in two
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare " if i in (3, 7) else "") +
+             f"filler{i % 4}") for i in range(20)],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=4)
+    unfiltered = {r["id"]: r["bm25"] for r in bm25_search(
+        spark, path, ["common", "rare"], k=20).collect()}
+    filtered = {r["id"]: r["bm25"] for r in bm25_search(
+        spark, path, ["common", "rare"], k=20,
+        candidates=[3, 4, 5]).collect()}
+    assert set(filtered) == {3, 4, 5}
+    for i, score in filtered.items():
+        assert score == pytest.approx(unfiltered[i], rel=0, abs=0)
+    # the batch form applies the same contract
+    fb = {(r["query_id"], r["id"]): r["bm25"] for r in bm25_search(
+        spark, path, [(9, ["common", "rare"])], k=20,
+        candidates=[3, 4, 5]).collect()}
+    assert fb == {(9, i): filtered[i] for i in (3, 4, 5)}
+
+
+def test_hybrid_search_batch_equals_per_query(spark, tmp_path):
+    """(r10) hybrid_search_batch == the per-query hybrid_search loop,
+    with per-query RRF rank windows — 3 jobs for the whole set."""
+    from dsgrid_spark.pipeline.retrieval import (
+        hybrid_search, hybrid_search_batch, write_term_index,
+    )
+    from dsgrid_spark.pipeline.similarity import (
+        kmeans_centroids, write_ivf_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark shuffle {'broadcast ' * (i % 3)}window "
+             f"{'tungsten' if i % 2 else 'codegen'}")
+         for i in range(24)], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 5 + j) % 7) - 3) for j in range(6)])
+         for i in range(24)], "vec_id long, embedding array<double>")
+    tpath, vpath = str(tmp_path / "term"), str(tmp_path / "ivf")
+    write_term_index(docs, tpath, n_buckets=4)
+    write_ivf_index(emb, vpath, kmeans_centroids(emb, 3, 6, iterations=2))
+    queries = [
+        (0, ["spark", "broadcast"], [1.0, -1.0, 2.0, 0.0, -2.0, 3.0]),
+        (1, ["tungsten", "window"], [-3.0, 2.0, 0.0, 1.0, 2.0, -1.0]),
+    ]
+    got = sorted(map(tuple, hybrid_search_batch(
+        spark, tpath, vpath, queries, k=5, k_each=10,
+        n_probe=3).collect()))
+    want = sorted(
+        (qid, r["id"], r["rrf"])
+        for qid, terms, vec in queries
+        for r in hybrid_search(spark, tpath, vpath, terms, vec, k=5,
+                               k_each=10, n_probe=3).collect())
+    assert got == want
+
+
+def test_streaming_dedup_index_turnkey(spark, tmp_path):
+    """(r10, VERDICT missing-#2) the one-call continuous-ingest stream:
+    each micro-batch dedups against the committed store (reference text
+    managed by the store via corpus_path — ALWAYS covering committed
+    ids, the r9 foot-gun designed out), survivors register AND index
+    under one derived batch id. Cross-micro-batch near-dups drop; a
+    replayed stream commits nothing; a crash between the signature
+    commit and the index append resumes at the index append with
+    identical survivors."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, bm25_search, write_term_index,
+    )
+    from dsgrid_spark.pipeline.sigstore import (
+        ingest_dedup_batch, read_corpus, read_sig_store, write_sig_store,
+    )
+    from dsgrid_spark.pipeline.stream_index import (
+        stream_batch_id, streaming_dedup_index,
+    )
+
+    seed, _ = _sigstore_fixture(spark)
+    root = tmp_path
+    sig_path, corpus_path = str(root / "sigs"), str(root / "corpus")
+    term_path = str(root / "term")
+    write_sig_store(seed, sig_path, num_hashes=64, shingle_k=3,
+                    corpus_path=corpus_path)
+    write_term_index(seed, term_path, n_buckets=4)
+
+    # micro-batch 1 brings a novel doc (11); micro-batch 2 brings a
+    # near-dup OF 11 (12) — droppable only if the reference covers
+    # batch 1's survivors, which corpus_path guarantees
+    mb1 = [(10, "alpha beta gamma delta epsilon zeta eta theta iota "
+                "NOPE"),
+           (11, "spark catalyst tungsten shuffle broadcast partition "
+                "codegen adaptive skew salt")]
+    mb2 = [(12, "spark catalyst tungsten shuffle broadcast partition "
+                "codegen adaptive skew SALTY"),
+           (13, "totally fresh words appear precisely once in here "
+                "believe me now")]
+    inc_dir, ckpt = str(root / "incoming"), str(root / "ckpt")
+    spark.createDataFrame(mb1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(inc_dir)
+    spark.createDataFrame(mb2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(inc_dir)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(inc_dir))
+    q = streaming_dedup_index(stream, sig_path, ckpt,
+                              index_path=term_path,
+                              corpus_path=corpus_path,
+                              num_bands=32, threshold=0.5)
+    q.awaitTermination(300)
+
+    stored = sorted(r["doc_id"] for r in
+                    read_sig_store(spark, sig_path).collect())
+    # 10 near-dups seed doc 0 -> dropped; 12 near-dups 11 across
+    # micro-batches -> dropped; 11 and 13 survive
+    assert stored == [0, 1, 2, 11, 13]
+    assert sorted(r["doc_id"] for r in
+                  read_corpus(spark, sig_path, corpus_path)
+                  .select("doc_id").collect()) == stored
+    hits = {r["id"] for r in bm25_search(
+        spark, term_path, ["catalyst"], k=5).collect()}
+    assert hits == {11}
+    term_batches = indexlog.committed_batches(spark, term_path)
+
+    # replayed stream: offsets committed, nothing re-fires
+    q2 = streaming_dedup_index(stream, sig_path, ckpt,
+                               index_path=term_path,
+                               corpus_path=corpus_path,
+                               num_bands=32, threshold=0.5)
+    q2.awaitTermination(300)
+    assert indexlog.committed_batches(spark, term_path) == term_batches
+    assert sorted(r["doc_id"] for r in
+                  read_sig_store(spark, sig_path).collect()) == stored
+
+    # crash between the two sinks: signatures commit under bid, the
+    # index append never runs — the re-run recovers the SAME survivors
+    # without recomputing and lands exactly the missing index batch
+    mb3 = spark.createDataFrame(
+        [(20, "spark catalyst tungsten shuffle broadcast partition "
+              "codegen adaptive skew SALTED"),
+         (21, "unique vocabulary for the third micro batch entirely "
+              "novel")], "doc_id long, text string")
+    bid = stream_batch_id(ckpt, 99)
+    surv = ingest_dedup_batch(mb3, sig_path, batch_id=bid,
+                              corpus_path=corpus_path, num_bands=32,
+                              threshold=0.5)
+    kept3 = sorted(r["doc_id"] for r in surv.collect())
+    assert kept3 == [21]  # 20 near-dups 11 via the store
+    # ... crash here (no index append); the resumed step:
+    surv2 = ingest_dedup_batch(mb3, sig_path, batch_id=bid,
+                               corpus_path=corpus_path, num_bands=32,
+                               threshold=0.5)
+    assert sorted(r["doc_id"] for r in surv2.collect()) == kept3
+    assert append_term_index(surv2, term_path, batch_id=bid) is True
+    assert append_term_index(surv2, term_path, batch_id=bid) is False
+    assert {r["id"] for r in bm25_search(
+        spark, term_path, ["vocabulary"], k=3).collect()} == {21}
