@@ -519,23 +519,28 @@ def cmd_index_append(args) -> int:
 
 def _parse_candidates(spark, spec: str | None):
     """--candidates: a parquet path (its id column or single column) or
-    a comma-separated id list (ints when every token parses as one) —
-    the filtered-ANN restriction, forwarded to candidate_filter."""
+    a comma-separated id list — the filtered-ANN restriction, forwarded
+    to candidate_filter (which coerces list ids toward the index's id
+    column type, so numeric-looking ids work against string-id indexes
+    and vice versa — or fail loudly, never match-nothing silently)."""
     if not spec:
         return None
     import os
 
-    if os.path.exists(spec):
-        return spark.read.parquet(spec)
-    if os.sep in spec or spec.endswith(".parquet"):
+    path_shaped = ("://" in spec or os.sep in spec
+                   or spec.endswith(".parquet"))
+    if path_shaped:
+        # existence probed through the Hadoop FileSystem API, so
+        # s3://, hdfs://, etc. work like every other index operation —
+        # a driver-local os.path.exists would reject any remote path
+        jp = spark._jvm.org.apache.hadoop.fs.Path(spec)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jp):
+            return spark.read.parquet(spec)
         # path-shaped but absent: fail loudly — treating a typo'd path
         # as a one-string id list would "succeed" with zero results
         raise SystemExit(f"--candidates path does not exist: {spec}")
-    toks = [t.strip() for t in spec.split(",") if t.strip()]
-    try:
-        return [int(t) for t in toks]
-    except ValueError:
-        return toks
+    return [t.strip() for t in spec.split(",") if t.strip()]
 
 
 def cmd_index_search(args) -> int:

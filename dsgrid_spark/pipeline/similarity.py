@@ -120,7 +120,27 @@ def candidate_filter(df: DataFrame, candidates,
         return df.join(
             candidates.select(F.col(key).alias(id_column)).distinct(),
             id_column, "left_semi")
-    ids = sorted(set(candidates))
+    # coerce toward the scanned column's type FIRST: an isin/semi-join
+    # comparing int literals to a string id column (or vice versa)
+    # silently matches nothing — the string-degrades-silently family
+    # this module guards against elsewhere
+    from pyspark.sql.types import StringType
+
+    dtype = df.schema[id_column].dataType
+    if isinstance(dtype, StringType):
+        vals = [v if isinstance(v, str) else str(v) for v in candidates]
+    else:
+        vals = []
+        for v in candidates:
+            if isinstance(v, str):
+                try:
+                    v = int(v)
+                except ValueError:
+                    raise ValueError(
+                        f"candidate id {v!r} does not match the index "
+                        f"id column type {dtype.simpleString()}")
+            vals.append(v)
+    ids = sorted(set(vals))
     if not ids:
         raise ValueError("candidates is empty: no rows could ever "
                          "match (pass None for an unfiltered search)")

@@ -1093,3 +1093,45 @@ def test_cli_index_rebalance_and_skew(spark, tmp_path, capsys):
     lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
              if ln.startswith("{")]
     assert len(lines) == 3
+
+
+def test_candidate_filter_coerces_toward_id_column_type(spark, tmp_path,
+                                                        capsys):
+    """(r10, ADVICE) list candidates are cast toward the scanned id
+    column's type: numeric-looking ids filter a STRING-id index (the
+    CLI's comma-list always arrives as strings now), string digits
+    filter a numeric index, and a genuinely non-numeric id against a
+    numeric column fails loudly instead of matching nothing."""
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+    from dsgrid_spark.pipeline.similarity import candidate_filter
+
+    str_df = spark.createDataFrame(
+        [("7", 1.0), ("8", 2.0), ("x9", 3.0)], "id string, v double")
+    got = candidate_filter(str_df, [7, "x9"])
+    assert sorted(r["id"] for r in got.collect()) == ["7", "x9"]
+    long_df = spark.createDataFrame(
+        [(7, 1.0), (8, 2.0)], "id long, v double")
+    assert [r["id"] for r in
+            candidate_filter(long_df, ["7"]).collect()] == [7]
+    with pytest.raises(ValueError, match="does not match"):
+        candidate_filter(long_df, ["x9"]).collect()
+
+    # end-to-end through the CLI against a STRING-id term index: the
+    # old int coercion made this silently return zero results
+    docs = spark.createDataFrame(
+        [("7", "spark window"), ("8", "spark shuffle"),
+         ("9", "spark catalyst")], "doc_id string, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=2)
+    assert cli_main(["index", "search", path, "spark",
+                     "--candidates", "7,9"]) == 0
+    import json as _json
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")]
+    assert sorted(r["id"] for r in rows) == ["7", "9"]
+    # a typo'd remote-shaped path still fails loudly (Hadoop FS probe)
+    with pytest.raises(SystemExit, match="does not exist"):
+        cli_main(["index", "search", path, "spark",
+                  "--candidates", str(tmp_path / "nope.parquet")])
