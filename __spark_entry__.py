@@ -1214,6 +1214,27 @@ def q33_similarity_lsh(spark, sf_dir):
             F.col("id").alias("vec_id"),
             F.col("hamming").cast("long").alias("score"),
         ).localCheckpoint()  # materialize before the index dir vanishes
+
+        # 'rebal' (r10): REBALANCE end-to-end — a second persisted
+        # index (store_vectors=True: rebalance re-clusters from the
+        # stored payload) has its centroids RETRAINED on the committed
+        # corpus and every row reassigned, atomically flipped through
+        # the compactions/ log (pipeline/rebalance.py). Bits are moved,
+        # never recomputed, and a full probe of the new generation is
+        # exhaustive, so the same integer-exact sign-disagreement
+        # oracle applies — the retrain/reassign/flip machinery is what
+        # the branch puts under the driver gate.
+        from dsgrid_spark.pipeline.rebalance import rebalance_index
+
+        write_binary_index(emb_full, f"{tmp}/ridx", cents)
+        rebalance_index(spark, f"{tmp}/ridx", n_clusters=2,
+                        iterations=2, init="sample")
+        rebal = hamming_search(spark, f"{tmp}/ridx", hq_list, k=5,
+                               n_probe=2, rerank=False).select(
+            F.lit("rebal").alias("op"), "query_id",
+            F.col("id").alias("vec_id"),
+            F.col("hamming").cast("long").alias("score"),
+        ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return (single.select(F.lit("single").alias("op"),
@@ -1221,7 +1242,8 @@ def q33_similarity_lsh(spark, sf_dir):
             .unionByName(probe.select(F.lit("probe").alias("op"),
                                       "query_id", "vec_id", sc))
             .unionByName(ham)
-            .unionByName(hdisk))
+            .unionByName(hdisk)
+            .unionByName(rebal))
 
 
 def q34_multimodal_features(spark, sf_dir):
@@ -3274,6 +3296,26 @@ def oracle_sql() -> dict[str, str]:
             -- sign-disagreement top-5 as 'ham' (integer-exact)
             SELECT op, query_id, vec_id, score FROM (
               SELECT 'hdisk' AS op, q.vec_id AS query_id, c.vec_id,
+                   CAST(list_sum(list_transform(range(64), i ->
+                     CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
+                            <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS score
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_sum(list_transform(range(64), i ->
+                     CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
+                            <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
+                          THEN 1 ELSE 0 END)) ASC,
+                         c.vec_id) <= 5
+            )
+            UNION ALL
+            -- 'rebal': after retrain + reassign the bits are unchanged
+            -- and a full probe of the new generation is exhaustive, so
+            -- the expected rows are the same sign-disagreement top-5
+            SELECT op, query_id, vec_id, score FROM (
+              SELECT 'rebal' AS op, q.vec_id AS query_id, c.vec_id,
                    CAST(list_sum(list_transform(range(64), i ->
                      CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
                             <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
