@@ -677,16 +677,60 @@ def cmd_index_describe(args) -> int:
     return 0
 
 
+def cmd_index_hybrid(args) -> int:
+    """Hybrid BM25 + ANN retrieval over two persisted indexes, RRF
+    fused. One query: positional terms + one --vector. A batch (the
+    eval-sweep shape — one BM25 job, one ANN job, one fuse): repeated
+    --query '{"id": ..., "terms": [...], "vector": [...]}' JSON."""
+    from dsgrid_spark.pipeline.retrieval import (
+        hybrid_search, hybrid_search_batch,
+    )
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    cand = _parse_candidates(spark, args.candidates)
+    if args.query:
+        if args.terms or args.vector:
+            raise SystemExit("--query (batch) and positional terms/"
+                             "--vector (single) are mutually exclusive")
+        queries = []
+        for q in args.query:
+            spec = json.loads(q)
+            queries.append((spec["id"], list(spec["terms"]),
+                            [float(x) for x in spec["vector"]]))
+        df = hybrid_search_batch(spark, args.term_path,
+                                 args.vector_path, queries, k=args.k,
+                                 k_each=args.k_each,
+                                 n_probe=args.n_probe, candidates=cand)
+    else:
+        if not args.terms or not args.vector:
+            raise SystemExit("hybrid search needs query terms and "
+                             "--vector (or a --query batch)")
+        df = hybrid_search(spark, args.term_path, args.vector_path,
+                           args.terms, json.loads(args.vector),
+                           k=args.k, k_each=args.k_each,
+                           n_probe=args.n_probe, candidates=cand)
+    for row in df.collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_index_rebalance(args) -> int:
     from dsgrid_spark.pipeline.rebalance import rebalance_index
     from dsgrid_spark.session import get_spark
 
     spark = get_spark("dsgrid-spark-cli")
-    new_id = rebalance_index(spark, args.path,
-                             n_clusters=args.n_clusters,
-                             iterations=args.iterations,
-                             init=args.init,
-                             fit_sample_cap=args.fit_sample_cap)
+    kwargs = dict(n_clusters=args.n_clusters,
+                  iterations=args.iterations, init=args.init,
+                  fit_sample_cap=args.fit_sample_cap)
+    if args.if_skewed is not None:
+        from dsgrid_spark.pipeline.rebalance import rebalance_if_skewed
+
+        new_id = rebalance_if_skewed(spark, args.path,
+                                     max_over_mean=args.if_skewed,
+                                     **kwargs)
+    else:
+        new_id = rebalance_index(spark, args.path, **kwargs)
     print(json.dumps({"rebalanced_batch": new_id}))
     return 0
 
@@ -927,6 +971,25 @@ def main(argv: list[str] | None = None) -> int:
                           "the when-to-rebalance signal")
     idd.set_defaults(fn=cmd_index_describe)
 
+    ih = idxsub.add_parser(
+        "hybrid", help="BM25 + ANN retrieval over two persisted "
+        "indexes, RRF fused (single query, or a --query batch in one "
+        "BM25 job + one ANN job)")
+    ih.add_argument("term_path")
+    ih.add_argument("vector_path")
+    ih.add_argument("terms", nargs="*", help="single query: BM25 terms")
+    ih.add_argument("--vector", default=None,
+                    help="single query: JSON query vector")
+    ih.add_argument("--query", action="append", default=[],
+                    help='batch entry: \'{"id":0,"terms":[...],'
+                         '"vector":[...]}\' (repeatable)')
+    ih.add_argument("-k", type=int, default=10)
+    ih.add_argument("--k-each", type=int, default=50,
+                    help="per-retriever fusion pool depth")
+    ih.add_argument("--n-probe", type=int, default=4)
+    ih.add_argument("--candidates", default=None)
+    ih.set_defaults(fn=cmd_index_hybrid)
+
     irb = idxsub.add_parser(
         "rebalance", help="retrain coarse centroids on the committed "
         "vectors and reassign every row — the drift fix (atomic flip "
@@ -940,6 +1003,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="k-means init (parallel = k-means||, the "
                           "drift-structure default)")
     irb.add_argument("--fit-sample-cap", type=int, default=None)
+    irb.add_argument("--if-skewed", type=float, default=None,
+                     metavar="RATIO",
+                     help="cron mode: rebalance only when the heaviest "
+                          "cluster exceeds RATIO x the mean (one "
+                          "count-only scan when healthy)")
     irb.set_defaults(fn=cmd_index_rebalance)
 
     args = p.parse_args(argv)

@@ -77,7 +77,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dsgrid_spark.pipeline import indexlog
 
-__all__ = ["rebalance_index", "RebalanceAborted", "cluster_skew"]
+__all__ = ["rebalance_index", "rebalance_if_skewed", "RebalanceAborted",
+           "cluster_skew"]
 
 
 class RebalanceAborted(RuntimeError):
@@ -268,6 +269,40 @@ def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
     indexlog.log_batch(spark, path, batch_id, **metrics)
     indexlog.clear_intent(spark, path, batch_id)
     return batch_id
+
+
+#: payload subtree whose row counts define skew, per index kind (the
+#: scan payload — what probe-pruned searches actually read)
+_SKEW_SUBDIR = {"ivf": "vectors", "binary": "bits", "pq": "codes"}
+
+
+def rebalance_if_skewed(spark: SparkSession, path: str,
+                        max_over_mean: float = 3.0,
+                        **rebalance_kwargs) -> str | None:
+    """The cron-shaped maintenance entry: measure the scan payload's
+    per-cluster skew and run :func:`rebalance_index` only when the
+    heaviest cluster exceeds ``max_over_mean`` times the mean — one
+    count-only aggregate when healthy, the full retrain only when the
+    drift signal says so. Returns the new batch id, or None when no
+    rebalance was needed. ``rebalance_kwargs`` forward to
+    :func:`rebalance_index` (``n_clusters``, ``init``,
+    ``fit_sample_cap``...)."""
+    from dsgrid_spark.pipeline.stream_index import index_kind
+
+    kind = index_kind(spark, path)
+    sub = _SKEW_SUBDIR.get(kind)
+    if sub is None:
+        raise ValueError(
+            f"rebalance applies to vector indexes (ivf/binary/pq); "
+            f"{path!r} is a {kind!r} index")
+    if max_over_mean <= 1.0:
+        raise ValueError(
+            f"max_over_mean must exceed 1.0 (a perfectly balanced "
+            f"index sits at 1.0), got {max_over_mean}")
+    skew = cluster_skew(spark, path, sub)
+    if skew["max_over_mean"] < max_over_mean:
+        return None
+    return rebalance_index(spark, path, **rebalance_kwargs)
 
 
 def cluster_skew(spark: SparkSession, path: str, subdir: str,

@@ -1135,3 +1135,65 @@ def test_candidate_filter_coerces_toward_id_column_type(spark, tmp_path,
     with pytest.raises(SystemExit, match="does not exist"):
         cli_main(["index", "search", path, "spark",
                   "--candidates", str(tmp_path / "nope.parquet")])
+
+
+def test_cli_index_hybrid_and_if_skewed(spark, tmp_path, capsys):
+    """(r10) `index hybrid` (single + --query batch) matches the API;
+    `index rebalance --if-skewed` runs only when the heaviest cluster
+    crosses the threshold (cron mode: one count-only scan when
+    healthy)."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline.rebalance import rebalance_if_skewed
+    from dsgrid_spark.pipeline.retrieval import (
+        hybrid_search, write_term_index,
+    )
+    from dsgrid_spark.pipeline.similarity import (
+        kmeans_centroids, write_ivf_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark shuffle {'broadcast ' * (i % 3)}window "
+             f"{'tungsten' if i % 2 else 'codegen'}")
+         for i in range(20)], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 5 + j) % 7) - 3) for j in range(6)])
+         for i in range(20)], "vec_id long, embedding array<double>")
+    tpath, vpath = str(tmp_path / "term"), str(tmp_path / "ivf")
+    write_term_index(docs, tpath, n_buckets=4)
+    write_ivf_index(emb, vpath, kmeans_centroids(emb, 3, 6, iterations=2))
+
+    vec = [1.0, -1.0, 2.0, 0.0, -2.0, 3.0]
+    want = [(r["id"], r["rrf"]) for r in hybrid_search(
+        spark, tpath, vpath, ["spark", "broadcast"], vec, k=5,
+        k_each=10, n_probe=3).collect()]
+    assert cli_main(["index", "hybrid", tpath, vpath, "spark",
+                     "broadcast", "--vector", _json.dumps(vec),
+                     "-k", "5", "--k-each", "10", "--n-probe", "3"]) == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")]
+    assert [(r["id"], r["rrf"]) for r in rows] == want
+
+    q = _json.dumps({"id": 7, "terms": ["spark", "broadcast"],
+                     "vector": vec})
+    assert cli_main(["index", "hybrid", tpath, vpath, "--query", q,
+                     "-k", "5", "--k-each", "10", "--n-probe", "3"]) == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")]
+    assert sorted((r["id"], r["rrf"]) for r in rows) == sorted(want)
+    assert all(r["query_id"] == 7 for r in rows)
+
+    # healthy index: --if-skewed declines (null), index untouched
+    assert cli_main(["index", "rebalance", vpath, "--if-skewed", "50",
+                     "--iterations", "2", "--init", "kmeanspp"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["rebalanced_batch"] is None
+    # a tiny threshold always trips -> real rebalance
+    new_id = rebalance_if_skewed(spark, vpath, max_over_mean=1.0001,
+                                 iterations=2, init="kmeanspp")
+    assert new_id is not None and new_id.startswith("cmp")
+    with pytest.raises(ValueError, match="exceed 1.0"):
+        rebalance_if_skewed(spark, vpath, max_over_mean=0.5)
