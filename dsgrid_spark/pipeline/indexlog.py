@@ -665,7 +665,7 @@ def centroid_generations(spark: SparkSession,
 
 
 def resolve_generation(spark: SparkSession, index_path: str,
-                       batch_ids) -> str | None:
+                       batch_ids, validate_pin: bool = False) -> str | None:
     """The centroid generation a batch view reads: the UNIQUE
     generation-establishing batch inside ``batch_ids`` (the committed
     set, or a pin). Cluster numbers are only meaningful within one
@@ -674,7 +674,21 @@ def resolve_generation(spark: SparkSession, index_path: str,
     established them (a rebalance retires EVERY previously-visible
     batch, and :func:`compact` copies the generation marker onto any
     batch that absorbs its establisher). ``None`` means the legacy
-    flat ``centroids/`` layout (single implicit generation)."""
+    flat ``centroids/`` layout (single implicit generation).
+
+    ``validate_pin=True`` (set by searches for EXPLICIT ``as_of``
+    pins) additionally checks each pinned batch's commit instant
+    against the generation-establishment timeline: a CAPTURED
+    committed set is always consistent, but a hand-assembled pin can
+    put a batch assigned under generation B next to generation A's
+    marker — its cluster numbers would then be read against the wrong
+    centroids, silently mis-pruning (the one generation mix
+    :func:`resolve_as_of`'s replacement check cannot see, because
+    post-rebalance batches are in nobody's replaced set). Generation
+    IDENTITY rides the marker rows' ``gen_src`` column (transfers by
+    :func:`compact` preserve it; only build/rebalance establish a new
+    one), so the timeline is just the establishment markers' commit
+    times."""
     gens = centroid_generations(spark, index_path)
     if not gens:
         return None
@@ -685,7 +699,60 @@ def resolve_generation(spark: SparkSession, index_path: str,
             f"{sorted(batch_ids)}: generation markers {sorted(gens)} "
             f"intersect it as {sorted(hit)} (expected exactly one). "
             f"The view mixes generations or its generation was purged.")
-    return hit.pop()
+    gen = hit.pop()
+    if validate_pin:
+        _check_pin_generation(spark, index_path, set(batch_ids), gen)
+    return gen
+
+
+def _check_pin_generation(spark: SparkSession, index_path: str,
+                          pin: set[str], gen: str) -> None:
+    """Raise when a pinned batch committed under a DIFFERENT centroid
+    generation than the pin's marker (see resolve_generation). Best
+    effort by construction: batches or markers without recorded commit
+    times (pre-commit-time layouts) are skipped rather than guessed."""
+    try:
+        cent = (spark.read.option("mergeSchema", "true")
+                .parquet(_centroids_path(index_path))
+                .select("batch", "gen_src").distinct().collect())
+    except Exception:
+        return  # pre-identity marker layout: nothing to key on
+    src_of = {r["batch"]: r["gen_src"] for r in cent}
+    identity = src_of.get(gen)
+    if identity is None:
+        return
+    try:
+        rows = (spark.read.option("mergeSchema", "true")
+                .parquet(_log_path(index_path))
+                .select("batch", "committed_at_ms").collect())
+    except Exception:
+        return
+    at = {r["batch"]: r["committed_at_ms"] for r in rows}
+    # establishment events: markers that INTRODUCED their identity
+    # (gen_src == own batch id) — transfers are not identity changes
+    events = sorted((int(at[b]), s) for b, s in src_of.items()
+                    if s == b and at.get(b) is not None)
+
+    def identity_at(ms: int):
+        cur = None
+        for t, s in events:
+            if t <= ms:
+                cur = s
+            else:
+                break
+        return cur
+
+    bad = sorted(
+        b for b in pin
+        if at.get(b) is not None
+        and identity_at(int(at[b])) not in (None, identity))
+    if bad:
+        raise ValueError(
+            f"as_of pin mixes centroid generations: batches {bad} "
+            f"committed under a different generation than the pin's "
+            f"marker {gen!r} ({identity!r}) — their cluster numbers "
+            f"would be read against the wrong centroids. Pin a SET "
+            f"captured from committed_batches(...), or a timestamp.")
 
 
 def payload_subdirs(spark: SparkSession,

@@ -1068,7 +1068,8 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
 
     committed = indexlog.resolve_batches(spark, path, as_of)
     centroids = _read_centroids(
-        spark, path, indexlog.resolve_generation(spark, path, committed))
+        spark, path, indexlog.resolve_generation(
+            spark, path, committed, validate_pin=as_of is not None))
     codebooks = _read_codebooks(spark, path)
     qid_type = query_id_type(queries)
     probe_rows, lut_queries = [], []

@@ -1123,7 +1123,13 @@ def write_centroid_generation(spark, path: str,
     commit — the centroid dirs themselves are immutable per generation.
     """
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    # gen_src is the generation's IDENTITY: the establishing batch id.
+    # compact()'s marker transfer copies rows verbatim (new batch,
+    # same gen_src), so two markers are the same generation exactly
+    # when their gen_src matches — what resolve_generation's pin
+    # validation keys on.
     (_osdf(spark, rows, "cluster int, centroid array<double>")
+       .withColumn("gen_src", F.lit(gen))
        .withColumn("batch", F.lit(gen))
        .write.mode(mode).partitionBy("batch")
        .parquet(f"{path}/centroids"))
@@ -1197,7 +1203,8 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     # a rebalance committing after this snapshot changes neither)
     committed = indexlog.resolve_batches(spark, path, as_of)
     from dsgrid_spark.pipeline.pq import _read_centroids, query_id_type
-    gen = indexlog.resolve_generation(spark, path, committed)
+    gen = indexlog.resolve_generation(spark, path, committed,
+                                      validate_pin=as_of is not None)
     cent_list = _read_centroids(spark, path, gen)
     probe_rows = []
     for qid, qv in queries:
@@ -1522,7 +1529,8 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
                          "pass rerank=False for Hamming-only search")
     committed = indexlog.resolve_batches(spark, path, as_of)
     centroids = _read_centroids(
-        spark, path, indexlog.resolve_generation(spark, path, committed))
+        spark, path, indexlog.resolve_generation(
+            spark, path, committed, validate_pin=as_of is not None))
     probe_rows = []
     for qid, qv in queries:
         qv = [float(x) for x in qv]

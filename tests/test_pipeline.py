@@ -4849,3 +4849,57 @@ def test_streaming_dedup_index_turnkey(spark, tmp_path):
     assert append_term_index(surv2, term_path, batch_id=bid) is False
     assert {r["id"] for r in bm25_search(
         spark, term_path, ["vocabulary"], k=3).collect()} == {21}
+
+
+def test_pin_generation_mixing_is_loud(spark, tmp_path):
+    """(r10 self-review) a hand-assembled pin that puts a batch
+    assigned under generation B next to generation A's marker would
+    read B's cluster numbers against A's centroids — now a loud error
+    (generation identity rides the marker rows' gen_src; compact's
+    marker transfers preserve it, so same-generation hand-pins across
+    a compaction stay legal)."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.rebalance import rebalance_index
+    from dsgrid_spark.pipeline.similarity import (
+        append_binary_index, hamming_search, kmeans_centroids,
+        write_binary_index,
+    )
+
+    old, new = _drift_vectors(spark)
+    path = str(tmp_path / "bidx")
+    write_binary_index(old, path, kmeans_centroids(old, 3, 8,
+                                                   iterations=2))
+    pin0 = indexlog.committed_batches(spark, path)
+    queries = [(0, [1.0] * 8)]
+    want0 = sorted(map(tuple, hamming_search(
+        spark, path, queries, k=3, n_probe=3, as_of=pin0).collect()))
+
+    cmp1 = rebalance_index(spark, path, iterations=2, init="sample")
+    assert append_binary_index(new, path, batch_id="b2") is True
+
+    # captured pins on either side of the flip keep working
+    assert sorted(map(tuple, hamming_search(
+        spark, path, queries, k=3, n_probe=3,
+        as_of=pin0).collect())) == want0
+    live = indexlog.committed_batches(spark, path)
+    assert live == {cmp1, "b2"}
+    hamming_search(spark, path, queries, k=3, as_of=live).collect()
+
+    # the hand-assembled cross-generation pin fails loudly
+    with pytest.raises(ValueError, match="mixes centroid generations"):
+        hamming_search(spark, path, queries, k=3,
+                       as_of={"base", "b2"}).collect()
+
+    # a compaction TRANSFERS the marker (same generation identity):
+    # hand-pins across it are not generation mixes and stay legal
+    cmp2 = indexlog.compact(spark, path)
+    assert append_binary_index(
+        new.withColumn("vec_id", F.col("vec_id") + 500),
+        path, batch_id="b3") is True
+    hamming_search(spark, path, queries, k=3,
+                   as_of={cmp1, "b3"}).collect()
+    hamming_search(spark, path, queries, k=3,
+                   as_of={cmp2, "b3"}).collect()
+    with pytest.raises(ValueError, match="mixes centroid generations"):
+        hamming_search(spark, path, queries, k=3,
+                       as_of={"base", "b3"}).collect()
