@@ -370,3 +370,30 @@ def test_pq_search_prunes_partitions_and_pushes_shortlist_ids(
     plan2 = _plan(adc)
     assert "/codes" in plan2 and "/vectors" not in plan2
     assert "cluster" in plan2.lower() and "PartitionFilters" in plan2
+
+
+def test_bm25_batch_one_pruned_read_and_broadcast_fanout(spark, tmp_path):
+    """The batch BM25 plan must (a) prune the postings scan to the
+    UNION of the queries' term buckets (partition filter) with the
+    term IN (...) residual pushed into the reader, (b) fan postings
+    out per query via a BROADCAST of the tiny (query_id, term) frame —
+    never a shuffle join against it, and (c) reduce per-query top-k
+    with one rank window. One job for the whole query set is the
+    batch form's contract."""
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+
+    docs = spark.createDataFrame(
+        [(i, f"spark shuffle {'broadcast ' * (i % 3)}window catalyst")
+         for i in range(40)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=16)
+    batch = [(0, ["spark", "broadcast"]), (1, ["catalyst", "window"])]
+    df = bm25_search(spark, path, batch, k=5)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan and "In(term" in plan
+    # the (query_id, term) fan-out and the dfreq table both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # per-query top-k is a rank-window reduction, not a global sort
+    assert "row_number" in plan.lower() or "RunningWindowFunction" in plan
