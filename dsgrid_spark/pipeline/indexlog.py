@@ -335,30 +335,42 @@ def resolve_timestamp(spark: SparkSession, index_path: str,
         raise ValueError(
             f"as_of timestamp given but no batch log at {index_path!r}")
     at_ms = {r["batch"]: r["committed_at_ms"] for r in rows}
-    raw_at_t = {b for b, ms in at_ms.items()
-                if ms is None or int(ms) <= t_ms}
-    pairs = _replacements(spark, index_path)
-    # a pair retires its source at T exactly when its replacer CHAIN
-    # reaches a batch committed by T (the flip instant is the
-    # replacer's commit); _retired resolves that transitively, so a
-    # chain through a purged intermediate (no log row, but its own
-    # pair's replacer committed <= T) still dates the retirement
-    retired_at_t = _retired(raw_at_t, pairs)
-    # a PURGED batch (pair source with no log row) whose retirement
-    # cannot be dated at-or-before T may have been visible at T — its
-    # rows are gone, so the view is unreconstructible; fail loudly
-    # rather than silently partial (the resolve_as_of contract)
-    lost = sorted({r for r, _ in pairs
-                   if r not in at_ms and r not in retired_at_t})
+    view, lost = _view_at(at_ms, _replacements(spark, index_path), t_ms)
     if lost:
         raise ValueError(
             f"cannot reconstruct the view at {as_of!r}: batches purged "
-            f"from the log may have been visible then ({lost}); "
-            f"time-travel reaches only unpurged history")
-    if not raw_at_t:
+            f"from the log may have been visible then ({sorted(lost)});"
+            f" time-travel reaches only unpurged history")
+    if not view:
         raise ValueError(
             f"no batch was committed at or before {as_of!r}")
-    return raw_at_t - retired_at_t
+    return view
+
+
+def _view_at(at_ms: dict, pairs: list[tuple],
+             t_ms: int) -> tuple[set[str], set[str]]:
+    """The pure core of :func:`resolve_timestamp`:
+    ``(visible-at-T, lost)`` from the log's commit times and the
+    replacement pairs.
+
+    A batch is in the view iff it had a log row committed at-or-before
+    T (NULL commit time = the unknown past, counts as before every T)
+    and its replacer CHAIN does not reach a batch committed by T — the
+    flip instant is the replacer's commit, and :func:`_retired`
+    resolves chains transitively, so a chain through a PURGED
+    intermediate (no log row, but its own pair's replacer committed
+    <= T) still dates the retirement. ``lost`` is the purged pair
+    sources whose retirement cannot be dated at-or-before T: they MAY
+    have been visible at T and their rows are gone, so the caller must
+    fail loudly rather than return a silently-partial view.
+    Property-tested against an event-replay reference
+    (tests/test_properties.py)."""
+    raw_at_t = {b for b, ms in at_ms.items()
+                if ms is None or int(ms) <= t_ms}
+    retired_at_t = _retired(raw_at_t, pairs)
+    lost = {r for r, _ in pairs
+            if r not in at_ms and r not in retired_at_t}
+    return raw_at_t - retired_at_t, lost
 
 
 def resolve_batches(spark: SparkSession, index_path: str,

@@ -472,3 +472,67 @@ def test_retired_fixpoint_algebra(data):
     assert retired <= bigger
     # idempotent under pair duplication
     assert _retired(raw, pairs + pairs) == retired
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_view_at_timestamp_algebra(data):
+    """(r10) indexlog._view_at over random append/compact/purge event
+    timelines: the reconstructed view at any T equals an event replay
+    truncated at T, and exactly the purged batches whose retirement
+    postdates T are reported unreconstructible (loud, never silently
+    partial)."""
+    from dsgrid_spark.pipeline.indexlog import _view_at
+
+    t = 0
+    log: dict[str, int] = {}        # current log rows
+    commit: dict[str, int] = {}     # every commit ever
+    compacted_at: dict[str, int] = {}  # batch -> its retirement instant
+    pairs: list[tuple] = []
+    purged: set[str] = set()
+    visible: set[str] = set()
+    counter = 0
+    for _ in range(data.draw(st.integers(3, 15))):
+        t += data.draw(st.integers(1, 10))
+        kind = data.draw(st.sampled_from(["append", "compact", "purge"]))
+        if kind == "append" or len(visible) < 2:
+            b = f"b{counter}"
+            counter += 1
+            log[b] = commit[b] = t
+            visible.add(b)
+        elif kind == "compact":
+            k = data.draw(st.integers(1, len(visible)))
+            sources = set(
+                data.draw(st.permutations(sorted(visible)))[:k])
+            c = f"c{counter}"
+            counter += 1
+            for s in sources:
+                pairs.append((s, c))
+                compacted_at[s] = t
+            log[c] = commit[c] = t
+            visible = (visible - sources) | {c}
+        else:  # purge every currently-retired batch
+            for b in set(compacted_at) - purged:
+                log.pop(b, None)
+                purged.add(b)
+    for _ in range(3):
+        T = data.draw(st.integers(0, t + 5))
+        view, lost = _view_at(dict(log), list(pairs), T)
+        # SOUND: every purged batch whose retirement postdates T (it
+        # truly was visible at T) is flagged — never silently partial.
+        # Conservative over-flagging is allowed: a purged batch whose
+        # retirement instant rode a replacer that was ITSELF purged
+        # (its commit time erased with its log row) is honestly
+        # unreconstructible even when the replay knows it was retired
+        # by T — the log no longer holds that knowledge.
+        assert {b for b in purged if compacted_at[b] > T} <= lost
+        assert lost <= purged  # only purged batches are ever flagged
+        if not lost:
+            # EXACT whenever nothing is lost: the view equals the
+            # event replay truncated at T
+            expect = {b for b, ms in commit.items()
+                      if ms <= T and b not in purged
+                      and compacted_at.get(b, t + 10**9) > T}
+            assert view == expect
+        # the view never names a purged or rowless batch
+        assert view <= set(log)
