@@ -333,7 +333,9 @@ def resolve_timestamp(spark: SparkSession, index_path: str,
                 .select("batch", "committed_at_ms").collect())
     except Exception:
         raise ValueError(
-            f"as_of timestamp given but no batch log at {index_path!r}")
+            f"as_of timestamp given but no batch log (or no "
+            f"committed_at_ms column — a pre-commit-time index) at "
+            f"{index_path!r}")
     at_ms = {r["batch"]: r["committed_at_ms"] for r in rows}
     view, lost = _view_at(at_ms, _replacements(spark, index_path), t_ms)
     if lost:
@@ -655,6 +657,9 @@ def reset_log(spark: SparkSession, index_path: str) -> None:
     delete_glob(spark, _log_path(index_path))
     delete_glob(spark, _intents_path(index_path))
     delete_glob(spark, _compactions_path(index_path))
+    # a dead compactor's lock must not outlive the index it was
+    # compacting (the rebuild is a new lifecycle)
+    delete_glob(spark, f"{index_path}/locks")
 
 
 def _centroids_path(index_path: str) -> str:

@@ -212,7 +212,14 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
     in between (:func:`indexlog.resolve_as_of`; validity ends when
     vacuum purges a pinned batch, which fails loudly here).
     """
-    single = not (query_terms and isinstance(query_terms[0], tuple))
+    # batch form: [(query_id, [terms...]), ...] — detected by shape so
+    # lists work as well as tuples; a plain term list stays the single
+    # form
+    single = not (
+        query_terms
+        and isinstance(query_terms[0], (tuple, list))
+        and len(query_terms[0]) == 2
+        and isinstance(query_terms[0][1], (list, tuple)))
     queries = [(0, query_terms)] if single else list(query_terms)
     if not queries or any(not terms for _, terms in queries):
         raise ValueError("query_terms must be non-empty (every batch "

@@ -306,7 +306,19 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
     if corpus_path is not None:
         # corpus rows land BEFORE the commit (retry deletes+rewrites);
         # readers filter to committed batches, so they flip atomically
-        # with the signatures at the log write below
+        # with the signatures at the log write below. Re-check the id
+        # first: a racing writer that committed this id DURING our
+        # dedup owns corpus/batch=<id> now, and deleting it would
+        # silently replace the committed survivors' texts with ours —
+        # fail here instead (the window left between this check and
+        # the delete is one FS op; the real discipline remains one
+        # writer per batch id, which the checkpoint-derived stream ids
+        # give for free)
+        if batch_id in indexlog.batch_sets(spark, path)[1]:
+            raise ConcurrentBatchError(
+                f"batch {batch_id!r} was committed by another writer "
+                f"mid-ingest; these survivors were NOT registered — "
+                f"re-run under a fresh batch id")
         indexlog.delete_glob(spark, f"{corpus_path}/batch={batch_id}")
         _write_corpus_batch(survivors, corpus_path, batch_id)
     # ONE signing pass serves dedup and registration: the batch's
