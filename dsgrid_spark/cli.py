@@ -543,11 +543,25 @@ def _parse_candidates(spark, spec: str | None):
     return [t.strip() for t in spec.split(",") if t.strip()]
 
 
+def _parse_as_of(spec: str | None):
+    """--as-of: an ISO-8601 timestamp (time-travel — contains 'T' or
+    '-') passed through verbatim, else a comma-separated batch-id pin
+    set. Both forms are validated downstream by indexlog.resolve_*."""
+    if not spec:
+        return None
+    toks = [t.strip() for t in spec.split(",") if t.strip()]
+    if len(toks) == 1 and ("T" in toks[0] or ":" in toks[0]
+                           or toks[0].count("-") >= 2):
+        return toks[0]  # timestamp string
+    return set(toks)
+
+
 def cmd_index_search(args) -> int:
     from dsgrid_spark.session import get_spark
 
     spark = get_spark("dsgrid-spark-cli")
     kind = _index_kind(spark, args.path)
+    as_of = _parse_as_of(args.as_of)
     if kind == "sigs":
         raise SystemExit("signature stores are not searchable — they "
                          "feed incremental dedup (pipeline.sigstore."
@@ -567,7 +581,8 @@ def cmd_index_search(args) -> int:
                 raise SystemExit("term index search needs query terms")
             df = bm25_search(spark, args.path, args.terms, k=args.k,
                              candidates=_parse_candidates(
-                                 spark, args.candidates))
+                                 spark, args.candidates),
+                             as_of=as_of)
     else:
         if not args.vector:
             raise SystemExit(f"{kind} index search needs --vector")
@@ -577,7 +592,8 @@ def cmd_index_search(args) -> int:
             from dsgrid_spark.pipeline.similarity import ivf_search
 
             df = ivf_search(spark, args.path, queries, k=args.k,
-                            n_probe=args.n_probe, candidates=cand)
+                            n_probe=args.n_probe, candidates=cand,
+                            as_of=as_of)
         elif kind == "binary":
             from dsgrid_spark.pipeline.similarity import hamming_search
 
@@ -585,7 +601,8 @@ def cmd_index_search(args) -> int:
                                 n_probe=args.n_probe,
                                 shortlist=args.shortlist,
                                 rerank=None if not args.no_rerank
-                                else False, candidates=cand)
+                                else False, candidates=cand,
+                                as_of=as_of)
         else:
             from dsgrid_spark.pipeline.pq import pq_search
 
@@ -593,7 +610,8 @@ def cmd_index_search(args) -> int:
                            n_probe=args.n_probe,
                            shortlist=args.shortlist,
                            rerank=None if not args.no_rerank else False,
-                           method=args.method, candidates=cand)
+                           method=args.method, candidates=cand,
+                           as_of=as_of)
     for row in df.collect():
         print(json.dumps(row.asDict()))
     return 0
@@ -664,13 +682,14 @@ def cmd_index_describe(args) -> int:
         if args.counts:
             info["committed_rows"] = indexlog.read_committed(
                 spark, args.path, sub, ids=visible).count()
-            if col == "cluster":
-                # per-cluster skew: the when-to-rebalance signal (a
-                # drifting corpus piles appends into a few clusters)
+            if col in ("cluster", "bucket", "shard"):
+                # per-key skew: for clusters the when-to-rebalance
+                # signal (a drifting corpus piles appends into a few),
+                # for buckets/shards the hash-heat report
                 from dsgrid_spark.pipeline.rebalance import cluster_skew
 
                 info["skew"] = cluster_skew(spark, args.path, sub,
-                                            ids=visible)
+                                            ids=visible, column=col)
         subs[sub] = info
     out["payload"] = subs
     print(json.dumps(out, default=str))
@@ -741,8 +760,16 @@ def cmd_index_compact(args) -> int:
 
     spark = get_spark("dsgrid-spark-cli")
     _index_kind(spark, args.path)  # refuse to compact a non-index dir
-    new_id = indexlog.compact(spark, args.path, batches=args.batches,
-                              purge=args.purge)
+    if args.if_fragmented is not None:
+        if args.batches:
+            raise SystemExit("--if-fragmented and --batches are "
+                             "mutually exclusive")
+        new_id = indexlog.compact_if_fragmented(
+            spark, args.path, max_batches=args.if_fragmented,
+            purge=args.purge)
+    else:
+        new_id = indexlog.compact(spark, args.path, batches=args.batches,
+                                  purge=args.purge)
     merged = 0 if new_id is None else len(
         [r for r, by in indexlog._replacements(spark, args.path)
          if by == new_id])
@@ -936,6 +963,10 @@ def main(argv: list[str] | None = None) -> int:
     isr.add_argument("--shortlist", type=int, default=None,
                      help="pq/binary: per-query candidate depth fed to "
                           "the exact re-rank (default 4k)")
+    isr.add_argument("--as-of", default=None,
+                     help="pinned read: an ISO-8601 timestamp "
+                          "(time-travel) or a comma-separated batch-id "
+                          "set captured earlier")
     isr.add_argument("--method", default="hof", choices=["hof", "arrow"],
                      help="pq ADC scorer: hof = pure-JVM fold (the "
                           "tested-equal default), arrow = opt-in numpy "
@@ -959,6 +990,11 @@ def main(argv: list[str] | None = None) -> int:
     ic.add_argument("--purge", action="store_true",
                     help="delete replaced data now (offline only; "
                     "default leaves it for vacuum's ttl grace)")
+    ic.add_argument("--if-fragmented", type=int, default=None,
+                    metavar="N",
+                    help="cron mode: compact only when more than N "
+                         "batches are visible (one log read when "
+                         "healthy)")
     ic.set_defaults(fn=cmd_index_compact)
 
     idd = idxsub.add_parser(

@@ -919,6 +919,26 @@ def _compact_locked(spark: SparkSession, index_path: str,
     return batch_id
 
 
+def compact_if_fragmented(spark: SparkSession, index_path: str,
+                          max_batches: int = 32,
+                          purge: bool = False,
+                          lock_ttl_seconds: float = 86400.0) -> str | None:
+    """The cron-shaped maintenance gate for :func:`compact`: merge only
+    when the VISIBLE batch count exceeds ``max_batches`` — one log read
+    when healthy, the full rewrite only past the threshold (the
+    rebalance_if_skewed convention). A steady daily-append index then
+    self-limits to ~max_batches directories per partition key without
+    paying a rewrite per cron tick. Returns the new batch id or None.
+    """
+    if max_batches < 1:
+        raise ValueError(f"max_batches must be positive, got "
+                         f"{max_batches}")
+    if len(committed_batches(spark, index_path)) <= max_batches:
+        return None
+    return compact(spark, index_path, purge=purge,
+                   lock_ttl_seconds=lock_ttl_seconds)
+
+
 def purge_replaced(spark: SparkSession, index_path: str,
                    older_than_ms: float | None = None) -> dict[str, int]:
     """Delete the data directories and log rows of batches replaced by

@@ -307,15 +307,16 @@ def rebalance_if_skewed(spark: SparkSession, path: str,
 
 def cluster_skew(spark: SparkSession, path: str, subdir: str,
                  ids: set[str] | None = None,
-                 top: int = 5) -> dict:
-    """Per-cluster row-count skew for one payload subtree — the number
-    that says WHEN to rebalance. One count-only aggregate over the
-    committed rows (column-pruned to the partition columns). Returns
-    n_clusters, row totals, max/mean ratio, and the ``top`` heaviest
-    clusters."""
+                 top: int = 5, column: str = "cluster") -> dict:
+    """Per-partition-key row-count skew for one payload subtree — the
+    number that says WHEN to rebalance (``column="cluster"``) or how
+    hot the term/shard hashing runs (``"bucket"``/``"shard"``). One
+    count-only aggregate over the committed rows (column-pruned to the
+    partition columns). Returns n_clusters (distinct keys), row
+    totals, max/mean ratio, and the ``top`` heaviest keys."""
     rows = (indexlog.read_committed(spark, path, subdir, ids=ids)
-            .groupBy("cluster").count().collect())
-    counts = sorted(((int(r["cluster"]), int(r["count"]))
+            .groupBy(column).count().collect())
+    counts = sorted(((int(r[column]), int(r["count"]))
                      for r in rows), key=lambda t: (-t[1], t[0]))
     total = sum(c for _, c in counts)
     n = len(counts)

@@ -1197,3 +1197,68 @@ def test_cli_index_hybrid_and_if_skewed(spark, tmp_path, capsys):
     assert new_id is not None and new_id.startswith("cmp")
     with pytest.raises(ValueError, match="exceed 1.0"):
         rebalance_if_skewed(spark, vpath, max_over_mean=0.5)
+
+
+def test_cli_as_of_fragmented_and_bucket_skew(spark, tmp_path, capsys):
+    """(r10) `index search --as-of` accepts a batch-id set or an
+    ISO-8601 timestamp; `index compact --if-fragmented N` merges only
+    past the threshold; `describe --counts` reports hash-heat skew for
+    bucket-partitioned subtrees too."""
+    import json as _json
+    import time
+    from datetime import datetime, timezone
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, write_term_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark window shuffle"), (1, "broadcast spark")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=4)
+    time.sleep(0.05)
+    t0 = time.time()
+    time.sleep(0.05)
+    append_term_index(spark.createDataFrame(
+        [(2, "spark catalyst")], "doc_id long, text string"),
+        path, batch_id="b1")
+
+    def rows():
+        return [_json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines()
+                if ln.startswith("{")]
+
+    # batch-set pin: only the base batch's docs
+    assert cli_main(["index", "search", path, "spark",
+                     "--as-of", "base"]) == 0
+    assert sorted(r["id"] for r in rows()) == [0, 1]
+    # timestamp pin: the view at t0 (before b1)
+    iso = datetime.fromtimestamp(t0, tz=timezone.utc).isoformat()
+    assert cli_main(["index", "search", path, "spark",
+                     "--as-of", iso]) == 0
+    assert sorted(r["id"] for r in rows()) == [0, 1]
+    # live view sees all three
+    assert cli_main(["index", "search", path, "spark"]) == 0
+    assert sorted(r["id"] for r in rows()) == [0, 1, 2]
+
+    # under the threshold: no-op; above: real compaction
+    assert cli_main(["index", "compact", path,
+                     "--if-fragmented", "2"]) == 0
+    assert _json.loads(capsys.readouterr().out.strip().splitlines()[-1]
+                       )["compacted_batch"] is None
+    assert cli_main(["index", "compact", path,
+                     "--if-fragmented", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_batch"].startswith("cmp")
+    assert out["merged"] == 2
+    assert len(indexlog.committed_batches(spark, path)) == 1
+
+    # bucket-partitioned subtree gets the hash-heat skew block
+    assert cli_main(["index", "describe", path, "--counts"]) == 0
+    desc = _json.loads(capsys.readouterr().out.strip())
+    skew = desc["payload"]["postings"]["skew"]
+    assert skew["rows"] == desc["payload"]["postings"]["committed_rows"]
+    assert skew["max_rows"] >= 1
