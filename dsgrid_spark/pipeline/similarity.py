@@ -1110,6 +1110,37 @@ def ivf_topk(
     )
 
 
+def probe_clusters_df(queries: DataFrame, centroids: list[list[float]],
+                      n_probe: int,
+                      query_id_column: str = "query_id",
+                      vector_column: str = "embedding",
+                      keep: tuple[str, ...] = ()) -> DataFrame:
+    """(query_id, cluster[, keep...]) — each query's top-``n_probe``
+    coarse lists, the DISTRIBUTED twin of :func:`rank_probes` for
+    DataFrame query sets: one broadcast join against the tiny centroid
+    table, cosine descending, ties to the LOWER cluster index, zero
+    norms -> 0.0 (the ``cosine`` helper's convention throughout).
+    ``keep`` carries extra query columns through (packed bits, the
+    vector itself) so downstream joins need no second pass over the
+    query set. Last-ULP note: the ranking runs JVM-side; a query
+    exactly equidistant from two lists may probe a different (equally
+    near) list than the driver-side ranking would."""
+    spark = queries.sparkSession
+    cent = F.broadcast(_osdf(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, __cent array<double>"))
+    scored = (queries.crossJoin(cent)
+              .select(query_id_column, "cluster", *keep,
+                      cosine(F.col(vector_column),
+                             F.col("__cent")).alias("__pscore")))
+    w = Window.partitionBy(query_id_column).orderBy(
+        F.desc("__pscore"), F.asc("cluster"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_probe)
+            .drop("__rn", "__pscore"))
+
+
 def write_centroid_generation(spark, path: str,
                               centroids: list[list[float]],
                               gen: str, mode: str = "overwrite") -> None:
@@ -1172,15 +1203,26 @@ def write_ivf_index(df: DataFrame, path: str,
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 
-def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
+def ivf_search(spark, path: str, queries,
                k: int = 10, n_probe: int = 2,
-               candidates=None, as_of=None) -> DataFrame:
+               candidates=None, as_of=None,
+               query_id_column: str = "query_id",
+               vector_column: str = "embedding") -> DataFrame:
     """Top-k cosine neighbors per query from a persisted IVF index.
 
     ``queries`` is a small [(query_id, vector), ...] list (the broadcast
-    side by construction, same convention as ``ivf_topk``). Centroid
-    ranking runs driver-side on the tiny centroid table; the vector scan
-    is pruned to the probed clusters before scoring. Returns
+    side by construction, same convention as ``ivf_topk``) — OR a
+    DataFrame of (``query_id_column``, ``vector_column``) for OFFLINE
+    EVAL SWEEPS too large to collect: probe ranking then runs
+    distributed (:func:`probe_clusters_df`), scoring is one
+    cluster-join of the committed vectors against the probe frame, and
+    nothing corpus- or query-scale touches the driver. The DataFrame
+    form deliberately does NOT prune cluster partitions (a large query
+    set probes most lists anyway; the economics are one pass for the
+    WHOLE set) — interactive lookups should keep passing lists.
+    Centroid ranking for the list form runs driver-side on the tiny
+    centroid table; the vector scan is pruned to the probed clusters
+    before scoring. Returns
     (query_id, id, score) with exact cosine re-ranking inside the probed
     clusters — identical results to ``ivf_topk`` with the same centroids
     and n_probe (tested).
@@ -1196,7 +1238,7 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     (indexlog.resolve_as_of): reproducible results through appends and
     compactions.
     """
-    if not queries:
+    if not isinstance(queries, DataFrame) and not queries:
         raise ValueError("queries must be non-empty")
     # committed batches FIRST, then the centroid GENERATION that view
     # reads (cluster numbers only mean anything within one generation;
@@ -1206,6 +1248,23 @@ def ivf_search(spark, path: str, queries: list[tuple[int, list[float]]],
     gen = indexlog.resolve_generation(spark, path, committed,
                                       validate_pin=as_of is not None)
     cent_list = _read_centroids(spark, path, gen)
+    if isinstance(queries, DataFrame):
+        q = queries.select(F.col(query_id_column).alias("query_id"),
+                           F.col(vector_column).alias("__qv"))
+        probes = probe_clusters_df(q, cent_list, n_probe,
+                                   vector_column="__qv",
+                                   keep=("__qv",))
+        vectors = candidate_filter(
+            indexlog.read_committed(spark, path, "vectors",
+                                    ids=committed),
+            candidates)
+        scored = vectors.join(probes, "cluster").select(
+            "query_id", "id",
+            cosine(F.col("embedding"), F.col("__qv")).alias("score"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.col("id"))
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k).drop("__rn"))
     probe_rows = []
     for qid, qv in queries:
         for ci in rank_probes(cent_list, qv, n_probe):
@@ -1482,10 +1541,12 @@ def append_binary_index(df: DataFrame, path: str,
     return True
 
 
-def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
+def hamming_search(spark, path: str, queries, k: int = 10,
                    n_probe: int = 2, shortlist: int | None = None,
                    rerank: bool | None = None,
-                   candidates=None, as_of=None) -> DataFrame:
+                   candidates=None, as_of=None,
+                   query_id_column: str = "query_id",
+                   vector_column: str = "embedding") -> DataFrame:
     """Search a persisted binary index: coarse probe ranking
     driver-side on the tiny centroid table, XOR+popcount Hamming over
     the probed clusters' BIT partitions only (partition-pruned,
@@ -1497,6 +1558,16 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     ``queries`` is a small [(query_id, vector), ...] list (the
     ivf_search/pq_search convention); query vectors pack driver-side
     with :func:`pack_sign_bits` (bit-identical to the corpus packing).
+    A DataFrame of (``query_id_column``, ``vector_column``) instead
+    runs the OFFLINE-EVAL form: query bits pack in codegen
+    (:func:`binary_quantize` — the same integer-exact fold), probe
+    ranking runs distributed (:func:`probe_clusters_df`), the
+    shortlist reduces with one rank window, and the re-rank is a JOIN
+    of the shortlist against the vector payload — no driver collect
+    anywhere, so the query set can be millions of rows. The DataFrame
+    form does not prune cluster partitions (a large set probes most
+    lists; one pass for the whole set is the point) and reads the
+    re-rank vectors by join rather than id-pushdown.
     ``shortlist`` is the Hamming candidate count per query fed to the
     re-rank (default 4k, floored at k); ``rerank=None`` re-ranks
     exactly when the index stores vectors. Returns (query_id, id,
@@ -1518,9 +1589,8 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     from dsgrid_spark.pipeline.pq import (_read_centroids, _read_meta,
                                           query_id_type)
 
-    if not queries:
+    if not isinstance(queries, DataFrame) and not queries:
         raise ValueError("queries must be non-empty")
-    qid_type = query_id_type(queries)
     meta = _read_meta(spark, path)
     if rerank is None:
         rerank = bool(meta["store_vectors"])
@@ -1531,6 +1601,12 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
     centroids = _read_centroids(
         spark, path, indexlog.resolve_generation(
             spark, path, committed, validate_pin=as_of is not None))
+    if isinstance(queries, DataFrame):
+        return _hamming_search_df(
+            spark, path, queries, k, n_probe, shortlist, rerank,
+            candidates, committed, centroids, meta,
+            query_id_column, vector_column)
+    qid_type = query_id_type(queries)
     probe_rows = []
     for qid, qv in queries:
         qv = [float(x) for x in qv]
@@ -1579,6 +1655,56 @@ def hamming_search(spark, path: str, queries: list[tuple], k: int = 10,
         [(qid, [float(x) for x in qv]) for qid, qv in queries],
         f"query_id {qid_type}, __qv array<double>"))
     rescored = (vectors.join(pair_df, "id").join(qvec, "query_id")
+                .select("query_id", "id",
+                        cosine(F.col("embedding"), F.col("__qv"))
+                        .alias("score")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                F.col("id"))
+    return (rescored.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def _hamming_search_df(spark, path: str, queries: DataFrame, k: int,
+                       n_probe: int, shortlist: int | None,
+                       rerank: bool, candidates, committed: set[str],
+                       centroids: list[list[float]], meta: dict,
+                       query_id_column: str,
+                       vector_column: str) -> DataFrame:
+    """The DataFrame-query form of :func:`hamming_search` (see its
+    docstring): fully distributed — codegen bit packing, join-fanned
+    probes, rank-window shortlist, join-based exact re-rank."""
+    first = queries.select(vector_column).first()
+    if first is not None and first[0] is not None \
+            and len(first[0]) != meta["dim"]:
+        raise ValueError(f"query dim {len(first[0])} != index dim "
+                         f"{meta['dim']}")
+    q = queries.select(F.col(query_id_column).alias("query_id"),
+                       F.col(vector_column).cast("array<double>")
+                       .alias("__qv"))
+    qb = binary_quantize(q, "__qv", "__qbits")
+    probes = probe_clusters_df(qb, centroids, n_probe,
+                               vector_column="__qv",
+                               keep=("__qbits",))
+    bits = candidate_filter(
+        indexlog.read_committed(spark, path, "bits", ids=committed),
+        candidates)
+    scored = bits.join(probes, "cluster").select(
+        "query_id", "id",
+        hamming_distance(F.col("bits"), F.col("__qbits"))
+        .alias("hamming"))
+    n_short = k if not rerank else max(k, shortlist or 4 * k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc_nulls_last("hamming"), F.col("id"))
+    short = (scored.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= n_short).drop("__rn"))
+    if not rerank:
+        return short
+    from dsgrid_spark.pipeline.pq import _rerank_embedding
+    vectors = _rerank_embedding(
+        indexlog.read_committed(spark, path, "vectors", ids=committed),
+        meta.get("vectors_dtype") or "float64")
+    rescored = (short.select("query_id", "id")
+                .join(vectors, "id").join(q, "query_id")
                 .select("query_id", "id",
                         cosine(F.col("embedding"), F.col("__qv"))
                         .alias("score")))

@@ -4903,3 +4903,63 @@ def test_pin_generation_mixing_is_loud(spark, tmp_path):
     with pytest.raises(ValueError, match="mixes centroid generations"):
         hamming_search(spark, path, queries, k=3,
                        as_of={"base", "b3"}).collect()
+
+
+def test_dataframe_query_searches_equal_list_form(spark, tmp_path):
+    """(r10) the DataFrame-query forms of ivf_search / hamming_search —
+    the offline-eval path with distributed probes and a join-based
+    re-rank, no driver collect — return exactly the list form's
+    results, including under candidates= and an as_of pin."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.similarity import (
+        append_binary_index, hamming_search, ivf_search,
+        kmeans_centroids, write_binary_index, write_ivf_index,
+    )
+
+    old, new = _drift_vectors(spark)
+    corpus = old.unionByName(new)
+    cents = kmeans_centroids(corpus, 4, 8, iterations=2)
+    ipath, bpath = str(tmp_path / "ivf"), str(tmp_path / "bin")
+    write_ivf_index(corpus, ipath, cents)
+    write_binary_index(old, bpath, cents)
+    append_binary_index(new, bpath, batch_id="b1")
+
+    qlist = [(0, [1.0] * 8), (1, [s * 1.0 for s in _DRIFT_NEW]),
+             (2, [-1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0])]
+    qdf = spark.createDataFrame(
+        [(qid, v) for qid, v in qlist],
+        "query_id long, embedding array<double>")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for np_ in (1, 4):
+        assert rows(ivf_search(spark, ipath, qdf, k=5, n_probe=np_)) \
+            == rows(ivf_search(spark, ipath, qlist, k=5, n_probe=np_))
+        assert rows(hamming_search(spark, bpath, qdf, k=5,
+                                   n_probe=np_)) \
+            == rows(hamming_search(spark, bpath, qlist, k=5,
+                                   n_probe=np_))
+    # hamming-only (no re-rank) and filtered forms agree too
+    cand = [i for i in range(0, 40, 3)] + [101, 104]
+    assert rows(hamming_search(spark, bpath, qdf, k=5, n_probe=4,
+                               rerank=False, candidates=cand)) \
+        == rows(hamming_search(spark, bpath, qlist, k=5, n_probe=4,
+                               rerank=False, candidates=cand))
+    assert rows(ivf_search(spark, ipath, qdf, k=5, n_probe=4,
+                           candidates=cand)) \
+        == rows(ivf_search(spark, ipath, qlist, k=5, n_probe=4,
+                           candidates=cand))
+    # pinned reads: the DataFrame form honors as_of identically
+    pin = indexlog.committed_batches(spark, bpath) - {"b1"}
+    assert rows(hamming_search(spark, bpath, qdf, k=5, n_probe=4,
+                               as_of=pin)) \
+        == rows(hamming_search(spark, bpath, qlist, k=5, n_probe=4,
+                               as_of=pin))
+    # custom query column names
+    qdf2 = qdf.withColumnRenamed("query_id", "qid") \
+              .withColumnRenamed("embedding", "vec")
+    assert rows(hamming_search(spark, bpath, qdf2, k=5, n_probe=4,
+                               query_id_column="qid",
+                               vector_column="vec")) \
+        == rows(hamming_search(spark, bpath, qlist, k=5, n_probe=4))
