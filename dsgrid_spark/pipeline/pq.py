@@ -1019,11 +1019,13 @@ def append_pq_index(df: DataFrame, path: str,
     return True
 
 
-def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
+def pq_search(spark, path: str, queries, k: int = 10,
               n_probe: int = 2, shortlist: int | None = None,
               rerank: bool | None = None, metric: str = "ip",
               method: str = "hof", candidates=None,
-              as_of=None) -> DataFrame:
+              as_of=None,
+              query_id_column: str = "query_id",
+              vector_column: str = "embedding") -> DataFrame:
     """Search a persisted PQ index: coarse probe ranking driver-side on
     the tiny centroid table, ADC over the probed clusters' CODE
     partitions only (partition-pruned, committed-batch filtered), then
@@ -1032,7 +1034,17 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     ids, bounded by construction).
 
     ``queries`` is a small [(query_id, vector), ...] list (the
-    ivf_search convention). ``shortlist`` is the ADC candidate count
+    ivf_search convention) — or a DataFrame of (``query_id_column``,
+    ``vector_column``) for OFFLINE EVAL SWEEPS too large to collect:
+    ADC lookup tables are then built as column EXPRESSIONS per
+    (query, probed list) from the broadcast codebook row (residual
+    and plain modes both), probe ranking runs distributed
+    (:func:`similarity.probe_clusters_df`), and the exact re-rank is
+    a JOIN of the shortlist against the vector payload — no driver
+    collect anywhere; ``method`` is ignored (the expression path IS
+    the scorer) and cluster partitions are not pruned (a large query
+    set probes most lists; one pass for the whole set).
+    ``shortlist`` is the ADC candidate count
     per query fed to the re-rank (default 4k, floored at k);
     ``rerank=None`` re-ranks exactly when the index stores vectors.
     Returns (query_id, id, score): re-ranked scores are EXACT
@@ -1053,7 +1065,7 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     """
     from dsgrid_spark.pipeline import indexlog
 
-    if not queries:
+    if not isinstance(queries, DataFrame) and not queries:
         raise ValueError("queries must be non-empty")
     if metric not in ("ip", "l2"):
         raise ValueError(f"metric must be ip|l2, got {metric!r}")
@@ -1071,6 +1083,11 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
         spark, path, indexlog.resolve_generation(
             spark, path, committed, validate_pin=as_of is not None))
     codebooks = _read_codebooks(spark, path)
+    if isinstance(queries, DataFrame):
+        return _pq_search_df(spark, path, queries, k, n_probe,
+                             shortlist, rerank, metric, candidates,
+                             committed, centroids, codebooks, meta,
+                             query_id_column, vector_column)
     qid_type = query_id_type(queries)
     probe_rows, lut_queries = [], []
     for qid, qv in queries:
@@ -1162,6 +1179,108 @@ def pq_search(spark, path: str, queries: list[tuple], k: int = 10,
     exact = dot if metric == "ip" else -_l2sq(F.col("embedding"),
                                               F.col("__qv"))
     rescored = (vectors.join(pair_df, "id").join(qvec, "query_id")
+                .select("query_id", "id", exact.alias("score")))
+    return (rescored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def _pq_search_df(spark, path: str, queries: DataFrame, k: int,
+                  n_probe: int, shortlist: int | None, rerank: bool,
+                  metric: str, candidates, committed: set[str],
+                  centroids: list[list[float]],
+                  codebooks: list[list[list[float]]], meta: dict,
+                  query_id_column: str, vector_column: str) -> DataFrame:
+    """The DataFrame-query form of :func:`pq_search` (see its
+    docstring): ADC lookup tables as column expressions over the
+    broadcast codebook row — lut[j][i] is the same ip / negative-L2²
+    value :func:`_lut_rows` computes driver-side, built per
+    (query, probed list) so residual (IVFADC) codes score against the
+    list-shifted query exactly like the list form."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.similarity import (
+        candidate_filter, probe_clusters_df,
+    )
+
+    first = queries.select(vector_column).first()
+    if first is not None and first[0] is not None \
+            and len(first[0]) != meta["dim"]:
+        raise ValueError(f"query dim {len(first[0])} != index dim "
+                         f"{meta['dim']}")
+    m, _, dsub = _check_codebooks(codebooks)
+    q = queries.select(F.col(query_id_column).alias("query_id"),
+                       F.col(vector_column).cast("array<double>")
+                       .alias("__qv"))
+    probes = probe_clusters_df(q, centroids, n_probe,
+                               vector_column="__qv", keep=("__qv",))
+    # residual (IVFADC) scoring mirrors _residual_lut_rows exactly:
+    # ip  — dot(q, v) = dot(q, c_l) + dot(q, r): the RAW query's
+    #       residual-codebook table plus the per-list constant
+    #       dot(q, c_l) folded into subspace 0 (added once by the
+    #       row-sum);
+    # l2  — ||q − v||² = ||(q − c_l) − r||²: the l2 table of the
+    #       SHIFTED query q − c_l, no constant.
+    probes = probes.withColumn("__const", F.lit(0.0))
+    if meta.get("residual", False):
+        cent = F.broadcast(_osdf(
+            spark,
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cluster int, __cent array<double>"))
+        probes = probes.join(cent, "cluster")
+        if metric == "l2":
+            probes = probes.withColumn(
+                "__qeff", F.zip_with(F.col("__qv"), F.col("__cent"),
+                                     lambda x, y: x - y))
+        else:
+            probes = (probes
+                      .withColumn("__qeff", F.col("__qv"))
+                      .withColumn("__const", F.aggregate(
+                          F.zip_with(F.col("__qv"), F.col("__cent"),
+                                     lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)))
+        probes = probes.drop("__cent")
+    else:
+        probes = probes.withColumn("__qeff", F.col("__qv"))
+
+    def sub_score(j, c):
+        qj = F.slice(F.col("__qeff"), j * F.lit(dsub) + 1, dsub)
+        if metric == "ip":
+            base = F.aggregate(F.zip_with(qj, c, lambda a, b: a * b),
+                               F.lit(0.0), lambda acc, x: acc + x)
+            return base + F.when(j == F.lit(0),
+                                 F.col("__const")).otherwise(F.lit(0.0))
+        return -F.aggregate(
+            F.zip_with(qj, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    luts = (probes.crossJoin(_codebook_row(spark, codebooks))
+            .withColumn("__lut", F.transform(
+                F.col("__cbs"),
+                lambda cbj, j: F.transform(cbj,
+                                           lambda c: sub_score(j, c))))
+            .select("query_id", "cluster", "__qv", "__lut"))
+    codes = candidate_filter(
+        indexlog.read_committed(spark, path, "codes", ids=committed),
+        candidates)
+    scored = codes.join(luts, "cluster").select(
+        "query_id", "id", _adc_score("code").alias("score"))
+    n_short = k if not rerank else max(k, shortlist or 4 * k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.col("id"))
+    short = (scored.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= n_short).drop("__rn"))
+    if not rerank:
+        return short
+    vectors = _rerank_embedding(
+        indexlog.read_committed(spark, path, "vectors", ids=committed),
+        meta.get("vectors_dtype") or "float64")
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("__qv"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    exact = dot if metric == "ip" else -_l2sq(F.col("embedding"),
+                                              F.col("__qv"))
+    rescored = (short.select("query_id", "id")
+                .join(vectors, "id").join(q, "query_id")
                 .select("query_id", "id", exact.alias("score")))
     return (rescored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))

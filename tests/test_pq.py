@@ -1262,3 +1262,54 @@ def test_cli_as_of_fragmented_and_bucket_skew(spark, tmp_path, capsys):
     skew = desc["payload"]["postings"]["skew"]
     assert skew["rows"] == desc["payload"]["postings"]["committed_rows"]
     assert skew["max_rows"] >= 1
+
+
+def test_pq_search_dataframe_queries_equal_list_form(spark, tmp_path):
+    """(r10) the DataFrame-query form of pq_search — expression-built
+    ADC tables per (query, probed list), distributed probes, join-based
+    re-rank — equals the list form exactly, in plain AND residual
+    (IVFADC) modes, rerank on/off, under candidates= and l2."""
+    import math
+    import random
+
+    from dsgrid_spark.pipeline.pq import (
+        coarse_residuals, exact_codebooks, pq_fit, pq_search,
+        write_pq_index,
+    )
+    from dsgrid_spark.pipeline.similarity import kmeans_centroids
+
+    rnd = random.Random(5)
+    rows = [(i, [float(math.floor(rnd.gauss(0, 1) * 2))
+                 for _ in range(8)]) for i in range(90)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(emb, n_clusters=3, dim=8, iterations=2)
+    qlist = [(0, rows[0][1]), (1, rows[41][1]), (2, rows[77][1])]
+    qdf = spark.createDataFrame(qlist,
+                                "query_id long, embedding array<double>")
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    # plain codes, exact codebooks (integer-exact scores cross-path)
+    plain = str(tmp_path / "plain")
+    write_pq_index(emb, plain, cents,
+                   exact_codebooks(emb, dim=8, n_subvectors=4))
+    for kwargs in ({"n_probe": 1}, {"n_probe": 3},
+                   {"n_probe": 3, "rerank": False},
+                   {"n_probe": 3, "metric": "l2"},
+                   {"n_probe": 3, "candidates": list(range(0, 90, 4))}):
+        assert rows_of(pq_search(spark, plain, qdf, k=5, **kwargs)) \
+            == rows_of(pq_search(spark, plain, qlist, k=5, **kwargs))
+
+    # residual (IVFADC) codes: the DF form shifts the query per probed
+    # list exactly like _residual_lut_rows
+    res = str(tmp_path / "res")
+    books = pq_fit(coarse_residuals(emb, cents), dim=8, n_subvectors=2,
+                   n_centroids=4, vector_column="residual")
+    write_pq_index(emb, res, cents, books, residual=True)
+    for kwargs in ({"n_probe": 1, "rerank": False},
+                   {"n_probe": 3, "rerank": False},
+                   {"n_probe": 3}):
+        assert rows_of(pq_search(spark, res, qdf, k=5, **kwargs)) \
+            == rows_of(pq_search(spark, res, qlist, k=5, **kwargs))
