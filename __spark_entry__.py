@@ -1215,6 +1215,19 @@ def q33_similarity_lsh(spark, sf_dir):
             F.col("hamming").cast("long").alias("score"),
         ).localCheckpoint()  # materialize before the index dir vanishes
 
+        # 'hdf' (r10): the SAME on-disk index searched with a
+        # DataFrame query set — the offline-eval form (distributed
+        # probes, codegen bit packing, no driver collect). Hamming
+        # distances are integer-exact and the probe is full, so the
+        # same sign-disagreement oracle applies and DF == list form
+        # bit-for-bit.
+        hdf = hamming_search(spark, f"{tmp}/idx", hq, k=5,
+                             n_probe=2, rerank=False).select(
+            F.lit("hdf").alias("op"), "query_id",
+            F.col("id").alias("vec_id"),
+            F.col("hamming").cast("long").alias("score"),
+        ).localCheckpoint()
+
         # 'rebal' (r10): REBALANCE end-to-end — a second persisted
         # index (store_vectors=True: rebalance re-clusters from the
         # stored payload) has its centroids RETRAINED on the committed
@@ -1243,6 +1256,7 @@ def q33_similarity_lsh(spark, sf_dir):
                                       "query_id", "vec_id", sc))
             .unionByName(ham)
             .unionByName(hdisk)
+            .unionByName(hdf)
             .unionByName(rebal))
 
 
@@ -3296,6 +3310,25 @@ def oracle_sql() -> dict[str, str]:
             -- sign-disagreement top-5 as 'ham' (integer-exact)
             SELECT op, query_id, vec_id, score FROM (
               SELECT 'hdisk' AS op, q.vec_id AS query_id, c.vec_id,
+                   CAST(list_sum(list_transform(range(64), i ->
+                     CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
+                            <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS score
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_sum(list_transform(range(64), i ->
+                     CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
+                            <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)
+                          THEN 1 ELSE 0 END)) ASC,
+                         c.vec_id) <= 5
+            )
+            UNION ALL
+            -- 'hdf': the DataFrame-query search of the same index is
+            -- bit-identical to the list form under a full probe
+            SELECT op, query_id, vec_id, score FROM (
+              SELECT 'hdf' AS op, q.vec_id AS query_id, c.vec_id,
                    CAST(list_sum(list_transform(range(64), i ->
                      CASE WHEN (CAST(c.embedding[i + 1] AS DOUBLE) > 0)
                             <> (CAST(q.embedding[i + 1] AS DOUBLE) > 0)

@@ -78,7 +78,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dsgrid_spark.pipeline import indexlog
 
 __all__ = ["rebalance_index", "rebalance_if_skewed", "RebalanceAborted",
-           "cluster_skew"]
+           "cluster_skew", "maintain_index"]
 
 
 class RebalanceAborted(RuntimeError):
@@ -274,6 +274,38 @@ def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
 #: payload subtree whose row counts define skew, per index kind (the
 #: scan payload — what probe-pruned searches actually read)
 _SKEW_SUBDIR = {"ivf": "vectors", "binary": "bits", "pq": "codes"}
+
+
+def maintain_index(spark: SparkSession, path: str,
+                   ttl_seconds: float = 86400.0,
+                   max_batches: int = 32,
+                   max_over_mean: float | None = None,
+                   **rebalance_kwargs) -> dict:
+    """ONE cron entry for an index's whole maintenance lifecycle, in
+    the safe order: (1) :func:`indexlog.vacuum` reclaims crash debris
+    and expired replaced batches under ``ttl_seconds``; (2)
+    :func:`indexlog.compact_if_fragmented` merges small batch dirs
+    only past ``max_batches`` visible; (3) for vector indexes, when
+    ``max_over_mean`` is given, :func:`rebalance_if_skewed` retrains
+    only past the skew threshold. Each gate costs one log read / one
+    count-only scan when healthy, so the cron tick is cheap between
+    real maintenance events. Returns what happened:
+    ``{"vacuum": {...}, "compacted_batch": ..., "rebalanced_batch":
+    ...}``."""
+    from dsgrid_spark.pipeline.stream_index import index_kind
+
+    kind = index_kind(spark, path)  # refuse non-index dirs up front
+    out: dict = {"kind": kind}
+    out["vacuum"] = indexlog.vacuum(spark, path,
+                                    ttl_seconds=ttl_seconds)
+    out["compacted_batch"] = indexlog.compact_if_fragmented(
+        spark, path, max_batches=max_batches)
+    out["rebalanced_batch"] = None
+    if max_over_mean is not None and kind in _SKEW_SUBDIR:
+        out["rebalanced_batch"] = rebalance_if_skewed(
+            spark, path, max_over_mean=max_over_mean,
+            **rebalance_kwargs)
+    return out
 
 
 def rebalance_if_skewed(spark: SparkSession, path: str,

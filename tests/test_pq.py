@@ -1313,3 +1313,47 @@ def test_pq_search_dataframe_queries_equal_list_form(spark, tmp_path):
                    {"n_probe": 3}):
         assert rows_of(pq_search(spark, res, qdf, k=5, **kwargs)) \
             == rows_of(pq_search(spark, res, qlist, k=5, **kwargs))
+
+
+def test_maintain_index_one_call(spark, tmp_path):
+    """(r10) maintain_index: vacuum + fragmentation-gated compact +
+    skew-gated rebalance in one cron entry — real work only past the
+    thresholds, cheap no-ops when healthy, search results invariant."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.rebalance import maintain_index
+    from dsgrid_spark.pipeline.similarity import (
+        append_ivf_index, ivf_search, kmeans_centroids, write_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + j * 3) % 5) - 2) for j in range(6)])
+         for i in range(30)], "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ividx")
+    write_ivf_index(emb, path, kmeans_centroids(emb, 3, 6, iterations=2))
+    for off, b in ((100, "b1"), (200, "b2")):
+        append_ivf_index(
+            emb.withColumn("vec_id", F.col("vec_id") + off), path,
+            batch_id=b)
+    q = [(0, [1.0, -2.0, 0.0, 2.0, -1.0, 1.0])]
+    before = sorted(map(tuple, ivf_search(spark, path, q, k=5,
+                                          n_probe=3).collect()))
+
+    # healthy thresholds: everything declines
+    out = maintain_index(spark, path, max_batches=5)
+    assert out["compacted_batch"] is None
+    assert out["rebalanced_batch"] is None
+    assert len(indexlog.committed_batches(spark, path)) == 3
+
+    # fragmentation threshold trips: one compaction, results invariant
+    out2 = maintain_index(spark, path, max_batches=2,
+                          max_over_mean=1.0001, iterations=2,
+                          init="kmeanspp")
+    assert out2["compacted_batch"].startswith("cmp")
+    assert out2["rebalanced_batch"].startswith("cmp")
+    assert sorted(map(tuple, ivf_search(spark, path, q, k=5,
+                                        n_probe=3).collect())) == before
+    # steady state: the next tick is a triple no-op
+    out3 = maintain_index(spark, path, max_batches=2,
+                          max_over_mean=50.0)
+    assert out3["compacted_batch"] is None
+    assert out3["rebalanced_batch"] is None
