@@ -734,6 +734,18 @@ def cmd_index_hybrid(args) -> int:
     return 0
 
 
+def cmd_index_maintain(args) -> int:
+    from dsgrid_spark.pipeline.rebalance import maintain_index
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    out = maintain_index(spark, args.path, ttl_seconds=args.ttl,
+                         max_batches=args.max_batches,
+                         max_over_mean=args.max_over_mean)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_index_rebalance(args) -> int:
     from dsgrid_spark.pipeline.rebalance import rebalance_index
     from dsgrid_spark.session import get_spark
@@ -1025,6 +1037,20 @@ def main(argv: list[str] | None = None) -> int:
     ih.add_argument("--n-probe", type=int, default=4)
     ih.add_argument("--candidates", default=None)
     ih.set_defaults(fn=cmd_index_hybrid)
+
+    im = idxsub.add_parser(
+        "maintain", help="the one-call cron entry: vacuum + "
+        "fragmentation-gated compact + skew-gated rebalance (each "
+        "gate is a cheap no-op when healthy)")
+    im.add_argument("path")
+    im.add_argument("--ttl", type=float, default=86400.0,
+                    help="vacuum grace seconds")
+    im.add_argument("--max-batches", type=int, default=32,
+                    help="compact when more batches are visible")
+    im.add_argument("--max-over-mean", type=float, default=None,
+                    help="vector indexes: rebalance when the heaviest "
+                         "cluster exceeds this ratio of the mean")
+    im.set_defaults(fn=cmd_index_maintain)
 
     irb = idxsub.add_parser(
         "rebalance", help="retrain coarse centroids on the committed "

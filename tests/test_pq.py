@@ -1357,3 +1357,33 @@ def test_maintain_index_one_call(spark, tmp_path):
                           max_over_mean=50.0)
     assert out3["compacted_batch"] is None
     assert out3["rebalanced_batch"] is None
+
+
+def test_cli_index_maintain(spark, tmp_path, capsys):
+    """(r10) `index maintain`: the cron entry through the CLI — no-op
+    under healthy thresholds, real compaction past them."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline.retrieval import (
+        append_term_index, write_term_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_term_index(docs, path, n_buckets=2)
+    append_term_index(
+        spark.createDataFrame([(2, "alpha zeta")],
+                              "doc_id long, text string"),
+        path, batch_id="b1")
+    assert cli_main(["index", "maintain", path,
+                     "--max-batches", "5"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["kind"] == "term"
+    assert out["compacted_batch"] is None
+    assert out["rebalanced_batch"] is None
+    assert cli_main(["index", "maintain", path,
+                     "--max-batches", "1"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip())
+    assert out2["compacted_batch"].startswith("cmp")
