@@ -741,7 +741,9 @@ def cmd_index_maintain(args) -> int:
     spark = get_spark("dsgrid-spark-cli")
     out = maintain_index(spark, args.path, ttl_seconds=args.ttl,
                          max_batches=args.max_batches,
-                         max_over_mean=args.max_over_mean)
+                         max_over_mean=args.max_over_mean,
+                         max_distortion_ratio=args.max_distortion_ratio,
+                         drift_sample=args.drift_sample)
     print(json.dumps(out))
     return 0
 
@@ -753,13 +755,21 @@ def cmd_index_rebalance(args) -> int:
     spark = get_spark("dsgrid-spark-cli")
     kwargs = dict(n_clusters=args.n_clusters,
                   iterations=args.iterations, init=args.init,
-                  fit_sample_cap=args.fit_sample_cap)
+                  fit_sample_cap=args.fit_sample_cap,
+                  block_appends=args.block_appends,
+                  retrain_codebooks=args.retrain_codebooks)
     if args.if_skewed is not None:
         from dsgrid_spark.pipeline.rebalance import rebalance_if_skewed
 
         new_id = rebalance_if_skewed(spark, args.path,
                                      max_over_mean=args.if_skewed,
                                      **kwargs)
+    elif args.if_drifted is not None:
+        from dsgrid_spark.pipeline.rebalance import rebalance_if_drifted
+
+        new_id = rebalance_if_drifted(
+            spark, args.path, max_distortion_ratio=args.if_drifted,
+            sample=args.drift_sample, **kwargs)
     else:
         new_id = rebalance_index(spark, args.path, **kwargs)
     print(json.dumps({"rebalanced_batch": new_id}))
@@ -1050,6 +1060,13 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--max-over-mean", type=float, default=None,
                     help="vector indexes: rebalance when the heaviest "
                          "cluster exceeds this ratio of the mean")
+    im.add_argument("--max-distortion-ratio", type=float, default=None,
+                    help="vector indexes: rebalance when the live/refit "
+                         "distortion ratio exceeds this (the "
+                         "recall-proxy gate that fires on uniform-mass "
+                         "drift where skew stays flat)")
+    im.add_argument("--drift-sample", type=int, default=4096,
+                    help="sample size for the drift probe")
     im.set_defaults(fn=cmd_index_maintain)
 
     irb = idxsub.add_parser(
@@ -1070,6 +1087,20 @@ def main(argv: list[str] | None = None) -> int:
                      help="cron mode: rebalance only when the heaviest "
                           "cluster exceeds RATIO x the mean (one "
                           "count-only scan when healthy)")
+    irb.add_argument("--if-drifted", type=float, default=None,
+                     metavar="RATIO",
+                     help="cron mode: rebalance only when the live/refit "
+                          "distortion ratio exceeds RATIO (the "
+                          "recall-proxy drift gate)")
+    irb.add_argument("--drift-sample", type=int, default=4096,
+                     help="sample size for the --if-drifted probe")
+    irb.add_argument("--block-appends", action="store_true",
+                     help="enforce quiescence: appends fail loudly for "
+                          "the run's duration instead of racing the flip")
+    irb.add_argument("--retrain-codebooks", action="store_true",
+                     help="PQ indexes: also retrain the codebooks on the "
+                          "stored vectors and re-encode (codebook "
+                          "identity rides the generation)")
     irb.set_defaults(fn=cmd_index_rebalance)
 
     args = p.parse_args(argv)

@@ -101,6 +101,25 @@ class ConcurrentCompactionError(RuntimeError):
     compaction lock (see :func:`acquire_compact_lock`)."""
 
 
+class StaleGenerationError(RuntimeError):
+    """The index's centroid generation changed between an append's
+    assignment and its commit (a rebalance flipped mid-append).
+    Committing would land OLD-generation cluster numbers in the
+    NEW-generation view — searches would silently mis-prune — so the
+    append aborted before its log write. Crash-equivalent and
+    retryable: nothing became visible; re-run the append (the retry
+    adopts the same intent id and re-assigns against the live
+    generation)."""
+
+
+class AppendsBlockedError(RuntimeError):
+    """The index is in a blocking maintenance pass
+    (``rebalance_index(..., block_appends=True)``): appends fail
+    loudly instead of racing the rebalance's atomic flip. Retry after
+    the rebalance finishes (the marker is removed on completion, and
+    expires under its ttl if the rebalancer crashed)."""
+
+
 def check_batch_id(batch_id: str) -> str:
     """Validate a CALLER-SUPPLIED batch id for use as a
     partition-directory component.
@@ -534,8 +553,11 @@ def acquire_compact_lock(spark: SparkSession, index_path: str,
     racers creates it; the loser raises. A crashed holder's stale lock
     (mtime older than ``ttl_seconds``, the same contract vacuum uses:
     the ttl must exceed the longest possible compaction) is broken —
-    but only if its mtime is unchanged at the delete, so a breaker
-    never removes a lock a faster breaker just re-acquired.
+    via an atomic RENAME to a breaker-unique tombstone, so of two
+    racing breakers exactly one proceeds and the loser can never
+    delete the fresh lock the winner re-created; a lock re-acquired
+    between the staleness stat and the rename is detected by the
+    tombstone's (rename-preserved) mtime and handed straight back.
     """
     import time as _time
 
@@ -559,18 +581,37 @@ def acquire_compact_lock(spark: SparkSession, index_path: str,
             f"another compaction holds {_lock_path(index_path, name)} "
             f"(age under ttl_seconds={ttl_seconds}); if its holder "
             f"crashed, retry after the ttl or delete the lock")
-    # stale: break it, guarded by the mtime we judged stale — a fresh
-    # lock another breaker just created has a young mtime and survives
+    # stale: break it by RENAMING it to a breaker-unique tombstone —
+    # the rename is the atomic arbitration point, so of two racing
+    # breakers exactly one wins and the loser can never delete the
+    # fresh lock the winner immediately re-creates (check-then-delete
+    # let both proceed). Rename preserves mtime, so the tombstone's
+    # mtime re-check still catches a lock re-acquired between our stat
+    # and our rename — that one is handed straight back.
+    import os as _os
+    tomb = jvm.org.apache.hadoop.fs.Path(
+        f"{_lock_path(index_path, name)}.broken-{_os.getpid()}-"
+        f"{_time.monotonic_ns()}")
     try:
-        if fs.getFileStatus(lp).getModificationTime() != seen:
-            raise ConcurrentCompactionError(
-                f"lock {_lock_path(index_path, name)} was re-acquired "
-                f"while being broken")
-        fs.delete(lp, False)
-    except ConcurrentCompactionError:
-        raise
+        won = fs.rename(lp, tomb)
     except Exception:
-        pass  # already gone: fall through to the create race
+        won = False
+    if not won:
+        raise ConcurrentCompactionError(
+            f"lost the race breaking stale lock "
+            f"{_lock_path(index_path, name)}")
+    try:
+        t_mtime = fs.getFileStatus(tomb).getModificationTime()
+    except Exception:
+        t_mtime = None
+    if t_mtime != seen:
+        # we displaced a freshly re-acquired LIVE lock: restore it
+        if not fs.rename(tomb, lp):
+            fs.delete(tomb, False)
+        raise ConcurrentCompactionError(
+            f"lock {_lock_path(index_path, name)} was re-acquired "
+            f"while being broken")
+    fs.delete(tomb, False)
     if not fs.createNewFile(lp):
         raise ConcurrentCompactionError(
             f"lost the race re-claiming stale lock "
@@ -582,6 +623,81 @@ def release_compact_lock(spark: SparkSession, index_path: str,
     """Drop the single-compactor lock (call in a finally around
     :func:`compact` / rebalance work)."""
     delete_glob(spark, _lock_path(index_path, name))
+
+
+#: the well-known append-block marker's lock name (the ``.lock``
+#: suffix keeps it under vacuum's stale-lock reaping)
+APPEND_BLOCK_NAME = "append-block"
+
+
+def block_appends(spark: SparkSession, index_path: str) -> None:
+    """Raise the index's append-block marker: every subsequent
+    vector-index append fails with :class:`AppendsBlockedError` at its
+    start AND at its pre-commit check, turning "schedule rebalances
+    during quiescence" from an ops convention into an enforced mode
+    (``rebalance_index(..., block_appends=True)``). Idempotent; the
+    marker's mtime is refreshed so a leftover stale marker becomes
+    live again for this run."""
+    jvm = spark._jvm
+    lp = jvm.org.apache.hadoop.fs.Path(
+        _lock_path(index_path, APPEND_BLOCK_NAME))
+    fs = lp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(lp.getParent())
+    fs.delete(lp, False)
+    fs.createNewFile(lp)
+
+
+def unblock_appends(spark: SparkSession, index_path: str) -> None:
+    """Drop the append-block marker (call in a finally around the
+    blocking maintenance work)."""
+    delete_glob(spark, _lock_path(index_path, APPEND_BLOCK_NAME))
+
+
+def check_appends_allowed(spark: SparkSession, index_path: str,
+                          ttl_seconds: float = 86400.0) -> None:
+    """Raise :class:`AppendsBlockedError` while the append-block marker
+    is live (younger than ``ttl_seconds`` — a crashed blocking
+    rebalance must not block appends forever; vacuum also reaps the
+    marker under its lock ttl). ONE FileSystem probe — the per-append
+    cost of the enforced-quiescence mode."""
+    import time as _time
+
+    jvm = spark._jvm
+    lp = jvm.org.apache.hadoop.fs.Path(
+        _lock_path(index_path, APPEND_BLOCK_NAME))
+    fs = lp.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        mtime = fs.getFileStatus(lp).getModificationTime()
+    except Exception:
+        return  # no marker: appends allowed
+    if mtime >= _time.time() * 1000.0 - ttl_seconds * 1000.0:
+        raise AppendsBlockedError(
+            f"appends to {index_path!r} are blocked by a running "
+            f"maintenance pass ({_lock_path(index_path, APPEND_BLOCK_NAME)}"
+            f"); retry after it completes")
+
+
+def check_generation_unchanged(spark: SparkSession, index_path: str,
+                               gen: str | None) -> None:
+    """Abort an in-flight append whose centroid generation went stale:
+    re-resolve the LIVE committed view's generation and raise
+    :class:`StaleGenerationError` when it differs from ``gen`` (the
+    generation the append assigned against). Called by every
+    vector-index append immediately before its ``log_batch`` — the
+    pre-commit twin of the rebalance's own visible-set re-check, so an
+    append racing a rebalance loses LOUDLY no matter which side
+    commits first: if the rebalance flips first, the append aborts
+    here; if the append commits first, the rebalance aborts on its
+    re-check. The residual window is one log write on each side."""
+    now_gen = resolve_generation(spark, index_path,
+                                 committed_batches(spark, index_path))
+    if now_gen != gen:
+        raise StaleGenerationError(
+            f"centroid generation of {index_path!r} flipped "
+            f"{gen!r} -> {now_gen!r} while this append was in flight "
+            f"(a rebalance committed); the append aborted before its "
+            f"commit and nothing became visible — retry it (the retry "
+            f"re-assigns against the live generation)")
 
 
 def read_committed(spark: SparkSession, index_path: str, subdir: str,
@@ -871,6 +987,7 @@ def _compact_locked(spark: SparkSession, index_path: str,
     delete_glob(spark, f"{_compactions_path(index_path)}/by={batch_id}")
     delete_glob(spark,
                 f"{_centroids_path(index_path)}/batch={batch_id}")
+    delete_glob(spark, f"{index_path}/codebooks/batch={batch_id}")
     log_rows = (spark.read.parquet(_log_path(index_path))
                 .filter(F.col("batch").isin(sources)).collect())
     metrics = {}
@@ -900,13 +1017,28 @@ def _compact_locked(spark: SparkSession, index_path: str,
     # "the unique gen-marked batch in my view" — keeps working after
     # the source retires. Tiny payload (K centroid rows).
     gen_sources = centroid_generations(spark, index_path) & set(sources)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     for g in sorted(gen_sources):
-        (spark.read.parquet(_centroids_path(index_path))
-           .filter(F.col("batch") == g)
-           .drop("batch").withColumn("batch", F.lit(batch_id))
+        # gen-scoped dirs are read DIRECTLY (pq._read_centroids's
+        # convention): a legacy index with a crashed half-migrated
+        # centroid layout stays compactable
+        (spark.read.parquet(f"{_centroids_path(index_path)}/batch={g}")
+           .withColumn("batch", F.lit(batch_id))
            .coalesce(1)
            .write.mode("append").partitionBy("batch")
            .parquet(_centroids_path(index_path)))
+        # a generation-scoped codebook table (retrained PQ) rides the
+        # same marker transfer — the absorbing batch becomes the
+        # establisher of the SAME generation for both tables
+        cb = f"{index_path}/codebooks/batch={g}"
+        cbp = jvm.org.apache.hadoop.fs.Path(cb)
+        if cbp.getFileSystem(conf).exists(cbp):
+            (spark.read.parquet(cb)
+               .withColumn("batch", F.lit(batch_id))
+               .coalesce(1)
+               .write.mode("append").partitionBy("batch")
+               .parquet(f"{index_path}/codebooks"))
     from dsgrid_spark.session import one_slice_df
     (one_slice_df(spark, [(s, batch_id) for s in sources],
                   "replaced string, by string")
@@ -994,12 +1126,15 @@ def purge_replaced(spark: SparkSession, index_path: str,
         for st in dirs:
             fs.delete(st.getPath(), True)
             removed_dirs += 1
-        # a retired generation-establishing batch's centroid dir goes
-        # with its data (compact/rebalance already transferred the
-        # live generation's marker to the replacing batch); pins into
-        # that generation fail loudly at resolve_generation afterwards
+        # a retired generation-establishing batch's centroid (and, for
+        # retrained PQ, codebook) dirs go with its data
+        # (compact/rebalance already transferred the live generation's
+        # marker to the replacing batch); pins into that generation
+        # fail loudly at resolve_generation afterwards
         removed_dirs += delete_glob(
             spark, f"{_centroids_path(index_path)}/batch={bid}")
+        removed_dirs += delete_glob(
+            spark, f"{index_path}/codebooks/batch={bid}")
         removed_log_rows += delete_glob(
             spark, f"{_log_path(index_path)}/batch={bid}")
     return {"data_dirs_removed": removed_dirs,
@@ -1007,7 +1142,8 @@ def purge_replaced(spark: SparkSession, index_path: str,
 
 
 def vacuum(spark: SparkSession, index_path: str,
-           ttl_seconds: float = 86400.0) -> dict[str, int]:
+           ttl_seconds: float = 86400.0,
+           lock_ttl_seconds: float = 86400.0) -> dict[str, int]:
     """Delete crashed-append debris from an index tree: batch data
     directories whose id never committed, and expired or stale intent
     markers.
@@ -1048,7 +1184,10 @@ def vacuum(spark: SparkSession, index_path: str,
     (:func:`purge_replaced`); for the orphan rules above, "committed"
     means EVER LOGGED OR REPLACED — a replaced-but-unpurged batch is
     retired bookkeeping handled by the purge pass, never an orphan.
-    Returns removal counts.
+    Stale compactor locks are reaped under ``lock_ttl_seconds`` — a
+    ttl INDEPENDENT of the reader-grace ``ttl_seconds``, so shortening
+    reader grace can never delete a live compactor's lock. Returns
+    removal counts.
     """
     import time as _time
 
@@ -1065,11 +1204,13 @@ def vacuum(spark: SparkSession, index_path: str,
 
     fs_i, intent_sts = statuses(f"{_intents_path(index_path)}/*")
     fs_d, data_sts = statuses(f"{index_path}/*/*/batch=*")
-    # a crashed rebalance's centroid generation dir is an artifact of
-    # its (uncommitted) batch like any payload dir — judged and
-    # deleted with the batch as a unit
+    # a crashed rebalance's centroid (and codebook) generation dirs
+    # are artifacts of its (uncommitted) batch like any payload dir —
+    # judged and deleted with the batch as a unit
     data_sts = data_sts + statuses(
         f"{_centroids_path(index_path)}/batch=*")[1]
+    data_sts = data_sts + statuses(
+        f"{index_path}/codebooks/batch=*")[1]
 
     # group every artifact of each UNCOMMITTED batch; stale intents of
     # committed batches are removable immediately (data never touched)
@@ -1111,6 +1252,8 @@ def vacuum(spark: SparkSession, index_path: str,
         _, fresh = statuses(f"{index_path}/*/*/batch={bid}")
         fresh = fresh + statuses(
             f"{_centroids_path(index_path)}/batch={bid}")[1]
+        fresh = fresh + statuses(
+            f"{index_path}/codebooks/batch={bid}")[1]
         snap = {str(st.getPath()) for st in data_of.get(bid, [])}
         if ({str(st.getPath()) for st in fresh} != snap
                 or any(st.getModificationTime() >= cutoff for st in fresh)):
@@ -1133,14 +1276,22 @@ def vacuum(spark: SparkSession, index_path: str,
         fs_i.delete(st.getPath(), True)
         removed_intents += 1
     # a compactor that died holding the single-compactor lock would
-    # otherwise block compaction until someone notices; the lock's own
-    # ttl contract (acquire_compact_lock) makes expiry safe to reap
+    # otherwise block compaction until someone notices. Staleness is
+    # judged on ``lock_ttl_seconds`` — a SEPARATE ttl from the
+    # reader-grace ``ttl_seconds``: an operator shortening the reader
+    # grace (its documented purpose) must not thereby delete a LIVE
+    # compactor's lock and re-enable the concurrent-compaction
+    # double-count the lock exists to prevent. Crashed breakers'
+    # tombstones (``*.lock.broken-*``) are reaped under the same ttl.
+    lock_cutoff = _time.time() * 1000.0 - lock_ttl_seconds * 1000.0
     removed_locks = 0
-    fs_l, lock_sts = statuses(f"{index_path}/locks/*.lock")
-    for st in lock_sts:
-        if st.getModificationTime() < cutoff:
-            fs_l.delete(st.getPath(), False)
-            removed_locks += 1
+    for pattern in (f"{index_path}/locks/*.lock",
+                    f"{index_path}/locks/*.lock.broken-*"):
+        fs_l, lock_sts = statuses(pattern)
+        for st in lock_sts:
+            if st.getModificationTime() < lock_cutoff:
+                fs_l.delete(st.getPath(), False)
+                removed_locks += 1
     return {"data_dirs_removed": removed_dirs + purged["data_dirs_removed"],
             "intents_removed": removed_intents,
             "replaced_log_rows_removed": purged["log_rows_removed"],

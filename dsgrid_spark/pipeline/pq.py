@@ -767,8 +767,39 @@ def _codebooks_to_rows(codebooks):
             for j, cb in enumerate(codebooks) for i, c in enumerate(cb)]
 
 
-def _read_codebooks(spark, path: str) -> list[list[list[float]]]:
-    rows = spark.read.parquet(f"{path}/codebooks").collect()
+def codebook_generations(spark, path: str) -> set[str]:
+    """Batch ids with a generation-scoped codebook table
+    (``codebooks/batch=<establisher>`` directory names). Empty for the
+    flat pre-retrain layout — the common case."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/codebooks/batch=*")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return {st.getPath().getName().split("=", 1)[1]
+            for st in (fs.globStatus(p) or [])}
+
+
+def _read_codebooks(spark, path: str,
+                    gen: str | None = None) -> list[list[list[float]]]:
+    """Codebook table for one centroid GENERATION. Pre-retrain indexes
+    keep the flat ``codebooks/`` layout — ONE codebook shared by every
+    generation (coarse-only rebalances re-encode against it). Once a
+    ``retrain_codebooks`` rebalance runs, codebooks live under
+    ``codebooks/batch=<establisher>`` — the same atomic-flip unit as
+    the centroids — and each generation reads the codebooks its codes
+    were encoded with (pinned readers included). The gen-scoped
+    directory is read DIRECTLY, never via root-level partition
+    discovery, so flat files and batch dirs can never collide."""
+    marked = codebook_generations(spark, path)
+    if marked:
+        if gen not in marked:
+            raise ValueError(
+                f"no codebook table for generation {gen!r} at {path!r} "
+                f"(found {sorted(marked)}): purged generation, or a "
+                f"view predating the generation-scoped codebook layout")
+        rows = spark.read.parquet(
+            f"{path}/codebooks/batch={gen}").collect()
+    else:
+        rows = spark.read.parquet(f"{path}/codebooks").collect()
     m = max(r["j"] for r in rows) + 1
     k = max(r["i"] for r in rows) + 1
     books = [[None] * k for _ in range(m)]
@@ -779,15 +810,22 @@ def _read_codebooks(spark, path: str) -> list[list[list[float]]]:
 
 def _read_centroids(spark, path: str,
                     gen: str | None = None) -> list[list[float]]:
-    """Coarse centroid table, filtered to one GENERATION when the index
-    uses the ``centroids/batch=<establisher>`` layout (``gen`` from
+    """Coarse centroid table, for one GENERATION when the index uses
+    the ``centroids/batch=<establisher>`` layout (``gen`` from
     :func:`indexlog.resolve_generation`; ``None`` = the legacy flat
-    layout's single implicit generation)."""
-    df = spark.read.parquet(f"{path}/centroids")
-    if gen is not None:
-        df = df.filter(F.col("batch") == gen)
-    rows = sorted(df.select("cluster", "centroid").collect(),
-                  key=lambda r: r["cluster"])
+    layout's single implicit generation). The gen-scoped directory is
+    read DIRECTLY — never via root-level partition discovery — so a
+    legacy index mid-migration (flat files still next to the first
+    ``batch=`` dir, see ``rebalance._migrate_flat_centroids``) stays
+    readable throughout."""
+    try:
+        df = (spark.read.parquet(f"{path}/centroids/batch={gen}")
+              if gen is not None
+              else spark.read.parquet(f"{path}/centroids"))
+        rows = sorted(df.select("cluster", "centroid").collect(),
+                      key=lambda r: r["cluster"])
+    except Exception:
+        rows = []
     if not rows:
         raise ValueError(
             f"no centroid rows for generation {gen!r} at {path!r} "
@@ -994,12 +1032,13 @@ def append_pq_index(df: DataFrame, path: str,
             and len(first[0]) != meta["dim"]:
         raise ValueError(f"batch vector dim {len(first[0])} != index "
                          f"dim {meta['dim']}")
+    indexlog.check_appends_allowed(spark, path)
     indexlog.delete_glob(spark, f"{path}/codes/cluster=*/batch={batch_id}")
     indexlog.delete_glob(spark,
                          f"{path}/vectors/cluster=*/batch={batch_id}")
-    centroids = _read_centroids(
-        spark, path, indexlog.resolve_generation(spark, path, committed))
-    codebooks = _read_codebooks(spark, path)
+    gen = indexlog.resolve_generation(spark, path, committed)
+    centroids = _read_centroids(spark, path, gen)
+    codebooks = _read_codebooks(spark, path, gen)
     codes, vectors = _assign_encode(df, centroids, codebooks, id_column,
                                     vector_column, assign_strategy,
                                     batch_id,
@@ -1079,10 +1118,10 @@ def pq_search(spark, path: str, queries, k: int = 10,
     from dsgrid_spark.pipeline.similarity import rank_probes
 
     committed = indexlog.resolve_batches(spark, path, as_of)
-    centroids = _read_centroids(
-        spark, path, indexlog.resolve_generation(
-            spark, path, committed, validate_pin=as_of is not None))
-    codebooks = _read_codebooks(spark, path)
+    gen = indexlog.resolve_generation(
+        spark, path, committed, validate_pin=as_of is not None)
+    centroids = _read_centroids(spark, path, gen)
+    codebooks = _read_codebooks(spark, path, gen)
     if isinstance(queries, DataFrame):
         return _pq_search_df(spark, path, queries, k, n_probe,
                              shortlist, rerank, metric, candidates,

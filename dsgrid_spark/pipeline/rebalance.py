@@ -77,7 +77,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dsgrid_spark.pipeline import indexlog
 
-__all__ = ["rebalance_index", "rebalance_if_skewed", "RebalanceAborted",
+__all__ = ["rebalance_index", "rebalance_if_skewed",
+           "rebalance_if_drifted", "assignment_drift", "RebalanceAborted",
            "cluster_skew", "maintain_index"]
 
 
@@ -114,6 +115,8 @@ def rebalance_index(spark: SparkSession, path: str,
                     fit_sample_cap: int | None = None,
                     assign_strategy: str = "auto",
                     lock_ttl_seconds: float = 86400.0,
+                    block_appends: bool = False,
+                    retrain_codebooks: bool = False,
                     _pre_commit_hook=None) -> str:
     """Retrain this index's coarse centroids on its committed vectors
     and rewrite every payload subtree under the new assignment, as one
@@ -130,6 +133,28 @@ def rebalance_index(spark: SparkSession, path: str,
     seeding cannot see. ``_pre_commit_hook`` is a test seam (called
     between the payload writes and the commit re-check).
 
+    ``block_appends=True`` turns "schedule during quiescence" into an
+    ENFORCED mode on a busy index (where every attempt would otherwise
+    abort on the visible-set re-check): the run raises the well-known
+    append-block marker for its duration, and every vector-index
+    append fails loudly with :class:`indexlog.AppendsBlockedError` —
+    checked at the append's start AND immediately before its commit,
+    one FS probe each — instead of racing the flip. The marker is
+    removed on completion and expires under the lock ttl if the
+    rebalancer crashes (vacuum also reaps it).
+
+    ``retrain_codebooks=True`` (PQ indexes only) additionally retrains
+    the PQ codebooks on the stored vectors (for residual indexes: on
+    the residuals against the NEW coarse centroids) and re-encodes
+    every code — the remedy for drift heavy enough that the frozen
+    codebooks themselves are stale, without a full rebuild. Codebook
+    identity then rides the generation (``codebooks/batch=
+    <establisher>``, flipped atomically with the centroids at the one
+    log commit); a legacy flat codebook table is migrated to the
+    generation layout in the same pass, with the OLD generation
+    keeping its own copy so pinned readers keep decoding with the
+    codebooks their codes were encoded with.
+
     Exactly-once: the run claims a ``cmp`` intent; a crashed or
     aborted attempt is retried under the same id (its directories —
     payloads, centroid generation, compaction rows — are deleted
@@ -144,22 +169,113 @@ def rebalance_index(spark: SparkSession, path: str,
         raise ValueError(
             f"rebalance applies to vector indexes (ivf/binary/pq); "
             f"{path!r} is a {kind!r} index")
+    if retrain_codebooks and kind != "pq":
+        raise ValueError(
+            f"retrain_codebooks applies to pq indexes only; {path!r} "
+            f"is a {kind!r} index")
     indexlog.acquire_compact_lock(spark, path,
                                   ttl_seconds=lock_ttl_seconds)
     try:
+        if block_appends:
+            indexlog.block_appends(spark, path)
         return _rebalance_locked(spark, path, kind, n_clusters,
                                  iterations, seed, init, fit_sample_cap,
-                                 assign_strategy, _pre_commit_hook)
+                                 assign_strategy, retrain_codebooks,
+                                 _pre_commit_hook)
     finally:
+        if block_appends:
+            indexlog.unblock_appends(spark, path)
         indexlog.release_compact_lock(spark, path)
+
+
+def _flat_entries(spark, subdir_path: str):
+    """(fs, [status...]) of root-level entries under an index subtree
+    that are NOT ``batch=`` partition dirs — the legacy flat layout's
+    files (plus ``_SUCCESS`` markers)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{subdir_path}/*")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    sts = [st for st in (fs.globStatus(p) or [])
+           if not st.getPath().getName().startswith("batch=")]
+    return fs, sts
+
+
+def _sweep_flat_centroids(spark, path: str, visible: set[str]) -> None:
+    """Remove leftover FLAT centroid files once a COMMITTED generation
+    marker exists (a crashed migration's second half, or debris from a
+    pre-fix rebalance that appended ``batch=`` dirs next to flat files
+    — the mixed layout that breaks root-level partition discovery).
+    Only a committed marker makes the flat files redundant; an
+    UNCOMMITTED marker (a crashed pre-fix rebalance) means the flat
+    table is still the live generation, so the sweep waits for vacuum
+    to reap the orphan marker instead."""
+    if not (indexlog.centroid_generations(spark, path) & visible):
+        return
+    fs, sts = _flat_entries(spark, f"{path}/centroids")
+    for st in sts:
+        fs.delete(st.getPath(), True)
+
+
+def _migrate_flat_centroids(spark, path: str, visible: set[str]) -> str:
+    """One-time migration of a legacy flat ``centroids/`` table into
+    the generation layout, so the rebalance's new ``centroids/batch=
+    <cmp>`` dir never lands next to root-level parquet files (Spark's
+    partition discovery rejects mixed layouts — every later root-level
+    centroid read of the index would fail; the r10 advice hole).
+
+    The flat rows are copied under ``centroids/batch=<carrier>`` —
+    the OLDEST committed batch in the view (``base`` wherever it still
+    exists), the id most likely present in every outstanding pin —
+    and the flat files are removed only AFTER the copy lands; readers
+    resolve the generation from the marker the moment it exists and
+    read it through the gen-scoped path directly (pq._read_centroids),
+    so a crash between copy and sweep leaves the index fully readable
+    and the next rebalance finishes the sweep. Returns the carrier id
+    (the migrated generation)."""
+    from dsgrid_spark.pipeline.pq import _read_centroids
+    from dsgrid_spark.pipeline.similarity import write_centroid_generation
+
+    flat = _read_centroids(spark, path, None)
+    if indexlog.BASE_BATCH in visible:
+        carrier = indexlog.BASE_BATCH
+    else:
+        try:
+            rows = (spark.read.option("mergeSchema", "true")
+                    .parquet(f"{path}/batches")
+                    .select("batch", "committed_at_ms").collect())
+            at = {r["batch"]: r["committed_at_ms"] for r in rows}
+        except Exception:
+            at = {}
+        # NULL commit time = the unknown past (resolve_timestamp's
+        # convention); ties break by name for determinism
+        carrier = min(visible, key=lambda b: (
+            0 if at.get(b) is None else 1,
+            at.get(b) if at.get(b) is not None else 0, b))
+    write_centroid_generation(spark, path, flat, carrier, mode="append")
+    _sweep_flat_centroids(spark, path, visible)
+    return carrier
+
+
+def _write_codebooks_gen(spark, path: str, books, bid: str) -> None:
+    """One generation's codebook table under ``codebooks/batch=<bid>``
+    (idempotent: a crashed attempt's dir is replaced, never doubled)."""
+    from dsgrid_spark.pipeline.pq import _codebooks_to_rows
+    from dsgrid_spark.session import one_slice_df
+
+    indexlog.delete_glob(spark, f"{path}/codebooks/batch={bid}")
+    (one_slice_df(spark, _codebooks_to_rows(books),
+                  "j int, i int, centroid array<double>")
+       .withColumn("batch", F.lit(bid))
+       .write.mode("append").partitionBy("batch")
+       .parquet(f"{path}/codebooks"))
 
 
 def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
                       init, fit_sample_cap, assign_strategy,
-                      _pre_commit_hook) -> str:
+                      retrain_codebooks, _pre_commit_hook) -> str:
     from dsgrid_spark.pipeline.pq import (
         _read_centroids, _read_codebooks, _read_meta, _rerank_embedding,
-        _subtract_coarse, pq_encode,
+        _subtract_coarse, codebook_generations, pq_encode, pq_fit,
     )
     from dsgrid_spark.pipeline.similarity import (
         assign_nearest_centroid, kmeans_centroids,
@@ -171,6 +287,13 @@ def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
         raise ValueError(f"no committed batches at {path!r}; nothing "
                          "to rebalance")
     gen = indexlog.resolve_generation(spark, path, visible)
+    if gen is None:
+        # legacy flat layout: migrate BEFORE writing the new
+        # generation's marker dir (mixed layouts break partition
+        # discovery for every subsequent reader)
+        gen = _migrate_flat_centroids(spark, path, visible)
+    else:
+        _sweep_flat_centroids(spark, path, visible)
     old_centroids = _read_centroids(spark, path, gen)
     k = n_clusters if n_clusters is not None else len(old_centroids)
     if k < 1:
@@ -194,6 +317,7 @@ def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
     indexlog.delete_glob(
         spark, f"{path}/compactions/by={batch_id}")
     indexlog.delete_glob(spark, f"{path}/centroids/batch={batch_id}")
+    indexlog.delete_glob(spark, f"{path}/codebooks/batch={batch_id}")
 
     # 3. one assignment pass; the (id, cluster) map is the ONLY
     #    corpus-scale state carried across the subtree writes
@@ -210,15 +334,35 @@ def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
            .parquet(f"{path}/{sub}"))
 
     # 4. rewrite payloads: stored values preserved; only residual PQ
-    #    codes are value-dependent on the centroids and re-encode
+    #    codes are value-dependent on the centroids and re-encode —
+    #    unless retrain_codebooks, which re-encodes EVERYTHING against
+    #    freshly trained codebooks (plain codes included: their values
+    #    depend on the books)
     _rewrite("vectors", stored.drop("cluster", "batch"))
+    new_books = None
     if kind == "binary":
         bits = indexlog.read_committed(spark, path, "bits", ids=visible)
         _rewrite("bits", bits.drop("cluster", "batch"))
     elif kind == "pq":
         meta = _read_meta(spark, path)
-        if bool(meta.get("residual", False)):
-            codebooks = _read_codebooks(spark, path)
+        residual = bool(meta.get("residual", False))
+        if retrain_codebooks:
+            assigned = emb.join(newmap, "id")
+            if residual:
+                enc_in = (_subtract_coarse(assigned, centroids, "cluster",
+                                           "embedding", "__r")
+                          .select("id", F.col("__r").alias("embedding")))
+            else:
+                enc_in = assigned.select("id", "embedding")
+            new_books = pq_fit(enc_in, int(meta["dim"]), int(meta["m"]),
+                               int(meta["k"]), vector_column="embedding",
+                               iterations=iterations, seed=seed,
+                               fit_sample_cap=fit_sample_cap)
+            codes = pq_encode(enc_in, new_books, id_column="id",
+                              vector_column="embedding")
+            _rewrite("codes", codes)
+        elif residual:
+            codebooks = _read_codebooks(spark, path, gen)
             assigned = emb.join(newmap, "id")
             enc_in = (_subtract_coarse(assigned, centroids, "cluster",
                                        "embedding", "__r")
@@ -231,9 +375,31 @@ def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
                                             ids=visible)
             _rewrite("codes", codes.drop("cluster", "batch"))
 
-    # 5. the new generation's centroid table + replacement rows
+    # 5. the new generation's centroid table + replacement rows; for
+    #    PQ, the codebook table rides the SAME generation flip
     write_centroid_generation(spark, path, centroids, batch_id,
                               mode="append")
+    if kind == "pq":
+        marked = codebook_generations(spark, path)
+        if new_books is not None:  # retrain_codebooks
+            if gen not in marked:
+                # first retrain of a flat-codebook index: the OLD
+                # generation keeps its own copy so pinned readers keep
+                # decoding with the books their codes were encoded with
+                _write_codebooks_gen(
+                    spark, path, _read_codebooks(spark, path, gen), gen)
+            _write_codebooks_gen(spark, path, new_books, batch_id)
+            # both generations now own gen-scoped copies: the flat
+            # files are redundant and would break a future root read
+            fs, sts = _flat_entries(spark, f"{path}/codebooks")
+            for st in sts:
+                fs.delete(st.getPath(), True)
+        elif marked:
+            # gen-scoped layout without retrain: the new generation
+            # reuses the same books — copy them under its id so its
+            # readers resolve them (tiny payload, m*k rows)
+            _write_codebooks_gen(
+                spark, path, _read_codebooks(spark, path, gen), batch_id)
     sources = sorted(visible)
     from dsgrid_spark.session import one_slice_df
     (one_slice_df(spark, [(s, batch_id) for s in sources],
@@ -280,6 +446,8 @@ def maintain_index(spark: SparkSession, path: str,
                    ttl_seconds: float = 86400.0,
                    max_batches: int = 32,
                    max_over_mean: float | None = None,
+                   max_distortion_ratio: float | None = None,
+                   drift_sample: int = 4096,
                    **rebalance_kwargs) -> dict:
     """ONE cron entry for an index's whole maintenance lifecycle, in
     the safe order: (1) :func:`indexlog.vacuum` reclaims crash debris
@@ -287,11 +455,15 @@ def maintain_index(spark: SparkSession, path: str,
     :func:`indexlog.compact_if_fragmented` merges small batch dirs
     only past ``max_batches`` visible; (3) for vector indexes, when
     ``max_over_mean`` is given, :func:`rebalance_if_skewed` retrains
-    only past the skew threshold. Each gate costs one log read / one
-    count-only scan when healthy, so the cron tick is cheap between
-    real maintenance events. Returns what happened:
+    past the skew threshold, and when ``max_distortion_ratio`` is
+    given, :func:`rebalance_if_drifted` retrains past the live/refit
+    distortion ratio — the recall-proxy gate that fires on
+    uniform-mass drift where skew stays flat (give both and either
+    can trigger; at most one rebalance runs per tick). The skew gate
+    costs one count-only scan when healthy; the drift gate one
+    ``drift_sample``-bounded probe. Returns what happened:
     ``{"vacuum": {...}, "compacted_batch": ..., "rebalanced_batch":
-    ...}``."""
+    ..., "drift": {...} | None}``."""
     from dsgrid_spark.pipeline.stream_index import index_kind
 
     kind = index_kind(spark, path)  # refuse non-index dirs up front
@@ -301,11 +473,144 @@ def maintain_index(spark: SparkSession, path: str,
     out["compacted_batch"] = indexlog.compact_if_fragmented(
         spark, path, max_batches=max_batches)
     out["rebalanced_batch"] = None
-    if max_over_mean is not None and kind in _SKEW_SUBDIR:
-        out["rebalanced_batch"] = rebalance_if_skewed(
-            spark, path, max_over_mean=max_over_mean,
-            **rebalance_kwargs)
+    out["drift"] = None
+    if kind in _SKEW_SUBDIR:
+        if max_over_mean is not None:
+            out["rebalanced_batch"] = rebalance_if_skewed(
+                spark, path, max_over_mean=max_over_mean,
+                **rebalance_kwargs)
+        if (max_distortion_ratio is not None
+                and out["rebalanced_batch"] is None):
+            drift = assignment_drift(spark, path, sample=drift_sample)
+            out["drift"] = drift
+            if drift["ratio"] > max_distortion_ratio:
+                out["rebalanced_batch"] = rebalance_index(
+                    spark, path, **rebalance_kwargs)
     return out
+
+
+def _mean_cosine_distortion(sample_df: DataFrame,
+                            centroids: list[list[float]],
+                            assign_strategy: str = "auto"
+                            ) -> tuple[float, int]:
+    """(mean 1−cosine(v, nearest centroid), n) over a sample frame —
+    the k-means objective under the cosine metric every assignment in
+    this package uses. One assignment pass + one broadcast join + one
+    scalar aggregate, all bounded by the sample size."""
+    from dsgrid_spark.pipeline.similarity import (
+        assign_nearest_centroid, cosine,
+    )
+    from dsgrid_spark.session import one_slice_df
+
+    spark = sample_df.sparkSession
+    cent = F.broadcast(one_slice_df(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "__cluster int, __cent array<double>"))
+    assigned = assign_nearest_centroid(sample_df, centroids, "embedding",
+                                       strategy=assign_strategy)
+    row = (assigned.join(cent, "__cluster")
+           .agg(F.avg(F.lit(1.0)
+                      - cosine(F.col("embedding"), F.col("__cent")))
+                .alias("d"),
+                F.count(F.lit(1)).alias("n")).collect()[0])
+    return float(row["d"] if row["d"] is not None else 0.0), int(row["n"])
+
+
+def assignment_drift(spark: SparkSession, path: str,
+                     sample: int = 4096, iterations: int = 3,
+                     seed: int = 11,
+                     assign_strategy: str = "auto") -> dict:
+    """The RECALL-PROXY drift signal :func:`rebalance_if_skewed`'s
+    row-count skew cannot see (SCALE_R10 §4: planted drift moved skew
+    1.74 → 1.76 while r@10 fell 0.525 → 0.375 — on uniform-mass
+    corpora the skew gate stays silent exactly when rebalance
+    matters). The probe measures the thing that actually degrades:
+    how well the LIVE centroids still model the committed
+    distribution.
+
+    On a bounded deterministic sample (content-hash filter, the
+    ``fit_sample_cap`` convention): ``distortion_live`` = mean
+    (1 − cosine) of each sampled vector to its nearest LIVE centroid;
+    ``distortion_refit`` = the same under a fresh same-k k-means fit
+    OF THE SAMPLE (a mini-rebalance the probe throws away); ``ratio``
+    = live / refit. A well-fitted index sits near 1.0 (the live
+    centroids are already a k-means solution of this data); drift
+    pushes the live distortion up while the refit captures the new
+    structure, so the ratio rises — structure moving INTO the corpus
+    that probes can no longer exploit. Cost: one sample
+    materialization + ``iterations`` sample-bounded k-means passes +
+    two distortion aggregates — bounded by ``sample``, never the
+    corpus. Returns ``{n_sample, n_clusters, distortion_live,
+    distortion_refit, ratio}``.
+    """
+    import math
+
+    from dsgrid_spark.pipeline.pq import (_read_centroids,
+                                          _rerank_embedding)
+    from dsgrid_spark.pipeline.similarity import kmeans_centroids
+    from dsgrid_spark.pipeline.stream_index import index_kind
+
+    kind = index_kind(spark, path)
+    if kind not in _SKEW_SUBDIR:
+        raise ValueError(
+            f"assignment_drift applies to vector indexes "
+            f"(ivf/binary/pq); {path!r} is a {kind!r} index")
+    if sample < 2:
+        raise ValueError(f"sample must be >= 2, got {sample}")
+    visible = indexlog.committed_batches(spark, path)
+    if not visible:
+        raise ValueError(f"no committed batches at {path!r}")
+    gen = indexlog.resolve_generation(spark, path, visible)
+    centroids = _read_centroids(spark, path, gen)
+    stored, dtype = _rerank_vectors(spark, path, kind, visible)
+    emb = _rerank_embedding(stored, dtype).select("id", "embedding")
+    total = emb.count()
+    s = emb
+    if total > sample:
+        denom = math.ceil(total / sample)
+        s = emb.filter(
+            F.pmod(F.xxhash64(F.col("embedding")), F.lit(denom)) == 0)
+    s = s.localCheckpoint()
+    live, n = _mean_cosine_distortion(s, centroids, assign_strategy)
+    k = len(centroids)
+    dim = len(centroids[0])
+    refit = kmeans_centroids(s, k, dim, "embedding",
+                             iterations=iterations, seed=seed,
+                             assign_strategy=assign_strategy)
+    fresh, _ = _mean_cosine_distortion(s, refit, assign_strategy)
+    if fresh > 0.0:
+        ratio = live / fresh
+    else:
+        ratio = 1.0 if live <= 0.0 else float("inf")
+    return {"n_sample": n, "n_clusters": k,
+            "distortion_live": live, "distortion_refit": fresh,
+            "ratio": ratio}
+
+
+def rebalance_if_drifted(spark: SparkSession, path: str,
+                         max_distortion_ratio: float = 1.2,
+                         sample: int = 4096,
+                         probe_iterations: int = 3,
+                         probe_seed: int = 11,
+                         **rebalance_kwargs) -> str | None:
+    """The drift-gated maintenance entry: run :func:`assignment_drift`
+    and retrain (:func:`rebalance_index`) only when the live/refit
+    distortion ratio exceeds ``max_distortion_ratio`` — the gate that
+    fires on uniform-mass drift where :func:`rebalance_if_skewed`
+    stays silent. Returns the new batch id, or None when the live
+    centroids still fit. ``rebalance_kwargs`` forward to
+    :func:`rebalance_index`."""
+    if max_distortion_ratio <= 1.0:
+        raise ValueError(
+            f"max_distortion_ratio must exceed 1.0 (a freshly fitted "
+            f"index sits at ~1.0), got {max_distortion_ratio}")
+    drift = assignment_drift(spark, path, sample=sample,
+                             iterations=probe_iterations,
+                             seed=probe_seed)
+    if drift["ratio"] <= max_distortion_ratio:
+        return None
+    return rebalance_index(spark, path, **rebalance_kwargs)
 
 
 def rebalance_if_skewed(spark: SparkSession, path: str,

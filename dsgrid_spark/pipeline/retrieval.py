@@ -60,13 +60,87 @@ def _analyzer_fn(name: str):
 
 def _analyze_query(spark: SparkSession, analyzer: str,
                    parts: list[str]) -> list[str]:
-    """Token list for a query under the INDEX's analyzer (order kept,
+    """Token list for ONE query under the INDEX's analyzer (order kept,
     duplicates kept — phrase search needs both). One 1-row evaluation,
     same cost class as the existing bucket-hash probe."""
     row = spark.range(1).select(
         _analyzer_fn(analyzer)(F.lit(" ".join(parts))).alias("t")
     ).collect()[0]
     return [t for t in row["t"] if t != ""]
+
+
+def _analyze_queries(spark: SparkSession, analyzer: str,
+                     queries: list[tuple]) -> list[tuple]:
+    """(query_id, sorted-unique analyzed terms) for a whole query
+    batch in ONE job: the raw term strings ride a one-slice frame
+    through the analyzer expression and one bounded collect returns
+    Q rows. The r10 board paid one 1-row job launch PER query here
+    (~10-50 ms each — minutes of pure launch tax ahead of the single
+    scoring job on a 10k-query sweep); batch analysis makes the prep
+    cost one job regardless of Q. Raises when any query has no
+    surviving term (the list-form contract)."""
+    from dsgrid_spark.pipeline.pq import query_id_type
+    from dsgrid_spark.session import one_slice_df
+
+    qid_type = query_id_type(queries)
+    raw = one_slice_df(
+        spark,
+        [(qid, " ".join(str(p) for p in parts))
+         for qid, parts in queries],
+        f"query_id {qid_type}, __raw string")
+    arr = F.array_sort(F.array_distinct(F.filter(
+        _analyzer_fn(analyzer)(F.col("__raw")), lambda t: t != "")))
+    rows = raw.select("query_id", arr.alias("t")).collect()
+    terms_of = {r["query_id"]: list(r["t"]) for r in rows}
+    out = []
+    for qid, parts in queries:
+        analyzed = terms_of[qid]
+        if not analyzed:
+            raise ValueError(
+                f"no query term survives the {analyzer!r} analyzer: "
+                f"{list(parts)!r} (query {qid!r})")
+        out.append((qid, analyzed))
+    return out
+
+
+def _df_query_terms(queries: DataFrame, analyzer: str,
+                    query_id_column: str,
+                    query_column: str) -> tuple[DataFrame, list[str]]:
+    """The DataFrame-query form's analysis phase: ``(query_id, term)``
+    pairs with the analyzer applied as a COLUMN EXPRESSION over the
+    whole query frame (never a per-query driver job), plus the
+    driver-side term-union vocabulary for bucket pruning. The query
+    column may be raw text (string) or a pre-split term array —
+    arrays are joined and re-analyzed so the semantics match the list
+    form exactly. Driver state is bounded by the union VOCABULARY
+    (what the list form materializes anyway), never by Q. Raises when
+    the frame is empty or any query analyzes to zero terms."""
+    dt = dict(queries.dtypes).get(query_column)
+    if dt is None:
+        raise ValueError(
+            f"query column {query_column!r} not in queries frame "
+            f"(columns: {queries.columns})")
+    raw = (F.col(query_column) if dt == "string"
+           else F.concat_ws(" ", F.col(query_column).cast(
+               "array<string>")))
+    arr = F.array_distinct(F.filter(
+        _analyzer_fn(analyzer)(raw), lambda t: t != ""))
+    qt = queries.select(F.col(query_id_column).alias("query_id"),
+                        arr.alias("__t"))
+    shape = qt.agg(
+        F.count(F.lit(1)).alias("n_q"),
+        F.coalesce(F.sum(F.when(F.size("__t") == 0, 1).otherwise(0)),
+                   F.lit(0)).alias("n_empty")).collect()[0]
+    if int(shape["n_q"]) == 0:
+        raise ValueError("queries DataFrame is empty")
+    if int(shape["n_empty"]) > 0:
+        raise ValueError(
+            f"{int(shape['n_empty'])} of {int(shape['n_q'])} queries "
+            f"have no term surviving the {analyzer!r} analyzer")
+    pairs = qt.select("query_id", F.explode("__t").alias("term"))
+    union_terms = sorted(r["term"] for r in
+                         pairs.select("term").distinct().collect())
+    return pairs, union_terms
 
 
 def _postings(df: DataFrame, id_column: str, text_column: str,
@@ -177,7 +251,9 @@ def _buckets_of(spark: SparkSession, terms: list[str],
 
 def bm25_search(spark: SparkSession, path: str, query_terms,
                 k: int = 10, k1: float = 1.2, b: float = 0.75,
-                candidates=None, as_of=None) -> DataFrame:
+                candidates=None, as_of=None,
+                query_id_column: str = "query_id",
+                query_column: str = "terms") -> DataFrame:
     """Top-k documents per bag-of-terms query from the persisted index.
 
     ``query_terms`` is either ONE query — a list of term strings,
@@ -186,7 +262,20 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
     with per-query top-k. The batch form is the offline-eval path: ONE
     pruned postings read for the UNION of all queries' terms and one
     job score every query (a (query_id, term) broadcast fans the
-    shared postings out per query), instead of per-query job launches.
+    shared postings out per query), instead of per-query job launches;
+    batch query analysis is likewise ONE job for the whole list
+    (:func:`_analyze_queries`), never a per-query 1-row job.
+
+    ``query_terms`` may instead be a DATAFRAME of
+    (``query_id_column``, ``query_column``) — raw text (string) or a
+    term array — for eval sweeps too large to materialize on the
+    driver (the :func:`similarity.ivf_search` DataFrame-form
+    convention): the analyzer runs as a column expression over the
+    whole frame, scoring is the same shared groupBy(query_id, id),
+    and nothing query-scale touches the driver — only the term-union
+    VOCABULARY (needed for bucket pruning) does, which the list form
+    materializes anyway. Results equal the list form bit-for-bit
+    (tested).
 
     Reads only the buckets the terms hash into (partition pruning; the
     bucket count comes from the index's own stats file, never the
@@ -212,32 +301,38 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
     in between (:func:`indexlog.resolve_as_of`; validity ends when
     vacuum purges a pinned batch, which fails loudly here).
     """
-    # batch form: [(query_id, [terms...]), ...] — detected by shape so
-    # lists work as well as tuples; a plain term list stays the single
-    # form
-    single = not (
-        query_terms
-        and isinstance(query_terms[0], (tuple, list))
-        and len(query_terms[0]) == 2
-        and isinstance(query_terms[0][1], (list, tuple)))
-    queries = [(0, query_terms)] if single else list(query_terms)
-    if not queries or any(not terms for _, terms in queries):
-        raise ValueError("query_terms must be non-empty (every batch "
-                         "entry needs at least one term)")
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     analyzer = stats.asDict().get("analyzer", "simple")
     # queries go through the INDEX's analyzer (stats row), so stemming/
     # stopping is symmetric with what the writer indexed
-    per_query: list[tuple] = []
-    for qid, terms in queries:
-        analyzed = sorted(set(_analyze_query(spark, analyzer,
-                                             list(terms))))
-        if not analyzed:
-            raise ValueError(
-                f"no query term survives the {analyzer!r} analyzer: "
-                f"{list(terms)!r} (query {qid!r})")
-        per_query.append((qid, analyzed))
-    union_terms = sorted({t for _, ts in per_query for t in ts})
+    if isinstance(query_terms, DataFrame):
+        single = False
+        qterms, union_terms = _df_query_terms(
+            query_terms, analyzer, query_id_column, query_column)
+    else:
+        # batch form: [(query_id, [terms...]), ...] — detected by
+        # shape so lists work as well as tuples; a plain term list
+        # stays the single form
+        single = not (
+            query_terms
+            and isinstance(query_terms[0], (tuple, list))
+            and len(query_terms[0]) == 2
+            and isinstance(query_terms[0][1], (list, tuple)))
+        queries = [(0, query_terms)] if single else list(query_terms)
+        if not queries or any(not terms for _, terms in queries):
+            raise ValueError("query_terms must be non-empty (every "
+                             "batch entry needs at least one term)")
+        per_query = _analyze_queries(spark, analyzer, queries)
+        union_terms = sorted({t for _, ts in per_query for t in ts})
+        if not single:
+            from dsgrid_spark.pipeline.pq import query_id_type
+            from dsgrid_spark.session import one_slice_df
+
+            qid_type = query_id_type(per_query)
+            qterms = F.broadcast(one_slice_df(
+                spark,
+                [(qid, t) for qid, ts in per_query for t in ts],
+                f"query_id {qid_type}, term string"))
     # ONE log read yields both the committed-batch filter and the corpus
     # totals — a commit landing mid-query can't produce a mixed view
     # (new totals scoring old postings or vice versa)
@@ -273,14 +368,12 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
             .groupBy("id").agg(F.sum(per_term).alias("bm25"))
         )
         return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
-    from dsgrid_spark.pipeline.pq import query_id_type
-    from dsgrid_spark.session import one_slice_df
     from pyspark.sql import Window
 
-    qid_type = query_id_type(per_query)
-    qterms = F.broadcast(one_slice_df(
-        spark, [(qid, t) for qid, ts in per_query for t in ts],
-        f"query_id {qid_type}, term string"))
+    # the (query_id, term) fan-out frame: a broadcast one-slice table
+    # for the list form (built above), the analyzed query frame itself
+    # for the DataFrame form — the join fans the SHARED pruned
+    # postings out per query either way
     scored = (
         post.join(F.broadcast(dfreq), "term").join(qterms, "term")
         .groupBy("query_id", "id").agg(F.sum(per_term).alias("bm25"))
@@ -481,26 +574,36 @@ def hybrid_search(spark: SparkSession, term_path: str, vector_path: str,
 
 
 def _vector_search(spark: SparkSession, vector_path: str,
-                   queries: list[tuple], k: int, n_probe: int,
-                   candidates) -> DataFrame:
+                   queries, k: int, n_probe: int,
+                   candidates,
+                   query_id_column: str = "query_id",
+                   vector_column: str = "embedding") -> DataFrame:
     """(query_id, id, score) from whichever ANN index lives at
     ``vector_path`` (hybrid_search's dispatch, factored for the batch
-    path — every persisted ANN search already takes a query LIST)."""
+    path). ``queries`` is a [(query_id, vector), ...] list OR a
+    DataFrame of (``query_id_column``, ``vector_column``) — every
+    persisted ANN search accepts both forms already."""
     from dsgrid_spark.pipeline.stream_index import index_kind
 
     kind = index_kind(spark, vector_path)
     if kind == "ivf":
         from dsgrid_spark.pipeline.similarity import ivf_search
         vec = ivf_search(spark, vector_path, queries, k=k,
-                         n_probe=n_probe, candidates=candidates)
+                         n_probe=n_probe, candidates=candidates,
+                         query_id_column=query_id_column,
+                         vector_column=vector_column)
     elif kind == "binary":
         from dsgrid_spark.pipeline.similarity import hamming_search
         vec = hamming_search(spark, vector_path, queries, k=k,
-                             n_probe=n_probe, candidates=candidates)
+                             n_probe=n_probe, candidates=candidates,
+                             query_id_column=query_id_column,
+                             vector_column=vector_column)
     elif kind == "pq":
         from dsgrid_spark.pipeline.pq import pq_search
         vec = pq_search(spark, vector_path, queries, k=k,
-                        n_probe=n_probe, candidates=candidates)
+                        n_probe=n_probe, candidates=candidates,
+                        query_id_column=query_id_column,
+                        vector_column=vector_column)
     else:
         raise ValueError(f"no vector index at {vector_path!r} "
                          f"(found kind {kind!r})")
@@ -514,9 +617,12 @@ def _vector_search(spark: SparkSession, vector_path: str,
 
 def hybrid_search_batch(spark: SparkSession, term_path: str,
                         vector_path: str,
-                        queries: list[tuple],
+                        queries,
                         k: int = 10, k_each: int = 50, n_probe: int = 4,
-                        rrf_k: int = 60, candidates=None) -> DataFrame:
+                        rrf_k: int = 60, candidates=None,
+                        query_id_column: str = "query_id",
+                        terms_column: str = "terms",
+                        vector_column: str = "embedding") -> DataFrame:
     """Batch hybrid retrieval: ``queries`` is
     ``[(query_id, [terms...], vector), ...]`` and the result is
     (query_id, id, rrf) with per-query top-k — equal to running
@@ -527,9 +633,38 @@ def hybrid_search_batch(spark: SparkSession, term_path: str,
     per-query RRF fuse (:func:`rrf_fuse` with ``query_id`` as the
     rank-window group). The offline-eval sweep path: a 1k-query set is
     3 jobs, not 2k.
+
+    ``queries`` may instead be a DATAFRAME of (``query_id_column``,
+    ``terms_column``, ``vector_column``) for sweeps too large to
+    materialize on the driver: BM25 runs its DataFrame form (analyzer
+    as a column expression, :func:`bm25_search`) and the ANN side its
+    DataFrame form (distributed probe ranking, join-based re-rank) —
+    nothing query-scale touches the driver beyond the term-union
+    vocabulary. Equal to the list form bit-for-bit (tested).
     """
     if k_each < k:
         raise ValueError(f"k_each ({k_each}) must be >= k ({k})")
+    if isinstance(queries, DataFrame):
+        lex = (bm25_search(spark, term_path,
+                           queries.select(query_id_column, terms_column),
+                           k=k_each, candidates=candidates,
+                           query_id_column=query_id_column,
+                           query_column=terms_column)
+               .select("query_id", "id", F.col("bm25").alias("score")))
+        vec = _vector_search(
+            spark, vector_path,
+            queries.select(query_id_column, vector_column),
+            k=k_each, n_probe=n_probe, candidates=candidates,
+            query_id_column=query_id_column,
+            vector_column=vector_column)
+        fused = rrf_fuse([lex, vec], id_column="id",
+                         group_columns=("query_id",), k=rrf_k)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("rrf"),
+                                                   F.asc("id"))
+        return (fused.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k).drop("__rn"))
     if not queries:
         raise ValueError("queries must be non-empty")
     lex = (bm25_search(spark, term_path,

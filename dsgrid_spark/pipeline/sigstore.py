@@ -110,6 +110,59 @@ def _write_corpus_batch(df: DataFrame, corpus_path: str,
        .write.mode(mode).partitionBy("batch").parquet(corpus_path))
 
 
+def _swap_corpus_batch(spark: SparkSession, path: str, corpus_path: str,
+                       survivors: DataFrame, batch_id: str) -> None:
+    """Land one batch's corpus rows at ``<corpus_path>/batch=<id>``
+    without ever deleting a RACING WRITER'S committed text (see the
+    call site in :func:`ingest_dedup_batch`): write to a side dir,
+    re-check the committed set, rename in (one FS op), re-check again.
+    Raises :class:`ConcurrentBatchError` — with only OUR artifacts
+    removed — when the id committed under another writer at any
+    check."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp = f"{corpus_path}/_tmp.{batch_id}"
+    dst = f"{corpus_path}/batch={batch_id}"
+    indexlog.delete_glob(spark, tmp)
+    # the files carry no batch column: the partition value comes from
+    # the directory name after the rename, exactly as partitionBy
+    # writes it
+    survivors.drop("batch").write.mode("overwrite").parquet(tmp)
+
+    def _committed_elsewhere() -> bool:
+        return batch_id in indexlog.batch_sets(spark, path)[1]
+
+    if _committed_elsewhere():
+        indexlog.delete_glob(spark, tmp)
+        raise ConcurrentBatchError(
+            f"batch {batch_id!r} was committed by another writer "
+            f"mid-ingest; these survivors were NOT registered — "
+            f"re-run under a fresh batch id")
+    # only a CRASHED PRIOR ATTEMPT's orphan can exist here (the id is
+    # uncommitted); a live racer's dir appearing after this delete
+    # makes the rename nest, which the post-swap check unwinds
+    indexlog.delete_glob(spark, dst)
+    tp = jvm.org.apache.hadoop.fs.Path(tmp)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = tp.getFileSystem(conf)
+    renamed = fs.rename(tp, dp)
+    if _committed_elsewhere() or not renamed:
+        # unwind OUR artifacts only: the clean-rename dir is wholly
+        # ours; a nested rename (dst existed) left ours inside it
+        nested = jvm.org.apache.hadoop.fs.Path(
+            f"{dst}/_tmp.{batch_id}")
+        if fs.exists(nested):
+            fs.delete(nested, True)
+        elif renamed:
+            indexlog.delete_glob(spark, dst)
+        indexlog.delete_glob(spark, tmp)
+        raise ConcurrentBatchError(
+            f"batch {batch_id!r} was committed by another writer "
+            f"mid-ingest (detected at the corpus swap); these "
+            f"survivors were NOT registered — re-run under a fresh "
+            f"batch id")
+
+
 def read_corpus(spark: SparkSession, path: str, corpus_path: str,
                 as_of=None) -> DataFrame:
     """The accumulated corpus rows of COMMITTED batches — the
@@ -306,21 +359,20 @@ def ingest_dedup_batch(new_df: DataFrame, path: str,
     if corpus_path is not None:
         # corpus rows land BEFORE the commit (retry deletes+rewrites);
         # readers filter to committed batches, so they flip atomically
-        # with the signatures at the log write below. Re-check the id
-        # first: a racing writer that committed this id DURING our
-        # dedup owns corpus/batch=<id> now, and deleting it would
-        # silently replace the committed survivors' texts with ours —
-        # fail here instead (the window left between this check and
-        # the delete is one FS op; the real discipline remains one
-        # writer per batch id, which the checkpoint-derived stream ids
-        # give for free)
-        if batch_id in indexlog.batch_sets(spark, path)[1]:
-            raise ConcurrentBatchError(
-                f"batch {batch_id!r} was committed by another writer "
-                f"mid-ingest; these survivors were NOT registered — "
-                f"re-run under a fresh batch id")
-        indexlog.delete_glob(spark, f"{corpus_path}/batch={batch_id}")
-        _write_corpus_batch(survivors, corpus_path, batch_id)
+        # with the signatures at the log write below. The swap runs as
+        # TEMP WRITE -> RE-CHECK -> RENAME -> RE-CHECK so a racing
+        # writer that committed this id DURING our dedup keeps its
+        # corpus text: the expensive Spark write happens off to the
+        # side, the committed-set re-check happens immediately before
+        # the one-FS-op rename (so a commit during OUR write is seen),
+        # and a commit landing inside the rename window itself is
+        # caught by the post-swap re-check, which removes only OUR
+        # artifacts before failing loudly. The real discipline remains
+        # one writer per batch id (checkpoint-derived stream ids give
+        # that for free); this closes the r10 advice residue where the
+        # loser's delete+rewrite replaced the winner's committed
+        # reference texts.
+        _swap_corpus_batch(spark, path, corpus_path, survivors, batch_id)
     # ONE signing pass serves dedup and registration: the batch's
     # signature table sliced to the survivor ids (extra signatures of
     # dropped rows never reach the store)

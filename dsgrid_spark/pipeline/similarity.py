@@ -1331,11 +1331,12 @@ def append_ivf_index(df: DataFrame, path: str,
         # replayed batch: already fully ingested (possibly since
         # compacted away -- its rows live on in the compacted batch)
         return False
+    indexlog.check_appends_allowed(spark, path)
     indexlog.delete_glob(
         spark, f"{path}/vectors/cluster=*/batch={batch_id}")
     from dsgrid_spark.pipeline.pq import _read_centroids
-    centroids = _read_centroids(
-        spark, path, indexlog.resolve_generation(spark, path, committed))
+    gen = indexlog.resolve_generation(spark, path, committed)
+    centroids = _read_centroids(spark, path, gen)
     assigned = (
         assign_nearest_centroid(df, centroids, vector_column)
         .withColumnRenamed("__cluster", "cluster")
@@ -1346,6 +1347,11 @@ def append_ivf_index(df: DataFrame, path: str,
        .repartition("cluster")
        .write.mode("append").partitionBy("cluster", "batch")
        .parquet(f"{path}/vectors"))
+    # pre-commit guards: a rebalance racing this append must not see
+    # old-generation cluster numbers survive its flip (indexlog
+    # docstrings) — abort loudly, crash-equivalent, retryable
+    indexlog.check_appends_allowed(spark, path)
+    indexlog.check_generation_unchanged(spark, path, gen)
     indexlog.log_batch(spark, path, batch_id)
     indexlog.clear_intent(spark, path, batch_id)
     return True
@@ -1516,11 +1522,12 @@ def append_binary_index(df: DataFrame, path: str,
             and len(first[0]) != meta["dim"]:
         raise ValueError(f"batch vector dim {len(first[0])} != index "
                          f"dim {meta['dim']}")
+    indexlog.check_appends_allowed(spark, path)
     indexlog.delete_glob(spark, f"{path}/bits/cluster=*/batch={batch_id}")
     indexlog.delete_glob(spark,
                          f"{path}/vectors/cluster=*/batch={batch_id}")
-    centroids = _read_centroids(
-        spark, path, indexlog.resolve_generation(spark, path, committed))
+    gen = indexlog.resolve_generation(spark, path, committed)
+    centroids = _read_centroids(spark, path, gen)
     assigned = _assign_canonical(df, centroids, id_column, vector_column,
                                  assign_strategy).localCheckpoint()
     bits = (binary_quantize(assigned, "embedding", "bits")
@@ -1536,6 +1543,10 @@ def append_binary_index(df: DataFrame, path: str,
            .repartition("cluster")
            .write.mode("append").partitionBy("cluster", "batch")
            .parquet(f"{path}/vectors"))
+    # pre-commit guards (see append_ivf_index): lose loudly to a
+    # racing blocking-rebalance / generation flip, never silently
+    indexlog.check_appends_allowed(spark, path)
+    indexlog.check_generation_unchanged(spark, path, gen)
     indexlog.log_batch(spark, path, batch_id)
     indexlog.clear_intent(spark, path, batch_id)
     return True

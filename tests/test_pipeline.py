@@ -4248,10 +4248,16 @@ def test_compact_lock_enforces_single_compactor(spark, tmp_path):
     assert indexlog.compact(spark, path,
                             lock_ttl_seconds=3600) is not None
 
-    # vacuum reaps an expired lock under the same ttl contract
+    # vacuum judges lock staleness on its OWN lock_ttl_seconds, never
+    # the reader-grace ttl (r10 ADVICE: an operator shortening reader
+    # grace must not delete a live compactor's lock)
     indexlog.acquire_compact_lock(spark, path)
     os.utime(lock_file, (old, old))
     out = indexlog.vacuum(spark, path, ttl_seconds=3600)
+    assert out["stale_locks_removed"] == 0
+    assert os.path.exists(lock_file)
+    out = indexlog.vacuum(spark, path, ttl_seconds=3600,
+                          lock_ttl_seconds=3600)
     assert out["stale_locks_removed"] == 1
     assert not os.path.exists(lock_file)
 
