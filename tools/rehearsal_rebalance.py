@@ -140,9 +140,20 @@ def main():
         return int(np.mean(per_q))
 
     def measure(tag):
+        from dsgrid_spark.pipeline.rebalance import assignment_drift
+
         sk = cluster_skew(spark, path, "bits")
+        t_dr = time.time()
+        dr = assignment_drift(spark, path, sample=4096, iterations=3,
+                              assign_strategy="arrow")
         ph = {"skew_max_over_mean": round(sk["max_over_mean"], 2),
-              "max_rows": sk["max_rows"]}
+              "max_rows": sk["max_rows"],
+              # the r11 recall-proxy gate: live/refit distortion ratio
+              # (fires on uniform-mass drift where skew stays flat)
+              "drift_ratio": round(dr["ratio"], 3),
+              "distortion_live": round(dr["distortion_live"], 4),
+              "distortion_refit": round(dr["distortion_refit"], 4),
+              "drift_probe_seconds": round(time.time() - t_dr, 1)}
         for np_ in PROBES:
             r1d, r10d = recalls(spark, path, q_drift, truth, np_)
             r1o, r10o = recalls(spark, path, q_old, truth, np_)
