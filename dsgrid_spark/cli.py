@@ -692,6 +692,13 @@ def cmd_index_describe(args) -> int:
                                             ids=visible, column=col)
         subs[sub] = info
     out["payload"] = subs
+    if getattr(args, "drift", False) and kind in ("ivf", "pq", "binary"):
+        # the recall-proxy drift probe (one bounded sample job) — the
+        # number --if-drifted / maintain --max-distortion-ratio gate on
+        from dsgrid_spark.pipeline.rebalance import assignment_drift
+
+        out["drift"] = assignment_drift(spark, args.path,
+                                        sample=args.drift_sample)
     print(json.dumps(out, default=str))
     return 0
 
@@ -1027,6 +1034,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="also count committed rows per subtree (scan), "
                           "plus per-cluster skew for vector indexes — "
                           "the when-to-rebalance signal")
+    idd.add_argument("--drift", action="store_true",
+                     help="vector indexes: also run the recall-proxy "
+                          "drift probe (live/refit distortion ratio on "
+                          "a bounded sample)")
+    idd.add_argument("--drift-sample", type=int, default=4096)
     idd.set_defaults(fn=cmd_index_describe)
 
     ih = idxsub.add_parser(

@@ -72,6 +72,24 @@ def test_bm25_search_df_form_equals_list_form(spark, tmp_path):
                                       query_column="q").collect()))
     assert got_text == want
 
+    # as_of pins compose with the DF form: pinned results reproduce
+    # through an append (the list-form pin contract, same code path)
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import append_term_index
+
+    pin = indexlog.committed_batches(spark, path)
+    append_term_index(
+        spark.createDataFrame([(99, "spark spark spark shuffle")],
+                              "doc_id long, text string"),
+        path, batch_id="later")
+    pinned = sorted(map(tuple,
+                        bm25_search(spark, path, qdf_terms, k=3,
+                                    as_of=pin).collect()))
+    assert pinned == want
+    live = sorted(map(tuple,
+                      bm25_search(spark, path, qdf_terms, k=3).collect()))
+    assert live != want  # the append is visible unpinned
+
 
 def test_bm25_search_df_form_analyzer_and_errors(spark, tmp_path):
     """DF-form queries go through the INDEX's analyzer (stopwords
@@ -640,3 +658,40 @@ def test_ingest_dedup_batch_still_roundtrips_with_swap(spark, tmp_path):
     texts = {r["doc_id"]: r["text"]
              for r in read_corpus(spark, store, corpus).collect()}
     assert set(texts) == {0, 2}
+
+
+def test_cli_describe_drift_and_rebalance_flags(spark, tmp_path, capsys):
+    """`index describe --drift` reports the recall-proxy probe;
+    `index rebalance --if-drifted` gates on it (healthy index: no
+    rebalance; absurdly tight threshold: rebalances)."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline.similarity import (kmeans_centroids,
+                                                  write_ivf_index)
+
+    rows = _clustered_vectors(30, seed=3, dim=6)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "cliidx")
+    write_ivf_index(df, path, kmeans_centroids(df, 2, 6, iterations=3,
+                                               seed=1))
+
+    assert cli_main(["index", "describe", path, "--drift",
+                     "--drift-sample", "64"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["drift"]["n_clusters"] == 2
+    assert out["drift"]["ratio"] < 1.5
+
+    assert cli_main(["index", "rebalance", path, "--if-drifted", "4.0",
+                     "--drift-sample", "64", "--iterations", "3"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebalanced_batch"] is None  # healthy: gate declines
+
+    # a healthy index's ratio sits at ~1.0 (can even dip below: the
+    # full-corpus fit beats the sample refit), so exercise the
+    # unconditional path with --block-appends through the CLI instead
+    assert cli_main(["index", "rebalance", path, "--iterations", "3",
+                     "--block-appends"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebalanced_batch"]
+    assert not os.path.exists(f"{path}/locks/append-block.lock")
