@@ -1095,7 +1095,11 @@ def q32_similarity_bruteforce(spark, sf_dir, branch=None):
     both engines (cosine ranks reuse q32's proven ordering; BM25 ranks
     order integer micro-scores), and the fused score is a fixed-order
     two-term expression of exact rank reciprocals — floor(x*1e9 + 0.5)
-    discretizes it identically cross-engine.
+    discretizes it identically cross-engine. Round-11 adds 'bdf': the
+    DataFrame-query form of the PERSISTED bm25_search in micro-exact
+    mode — a real on-disk term index built during query construction,
+    searched with a (query_id, terms) frame, per-query top-5 integer
+    scores oracled bit-for-bit.
 
     ``branch`` (bench-only; the driver always passes None) constructs
     ONLY the named branch's plan: the r7 canonical series drifted
@@ -1134,7 +1138,40 @@ def q32_similarity_bruteforce(spark, sf_dir, branch=None):
         F.floor(F.col("rrf") * 1e9 + 0.5).cast("long").alias("score"))
     if branch == "rrf":
         return rrf
-    return brute.unionByName(rrf)
+    # 'bdf' (r11): the DataFrame-query form of the PERSISTED bm25_search
+    # in micro-exact integer mode — the round-11 lexical twin of q33's
+    # 'hdf' ANN branch, under the same oracle discipline: the index is
+    # built on disk during query construction (q30-'store' convention,
+    # isolated behind branch= so the pinned 'brute'/'rrf' timings never
+    # pay the build), queries ride a (query_id, terms) DataFrame through
+    # the column-expression analyzer, and the integer micro scores are
+    # reproduced bit-for-bit by the DuckDB oracle (same rational-idf
+    # fixed IEEE sequence as q29/the 'rrf' lexical side).
+    import shutil
+    import tempfile
+
+    from dsgrid_spark.pipeline.retrieval import bm25_search, write_term_index
+    from dsgrid_spark.session import one_slice_df
+
+    tmp = tempfile.mkdtemp(prefix="dsgrid_q32_bdf_")
+    try:
+        write_term_index(docs, f"{tmp}/terms", id_column="doc_id",
+                         text_column="text", n_buckets=8)
+        qdf = one_slice_df(
+            spark,
+            [(0, ["window", "stream"]), (1, ["vector", "stream"]),
+             (2, ["window", "vector"])],
+            "query_id long, terms array<string>")
+        bdf = (bm25_search(spark, f"{tmp}/terms", qdf, k=5, micro=True)
+               .select(F.lit("bdf").alias("op"), "query_id",
+                       F.col("id").alias("vec_id"),
+                       F.col("bm25_micro").alias("score"))
+               .localCheckpoint())  # materialize before the dir vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if branch == "bdf":
+        return bdf
+    return brute.unionByName(rrf).unionByName(bdf)
 
 
 def q33_similarity_lsh(spark, sf_dir):
@@ -3253,6 +3290,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'rrf' AS op, query_id, vec_id,
                    CAST(floor(rrf * 1e9 + 0.5) AS BIGINT) AS score
             FROM fused
+            UNION ALL
+            -- 'bdf': per-query top-5 by the SAME rational-idf micro
+            -- score the persisted bm25_search emits (micro=True); the
+            -- per-term scores reuse bmhits/bmdf/bmstats above, summed
+            -- per (query, doc) over each query's term set
+            SELECT 'bdf' AS op, CAST(bq_qid AS BIGINT) AS query_id,
+                   doc_id AS vec_id, score
+            FROM (
+              SELECT bq.bq_qid, h.doc_id,
+                     CAST(sum(CAST(floor(1000000.0 *
+                       ((2.0 * n - 2.0 * df + 1.0)
+                          * CAST(tf AS DOUBLE) * 2.2) /
+                       ((2.0 * df + 1.0) * ((CAST(tf AS DOUBLE) + 0.3)
+                          + (0.9 * n / CAST(t AS DOUBLE))
+                            * CAST(dl AS DOUBLE)))
+                     ) AS BIGINT)) AS BIGINT) AS score
+              FROM bmhits h
+              JOIN bmdf USING (term)
+              JOIN (SELECT * FROM (VALUES (0, 'window'), (0, 'stream'),
+                                          (1, 'vector'), (1, 'stream'),
+                                          (2, 'window'), (2, 'vector'))
+                    v(bq_qid, term)) bq ON bq.term = h.term
+              CROSS JOIN bmstats
+              GROUP BY bq.bq_qid, h.doc_id
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY bq_qid ORDER BY score DESC, doc_id) <= 5
         """,
         "q33_similarity_lsh": """
             WITH corpus AS (

@@ -40,7 +40,7 @@ BRANCHES = {
     "q23_time_downsample": ("mode", ["down", "up", "cascade:"]),
     "q30_minhash_dedup": ("op", ["full", "incr", "store"]),
     "q31_simhash_dedup": ("op", ["chunk", "manku"]),
-    "q32_similarity_bruteforce": ("op", ["brute", "rrf"]),
+    "q32_similarity_bruteforce": ("op", ["brute", "rrf", "bdf"]),
     "q50_dst_duplicate": ("tag", ["spring", "fall", "interp"]),
 }
 

@@ -253,7 +253,8 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
                 k: int = 10, k1: float = 1.2, b: float = 0.75,
                 candidates=None, as_of=None,
                 query_id_column: str = "query_id",
-                query_column: str = "terms") -> DataFrame:
+                query_column: str = "terms",
+                micro: bool = False) -> DataFrame:
     """Top-k documents per bag-of-terms query from the persisted index.
 
     ``query_terms`` is either ONE query — a list of term strings,
@@ -300,7 +301,19 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
     totals scoring uses — no matter what appends or compactions commit
     in between (:func:`indexlog.resolve_as_of`; validity ends when
     vacuum purges a pinned batch, which fails loudly here).
+
+    ``micro=True`` swaps the log idf for its rational core and emits
+    INTEGER micro-scores (column ``bm25_micro``) from a fixed IEEE
+    op sequence — exactly :func:`text.bm25_scores`'s micro mode over
+    the persisted postings, ranking-equivalent to the float form and
+    reproducible bit-for-bit by an external SQL engine (ln differs in
+    the last ulp across libm builds; products, sums and one
+    floor(×1e6) division do not). Only ``k1=1.2, b=0.75`` are
+    supported in micro mode: the constants 2.2, 0.3 and 0.9 appear
+    literally so both engines parse identical doubles.
     """
+    if micro and (k1, b) != (1.2, 0.75):
+        raise ValueError("micro mode fixes k1=1.2, b=0.75")
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     analyzer = stats.asDict().get("analyzer", "simple")
     # queries go through the INDEX's analyzer (stats row), so stemming/
@@ -356,18 +369,34 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
                                          .alias("df"))
     post = candidate_filter(post_all, candidates)
     n = F.lit(float(n_docs))
-    avgdl = F.lit(float(total) / float(n_docs))
     tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
-    idf = F.log(F.lit(1.0)
-                + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-    per_term = idf * tf * F.lit(k1 + 1.0) / (
-        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+    if micro:
+        # literal-for-literal the fixed IEEE sequence text.bm25_scores
+        # runs in micro mode (and its SQL oracle reproduces):
+        # num = ((2N - 2df) + 1) * tf * 2.2
+        # den = (2df + 1) * ((tf + 0.3) + (0.9 * N / T) * dl)
+        dfreq_d = F.col("df").cast("double")
+        num = (F.lit(2.0) * n - F.lit(2.0) * dfreq_d + F.lit(1.0)) \
+            * tf * F.lit(2.2)
+        den = (F.lit(2.0) * dfreq_d + F.lit(1.0)) * (
+            (tf + F.lit(0.3))
+            + (F.lit(0.9) * n / F.lit(float(total))) * dl)
+        per_term = F.floor(F.lit(1000000.0) * num / den).cast("long")
+        score_name = "bm25_micro"
+    else:
+        avgdl = F.lit(float(total) / float(n_docs))
+        idf = F.log(F.lit(1.0)
+                    + (n - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5)))
+        per_term = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+        score_name = "bm25"
     if single:
         scored = (
             post.join(F.broadcast(dfreq), "term")
-            .groupBy("id").agg(F.sum(per_term).alias("bm25"))
+            .groupBy("id").agg(F.sum(per_term).alias(score_name))
         )
-        return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+        return scored.orderBy(F.desc(score_name), F.asc("id")).limit(k)
     from pyspark.sql import Window
 
     # the (query_id, term) fan-out frame: a broadcast one-slice table
@@ -376,9 +405,9 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
     # postings out per query either way
     scored = (
         post.join(F.broadcast(dfreq), "term").join(qterms, "term")
-        .groupBy("query_id", "id").agg(F.sum(per_term).alias("bm25"))
+        .groupBy("query_id", "id").agg(F.sum(per_term).alias(score_name))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_name),
                                                F.asc("id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))

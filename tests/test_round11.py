@@ -695,3 +695,30 @@ def test_cli_describe_drift_and_rebalance_flags(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rebalanced_batch"]
     assert not os.path.exists(f"{path}/locks/append-block.lock")
+
+
+def test_bm25_search_micro_equals_scan_and_df_form(spark, tmp_path):
+    """Persisted bm25_search(micro=True) == text.bm25_scores(micro=True)
+    integer-for-integer (the cross-engine-exact mode q32 'bdf' puts
+    under the driver oracle), in all three query forms."""
+    from dsgrid_spark.pipeline.retrieval import bm25_search
+    from dsgrid_spark.pipeline.text import bm25_scores
+
+    path = _term_index(spark, tmp_path)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = ["spark", "shuffle"]
+    got = {r["id"]: r["bm25_micro"] for r in
+           bm25_search(spark, path, q, k=10, micro=True).collect()}
+    exp = {r["doc_id"]: r["bm25_micro"] for r in
+           bm25_scores(df, q, micro=True).collect()}
+    assert got == exp
+
+    want = sorted(map(tuple, bm25_search(spark, path, QUERIES, k=3,
+                                         micro=True).collect()))
+    qdf = spark.createDataFrame(QUERIES,
+                                "query_id long, terms array<string>")
+    gotdf = sorted(map(tuple, bm25_search(spark, path, qdf, k=3,
+                                          micro=True).collect()))
+    assert gotdf == want
+    with pytest.raises(ValueError, match="micro"):
+        bm25_search(spark, path, q, k1=2.0, micro=True)
