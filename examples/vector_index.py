@@ -133,6 +133,23 @@ def main() -> None:
         top = [(r["id"], round(r["score"], 3))
                for r in bhits if r["query_id"] == qid]
         print(f"binary query {qid}: top-5 {top}")
+
+    # 6. the ONE cron entry (r11): vacuum + fragmentation-gated compact
+    #    + BOTH rebalance gates — row-count skew (cheap, catches pile-up
+    #    drift) and the recall-proxy distortion ratio (catches
+    #    uniform-mass drift skew is blind to). Each gate is a no-op on
+    #    this healthy index; a real deployment runs exactly this line
+    #    on a schedule. Heavier remedies when the gates fire: a busy
+    #    index passes block_appends=True (appends fail loudly instead
+    #    of racing the flip), and a drifted-codebook PQ index passes
+    #    retrain_codebooks=True (codebook identity rides the
+    #    generation, pinned readers keep their old books).
+    from dsgrid_spark.pipeline.rebalance import maintain_index
+
+    print("maintain:", maintain_index(
+        spark, bpath, ttl_seconds=3600, max_batches=32,
+        max_over_mean=3.0, max_distortion_ratio=1.05,
+        drift_sample=2048))
     spark.stop()
 
 
