@@ -517,7 +517,8 @@ def rrf_fuse(ranked: list[DataFrame], id_column: str = "id",
     return fused.select(*keys, score.alias("rrf"))
 
 
-def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
+def phrase_search(spark: SparkSession, path: str, phrase: str,
+                  as_of=None) -> DataFrame:
     """Documents containing the EXACT token phrase, with occurrence
     counts, from a positions-enabled index (``write_term_index(...,
     positions=True)``).
@@ -532,6 +533,8 @@ def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
     The phrase is analyzed with the INDEX's analyzer; positions index
     the analyzed stream, so under a stopword-removing analyzer the
     phrase matches across elided stopwords (see ``_postings``).
+    ``as_of`` pins the read (indexlog.resolve_as_of / a timestamp),
+    like every other persisted search.
     """
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     if not bool(stats.asDict().get("has_positions", False)):
@@ -542,10 +545,11 @@ def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
                            phrase.strip().split())
     if not terms:
         raise ValueError("phrase must contain at least one analyzed term")
+    committed = indexlog.resolve_batches(spark, path, as_of)
     n_buckets = int(stats["n_buckets"])
     buckets = _buckets_of(spark, sorted(set(terms)), n_buckets)
     post = (
-        indexlog.read_committed(spark, path, "postings")
+        indexlog.read_committed(spark, path, "postings", ids=committed)
         .filter(F.col("bucket").isin(buckets)
                 & F.col("term").isin(sorted(set(terms))))
         .select("id", "term", "positions")
@@ -567,6 +571,121 @@ def phrase_search(spark: SparkSession, path: str, phrase: str) -> DataFrame:
         acc.select("id", F.size("__starts").cast("long").alias("n_matches"))
         .filter(F.col("n_matches") > 0)
     )
+
+
+def phrase_search_batch(spark: SparkSession, path: str, phrases,
+                        query_id_column: str = "query_id",
+                        phrase_column: str = "phrase",
+                        as_of=None) -> DataFrame:
+    """Batch/DataFrame phrase search — the positional twin of
+    :func:`bm25_search`'s batch forms, completing the two-query-shapes
+    story for every retrieval operator. ``phrases`` is
+    ``[(query_id, "phrase"), ...]`` (analyzed in ONE job, the
+    :func:`_analyze_queries` discipline) or a DataFrame of
+    (``query_id_column``, ``phrase_column``) for sweeps too large to
+    materialize on the driver. Returns (query_id, id, n_matches),
+    n_matches >= 1, equal to running :func:`phrase_search` per phrase
+    (tested).
+
+    Shape: ONE pruned postings read for the UNION of all phrases'
+    terms, one (slot, term) fan-out join, one groupBy(query_id, id)
+    collecting each doc's per-slot position arrays, then the phrase
+    check as a pure array expression — start positions p of slot 0
+    for which every later slot i contains p + i (``forall`` over the
+    sorted slot structs; variable phrase lengths ride the data, not
+    the plan, so ONE plan serves the whole batch where the single
+    form builds one join per slot). A doc must hit ALL of a phrase's
+    slots to survive the count filter, so partial matches never reach
+    the position check. Driver state is bounded by the phrase list
+    (list form) or the term-union vocabulary (DataFrame form).
+    """
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    if not bool(stats.asDict().get("has_positions", False)):
+        raise ValueError(
+            "index was built without positions=True; rebuild to enable "
+            "phrase search")
+    analyzer = stats.asDict().get("analyzer", "simple")
+    committed = indexlog.resolve_batches(spark, path, as_of)
+    arr_of = lambda c: F.filter(_analyzer_fn(analyzer)(c),  # noqa: E731
+                                lambda t: t != "")
+    if isinstance(phrases, DataFrame):
+        qt = phrases.select(
+            F.col(query_id_column).alias("query_id"),
+            arr_of(F.col(phrase_column).cast("string")).alias("__t"))
+        shape = qt.agg(
+            F.count(F.lit(1)).alias("n_q"),
+            F.coalesce(F.sum(F.when(F.size("__t") == 0, 1).otherwise(0)),
+                       F.lit(0)).alias("n_empty")).collect()[0]
+        if int(shape["n_q"]) == 0:
+            raise ValueError("phrases DataFrame is empty")
+        if int(shape["n_empty"]) > 0:
+            raise ValueError(
+                f"{int(shape['n_empty'])} of {int(shape['n_q'])} "
+                f"phrases have no term surviving the {analyzer!r} "
+                f"analyzer")
+        slots = qt.select("query_id",
+                          F.posexplode("__t").alias("slot", "term"))
+        nslots = qt.select("query_id", F.size("__t").alias("__n_slots"))
+        union_terms = sorted(r["term"] for r in
+                             slots.select("term").distinct().collect())
+    else:
+        qlist = list(phrases)
+        if not qlist:
+            raise ValueError("phrases must be non-empty")
+        from dsgrid_spark.pipeline.pq import query_id_type
+        from dsgrid_spark.session import one_slice_df
+
+        qid_type = query_id_type(qlist)
+        raw = one_slice_df(
+            spark, [(qid, str(p)) for qid, p in qlist],
+            f"query_id {qid_type}, __raw string")
+        # ONE job analyzes the whole batch, ORDER AND DUPLICATES kept
+        # (phrases need both — sorted(set()) would break slot alignment)
+        rows = raw.select("query_id",
+                          arr_of(F.col("__raw")).alias("t")).collect()
+        terms_of = {r["query_id"]: list(r["t"]) for r in rows}
+        for qid, p in qlist:
+            if not terms_of[qid]:
+                raise ValueError(
+                    f"no term of phrase {p!r} survives the "
+                    f"{analyzer!r} analyzer (query {qid!r})")
+        slots = F.broadcast(one_slice_df(
+            spark,
+            [(qid, i, t) for qid, ts in terms_of.items()
+             for i, t in enumerate(ts)],
+            f"query_id {qid_type}, slot int, term string"))
+        nslots = F.broadcast(one_slice_df(
+            spark,
+            [(qid, len(ts)) for qid, ts in terms_of.items()],
+            f"query_id {qid_type}, __n_slots int"))
+        union_terms = sorted({t for ts in terms_of.values() for t in ts})
+    buckets = _buckets_of(spark, union_terms, int(stats["n_buckets"]))
+    post = (
+        indexlog.read_committed(spark, path, "postings", ids=committed)
+        .filter(F.col("bucket").isin(buckets)
+                & F.col("term").isin(union_terms))
+        .select("id", "term", "positions"))
+    hits = post.join(slots, "term")
+    # one posting row joins each slot that wants its term, so the hit
+    # count equals the number of SLOTS present in the doc — == n_slots
+    # iff every slot's term occurs (duplicate phrase terms included)
+    g = (hits.groupBy("query_id", "id")
+         .agg(F.count(F.lit(1)).alias("__n_present"),
+              F.array_sort(F.collect_list(F.struct(
+                  F.col("slot").alias("s"),
+                  F.col("positions").alias("p")))).alias("__sp")))
+    full = (g.join(nslots, "query_id")
+            .filter(F.col("__n_present") == F.col("__n_slots")))
+    first_p = F.element_at(F.col("__sp"), 1)["p"]
+    rest = F.expr("slice(__sp, 2, size(__sp) - 1)")
+    starts = F.filter(
+        first_p,
+        lambda p: F.forall(rest,
+                           lambda s: F.array_contains(s["p"],
+                                                      p + s["s"])))
+    return (full.select("query_id", "id",
+                        F.size(starts).cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
 
 
 def hybrid_search(spark: SparkSession, term_path: str, vector_path: str,

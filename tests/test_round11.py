@@ -722,3 +722,65 @@ def test_bm25_search_micro_equals_scan_and_df_form(spark, tmp_path):
     assert gotdf == want
     with pytest.raises(ValueError, match="micro"):
         bm25_search(spark, path, q, k1=2.0, micro=True)
+
+
+def test_phrase_search_batch_equals_single(spark, tmp_path):
+    """phrase_search_batch (list AND DataFrame forms) == the per-phrase
+    phrase_search loop; analyzer elision carries over; empties loud;
+    as_of pins reproduce through an append."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (append_term_index,
+                                                 phrase_search,
+                                                 phrase_search_batch,
+                                                 write_term_index)
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "a quick brown dog and a quick brown fox"),
+         (2, "brown fox quick brown fox"),
+         (3, "nothing relevant here at all"),
+         (4, "quick stop then quick brown fox again")],
+        "doc_id long, text string")
+    path = str(tmp_path / "pterms")
+    write_term_index(docs, path, n_buckets=4, positions=True,
+                     analyzer="english")
+
+    phrases = [(0, "quick brown fox"), (1, "brown fox"),
+               (2, "the lazy dog"), (3, "quick")]
+    want = sorted(
+        (qid, r["id"], r["n_matches"])
+        for qid, p in phrases
+        for r in phrase_search(spark, path, p).collect())
+
+    got = sorted(map(tuple, phrase_search_batch(
+        spark, path, phrases).collect()))
+    assert got == want
+    qdf = spark.createDataFrame(phrases, "query_id long, phrase string")
+    gotdf = sorted(map(tuple, phrase_search_batch(
+        spark, path, qdf).collect()))
+    assert gotdf == want
+
+    with pytest.raises(ValueError, match="survives"):
+        phrase_search_batch(spark, path, [(0, "the of and")])
+    bad = spark.createDataFrame([(0, "the of and")],
+                                "query_id long, phrase string")
+    with pytest.raises(ValueError, match="no term surviving"):
+        phrase_search_batch(spark, path, bad).collect()
+
+    # as_of pins: results reproduce through an append on BOTH forms
+    pin = indexlog.committed_batches(spark, path)
+    append_term_index(
+        spark.createDataFrame([(9, "quick brown fox quick brown fox")],
+                              "doc_id long, text string"),
+        path, batch_id="later")
+    assert sorted(map(tuple, phrase_search_batch(
+        spark, path, phrases, as_of=pin).collect())) == want
+    live = sorted(map(tuple, phrase_search_batch(
+        spark, path, phrases).collect()))
+    assert live != want
+    single_pinned = sorted(
+        map(tuple, phrase_search(spark, path, "quick brown fox",
+                                 as_of=pin).collect()))
+    assert single_pinned == sorted(
+        (r["id"], r["n_matches"]) for qid, p in phrases[:1]
+        for r in phrase_search(spark, path, p, as_of=pin).collect())
