@@ -691,7 +691,8 @@ def phrase_search_batch(spark: SparkSession, path: str, phrases,
 def hybrid_search(spark: SparkSession, term_path: str, vector_path: str,
                   query_terms: list[str], query_vector: list[float],
                   k: int = 10, k_each: int = 50, n_probe: int = 4,
-                  rrf_k: int = 60, candidates=None) -> DataFrame:
+                  rrf_k: int = 60, candidates=None,
+                  term_as_of=None, vector_as_of=None) -> DataFrame:
     """One-call hybrid retrieval over PERSISTED indexes: BM25 top-k_each
     from the term index, vector top-k_each from whichever ANN index
     lives at ``vector_path`` (IVF / PQ / binary — detected from the
@@ -705,17 +706,25 @@ def hybrid_search(spark: SparkSession, term_path: str, vector_path: str,
     search. ``k_each`` is the fusion pool depth — at least k, usually
     several times k so a document ranked modestly by BOTH retrievers
     can beat one ranked well by a single side (the RRF premise).
+
+    ``term_as_of`` / ``vector_as_of`` pin each index's read
+    independently (two indexes, two logs, two pins — capture each
+    side's ``indexlog.committed_batches`` or pass ISO-8601
+    timestamps): the fused result then reproduces through appends and
+    compactions on BOTH sides, the same contract every underlying
+    search carries.
     """
     if k_each < k:
         raise ValueError(f"k_each ({k_each}) must be >= k ({k})")
     lex = (bm25_search(spark, term_path, query_terms, k=k_each,
-                       candidates=candidates)
+                       candidates=candidates, as_of=term_as_of)
            .select("id", F.col("bm25").alias("score")))
     # int query id 0: the single-query convention every persisted
     # search accepts (ivf_search's probe frame types query_id as long)
     vec = _vector_search(
         spark, vector_path, [(0, [float(x) for x in query_vector])],
-        k=k_each, n_probe=n_probe, candidates=candidates
+        k=k_each, n_probe=n_probe, candidates=candidates,
+        as_of=vector_as_of
     ).drop("query_id")
     fused = rrf_fuse([lex, vec], id_column="id", k=rrf_k)
     return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
@@ -725,7 +734,8 @@ def _vector_search(spark: SparkSession, vector_path: str,
                    queries, k: int, n_probe: int,
                    candidates,
                    query_id_column: str = "query_id",
-                   vector_column: str = "embedding") -> DataFrame:
+                   vector_column: str = "embedding",
+                   as_of=None) -> DataFrame:
     """(query_id, id, score) from whichever ANN index lives at
     ``vector_path`` (hybrid_search's dispatch, factored for the batch
     path). ``queries`` is a [(query_id, vector), ...] list OR a
@@ -739,19 +749,19 @@ def _vector_search(spark: SparkSession, vector_path: str,
         vec = ivf_search(spark, vector_path, queries, k=k,
                          n_probe=n_probe, candidates=candidates,
                          query_id_column=query_id_column,
-                         vector_column=vector_column)
+                         vector_column=vector_column, as_of=as_of)
     elif kind == "binary":
         from dsgrid_spark.pipeline.similarity import hamming_search
         vec = hamming_search(spark, vector_path, queries, k=k,
                              n_probe=n_probe, candidates=candidates,
                              query_id_column=query_id_column,
-                             vector_column=vector_column)
+                             vector_column=vector_column, as_of=as_of)
     elif kind == "pq":
         from dsgrid_spark.pipeline.pq import pq_search
         vec = pq_search(spark, vector_path, queries, k=k,
                         n_probe=n_probe, candidates=candidates,
                         query_id_column=query_id_column,
-                        vector_column=vector_column)
+                        vector_column=vector_column, as_of=as_of)
     else:
         raise ValueError(f"no vector index at {vector_path!r} "
                          f"(found kind {kind!r})")
@@ -770,7 +780,8 @@ def hybrid_search_batch(spark: SparkSession, term_path: str,
                         rrf_k: int = 60, candidates=None,
                         query_id_column: str = "query_id",
                         terms_column: str = "terms",
-                        vector_column: str = "embedding") -> DataFrame:
+                        vector_column: str = "embedding",
+                        term_as_of=None, vector_as_of=None) -> DataFrame:
     """Batch hybrid retrieval: ``queries`` is
     ``[(query_id, [terms...], vector), ...]`` and the result is
     (query_id, id, rrf) with per-query top-k — equal to running
@@ -797,14 +808,14 @@ def hybrid_search_batch(spark: SparkSession, term_path: str,
                            queries.select(query_id_column, terms_column),
                            k=k_each, candidates=candidates,
                            query_id_column=query_id_column,
-                           query_column=terms_column)
+                           query_column=terms_column, as_of=term_as_of)
                .select("query_id", "id", F.col("bm25").alias("score")))
         vec = _vector_search(
             spark, vector_path,
             queries.select(query_id_column, vector_column),
             k=k_each, n_probe=n_probe, candidates=candidates,
             query_id_column=query_id_column,
-            vector_column=vector_column)
+            vector_column=vector_column, as_of=vector_as_of)
         fused = rrf_fuse([lex, vec], id_column="id",
                          group_columns=("query_id",), k=rrf_k)
         from pyspark.sql import Window
@@ -817,12 +828,14 @@ def hybrid_search_batch(spark: SparkSession, term_path: str,
         raise ValueError("queries must be non-empty")
     lex = (bm25_search(spark, term_path,
                        [(qid, terms) for qid, terms, _ in queries],
-                       k=k_each, candidates=candidates)
+                       k=k_each, candidates=candidates,
+                       as_of=term_as_of)
            .select("query_id", "id", F.col("bm25").alias("score")))
     vec = _vector_search(
         spark, vector_path,
         [(qid, [float(x) for x in v]) for qid, _, v in queries],
-        k=k_each, n_probe=n_probe, candidates=candidates)
+        k=k_each, n_probe=n_probe, candidates=candidates,
+        as_of=vector_as_of)
     fused = rrf_fuse([lex, vec], id_column="id",
                      group_columns=("query_id",), k=rrf_k)
     from pyspark.sql import Window

@@ -784,3 +784,56 @@ def test_phrase_search_batch_equals_single(spark, tmp_path):
     assert single_pinned == sorted(
         (r["id"], r["n_matches"]) for qid, p in phrases[:1]
         for r in phrase_search(spark, path, p, as_of=pin).collect())
+
+
+def test_hybrid_search_as_of_pins_both_sides(spark, tmp_path):
+    """hybrid_search / hybrid_search_batch pin EACH index's read
+    independently (term_as_of / vector_as_of): fused results reproduce
+    through appends on both sides."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (append_term_index,
+                                                 hybrid_search,
+                                                 hybrid_search_batch)
+    from dsgrid_spark.pipeline.similarity import (append_ivf_index,
+                                                  write_ivf_index)
+
+    term_path = _term_index(spark, tmp_path)
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(8)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    vpath = str(tmp_path / "ivf")
+    write_ivf_index(vdf, vpath, [vecs[0][1], vecs[5][1]])
+
+    tpin = indexlog.committed_batches(spark, term_path)
+    vpin = indexlog.committed_batches(spark, vpath)
+    hq = [(qid, ts, vecs[qid][1]) for qid, ts in QUERIES]
+    want_b = sorted(map(tuple, hybrid_search_batch(
+        spark, term_path, vpath, hq, k=4, k_each=6,
+        n_probe=2).collect()))
+    want_s = sorted(map(tuple, hybrid_search(
+        spark, term_path, vpath, QUERIES[0][1], vecs[0][1], k=4,
+        k_each=6, n_probe=2).collect()))
+
+    append_term_index(
+        spark.createDataFrame([(99, "spark spark shuffle broadcast")],
+                              "doc_id long, text string"),
+        term_path, batch_id="t2")
+    append_ivf_index(
+        spark.createDataFrame([(99, vecs[0][1])],
+                              "vec_id long, embedding array<double>"),
+        vpath, batch_id="v2")
+
+    got_b = sorted(map(tuple, hybrid_search_batch(
+        spark, term_path, vpath, hq, k=4, k_each=6, n_probe=2,
+        term_as_of=tpin, vector_as_of=vpin).collect()))
+    assert got_b == want_b
+    got_s = sorted(map(tuple, hybrid_search(
+        spark, term_path, vpath, QUERIES[0][1], vecs[0][1], k=4,
+        k_each=6, n_probe=2, term_as_of=tpin,
+        vector_as_of=vpin).collect()))
+    assert got_s == want_s
+    live = sorted(map(tuple, hybrid_search_batch(
+        spark, term_path, vpath, hq, k=4, k_each=6,
+        n_probe=2).collect()))
+    assert live != want_b  # unpinned sees both appends
