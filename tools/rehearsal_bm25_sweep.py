@@ -104,6 +104,22 @@ def main():
     print(f"C DF hybrid  batch: {q_n} queries -> {n_h} rows in "
           f"{t_h:.1f} s = {1000 * t_h / q_n:.1f} ms/query")
 
+    # D: batch phrase search over a positions-enabled index (r11)
+    from dsgrid_spark.pipeline.retrieval import phrase_search_batch
+
+    ppath = f"{root}/pterms"
+    t0 = time.time()
+    write_term_index(docs, ppath, id_column="doc_id",
+                     text_column="text", n_buckets=64, positions=True)
+    print(f"positions index build: {time.time() - t0:.1f} s")
+    pq_list = [(i, " ".join(rnd.sample(vocab, 2))) for i in range(q_n)]
+    pdf = spark.createDataFrame(pq_list, "query_id long, phrase string")
+    t0 = time.time()
+    n_p = phrase_search_batch(spark, ppath, pdf).count()
+    t_p = time.time() - t0
+    print(f"D DF phrase  batch: {q_n} phrases -> {n_p} rows in "
+          f"{t_p:.1f} s = {1000 * t_p / q_n:.1f} ms/query")
+
 
 if __name__ == "__main__":
     main()
