@@ -755,6 +755,20 @@ def cmd_index_maintain(args) -> int:
     return 0
 
 
+def cmd_index_fsck(args) -> int:
+    """Read-only integrity check (indexlog.fsck): errors = reads are
+    or will be wrong, warnings = operator attention, info = normal
+    lifecycle states. Exit code 1 when errors were found."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    out = indexlog.fsck(spark, args.path,
+                        lock_ttl_seconds=args.lock_ttl)
+    print(json.dumps(out, default=str))
+    return 0 if out["ok"] else 1
+
+
 def cmd_index_rebalance(args) -> int:
     from dsgrid_spark.pipeline.rebalance import rebalance_index
     from dsgrid_spark.session import get_spark
@@ -1080,6 +1094,15 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--drift-sample", type=int, default=4096,
                     help="sample size for the drift probe")
     im.set_defaults(fn=cmd_index_maintain)
+
+    ifs = idxsub.add_parser(
+        "fsck", help="read-only integrity check: exactly-once "
+        "invariants, generation-table consistency, crash debris "
+        "classification (exit 1 on errors)")
+    ifs.add_argument("path")
+    ifs.add_argument("--lock-ttl", type=float, default=86400.0,
+                     help="age past which locks/markers count stale")
+    ifs.set_defaults(fn=cmd_index_fsck)
 
     irb = idxsub.add_parser(
         "rebalance", help="retrain coarse centroids on the committed "

@@ -778,6 +778,177 @@ def reset_log(spark: SparkSession, index_path: str) -> None:
     delete_glob(spark, f"{index_path}/locks")
 
 
+def fsck(spark: SparkSession, index_path: str,
+         lock_ttl_seconds: float = 86400.0) -> dict:
+    """Read-only integrity check for any index this package persists —
+    the "fsck" an operator runs before trusting a tree that crashed,
+    was hand-edited, or predates a fix. NEVER mutates. Verifies the
+    invariants the exactly-once machinery maintains and classifies
+    everything else:
+
+    ERRORS (reads are or will be wrong/broken — fix before serving):
+    unreadable batch log with data present; a payload subtree mixing
+    partition columns; a MIXED flat+generation centroid/codebook
+    layout (root-level partition discovery fails); a committed view
+    whose centroid generation cannot be resolved or whose
+    centroid/codebook tables are unreadable; a missing meta/stats row.
+
+    WARNINGS (readable now, needs operator attention): a VISIBLE batch
+    with no data directories anywhere (a crashed purge's data-less log
+    row — pins into it already fail loudly, but the live view silently
+    lacks its rows; also matches a legitimately empty append, which
+    only the operator can tell apart); stale locks / breaker
+    tombstones / append-block markers older than ``lock_ttl_seconds``.
+
+    INFO (normal lifecycle states): crashed-append orphan dirs (vacuum
+    reclaims), open intents, retired-but-unpurged batches (the reader
+    grace), dormant compaction rows (a crashed compaction's inert
+    replacement pairs), live locks younger than the ttl.
+
+    Cost: FileSystem listings plus one collect of the one-row-per-batch
+    log and the tiny meta/centroid tables — no payload scan. Returns
+    ``{"ok": <no errors>, "kind", "errors", "warnings", "info"}``.
+    """
+    import time as _time
+
+    from dsgrid_spark.pipeline.stream_index import index_kind
+
+    errors: list[str] = []
+    warnings: list[str] = []
+    info: dict = {}
+    kind = index_kind(spark, index_path)  # raises on non-index dirs
+    out = {"kind": kind, "path": index_path}
+
+    raw = _raw_logged(spark, index_path)
+    pairs = _replacements(spark, index_path)
+    visible, ingested = batch_sets(spark, index_path)
+    info["visible_batches"] = len(visible)
+    info["retired_batches"] = len(ingested - visible)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _glob(pattern):
+        p = jvm.org.apache.hadoop.fs.Path(pattern)
+        return list(p.getFileSystem(conf).globStatus(p) or [])
+
+    # payload layout sanity (mixed partition columns refuse compaction
+    # and signal a foreign write landed in the tree)
+    try:
+        subs = payload_subdirs(spark, index_path)
+        info["payload_subtrees"] = sorted(subs)
+    except ValueError as exc:
+        errors.append(str(exc))
+        subs = {}
+
+    # per-batch data-dir census over every payload subtree
+    dirs_of: dict[str, int] = {}
+    for st in _glob(f"{index_path}/*/*/batch=*"):
+        bid = st.getPath().getName().split("=", 1)[1]
+        dirs_of[bid] = dirs_of.get(bid, 0) + 1
+    dataless = sorted(b for b in visible if dirs_of.get(b, 0) == 0)
+    if dataless and raw:
+        warnings.append(
+            f"visible batches with no data directories (crashed purge's "
+            f"data-less log rows, or legitimately empty appends): "
+            f"{dataless}")
+    orphans = sorted(set(dirs_of) - ingested)
+    if orphans:
+        info["orphan_batches"] = orphans  # vacuum's job
+    unpurged = sorted(b for b in (ingested - visible)
+                      if dirs_of.get(b, 0) > 0)
+    if unpurged:
+        info["retired_unpurged_batches"] = unpurged  # reader grace
+    dormant = sorted({by for r, by in pairs
+                      if by not in raw
+                      and by not in _retired(raw, pairs)})
+    if dormant:
+        info["dormant_compaction_ids"] = dormant  # inert by design
+    intents = sorted(open_intents(spark, index_path))
+    if intents:
+        info["open_intents"] = intents
+
+    # generation-dependent tables (vector kinds)
+    if kind in ("ivf", "binary", "pq"):
+        from dsgrid_spark.pipeline.pq import (_read_centroids,
+                                              _read_codebooks,
+                                              codebook_generations)
+        from dsgrid_spark.pipeline.rebalance import _flat_entries
+
+        gens = centroid_generations(spark, index_path)
+        _, flat = _flat_entries(spark, _centroids_path(index_path))
+        flat_data = [st for st in flat
+                     if not st.getPath().getName().startswith(("_", "."))]
+        if gens and flat_data:
+            errors.append(
+                f"MIXED centroid layout: flat files "
+                f"{[str(s.getPath().getName()) for s in flat_data]} next "
+                f"to generation dirs {sorted(gens)} — root-level "
+                f"partition discovery fails; a rebalance migrates this "
+                f"(or remove the flat files once a committed generation "
+                f"marker exists)")
+        gen = None
+        if visible:
+            try:
+                gen = resolve_generation(spark, index_path, visible)
+            except ValueError as exc:
+                errors.append(f"generation resolution failed: {exc}")
+            if gen is not None or (not gens and not errors):
+                try:
+                    cents = _read_centroids(spark, index_path, gen)
+                    info["n_clusters"] = len(cents)
+                except ValueError as exc:
+                    errors.append(str(exc))
+        info["centroid_generation"] = gen
+        if kind == "pq":
+            marked = codebook_generations(spark, index_path)
+            _, cb_flat = _flat_entries(spark, f"{index_path}/codebooks")
+            cb_flat_data = [st for st in cb_flat if not
+                            st.getPath().getName().startswith(("_", "."))]
+            if marked and cb_flat_data:
+                errors.append(
+                    f"MIXED codebook layout: flat files next to "
+                    f"generation dirs {sorted(marked)}")
+            if visible and not errors:
+                try:
+                    _read_codebooks(spark, index_path, gen)
+                except Exception as exc:
+                    errors.append(f"codebooks unreadable for generation "
+                                  f"{gen!r}: {exc}")
+
+    # meta/stats row
+    meta_sub = {"term": "stats", "sigs": "meta", "pq": "meta",
+                "binary": "meta"}.get(kind)
+    if meta_sub is not None:
+        try:
+            spark.read.parquet(f"{index_path}/{meta_sub}").collect()[0]
+        except Exception:
+            errors.append(f"missing or unreadable {meta_sub}/ row")
+
+    # locks / tombstones / append-block markers
+    cutoff = _time.time() * 1000.0 - lock_ttl_seconds * 1000.0
+    held, stale, tombs = [], [], []
+    for st in _glob(f"{index_path}/locks/*.lock"):
+        (stale if st.getModificationTime() < cutoff else held).append(
+            st.getPath().getName())
+    for st in _glob(f"{index_path}/locks/*.lock.broken-*"):
+        tombs.append(st.getPath().getName())
+    if stale:
+        warnings.append(f"stale locks past lock_ttl_seconds (a crashed "
+                        f"holder; vacuum reaps): {sorted(stale)}")
+    if tombs:
+        warnings.append(f"breaker tombstones (a crashed stale-lock "
+                        f"break; vacuum reaps): {sorted(tombs)}")
+    if held:
+        info["held_locks"] = sorted(held)
+
+    out["ok"] = not errors
+    out["errors"] = errors
+    out["warnings"] = warnings
+    out["info"] = info
+    return out
+
+
 def _centroids_path(index_path: str) -> str:
     return f"{index_path}/centroids"
 

@@ -837,3 +837,85 @@ def test_hybrid_search_as_of_pins_both_sides(spark, tmp_path):
         spark, term_path, vpath, hq, k=4, k_each=6,
         n_probe=2).collect()))
     assert live != want_b  # unpinned sees both appends
+
+
+def test_index_fsck_classifies_states(spark, tmp_path, capsys):
+    """indexlog.fsck: healthy trees pass; each corruption / lifecycle
+    state is classified at the right severity; the CLI exits 1 on
+    errors only. Read-only: a follow-up fsck sees identical state."""
+    import json as _json
+    import shutil
+    import time
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.similarity import append_ivf_index
+
+    path, rows = _ivf_fixture(spark, tmp_path)
+
+    out = indexlog.fsck(spark, path)
+    assert out["ok"] and out["errors"] == [] and out["warnings"] == []
+    assert out["kind"] == "ivf"
+    assert out["info"]["visible_batches"] == 1
+    assert out["info"]["n_clusters"] == 2
+
+    # INFO states: an orphan (crashed append) and a retired-unpurged
+    # batch (post-rebalance reader grace)
+    extra = spark.createDataFrame([(900, rows[0][1])],
+                                  "vec_id long, embedding array<double>")
+    append_ivf_index(extra, path, batch_id="b2")
+    from dsgrid_spark.pipeline.rebalance import rebalance_index
+    rebalance_index(spark, path, iterations=2, seed=1)
+    os.makedirs(f"{path}/vectors/cluster=0/batch=ghost", exist_ok=True)
+    open(f"{path}/vectors/cluster=0/batch=ghost/part-0.parquet",
+         "w").close()
+    out = indexlog.fsck(spark, path)
+    assert out["ok"]
+    assert out["info"]["orphan_batches"] == ["ghost"]
+    assert set(out["info"]["retired_unpurged_batches"]) >= {"b2", "base"}
+
+    # WARNING: stale lock + tombstone
+    indexlog.acquire_compact_lock(spark, path)
+    old = time.time() - 7200
+    os.utime(f"{path}/locks/compact.lock", (old, old))
+    open(f"{path}/locks/compact.lock.broken-1-2", "w").close()
+    out = indexlog.fsck(spark, path, lock_ttl_seconds=3600)
+    assert out["ok"] and len(out["warnings"]) == 2
+    indexlog.release_compact_lock(spark, path)
+    indexlog.delete_glob(spark, f"{path}/locks/*.lock.broken-*")
+
+    # WARNING: a visible batch whose data dirs vanished (crashed purge)
+    gone = indexlog.delete_glob(spark, f"{path}/vectors/*/batch=b2")
+    assert gone > 0
+    # b2 was retired by the rebalance; fake the crashed-purge state on
+    # the LIVE batch instead: remove the rebalance batch's dirs
+    live = next(iter(indexlog.committed_batches(spark, path)))
+    indexlog.delete_glob(spark, f"{path}/vectors/*/batch={live}")
+    out = indexlog.fsck(spark, path)
+    assert any("no data directories" in w for w in out["warnings"])
+
+    # ERROR: mixed flat+generation centroid layout (the pre-fix
+    # rebalance debris the migration sweeps)
+    path2, _ = _ivf_fixture(spark, tmp_path.joinpath("two"))
+    rows2 = (spark.read.parquet(f"{path2}/centroids/batch=base")
+             .select("cluster", "centroid"))
+    rows2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "fc"))
+    for name in os.listdir(str(tmp_path / "fc")):
+        if name.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "fc" / name),
+                        f"{path2}/centroids/{name}")
+    out = indexlog.fsck(spark, path2)
+    assert not out["ok"]
+    assert any("MIXED centroid layout" in e for e in out["errors"])
+    assert cli_main(["index", "fsck", path2]) == 1
+    _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # ERROR: missing stats row on a term index
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    from dsgrid_spark.pipeline.retrieval import write_term_index
+    tpath = str(tmp_path / "t")
+    write_term_index(docs, tpath, n_buckets=1)
+    assert indexlog.fsck(spark, tpath)["ok"]
+    shutil.rmtree(f"{tpath}/stats")
+    out = indexlog.fsck(spark, tpath)
+    assert not out["ok"] and any("stats" in e for e in out["errors"])
