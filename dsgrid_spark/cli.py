@@ -755,6 +755,19 @@ def cmd_index_maintain(args) -> int:
     return 0
 
 
+def cmd_index_sync(args) -> int:
+    """One-way incremental index mirror (pipeline/indexsync.py):
+    batch-atomic at the destination, idempotent, crash-safe."""
+    from dsgrid_spark.pipeline.indexsync import sync_index
+    from dsgrid_spark.session import get_spark
+
+    spark = get_spark("dsgrid-spark-cli")
+    out = sync_index(spark, args.src, args.dst,
+                     overwrite=args.overwrite)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_index_fsck(args) -> int:
     """Read-only integrity check (indexlog.fsck): errors = reads are
     or will be wrong, warnings = operator attention, info = normal
@@ -1094,6 +1107,19 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--drift-sample", type=int, default=4096,
                     help="sample size for the drift probe")
     im.set_defaults(fn=cmd_index_maintain)
+
+    isy = idxsub.add_parser(
+        "sync", help="one-way incremental index mirror (disaster "
+        "recovery / promotion): batch-atomic at the destination, "
+        "idempotent, crash-safe; searches at the destination stay "
+        "correct mid-sync")
+    isy.add_argument("src")
+    isy.add_argument("dst")
+    isy.add_argument("--overwrite", action="store_true",
+                     help="reset the destination first (required after "
+                          "a source REBUILD, which reuses batch ids "
+                          "with new content)")
+    isy.set_defaults(fn=cmd_index_sync)
 
     ifs = idxsub.add_parser(
         "fsck", help="read-only integrity check: exactly-once "

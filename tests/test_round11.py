@@ -919,3 +919,122 @@ def test_index_fsck_classifies_states(spark, tmp_path, capsys):
     shutil.rmtree(f"{tpath}/stats")
     out = indexlog.fsck(spark, tpath)
     assert not out["ok"] and any("stats" in e for e in out["errors"])
+
+
+def test_sync_index_mirrors_term_index(spark, tmp_path):
+    """sync_index on a term index: fresh mirror searches identically,
+    incremental sync copies only the new batch, re-sync is a no-op,
+    and a compaction at the source retires the destination's old
+    batches atomically at the replacing batch's arrival."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.indexsync import sync_index
+    from dsgrid_spark.pipeline.retrieval import (append_term_index,
+                                                 bm25_search,
+                                                 write_term_index)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    write_term_index(docs, src, n_buckets=4)
+
+    out = sync_index(spark, src, dst)
+    assert out["copied_batches"] == ["base"]
+    assert "stats" in out["static_copied"]
+    q = ["spark", "shuffle"]
+    want = sorted(map(tuple, bm25_search(spark, src, q, k=5).collect()))
+    assert sorted(map(tuple,
+                      bm25_search(spark, dst, q, k=5).collect())) == want
+    assert indexlog.fsck(spark, dst)["ok"]
+
+    # incremental: one new batch, only it copies; results track
+    append_term_index(
+        spark.createDataFrame([(50, "spark shuffle spark")],
+                              "doc_id long, text string"),
+        src, batch_id="b2")
+    out = sync_index(spark, src, dst)
+    assert out["copied_batches"] == ["b2"]
+    assert out["skipped_batches"] == 1
+    want = sorted(map(tuple, bm25_search(spark, src, q, k=5).collect()))
+    assert sorted(map(tuple,
+                      bm25_search(spark, dst, q, k=5).collect())) == want
+    # idempotent
+    out = sync_index(spark, src, dst)
+    assert out["copied_batches"] == [] and out["skipped_batches"] == 2
+
+    # source compacts (and purges immediately): the replacing batch
+    # lands at dst, the old batches retire there, dst's own vacuum
+    # reclaims them
+    cmp_id = indexlog.compact(spark, src, purge=True)
+    out = sync_index(spark, src, dst)
+    assert out["copied_batches"] == [cmp_id]
+    assert indexlog.committed_batches(spark, dst) == {cmp_id}
+    assert sorted(map(tuple,
+                      bm25_search(spark, dst, q, k=5).collect())) == want
+    purged = indexlog.purge_replaced(spark, dst)
+    assert purged["data_dirs_removed"] > 0
+    assert sorted(map(tuple,
+                      bm25_search(spark, dst, q, k=5).collect())) == want
+    assert indexlog.fsck(spark, dst)["ok"]
+
+
+def test_sync_index_through_rebalance_and_crash(spark, tmp_path):
+    """sync_index on a vector index through a generation flip; a crash
+    mid-batch (partial artifacts, no log row) converges on re-run;
+    same-path and non-index inputs refused; overwrite resets."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.indexsync import sync_index
+    from dsgrid_spark.pipeline.rebalance import rebalance_index
+    from dsgrid_spark.pipeline.similarity import append_ivf_index, ivf_search
+
+    src, rows = _ivf_fixture(spark, tmp_path)
+    dst = str(tmp_path / "vdst")
+    sync_index(spark, src, dst)
+    q = [(0, rows[0][1])]
+    want = sorted(map(tuple, ivf_search(spark, src, q, k=3,
+                                        n_probe=2).collect()))
+    assert sorted(map(tuple, ivf_search(spark, dst, q, k=3,
+                                        n_probe=2).collect())) == want
+
+    # source appends + rebalances (generation flip)
+    append_ivf_index(
+        spark.createDataFrame([(700, rows[1][1])],
+                              "vec_id long, embedding array<double>"),
+        src, batch_id="b2")
+    new_gen = rebalance_index(spark, src, iterations=2, seed=1)
+    out = sync_index(spark, src, dst)
+    assert out["copied_batches"] == [new_gen]
+    committed = indexlog.committed_batches(spark, dst)
+    assert indexlog.resolve_generation(spark, dst, committed) == new_gen
+    want = sorted(map(tuple, ivf_search(spark, src, q, k=3,
+                                        n_probe=2).collect()))
+    assert sorted(map(tuple, ivf_search(spark, dst, q, k=3,
+                                        n_probe=2).collect())) == want
+    assert indexlog.fsck(spark, dst)["ok"]
+
+    # crash simulation: partial payload dir at dst without a log row —
+    # invisible, and the re-run converges to the same end state
+    append_ivf_index(
+        spark.createDataFrame([(701, rows[0][1])],
+                              "vec_id long, embedding array<double>"),
+        src, batch_id="b3")
+    os.makedirs(f"{dst}/vectors/cluster=0/batch=b3", exist_ok=True)
+    open(f"{dst}/vectors/cluster=0/batch=b3/garbage.parquet",
+         "w").close()
+    assert "b3" not in indexlog.committed_batches(spark, dst)
+    out = sync_index(spark, src, dst)
+    assert out["copied_batches"] == ["b3"]
+    want = sorted(map(tuple, ivf_search(spark, src, q, k=3,
+                                        n_probe=2).collect()))
+    assert sorted(map(tuple, ivf_search(spark, dst, q, k=3,
+                                        n_probe=2).collect())) == want
+    assert indexlog.fsck(spark, dst)["ok"]
+
+    with pytest.raises(ValueError, match="same path"):
+        sync_index(spark, src, src)
+    with pytest.raises(ValueError, match="batch log"):
+        sync_index(spark, str(tmp_path / "nowhere"), dst)
+
+    # overwrite: a rebuilt source mirrors cleanly onto a reset dst
+    out = sync_index(spark, src, dst, overwrite=True)
+    assert out["copied_batches"]
+    assert indexlog.fsck(spark, dst)["ok"]
