@@ -122,6 +122,38 @@ def sync_index(spark: SparkSession, src: str, dst: str,
                          f"index (or nothing committed yet)")
     if overwrite:
         indexlog.delete_glob(spark, dst)
+    elif _exists(spark, f"{dst}/batches"):
+        # the destination is already an index: refuse to interleave a
+        # DIFFERENT one into it (kind or immutable config mismatch —
+        # also catches most rebuilt-source cases, whose new build
+        # usually changes the config row; identical-config rebuilds
+        # remain the documented --overwrite case)
+        from dsgrid_spark.pipeline.stream_index import index_kind
+
+        skind, dkind = (index_kind(spark, src), index_kind(spark, dst))
+        if skind != dkind:
+            raise ValueError(
+                f"destination holds a {dkind!r} index; source is "
+                f"{skind!r} — pass overwrite=True to replace it")
+        for sub in ("meta", "stats"):
+            if _exists(spark, f"{src}/{sub}") and \
+                    _exists(spark, f"{dst}/{sub}"):
+                srow = spark.read.parquet(
+                    f"{src}/{sub}").collect()[0].asDict()
+                drow = spark.read.parquet(
+                    f"{dst}/{sub}").collect()[0].asDict()
+                # corpus-size fields drift with appends; only the
+                # immutable CONFIG keys must agree
+                informational = {"n_docs", "total_tokens"}
+                s_cfg = {k: v for k, v in srow.items()
+                         if k not in informational}
+                d_cfg = {k: v for k, v in drow.items()
+                         if k not in informational}
+                if s_cfg != d_cfg:
+                    raise ValueError(
+                        f"destination's {sub}/ config {d_cfg} != "
+                        f"source's {s_cfg}: a different index (or a "
+                        f"rebuilt source) — pass overwrite=True")
 
     # source snapshot: visible batches in commit-time order (NULL
     # commit time = the unknown past = first), so every intermediate

@@ -1038,3 +1038,27 @@ def test_sync_index_through_rebalance_and_crash(spark, tmp_path):
     out = sync_index(spark, src, dst, overwrite=True)
     assert out["copied_batches"]
     assert indexlog.fsck(spark, dst)["ok"]
+
+
+def test_sync_index_refuses_mismatched_destination(spark, tmp_path):
+    """sync_index refuses to interleave a different index into an
+    existing destination (kind or config mismatch) without
+    overwrite=True."""
+    from dsgrid_spark.pipeline.indexsync import sync_index
+    from dsgrid_spark.pipeline.retrieval import write_term_index
+
+    src, _ = _ivf_fixture(spark, tmp_path)
+    tpath = str(tmp_path / "term")
+    write_term_index(
+        spark.createDataFrame(DOCS, "doc_id long, text string"),
+        tpath, n_buckets=4)
+    with pytest.raises(ValueError, match="pass overwrite=True"):
+        sync_index(spark, src, tpath)
+    other = str(tmp_path / "term8")
+    write_term_index(
+        spark.createDataFrame(DOCS, "doc_id long, text string"),
+        other, n_buckets=8)  # different immutable config
+    with pytest.raises(ValueError, match="config"):
+        sync_index(spark, other, tpath)
+    out = sync_index(spark, src, tpath, overwrite=True)
+    assert out["copied_batches"] == ["base"]
