@@ -190,6 +190,21 @@ def sync_index(spark: SparkSession, src: str, dst: str,
                            f"{dst}/{sub}/{name}")
             static_copied.append(f"{sub} (flat)")
 
+    # ALL compaction rows mirror, not just visible batches': the
+    # ``by=`` dirs of already-purged intermediates are the PERMANENT
+    # replay/id-reuse guard (indexlog._retired resolves retirement
+    # transitively through them) — without them, a destination
+    # promoted to primary could re-ingest a batch whose rows live on
+    # inside a compacted successor. Rows are inert until their ``by``
+    # commits; ones whose ``by`` is already committed at dst activate
+    # retirements the source has already made — both safe at every
+    # intermediate state. The batch loop below re-copies its own.
+    for st in _glob(spark, f"{src}/compactions/by=*"):
+        name = st.getPath().getName()
+        if not _exists(spark, f"{dst}/compactions/{name}"):
+            _copy_tree(spark, f"{src}/compactions/{name}",
+                       f"{dst}/compactions/{name}")
+
     ingested_dst = indexlog.batch_sets(spark, dst)[1] \
         if _exists(spark, f"{dst}/batches") else set()
     copied, skipped = [], 0

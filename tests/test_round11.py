@@ -1062,3 +1062,44 @@ def test_sync_index_refuses_mismatched_destination(spark, tmp_path):
         sync_index(spark, other, tpath)
     out = sync_index(spark, src, tpath, overwrite=True)
     assert out["copied_batches"] == ["base"]
+
+
+def test_sync_index_preserves_replay_guard_through_purged_history(
+        spark, tmp_path):
+    """The mirror carries the PERMANENT replay/id-reuse guard: after
+    the source compacts twice and purges, a fresh destination still
+    refuses to re-ingest a batch id whose rows live inside the
+    compacted successor (the transitive-retirement pairs ride along
+    even when their intermediate's log row is gone)."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.indexsync import sync_index
+    from dsgrid_spark.pipeline.retrieval import (append_term_index,
+                                                 bm25_search,
+                                                 write_term_index)
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    write_term_index(docs, src, n_buckets=2)
+    b2 = spark.createDataFrame([(50, "spark shuffle again")],
+                               "doc_id long, text string")
+    append_term_index(b2, src, batch_id="b2")
+    cmp1 = indexlog.compact(spark, src, purge=True)
+    append_term_index(
+        spark.createDataFrame([(60, "broadcast join again")],
+                              "doc_id long, text string"),
+        src, batch_id="b4")
+    cmp2 = indexlog.compact(spark, src, purge=True)
+    assert indexlog.committed_batches(spark, src) == {cmp2}
+
+    dst = str(tmp_path / "dst")
+    out = sync_index(spark, src, dst)
+    assert out["copied_batches"] == [cmp2]
+    # the purged intermediates stay permanently ingested at dst
+    assert {"base", "b2", "b4", cmp1} <= indexlog.batch_sets(
+        spark, dst)[1]
+    # a replay of b2 at the (promoted) destination no-ops
+    assert append_term_index(b2, dst, batch_id="b2") is False
+    want = sorted(map(tuple, bm25_search(spark, src, ["spark"],
+                                         k=10).collect()))
+    assert sorted(map(tuple, bm25_search(spark, dst, ["spark"],
+                                         k=10).collect())) == want
