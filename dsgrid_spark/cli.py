@@ -573,7 +573,8 @@ def cmd_index_search(args) -> int:
                                  "--phrase")
             from dsgrid_spark.pipeline.retrieval import phrase_search
 
-            df = phrase_search(spark, args.path, " ".join(args.terms))
+            df = phrase_search(spark, args.path, " ".join(args.terms),
+                               as_of=as_of)
         else:
             from dsgrid_spark.pipeline.retrieval import bm25_search
 
@@ -715,6 +716,8 @@ def cmd_index_hybrid(args) -> int:
 
     spark = get_spark("dsgrid-spark-cli")
     cand = _parse_candidates(spark, args.candidates)
+    t_pin = _parse_as_of(args.term_as_of)
+    v_pin = _parse_as_of(args.vector_as_of)
     if args.query:
         if args.terms or args.vector:
             raise SystemExit("--query (batch) and positional terms/"
@@ -727,7 +730,8 @@ def cmd_index_hybrid(args) -> int:
         df = hybrid_search_batch(spark, args.term_path,
                                  args.vector_path, queries, k=args.k,
                                  k_each=args.k_each,
-                                 n_probe=args.n_probe, candidates=cand)
+                                 n_probe=args.n_probe, candidates=cand,
+                                 term_as_of=t_pin, vector_as_of=v_pin)
     else:
         if not args.terms or not args.vector:
             raise SystemExit("hybrid search needs query terms and "
@@ -735,7 +739,8 @@ def cmd_index_hybrid(args) -> int:
         df = hybrid_search(spark, args.term_path, args.vector_path,
                            args.terms, json.loads(args.vector),
                            k=args.k, k_each=args.k_each,
-                           n_probe=args.n_probe, candidates=cand)
+                           n_probe=args.n_probe, candidates=cand,
+                           term_as_of=t_pin, vector_as_of=v_pin)
     for row in df.collect():
         print(json.dumps(row.asDict()))
     return 0
@@ -1085,6 +1090,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="per-retriever fusion pool depth")
     ih.add_argument("--n-probe", type=int, default=4)
     ih.add_argument("--candidates", default=None)
+    ih.add_argument("--term-as-of", default=None,
+                    help="pin the term index's read (batch ids or an "
+                         "ISO-8601 timestamp, like search --as-of)")
+    ih.add_argument("--vector-as-of", default=None,
+                    help="pin the vector index's read")
     ih.set_defaults(fn=cmd_index_hybrid)
 
     im = idxsub.add_parser(

@@ -1103,3 +1103,47 @@ def test_sync_index_preserves_replay_guard_through_purged_history(
                                          k=10).collect()))
     assert sorted(map(tuple, bm25_search(spark, dst, ["spark"],
                                          k=10).collect())) == want
+
+
+def test_cli_hybrid_and_phrase_as_of(spark, tmp_path, capsys):
+    """CLI: `index hybrid --term-as-of/--vector-as-of` and
+    `index search --phrase --as-of` honor pins."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (append_term_index,
+                                                 write_term_index)
+    from dsgrid_spark.pipeline.similarity import write_ivf_index
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tpath = str(tmp_path / "t")
+    write_term_index(docs, tpath, n_buckets=2, positions=True)
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(8)]
+    vpath = str(tmp_path / "v")
+    write_ivf_index(
+        spark.createDataFrame(vecs, "vec_id long, embedding array<double>"),
+        vpath, [vecs[0][1], vecs[4][1]])
+
+    tpin = ",".join(sorted(indexlog.committed_batches(spark, tpath)))
+    vpin = ",".join(sorted(indexlog.committed_batches(spark, vpath)))
+
+    assert cli_main(["index", "hybrid", tpath, vpath, "spark", "shuffle",
+                     "--vector", _json.dumps(vecs[0][1]), "-k", "3",
+                     "--k-each", "5", "--n-probe", "2"]) == 0
+    want = capsys.readouterr().out
+    append_term_index(
+        spark.createDataFrame([(99, "spark shuffle spark shuffle")],
+                              "doc_id long, text string"),
+        tpath, batch_id="later")
+    assert cli_main(["index", "hybrid", tpath, vpath, "spark", "shuffle",
+                     "--vector", _json.dumps(vecs[0][1]), "-k", "3",
+                     "--k-each", "5", "--n-probe", "2",
+                     "--term-as-of", tpin, "--vector-as-of", vpin]) == 0
+    assert capsys.readouterr().out == want
+
+    assert cli_main(["index", "search", tpath, "spark", "shuffle",
+                     "--phrase", "--as-of", tpin]) == 0
+    phrased = capsys.readouterr().out
+    assert "99" not in phrased  # the pinned read excludes the append
