@@ -117,15 +117,21 @@ def main():
         waited += 2.0
     jvms_left = _other_jvms()
     try:
-        load1 = round(os.getloadavg()[0], 2)
+        load1, load5, _ = (round(x, 2) for x in os.getloadavg())
     except OSError:
-        load1 = -1.0
+        load1 = load5 = -1.0
     env_stamp = {
         "other_jvms_at_start": jvms0,
         "other_jvms_after_wait": jvms_left,
         "waited_sec": waited,
         "load1_at_start": load1,
-        "contaminated": bool(jvms_left > 0 or load1 >= 8.0),
+        # load5 catches the just-finished-a-heavy-job state (dirty page
+        # cache, decaying scheduler pressure) that load1 already forgave
+        # — measured doubling the WRITE-heavy slots (q28/q30/q32) while
+        # CPU-bound slots stayed flat
+        "load5_at_start": load5,
+        "contaminated": bool(jvms_left > 0 or load1 >= 8.0
+                             or load5 >= 4.0),
     }
     spark = get_spark("dsgrid-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
