@@ -768,7 +768,9 @@ def cmd_index_sync(args) -> int:
 
     spark = get_spark("dsgrid-spark-cli")
     out = sync_index(spark, args.src, args.dst,
-                     overwrite=args.overwrite)
+                     overwrite=args.overwrite,
+                     src_corpus=args.src_corpus,
+                     dst_corpus=args.dst_corpus)
     print(json.dumps(out))
     return 0
 
@@ -1129,6 +1131,12 @@ def main(argv: list[str] | None = None) -> int:
                      help="reset the destination first (required after "
                           "a source REBUILD, which reuses batch ids "
                           "with new content)")
+    isy.add_argument("--src-corpus", default=None,
+                     help="sigstore: also mirror the store-managed "
+                          "corpus table (corpus_path) from here...")
+    isy.add_argument("--dst-corpus", default=None,
+                     help="...to here, batch-atomically with the "
+                          "signatures")
     isy.set_defaults(fn=cmd_index_sync)
 
     ifs = idxsub.add_parser(

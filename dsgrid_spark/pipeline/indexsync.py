@@ -40,8 +40,10 @@ existing path resets the log and reuses the ``base`` id with new
 content) cannot be mirrored incrementally onto a destination that
 synced the old build — batch ids no longer mean the same bytes; pass
 ``overwrite=True`` to reset the destination. The sigstore's optional
-``corpus_path`` side table lives OUTSIDE the index tree and is not
-mirrored. Locks and intents are lifecycle state, never copied. A
+``corpus_path`` side table lives OUTSIDE the index tree; pass
+``src_corpus``/``dst_corpus`` to mirror it batch-atomically alongside
+(omitted, it is not copied). Locks and intents are lifecycle state,
+never copied. A
 purge racing the copy window at the source fails the copy LOUDLY
 (re-run); schedule syncs inside the source's vacuum ttl grace, the
 same contract its readers carry.
@@ -109,14 +111,26 @@ def _batch_rels(spark, src: str, batch_id: str) -> list[str]:
 
 
 def sync_index(spark: SparkSession, src: str, dst: str,
-               overwrite: bool = False) -> dict:
+               overwrite: bool = False,
+               src_corpus: str | None = None,
+               dst_corpus: str | None = None) -> dict:
     """Mirror the source index's committed state onto ``dst``
     (module docstring): incremental, idempotent, crash-safe,
     batch-atomic at the destination. Returns
     ``{"copied_batches": [...], "skipped_batches": n,
-    "static_copied": [...]}``."""
+    "static_copied": [...]}``.
+
+    ``src_corpus``/``dst_corpus`` extend the mirror to a sigstore's
+    store-managed corpus table (``corpus_path`` in
+    ``sigstore.ingest_dedup_batch`` — it lives OUTSIDE the index
+    tree): each batch's ``batch=<id>`` corpus dir is copied BEFORE the
+    batch's log row, so corpus text becomes visible at the destination
+    exactly when the batch's signatures do — the same atomicity
+    ``read_corpus`` relies on at the source."""
     if src.rstrip("/") == dst.rstrip("/"):
         raise ValueError("src and dst are the same path")
+    if (src_corpus is None) != (dst_corpus is None):
+        raise ValueError("pass src_corpus and dst_corpus together")
     if not _exists(spark, f"{src}/batches"):
         raise ValueError(f"no batch log at {src!r}: not a persisted "
                          f"index (or nothing committed yet)")
@@ -220,6 +234,12 @@ def sync_index(spark: SparkSession, src: str, dst: str,
         rels = _batch_rels(spark, src, b)
         for rel in rels:
             _copy_tree(spark, f"{src}/{rel}", f"{dst}/{rel}")
+        if src_corpus is not None and \
+                _exists(spark, f"{src_corpus}/batch={b}"):
+            # corpus rows land before the commit, like every artifact
+            indexlog.delete_glob(spark, f"{dst_corpus}/batch={b}")
+            _copy_tree(spark, f"{src_corpus}/batch={b}",
+                       f"{dst_corpus}/batch={b}")
         # THE COMMIT at dst: the batch (and, with it, any compaction
         # retirements and generation flips it carries) becomes visible
         indexlog.delete_glob(spark, f"{dst}/batches/batch={b}")

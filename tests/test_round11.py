@@ -1147,3 +1147,46 @@ def test_cli_hybrid_and_phrase_as_of(spark, tmp_path, capsys):
                      "--phrase", "--as-of", tpin]) == 0
     phrased = capsys.readouterr().out
     assert "99" not in phrased  # the pinned read excludes the append
+
+
+def test_sync_index_mirrors_sigstore_with_corpus(spark, tmp_path):
+    """A sigstore + its store-managed corpus mirror together: the
+    destination's turnkey ingest loop works immediately (read_corpus
+    covers every committed id), and dedup decisions at the destination
+    equal the source's."""
+    from dsgrid_spark.pipeline.indexsync import sync_index
+    from dsgrid_spark.pipeline.sigstore import (ingest_dedup_batch,
+                                                read_corpus,
+                                                write_sig_store)
+
+    src = str(tmp_path / "sigs")
+    src_c = str(tmp_path / "corpus")
+    seed = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    write_sig_store(seed, src, num_hashes=8, shingle_k=2, n_shards=2,
+                    corpus_path=src_c)
+    ingest_dedup_batch(
+        spark.createDataFrame([(1, "eta theta iota kappa lambda mu")],
+                              "doc_id long, text string"),
+        src, batch_id="b1", corpus_path=src_c, threshold=0.5)
+
+    dst = str(tmp_path / "sigs2")
+    dst_c = str(tmp_path / "corpus2")
+    out = sync_index(spark, src, dst, src_corpus=src_c,
+                     dst_corpus=dst_c)
+    assert out["copied_batches"] == ["base", "b1"]
+    assert sorted(map(tuple, read_corpus(spark, dst, dst_c).collect())) \
+        == sorted(map(tuple, read_corpus(spark, src, src_c).collect()))
+
+    # the mirrored store runs the turnkey loop: a near-dup of a
+    # mirrored survivor is caught, a novel doc survives
+    batch = spark.createDataFrame(
+        [(2, "eta theta iota kappa lambda mu"),       # dup of b1's doc
+         (3, "nu xi omicron pi rho sigma tau")],      # novel
+        "doc_id long, text string")
+    kept = ingest_dedup_batch(batch, dst, batch_id="b2",
+                              corpus_path=dst_c, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {3}
+    with pytest.raises(ValueError, match="together"):
+        sync_index(spark, src, dst, src_corpus=src_c)
