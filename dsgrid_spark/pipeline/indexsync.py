@@ -136,6 +136,10 @@ def sync_index(spark: SparkSession, src: str, dst: str,
                          f"index (or nothing committed yet)")
     if overwrite:
         indexlog.delete_glob(spark, dst)
+        if dst_corpus is not None:
+            # a rebuilt source reuses batch ids: stale corpus text left
+            # under a reused id would read back as the NEW batch's text
+            indexlog.delete_glob(spark, dst_corpus)
     elif _exists(spark, f"{dst}/batches"):
         # the destination is already an index: refuse to interleave a
         # DIFFERENT one into it (kind or immutable config mismatch —
