@@ -751,12 +751,17 @@ def cmd_index_maintain(args) -> int:
     from dsgrid_spark.session import get_spark
 
     spark = get_spark("dsgrid-spark-cli")
+    ratio = args.max_distortion_ratio
+    if ratio is not None and ratio != "auto":
+        ratio = float(ratio)
     out = maintain_index(spark, args.path, ttl_seconds=args.ttl,
                          max_batches=args.max_batches,
                          max_over_mean=args.max_over_mean,
-                         max_distortion_ratio=args.max_distortion_ratio,
-                         drift_sample=args.drift_sample)
-    print(json.dumps(out))
+                         max_distortion_ratio=ratio,
+                         drift_margin=args.drift_margin,
+                         drift_sample=args.drift_sample,
+                         fsck=args.fsck)
+    print(json.dumps(out, default=str))
     return 0
 
 
@@ -770,8 +775,10 @@ def cmd_index_sync(args) -> int:
     out = sync_index(spark, args.src, args.dst,
                      overwrite=args.overwrite,
                      src_corpus=args.src_corpus,
-                     dst_corpus=args.dst_corpus)
-    print(json.dumps(out))
+                     dst_corpus=args.dst_corpus,
+                     copy_parallelism=args.copy_parallelism,
+                     verify=args.verify)
+    print(json.dumps(out, default=str))
     return 0
 
 
@@ -1111,13 +1118,21 @@ def main(argv: list[str] | None = None) -> int:
     im.add_argument("--max-over-mean", type=float, default=None,
                     help="vector indexes: rebalance when the heaviest "
                          "cluster exceeds this ratio of the mean")
-    im.add_argument("--max-distortion-ratio", type=float, default=None,
+    im.add_argument("--max-distortion-ratio", default=None,
                     help="vector indexes: rebalance when the live/refit "
                          "distortion ratio exceeds this (the "
                          "recall-proxy gate that fires on uniform-mass "
-                         "drift where skew stays flat)")
+                         "drift where skew stays flat); 'auto' gates "
+                         "on the index's recorded healthy baseline x "
+                         "--drift-margin, no hand-tuned number")
+    im.add_argument("--drift-margin", type=float, default=1.05,
+                    help="relative rise over the recorded healthy "
+                         "ratio that fires the 'auto' drift gate")
     im.add_argument("--drift-sample", type=int, default=4096,
                     help="sample size for the drift probe")
+    im.add_argument("--fsck", action="store_true",
+                    help="finish the tick with a read-only integrity "
+                         "check and fail loudly on any error")
     im.set_defaults(fn=cmd_index_maintain)
 
     isy = idxsub.add_parser(
@@ -1137,6 +1152,13 @@ def main(argv: list[str] | None = None) -> int:
     isy.add_argument("--dst-corpus", default=None,
                      help="...to here, batch-atomically with the "
                           "signatures")
+    isy.add_argument("--copy-parallelism", type=int, default=None,
+                     help="slices for the bulk artifact copy job "
+                          "(default: the cluster's parallelism)")
+    isy.add_argument("--verify", action="store_true",
+                     help="run fsck on the destination after the "
+                          "mirror and fail loudly on any error — the "
+                          "promotion gate")
     isy.set_defaults(fn=cmd_index_sync)
 
     ifs = idxsub.add_parser(

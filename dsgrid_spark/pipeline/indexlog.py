@@ -606,8 +606,20 @@ def acquire_compact_lock(spark: SparkSession, index_path: str,
         t_mtime = None
     if t_mtime != seen:
         # we displaced a freshly re-acquired LIVE lock: restore it
-        if not fs.rename(tomb, lp):
-            fs.delete(tomb, False)
+        restored = False
+        try:
+            restored = fs.rename(tomb, lp)
+        except Exception:
+            restored = False
+        if not restored:
+            # a THIRD racer re-created lp between our rename and this
+            # restore. The tombstone IS the displaced holder's live
+            # re-acquired lock — deleting it would erase the only
+            # evidence that two compactions may now be interleaved.
+            # Leave it for vacuum to reap: fsck surfaces breaker
+            # tombstones as warnings, so the overlap is visible to an
+            # operator instead of silently swallowed.
+            pass
         raise ConcurrentCompactionError(
             f"lock {_lock_path(index_path, name)} was re-acquired "
             f"while being broken")
@@ -906,9 +918,16 @@ def fsck(spark: SparkSession, index_path: str,
             cb_flat_data = [st for st in cb_flat if not
                             st.getPath().getName().startswith(("_", "."))]
             if marked and cb_flat_data:
-                errors.append(
+                # NOT an error: _read_codebooks reads flat-first (flat
+                # files are only removed after a retrain verifies both
+                # gen-scoped copies complete), so reads stay correct in
+                # this state — it's a crashed retrain awaiting retry
+                warnings.append(
                     f"MIXED codebook layout: flat files next to "
-                    f"generation dirs {sorted(marked)}")
+                    f"generation dirs {sorted(marked)} — a crashed "
+                    f"codebook retrain; reads use the flat files "
+                    f"(authoritative until a retrain completes); "
+                    f"re-run the rebalance to finish the migration")
             if visible and not errors:
                 try:
                     _read_codebooks(spark, index_path, gen)
@@ -1210,6 +1229,17 @@ def _compact_locked(spark: SparkSession, index_path: str,
                .coalesce(1)
                .write.mode("append").partitionBy("batch")
                .parquet(f"{index_path}/codebooks"))
+        # the generation's drift-calibration record rides the same
+        # transfer (missing it is harmless — the auto gate would just
+        # recalibrate — but carrying it keeps the gate armed)
+        db = f"{index_path}/drift_baseline/batch={g}"
+        dbp = jvm.org.apache.hadoop.fs.Path(db)
+        if dbp.getFileSystem(conf).exists(dbp):
+            (spark.read.parquet(db)
+               .withColumn("batch", F.lit(batch_id))
+               .coalesce(1)
+               .write.mode("append").partitionBy("batch")
+               .parquet(f"{index_path}/drift_baseline"))
     from dsgrid_spark.session import one_slice_df
     (one_slice_df(spark, [(s, batch_id) for s in sources],
                   "replaced string, by string")
@@ -1306,6 +1336,8 @@ def purge_replaced(spark: SparkSession, index_path: str,
             spark, f"{_centroids_path(index_path)}/batch={bid}")
         removed_dirs += delete_glob(
             spark, f"{index_path}/codebooks/batch={bid}")
+        removed_dirs += delete_glob(
+            spark, f"{index_path}/drift_baseline/batch={bid}")
         removed_log_rows += delete_glob(
             spark, f"{_log_path(index_path)}/batch={bid}")
     return {"data_dirs_removed": removed_dirs,
@@ -1382,6 +1414,8 @@ def vacuum(spark: SparkSession, index_path: str,
         f"{_centroids_path(index_path)}/batch=*")[1]
     data_sts = data_sts + statuses(
         f"{index_path}/codebooks/batch=*")[1]
+    data_sts = data_sts + statuses(
+        f"{index_path}/drift_baseline/batch=*")[1]
 
     # group every artifact of each UNCOMMITTED batch; stale intents of
     # committed batches are removable immediately (data never touched)
@@ -1425,6 +1459,8 @@ def vacuum(spark: SparkSession, index_path: str,
             f"{_centroids_path(index_path)}/batch={bid}")[1]
         fresh = fresh + statuses(
             f"{index_path}/codebooks/batch={bid}")[1]
+        fresh = fresh + statuses(
+            f"{index_path}/drift_baseline/batch={bid}")[1]
         snap = {str(st.getPath()) for st in data_of.get(bid, [])}
         if ({str(st.getPath()) for st in fresh} != snap
                 or any(st.getModificationTime() >= cutoff for st in fresh)):

@@ -57,10 +57,11 @@ from dsgrid_spark.pipeline import indexlog
 
 __all__ = ["sync_index"]
 
-#: 2-level subtrees copied per batch (generation tables + replacement
-#: rows); payloads are discovered from the tree itself
+#: 2-level subtrees copied per batch (generation tables, the
+#: generation's drift-calibration record, replacement rows); payloads
+#: are discovered from the tree itself
 _TWO_LEVEL = (("centroids", "batch"), ("codebooks", "batch"),
-              ("compactions", "by"))
+              ("drift_baseline", "batch"), ("compactions", "by"))
 
 
 def _fs_of(spark, path_str: str):
@@ -75,9 +76,12 @@ def _exists(spark, path_str: str) -> bool:
 
 
 def _copy_tree(spark, src_path: str, dst_path: str) -> None:
-    """Recursive copy of one directory (or file) to an EXACT
-    destination path (pre-deleted by the caller, so Hadoop's
-    copy-into-existing-dir nesting can never trigger)."""
+    """Recursive DRIVER-SIDE copy of one directory (or file) to an
+    EXACT destination path (pre-deleted by the caller, so Hadoop's
+    copy-into-existing-dir nesting can never trigger). Used for the
+    tiny serial pieces — static tables, compaction rows, log rows —
+    and as the fallback when the parallel path can't serve a scheme;
+    bulk batch payloads go through :func:`_parallel_copy`."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     sfs, sp = _fs_of(spark, src_path)
@@ -86,6 +90,102 @@ def _copy_tree(spark, src_path: str, dst_path: str) -> None:
     if not jvm.org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
                                                   False, conf):
         raise IOError(f"copy failed: {src_path} -> {dst_path}")
+
+
+def _copy_tree_atomic(spark, src_path: str, dst_path: str) -> None:
+    """Copy a directory to a ``_``-prefixed sibling temp name, then
+    RENAME into place — for trees that may be LIVE at the destination
+    the moment they exist (compaction ``by=`` dirs whose ``by`` is
+    already committed there): a crash mid-copy leaves only the temp
+    (invisible to partition discovery and re-replaced on retry), never
+    a permanently partial table the skip-if-exists pre-pass would
+    treat as done."""
+    jvm = spark._jvm
+    dfs, dp = _fs_of(spark, dst_path)
+    tmp = f"{dp.getParent().toString()}/_sync_tmp_{dp.getName()}"
+    tp = jvm.org.apache.hadoop.fs.Path(tmp)
+    dfs.delete(tp, True)
+    _copy_tree(spark, src_path, tmp)
+    dfs.delete(dp, True)
+    if not dfs.rename(tp, dp):
+        raise IOError(f"rename failed: {tmp} -> {dst_path}")
+
+
+def _list_files(spark, root: str) -> list[tuple[str, int]]:
+    """All files under ``root`` recursively, as (path-relative-to-root,
+    size) pairs — the metadata listing the parallel copy schedules
+    from. Driver-side: file COUNT per sync is bounded by batch count ×
+    partitions, orders of magnitude below the byte volume that made
+    the serial copy the bottleneck."""
+    fs, p = _fs_of(spark, root)
+    base = fs.getFileStatus(p).getPath().toString().rstrip("/")
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        out.append((full[len(base) + 1:], int(st.getLen())))
+    return out
+
+
+def _pafs_of(path: str):
+    """(pyarrow FileSystem, in-filesystem path) for a URI or bare
+    path — the executor-side half of the parallel copy (no JVM on
+    Python workers, so bytes stream through pyarrow's FS layer)."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        fs, p = pafs.FileSystem.from_uri(path)
+        return fs, p
+    return pafs.LocalFileSystem(), path
+
+
+def _copy_file_group(group: list[tuple[str, str]]) -> None:
+    """Stream one slice's files src → dst (8 MiB chunks); idempotent
+    (output streams truncate), so Spark task retries are safe."""
+    for src, dst in group:
+        sfs, sp = _pafs_of(src)
+        dfs, dp = _pafs_of(dst)
+        parent = dp.rsplit("/", 1)[0]
+        if parent:
+            dfs.create_dir(parent, recursive=True)
+        with sfs.open_input_stream(sp) as r, \
+                dfs.open_output_stream(dp) as w:
+            while True:
+                chunk = r.read(8 << 20)
+                if not chunk:
+                    break
+                w.write(chunk)
+
+
+def _parallel_copy(spark, specs: list[tuple[str, str, int]],
+                   parallelism: int | None = None) -> None:
+    """Copy ``(src, dst, size)`` file specs as ONE Spark job — the
+    DistCp shape: the driver holds only the file list; bytes stream
+    executor-side. Files are interleaved LARGEST-FIRST across slices
+    so a handful of giant files can't serialize the job behind one
+    task. Falls back to the driver-serial Hadoop copy when pyarrow
+    cannot resolve the scheme (e.g. hdfs:// without libhdfs) or for
+    single-file ticks where a job launch costs more than the copy."""
+    if not specs:
+        return
+    sc = spark.sparkContext
+    n = parallelism if parallelism is not None else \
+        sc.defaultParallelism
+    n = max(1, min(int(n), len(specs)))
+    usable = n > 1
+    if usable:
+        try:  # driver-side scheme probe; workers import pyarrow lazily
+            _pafs_of(specs[0][0]), _pafs_of(specs[0][1])
+        except Exception:
+            usable = False
+    if not usable:
+        for s, d, _ in specs:
+            _copy_tree(spark, s, d)
+        return
+    ordered = sorted(specs, key=lambda t: (-t[2], t[0]))
+    groups = [[(s, d) for s, d, _ in ordered[i::n]] for i in range(n)]
+    sc.parallelize(groups, n).foreach(_copy_file_group)
 
 
 def _glob(spark, pattern: str):
@@ -113,20 +213,38 @@ def _batch_rels(spark, src: str, batch_id: str) -> list[str]:
 def sync_index(spark: SparkSession, src: str, dst: str,
                overwrite: bool = False,
                src_corpus: str | None = None,
-               dst_corpus: str | None = None) -> dict:
+               dst_corpus: str | None = None,
+               copy_parallelism: int | None = None,
+               verify: bool = False) -> dict:
     """Mirror the source index's committed state onto ``dst``
     (module docstring): incremental, idempotent, crash-safe,
     batch-atomic at the destination. Returns
     ``{"copied_batches": [...], "skipped_batches": n,
-    "static_copied": [...]}``.
+    "static_copied": [...], "copied_files": n, "copied_bytes": n}``.
+
+    Bulk payload bytes move in ONE parallel Spark job over the missing
+    batches' file list (:func:`_parallel_copy`, the DistCp shape —
+    ``copy_parallelism`` slices, default the cluster's parallelism):
+    staged artifacts are INVISIBLE at the destination until their log
+    row lands, so parallelism never touches the protocol — artifacts
+    (all of them, for every missing batch) first, then each log row,
+    alone, in commit-time order from the driver. The initial mirror of
+    a 100 TB index is therefore cluster-wide streaming, not a
+    driver-serial loop; a crash at any point still converges on re-run
+    (uncommitted batches are re-cleaned and re-staged).
 
     ``src_corpus``/``dst_corpus`` extend the mirror to a sigstore's
     store-managed corpus table (``corpus_path`` in
     ``sigstore.ingest_dedup_batch`` — it lives OUTSIDE the index
-    tree): each batch's ``batch=<id>`` corpus dir is copied BEFORE the
+    tree): each batch's ``batch=<id>`` corpus dir is staged BEFORE the
     batch's log row, so corpus text becomes visible at the destination
     exactly when the batch's signatures do — the same atomicity
-    ``read_corpus`` relies on at the source."""
+    ``read_corpus`` relies on at the source.
+
+    ``verify=True`` runs :func:`indexlog.fsck` on the destination
+    after the mirror and raises ``IOError`` on any ERROR finding —
+    the promotion gate: never point traffic at an unverified mirror.
+    """
     if src.rstrip("/") == dst.rstrip("/"):
         raise ValueError("src and dst are the same path")
     if (src_corpus is None) != (dst_corpus is None):
@@ -220,32 +338,53 @@ def sync_index(spark: SparkSession, src: str, dst: str,
     for st in _glob(spark, f"{src}/compactions/by=*"):
         name = st.getPath().getName()
         if not _exists(spark, f"{dst}/compactions/{name}"):
-            _copy_tree(spark, f"{src}/compactions/{name}",
-                       f"{dst}/compactions/{name}")
+            # temp+rename: a ``by=`` dir whose batch is already
+            # committed at dst is LIVE the moment it exists, and this
+            # skip-if-exists pass would treat a crashed partial copy
+            # as done forever — atomically landed, a re-run self-heals
+            _copy_tree_atomic(spark, f"{src}/compactions/{name}",
+                              f"{dst}/compactions/{name}")
 
     ingested_dst = indexlog.batch_sets(spark, dst)[1] \
         if _exists(spark, f"{dst}/batches") else set()
-    copied, skipped = [], 0
-    for b in order:
-        if b in ingested_dst:
-            skipped += 1
-            continue
-        # clean a previous crashed attempt's partial artifacts (the
-        # batch is uncommitted at dst, so nothing reads them)
+    todo = [b for b in order if b not in ingested_dst]
+    skipped = len(order) - len(todo)
+
+    # PHASE 1 — stage every missing batch's artifacts (payload dirs,
+    # generation tables, its own compaction rows, corpus dirs): clean
+    # previous crashed attempts (the batches are uncommitted at dst,
+    # so nothing reads them), list the files, copy them all as ONE
+    # parallel job. Nothing staged here is visible until phase 2.
+    rels_of: dict[str, list[str]] = {}
+    specs: list[tuple[str, str, int]] = []
+    for b in todo:
         indexlog.delete_glob(spark, f"{dst}/*/*/batch={b}")
         for sub, col in _TWO_LEVEL:
             indexlog.delete_glob(spark, f"{dst}/{sub}/{col}={b}")
         rels = _batch_rels(spark, src, b)
+        rels_of[b] = rels
         for rel in rels:
-            _copy_tree(spark, f"{src}/{rel}", f"{dst}/{rel}")
+            files = _list_files(spark, f"{src}/{rel}")
+            if not files:  # preserve empty dirs (FileUtil.copy did)
+                fs, p = _fs_of(spark, f"{dst}/{rel}")
+                fs.mkdirs(p)
+            specs.extend((f"{src}/{rel}/{f}", f"{dst}/{rel}/{f}", sz)
+                         for f, sz in files)
         if src_corpus is not None and \
                 _exists(spark, f"{src_corpus}/batch={b}"):
-            # corpus rows land before the commit, like every artifact
+            # corpus rows stage before the commit, like every artifact
             indexlog.delete_glob(spark, f"{dst_corpus}/batch={b}")
-            _copy_tree(spark, f"{src_corpus}/batch={b}",
-                       f"{dst_corpus}/batch={b}")
-        # THE COMMIT at dst: the batch (and, with it, any compaction
-        # retirements and generation flips it carries) becomes visible
+            specs.extend(
+                (f"{src_corpus}/batch={b}/{f}",
+                 f"{dst_corpus}/batch={b}/{f}", sz)
+                for f, sz in _list_files(spark, f"{src_corpus}/batch={b}"))
+    _parallel_copy(spark, specs, copy_parallelism)
+
+    # PHASE 2 — THE COMMITS: each batch's log row lands alone, from
+    # the driver, in commit-time order; the batch (and any compaction
+    # retirements / generation flips it carries) becomes visible here
+    copied = []
+    for b in todo:
         indexlog.delete_glob(spark, f"{dst}/batches/batch={b}")
         _copy_tree(spark, f"{src}/batches/batch={b}",
                    f"{dst}/batches/batch={b}")
@@ -255,11 +394,22 @@ def sync_index(spark: SparkSession, src: str, dst: str,
         # the same at its migration), or root-level partition discovery
         # at dst would hit the mixed layout the source already escaped
         for sub in ("centroids", "codebooks"):
-            if any(r.startswith(f"{sub}/") for r in rels):
+            if any(r.startswith(f"{sub}/") for r in rels_of[b]):
                 for st in _glob(spark, f"{dst}/{sub}/*"):
                     name = st.getPath().getName()
                     if not name.startswith(("batch=", "_", ".")):
                         fs, p = _fs_of(spark, f"{dst}/{sub}/{name}")
                         fs.delete(p, True)
-    return {"copied_batches": copied, "skipped_batches": skipped,
-            "static_copied": static_copied}
+    out = {"copied_batches": copied, "skipped_batches": skipped,
+           "static_copied": static_copied,
+           "copied_files": len(specs),
+           "copied_bytes": sum(sz for _, _, sz in specs)}
+    if verify:
+        report = indexlog.fsck(spark, dst)
+        out["fsck"] = report
+        if not report.get("ok", False):
+            raise IOError(
+                f"post-sync fsck of {dst!r} found errors: "
+                f"{report.get('errors')} — the mirror is not safe to "
+                f"promote (re-run the sync; a clean re-run converges)")
+    return out

@@ -446,7 +446,21 @@ def query_id_type(queries: list[tuple]) -> str:
     a float, mixed, or exotic id fails HERE with the offending id named
     instead of deep inside createDataFrame. The frame-based entry points
     (pq_topk/ivf_pq_topk) inherit the caller's schema; this is the
-    list-based equivalent, shared by pq_search and hamming_search."""
+    list-based equivalent, shared by pq_search and hamming_search.
+
+    DUPLICATE ids are rejected too (round 12): every list form keys
+    per-query state — probe rows, analyzed terms, rank windows — by
+    query_id, so a duplicate silently merges two queries' candidates
+    under one id instead of erroring. One check here covers every
+    list-based search."""
+    from collections import Counter
+
+    dup = sorted((i for i, n in Counter(q for q, _ in queries).items()
+                  if n > 1), key=repr)
+    if dup:
+        raise ValueError(
+            f"duplicate query ids in queries: {dup!r} — each id must "
+            f"key exactly one query; re-key or de-duplicate the batch")
     if all(isinstance(q, str) for q, _ in queries):
         return "string"
     for qid, _ in queries:
@@ -778,6 +792,18 @@ def codebook_generations(spark, path: str) -> set[str]:
             for st in (fs.globStatus(p) or [])}
 
 
+def _flat_codebook_files(spark, path: str) -> list[str]:
+    """Root-level DATA files of the legacy flat ``codebooks/`` layout
+    — ``batch=`` partition dirs and ``_``/``.``-prefixed side entries
+    (``_SUCCESS``, in-flight ``_tmp`` gen writes) excluded."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/codebooks/*")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return [st.getPath().toString() for st in (fs.globStatus(p) or [])
+            if not st.getPath().getName().startswith(
+                ("batch=", "_", "."))]
+
+
 def _read_codebooks(spark, path: str,
                     gen: str | None = None) -> list[list[list[float]]]:
     """Codebook table for one centroid GENERATION. Pre-retrain indexes
@@ -788,9 +814,22 @@ def _read_codebooks(spark, path: str,
     the centroids — and each generation reads the codebooks its codes
     were encoded with (pinned readers included). The gen-scoped
     directory is read DIRECTLY, never via root-level partition
-    discovery, so flat files and batch dirs can never collide."""
-    marked = codebook_generations(spark, path)
-    if marked:
+    discovery, so flat files and batch dirs can never collide.
+
+    FLAT FILES WIN when both layouts are present: the retrain deletes
+    them only AFTER both gen-scoped copies are verified complete
+    (``rebalance._rebalance_locked``), so their presence proves no
+    retrain has ever committed — they ARE every committed generation's
+    books, and a crashed retrain's partial ``batch=`` dir (rewritten
+    from these files on the retry) can never be read as authoritative.
+    """
+    flat = _flat_codebook_files(spark, path)
+    if flat:
+        rows = spark.read.parquet(*flat).collect()
+    else:
+        marked = codebook_generations(spark, path)
+        if not marked:
+            raise ValueError(f"no codebook table at {path!r}")
         if gen not in marked:
             raise ValueError(
                 f"no codebook table for generation {gen!r} at {path!r} "
@@ -798,8 +837,6 @@ def _read_codebooks(spark, path: str,
                 f"view predating the generation-scoped codebook layout")
         rows = spark.read.parquet(
             f"{path}/codebooks/batch={gen}").collect()
-    else:
-        rows = spark.read.parquet(f"{path}/codebooks").collect()
     m = max(r["j"] for r in rows) + 1
     k = max(r["i"] for r in rows) + 1
     books = [[None] * k for _ in range(m)]
@@ -1053,6 +1090,12 @@ def append_pq_index(df: DataFrame, path: str,
            .repartition("cluster")
            .write.mode("append").partitionBy("cluster", "batch")
            .parquet(f"{path}/vectors"))
+    # pre-commit guards: a rebalance racing this append must not see
+    # old-generation cluster numbers or codes (encoded with the old
+    # codebooks) survive its flip — abort loudly before the commit,
+    # crash-equivalent, retryable (mirrors the IVF/binary appends)
+    indexlog.check_appends_allowed(spark, path)
+    indexlog.check_generation_unchanged(spark, path, gen)
     indexlog.log_batch(spark, path, batch_id)
     indexlog.clear_intent(spark, path, batch_id)
     return True
@@ -1251,6 +1294,13 @@ def _pq_search_df(spark, path: str, queries: DataFrame, k: int,
                        .alias("__qv"))
     probes = probe_clusters_df(q, centroids, n_probe,
                                vector_column="__qv", keep=("__qv",))
+    # adaptive pruning (similarity.prune_to_probed_clusters): a small
+    # sweep's probed-cluster union becomes a partition filter on the
+    # code read; saturated unions skip it (the one-pass regime)
+    from dsgrid_spark.pipeline.similarity import prune_to_probed_clusters
+    probes, pruned_codes = prune_to_probed_clusters(
+        indexlog.read_committed(spark, path, "codes", ids=committed),
+        probes, len(centroids))
     # residual (IVFADC) scoring mirrors _residual_lut_rows exactly:
     # ip  — dot(q, v) = dot(q, c_l) + dot(q, r): the RAW query's
     #       residual-codebook table plus the per-list constant
@@ -1297,9 +1347,7 @@ def _pq_search_df(spark, path: str, queries: DataFrame, k: int,
                 lambda cbj, j: F.transform(cbj,
                                            lambda c: sub_score(j, c))))
             .select("query_id", "cluster", "__qv", "__lut"))
-    codes = candidate_filter(
-        indexlog.read_committed(spark, path, "codes", ids=committed),
-        candidates)
+    codes = candidate_filter(pruned_codes, candidates)
     scored = codes.join(luts, "cluster").select(
         "query_id", "id", _adc_score("code").alias("score"))
     n_short = k if not rerank else max(k, shortlist or 4 * k)

@@ -79,7 +79,9 @@ from dsgrid_spark.pipeline import indexlog
 
 __all__ = ["rebalance_index", "rebalance_if_skewed",
            "rebalance_if_drifted", "assignment_drift", "RebalanceAborted",
-           "cluster_skew", "maintain_index"]
+           "cluster_skew", "maintain_index",
+           "calibrate_drift_baseline", "read_drift_baseline",
+           "write_drift_baseline"]
 
 
 class RebalanceAborted(RuntimeError):
@@ -117,6 +119,8 @@ def rebalance_index(spark: SparkSession, path: str,
                     lock_ttl_seconds: float = 86400.0,
                     block_appends: bool = False,
                     retrain_codebooks: bool = False,
+                    calibrate_drift: bool = True,
+                    drift_sample: int = 4096,
                     _pre_commit_hook=None) -> str:
     """Retrain this index's coarse centroids on its committed vectors
     and rewrite every payload subtree under the new assignment, as one
@@ -155,6 +159,12 @@ def rebalance_index(spark: SparkSession, path: str,
     keeping its own copy so pinned readers keep decoding with the
     codebooks their codes were encoded with.
 
+    ``calibrate_drift`` (default True) measures
+    :func:`assignment_drift` right after the commit and persists the
+    new generation's healthy ratio (:func:`write_drift_baseline`) —
+    what the ``"auto"`` drift gate compares against; the probe is
+    ``drift_sample``-bounded and never fails a committed rebalance.
+
     Exactly-once: the run claims a ``cmp`` intent; a crashed or
     aborted attempt is retried under the same id (its directories —
     payloads, centroid generation, compaction rows — are deleted
@@ -178,10 +188,23 @@ def rebalance_index(spark: SparkSession, path: str,
     try:
         if block_appends:
             indexlog.block_appends(spark, path)
-        return _rebalance_locked(spark, path, kind, n_clusters,
-                                 iterations, seed, init, fit_sample_cap,
-                                 assign_strategy, retrain_codebooks,
-                                 _pre_commit_hook)
+        batch = _rebalance_locked(spark, path, kind, n_clusters,
+                                  iterations, seed, init,
+                                  fit_sample_cap, assign_strategy,
+                                  retrain_codebooks, _pre_commit_hook)
+        if calibrate_drift:
+            # record the fresh generation's HEALTHY drift ratio so
+            # the "auto" gate needs no hand-tuned absolute threshold.
+            # The rebalance is COMMITTED at this point: a failed
+            # post-commit probe must not report it failed — the auto
+            # gate self-calibrates on its next tick instead.
+            try:
+                calibrate_drift_baseline(spark, path,
+                                         sample=drift_sample,
+                                         seed=seed)
+            except Exception:
+                pass
+        return batch
     finally:
         if block_appends:
             indexlog.unblock_appends(spark, path)
@@ -233,7 +256,6 @@ def _migrate_flat_centroids(spark, path: str, visible: set[str]) -> str:
     and the next rebalance finishes the sweep. Returns the carrier id
     (the migrated generation)."""
     from dsgrid_spark.pipeline.pq import _read_centroids
-    from dsgrid_spark.pipeline.similarity import write_centroid_generation
 
     flat = _read_centroids(spark, path, None)
     if indexlog.BASE_BATCH in visible:
@@ -251,23 +273,57 @@ def _migrate_flat_centroids(spark, path: str, visible: set[str]) -> str:
         carrier = min(visible, key=lambda b: (
             0 if at.get(b) is None else 1,
             at.get(b) if at.get(b) is not None else 0, b))
-    write_centroid_generation(spark, path, flat, carrier, mode="append")
+    # the carrier is a COMMITTED id, so its marker dir is live the
+    # instant it exists: land it atomically (side dir + one rename)
+    # so concurrent readers never see an empty/partial marker during
+    # the one-time migration (a partitionBy append creates the dir at
+    # job start, data files only at commit)
+    from dsgrid_spark.session import one_slice_df
+
+    tmp = f"{path}/centroids/_tmp_gen_{carrier}"
+    indexlog.delete_glob(spark, tmp)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(flat)]
+    (one_slice_df(spark, rows, "cluster int, centroid array<double>")
+       .withColumn("gen_src", F.lit(carrier))
+       .write.mode("overwrite").parquet(tmp))
+    _rename_into(spark, tmp, f"{path}/centroids/batch={carrier}")
     _sweep_flat_centroids(spark, path, visible)
     return carrier
 
 
+def _rename_into(spark, tmp: str, final: str) -> None:
+    """Replace ``final`` with ``tmp`` in one FS rename (the atomic
+    landing step of every side-dir write here); the previous ``final``
+    — a crashed partial attempt — is deleted first, which is safe
+    because every caller targets a dir whose authoritative copy still
+    exists elsewhere (flat files, or the side dir being renamed)."""
+    jvm = spark._jvm
+    fp = jvm.org.apache.hadoop.fs.Path(final)
+    tp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = fp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(fp, True)
+    if not fs.rename(tp, fp):
+        raise IOError(f"rename failed: {tmp} -> {final}")
+
+
 def _write_codebooks_gen(spark, path: str, books, bid: str) -> None:
-    """One generation's codebook table under ``codebooks/batch=<bid>``
-    (idempotent: a crashed attempt's dir is replaced, never doubled)."""
+    """One generation's codebook table under ``codebooks/batch=<bid>``,
+    landed ATOMICALLY: rows go to a ``_``-prefixed side dir (invisible
+    to partition discovery, generation globs, and flat-file detection)
+    and are RENAMED into place in one FS op — the marker dir never
+    exists half-populated, so readers of a COMMITTED ``bid`` (the
+    retrain writes the live old generation's copy) never observe an
+    empty/partial table. Idempotent: a crashed attempt's side and
+    target dirs are both replaced, never doubled."""
     from dsgrid_spark.pipeline.pq import _codebooks_to_rows
     from dsgrid_spark.session import one_slice_df
 
-    indexlog.delete_glob(spark, f"{path}/codebooks/batch={bid}")
+    tmp = f"{path}/codebooks/_tmp_gen_{bid}"
+    indexlog.delete_glob(spark, tmp)
     (one_slice_df(spark, _codebooks_to_rows(books),
                   "j int, i int, centroid array<double>")
-       .withColumn("batch", F.lit(bid))
-       .write.mode("append").partitionBy("batch")
-       .parquet(f"{path}/codebooks"))
+       .write.mode("overwrite").parquet(tmp))
+    _rename_into(spark, tmp, f"{path}/codebooks/batch={bid}")
 
 
 def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
@@ -380,20 +436,41 @@ def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
     write_centroid_generation(spark, path, centroids, batch_id,
                               mode="append")
     if kind == "pq":
+        from dsgrid_spark.pipeline.pq import _flat_codebook_files
+
         marked = codebook_generations(spark, path)
         if new_books is not None:  # retrain_codebooks
-            if gen not in marked:
-                # first retrain of a flat-codebook index: the OLD
-                # generation keeps its own copy so pinned readers keep
-                # decoding with the books their codes were encoded with
+            flat_data = _flat_codebook_files(spark, path)
+            if flat_data:
+                # first retrain of a flat-codebook index — or the
+                # RETRY of one that crashed mid-migration: (re)write
+                # the OLD generation's copy UNCONDITIONALLY from the
+                # still-present flat files (_read_codebooks reads flat
+                # first; _write_codebooks_gen is an idempotent
+                # side-dir+rename). Directory EXISTENCE is not a
+                # completion marker: a crashed partial batch=<gen>
+                # dir must never cause this copy to be skipped and
+                # the flat files then deleted — that would lose the
+                # books pinned readers decode with, permanently (gen
+                # is committed, so vacuum never reclaims the mistake).
                 _write_codebooks_gen(
                     spark, path, _read_codebooks(spark, path, gen), gen)
             _write_codebooks_gen(spark, path, new_books, batch_id)
-            # both generations now own gen-scoped copies: the flat
-            # files are redundant and would break a future root read
-            fs, sts = _flat_entries(spark, f"{path}/codebooks")
-            for st in sts:
-                fs.delete(st.getPath(), True)
+            if flat_data:
+                # flat files go only after BOTH gen-scoped tables
+                # verifiably hold the full m*k rows
+                expect = int(meta["m"]) * int(meta["k"])
+                for bid in (gen, batch_id):
+                    n = spark.read.parquet(
+                        f"{path}/codebooks/batch={bid}").count()
+                    if n != expect:
+                        raise IOError(
+                            f"codebooks/batch={bid} holds {n} rows, "
+                            f"expected m*k={expect}; keeping the flat "
+                            f"codebook files (retry the rebalance)")
+                fs, sts = _flat_entries(spark, f"{path}/codebooks")
+                for st in sts:
+                    fs.delete(st.getPath(), True)
         elif marked:
             # gen-scoped layout without retrain: the new generation
             # reuses the same books — copy them under its id so its
@@ -446,8 +523,10 @@ def maintain_index(spark: SparkSession, path: str,
                    ttl_seconds: float = 86400.0,
                    max_batches: int = 32,
                    max_over_mean: float | None = None,
-                   max_distortion_ratio: float | None = None,
+                   max_distortion_ratio=None,
+                   drift_margin: float = 1.05,
                    drift_sample: int = 4096,
+                   fsck: bool = False,
                    **rebalance_kwargs) -> dict:
     """ONE cron entry for an index's whole maintenance lifecycle, in
     the safe order: (1) :func:`indexlog.vacuum` reclaims crash debris
@@ -459,11 +538,18 @@ def maintain_index(spark: SparkSession, path: str,
     given, :func:`rebalance_if_drifted` retrains past the live/refit
     distortion ratio — the recall-proxy gate that fires on
     uniform-mass drift where skew stays flat (give both and either
-    can trigger; at most one rebalance runs per tick). The skew gate
+    can trigger; at most one rebalance runs per tick).
+    ``max_distortion_ratio="auto"`` needs no hand-tuned number: it
+    fires on the ratio rising past this index's RECORDED healthy
+    baseline × ``drift_margin`` (see :func:`rebalance_if_drifted`;
+    the first tick calibrates instead of firing). The skew gate
     costs one count-only scan when healthy; the drift gate one
-    ``drift_sample``-bounded probe. Returns what happened:
+    ``drift_sample``-bounded probe. ``fsck=True`` finishes the tick
+    with :func:`indexlog.fsck` and RAISES on any error finding, so a
+    cron'd index can never silently serve a corrupted tree. Returns
+    what happened:
     ``{"vacuum": {...}, "compacted_batch": ..., "rebalanced_batch":
-    ..., "drift": {...} | None}``."""
+    ..., "drift": {...} | None[, "fsck": {...}]}``."""
     from dsgrid_spark.pipeline.stream_index import index_kind
 
     kind = index_kind(spark, path)  # refuse non-index dirs up front
@@ -481,11 +567,17 @@ def maintain_index(spark: SparkSession, path: str,
                 **rebalance_kwargs)
         if (max_distortion_ratio is not None
                 and out["rebalanced_batch"] is None):
-            drift = assignment_drift(spark, path, sample=drift_sample)
-            out["drift"] = drift
-            if drift["ratio"] > max_distortion_ratio:
-                out["rebalanced_batch"] = rebalance_index(
-                    spark, path, **rebalance_kwargs)
+            out["rebalanced_batch"], out["drift"] = _drift_gate(
+                spark, path, max_distortion_ratio, drift_margin,
+                drift_sample, 3, 11, rebalance_kwargs)
+    if fsck:
+        report = indexlog.fsck(spark, path,
+                               lock_ttl_seconds=ttl_seconds)
+        out["fsck"] = report
+        if not report.get("ok", False):
+            raise IOError(
+                f"post-maintenance fsck of {path!r} found errors: "
+                f"{report.get('errors')}")
     return out
 
 
@@ -583,48 +675,143 @@ def assignment_drift(spark: SparkSession, path: str,
         ratio = live / fresh
     else:
         ratio = 1.0 if live <= 0.0 else float("inf")
-    return {"n_sample": n, "n_clusters": k,
+    return {"n_sample": n, "n_clusters": k, "dim": dim,
             "distortion_live": live, "distortion_refit": fresh,
             "ratio": ratio}
 
 
+def write_drift_baseline(spark: SparkSession, path: str, gen: str,
+                         drift: dict) -> None:
+    """Persist a generation's HEALTHY drift ratio (measured right
+    after the build/rebalance that established it) under
+    ``drift_baseline/batch=<gen>`` — the self-calibration record the
+    ``"auto"`` drift gate compares against, so ``maintain_index``
+    needs no hand-tuned absolute threshold (the probe's magnitude is
+    regime-dependent: 1.002 healthy on the sf10 rehearsal, >1.3
+    planted drift on low-dim fixtures). Landed atomically (side dir +
+    rename): ``gen`` is committed and live when this runs."""
+    from dsgrid_spark.session import one_slice_df
+
+    tmp = f"{path}/drift_baseline/_tmp_gen_{gen}"
+    indexlog.delete_glob(spark, tmp)
+    (one_slice_df(
+        spark,
+        [(float(drift["ratio"]), int(drift["n_sample"]),
+          int(drift["n_clusters"]), int(drift["dim"]))],
+        "ratio double, n_sample int, n_clusters int, dim int")
+       .write.mode("overwrite").parquet(tmp))
+    _rename_into(spark, tmp, f"{path}/drift_baseline/batch={gen}")
+
+
+def read_drift_baseline(spark: SparkSession, path: str,
+                        gen: str) -> dict | None:
+    """The persisted healthy-ratio record for one generation, or None
+    when this generation was never calibrated (pre-feature index, or
+    a build that skipped it)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/drift_baseline/batch={gen}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    rows = spark.read.parquet(
+        f"{path}/drift_baseline/batch={gen}").collect()
+    return rows[0].asDict() if rows else None
+
+
+def calibrate_drift_baseline(spark: SparkSession, path: str,
+                             sample: int = 4096, iterations: int = 3,
+                             seed: int = 11) -> dict:
+    """Measure :func:`assignment_drift` NOW and persist it as the
+    live generation's healthy baseline. Call right after a build (the
+    rebalance does it itself); the ``"auto"`` gate also self-invokes
+    this on its first tick over an uncalibrated generation."""
+    drift = assignment_drift(spark, path, sample=sample,
+                             iterations=iterations, seed=seed)
+    gen = indexlog.resolve_generation(
+        spark, path, indexlog.committed_batches(spark, path))
+    write_drift_baseline(spark, path, gen or indexlog.BASE_BATCH, drift)
+    return drift
+
+
+def _drift_gate(spark: SparkSession, path: str,
+                max_distortion_ratio, margin: float,
+                sample: int, probe_iterations: int, probe_seed: int,
+                rebalance_kwargs: dict) -> tuple[str | None, dict]:
+    """Shared core of :func:`rebalance_if_drifted` and
+    :func:`maintain_index`'s drift arm: (new batch id | None, the
+    drift probe's record — with ``threshold`` and, in auto mode,
+    ``baseline``/``calibrated`` keys added so callers can see WHY the
+    gate did or didn't fire)."""
+    drift = assignment_drift(spark, path, sample=sample,
+                             iterations=probe_iterations,
+                             seed=probe_seed)
+    if max_distortion_ratio == "auto":
+        gen = indexlog.resolve_generation(
+            spark, path, indexlog.committed_batches(spark, path))
+        key = gen or indexlog.BASE_BATCH
+        base = read_drift_baseline(spark, path, key)
+        if (base is None
+                or int(base["n_clusters"]) != int(drift["n_clusters"])
+                or int(base["dim"]) != int(drift["dim"])):
+            # uncalibrated generation — or a REBUILD changed the
+            # regime (different k/dim) under a stale baseline row:
+            # this tick establishes the baseline instead of firing
+            write_drift_baseline(spark, path, key, drift)
+            drift["baseline"] = drift["ratio"]
+            drift["calibrated"] = True
+            drift["threshold"] = None
+            return None, drift
+        threshold = max(float(base["ratio"]), 1.0) * margin
+        drift["baseline"] = float(base["ratio"])
+        drift["calibrated"] = False
+    else:
+        threshold = float(max_distortion_ratio)
+    drift["threshold"] = threshold
+    if drift["ratio"] <= threshold:
+        return None, drift
+    return rebalance_index(spark, path, **rebalance_kwargs), drift
+
+
 def rebalance_if_drifted(spark: SparkSession, path: str,
-                         max_distortion_ratio: float = 1.05,
+                         max_distortion_ratio="auto",
+                         margin: float = 1.05,
                          sample: int = 4096,
                          probe_iterations: int = 3,
                          probe_seed: int = 11,
                          **rebalance_kwargs) -> str | None:
     """The drift-gated maintenance entry: run :func:`assignment_drift`
     and retrain (:func:`rebalance_index`) only when the live/refit
-    distortion ratio exceeds ``max_distortion_ratio`` — the gate that
-    fires on uniform-mass drift where :func:`rebalance_if_skewed`
-    stays silent. Returns the new batch id, or None when the live
-    centroids still fit. ``rebalance_kwargs`` forward to
-    :func:`rebalance_index`.
+    distortion ratio exceeds the threshold — the gate that fires on
+    uniform-mass drift where :func:`rebalance_if_skewed` stays silent.
+    Returns the new batch id, or None when the live centroids still
+    fit. ``rebalance_kwargs`` forward to :func:`rebalance_index`.
 
-    THRESHOLD CALIBRATION: the probe is deterministic (content-hash
-    sample, fixed refit seed), so its noise floor is corpus change
-    itself — but its MAGNITUDE is regime-dependent. On the planted
-    sf10-class rehearsal (100k x 256-dim, 64 lists,
-    tools/rehearsal_rebalance.py) the healthy post-rebalance ratio is
-    1.002 and the drifted-enough-to-cost-recall state (r@10 0.525 →
-    0.375 with skew FLAT at 1.74) reads 1.064 — hence the 1.05
-    default; on low-dim well-separated corpora the drifted ratio runs
-    far higher (the unit test's planted drift exceeds 1.3). Measure
-    your index's healthy baseline right after a build/rebalance and
-    set the threshold a few percent above it. A false fire costs one
-    rebalance (≈ one build minus encoding) and lands the ratio back
-    at ~1.0 — wasteful, never harmful."""
-    if max_distortion_ratio <= 1.0:
+    ``max_distortion_ratio="auto"`` (the default) SELF-CALIBRATES:
+    the probe's magnitude is regime-dependent (healthy ratio 1.002 on
+    the sf10-class rehearsal, planted drift >1.3 on the low-dim unit
+    fixture — an order of magnitude apart, so no absolute number fits
+    both), so the gate instead compares against THIS index's recorded
+    healthy ratio: the rebalance persists the post-retrain ratio under
+    ``drift_baseline/batch=<gen>`` (:func:`write_drift_baseline`),
+    and the gate fires on ``ratio > max(baseline, 1.0) * margin`` —
+    a RELATIVE rise. The first tick over an uncalibrated generation
+    (or after a REBUILD that changed k/dim under a stale baseline
+    row) measures and records the baseline instead of firing. Pass a
+    number to pin an absolute threshold (must exceed 1.0; a freshly
+    fitted index sits at ~1.0). A false fire costs one rebalance and
+    lands the ratio back at ~1.0 — wasteful, never harmful."""
+    if max_distortion_ratio != "auto" and max_distortion_ratio <= 1.0:
         raise ValueError(
             f"max_distortion_ratio must exceed 1.0 (a freshly fitted "
-            f"index sits at ~1.0), got {max_distortion_ratio}")
-    drift = assignment_drift(spark, path, sample=sample,
-                             iterations=probe_iterations,
-                             seed=probe_seed)
-    if drift["ratio"] <= max_distortion_ratio:
-        return None
-    return rebalance_index(spark, path, **rebalance_kwargs)
+            f"index sits at ~1.0) or be 'auto', got "
+            f"{max_distortion_ratio}")
+    if margin <= 1.0:
+        raise ValueError(f"margin must exceed 1.0, got {margin}")
+    batch, _ = _drift_gate(spark, path, max_distortion_ratio, margin,
+                           sample, probe_iterations, probe_seed,
+                           rebalance_kwargs)
+    return batch
 
 
 def rebalance_if_skewed(spark: SparkSession, path: str,

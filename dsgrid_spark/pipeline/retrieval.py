@@ -58,6 +58,23 @@ def _analyzer_fn(name: str):
             f"unknown analyzer {name!r}; available: {sorted(ANALYZERS)}")
 
 
+def _check_unique_query_ids(ids, what: str = "queries") -> None:
+    """Reject duplicate query ids in a list-form batch LOUDLY. The
+    batch forms key their per-query state (analyzed terms, slot
+    tables) by query id, so a duplicate would silently apply ONE
+    entry's terms to both rows — wrong scores with no signal. Real
+    eval sweeps generate ids programmatically; a collision is a bug
+    the caller wants surfaced, not papered over."""
+    from collections import Counter
+
+    dup = sorted((i for i, n in Counter(ids).items() if n > 1),
+                 key=repr)
+    if dup:
+        raise ValueError(
+            f"duplicate query ids in {what}: {dup!r} — each id must "
+            f"key exactly one query; re-key or de-duplicate the batch")
+
+
 def _analyze_query(spark: SparkSession, analyzer: str,
                    parts: list[str]) -> list[str]:
     """Token list for ONE query under the INDEX's analyzer (order kept,
@@ -82,6 +99,7 @@ def _analyze_queries(spark: SparkSession, analyzer: str,
     from dsgrid_spark.pipeline.pq import query_id_type
     from dsgrid_spark.session import one_slice_df
 
+    _check_unique_query_ids([qid for qid, _ in queries])
     qid_type = query_id_type(queries)
     raw = one_slice_df(
         spark,
@@ -632,6 +650,7 @@ def phrase_search_batch(spark: SparkSession, path: str, phrases,
         qlist = list(phrases)
         if not qlist:
             raise ValueError("phrases must be non-empty")
+        _check_unique_query_ids([qid for qid, _ in qlist], "phrases")
         from dsgrid_spark.pipeline.pq import query_id_type
         from dsgrid_spark.session import one_slice_df
 
@@ -826,6 +845,7 @@ def hybrid_search_batch(spark: SparkSession, term_path: str,
                 .filter(F.col("__rn") <= k).drop("__rn"))
     if not queries:
         raise ValueError("queries must be non-empty")
+    _check_unique_query_ids([qid for qid, _, _ in queries])
     lex = (bm25_search(spark, term_path,
                        [(qid, terms) for qid, terms, _ in queries],
                        k=k_each, candidates=candidates,

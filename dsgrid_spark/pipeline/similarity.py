@@ -1141,6 +1141,32 @@ def probe_clusters_df(queries: DataFrame, centroids: list[list[float]],
             .drop("__rn", "__pscore"))
 
 
+def prune_to_probed_clusters(payload: DataFrame, probes: DataFrame,
+                             n_clusters: int
+                             ) -> tuple[DataFrame, DataFrame]:
+    """ADAPTIVE partition pruning for the DataFrame-query ANN forms
+    (closing ROADMAP 26's documented trade): the probe frame is
+    materialized ONCE (``localCheckpoint``, so the ranking is not
+    recomputed by the extra aggregation) and its DISTINCT cluster
+    union — a driver collect bounded by ``n_clusters``, the same
+    state class as the BM25 term union — is pushed into the payload
+    read as a ``cluster IN (...)`` partition filter. A small DF sweep
+    then gets the list form's pruned scans instead of a full-index
+    pass; once the union SATURATES (== n_clusters — the large-sweep
+    regime where the one-pass economics already favored a full scan)
+    the filter is skipped as a no-op. Crossover cost: one
+    map-side-combined distinct over Q x n_probe probe rows (<=
+    n_clusters result rows) plus the checkpoint write — cents next to
+    the corpus scan it can eliminate. Returns
+    ``(probes, pruned_payload)``."""
+    probes = probes.localCheckpoint()
+    probed = sorted(r["cluster"] for r in
+                    probes.select("cluster").distinct().collect())
+    if len(probed) < n_clusters:
+        payload = payload.filter(F.col("cluster").isin(probed))
+    return probes, payload
+
+
 def write_centroid_generation(spark, path: str,
                               centroids: list[list[float]],
                               gen: str, mode: str = "overwrite") -> None:
@@ -1217,9 +1243,12 @@ def ivf_search(spark, path: str, queries,
     distributed (:func:`probe_clusters_df`), scoring is one
     cluster-join of the committed vectors against the probe frame, and
     nothing corpus- or query-scale touches the driver. The DataFrame
-    form deliberately does NOT prune cluster partitions (a large query
-    set probes most lists anyway; the economics are one pass for the
-    WHOLE set) — interactive lookups should keep passing lists.
+    form prunes ADAPTIVELY (:func:`prune_to_probed_clusters`, round
+    12): a small sweep's probed-cluster union — bounded driver state,
+    the BM25 term-union class — is pushed into the vector read as a
+    partition filter, so it gets the list form's pruned scans; a
+    large sweep's union saturates and the filter is skipped (one full
+    pass for the whole set was already the economic choice there).
     Centroid ranking for the list form runs driver-side on the tiny
     centroid table; the vector scan is pruned to the probed clusters
     before scoring. Returns
@@ -1254,10 +1283,13 @@ def ivf_search(spark, path: str, queries,
         probes = probe_clusters_df(q, cent_list, n_probe,
                                    vector_column="__qv",
                                    keep=("__qv",))
-        vectors = candidate_filter(
+        # adaptive pruning: a small sweep's probed-cluster union
+        # becomes a partition filter (saturated unions skip it)
+        probes, vectors = prune_to_probed_clusters(
             indexlog.read_committed(spark, path, "vectors",
                                     ids=committed),
-            candidates)
+            probes, len(cent_list))
+        vectors = candidate_filter(vectors, candidates)
         scored = vectors.join(probes, "cluster").select(
             "query_id", "id",
             cosine(F.col("embedding"), F.col("__qv")).alias("score"))
@@ -1696,9 +1728,12 @@ def _hamming_search_df(spark, path: str, queries: DataFrame, k: int,
     probes = probe_clusters_df(qb, centroids, n_probe,
                                vector_column="__qv",
                                keep=("__qbits",))
-    bits = candidate_filter(
+    # adaptive pruning (see prune_to_probed_clusters): small sweeps
+    # read only their probed clusters' bit partitions
+    probes, bits = prune_to_probed_clusters(
         indexlog.read_committed(spark, path, "bits", ids=committed),
-        candidates)
+        probes, len(centroids))
+    bits = candidate_filter(bits, candidates)
     scored = bits.join(probes, "cluster").select(
         "query_id", "id",
         hamming_distance(F.col("bits"), F.col("__qbits"))
