@@ -777,7 +777,8 @@ def cmd_index_sync(args) -> int:
                      src_corpus=args.src_corpus,
                      dst_corpus=args.dst_corpus,
                      copy_parallelism=args.copy_parallelism,
-                     verify=args.verify)
+                     verify=args.verify,
+                     as_of=args.as_of)
     print(json.dumps(out, default=str))
     return 0
 
@@ -1159,6 +1160,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="run fsck on the destination after the "
                           "mirror and fail loudly on any error — the "
                           "promotion gate")
+    isy.add_argument("--as-of", default=None,
+                     help="clone the historical view at this ISO-8601 "
+                          "instant instead of the live one — a "
+                          "reproducible-eval snapshot (fresh "
+                          "destination, or --overwrite)")
     isy.set_defaults(fn=cmd_index_sync)
 
     ifs = idxsub.add_parser(

@@ -215,7 +215,8 @@ def sync_index(spark: SparkSession, src: str, dst: str,
                src_corpus: str | None = None,
                dst_corpus: str | None = None,
                copy_parallelism: int | None = None,
-               verify: bool = False) -> dict:
+               verify: bool = False,
+               as_of=None) -> dict:
     """Mirror the source index's committed state onto ``dst``
     (module docstring): incremental, idempotent, crash-safe,
     batch-atomic at the destination. Returns
@@ -244,6 +245,19 @@ def sync_index(spark: SparkSession, src: str, dst: str,
     ``verify=True`` runs :func:`indexlog.fsck` on the destination
     after the mirror and raises ``IOError`` on any ERROR finding —
     the promotion gate: never point traffic at an unverified mirror.
+
+    ``as_of`` (a captured batch set or an ISO-8601 timestamp,
+    :func:`indexlog.resolve_batches`'s contract) clones a PINNED
+    HISTORICAL VIEW instead of the live one — the reproducible-eval
+    snapshot: only the pin's batches copy, compaction rows beyond the
+    pin stay inert at the destination (their replacing batches' log
+    rows never land), and the clone's visible set equals exactly what
+    a pinned search at the source reads. Validity follows the pin
+    contract: a pin whose data the source has purged fails LOUDLY
+    before anything copies. The destination must not already be AHEAD
+    of the pin (batches outside it committed there) — use a fresh
+    destination or ``overwrite=True``; a later un-pinned sync fast-
+    forwards the clone to the live view incrementally.
     """
     if src.rstrip("/") == dst.rstrip("/"):
         raise ValueError("src and dst are the same path")
@@ -301,7 +315,15 @@ def sync_index(spark: SparkSession, src: str, dst: str,
         at = {r["batch"]: r["committed_at_ms"] for r in rows}
     except Exception:
         at = {}
-    visible = indexlog.committed_batches(spark, src)
+    visible = indexlog.resolve_batches(spark, src, as_of)
+    if as_of is not None and not overwrite \
+            and _exists(spark, f"{dst}/batches"):
+        ahead = indexlog.committed_batches(spark, dst) - visible
+        if ahead:
+            raise ValueError(
+                f"destination already holds batches outside the pin "
+                f"({sorted(ahead)}): a pinned clone cannot rewind it "
+                f"— use a fresh destination or overwrite=True")
     order = sorted(visible, key=lambda b: (
         0 if at.get(b) is None else 1,
         at.get(b) if at.get(b) is not None else 0, b))

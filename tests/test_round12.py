@@ -375,6 +375,68 @@ def test_sync_verify_fails_on_corrupted_destination(spark, tmp_path):
         sync_index(spark, src, dst, verify=True)
 
 
+def test_sync_as_of_clones_pinned_view(spark, tmp_path):
+    """sync_index(as_of=...) clones a PINNED historical view — the
+    reproducible-eval snapshot: the clone's visible set equals the
+    pin, searches equal the source's pinned reads, compaction rows
+    beyond the pin stay inert, a later un-pinned sync fast-forwards
+    to live, and a destination already ahead of the pin is refused."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.indexsync import sync_index
+    from dsgrid_spark.pipeline.retrieval import (append_term_index,
+                                                 bm25_search,
+                                                 write_term_index)
+
+    src = str(tmp_path / "tsrc")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    write_term_index(docs, src, n_buckets=4)
+    append_term_index(
+        spark.createDataFrame([(50, "spark shuffle spark")],
+                              "doc_id long, text string"),
+        src, batch_id="b2")
+    pin = indexlog.committed_batches(spark, src)
+    q = ["spark", "shuffle"]
+    want_pinned = sorted(map(tuple, bm25_search(spark, src, q, k=8,
+                                                as_of=pin).collect()))
+    # the source moves on: another append AND a compaction retiring
+    # the pinned batches (their dirs stay readable — the pin contract)
+    append_term_index(
+        spark.createDataFrame([(60, "spark spark shuffle shuffle")],
+                              "doc_id long, text string"),
+        src, batch_id="b3")
+    cmp1 = indexlog.compact(spark, src)
+
+    dst = str(tmp_path / "tdst")
+    out = sync_index(spark, src, dst, as_of=pin, verify=True)
+    assert sorted(out["copied_batches"]) == sorted(pin)
+    assert indexlog.committed_batches(spark, dst) == pin
+    got = sorted(map(tuple, bm25_search(spark, dst, q, k=8).collect()))
+    assert got == want_pinned
+    # the beyond-pin compaction rows mirrored but stay inert
+    assert os.path.exists(f"{dst}/compactions/by={cmp1}")
+
+    # a live source cannot be pin-synced ONTO a destination that is
+    # already ahead (here: fast-forward first, then try to rewind)
+    out = sync_index(spark, src, dst)  # fast-forward to live
+    assert indexlog.committed_batches(spark, dst) == \
+        indexlog.committed_batches(spark, src)
+    want_live = sorted(map(tuple, bm25_search(spark, src, q,
+                                              k=8).collect()))
+    assert sorted(map(tuple,
+                      bm25_search(spark, dst, q, k=8).collect())) \
+        == want_live
+    with pytest.raises(ValueError, match="outside the pin"):
+        sync_index(spark, src, str(tmp_path / "tdst"), as_of=pin)
+
+    # timestamp-form pin: the view at "now" equals the live clone
+    import datetime
+    t_now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    dst2 = str(tmp_path / "tdst2")
+    sync_index(spark, src, dst2, as_of=t_now)
+    assert indexlog.committed_batches(spark, dst2) == \
+        indexlog.committed_batches(spark, src)
+
+
 # ---------------------------------------------------------------------------
 # Self-calibrating drift gate (VERDICT item 3)
 # ---------------------------------------------------------------------------
