@@ -816,8 +816,11 @@ def cmd_index_rebalance(args) -> int:
     elif args.if_drifted is not None:
         from dsgrid_spark.pipeline.rebalance import rebalance_if_drifted
 
+        ratio = args.if_drifted
+        if ratio != "auto":
+            ratio = float(ratio)
         new_id = rebalance_if_drifted(
-            spark, args.path, max_distortion_ratio=args.if_drifted,
+            spark, args.path, max_distortion_ratio=ratio,
             sample=args.drift_sample, **kwargs)
     else:
         new_id = rebalance_index(spark, args.path, **kwargs)
@@ -1194,11 +1197,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="cron mode: rebalance only when the heaviest "
                           "cluster exceeds RATIO x the mean (one "
                           "count-only scan when healthy)")
-    irb.add_argument("--if-drifted", type=float, default=None,
+    irb.add_argument("--if-drifted", default=None,
                      metavar="RATIO",
                      help="cron mode: rebalance only when the live/refit "
                           "distortion ratio exceeds RATIO (the "
-                          "recall-proxy drift gate)")
+                          "recall-proxy drift gate); 'auto' gates on "
+                          "the index's recorded healthy baseline "
+                          "(first tick calibrates)")
     irb.add_argument("--drift-sample", type=int, default=4096,
                      help="sample size for the --if-drifted probe")
     irb.add_argument("--block-appends", action="store_true",

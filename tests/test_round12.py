@@ -638,6 +638,69 @@ def test_df_form_pq_and_binary_prune_and_match(spark, tmp_path):
     assert gotb == wantb
 
 
+def test_cli_round12_flags(spark, tmp_path, capsys):
+    """The round-12 CLI surface end-to-end: `index sync
+    --copy-parallelism/--verify/--as-of`, `index maintain --fsck
+    --max-distortion-ratio auto`, `index rebalance --if-drifted
+    auto`."""
+    import json as _json
+
+    from dsgrid_spark.cli import main as cli_main
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.retrieval import (append_term_index,
+                                                 write_term_index)
+    from dsgrid_spark.pipeline.similarity import (kmeans_centroids,
+                                                  write_ivf_index)
+
+    src = str(tmp_path / "clisrc")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    write_term_index(docs, src, n_buckets=4)
+    pin = sorted(indexlog.committed_batches(spark, src))
+    append_term_index(
+        spark.createDataFrame([(50, "spark shuffle")],
+                              "doc_id long, text string"),
+        src, batch_id="b2")
+
+    dst = str(tmp_path / "clidst")
+    assert cli_main(["index", "sync", src, dst,
+                     "--copy-parallelism", "2", "--verify"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(out["copied_batches"]) == ["b2", "base"]
+    assert out["fsck"]["ok"] is True
+
+    # timestamp clone via --as-of (now == live view)
+    import datetime
+    t_now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    dst2 = str(tmp_path / "clidst2")
+    assert cli_main(["index", "sync", src, dst2, "--as-of", t_now]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(out["copied_batches"]) == ["b2", "base"]
+    assert pin  # (pin captured pre-append; set-form is API-only)
+
+    # vector index: auto drift gate through the CLI (first call
+    # calibrates, second is quiet), maintain --fsck passes
+    rows = _clustered_vectors(30, seed=3, dim=6)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vpath = str(tmp_path / "clividx")
+    write_ivf_index(df, vpath, kmeans_centroids(df, 2, 6, iterations=3,
+                                                seed=1))
+    for _ in range(2):  # calibrate tick, then quiet tick
+        assert cli_main(["index", "rebalance", vpath, "--if-drifted",
+                         "auto", "--drift-sample", "64",
+                         "--iterations", "3"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rebalanced_batch"] is None
+    from dsgrid_spark.pipeline.rebalance import read_drift_baseline
+    assert read_drift_baseline(spark, vpath, "base") is not None
+
+    assert cli_main(["index", "maintain", vpath,
+                     "--max-distortion-ratio", "auto",
+                     "--drift-sample", "64", "--fsck"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebalanced_batch"] is None  # calibrated + healthy
+    assert out["fsck"]["ok"] is True
+
+
 # ---------------------------------------------------------------------------
 # maintain_index(fsck=True) (VERDICT item 5)
 # ---------------------------------------------------------------------------
