@@ -701,6 +701,47 @@ def test_cli_round12_flags(spark, tmp_path, capsys):
     assert out["fsck"]["ok"] is True
 
 
+def test_drift_baseline_rides_compact_and_sync(spark, tmp_path):
+    """The generation's drift-calibration record follows the
+    generation everywhere its centroid marker goes: compact's marker
+    transfer copies it onto the absorbing batch, and the mirror
+    carries it so a promoted destination's auto gate stays armed
+    (no recalibration tick needed)."""
+    from dsgrid_spark.pipeline import indexlog
+    from dsgrid_spark.pipeline.indexsync import sync_index
+    from dsgrid_spark.pipeline.rebalance import (read_drift_baseline,
+                                                 rebalance_index)
+    from dsgrid_spark.pipeline.similarity import append_ivf_index
+
+    path, rows = _ivf_fixture(spark, tmp_path)
+    gen1 = rebalance_index(spark, path, iterations=3, seed=1,
+                           drift_sample=64)
+    base = read_drift_baseline(spark, path, gen1)
+    assert base is not None
+
+    # another append, then a compaction absorbing the establisher:
+    # the baseline transfers with the generation marker
+    append_ivf_index(
+        spark.createDataFrame([(900, rows[0][1])],
+                              "vec_id long, embedding array<double>"),
+        path, batch_id="b9")
+    cmp_id = indexlog.compact(spark, path)
+    committed = indexlog.committed_batches(spark, path)
+    gen2 = indexlog.resolve_generation(spark, path, committed)
+    assert gen2 == cmp_id
+    moved = read_drift_baseline(spark, path, cmp_id)
+    assert moved is not None
+    assert moved["ratio"] == base["ratio"]  # same record, new carrier
+
+    # the mirror carries it: the clone's auto gate is already armed
+    dst = str(tmp_path / "bdst")
+    sync_index(spark, path, dst, verify=True)
+    dgen = indexlog.resolve_generation(
+        spark, dst, indexlog.committed_batches(spark, dst))
+    assert read_drift_baseline(spark, dst, dgen)["ratio"] == \
+        base["ratio"]
+
+
 # ---------------------------------------------------------------------------
 # maintain_index(fsck=True) (VERDICT item 5)
 # ---------------------------------------------------------------------------
