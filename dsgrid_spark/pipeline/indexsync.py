@@ -35,6 +35,14 @@ and no bookkeeping beyond the destination's own log:
    batch's log row lands, and the destination's OWN vacuum purges
    them under its own ttl.
 
+Round 12 keeps the protocol and changes the transport: all missing
+batches' artifacts STAGE as one parallel Spark copy job
+(:func:`_parallel_copy`, the DistCp shape) before any log row lands —
+staging writes only invisible state, so parallelism never touches
+atomicity. ``verify=True`` gates promotion on :func:`indexlog.fsck`,
+and ``as_of=`` clones a PINNED historical view (the reproducible-eval
+snapshot) instead of the live one.
+
 Caveats, stated loudly: a REBUILT source (``write_*`` over an
 existing path resets the log and reuses the ``base`` id with new
 content) cannot be mirrored incrementally onto a destination that
