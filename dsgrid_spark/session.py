@@ -133,9 +133,101 @@ def one_slice_df(spark: SparkSession, rows, schema):
     codebooks, meta, log). One explicit slice makes it one round-trip
     (~0.3 s). Only for driver-bounded lists — anything scale-bearing
     wants the parallel default.
+
+    r12 optimization (guide §4: eliminate the JVM↔Python boundary):
+    rows of plain scalars/arrays are planned as a JVM LITERAL relation
+    (``range(1, numPartitions=1).select(inline(array(structs)))``) —
+    ZERO Python-worker launches, so every action that scans the frame
+    (a log write, a meta write, a broadcast qterms fan-out re-read per
+    job) skips the pickled-RDD round-trip entirely (measured ~0.21 s →
+    ~0.04 s per tiny write; an index build pays it 2-4 times). Rows
+    whose literal tree would be large (> ~4096 scalar cells, e.g. a
+    4096×64 centroid table) or whose values aren't plain
+    scalars/lists keep the one-slice pickled-RDD path — Catalyst
+    analysis of a huge literal tree costs more than one Python task.
     """
+    rows = list(rows)
+    sch = schema
+    if isinstance(sch, str):
+        from pyspark.sql.types import StructType
+        try:
+            sch = StructType.fromDDL(sch)
+        except Exception:
+            sch = None
+    lit_df = (_literal_rows_df(spark, rows, sch)
+              if sch is not None else None)
+    if lit_df is not None:
+        return lit_df
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
+
+
+_ONE_SLICE_LITERAL_CELL_CAP = 4096
+
+
+def _literal_rows_df(spark: SparkSession, rows, schema):
+    """JVM-literal plan for :func:`one_slice_df`, or None when the rows
+    don't fit the literal fast path (empty, too many cells, or values
+    that aren't plain scalars / nested lists of scalars)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
+                                   ByteType, DoubleType, FloatType,
+                                   IntegerType, LongType, ShortType,
+                                   StringType)
+
+    if not rows:
+        return None
+
+    # literal path only for values whose PYTHON type already matches the
+    # declared field type — a blanket lit().cast() would silently parse
+    # e.g. a str into a timestamp where createDataFrame raises, and this
+    # fast path must be semantics-identical to the pickled-RDD one
+    type_ok = {BooleanType: bool, ByteType: int, ShortType: int,
+               IntegerType: int, LongType: int,
+               FloatType: (int, float), DoubleType: (int, float),
+               StringType: str, BinaryType: (bytes, bytearray)}
+
+    cells = 0
+
+    def lit_cell(val, dt):
+        nonlocal cells
+        cells += 1
+        if val is None:
+            return F.lit(None).cast(dt)
+        if isinstance(dt, ArrayType):
+            if not isinstance(val, (list, tuple)):
+                raise TypeError("array field expects a list")
+            if not val:
+                return F.array().cast(dt)
+            return F.array(
+                *[lit_cell(v, dt.elementType) for v in val]).cast(dt)
+        ok = type_ok.get(type(dt))
+        if (ok is None or not isinstance(val, ok)
+                or (isinstance(val, bool)
+                    and not isinstance(dt, BooleanType))):
+            raise TypeError(f"no literal form for {type(val).__name__}")
+        return F.lit(val).cast(dt)
+
+    try:
+        structs = []
+        for row in rows:
+            if len(row) != len(schema.fields):
+                raise TypeError("row width != schema width")
+            structs.append(F.struct(*[
+                lit_cell(v, f.dataType).alias(f.name)
+                for v, f in zip(row, schema.fields)]))
+            if cells > _ONE_SLICE_LITERAL_CELL_CAP:
+                return None
+    except TypeError:
+        return None
+    lit_df = spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+    # union with an empty all-NULL relation widens every field to
+    # nullable, matching the pickled-RDD path's schema exactly (literal
+    # structs infer non-nullable fields, and Spark 4 folds the
+    # when(true, ...) trick away during analysis)
+    empty = spark.range(0, 0, 1, 1).select(*[
+        F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields])
+    return lit_df.unionByName(empty)
 
 
 @contextmanager
