@@ -960,35 +960,56 @@ def q30_minhash_dedup(spark, sf_dir, branch=None):
     sigs = minhash_signatures(ensure_min_partitions(docs), "text",
                               num_hashes=24,
                               shingle_k=5).select("doc_id", "minhash")
-    # the eager counts are load-bearing, not waste: the union's two
-    # branches become CONCURRENT stages in the one driver action, and
-    # tasks racing to fill a lazy cache each compute their partition
-    # (measured: dropping the counts took the slot 3.9 s -> 6.7 s)
+    # ONE eager count materializes BOTH caches (r12): bands derives from
+    # sigs, so bands.count() fills the sigs cache on the way — a single
+    # single-reference action, so no concurrent-scan cache races (the
+    # r3-measured failure mode of dropping eager counts entirely was
+    # LAZY caches racing inside the final union action, which this
+    # still prevents). One banding pass feeds all three band consumers
+    # (bands=/reference_bands=/new_bands= — r5): the full-dedup bucket
+    # self-join and both incremental sides slice this persisted table
+    # instead of re-banding the signatures three times.
     sigs = sigs.persist()
-    sigs.count()
-    # ... and ONE banding pass feeds all three band consumers the same
-    # way (bands=/reference_bands=/new_bands= — r5): the full-dedup
-    # bucket self-join and both incremental sides slice this persisted
-    # table instead of re-banding the signatures three times
     bands = band_signatures(sigs, "doc_id", 8, 24).persist()
     bands.count()
-    full = minhash_dedup(docs, "text", "doc_id", num_hashes=24, num_bands=8,
-                         shingle_k=5, threshold=0.8, signatures=sigs,
-                         bands=bands)
-    if branch == "full":
-        return full.select(F.lit("full").alias("op"), "doc_id")
+    # r12: construct ONLY the named branch's operators — the per-branch
+    # convention this docstring promises. Before, branch='incr' still
+    # paid the full-dedup eager materialization and branch='store' paid
+    # full AND incr (measured 43 of the store branch's 95 jobs, ~3.5 s).
+    # branch=None (the driver/slot path) constructs all three, unchanged.
+    if branch in (None, "full"):
+        full = minhash_dedup(docs, "text", "doc_id", num_hashes=24,
+                             num_bands=8, shingle_k=5, threshold=0.8,
+                             signatures=sigs, bands=bands)
+        if branch == "full":
+            return full.select(F.lit("full").alias("op"), "doc_id")
     ref = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
-    incr = incremental_dedup(new, sigs.filter(F.col("doc_id") < 250), ref,
-                             "text", "doc_id",
-                             num_hashes=24, num_bands=8, shingle_k=5,
-                             threshold=0.8,
-                             new_sigs=sigs.filter(F.col("doc_id") >= 250),
-                             reference_bands=bands.filter(
-                                 F.col("doc_id") < 250),
-                             new_bands=bands.filter(F.col("doc_id") >= 250))
-    if branch == "incr":
-        return incr.select(F.lit("incr").alias("op"), "doc_id")
+    # the batch side is IDENTICAL for 'incr' and 'store' (only the
+    # reference differs), so exact-dedup the batch and compute its
+    # within-batch drop set ONCE and pass both to each call (r12;
+    # dedup.within_batch_drop) — before, the store call re-ran the
+    # exact-dedup shuffle, the candidate self-join and the shingle
+    # verify the incr call had just done
+    from dsgrid_spark.pipeline.dedup import exact_dedup, within_batch_drop
+
+    new_uniq = exact_dedup(new, "text", "doc_id").persist()
+    wb_drop = within_batch_drop(
+        new_uniq, sigs.filter(F.col("doc_id") >= 250), "text", "doc_id",
+        num_hashes=24, num_bands=8, shingle_k=5, threshold=0.8,
+        bands=bands.filter(F.col("doc_id") >= 250))
+    if branch in (None, "incr"):
+        incr = incremental_dedup(
+            new, sigs.filter(F.col("doc_id") < 250), ref,
+            "text", "doc_id",
+            num_hashes=24, num_bands=8, shingle_k=5,
+            threshold=0.8,
+            new_sigs=sigs.filter(F.col("doc_id") >= 250),
+            reference_bands=bands.filter(F.col("doc_id") < 250),
+            new_bands=bands.filter(F.col("doc_id") >= 250),
+            new_uniq=new_uniq, within_drop=wb_drop)
+        if branch == "incr":
+            return incr.select(F.lit("incr").alias("op"), "doc_id")
     # 'store' (r9): the SAME incremental pass with the reference side
     # read back from a persisted, indexlog-managed signature store
     # (pipeline/sigstore.py) — the continuous-ingest path where the
@@ -1023,11 +1044,17 @@ def q30_minhash_dedup(spark, sf_dir, branch=None):
             "text", "doc_id", num_hashes=24, num_bands=8, shingle_k=5,
             threshold=0.8,
             new_sigs=sigs.filter(F.col("doc_id") >= 250),
-            new_bands=bands.filter(F.col("doc_id") >= 250))
+            new_bands=bands.filter(F.col("doc_id") >= 250),
+            new_uniq=new_uniq, within_drop=wb_drop)
         store = (store.select(F.lit("store").alias("op"), "doc_id")
                  .localCheckpoint())  # materialize before the dir vanishes
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    if branch == "store":
+        # r12: the store branch returns ONLY its own rows (the bench's
+        # per-branch-plan convention) — before, it fell through to the
+        # whole union, so the 'store' timing re-executed full+incr too
+        return store
     return (full.select(F.lit("full").alias("op"), "doc_id")
             .unionByName(incr.select(F.lit("incr").alias("op"), "doc_id"))
             .unionByName(store))

@@ -361,8 +361,12 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     so their candidate pairs resolve through the surviving representative
     and non-survivors drop out of the verify join against ``uniq``.
     """
+    # persisted but NOT eagerly counted (r12): the first action that
+    # scans uniq is a SINGLE-reference one either way — cands.count()
+    # when this function signs uniq itself, else the verify pass's
+    # shingle count inside ngram_jaccard_pairs — so the cache fills
+    # without racing scans and the extra materialization job is saved
     uniq = exact_dedup(df, text_column, id_column).persist()
-    uniq.count()
     with_sig = (signatures if signatures is not None
                 else minhash_signatures(uniq, text_column, num_hashes,
                                         shingle_k))
@@ -383,6 +387,37 @@ def minhash_dedup(df: DataFrame, text_column: str = "text",
     return uniq.join(to_drop, id_column, "left_anti")
 
 
+def within_batch_drop(uniq: DataFrame, sigs_new: DataFrame,
+                      text_column: str = "text",
+                      id_column: str = "doc_id",
+                      num_hashes: int = 32, num_bands: int = 4,
+                      shingle_k: int = 5, threshold: float = 0.8,
+                      max_bucket_size: int | None = None,
+                      bands: DataFrame | None = None) -> DataFrame:
+    """The ids a batch drops against ITSELF (smaller-id verified
+    neighbors) — the within-batch half of :func:`incremental_dedup`,
+    exposed so a job running the same batch against SEVERAL references
+    (e.g. a DataFrame reference and a persisted signature store, q30's
+    shape) computes this half once and passes it to each call via
+    ``within_drop`` instead of re-running the candidate self-join and
+    shingle verify per reference. ``uniq`` must be the exact-deduped
+    batch; ``sigs_new``/``bands`` follow the usual precomputed-reuse
+    contract."""
+    wb_cands = lsh_candidate_pairs(sigs_new, id_column, num_bands,
+                                   max_bucket_size=max_bucket_size,
+                                   signature_length=num_hashes,
+                                   bands=bands)
+    wb_cands = wb_cands.persist()
+    wb_cands.count()
+    wb_dups = ngram_jaccard_pairs(uniq, text_column, id_column,
+                                  shingle_k, threshold,
+                                  candidates=wb_cands)
+    # full-corpus semantics: b drops if ANY smaller-id batch doc is a
+    # neighbor, whether or not that doc itself survived the reference
+    # pass — so the drop set comes from all batch pairs, not survivors
+    return wb_dups.select(F.col("id_b").alias(id_column)).distinct()
+
+
 def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
                       reference_df: DataFrame,
                       text_column: str = "text", id_column: str = "doc_id",
@@ -393,7 +428,9 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
                       max_bucket_size: int | None = None,
                       reference_bands: DataFrame | None = None,
                       new_bands: DataFrame | None = None,
-                      require_reference_coverage: bool = False) -> DataFrame:
+                      require_reference_coverage: bool = False,
+                      new_uniq: DataFrame | None = None,
+                      within_drop: DataFrame | None = None) -> DataFrame:
     """Dedup a NEW batch against an already-registered corpus using the
     corpus's persisted minhash signatures — the continuous-ingest path.
 
@@ -437,11 +474,28 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
     reference id missing from ``reference_df`` raises instead. Cost:
     the candidate-pruned reference slice is persisted and counted once
     (candidate-bounded rows; no extra corpus shuffle).
+
+    ``new_uniq`` takes the batch ALREADY exact-deduped (and persisted)
+    so a job deduping one batch against several references pays the
+    exact-dedup shuffle once; ``within_drop`` likewise takes a
+    precomputed :func:`within_batch_drop` result for the same batch
+    (requires ``within_batch=True``) so the within-batch candidate
+    self-join and shingle verify run once, not once per reference.
     """
-    uniq = (exact_dedup(new_df, text_column, id_column)
-            if within_batch else new_df)
-    uniq = uniq.persist()
-    uniq.count()
+    if within_drop is not None and not within_batch:
+        raise ValueError("within_drop requires within_batch=True")
+    if new_uniq is not None:
+        uniq = new_uniq
+    else:
+        uniq = (exact_dedup(new_df, text_column, id_column)
+                if within_batch else new_df)
+        uniq = uniq.persist()
+        if not (within_batch and within_drop is None):
+            # the within-batch verify's shingle count is the safe
+            # single-reference cache fill (r12); without it the first
+            # scan would be the final action's concurrent references,
+            # so materialize eagerly as before
+            uniq.count()
     sigs_new = (new_sigs if new_sigs is not None
                 else minhash_signatures(uniq, text_column, num_hashes,
                                         shingle_k))
@@ -519,19 +573,11 @@ def incremental_dedup(new_df: DataFrame, reference_sigs: DataFrame,
         # reuse bn — the locally computed (and persisted) band table when
         # new_bands was not supplied; passing new_bands here would re-band
         # and re-persist the batch signatures in that case (ADVICE r5)
-        wb_cands = lsh_candidate_pairs(sigs_new, id_column, num_bands,
-                                       max_bucket_size=max_bucket_size,
-                                       signature_length=num_hashes,
-                                       bands=bn)
-        wb_cands = wb_cands.persist()
-        wb_cands.count()
-        wb_dups = ngram_jaccard_pairs(uniq, text_column, id_column,
-                                      shingle_k, threshold,
-                                      candidates=wb_cands)
-        # full-corpus semantics: b drops if ANY smaller-id batch doc is a
-        # neighbor, whether or not that doc itself survived the reference
-        # pass — so the drop set comes from all batch pairs, not survivors
-        wb_drop = wb_dups.select(F.col("id_b").alias(id_column)).distinct()
+        wb_drop = (within_drop if within_drop is not None
+                   else within_batch_drop(
+                       uniq, sigs_new, text_column, id_column,
+                       num_hashes, num_bands, shingle_k, threshold,
+                       max_bucket_size=max_bucket_size, bands=bn))
         survivors = survivors.join(wb_drop, id_column, "left_anti")
     return survivors
 

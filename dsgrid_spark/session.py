@@ -23,6 +23,16 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r12 (guide §2.2): let AQE re-plan (and coalesce) the shuffles that
+    # MATERIALIZE persisted plans. Off, every persist().count() of a
+    # tiny aggregated table runs all spark.sql.shuffle.partitions reduce
+    # tasks (measured: q30's eager cache fills at 32-33 tasks each for
+    # 250-row tables; the slot dropped 11.0 -> 9.0 s with this on); at
+    # corpus scale the same knob sizes cached-plan shuffles by bytes
+    # instead of a fixed count. Trade-off: a cached plan's output
+    # partitioning may change across materializations, which nothing in
+    # this engine relies on (no zipPartitions over cached frames).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # dimension / mapping tables are tiny; let Spark broadcast aggressively
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for pandas_udf / applyInPandas paths (pipeline operators)

@@ -82,3 +82,61 @@ def test_one_slice_df_used_by_index_meta_writes(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(p)
     back = spark.read.parquet(p).collect()
     assert [tuple(r) for r in back] == [(4, 2, 123, 8)]
+
+
+def test_incremental_dedup_shared_batch_side_parity(spark):
+    """The r12 reuse kwargs (new_uniq + within_drop from
+    within_batch_drop) return EXACTLY the plain incremental_dedup
+    survivors — the q30 shape where one batch is deduped against two
+    references pays the batch-side work once."""
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.dedup import (band_signatures, exact_dedup,
+                                             incremental_dedup,
+                                             minhash_signatures,
+                                             within_batch_drop)
+
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three four five six seven eight nine ten"),
+    ]
+    batch = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota NOPE"),
+        (11, "spark catalyst tungsten shuffle broadcast partition codegen"
+             " adaptive skew salt"),
+        (12, "spark catalyst tungsten shuffle broadcast partition codegen"
+             " adaptive skew salt"),
+        (13, "spark catalyst tungsten shuffle broadcast partition codegen"
+             " adaptive skew SALTY"),
+    ]
+    ref = spark.createDataFrame(base, "doc_id long, text string")
+    new = spark.createDataFrame(batch, "doc_id long, text string")
+    ref_sigs = minhash_signatures(ref, num_hashes=64, shingle_k=3)
+    plain = sorted(r["doc_id"] for r in incremental_dedup(
+        new, ref_sigs, ref, num_hashes=64, num_bands=32,
+        shingle_k=3, threshold=0.5).collect())
+
+    new_uniq = exact_dedup(new, "text", "doc_id").persist()
+    new_sigs = minhash_signatures(new_uniq, num_hashes=64, shingle_k=3)
+    bn = band_signatures(new_sigs, "doc_id", 32, 64).persist()
+    bn.count()
+    wb_drop = within_batch_drop(new_uniq, new_sigs, "text", "doc_id",
+                                num_hashes=64, num_bands=32, shingle_k=3,
+                                threshold=0.5, bands=bn)
+    shared = sorted(r["doc_id"] for r in incremental_dedup(
+        new, ref_sigs, ref, num_hashes=64, num_bands=32,
+        shingle_k=3, threshold=0.5, new_sigs=new_sigs, new_bands=bn,
+        new_uniq=new_uniq, within_drop=wb_drop).collect())
+    assert shared == plain == [11]
+
+    # the within-batch drop set holds the NEAR dups among exact-uniques:
+    # 12 (exact dup of 11) is already collapsed by exact_dedup before
+    # the LSH pass, so only 13 (near dup of 11) appears here
+    dropped = sorted(r["doc_id"] for r in wb_drop.collect())
+    assert dropped == [13]
+
+    # guard: within_drop without within_batch is a contract error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        incremental_dedup(new, ref_sigs, ref, within_batch=False,
+                          within_drop=wb_drop)
