@@ -1138,33 +1138,40 @@ def q32_similarity_bruteforce(spark, sf_dir, branch=None):
     from dsgrid_spark.pipeline.retrieval import rrf_fuse
     from dsgrid_spark.pipeline.text import bm25_scores
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = brute_force_topk(emb, queries, k=5)
-    brute = out.select(
-        F.lit("brute").alias("op"), "query_id", "vec_id",
-        F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score"))
-    if branch == "brute":
-        return brute
+    # r12: construct ONLY the named branch's operators (the q30
+    # convention, applied here too) — branch='bdf' was paying ~0.9 s of
+    # brute/rrf plan construction it never executed
+    if branch in (None, "brute", "rrf"):
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = brute_force_topk(emb, queries, k=5)
+        brute = out.select(
+            F.lit("brute").alias("op"), "query_id", "vec_id",
+            F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score"))
+        if branch == "brute":
+            return brute
 
     docs = _t(spark, sf_dir, "documents")
-    lex_top = (bm25_scores(docs, ["window", "stream", "vector"], micro=True)
-               .orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(5))
-    lex = queries.select("query_id").crossJoin(
-        lex_top.select(F.col("doc_id").alias("vec_id"),
-                       F.col("bm25_micro").cast("double").alias("score")))
-    fused = rrf_fuse([out.select("query_id", "vec_id", "score"), lex],
-                     id_column="vec_id", score_column="score",
-                     group_columns=("query_id",))
-    rrf = fused.select(
-        F.lit("rrf").alias("op"), "query_id", "vec_id",
-        F.floor(F.col("rrf") * 1e9 + 0.5).cast("long").alias("score"))
-    if branch == "rrf":
-        return rrf
+    if branch in (None, "rrf"):
+        lex_top = (bm25_scores(docs, ["window", "stream", "vector"],
+                               micro=True)
+                   .orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(5))
+        lex = queries.select("query_id").crossJoin(
+            lex_top.select(F.col("doc_id").alias("vec_id"),
+                           F.col("bm25_micro").cast("double")
+                           .alias("score")))
+        fused = rrf_fuse([out.select("query_id", "vec_id", "score"), lex],
+                         id_column="vec_id", score_column="score",
+                         group_columns=("query_id",))
+        rrf = fused.select(
+            F.lit("rrf").alias("op"), "query_id", "vec_id",
+            F.floor(F.col("rrf") * 1e9 + 0.5).cast("long").alias("score"))
+        if branch == "rrf":
+            return rrf
     # 'bdf' (r11): the DataFrame-query form of the PERSISTED bm25_search
     # in micro-exact integer mode — the round-11 lexical twin of q33's
     # 'hdf' ANN branch, under the same oracle discipline: the index is

@@ -836,11 +836,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         out = [(v, find(v)) for v in parent]
         edges.unpersist()
         id_field = pairs.schema[id_a]
-        return pairs.sparkSession.createDataFrame(
-            out, schema=StructType([
-                StructField("id", id_field.dataType, True),
-                StructField("component", id_field.dataType, True),
-            ]))
+        schema = StructType([
+            StructField("id", id_field.dataType, True),
+            StructField("component", id_field.dataType, True),
+        ])
+        # JVM-literal plan for small label sets (r12): downstream joins
+        # scan this frame per action, and the literal form skips the
+        # pickled-RDD Python tasks each scan pays; larger label sets
+        # keep the parallel createDataFrame path
+        from dsgrid_spark.session import _literal_rows_df
+
+        lit = _literal_rows_df(pairs.sparkSession, out, schema)
+        if lit is not None:
+            return lit
+        return pairs.sparkSession.createDataFrame(out, schema=schema)
     # large graph: the take() above already materialized the persisted
     # edges, so this count is a cache scan, not a recompute
     n_edges = edges.count()

@@ -163,7 +163,7 @@ def _df_query_terms(queries: DataFrame, analyzer: str,
 
 def _postings(df: DataFrame, id_column: str, text_column: str,
               n_buckets: int, positions: bool = False,
-              analyzer: str = "simple"):
+              analyzer: str = "simple", observation=None):
     """(base, tf): per-doc lengths and the bucketed (id, dl, term, tf
     [, positions]) postings frame — shared by build and append.
     ``positions`` adds the sorted 1-based token positions per (doc,
@@ -171,13 +171,26 @@ def _postings(df: DataFrame, id_column: str, text_column: str,
     corpus token). Positions index the ANALYZED token stream, so under
     a stopword-removing analyzer a phrase matches across elided
     stopwords ("state of the art" ~ "state art") — standard
-    stopped-index phrase semantics."""
+    stopped-index phrase semantics.
+
+    ``observation`` (a ``pyspark.sql.Observation``) collects
+    ``n_docs``/``total_tokens`` DURING whatever action first executes
+    the returned frames (r12, guide §1.2): the corpus totals used to
+    need a second full tokenize pass over ``df`` after the postings
+    write — at corpus scale that is a second read of every byte of
+    text just to sum two longs the write pass already had in hand."""
     arr = _analyzer_fn(analyzer)(F.col(text_column))
     base = df.select(
         F.col(id_column).alias("id"),
         F.size(F.filter(arr, lambda x: x != "")).cast("long").alias("dl"),
         arr.alias("__words"),
     )
+    if observation is not None:
+        base = base.observe(
+            observation,
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
+             .alias("total_tokens"))
     toks = (
         base.select("id", "dl",
                     F.posexplode("__words").alias("__pos0", "term"))
@@ -228,13 +241,16 @@ def write_term_index(df: DataFrame, path: str,
     _analyzer_fn(analyzer)  # fail before touching disk on a bad name
     spark = df.sparkSession
     indexlog.reset_log(spark, path)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     base, tf = _postings(df, id_column, text_column, n_buckets, positions,
-                         analyzer)
+                         analyzer, observation=obs)
     _write_postings(tf, path, "overwrite", indexlog.BASE_BATCH)
-    totals = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
-         .alias("total_tokens")).collect()[0]
+    # totals observed during the postings write itself — no second
+    # tokenize pass (see _postings); get() returns instantly since the
+    # write action above already ran
+    totals = obs.get
     from dsgrid_spark.session import one_slice_df
     (one_slice_df(
         spark,
@@ -476,16 +492,20 @@ def append_term_index(df: DataFrame, path: str,
         return False
     indexlog.delete_glob(
         spark, f"{path}/postings/bucket=*/batch={batch_id}")
+    from pyspark.sql import Observation
+
+    obs = Observation()
     base, tf = _postings(df, id_column, text_column, n_buckets,
                          bool(stats.asDict().get("has_positions", False)),
-                         stats.asDict().get("analyzer", "simple"))
+                         stats.asDict().get("analyzer", "simple"),
+                         observation=obs)
     _write_postings(tf, path, "append", batch_id)
-    delta = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t")).collect()[0]
+    # batch totals observed during the postings write — the append used
+    # to re-tokenize its batch for two longs (r12, see _postings)
+    delta = obs.get
     indexlog.log_batch(spark, path, batch_id,
-                       n_docs=int(delta["n"]),
-                       total_tokens=int(delta["t"]))
+                       n_docs=int(delta["n_docs"]),
+                       total_tokens=int(delta["total_tokens"]))
     indexlog.clear_intent(spark, path, batch_id)
     return True
 

@@ -894,6 +894,28 @@ def kmeans_centroids(df: DataFrame, n_clusters: int, dim: int,
 LITERAL_CENTROID_BUDGET = 2048
 
 
+def _sql_score(vc: str, centroid, assume_normalized: bool) -> str:
+    """The SQL-string twin of ``dot(col, lit-array)`` /
+    ``cosine(col, lit-array)`` — same functions, same fold order, same
+    literal doubles (``CAST('<repr>' AS DOUBLE)`` round-trips every
+    finite double exactly through Double.parseDouble), so the analyzed
+    expression is identical to the Column-API build."""
+    arr = "array(%s)" % ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in centroid)
+    d = (f"aggregate(zip_with({vc}, {arr}, (x, y) -> x * y), "
+         f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    if assume_normalized:
+        return d
+
+    def nrm(a):
+        return (f"sqrt(aggregate(transform({a}, x -> x * x), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+
+    dn = f"({nrm(vc)} * {nrm(arr)})"
+    return (f"CASE WHEN {dn} > 0 THEN ({d} / {dn}) "
+            f"ELSE CAST(0.0 AS DOUBLE) END")
+
+
 def assign_nearest_centroid(df: DataFrame, centroids: list[list[float]],
                             vector_column: str = "embedding",
                             assume_normalized: bool = False,
@@ -952,11 +974,21 @@ def assign_nearest_centroid(df: DataFrame, centroids: list[list[float]],
                     > LITERAL_CENTROID_BUDGET else "literal")
     score_of = dot if assume_normalized else cosine
     if strategy == "literal":
-        scores = F.array(*[
-            score_of(F.col(vector_column), F.array(*[F.lit(x) for x in c]))
-            for c in centroids
-        ])
-        cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        # ONE parsed SQL expression instead of ~45 py4j round trips per
+        # centroid (r12, guide §1.2 driver-side cost): building the
+        # k-wide fold ladder through the Column API measured 1.3 s of
+        # pure expression construction at k=16, dim=32 — the JVM parses
+        # the equivalent string in milliseconds. The string mirrors
+        # dot()/cosine() token for token (same fold order, same
+        # duplicated subtrees where the Column API reuses a Column
+        # object), so the analyzed plan and every double are identical
+        # (pinned by test_assign_literal_sql_matches_column_api).
+        vc = f"`{vector_column}`"
+        folds = [_sql_score(vc, c, assume_normalized) for c in centroids]
+        scores_sql = "array(%s)" % ", ".join(folds)
+        cluster = F.expr(
+            f"CAST(array_position({scores_sql}, "
+            f"array_max({scores_sql})) - 1 AS INT)")
         return df.withColumn("__cluster", cluster)
     spark = df.sparkSession
     cent_one = (
@@ -1872,9 +1904,11 @@ def semantic_dedup(df: DataFrame,
     # materialized footprint is the same (id, unit-vector) rows the old
     # persist held.
     normed = normed.localCheckpoint()
-    cent_df = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(unit_cents)],
-        "cluster int, __cent array<double>")
+    # one_slice_df: plans as a JVM literal for bounded codebooks (r12)
+    # — the broadcast build otherwise pays a pickled-RDD Python scan
+    cent_df = _osdf(df.sparkSession,
+                    [(i, c) for i, c in enumerate(unit_cents)],
+                    "cluster int, __cent array<double>")
     assigned = (
         assign_nearest_centroid(normed, unit_cents, "__v",
                                 assume_normalized=True)

@@ -178,20 +178,36 @@ _ONE_SLICE_LITERAL_CELL_CAP = 4096
 def _literal_rows_df(spark: SparkSession, rows, schema):
     """JVM-literal plan for :func:`one_slice_df`, or None when the rows
     don't fit the literal fast path (empty, too many cells, or values
-    that aren't plain scalars / nested lists of scalars)."""
+    that aren't plain scalars / nested lists of scalars).
+
+    The relation is built as ONE SQL string handed to a single
+    ``F.expr`` — building the same tree through the Column API costs
+    ~3 ms of py4j round trips PER CELL (measured 15 s for a 512-row
+    label table), which is slower than the pickled-RDD path it
+    replaces. Literal forms are chosen so the parsed value is exactly
+    the Python value: ``CAST('<repr>' AS DOUBLE)`` round-trips every
+    finite double, ints are bounds-checked against their target width
+    (a silent non-ANSI overflow-to-NULL would diverge from
+    createDataFrame, which raises), strings are backslash-escaped,
+    bytes ride as ``X'hex'``."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
                                    ByteType, DoubleType, FloatType,
                                    IntegerType, LongType, ShortType,
                                    StringType)
 
+    rows = list(rows)
     if not rows:
         return None
 
+    import math
+
+    int_bounds = {ByteType: 7, ShortType: 15, IntegerType: 31,
+                  LongType: 63}
     # literal path only for values whose PYTHON type already matches the
-    # declared field type — a blanket lit().cast() would silently parse
-    # e.g. a str into a timestamp where createDataFrame raises, and this
-    # fast path must be semantics-identical to the pickled-RDD one
+    # declared field type — a blanket cast would silently parse e.g. a
+    # str into a timestamp where createDataFrame raises, and this fast
+    # path must be semantics-identical to the pickled-RDD one
     type_ok = {BooleanType: bool, ByteType: int, ShortType: int,
                IntegerType: int, LongType: int,
                FloatType: (int, float), DoubleType: (int, float),
@@ -199,38 +215,58 @@ def _literal_rows_df(spark: SparkSession, rows, schema):
 
     cells = 0
 
-    def lit_cell(val, dt):
+    def sql_cell(val, dt):
         nonlocal cells
         cells += 1
+        if cells > _ONE_SLICE_LITERAL_CELL_CAP:
+            raise TypeError("literal tree too large")
+        ddl = dt.simpleString()
         if val is None:
-            return F.lit(None).cast(dt)
+            return f"CAST(NULL AS {ddl})"
         if isinstance(dt, ArrayType):
             if not isinstance(val, (list, tuple)):
                 raise TypeError("array field expects a list")
             if not val:
-                return F.array().cast(dt)
-            return F.array(
-                *[lit_cell(v, dt.elementType) for v in val]).cast(dt)
+                return f"CAST(array() AS {ddl})"
+            inner = ", ".join(sql_cell(v, dt.elementType) for v in val)
+            return f"CAST(array({inner}) AS {ddl})"
         ok = type_ok.get(type(dt))
         if (ok is None or not isinstance(val, ok)
                 or (isinstance(val, bool)
                     and not isinstance(dt, BooleanType))):
             raise TypeError(f"no literal form for {type(val).__name__}")
-        return F.lit(val).cast(dt)
+        if isinstance(dt, BooleanType):
+            return "TRUE" if val else "FALSE"
+        if isinstance(dt, (FloatType, DoubleType)):
+            v = float(val)
+            if not math.isfinite(v):
+                raise TypeError("non-finite float")
+            return f"CAST('{v!r}' AS {ddl})"
+        if isinstance(dt, StringType):
+            s = val.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        if isinstance(dt, BinaryType):
+            return f"X'{bytes(val).hex()}'"
+        b = int_bounds[type(dt)]
+        if not -(1 << b) <= val < (1 << b):
+            raise TypeError("int out of range for declared type")
+        return f"CAST({int(val)} AS {ddl})"
 
     try:
         structs = []
         for row in rows:
             if len(row) != len(schema.fields):
                 raise TypeError("row width != schema width")
-            structs.append(F.struct(*[
-                lit_cell(v, f.dataType).alias(f.name)
-                for v, f in zip(row, schema.fields)]))
-            if cells > _ONE_SLICE_LITERAL_CELL_CAP:
-                return None
+            fields = ", ".join(
+                "'%s', %s" % (f.name.replace("\\", "\\\\")
+                              .replace("'", "\\'"),
+                              sql_cell(v, f.dataType))
+                for v, f in zip(row, schema.fields))
+            structs.append(f"named_struct({fields})")
     except TypeError:
         return None
-    lit_df = spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+    lit_df = spark.range(0, 1, 1, 1).select(
+        F.expr("inline(array(%s))" % ", ".join(structs)))
     # union with an empty all-NULL relation widens every field to
     # nullable, matching the pickled-RDD path's schema exactly (literal
     # structs infer non-nullable fields, and Spark 4 folds the

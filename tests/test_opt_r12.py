@@ -140,3 +140,47 @@ def test_incremental_dedup_shared_batch_side_parity(spark):
     with _pytest.raises(ValueError):
         incremental_dedup(new, ref_sigs, ref, within_batch=False,
                           within_drop=wb_drop)
+
+
+def test_assign_literal_sql_matches_column_api(spark):
+    """The r12 SQL-string build of the literal assignment strategy is
+    BIT-identical to the Column-API build it replaced: same fold order,
+    same literal doubles, so every score double and every argmax pick
+    matches exactly (both dot and cosine forms)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.similarity import (_sql_score,
+                                                  assign_nearest_centroid,
+                                                  cosine, dot)
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = [[random.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    for normalized in (True, False):
+        score_of = dot if normalized else cosine
+        new_scores = df.select(
+            "id", *[F.expr(_sql_score("`v`", c, normalized)).alias(f"s{i}")
+                    for i, c in enumerate(cents)])
+        old_scores = df.select(
+            "id", *[score_of(F.col("v"),
+                             F.array(*[F.lit(x) for x in c])).alias(f"s{i}")
+                    for i, c in enumerate(cents)])
+        a = sorted(tuple(r) for r in new_scores.collect())
+        b = sorted(tuple(r) for r in old_scores.collect())
+        # exact float equality — bit-identical, not approximately equal
+        assert a == b
+        got = assign_nearest_centroid(df, cents, "v",
+                                      assume_normalized=normalized,
+                                      strategy="literal")
+        scores = F.array(*[
+            score_of(F.col("v"), F.array(*[F.lit(x) for x in c]))
+            for c in cents])
+        want = df.withColumn(
+            "__cluster",
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+        assert sorted((r["id"], r["__cluster"]) for r in got.collect()) == \
+            sorted((r["id"], r["__cluster"]) for r in want.collect())
