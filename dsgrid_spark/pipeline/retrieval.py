@@ -270,17 +270,82 @@ def write_term_index(df: DataFrame, path: str,
                        total_tokens=int(totals["total_tokens"]))
 
 
+# Pure-Python XXH64 (Collet's public xxHash algorithm), bit-identical
+# to Spark's `xxhash64` over a string's UTF-8 bytes at the engine's
+# fixed seed 42 — pinned against F.xxhash64 by
+# test_xxh64_matches_spark across every tail-length regime and
+# non-ASCII input. Replaces the 1-row Spark job `_buckets_of` used to
+# launch per search call (r12, guide §5: the driver should compute
+# driver-sized things itself, not schedule a job for 20 hashes).
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xx_round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _XXP2) & _U64
+    return (_rotl64(acc, 31) * _XXP1) & _U64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """Signed-64 XXH64 of ``data`` — the value Spark's ``xxhash64``
+    column expression produces for the same bytes."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _U64
+        v2 = (seed + _XXP2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXP1) & _U64
+        while i + 32 <= n:
+            v1 = _xx_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7)
+             + _rotl64(v3, 12) + _rotl64(v4, 18)) & _U64
+        for v in (v1, v2, v3, v4):
+            h ^= _xx_round(0, v)
+            h = (h * _XXP1 + _XXP4) & _U64
+    else:
+        h = (seed + _XXP5) & _U64
+    h = (h + n) & _U64
+    while i + 8 <= n:
+        h ^= _xx_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _U64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XXP1) & _U64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _U64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _U64
+        h = (_rotl64(h, 11) * _XXP1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _U64
+    h ^= h >> 29
+    h = (h * _XXP3) & _U64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _buckets_of(spark: SparkSession, terms: list[str],
                 n_buckets: int) -> list[int]:
-    # xxhash64 has no Python-side twin; one driver-local job over the
-    # literal term array gives the same buckets the writer computed.
-    row = spark.range(1).select(
-        F.transform(
-            F.array(*[F.lit(t) for t in terms]),
-            lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets)),
-        ).alias("b")
-    ).collect()[0]
-    return sorted(set(row["b"]))
+    # driver-side twin of the writer's
+    # pmod(xxhash64(term), n_buckets): Python's % IS Java's floorMod
+    # (== Spark's pmod) for positive n. Was one 1-row Spark job per
+    # search call; terms lists are driver-sized by construction (the
+    # query's own vocabulary).
+    return sorted({_xxh64(t.encode("utf-8")) % n_buckets for t in terms})
 
 
 def bm25_search(spark: SparkSession, path: str, query_terms,

@@ -184,3 +184,39 @@ def test_assign_literal_sql_matches_column_api(spark):
             (F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
         assert sorted((r["id"], r["__cluster"]) for r in got.collect()) == \
             sorted((r["id"], r["__cluster"]) for r in want.collect())
+
+
+def test_xxh64_matches_spark(spark):
+    """The driver-side XXH64 is bit-identical to F.xxhash64 (seed 42)
+    over UTF-8 bytes — every tail-length regime (0..33+ bytes), long
+    stripes, and non-ASCII text."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.retrieval import _buckets_of, _xxh64
+
+    random.seed(11)
+    cases = ["", "a", "ab", "abc", "abcd", "abcde", "hello world",
+             "x" * 7, "x" * 8, "x" * 9, "x" * 31, "x" * 32, "x" * 33,
+             "x" * 64, "x" * 100, "état", "naïve café", "日本語テキスト",
+             "🎉emoji🎉", "tab\tnew\nline"]
+    for _ in range(200):
+        ln = random.randint(0, 120)
+        cases.append("".join(chr(random.randint(32, 0x2FA0))
+                             for _ in range(ln)))
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {r["i"]: r["h"]
+           for r in df.select("i", F.xxhash64("s").alias("h")).collect()}
+    for i, s in rows:
+        assert got[i] == _xxh64(s.encode("utf-8")), repr(s)
+
+    # _buckets_of == the writer's pmod(xxhash64(term), n_buckets)
+    terms = [s for s in cases if s][:40]
+    for n_buckets in (1, 2, 8, 64):
+        want = sorted({r["b"] for r in spark.createDataFrame(
+            [(t,) for t in terms], "t string").select(
+            F.pmod(F.xxhash64("t"), F.lit(n_buckets)).alias("b"))
+            .collect()})
+        assert _buckets_of(spark, terms, n_buckets) == want, n_buckets
