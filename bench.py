@@ -142,6 +142,63 @@ def main():
         time.sleep(2.0)
         waited += 2.0
     dirty_left = _dirty_mb()
+
+    # hypervisor CPU steal is the contamination mode NONE of the guest
+    # guards can see (r12: a load1-0.08, zero-dirty board still ran the
+    # branch phase 3-9x slow; /proc/stat's cumulative steal column was
+    # ticking during it): the host is running someone else on our
+    # cores. Sample steal% over one second and wait for it to subside,
+    # like the JVM/writeback waits; stamp what the run started with.
+    def _steal_pct(interval: float = 1.0) -> float:
+        try:
+            def read():
+                with open("/proc/stat") as f:
+                    vals = [int(x) for x in f.readline().split()[1:]]
+                return sum(vals), (vals[7] if len(vals) > 7 else 0)
+            t0, s0 = read()
+            time.sleep(interval)
+            t1, s1 = read()
+            dt = t1 - t0
+            return round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else -1.0
+        except Exception:
+            return -1.0
+
+    steal0 = _steal_pct()
+    steal_left = steal0
+    while steal_left > 5.0 and waited < 120.0:
+        time.sleep(2.0)
+        waited += 3.0  # the sample itself sleeps 1 s
+        steal_left = _steal_pct()
+
+    # calibrated single-core spin (fixed integer loop): an ABSOLUTE
+    # speed reference the relative guards above can't provide. Steal
+    # sampled on an idle guest underestimates what a busy host takes
+    # once all cores demand CPU (r12: a 3.6%-idle-steal board ran 40%
+    # slow wall-to-wall); the spin milliseconds let any two boards
+    # from the same box be compared directly — a 0.8 -> 1.0 drift IS
+    # the host running someone else, whatever the other stamps say.
+    def _spin_ms() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        return round((time.perf_counter() - t0) * 1000.0, 1)
+
+    spin = min(_spin_ms() for _ in range(3))
+
+    # cumulative steal ticks at run start: instantaneous steal samples
+    # miss a mid-run burst entirely (r12: a board whose start AND end
+    # samples read <3% still ran one slot 2.5x slow); the tick delta
+    # over the whole run gives the average steal the run actually paid.
+    def _steal_ticks():
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return sum(vals), (vals[7] if len(vals) > 7 else 0)
+        except Exception:
+            return 0, 0
+
+    ticks0 = _steal_ticks()
     env_stamp = {
         "other_jvms_at_start": jvms0,
         "other_jvms_after_wait": jvms_left,
@@ -154,8 +211,12 @@ def main():
         "load5_at_start": load5,
         "dirty_mb_at_start": dirty0,
         "dirty_mb_after_wait": dirty_left,
+        "steal_pct_at_start": steal0,
+        "steal_pct_after_wait": steal_left,
+        "spin_ms": spin,
         "contaminated": bool(jvms_left > 0 or load1 >= 8.0
-                             or load5 >= 4.0 or dirty_left > 512.0),
+                             or load5 >= 4.0 or dirty_left > 512.0
+                             or steal_left > 5.0),
     }
     spark = get_spark("dsgrid-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
@@ -268,6 +329,24 @@ def main():
             per[tag] = _min_of_2(fn)
         branch_timings["q44_embedding_neardup"] = per
         spark.catalog.clearCache()
+
+    # end-of-run re-sample (r12: a board stamped clean at start — spin
+    # 95.7 ms, steal 0 — still ran 3x slow because the host started
+    # stealing AFTER the stamp; sampling both ends brackets the run).
+    # A run whose END spin is >1.5x its start spin, or whose end steal
+    # is above the start gate, was contaminated mid-flight.
+    steal_end = _steal_pct()
+    spin_end = min(_spin_ms() for _ in range(3))
+    ticks1 = _steal_ticks()
+    run_dt = ticks1[0] - ticks0[0]
+    steal_avg = (round(100.0 * (ticks1[1] - ticks0[1]) / run_dt, 2)
+                 if run_dt > 0 else -1.0)
+    env_stamp["steal_pct_at_end"] = steal_end
+    env_stamp["spin_ms_at_end"] = spin_end
+    env_stamp["steal_pct_run_avg"] = steal_avg
+    if (steal_end > 5.0 or steal_avg > 2.0
+            or (spin > 0 and spin_end > 1.5 * spin)):
+        env_stamp["contaminated"] = True
 
     total = round(sum(timings.values()), 3)
     canonical_queries = {
