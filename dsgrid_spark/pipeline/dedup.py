@@ -29,8 +29,30 @@ def _normalized(text_column: str):
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
-def shingles(text_column: str, k: int = 5) -> "F.Column":
-    """Word k-gram shingle array (distinct), JVM-side via transform/slice."""
+# The hot expression builders below each have two twins: a Column-API
+# form (the original, kept for the parity tests) and a SQL-string form
+# parsed by the JVM in ONE py4j round trip. Building these trees
+# through the Column API costs hundreds of py4j round trips per call
+# (every lit/lambda/function is a blocking socket exchange — r12
+# cProfile: 4,744 round trips for one q30 'store' construction, ~9 s
+# of recv_into inside a 10.6 s wall), while the parsed string yields a
+# semantically identical expression in milliseconds. All-integer/string
+# ops, so value equality is exact — pinned by
+# tests/test_opt_r12.py::test_dedup_sql_twins_match_column_api.
+def _normalized_sql(text_column: str) -> str:
+    return (f"trim(regexp_replace(regexp_replace(lower(`{text_column}`), "
+            f"'[^\\\\w\\\\s]', ''), '\\\\s+', ' '))")
+
+
+def _shingles_sql(text_column: str, k: int = 5) -> str:
+    words = f"split({_normalized_sql(text_column)}, ' ')"
+    grams = (f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
+             f"i -> concat_ws(' ', slice({words}, i + 1, {k})))")
+    return (f"CASE WHEN size({words}) >= {k} THEN array_distinct({grams}) "
+            f"ELSE array(concat_ws(' ', {words})) END")
+
+
+def _shingles_column_api(text_column: str, k: int = 5) -> "F.Column":
     words = F.split(_normalized(text_column), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -40,6 +62,11 @@ def shingles(text_column: str, k: int = 5) -> "F.Column":
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", words))
     )
+
+
+def shingles(text_column: str, k: int = 5) -> "F.Column":
+    """Word k-gram shingle array (distinct), JVM-side via transform/slice."""
+    return F.expr(_shingles_sql(text_column, k))
 
 
 def exact_dedup(df: DataFrame, text_column: str = "text",
@@ -69,14 +96,21 @@ def minhash_signatures(df: DataFrame, text_column: str = "text",
     Universal hashing h_i(x) = (a_i*x + b_i) mod p over xxhash64 shingle
     hashes; computed with transform+array_min entirely in the JVM.
     """
+    return df.withColumn(
+        "minhash", F.expr(_minhash_sql(text_column, num_hashes,
+                                       shingle_k, seed)))
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
-              for _ in range(num_hashes)]
-    sh = shingles(text_column, shingle_k)
-    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+            for _ in range(num_hashes)]
 
+
+def _minhash_sql(text_column: str, num_hashes: int = 32,
+                 shingle_k: int = 5, seed: int = 42) -> str:
     # ONE fold over the shingle hashes, updating all permutation minima
     # per element — N separate array_min(transform(...)) expressions would
     # re-inline (and re-evaluate) the whole shingle construction N times
@@ -85,6 +119,27 @@ def minhash_signatures(df: DataFrame, text_column: str = "text",
     # the generated code O(1) in num_hashes instead of inlining N
     # (x*a_i+b_i) subtrees into the fold body (codegen size, not
     # arithmetic, dominated the old plan).
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    a_arr = "array(%s)" % ", ".join(
+        f"CAST({a} AS BIGINT)" for a, _ in coeffs)
+    b_arr = "array(%s)" % ", ".join(
+        f"CAST({b} AS BIGINT)" for _, b in coeffs)
+    hashes = (f"transform({_shingles_sql(text_column, shingle_k)}, "
+              f"s -> abs(xxhash64(s)) % {_MERSENNE})")
+    return (f"aggregate({hashes}, "
+            f"array_repeat(CAST({_MERSENNE} AS BIGINT), {num_hashes}), "
+            f"(acc, x) -> zip_with(acc, zip_with({a_arr}, {b_arr}, "
+            f"(a, b) -> (x * a + b) % {_MERSENNE}), "
+            f"(cur, new) -> least(cur, new)))")
+
+
+def _minhash_column_api(df: DataFrame, text_column: str = "text",
+                        num_hashes: int = 32, shingle_k: int = 5,
+                        seed: int = 42) -> DataFrame:
+    """Column-API twin of :func:`minhash_signatures` (parity tests)."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    sh = _shingles_column_api(text_column, shingle_k)
+    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
     b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
     init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
@@ -112,33 +167,23 @@ def band_signatures(df: DataFrame, id_column: str = "doc_id",
     """
     if signature_length is not None:
         # static fast path: slice bounds fold to constants
-        rows_per_band = F.lit(signature_length // num_bands or 1)
+        rpb = str(signature_length // num_bands or 1)
     else:
         # derive per-row from the array itself (VERDICT r4 item 5: the
         # old default probed one row with limit(1).collect() — an extra
         # Spark job per call). Signatures in one table share a length, so
         # this is the same number, computed inside the projection for
         # free instead of via a job.
-        rows_per_band = F.greatest(
-            F.floor(F.size("minhash") / num_bands).cast("int"), F.lit(1))
+        rpb = f"greatest(CAST(floor(size(`minhash`) / {num_bands}) AS INT), 1)"
+    # the whole per-band hash array as ONE parsed SQL expression (see the
+    # SQL-twin note above _normalized_sql)
+    bands_sql = "array(%s)" % ", ".join(
+        f"xxhash64(concat_ws(',', transform("
+        f"slice(`minhash`, {b} * {rpb} + 1, {rpb}), "
+        f"x -> CAST(x AS STRING))))" for b in range(num_bands))
     out = df.select(
         F.col(id_column),
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice("minhash",
-                                    F.lit(b) * rows_per_band + 1,
-                                    rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                )
-                for b in range(num_bands)
-            ])
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr(bands_sql)).alias("band", "band_hash"),
     )
     # stamp the banding params as column metadata (survives persist /
     # select / filter) so downstream consumers of a precomputed band
@@ -1007,6 +1052,31 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame,
     return keep_from_graph.unionByName(untouched)
 
 
+def _simhash_sql(text_column: str, bits: int = 64) -> str:
+    # ONE fold accumulating all 64 bit-votes at once (separate per-bit
+    # aggregates would re-evaluate the tokenization 64x per row). The
+    # per-bit extraction walks a sequence with getbit instead of inlining
+    # 64 shiftright subtrees — generated code stays O(1) in `bits` (the
+    # same codegen-size fix as the minhash coefficient fold). Built as a
+    # SQL string (see the SQL-twin note above _normalized_sql).
+    words = f"filter(split({_normalized_sql(text_column)}, ' '), w -> w != '')"
+    hashes = f"transform({words}, w -> xxhash64(w))"
+    votes = (f"aggregate({hashes}, array_repeat(0, {bits}), "
+             f"(acc, h) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+             f"i -> CASE WHEN getbit(h, i) = 1 THEN 1 ELSE -1 END), "
+             f"(a, v) -> a + v))")
+    # combine sign bits into one long INSIDE a single expression —
+    # referring to `votes` once; per-bit element_at references would
+    # re-inline (and re-evaluate) the fold per bit after projection
+    # collapse
+    bit_values = (f"zip_with({votes}, sequence(0, {bits - 1}), "
+                  f"(v, i) -> CASE WHEN v > 0 THEN "
+                  f"shiftleft(CAST(1 AS BIGINT), i) "
+                  f"ELSE CAST(0 AS BIGINT) END)")
+    return (f"aggregate({bit_values}, CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc | x)")
+
+
 def simhash(text_column: str = "text", bits: int = 64) -> "F.Column":
     """64-bit SimHash over word tokens, via bit-vote aggregation.
 
@@ -1014,14 +1084,15 @@ def simhash(text_column: str = "text", bits: int = 64) -> "F.Column":
     ``aggregate``; the sign becomes bit i. No UDF, no shuffle; one
     codegen'd expression tree.
     """
+    return F.expr(_simhash_sql(text_column, bits))
+
+
+def _simhash_column_api(text_column: str = "text",
+                        bits: int = 64) -> "F.Column":
+    """Column-API twin of :func:`simhash` (parity tests)."""
     words = F.filter(F.split(_normalized(text_column), " "), lambda w: w != "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
 
-    # ONE fold accumulating all 64 bit-votes at once (separate per-bit
-    # aggregates would re-evaluate the tokenization 64x per row). The
-    # per-bit extraction walks a sequence with getbit instead of inlining
-    # 64 shiftright subtrees — generated code stays O(1) in `bits` (the
-    # same codegen-size fix as the minhash coefficient fold).
     def votes_of(h):
         return F.transform(
             F.sequence(F.lit(0), F.lit(bits - 1)),
@@ -1034,9 +1105,6 @@ def simhash(text_column: str = "text", bits: int = 64) -> "F.Column":
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(acc, votes_of(h), lambda a, v: a + v),
     )
-    # combine sign bits into one long INSIDE a single expression — referring
-    # to `votes` once; per-bit element_at references would re-inline (and
-    # re-evaluate) the fold per bit after projection collapse
     bit_values = F.zip_with(
         votes,
         F.sequence(F.lit(0), F.lit(bits - 1)),

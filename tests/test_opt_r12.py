@@ -220,3 +220,73 @@ def test_xxh64_matches_spark(spark):
             F.pmod(F.xxhash64("t"), F.lit(n_buckets)).alias("b"))
             .collect()})
         assert _buckets_of(spark, terms, n_buckets) == want, n_buckets
+
+
+def test_dedup_sql_twins_match_column_api(spark):
+    """The SQL-string forms of the dedup expression builders (shingles,
+    minhash fold, banding, simhash fold) are bit-identical to the
+    Column-API twins they replaced — the rewrite only changes HOW the
+    expression tree reaches the JVM (one parsed string vs hundreds of
+    py4j round trips), never a value. All-integer/string ops, so any
+    mismatch is a real semantic break, not rounding."""
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.dedup import (
+        _minhash_column_api,
+        _shingles_column_api,
+        _simhash_column_api,
+        band_signatures,
+        minhash_signatures,
+        shingles,
+        simhash,
+    )
+
+    rows = [(i, f"The w{i} Quick; brown FOX-{i}! jumps over lazy dog "
+                f"num {i * 7} and some more words to shingle end{i}")
+            for i in range(40)]
+    rows += [(100 + i, t.upper()) for i, (_, t) in enumerate(rows[:10])]
+    rows += [(200, ""), (201, "one"), (202, "two words"),
+             (203, "exactly five words right here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for k in (2, 5):
+        got = df.select("doc_id", shingles("text", k).alias("s")) \
+            .orderBy("doc_id").collect()
+        want = df.select("doc_id",
+                         _shingles_column_api("text", k).alias("s")) \
+            .orderBy("doc_id").collect()
+        assert got == want
+
+    for nh, sk, seed in ((32, 5, 42), (16, 3, 7)):
+        got = minhash_signatures(df, "text", nh, sk, seed) \
+            .orderBy("doc_id").collect()
+        want = _minhash_column_api(df, "text", nh, sk, seed) \
+            .orderBy("doc_id").collect()
+        assert got == want
+
+    sigs = minhash_signatures(df, "text")
+    for nb, sl in ((4, None), (8, 32)):
+        got = band_signatures(sigs, num_bands=nb, signature_length=sl) \
+            .orderBy("doc_id", "band").collect()
+        # Column-API twin of the banding projection (pre-r12 form)
+        if sl is not None:
+            rpb = F.lit(sl // nb or 1)
+        else:
+            rpb = F.greatest(
+                F.floor(F.size("minhash") / nb).cast("int"), F.lit(1))
+        want = sigs.select(
+            "doc_id",
+            F.posexplode(F.array(*[
+                F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice("minhash", F.lit(b) * rpb + 1, rpb),
+                    lambda x: x.cast("string"))))
+                for b in range(nb)
+            ])).alias("band", "band_hash"),
+        ).orderBy("doc_id", "band").collect()
+        assert got == want
+
+    got = df.select("doc_id", simhash("text").alias("sh")) \
+        .orderBy("doc_id").collect()
+    want = df.select("doc_id", _simhash_column_api("text").alias("sh")) \
+        .orderBy("doc_id").collect()
+    assert got == want
