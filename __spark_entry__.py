@@ -1676,16 +1676,20 @@ def _q44_sem(spark, sf_dir):
     # cos(50°c)) all derivable by id arithmetic in the oracle.
     from dsgrid_spark.pipeline.similarity import semantic_dedup
 
-    g = (F.col("vec_id") % 16).cast("int")
-    c = (F.expr("vec_id div 16") % 2).cast("int")
-    j = (F.expr("vec_id div 32") % 5).cast("int")
-    angle = F.radians(F.lit(50.0) * c + j)
-    vec = F.array(*[
-        F.when(F.lit(p) == g * 2, F.cos(angle))
-         .when(F.lit(p) == g * 2 + 1, F.sin(angle))
-         .otherwise(F.lit(0.0))
+    # ONE parsed SQL expression for the 32-element constructed vector
+    # (the Column-API listcomp measured ~1 s of py4j round trips per
+    # construction — the dedup SQL-twin pattern; values identical, same
+    # arithmetic per element, oracle-gated)
+    g = "CAST(vec_id % 16 AS INT)"
+    c = "CAST((vec_id div 16) % 2 AS INT)"
+    j = "CAST((vec_id div 32) % 5 AS INT)"
+    angle = f"radians(50.0D * {c} + {j})"
+    vec = F.expr("array(%s)" % ", ".join(
+        f"CASE WHEN {p} = {g} * 2 THEN cos({angle}) "
+        f"WHEN {p} = {g} * 2 + 1 THEN sin({angle}) "
+        f"ELSE 0.0D END"
         for p in range(32)
-    ])
+    ))
     # 512 ids = 16 members per residue class at every sf — the operator
     # contract is fully exercised while the board slot's pair join stays
     # byte-bounded (scale behavior is the rehearsals' job, not the gate's)

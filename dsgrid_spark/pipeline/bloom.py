@@ -77,6 +77,28 @@ def _probe_positions(key: Column, num_bits: int, num_hashes: int):
     ]
 
 
+def _long_sql(v: int) -> str:
+    """BIGINT literal as SQL text. Long.MIN_VALUE needs the two-term
+    form: the parser reads -x as unary minus over x, and
+    9223372036854775808L overflows BIGINT under ANSI."""
+    if v == -(1 << 63):
+        return "(-9223372036854775807L - 1L)"
+    return f"{v}L"
+
+
+def _probe_sql(key_sql: str, num_bits: int, num_hashes: int) -> list[str]:
+    """SQL-text twin of :func:`_probe_positions` (value-identical:
+    pure integer hashing)."""
+    return [f"pmod(xxhash64({key_sql}, {i}), {num_bits})"
+            for i in range(num_hashes)]
+
+
+# past this many bitset words the fully-inlined SQL test expression
+# (k copies of the words array as literal text) stops being cheap to
+# parse; larger filters keep the Column-API path with a hoisted literal
+_SQL_INLINE_WORD_CAP = 16384
+
+
 def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     """(num_bits rounded up to a multiple of 64, num_hashes) minimizing
     bits for the target false-positive rate."""
@@ -99,14 +121,15 @@ def build_bloom(df: DataFrame, key_column: str,
     corpus size (the sparse words, ~2 MB at 1M keys / 1% fp).
     """
     num_bits, num_hashes = optimal_params(expected_items, fpp)
-    key = F.col(key_column)
-    pos = F.explode(F.array(*_probe_positions(key, num_bits, num_hashes)))
+    # probe + word/mask projection as parsed SQL (the dedup SQL-twin
+    # pattern: the Column-API build measured ~1,100 py4j round trips
+    # per bloom expression at ~1.7 ms each); integer-exact
+    probes = ", ".join(_probe_sql(f"`{key_column}`", num_bits, num_hashes))
     words = (
-        df.select(pos.alias("p"))
-        .select((F.col("p") / 64).cast("long").alias("w"),
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"),
-                    F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("m"))
+        df.select(F.expr(f"explode(array({probes}))").alias("p"))
+        .selectExpr(
+            "CAST(`p` / 64 AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(`p`, 64) AS INT)) AS m")
         .groupBy("w")
         .agg(F.bit_or("m").alias("bits"))
         .collect()
@@ -118,10 +141,31 @@ def build_bloom(df: DataFrame, key_column: str,
                        words=tuple(dense))
 
 
-def might_contain(bloom: BloomFilter, key: Column) -> Column:
+def might_contain(bloom: BloomFilter, key: Column | str) -> Column:
     """Codegen'd membership test: True for every inserted key (no false
-    negatives), True for ~fpp of absent keys."""
-    words = F.lit(list(bloom.words))
+    negatives), True for ~fpp of absent keys.
+
+    With ``key`` given as a column NAME and a filter small enough to
+    inline, the whole test plans as ONE parsed SQL expression (the
+    dedup SQL-twin pattern — the Column-API build measured ~1,100 py4j
+    round trips, ~2 s, for a 38-word filter). A Column-expression key
+    or an oversized filter keeps the Column-API path with the words
+    literal hoisted through one ``F.expr`` (one round trip instead of
+    one per element)."""
+    if (isinstance(key, str)
+            and len(bloom.words) <= _SQL_INLINE_WORD_CAP):
+        words = "array(%s)" % ", ".join(_long_sql(w) for w in bloom.words)
+        conds = []
+        for p in _probe_sql(f"`{key}`", bloom.num_bits, bloom.num_hashes):
+            w = (f"element_at({words}, "
+                 f"CAST(CAST(({p}) / 64 AS BIGINT) + 1 AS INT))")
+            bit = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
+            conds.append(f"(({w} & {bit}) != 0)")
+        return F.expr("(%s)" % " AND ".join(conds))
+    if isinstance(key, str):
+        key = F.col(key)
+    words = F.expr(
+        "array(%s)" % ", ".join(_long_sql(w) for w in bloom.words))
     cond = None
     for p in _probe_positions(key, bloom.num_bits, bloom.num_hashes):
         w = F.element_at(words, ((p / 64).cast("long") + 1).cast("int"))
@@ -142,15 +186,13 @@ def merge_into(bloom: BloomFilter, df: DataFrame,
     ingest keeps one filter per corpus this way, so the per-batch id
     check never touches the accumulated id set.
     """
-    key = F.col(key_column)
-    pos = F.explode(F.array(*_probe_positions(key, bloom.num_bits,
-                                              bloom.num_hashes)))
+    probes = ", ".join(_probe_sql(f"`{key_column}`", bloom.num_bits,
+                                  bloom.num_hashes))
     rows = (
-        df.select(pos.alias("p"))
-        .select((F.col("p") / 64).cast("long").alias("w"),
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"),
-                    F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("m"))
+        df.select(F.expr(f"explode(array({probes}))").alias("p"))
+        .selectExpr(
+            "CAST(`p` / 64 AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(`p`, 64) AS INT)) AS m")
         .groupBy("w")
         .agg(F.bit_or("m").alias("bits"))
         .collect()
@@ -196,7 +238,7 @@ def bloom_prefilter(df: DataFrame, bloom: BloomFilter,
     negatives) and skip the exact join entirely; only `maybe_present`
     (true duplicates + ~fpp false positives) proceeds to verification.
     """
-    hit = might_contain(bloom, F.col(key_column))
+    hit = might_contain(bloom, key_column)
     return df.filter(hit), df.filter(~hit)
 
 
@@ -285,14 +327,14 @@ def build_sharded_bloom(df: DataFrame, key_column: str,
     if n_parts > keys.sparkSession.sparkContext.defaultParallelism:
         keys = keys.repartition(n_parts)
     key = F.col("__k")
-    pos = F.explode(F.array(*_probe_positions(key, num_bits, num_hashes)))
+    probes = ", ".join(_probe_sql("`__k`", num_bits, num_hashes))
     sparse = (
-        keys.select(_shard_of(key, num_shards).alias("shard"), pos.alias("p"))
-        .select("shard",
-                (F.col("p") / 64).cast("long").alias("w"),
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"),
-                    F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("m"))
+        keys.select(_shard_of(key, num_shards).alias("shard"),
+                    F.expr(f"explode(array({probes}))").alias("p"))
+        .selectExpr(
+            "shard",
+            "CAST(`p` / 64 AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(`p`, 64) AS INT)) AS m")
     )
     filler = df.sparkSession.range(num_shards * n_words).select(
         (F.col("id") / n_words).cast("int").alias("shard"),
@@ -324,14 +366,14 @@ def sharded_bloom_prefilter(df: DataFrame, bloom: ShardedBloomFilter,
     wdf = bloom.words_df.withColumnRenamed("shard", "__shard") \
         .withColumnRenamed("words", "__words")
     joined = tagged.join(F.broadcast(wdf), "__shard", "left")
-    cond = None
-    for p in _probe_positions(key, bloom.num_bits, bloom.num_hashes):
-        w = F.element_at(F.col("__words"), ((p / 64).cast("long") + 1).cast("int"))
-        bit = F.call_function("shiftleft", F.lit(1).cast("long"),
-                              F.pmod(p, F.lit(64)).cast("int"))
-        hit = w.bitwiseAND(bit) != 0
-        cond = hit if cond is None else cond & hit
-    cond = F.coalesce(cond, F.lit(False))
+    conds = []
+    for p in _probe_sql(f"`{key_column}`", bloom.num_bits,
+                        bloom.num_hashes):
+        w = (f"element_at(`__words`, "
+             f"CAST(CAST(({p}) / 64 AS BIGINT) + 1 AS INT))")
+        bit = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
+        conds.append(f"(({w} & {bit}) != 0)")
+    cond = F.expr("coalesce((%s), false)" % " AND ".join(conds))
     return (joined.filter(cond).drop("__shard", "__words"),
             joined.filter(~cond).drop("__shard", "__words"))
 

@@ -290,3 +290,54 @@ def test_dedup_sql_twins_match_column_api(spark):
     want = df.select("doc_id", _simhash_column_api("text").alias("sh")) \
         .orderBy("doc_id").collect()
     assert got == want
+
+
+def test_bloom_sql_twin_matches_column_api(spark):
+    """might_contain's inlined-SQL fast path (string key, filter under
+    the word cap) is bit-identical to the Column-API path it fronts —
+    including words with the sign bit set and Long.MIN_VALUE, which the
+    SQL literal printer must render without ANSI overflow. The probe
+    SQL twin must also equal the Column probe expressions exactly
+    (integer hashing: any mismatch is semantic, not rounding)."""
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.bloom import (
+        BloomFilter,
+        _SQL_INLINE_WORD_CAP,
+        _probe_positions,
+        _probe_sql,
+        build_bloom,
+        might_contain,
+    )
+
+    keys = spark.range(0, 3000).selectExpr("concat('k', id) AS k")
+    bloom = build_bloom(keys.filter("id % 3 = 0"), "k",
+                        expected_items=1000, fpp=0.01)
+    got = keys.select("k", might_contain(bloom, "k").alias("hit")) \
+        .orderBy("k").collect()
+    want = keys.select("k", might_contain(bloom, F.col("k")).alias("hit")) \
+        .orderBy("k").collect()
+    assert got == want
+
+    # probe twins: same positions, element by element
+    probes = keys.select(
+        F.array(*_probe_positions(F.col("k"), bloom.num_bits,
+                                  bloom.num_hashes)).alias("a"),
+        F.expr("array(%s)" % ", ".join(
+            _probe_sql("`k`", bloom.num_bits, bloom.num_hashes))).alias("b"),
+    ).where("a != b").count()
+    assert probes == 0
+
+    # extreme word values survive the SQL literal printer
+    hostile = BloomFilter(num_bits=256, num_hashes=3,
+                          words=(-(1 << 63), -1, (1 << 63) - 1, 0))
+    got = keys.select(might_contain(hostile, "k").alias("h")).collect()
+    want = keys.select(might_contain(hostile, F.col("k")).alias("h")) \
+        .collect()
+    assert got == want
+
+    # oversized filter falls back to the Column path, same answer
+    big = BloomFilter(num_bits=(_SQL_INLINE_WORD_CAP + 1) * 64,
+                      num_hashes=2,
+                      words=tuple([-1] * (_SQL_INLINE_WORD_CAP + 1)))
+    assert keys.filter(~might_contain(big, "k")).count() == 0
