@@ -204,66 +204,83 @@ def q04_filter_subset(spark, sf_dir):
     return subset.unionByName(anti)
 
 
-def q06_join_multi(spark, sf_dir):
+def q06_join_multi(spark, sf_dir, branch=None):
     """Tagged union of join families (SURVEY §2.3 + temporal joins):
     'multi' = multi-table equi-join chain; 'asof' = backward as-of join
     of events to a weekly-changing per-user rate table (union+window
     carry-forward, one shuffle); 'range' = bucket-binned interval join
-    of events into 6h maintenance windows (no nested-loop plan)."""
+    of events into 6h maintenance windows (no nested-loop plan).
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named branch's plan — the q30/q32 per-branch-plan
+    convention (r12): the tag-filter fallback prunes the sibling
+    branches' EXECUTION but the timing still pays the whole union's
+    construction + Catalyst analysis. branch='asof' returns the
+    backward AND forward as-of children, matching the tag filter's
+    startswith('asof') scope, so the timed work is identical."""
     from dsgrid_spark.operators.temporal_joins import asof_join, range_join
 
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    multi = (
-        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .groupBy(F.col("r_name").alias("k"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("value"),
+    if branch in (None, "multi"):
+        cust = _t(spark, sf_dir, "customer")
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        multi = (
+            cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("c_acctbal"), 2).alias("value"),
+            )
+            .select(F.lit("multi").alias("op"), "k", "n", "value")
         )
-        .select(F.lit("multi").alias("op"), "k", "n", "value")
-    )
+        if branch == "multi":
+            return multi
 
     ev = _t(spark, sf_dir, "events")
     base = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01")))
-    # deterministic weekly rate schedule per user (same literal recipe
-    # as the oracle SQL)
-    rates = (
-        ev.select("user_id").distinct()
-        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"))
-        .select(
-            "user_id",
-            F.timestamp_seconds(base + F.col("k") * 604800).alias("valid_from"),
-            (((F.col("user_id") * 7 + F.col("k")) % 100) / 10.0).alias("rate"),
+    if branch in (None, "asof"):
+        # deterministic weekly rate schedule per user (same literal recipe
+        # as the oracle SQL)
+        rates = (
+            ev.select("user_id").distinct()
+            .select("user_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"))
+            .select(
+                "user_id",
+                F.timestamp_seconds(base + F.col("k") * 604800)
+                .alias("valid_from"),
+                (((F.col("user_id") * 7 + F.col("k")) % 100) / 10.0)
+                .alias("rate"),
+            )
         )
-    )
-    asof = (
-        asof_join(ev.select("user_id", "ts", "value"), rates,
-                  ["user_id"], "ts", "valid_from", ["rate"])
-        .groupBy("user_id")
-        # floor micro-units as double (column shared with the round-2
-        # 'multi' branch): identical IEEE ops on both engines, immune to
-        # the round-algorithm mismatch (q39 lesson)
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.floor(F.sum(F.col("value") * F.col("rate")) * 1e6 + 0.5)
-             .cast("double").alias("value"))
-        .select(F.lit("asof").alias("op"),
-                F.col("user_id").cast("string").alias("k"), "n", "value")
-    )
+        asof = (
+            asof_join(ev.select("user_id", "ts", "value"), rates,
+                      ["user_id"], "ts", "valid_from", ["rate"])
+            .groupBy("user_id")
+            # floor micro-units as double (column shared with the round-2
+            # 'multi' branch): identical IEEE ops on both engines, immune to
+            # the round-algorithm mismatch (q39 lesson)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.floor(F.sum(F.col("value") * F.col("rate")) * 1e6 + 0.5)
+                 .cast("double").alias("value"))
+            .select(F.lit("asof").alias("op"),
+                    F.col("user_id").cast("string").alias("k"), "n", "value")
+        )
 
-    fwd = (
-        asof_join(ev.select("user_id", "ts", "value"), rates,
-                  ["user_id"], "ts", "valid_from", ["rate"],
-                  direction="forward")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.floor(F.sum(F.col("value") * F.col("rate")) * 1e6 + 0.5)
-             .cast("double").alias("value"))
-        .select(F.lit("asof_fwd").alias("op"),
-                F.col("user_id").cast("string").alias("k"), "n", "value")
-    )
+        fwd = (
+            asof_join(ev.select("user_id", "ts", "value"), rates,
+                      ["user_id"], "ts", "valid_from", ["rate"],
+                      direction="forward")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.floor(F.sum(F.col("value") * F.col("rate")) * 1e6 + 0.5)
+                 .cast("double").alias("value"))
+            .select(F.lit("asof_fwd").alias("op"),
+                    F.col("user_id").cast("string").alias("k"), "n", "value")
+        )
+        if branch == "asof":
+            return asof.unionByName(fwd)
 
     windows = spark.range(10).select(
         F.col("id").alias("window_id"),
@@ -281,33 +298,43 @@ def q06_join_multi(spark, sf_dir):
         .select(F.lit("range").alias("op"),
                 F.col("window_id").cast("string").alias("k"), "n", "value")
     )
+    if branch == "range":
+        return rng
     return multi.unionByName(asof).unionByName(fwd).unionByName(rng)
 
 
-def q07_map_dimension(spark, sf_dir):
+def q07_map_dimension(spark, sf_dir, branch=None):
     """map_stacked_dimension + apply_fraction — the dsgrid workhorse —
     in both directions (SURVEY §2.3): 'agg' = ONE_TO_ONE rename/aggregate;
     'disagg' = weighted ONE_TO_MANY disaggregation with fractions summing
-    to 1 per from_id (§4 skew case). Tagged union."""
+    to 1 per from_id (§4 skew case). Tagged union.
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named direction's plan — the q30/q32 per-branch-plan
+    convention (r12)."""
     from pyspark.sql import Window
 
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
 
-    up_mapping = nation.select(
-        F.col("n_nationkey").cast("string").alias("from_id"),
-        F.col("n_name").alias("to_id"),
-        F.lit(1.0).alias("from_fraction"),
-    )
-    fact = cust.select(
-        F.col("c_custkey"),
-        F.col("c_nationkey").cast("string").alias("geography"),
-        F.col("c_acctbal").alias("value"),
-    )
-    agg = apply_fraction(map_stacked_dimension(fact, up_mapping, "geography"))
-    agg = agg.groupBy("geography").agg(
-        F.round(F.sum("value"), 2).alias("value")
-    ).select(F.lit("agg").alias("mode"), "geography", "value")
+    if branch in (None, "agg"):
+        up_mapping = nation.select(
+            F.col("n_nationkey").cast("string").alias("from_id"),
+            F.col("n_name").alias("to_id"),
+            F.lit(1.0).alias("from_fraction"),
+        )
+        fact = cust.select(
+            F.col("c_custkey"),
+            F.col("c_nationkey").cast("string").alias("geography"),
+            F.col("c_acctbal").alias("value"),
+        )
+        agg = apply_fraction(
+            map_stacked_dimension(fact, up_mapping, "geography"))
+        agg = agg.groupBy("geography").agg(
+            F.round(F.sum("value"), 2).alias("value")
+        ).select(F.lit("agg").alias("mode"), "geography", "value")
+        if branch == "agg":
+            return agg
 
     w = Window.partitionBy("n_regionkey")
     down_mapping = nation.select(
@@ -324,6 +351,8 @@ def q07_map_dimension(spark, sf_dir):
         map_stacked_dimension(region_totals, down_mapping, "geography")
     ).select(F.lit("disagg").alias("mode"), "geography",
              F.floor(F.col("value") * 1e6 + 0.5).cast("double").alias("value"))
+    if branch == "disagg":
+        return disagg
     return agg.unionByName(disagg)
 
 
@@ -423,23 +452,33 @@ def q10_agg_chained(spark, sf_dir):
             .join(outl, "event_type").join(hll, "event_type"))
 
 
-def q12_peak_load(spark, sf_dir):
+def q12_peak_load(spark, sf_dir, branch=None):
     """Peak-load argmax + top-k per group, both ranking windows
     (SURVEY §2.4-2.6), tagged union: 'peak' = per-type argmax row via
-    peak_load; 'top3' = top-3 rows per type via top_k_per_group."""
+    peak_load; 'top3' = top-3 rows per type via top_k_per_group.
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named window's plan — the q30/q32 per-branch-plan
+    convention (r12)."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    peak = peak_load(ev, ["event_type"], tie_breakers=["event_id"]).select(
-        F.lit("peak").alias("tag"), "event_id", "event_type",
-        F.date_format("ts", TS_FMT_US).alias("peak_ts"), "value",
-    )
+    if branch in (None, "peak"):
+        peak = peak_load(ev, ["event_type"],
+                         tie_breakers=["event_id"]).select(
+            F.lit("peak").alias("tag"), "event_id", "event_type",
+            F.date_format("ts", TS_FMT_US).alias("peak_ts"), "value",
+        )
+        if branch == "peak":
+            return peak
     top3 = top_k_per_group(
         ev, ["event_type"], k=3, tie_breakers=["event_id"]
     ).select(
         F.lit("top3").alias("tag"), "event_id", "event_type",
         F.date_format("ts", TS_FMT_US).alias("peak_ts"), "value",
     )
+    if branch == "top3":
+        return top3
     return peak.unionByName(top3)
 
 
@@ -529,32 +568,39 @@ def q20_unpivot(spark, sf_dir):
     return unpivot(li, ["l_quantity", "l_extendedprice", "l_discount"], "measure")
 
 
-def q21_scalar_datetime(spark, sf_dir):
+def q21_scalar_datetime(spark, sf_dir, branch=None):
     """Tagged union: 'month' = scalar date/arith functions in group-by
     (SURVEY §2.9); 'session' = gap-based sessionization of the events
     stream via the native session_window operator (8h gap), k2 carrying
-    the session-start epoch."""
+    the session-start epoch.
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named child's plan — the q30/q32 per-branch-plan
+    convention (r12)."""
     from dsgrid_spark.streaming.ops import sessionize
 
-    li = _t(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # Discretize per ROW, then sum exact integers: a float SUM's merge
-    # order varies run to run (shuffle-block arrival), so round(sum(), 2)
-    # is a coin flip whenever a group's total sits within an ULP of a
-    # .005 boundary — caught by a one-off sf1 board hash mismatch that
-    # vanished on re-run. Per-row floor(x*1e4+0.5) is the same IEEE
-    # sequence on both engines, and the integer sum is associative —
-    # deterministic at any scale and any execution order.
-    rev_i = F.floor(revenue * 1e4 + 0.5).cast("long")
-    month = (
-        li.groupBy(
-            F.year("l_shipdate").cast("long").alias("k1"),
-            F.month("l_shipdate").cast("long").alias("k2"),
+    if branch in (None, "month"):
+        li = _t(spark, sf_dir, "lineitem")
+        revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # Discretize per ROW, then sum exact integers: a float SUM's merge
+        # order varies run to run (shuffle-block arrival), so round(sum(), 2)
+        # is a coin flip whenever a group's total sits within an ULP of a
+        # .005 boundary — caught by a one-off sf1 board hash mismatch that
+        # vanished on re-run. Per-row floor(x*1e4+0.5) is the same IEEE
+        # sequence on both engines, and the integer sum is associative —
+        # deterministic at any scale and any execution order.
+        rev_i = F.floor(revenue * 1e4 + 0.5).cast("long")
+        month = (
+            li.groupBy(
+                F.year("l_shipdate").cast("long").alias("k1"),
+                F.month("l_shipdate").cast("long").alias("k2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(rev_i).cast("double").alias("value"))
+            .select(F.lit("month").alias("op"), "k1", "k2", "n", "value")
         )
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(rev_i).cast("double").alias("value"))
-        .select(F.lit("month").alias("op"), "k1", "k2", "n", "value")
-    )
+        if branch == "month":
+            return month
     ev = _t(spark, sf_dir, "events")
     session = sessionize(ev, "ts", ["user_id"], gap="8 hours",
                          value_column="value").select(
@@ -564,6 +610,8 @@ def q21_scalar_datetime(spark, sf_dir):
         F.col("n_events").cast("long").alias("n"),
         F.floor(F.col("value_sum") * 1e6 + 0.5).cast("double").alias("value"),
     )
+    if branch == "session":
+        return session
     return month.unionByName(session)
 
 
@@ -584,11 +632,15 @@ def q22_unit_conversion(spark, sf_dir):
                       .alias("value_mwh_nano"))
 
 
-def q23_time_downsample(spark, sf_dir):
+def q23_time_downsample(spark, sf_dir, branch=None):
     """Datetime re-resolution both directions (SURVEY §2.10), tagged
     union: 'down' = events to 6h TOTAL; 'up' = daily lineitem quantities
     spread to 6-hourly TOTAL; 'cascade:hour/day/month' = continuous-
-    aggregate rollup cascade (one raw shuffle, ReuseExchange-shared)."""
+    aggregate rollup cascade (one raw shuffle, ReuseExchange-shared).
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named child's plan — the q30/q32 per-branch-plan
+    convention (r12)."""
     from dsgrid_spark.timedim.conversion import upsample
 
     # events.value is a continuous float: discretize per ROW into integer
@@ -599,22 +651,30 @@ def q23_time_downsample(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "ts", "event_type",
         F.floor(F.col("value") * 1e6 + 0.5).cast("double").alias("value"))
-    down = downsample(ev, "ts", 6 * 3600).select(
-        F.lit("down").alias("mode"),
-        F.date_format("ts", TS_FMT).alias("ts"),
-        F.col("event_type").alias("grp"),
-        F.col("value").cast("long").alias("value"),
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
-    daily = li.groupBy(F.col("l_shipdate").alias("ts"), "l_returnflag").agg(
-        F.sum("l_quantity").alias("value")
-    )
-    up = upsample(daily, "ts", 86400, 21600).select(
-        F.lit("up").alias("mode"),
-        F.date_format("ts", TS_FMT).alias("ts"),
-        F.col("l_returnflag").alias("grp"),
-        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value"),
-    )
+    if branch in (None, "down"):
+        down = downsample(ev, "ts", 6 * 3600).select(
+            F.lit("down").alias("mode"),
+            F.date_format("ts", TS_FMT).alias("ts"),
+            F.col("event_type").alias("grp"),
+            F.col("value").cast("long").alias("value"),
+        )
+        if branch == "down":
+            return down
+    if branch in (None, "up"):
+        li = _t(spark, sf_dir, "lineitem").filter(
+            F.year("l_shipdate") == 1995)
+        daily = li.groupBy(F.col("l_shipdate").alias("ts"),
+                           "l_returnflag").agg(
+            F.sum("l_quantity").alias("value")
+        )
+        up = upsample(daily, "ts", 86400, 21600).select(
+            F.lit("up").alias("mode"),
+            F.date_format("ts", TS_FMT).alias("ts"),
+            F.col("l_returnflag").alias("grp"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value"),
+        )
+        if branch == "up":
+            return up
     from dsgrid_spark.timedim.conversion import rollup_cascade
 
     casc = rollup_cascade(ev, "ts", ["event_type"], "value").select(
@@ -623,6 +683,8 @@ def q23_time_downsample(spark, sf_dir):
         F.col("event_type").alias("grp"),
         F.col("value").cast("long").alias("value"),
     )
+    if branch == "cascade":
+        return casc
     return down.unionByName(up).unionByName(casc)
 
 
@@ -1060,7 +1122,7 @@ def q30_minhash_dedup(spark, sf_dir, branch=None):
             .unionByName(store))
 
 
-def q31_simhash_dedup(spark, sf_dir):
+def q31_simhash_dedup(spark, sf_dir, branch=None):
     """SimHash near-dedup survivors with an exact oracle; tagged union
     over both blocking geometries ('chunk' = 4x16 pigeonhole, 'manku' =
     wide-prefix C(6,3)). Natural text defeats any SQL oracle here
@@ -1071,7 +1133,13 @@ def q31_simhash_dedup(spark, sf_dir):
     identical signature, hamming 0). Expected survivors = exactly the
     originals under EITHER blocking — verifying normalization, signature
     determinism, both blocking schemes, and the xor-verify anti-join end
-    to end."""
+    to end.
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named blocking geometry's plan — the q30/q32 per-branch
+    convention (r12). The shared bit-vote fold (``sigs``) is persisted
+    either way, so per-branch timing still measures one fold + one
+    blocking pass, exactly the branch's fixed work."""
     from dsgrid_spark.session import ensure_min_partitions
 
     # widen BEFORE constructing text: only 8-byte ids shuffle, and the
@@ -1103,10 +1171,15 @@ def q31_simhash_dedup(spark, sf_dir):
 
     sigs = simhash_signatures(corpus, "text", "doc_id").persist()
     sigs.count()
-    chunk = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3,
-                          signatures=sigs)
+    if branch in (None, "chunk"):
+        chunk = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3,
+                              signatures=sigs)
+        if branch == "chunk":
+            return chunk.select(F.lit("chunk").alias("op"), "doc_id")
     manku = simhash_dedup(corpus, "text", "doc_id", hamming_threshold=3,
                           n_blocks=6, prefix_blocks=3, signatures=sigs)
+    if branch == "manku":
+        return manku.select(F.lit("manku").alias("op"), "doc_id")
     return (
         chunk.select(F.lit("chunk").alias("op"), "doc_id")
         .unionByName(manku.select(F.lit("manku").alias("op"), "doc_id"))
@@ -2098,31 +2171,45 @@ def _hourly_events(spark, sf_dir):
     )
 
 
-def q50_dst_duplicate(spark, sf_dir):
+def q50_dst_duplicate(spark, sf_dir, branch=None):
     """DST adjustments (SURVEY §2.10), tagged union. 'spring'/'fall' =
     drop spring-forward hour, duplicate fall-back hour; 'interp' = the
     duplicated fall-back hour gets the mean of its neighbors. Events
-    (Jan 2024) shifted onto the 2024 US DST dates."""
+    (Jan 2024) shifted onto the 2024 US DST dates.
+
+    ``branch`` (bench-only; the driver always passes None) constructs
+    ONLY the named child's plan — the q30/q32 per-branch-plan
+    convention (r12). Valid because the drop/duplicate adjustment is
+    pure per-row column math and the interpolation join keys on every
+    non-value column (the tag included), so
+    adjust(spring ∪ fall) filtered to one tag == adjust(that child)."""
     from dsgrid_spark.dimensions import DaylightSavingAdjustmentType
     from dsgrid_spark.timedim.conversion import adjust_daylight_saving
 
     hourly = _hourly_events(spark, sf_dir)
-    spring = hourly.select(
-        F.lit("spring").alias("tag"),
-        (F.col("ts") + F.expr("INTERVAL 69 DAYS")).alias("ts"), "value",
-    )
+    if branch in (None, "spring"):
+        spring = hourly.select(
+            F.lit("spring").alias("tag"),
+            (F.col("ts") + F.expr("INTERVAL 69 DAYS")).alias("ts"), "value",
+        )
     fall = hourly.select(
         F.lit("fall").alias("tag"),
         (F.col("ts") + F.expr("INTERVAL 307 DAYS")).alias("ts"), "value",
     )
-    dup = adjust_daylight_saving(
-        spring.unionByName(fall), "ts",
-        DaylightSavingAdjustmentType.DROP_SPRING_FORWARD_DUPLICATE_FALLBACK,
-        "America/Denver",
-    ).select(
-        "tag", F.date_format("ts", TS_FMT).alias("local_ts"),
-        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value"),
-    )
+    if branch in (None, "spring", "fall"):
+        dup_in = (spring.unionByName(fall) if branch is None
+                  else (spring if branch == "spring" else fall))
+        dup = adjust_daylight_saving(
+            dup_in, "ts",
+            DaylightSavingAdjustmentType
+            .DROP_SPRING_FORWARD_DUPLICATE_FALLBACK,
+            "America/Denver",
+        ).select(
+            "tag", F.date_format("ts", TS_FMT).alias("local_ts"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value"),
+        )
+        if branch in ("spring", "fall"):
+            return dup
     interp = adjust_daylight_saving(
         fall.select("ts", "value"), "ts",
         DaylightSavingAdjustmentType.DROP_SPRING_FORWARD_INTERPOLATE_FALLBACK,
@@ -2132,6 +2219,8 @@ def q50_dst_duplicate(spark, sf_dir):
         F.date_format("ts", TS_FMT).alias("local_ts"),
         F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value"),
     )
+    if branch == "interp":
+        return interp
     return dup.unionByName(interp)
 
 
