@@ -145,10 +145,20 @@ def _df_query_terms(queries: DataFrame, analyzer: str,
         _analyzer_fn(analyzer)(raw), lambda t: t != ""))
     qt = queries.select(F.col(query_id_column).alias("query_id"),
                         arr.alias("__t"))
-    shape = qt.agg(
-        F.count(F.lit(1)).alias("n_q"),
-        F.coalesce(F.sum(F.when(F.size("__t") == 0, 1).otherwise(0)),
-                   F.lit(0)).alias("n_empty")).collect()[0]
+    # ONE action for shape validation AND the term-union vocabulary
+    # (r12: was a shape aggregate plus a distinct-collect — two driver
+    # round-trips per search call). explode_outer turns each empty
+    # query into exactly one null-term row, so the counts are exact,
+    # and collect_set's aggregation state is partial-deduped per task —
+    # bounded by the VOCABULARY, never by the query count, the same
+    # driver-state bound the two-action form had.
+    shape = (qt.select("query_id", F.explode_outer("__t").alias("term"))
+               .agg(F.count_distinct("query_id").alias("n_q"),
+                    F.coalesce(F.sum(F.when(F.col("term").isNull(), 1)
+                                     .otherwise(0)),
+                               F.lit(0)).alias("n_empty"),
+                    F.collect_set("term").alias("terms"))
+               .collect()[0])
     if int(shape["n_q"]) == 0:
         raise ValueError("queries DataFrame is empty")
     if int(shape["n_empty"]) > 0:
@@ -156,8 +166,7 @@ def _df_query_terms(queries: DataFrame, analyzer: str,
             f"{int(shape['n_empty'])} of {int(shape['n_q'])} queries "
             f"have no term surviving the {analyzer!r} analyzer")
     pairs = qt.select("query_id", F.explode("__t").alias("term"))
-    union_terms = sorted(r["term"] for r in
-                         pairs.select("term").distinct().collect())
+    union_terms = sorted(shape["terms"])
     return pairs, union_terms
 
 
@@ -715,10 +724,19 @@ def phrase_search_batch(spark: SparkSession, path: str, phrases,
         qt = phrases.select(
             F.col(query_id_column).alias("query_id"),
             arr_of(F.col(phrase_column).cast("string")).alias("__t"))
-        shape = qt.agg(
-            F.count(F.lit(1)).alias("n_q"),
-            F.coalesce(F.sum(F.when(F.size("__t") == 0, 1).otherwise(0)),
-                       F.lit(0)).alias("n_empty")).collect()[0]
+        # ONE action for shape validation AND the term union (the
+        # _df_query_terms discipline, r12): explode_outer gives each
+        # empty phrase exactly one null-term row, and collect_set's
+        # state is vocabulary-bounded (partial-deduped per task)
+        shape = (qt.select("query_id",
+                           F.explode_outer("__t").alias("term"))
+                   .agg(F.count_distinct("query_id").alias("n_q"),
+                        F.coalesce(
+                            F.sum(F.when(F.col("term").isNull(), 1)
+                                  .otherwise(0)),
+                            F.lit(0)).alias("n_empty"),
+                        F.collect_set("term").alias("terms"))
+                   .collect()[0])
         if int(shape["n_q"]) == 0:
             raise ValueError("phrases DataFrame is empty")
         if int(shape["n_empty"]) > 0:
@@ -729,8 +747,7 @@ def phrase_search_batch(spark: SparkSession, path: str, phrases,
         slots = qt.select("query_id",
                           F.posexplode("__t").alias("slot", "term"))
         nslots = qt.select("query_id", F.size("__t").alias("__n_slots"))
-        union_terms = sorted(r["term"] for r in
-                             slots.select("term").distinct().collect())
+        union_terms = sorted(shape["terms"])
     else:
         qlist = list(phrases)
         if not qlist:

@@ -341,3 +341,43 @@ def test_bloom_sql_twin_matches_column_api(spark):
                       num_hashes=2,
                       words=tuple([-1] * (_SQL_INLINE_WORD_CAP + 1)))
     assert keys.filter(~might_contain(big, "k")).count() == 0
+
+
+def test_df_query_terms_single_action(spark):
+    """The DF-form analysis phase validates shape AND collects the
+    term-union vocabulary in ONE driver action (r12: was a shape
+    aggregate plus a distinct-collect — 4 jobs under AQE at this
+    fixture's shape; the merged form runs 3, the stage-jobs of one
+    collect). Values must equal the two-action form's exactly, and
+    both error paths must survive the merge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.retrieval import _df_query_terms
+
+    qdf = spark.createDataFrame(
+        [(i, f"term{i} shared word{i % 7}") for i in range(50)],
+        "query_id long, terms string")
+    sc = spark.sparkContext
+    sc.setJobGroup("dfterms-one-action", "merged analysis")
+    try:
+        pairs, union_terms = _df_query_terms(qdf, "simple",
+                                             "query_id", "terms")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("dfterms-one-action")
+    assert len(jobs) <= 3, f"analysis ran {len(jobs)} jobs (one action = 3)"
+    # the union is exactly the distinct set of the pairs frame
+    want = sorted(r["term"] for r in
+                  pairs.select("term").distinct().collect())
+    assert union_terms == want
+    assert "shared" in union_terms and len(union_terms) == 58
+
+    empty = spark.createDataFrame([], "query_id long, terms string")
+    with pytest.raises(ValueError, match="empty"):
+        _df_query_terms(empty, "simple", "query_id", "terms")
+    stopped = spark.createDataFrame(
+        [(0, "the of and"), (1, "spark shuffle")],
+        "query_id long, terms string")
+    with pytest.raises(ValueError, match="1 of 2"):
+        _df_query_terms(stopped, "english", "query_id", "terms")
