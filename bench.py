@@ -88,6 +88,17 @@ HEADLINE = [
 ]
 
 
+def _spin_child(_i: int) -> float:
+    """One fixed integer-spin sample, module-level so mp.Pool can pickle
+    it (the parallel env-stamp reference in main)."""
+    import time as _t
+    t0 = _t.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return (_t.perf_counter() - t0) * 1000.0
+
+
 def _other_jvms() -> int:
     """Count of OTHER live JVM processes (ours hasn't started yet when
     this runs). A prior test/bench JVM still exiting inflates every
@@ -186,6 +197,25 @@ def main():
 
     spin = min(_spin_ms() for _ in range(3))
 
+    # ALL-CORES spin (r12 close-out): the single-core spin cannot see
+    # host SMT siblings / overcommit that slow only WIDE stages — a
+    # session measured single spin 92.8 ms (clean) while a 32-wide
+    # spin read ~1.5x that per core, exactly when the parallel-heavy
+    # slots ran 45% over their best-window numbers with single-task
+    # slots unchanged. Stamped (not gated): lets any two boards be
+    # compared on the parallel axis the queries actually exercise.
+    def _spin_parallel_ms() -> float:
+        try:
+            import multiprocessing as mp
+            n = min(int(cpus), os.cpu_count() or 1)
+            with mp.Pool(n) as pool:
+                r = sorted(pool.map(_spin_child, range(n)))
+            return round(r[len(r) // 2], 1)  # median of n workers
+        except Exception:
+            return -1.0
+
+    spin_par = _spin_parallel_ms()
+
     # cumulative steal ticks at run start: instantaneous steal samples
     # miss a mid-run burst entirely (r12: a board whose start AND end
     # samples read <3% still ran one slot 2.5x slow); the tick delta
@@ -214,6 +244,7 @@ def main():
         "steal_pct_at_start": steal0,
         "steal_pct_after_wait": steal_left,
         "spin_ms": spin,
+        "spin_ms_parallel": spin_par,
         "contaminated": bool(jvms_left > 0 or load1 >= 8.0
                              or load5 >= 4.0 or dirty_left > 512.0
                              or steal_left > 5.0),
@@ -343,6 +374,7 @@ def main():
                  if run_dt > 0 else -1.0)
     env_stamp["steal_pct_at_end"] = steal_end
     env_stamp["spin_ms_at_end"] = spin_end
+    env_stamp["spin_ms_parallel_at_end"] = _spin_parallel_ms()
     env_stamp["steal_pct_run_avg"] = steal_avg
     if (steal_end > 5.0 or steal_avg > 2.0
             or (spin > 0 and spin_end > 1.5 * spin)):
