@@ -590,6 +590,17 @@ def cosine_neardup_pairs(
     by LSH bucket first (the scale path: only same-bucket pairs are scored,
     so the shuffle carries (bucket, id, vector) once instead of n² rows;
     borderline pairs across buckets are missed — recall < 1).
+
+    ``id_column`` values are assumed unique per row (the module-wide id
+    contract): the ``id_a < id_b`` self-join then emits each unordered
+    pair exactly once — ``add_lsh_bucket`` assigns ONE bucket per row, so
+    blocking cannot re-pair ids either — and the result needs no
+    ``distinct()``. (r12, guide §2.4 "a distinct on data that is already
+    unique": the distinct this op used to end with re-shuffled the ENTIRE
+    surviving pair set — at blocked-corpus scale a full exchange of the
+    O(pairs) result — to deduplicate rows that were never duplicated.
+    Duplicate input ids now surface as duplicate pairs instead of being
+    silently collapsed, which the id contract treats as caller error.)
     """
     if n_planes is not None:
         df = add_lsh_bucket(df, dim, vector_column, n_planes, seed)
@@ -616,7 +627,6 @@ def cosine_neardup_pairs(
         pairs.withColumn("score", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
-        .distinct()
     )
 
 

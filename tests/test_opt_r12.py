@@ -381,3 +381,42 @@ def test_df_query_terms_single_action(spark):
         "query_id long, terms string")
     with pytest.raises(ValueError, match="1 of 2"):
         _df_query_terms(stopped, "english", "query_id", "terms")
+
+
+def test_cosine_neardup_pairs_no_distinct_shuffle(spark):
+    """cosine_neardup_pairs emits each qualifying pair exactly once
+    WITHOUT a trailing distinct (r12, guide §2.4: the self-join on
+    id_a < id_b with unique ids — and one LSH bucket per row when
+    blocking — never duplicates a pair, so the old distinct() was a
+    full shuffle of the surviving pair set for nothing). Pins pair
+    uniqueness on both paths and the Exchange-free unblocked plan."""
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.similarity import cosine_neardup_pairs
+
+    base = spark.createDataFrame(
+        [(i, [float(i + 1), float(2 * i + 1), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    # scaled copies => cosine exactly 1.0 against their originals
+    dups = base.select((F.col("vec_id") + 1000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * 2.0)
+                       .alias("embedding"))
+    corpus = base.unionByName(dups)
+
+    out = cosine_neardup_pairs(corpus, threshold=0.999)
+    rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert len(rows) == len(set(rows)), "pairs must be unique w/o distinct"
+    assert set(rows) >= {(i, i + 1000) for i in range(30)}
+    # the unblocked path needs NO shuffle at all now: the distinct's
+    # Exchange + two HashAggregates are gone from the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+    assert "HashAggregate" not in plan, plan[:800]
+
+    # blocked path: one bucket per row => still no duplicate pairs
+    blocked = cosine_neardup_pairs(corpus, threshold=0.999, dim=3,
+                                   n_planes=4)
+    brows = [(r["id_a"], r["id_b"]) for r in blocked.collect()]
+    assert len(brows) == len(set(brows))
+    # LSH keeps scaled copies together (same signs on every plane)
+    assert set(brows) >= {(i, i + 1000) for i in range(30)}
