@@ -558,10 +558,15 @@ def lsh_topk(
                           n_probes).select(
         query_id_column, F.col(vector_column).alias("__qv"), "bucket"
     )
+    # no per-(query, id) dedup needed (r12, guide §2.4): a corpus row
+    # carries ONE bucket, and a query's probe buckets are pairwise
+    # DISTINCT values by construction (b0 and b0 ^ (1 << i) for distinct
+    # plane indices i from the margin sort), so each (query, corpus row)
+    # can match through at most one probe. The dropDuplicates this path
+    # used to run exchanged the ENTIRE scored candidate set on
+    # (query_id, id) — a second full shuffle beyond the top-k window's —
+    # to deduplicate rows that were never duplicated.
     scored = c.join(F.broadcast(q), "bucket")
-    if n_probes > 1:
-        # a corpus row can match one query through several probes
-        scored = scored.dropDuplicates([query_id_column, id_column])
     scored = scored.select(
         query_id_column, id_column,
         cosine(F.col(vector_column), F.col("__qv")).alias("score"),

@@ -420,3 +420,40 @@ def test_cosine_neardup_pairs_no_distinct_shuffle(spark):
     assert len(brows) == len(set(brows))
     # LSH keeps scaled copies together (same signs on every plane)
     assert set(brows) >= {(i, i + 1000) for i in range(30)}
+
+
+def test_lsh_topk_multiprobe_no_dedup_shuffle(spark):
+    """Multi-probe lsh_topk needs no (query, id) dedup (r12, guide
+    §2.4): a corpus row has ONE bucket and a query's probe buckets are
+    pairwise-distinct values, so each (query, corpus row) matches at
+    most once. Pins: probe buckets distinct per input row, multi-probe
+    candidate pairs unique pre-window, exactly ONE Exchange in the
+    plan (the top-k window's), and n_probes=1 parity untouched."""
+    from pyspark.sql import functions as F
+
+    from dsgrid_spark.pipeline.similarity import (
+        lsh_probe_buckets, lsh_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+         for i in range(60)],
+        "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    pb = lsh_probe_buckets(queries, dim=8, n_planes=6, n_probes=4)
+    per = (pb.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count_distinct("bucket").alias("nd")).collect())
+    assert all(r["n"] == r["nd"] == 4 for r in per), per
+
+    out = lsh_topk(emb, queries, dim=8, k=5, n_planes=6, n_probes=4)
+    # plan BEFORE execution: post-run AQE prints the materialized
+    # shuffle stage's subtree AND the original node (same exchange)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    n_ex = len(re.findall(r"\bExchange\b", plan))
+    assert n_ex == 1, f"expected only the window Exchange, got {n_ex}"
+    rows = [(r["query_id"], r["vec_id"]) for r in out.collect()]
+    assert len(rows) == len(set(rows)), "duplicate (query, id) in top-k"
