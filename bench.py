@@ -99,137 +99,137 @@ def _spin_child(_i: int) -> float:
     return (_t.perf_counter() - t0) * 1000.0
 
 
-def _other_jvms() -> int:
-    """Count of OTHER live JVM processes (ours hasn't started yet when
-    this runs). A prior test/bench JVM still exiting inflates every
-    parallel query 2-5x (SCALE_R10 §11 measured exactly that; the r10
-    driver board recorded a phantom +26% from it), so the run waits
-    for strays and stamps what it saw into the JSON."""
+def _java_pids() -> set[int]:
+    """PIDs of live JVM processes (raises on pgrep failure)."""
     import subprocess
+    out = subprocess.run(["pgrep", "java"],
+                         capture_output=True, text=True, timeout=10)
+    return {int(p) for p in out.stdout.split()}
+
+
+def _other_jvms(ours: set[int] = frozenset()) -> int:
+    """Count of OTHER live JVM processes (excluding ``ours`` — the
+    bench's own gateway JVM once the session is up). A prior test/bench
+    JVM still exiting inflates every parallel query 2-5x (SCALE_R10 §11
+    measured exactly that; the r10 driver board recorded a phantom +26%
+    from it), so the run waits for strays and stamps what it saw into
+    the JSON."""
     try:
-        out = subprocess.run(["pgrep", "-c", "java"],
-                             capture_output=True, text=True, timeout=10)
-        return int(out.stdout.strip() or 0)
+        return len(_java_pids() - set(ours))
     except Exception:
         return -1
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # environment guard (r10 verdict item 3): a contaminated run poisons
-    # the round-over-round series silently. Wait up to 60 s for stray
-    # JVMs to exit; whatever remains is STAMPED into the JSON so a
-    # contaminated board is self-identifying instead of a mystery.
-    jvms0 = _other_jvms()
+def _dirty_mb() -> float:
+    """Dirty+Writeback pages in MB — the contamination mode the LOAD
+    guards can't see (r12: a stamped-clean board doubled the
+    WRITE-heavy slots q28/q30 minutes after a heavy job, load5 1.8):
+    pending writeback competes with the slots' own parquet writes."""
+    try:
+        vals = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                if k in ("Dirty", "Writeback"):
+                    vals[k] = float(v.strip().split()[0])
+        return round(sum(vals.values()) / 1024.0, 1)
+    except Exception:
+        return -1.0
+
+
+def _steal_pct(interval: float = 1.0) -> float:
+    """Hypervisor CPU steal % over one sampled second — the
+    contamination mode NONE of the guest guards can see (r12: a
+    load1-0.08, zero-dirty board still ran the branch phase 3-9x slow;
+    /proc/stat's cumulative steal column was ticking during it): the
+    host is running someone else on our cores."""
+    try:
+        def read():
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return sum(vals), (vals[7] if len(vals) > 7 else 0)
+        t0, s0 = read()
+        time.sleep(interval)
+        t1, s1 = read()
+        dt = t1 - t0
+        return round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else -1.0
+    except Exception:
+        return -1.0
+
+
+def _spin_ms() -> float:
+    """Calibrated single-core spin (fixed integer loop): an ABSOLUTE
+    speed reference the relative guards can't provide. Steal sampled on
+    an idle guest underestimates what a busy host takes once all cores
+    demand CPU (r12: a 3.6%-idle-steal board ran 40% slow
+    wall-to-wall); the spin milliseconds let any two boards from the
+    same box be compared directly — a 0.8 -> 1.0 drift IS the host
+    running someone else, whatever the other stamps say."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
+def _spin_parallel_ms(cpus: str) -> float:
+    """ALL-CORES spin (r12 close-out): the single-core spin cannot see
+    host SMT siblings / overcommit that slow only WIDE stages — a
+    session measured single spin 92.8 ms (clean) while a 32-wide spin
+    read ~1.5x that per core, exactly when the parallel-heavy slots ran
+    45% over their best-window numbers with single-task slots
+    unchanged. Gated since r13 (end > 1.4x start; see attempt stamp)."""
+    try:
+        import multiprocessing as mp
+        n = min(int(cpus), os.cpu_count() or 1)
+        with mp.Pool(n) as pool:
+            r = sorted(pool.map(_spin_child, range(n)))
+        return round(r[len(r) // 2], 1)  # median of n workers
+    except Exception:
+        return -1.0
+
+
+def _steal_ticks():
+    """Cumulative (total, steal) ticks: instantaneous steal samples
+    miss a mid-run burst entirely (r12: a board whose start AND end
+    samples read <3% still ran one slot 2.5x slow); the tick delta over
+    the whole run gives the average steal the run actually paid."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except Exception:
+        return 0, 0
+
+
+def _settle_environment(ours: set[int] = frozenset()) -> dict:
+    """Wait (bounded) for stray JVMs / dirty writeback / steal bursts to
+    subside and return the start-of-attempt env facts. Called before
+    EVERY attempt (r13: a retry into the same storm would just burn the
+    retry budget). ``ours`` excludes the bench's own gateway JVM from
+    the stray count on retry attempts."""
+    jvms0 = _other_jvms(ours)
     waited = 0.0
-    while _other_jvms() > 0 and waited < 60.0:
+    while _other_jvms(ours) > 0 and waited < 60.0:
         time.sleep(2.0)
         waited += 2.0
-    jvms_left = _other_jvms()
+    jvms_left = _other_jvms(ours)
     try:
         load1, load5, _ = (round(x, 2) for x in os.getloadavg())
     except OSError:
         load1 = load5 = -1.0
-    # dirty-page writeback is the contamination mode the LOAD guards
-    # can't see (r12: a stamped-clean board doubled the WRITE-heavy
-    # slots q28/q30 minutes after a heavy job, load5 1.8): pending
-    # writeback competes with the slots' own parquet writes. Read it
-    # directly and wait for the flush like we wait for stray JVMs.
-    def _dirty_mb() -> float:
-        try:
-            vals = {}
-            with open("/proc/meminfo") as f:
-                for line in f:
-                    k, v = line.split(":", 1)
-                    if k in ("Dirty", "Writeback"):
-                        vals[k] = float(v.strip().split()[0])
-            return round(sum(vals.values()) / 1024.0, 1)
-        except Exception:
-            return -1.0
-
     dirty0 = _dirty_mb()
     while _dirty_mb() > 256.0 and waited < 120.0:
         time.sleep(2.0)
         waited += 2.0
     dirty_left = _dirty_mb()
-
-    # hypervisor CPU steal is the contamination mode NONE of the guest
-    # guards can see (r12: a load1-0.08, zero-dirty board still ran the
-    # branch phase 3-9x slow; /proc/stat's cumulative steal column was
-    # ticking during it): the host is running someone else on our
-    # cores. Sample steal% over one second and wait for it to subside,
-    # like the JVM/writeback waits; stamp what the run started with.
-    def _steal_pct(interval: float = 1.0) -> float:
-        try:
-            def read():
-                with open("/proc/stat") as f:
-                    vals = [int(x) for x in f.readline().split()[1:]]
-                return sum(vals), (vals[7] if len(vals) > 7 else 0)
-            t0, s0 = read()
-            time.sleep(interval)
-            t1, s1 = read()
-            dt = t1 - t0
-            return round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else -1.0
-        except Exception:
-            return -1.0
-
     steal0 = _steal_pct()
     steal_left = steal0
     while steal_left > 5.0 and waited < 120.0:
         time.sleep(2.0)
         waited += 3.0  # the sample itself sleeps 1 s
         steal_left = _steal_pct()
-
-    # calibrated single-core spin (fixed integer loop): an ABSOLUTE
-    # speed reference the relative guards above can't provide. Steal
-    # sampled on an idle guest underestimates what a busy host takes
-    # once all cores demand CPU (r12: a 3.6%-idle-steal board ran 40%
-    # slow wall-to-wall); the spin milliseconds let any two boards
-    # from the same box be compared directly — a 0.8 -> 1.0 drift IS
-    # the host running someone else, whatever the other stamps say.
-    def _spin_ms() -> float:
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(2_000_000):
-            x += i * i
-        return round((time.perf_counter() - t0) * 1000.0, 1)
-
-    spin = min(_spin_ms() for _ in range(3))
-
-    # ALL-CORES spin (r12 close-out): the single-core spin cannot see
-    # host SMT siblings / overcommit that slow only WIDE stages — a
-    # session measured single spin 92.8 ms (clean) while a 32-wide
-    # spin read ~1.5x that per core, exactly when the parallel-heavy
-    # slots ran 45% over their best-window numbers with single-task
-    # slots unchanged. Stamped (not gated): lets any two boards be
-    # compared on the parallel axis the queries actually exercise.
-    def _spin_parallel_ms() -> float:
-        try:
-            import multiprocessing as mp
-            n = min(int(cpus), os.cpu_count() or 1)
-            with mp.Pool(n) as pool:
-                r = sorted(pool.map(_spin_child, range(n)))
-            return round(r[len(r) // 2], 1)  # median of n workers
-        except Exception:
-            return -1.0
-
-    spin_par = _spin_parallel_ms()
-
-    # cumulative steal ticks at run start: instantaneous steal samples
-    # miss a mid-run burst entirely (r12: a board whose start AND end
-    # samples read <3% still ran one slot 2.5x slow); the tick delta
-    # over the whole run gives the average steal the run actually paid.
-    def _steal_ticks():
-        try:
-            with open("/proc/stat") as f:
-                vals = [int(x) for x in f.readline().split()[1:]]
-            return sum(vals), (vals[7] if len(vals) > 7 else 0)
-        except Exception:
-            return 0, 0
-
-    ticks0 = _steal_ticks()
-    env_stamp = {
+    return {
         "other_jvms_at_start": jvms0,
         "other_jvms_after_wait": jvms_left,
         "waited_sec": waited,
@@ -243,35 +243,14 @@ def main():
         "dirty_mb_after_wait": dirty_left,
         "steal_pct_at_start": steal0,
         "steal_pct_after_wait": steal_left,
-        "spin_ms": spin,
-        "spin_ms_parallel": spin_par,
-        "contaminated": bool(jvms_left > 0 or load1 >= 8.0
-                             or load5 >= 4.0 or dirty_left > 512.0
-                             or steal_left > 5.0),
     }
-    spark = get_spark("dsgrid-spark-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
 
-    sf = 0.1
-    if "sf0.01" in sf_dir:
-        sf = 0.01
-    elif "sf0.001" in sf_dir:
-        sf = 0.001
-    elif "sf100" in sf_dir:
-        sf = 100.0
-    elif "sf10" in sf_dir:
-        sf = 10.0
-    elif "sf1" in sf_dir:
-        sf = 1.0
 
-    # warm-up: JVM/codegen/file-listing costs land here, not on q01
-    from dsgrid_spark.sources.tables import load_tables
-
-    for df in load_tables(spark, sf_dir).values():
-        df.count()
-
+def _run_timed(spark, qs, sf_dir):
+    """ONE full pass over the timed region (headline slots + per-branch
+    attribution), exactly the r11/r12 methodology: min-of-2 per slot
+    AND per branch, cache cleared between slots. Returns
+    (timings, branch_timings)."""
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -361,65 +340,201 @@ def main():
         branch_timings["q44_embedding_neardup"] = per
         spark.catalog.clearCache()
 
+    return timings, branch_timings
+
+
+def _run_attempt(spark, qs, sf_dir, cpus: str,
+                 ours: set[int] = frozenset(),
+                 first: bool = True) -> dict:
+    """One stamped attempt: settle the environment, bracket the timed
+    region with steal/spin samples, run it, and judge contamination.
+
+    Contamination conditions (r12 + r13 item 7): stray JVMs, load,
+    dirty writeback, steal at start; at end — end steal > 5%, run-avg
+    steal > 2%, end single spin > 1.5x start, and (r13, calibrating the
+    r12 stamp into the gate) end PARALLEL spin > 1.4x start — the SMT/
+    overcommit pressure mode that slows only wide stages while the
+    single-core spin stays flat (r12 close-out measured exactly that:
+    single spin 92.8 ms clean, 32-wide spin ~1.5x per core, parallel
+    slots +45%).
+
+    On RETRY attempts (``first=False``) the loadavg gates are skipped:
+    loadavg at that point reflects the bench's OWN just-finished
+    attempt (32 task threads for minutes), not external pressure — the
+    stray-JVM, dirty, steal and spin gates still judge the retry, and
+    the spin references measure actual per-core speed directly."""
+    env_stamp = _settle_environment(ours)
+    spin = min(_spin_ms() for _ in range(3))
+    spin_par = _spin_parallel_ms(cpus)
+    ticks0 = _steal_ticks()
+    env_stamp["spin_ms"] = spin
+    env_stamp["spin_ms_parallel"] = spin_par
+    env_stamp["contaminated"] = bool(
+        env_stamp["other_jvms_after_wait"] > 0
+        or (first and (env_stamp["load1_at_start"] >= 8.0
+                       or env_stamp["load5_at_start"] >= 4.0))
+        or env_stamp["dirty_mb_after_wait"] > 512.0
+        or env_stamp["steal_pct_after_wait"] > 5.0)
+
+    t_start = time.time()
+    timings, branch_timings = _run_timed(spark, qs, sf_dir)
+    wall = round(time.time() - t_start, 1)
+
     # end-of-run re-sample (r12: a board stamped clean at start — spin
     # 95.7 ms, steal 0 — still ran 3x slow because the host started
     # stealing AFTER the stamp; sampling both ends brackets the run).
-    # A run whose END spin is >1.5x its start spin, or whose end steal
-    # is above the start gate, was contaminated mid-flight.
     steal_end = _steal_pct()
     spin_end = min(_spin_ms() for _ in range(3))
+    spin_par_end = _spin_parallel_ms(cpus)
     ticks1 = _steal_ticks()
     run_dt = ticks1[0] - ticks0[0]
     steal_avg = (round(100.0 * (ticks1[1] - ticks0[1]) / run_dt, 2)
                  if run_dt > 0 else -1.0)
     env_stamp["steal_pct_at_end"] = steal_end
     env_stamp["spin_ms_at_end"] = spin_end
-    env_stamp["spin_ms_parallel_at_end"] = _spin_parallel_ms()
+    env_stamp["spin_ms_parallel_at_end"] = spin_par_end
     env_stamp["steal_pct_run_avg"] = steal_avg
     if (steal_end > 5.0 or steal_avg > 2.0
-            or (spin > 0 and spin_end > 1.5 * spin)):
+            or (spin > 0 and spin_end > 1.5 * spin)
+            or (spin_par > 0 and spin_par_end > 0
+                and spin_par_end > 1.4 * spin_par)):
         env_stamp["contaminated"] = True
 
-    total = round(sum(timings.values()), 3)
     canonical_queries = {
         name: (branch_timings[name][CANONICAL_BRANCH[name]]
                if name in CANONICAL_BRANCH else timings[name])
         for name in HEADLINE
     }
-    full = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
+    return {
+        "value": round(sum(timings.values()), 3),
         "queries": timings,
         "branches": branch_timings,
         "canonical_value": round(sum(canonical_queries.values()), 3),
         "canonical_queries": canonical_queries,
-        "sf": sf,
         "env": env_stamp,
+        "wall_sec": wall,
+    }
+
+
+# retry budget for contaminated attempts (r13, VERDICT r12 item 1):
+# round 12's OFFICIAL perf numbers were taken on a steal-poisoned board
+# the guard stamped but did not defend against (geomean 0.94 vs 1.22 on
+# the clean board). When the end-of-run stamp flips contaminated the
+# whole timed region re-runs — bounded by attempts AND total wall so a
+# stormy host can't stall the driver.
+_MAX_ATTEMPTS = 3
+_MAX_TOTAL_WALL_SEC = 1800.0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("dsgrid-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    sf = 0.1
+    if "sf0.01" in sf_dir:
+        sf = 0.01
+    elif "sf0.001" in sf_dir:
+        sf = 0.001
+    elif "sf100" in sf_dir:
+        sf = 100.0
+    elif "sf10" in sf_dir:
+        sf = 10.0
+    elif "sf1" in sf_dir:
+        sf = 1.0
+
+    # warm-up: JVM/codegen/file-listing costs land here, not on q01
+    from dsgrid_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
+    # the bench's own gateway JVM is live from here on — retries must
+    # not count it as a stray (or they would always read contaminated)
+    try:
+        ours = _java_pids()
+    except Exception:
+        ours = set()
+
+    t_bench = time.time()
+    attempts: list[dict] = []
+    for i in range(_MAX_ATTEMPTS):
+        attempts.append(_run_attempt(spark, qs, sf_dir, cpus,
+                                     ours=ours, first=(i == 0)))
+        if not attempts[-1]["env"]["contaminated"]:
+            break
+        if time.time() - t_bench > _MAX_TOTAL_WALL_SEC:
+            break
+
+    # selection: the first clean attempt; if every attempt was
+    # contaminated, the one with the lowest run-average steal (the
+    # least-poisoned board) — stamped contaminated either way, with
+    # every attempt's record kept for the audit trail.
+    chosen = next((a for a in attempts if not a["env"]["contaminated"]),
+                  None)
+    if chosen is None:
+        chosen = min(attempts,
+                     key=lambda a: (a["env"].get("steal_pct_run_avg", 1e9)
+                                    if a["env"].get("steal_pct_run_avg",
+                                                    -1.0) >= 0 else 1e9))
+
+    full = {
+        "metric": "headline_queries_total",
+        "value": chosen["value"],
+        "unit": "sec",
+        "queries": chosen["queries"],
+        "branches": chosen["branches"],
+        "canonical_value": chosen["canonical_value"],
+        "canonical_queries": chosen["canonical_queries"],
+        "sf": sf,
+        "cpus": int(cpus),
+        "env": chosen["env"],
+        "n_attempts": len(attempts),
+        "chosen_attempt": attempts.index(chosen),
+        # every attempt's stamps + numbers survive (r12 item 1: the
+        # contaminated 32-core board's env record was lost when the
+        # 8-core run overwrote BENCH_FULL.json)
+        "attempts": [{"value": a["value"],
+                      "canonical_value": a["canonical_value"],
+                      "env": a["env"], "wall_sec": a["wall_sec"]}
+                     for a in attempts],
         "methodology": "min_of_2_runs_per_query AND per_branch (r11: "
                        "branch numbers were the noisiest series), on "
                        "per-branch plans where the slot supports "
                        "branch=; canonical = pinned-branch sum (see "
                        "BASELINE.md); env stamp records stray JVMs / "
-                       "load at start after a <=60s settle wait",
+                       "load at start after a <=60s settle wait; r13: "
+                       "a contaminated end-stamp re-runs the timed "
+                       "region (<=3 attempts, 1800 s wall cap), first "
+                       "clean attempt reported, all attempts recorded",
     }
     # the artifact must be SELF-CONTAINED (r11 verdict: the one-line
     # JSON outgrew the driver's tail-capture window and BENCH_r11
-    # lost its headline to truncation): the FULL record goes to a
-    # file next to this script; stdout gets a compact line — metric
-    # first — that fits any capture window
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
+    # lost its headline to truncation): the FULL record goes to files
+    # next to this script; stdout gets a compact line — metric first —
+    # that fits any capture window. r13: ALSO written per-(cpus, sf)
+    # so the driver's 8-core run stops clobbering the 32-core record
+    # (VERDICT r12 item 1 / what's-wrong 3).
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_tag = str(sf).replace(".", "p")
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    per_run_path = os.path.join(here,
+                                f"BENCH_FULL_{int(cpus)}c_sf{sf_tag}.json")
     try:
-        with open(full_path, "w") as f:
-            json.dump(full, f, indent=1)
-            f.write("\n")
+        for p in (full_path, per_run_path):
+            with open(p, "w") as f:
+                json.dump(full, f, indent=1)
+                f.write("\n")
     except OSError:
         full_path = None
     compact = {k: full[k] for k in ("metric", "value", "unit",
                                     "canonical_value", "sf")}
-    compact["queries"] = timings
-    compact["contaminated"] = env_stamp["contaminated"]
+    compact["queries"] = chosen["queries"]
+    compact["contaminated"] = chosen["env"]["contaminated"]
+    compact["n_attempts"] = len(attempts)
     compact["full_json"] = full_path
     print(json.dumps(compact))
 
