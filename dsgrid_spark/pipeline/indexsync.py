@@ -296,10 +296,14 @@ def sync_index(spark: SparkSession, src: str, dst: str,
         for sub in ("meta", "stats"):
             if _exists(spark, f"{src}/{sub}") and \
                     _exists(spark, f"{dst}/{sub}"):
-                srow = spark.read.parquet(
-                    f"{src}/{sub}").collect()[0].asDict()
-                drow = spark.read.parquet(
-                    f"{dst}/{sub}").collect()[0].asDict()
+                srow = indexlog.read_meta_rows(spark, f"{src}/{sub}")
+                srow = (srow[0] if srow is not None else
+                        spark.read.parquet(
+                            f"{src}/{sub}").collect()[0].asDict())
+                drow = indexlog.read_meta_rows(spark, f"{dst}/{sub}")
+                drow = (drow[0] if drow is not None else
+                        spark.read.parquet(
+                            f"{dst}/{sub}").collect()[0].asDict())
                 # corpus-size fields drift with appends; only the
                 # immutable CONFIG keys must agree
                 informational = {"n_docs", "total_tokens"}
@@ -317,10 +321,14 @@ def sync_index(spark: SparkSession, src: str, dst: str,
     # commit time = the unknown past = first), so every intermediate
     # destination state is a historical source view
     try:
-        rows = (spark.read.option("mergeSchema", "true")
-                .parquet(f"{src}/batches")
-                .select("batch", "committed_at_ms").collect())
-        at = {r["batch"]: r["committed_at_ms"] for r in rows}
+        rows = indexlog.read_meta_rows(spark, f"{src}/batches")
+        if rows is None:
+            rows = (spark.read.option("mergeSchema", "true")
+                    .parquet(f"{src}/batches")
+                    .select("batch", "committed_at_ms").collect())
+        at = {r["batch"]: r.get("committed_at_ms")
+              if isinstance(r, dict) else r["committed_at_ms"]
+              for r in rows}
     except Exception:
         at = {}
     visible = indexlog.resolve_batches(spark, src, as_of)

@@ -51,6 +51,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
                                StructField, StructType)
 
+from dsgrid_spark.pipeline import indexlog
 from dsgrid_spark.session import one_slice_df as _osdf
 
 __all__ = [
@@ -792,6 +793,20 @@ def codebook_generations(spark, path: str) -> set[str]:
             for st in (fs.globStatus(p) or [])}
 
 
+def _read_parquet_files_local(spark, files: list[str]):
+    """Driver-side read of an explicit SMALL parquet file list (the
+    flat codebook layout), or None when any file is off the local
+    filesystem (caller falls back to spark.read). r13, guide §5."""
+    locs = [indexlog._meta_local_dir(spark, f) for f in files]
+    if any(loc is None for loc in locs):
+        return None
+    import pyarrow.parquet as _pq
+    rows: list[dict] = []
+    for loc in locs:
+        rows.extend(_pq.read_table(loc).to_pylist())
+    return rows
+
+
 def _flat_codebook_files(spark, path: str) -> list[str]:
     """Root-level DATA files of the legacy flat ``codebooks/`` layout
     — ``batch=`` partition dirs and ``_``/``.``-prefixed side entries
@@ -825,7 +840,13 @@ def _read_codebooks(spark, path: str,
     """
     flat = _flat_codebook_files(spark, path)
     if flat:
-        rows = spark.read.parquet(*flat).collect()
+        # r13: codebooks are driver-bounded (m x k rows); read the flat
+        # files driver-side when local — the flat-files-win contract
+        # above is preserved because exactly these files are read
+        rows = _read_parquet_files_local(spark, flat)
+        if rows is None:
+            rows = [r.asDict()
+                    for r in spark.read.parquet(*flat).collect()]
     else:
         marked = codebook_generations(spark, path)
         if not marked:
@@ -835,8 +856,11 @@ def _read_codebooks(spark, path: str,
                 f"no codebook table for generation {gen!r} at {path!r} "
                 f"(found {sorted(marked)}): purged generation, or a "
                 f"view predating the generation-scoped codebook layout")
-        rows = spark.read.parquet(
-            f"{path}/codebooks/batch={gen}").collect()
+        rows = indexlog.read_meta_rows(
+            spark, f"{path}/codebooks/batch={gen}")
+        if rows is None:
+            rows = [r.asDict() for r in spark.read.parquet(
+                f"{path}/codebooks/batch={gen}").collect()]
     m = max(r["j"] for r in rows) + 1
     k = max(r["i"] for r in rows) + 1
     books = [[None] * k for _ in range(m)]
@@ -855,12 +879,14 @@ def _read_centroids(spark, path: str,
     legacy index mid-migration (flat files still next to the first
     ``batch=`` dir, see ``rebalance._migrate_flat_centroids``) stays
     readable throughout."""
+    cdir = (f"{path}/centroids/batch={gen}" if gen is not None
+            else f"{path}/centroids")
     try:
-        df = (spark.read.parquet(f"{path}/centroids/batch={gen}")
-              if gen is not None
-              else spark.read.parquet(f"{path}/centroids"))
-        rows = sorted(df.select("cluster", "centroid").collect(),
-                      key=lambda r: r["cluster"])
+        rows = indexlog.read_meta_rows(spark, cdir)
+        if rows is None:
+            rows = (spark.read.parquet(cdir)
+                    .select("cluster", "centroid").collect())
+        rows = sorted(rows, key=lambda r: r["cluster"])
     except Exception:
         rows = []
     if not rows:
@@ -871,6 +897,11 @@ def _read_centroids(spark, path: str,
 
 
 def _read_meta(spark, path: str) -> dict:
+    # r13: one meta row — driver-side read (indexlog.read_meta_rows; no
+    # Spark job), spark.read on non-local filesystems
+    rows = indexlog.read_meta_rows(spark, f"{path}/meta")
+    if rows is not None:
+        return rows[0]
     return spark.read.parquet(f"{path}/meta").collect()[0].asDict()
 
 
@@ -1019,17 +1050,24 @@ def write_pq_index(df: DataFrame, path: str,
     from dsgrid_spark.pipeline.similarity import write_centroid_generation
     write_centroid_generation(spark, path, coarse_centroids,
                               indexlog.BASE_BATCH)
-    from dsgrid_spark.session import one_slice_df
-    (one_slice_df(spark, _codebooks_to_rows(codebooks),
-                  "j int, i int, centroid array<double>")
-       .write.mode("overwrite").parquet(f"{path}/codebooks"))
-    (one_slice_df(
-        spark,
-        [(dim, m, k, dsub, bool(store_vectors), bool(residual),
-          vectors_dtype)],
-        "dim int, m int, k int, dsub int, store_vectors boolean, "
-        "residual boolean, vectors_dtype string")
-       .write.mode("overwrite").parquet(f"{path}/meta"))
+    cb_ddl = "j int, i int, centroid array<double>"
+    cb_rows = _codebooks_to_rows(codebooks)
+    meta_ddl = ("dim int, m int, k int, dsub int, store_vectors boolean,"
+                " residual boolean, vectors_dtype string")
+    meta_row = [(dim, m, k, dsub, bool(store_vectors), bool(residual),
+                 vectors_dtype)]
+    # r13: both bounded metadata writes go driver-side (no Spark job /
+    # commit protocol each); the Spark writes remain the non-local path
+    if not indexlog.write_meta_rows(spark, f"{path}/codebooks", cb_rows,
+                                    cb_ddl):
+        from dsgrid_spark.session import one_slice_df
+        (one_slice_df(spark, cb_rows, cb_ddl)
+           .write.mode("overwrite").parquet(f"{path}/codebooks"))
+    if not indexlog.write_meta_rows(spark, f"{path}/meta", meta_row,
+                                    meta_ddl):
+        from dsgrid_spark.session import one_slice_df
+        (one_slice_df(spark, meta_row, meta_ddl)
+           .write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 

@@ -283,9 +283,14 @@ def _migrate_flat_centroids(spark, path: str, visible: set[str]) -> str:
     tmp = f"{path}/centroids/_tmp_gen_{carrier}"
     indexlog.delete_glob(spark, tmp)
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(flat)]
-    (one_slice_df(spark, rows, "cluster int, centroid array<double>")
-       .withColumn("gen_src", F.lit(carrier))
-       .write.mode("overwrite").parquet(tmp))
+    # r13: bounded metadata — driver-side write when local (no Spark
+    # job), same side-dir + rename landing either way
+    if not indexlog.write_meta_rows(
+            spark, tmp, [(i, c, carrier) for i, c in rows],
+            "cluster int, centroid array<double>, gen_src string"):
+        (one_slice_df(spark, rows, "cluster int, centroid array<double>")
+           .withColumn("gen_src", F.lit(carrier))
+           .write.mode("overwrite").parquet(tmp))
     _rename_into(spark, tmp, f"{path}/centroids/batch={carrier}")
     _sweep_flat_centroids(spark, path, visible)
     return carrier
@@ -320,9 +325,12 @@ def _write_codebooks_gen(spark, path: str, books, bid: str) -> None:
 
     tmp = f"{path}/codebooks/_tmp_gen_{bid}"
     indexlog.delete_glob(spark, tmp)
-    (one_slice_df(spark, _codebooks_to_rows(books),
-                  "j int, i int, centroid array<double>")
-       .write.mode("overwrite").parquet(tmp))
+    cb_rows = _codebooks_to_rows(books)
+    cb_ddl = "j int, i int, centroid array<double>"
+    # r13: driver-side write when local, same rename landing
+    if not indexlog.write_meta_rows(spark, tmp, cb_rows, cb_ddl):
+        (one_slice_df(spark, cb_rows, cb_ddl)
+           .write.mode("overwrite").parquet(tmp))
     _rename_into(spark, tmp, f"{path}/codebooks/batch={bid}")
 
 
@@ -478,18 +486,26 @@ def _rebalance_locked(spark, path, kind, n_clusters, iterations, seed,
             _write_codebooks_gen(
                 spark, path, _read_codebooks(spark, path, gen), batch_id)
     sources = sorted(visible)
-    from dsgrid_spark.session import one_slice_df
-    (one_slice_df(spark, [(s, batch_id) for s in sources],
-                  "replaced string, by string")
-       .write.mode("append").partitionBy("by")
-       .parquet(f"{path}/compactions"))
+    if not indexlog.write_meta_rows(
+            spark, f"{path}/compactions", [(s,) for s in sources],
+            "replaced string", partition=("by", batch_id)):
+        from dsgrid_spark.session import one_slice_df
+        (one_slice_df(spark, [(s, batch_id) for s in sources],
+                      "replaced string, by string")
+           .write.mode("append").partitionBy("by")
+           .parquet(f"{path}/compactions"))
 
     # 6. summed log metrics (indexlog.compact's convention)
-    log_rows = (spark.read.parquet(f"{path}/batches")
-                .filter(F.col("batch").isin(sources)).collect())
+    log_rows = indexlog.read_meta_rows(spark, f"{path}/batches")
+    if log_rows is None:
+        log_rows = [r.asDict() for r in
+                    (spark.read.parquet(f"{path}/batches")
+                     .filter(F.col("batch").isin(sources)).collect())]
+    else:
+        log_rows = [r for r in log_rows if r["batch"] in set(sources)]
     metrics: dict[str, int] = {}
     for r in log_rows:
-        for c, v in r.asDict().items():
+        for c, v in r.items():
             if c in ("batch", "committed", "committed_at_ms") \
                     or v is None:
                 continue
@@ -694,12 +710,13 @@ def write_drift_baseline(spark: SparkSession, path: str, gen: str,
 
     tmp = f"{path}/drift_baseline/_tmp_gen_{gen}"
     indexlog.delete_glob(spark, tmp)
-    (one_slice_df(
-        spark,
-        [(float(drift["ratio"]), int(drift["n_sample"]),
-          int(drift["n_clusters"]), int(drift["dim"]))],
-        "ratio double, n_sample int, n_clusters int, dim int")
-       .write.mode("overwrite").parquet(tmp))
+    db_row = [(float(drift["ratio"]), int(drift["n_sample"]),
+               int(drift["n_clusters"]), int(drift["dim"]))]
+    db_ddl = "ratio double, n_sample int, n_clusters int, dim int"
+    # r13: driver-side write when local, same rename landing
+    if not indexlog.write_meta_rows(spark, tmp, db_row, db_ddl):
+        (one_slice_df(spark, db_row, db_ddl)
+           .write.mode("overwrite").parquet(tmp))
     _rename_into(spark, tmp, f"{path}/drift_baseline/batch={gen}")
 
 
@@ -714,9 +731,12 @@ def read_drift_baseline(spark: SparkSession, path: str,
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return None
-    rows = spark.read.parquet(
-        f"{path}/drift_baseline/batch={gen}").collect()
-    return rows[0].asDict() if rows else None
+    rows = indexlog.read_meta_rows(
+        spark, f"{path}/drift_baseline/batch={gen}")
+    if rows is None:
+        rows = [r.asDict() for r in spark.read.parquet(
+            f"{path}/drift_baseline/batch={gen}").collect()]
+    return rows[0] if rows else None
 
 
 def calibrate_drift_baseline(spark: SparkSession, path: str,

@@ -170,6 +170,16 @@ def _df_query_terms(queries: DataFrame, analyzer: str,
     return pairs, union_terms
 
 
+
+def _read_stats(spark: SparkSession, path: str) -> dict:
+    """The index's one stats row as a dict — driver-side read when the
+    index is on the local filesystem (indexlog.read_meta_rows, no Spark
+    job; r13), spark.read elsewhere."""
+    rows = indexlog.read_meta_rows(spark, f"{path}/stats")
+    if rows is not None:
+        return rows[0]
+    return spark.read.parquet(f"{path}/stats").collect()[0].asDict()
+
 def _postings(df: DataFrame, id_column: str, text_column: str,
               n_buckets: int, positions: bool = False,
               analyzer: str = "simple", observation=None):
@@ -260,20 +270,21 @@ def write_term_index(df: DataFrame, path: str,
     # tokenize pass (see _postings); get() returns instantly since the
     # write action above already ran
     totals = obs.get
-    from dsgrid_spark.session import one_slice_df
-    (one_slice_df(
-        spark,
-        # n_buckets and the analyzer name ride the index: probing with a
-        # different bucket count silently prunes to the WRONG buckets,
-        # and analyzing queries differently than the writer silently
-        # misses postings. The n_docs/total_tokens here are
-        # informational as-of-build; query totals come from the batch
-        # log, which appends keep current.
-        [(int(totals["n_docs"]), int(totals["total_tokens"]), n_buckets,
-          bool(positions), analyzer)],
-        "n_docs long, total_tokens long, n_buckets int,"
-        " has_positions boolean, analyzer string")
-       .write.mode("overwrite").parquet(f"{path}/stats"))
+    # n_buckets and the analyzer name ride the index: probing with a
+    # different bucket count silently prunes to the WRONG buckets, and
+    # analyzing queries differently than the writer silently misses
+    # postings. The n_docs/total_tokens here are informational
+    # as-of-build; query totals come from the batch log, which appends
+    # keep current.
+    stats_row = [(int(totals["n_docs"]), int(totals["total_tokens"]),
+                  n_buckets, bool(positions), analyzer)]
+    stats_ddl = ("n_docs long, total_tokens long, n_buckets int,"
+                 " has_positions boolean, analyzer string")
+    if not indexlog.write_meta_rows(spark, f"{path}/stats", stats_row,
+                                    stats_ddl):
+        from dsgrid_spark.session import one_slice_df
+        (one_slice_df(spark, stats_row, stats_ddl)
+           .write.mode("overwrite").parquet(f"{path}/stats"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH,
                        n_docs=int(totals["n_docs"]),
                        total_tokens=int(totals["total_tokens"]))
@@ -422,8 +433,8 @@ def bm25_search(spark: SparkSession, path: str, query_terms,
     """
     if micro and (k1, b) != (1.2, 0.75):
         raise ValueError("micro mode fixes k1=1.2, b=0.75")
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    analyzer = stats.asDict().get("analyzer", "simple")
+    stats = _read_stats(spark, path)
+    analyzer = stats.get("analyzer", "simple")
     # queries go through the INDEX's analyzer (stats row), so stemming/
     # stopping is symmetric with what the writer indexed
     if isinstance(query_terms, DataFrame):
@@ -550,7 +561,7 @@ def append_term_index(df: DataFrame, path: str,
     (tested), searches included.
     """
     spark = df.sparkSession
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    stats = _read_stats(spark, path)
     n_buckets = int(stats["n_buckets"])
     committed, ingested = indexlog.batch_sets(spark, path)
     if batch_id is None:
@@ -570,8 +581,8 @@ def append_term_index(df: DataFrame, path: str,
 
     obs = Observation()
     base, tf = _postings(df, id_column, text_column, n_buckets,
-                         bool(stats.asDict().get("has_positions", False)),
-                         stats.asDict().get("analyzer", "simple"),
+                         bool(stats.get("has_positions", False)),
+                         stats.get("analyzer", "simple"),
                          observation=obs)
     _write_postings(tf, path, "append", batch_id)
     # batch totals observed during the postings write — the append used
@@ -648,12 +659,12 @@ def phrase_search(spark: SparkSession, path: str, phrase: str,
     ``as_of`` pins the read (indexlog.resolve_as_of / a timestamp),
     like every other persisted search.
     """
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    if not bool(stats.asDict().get("has_positions", False)):
+    stats = _read_stats(spark, path)
+    if not bool(stats.get("has_positions", False)):
         raise ValueError(
             "index was built without positions=True; rebuild to enable "
             "phrase search")
-    terms = _analyze_query(spark, stats.asDict().get("analyzer", "simple"),
+    terms = _analyze_query(spark, stats.get("analyzer", "simple"),
                            phrase.strip().split())
     if not terms:
         raise ValueError("phrase must contain at least one analyzed term")
@@ -711,12 +722,12 @@ def phrase_search_batch(spark: SparkSession, path: str, phrases,
     the position check. Driver state is bounded by the phrase list
     (list form) or the term-union vocabulary (DataFrame form).
     """
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    if not bool(stats.asDict().get("has_positions", False)):
+    stats = _read_stats(spark, path)
+    if not bool(stats.get("has_positions", False)):
         raise ValueError(
             "index was built without positions=True; rebuild to enable "
             "phrase search")
-    analyzer = stats.asDict().get("analyzer", "simple")
+    analyzer = stats.get("analyzer", "simple")
     committed = indexlog.resolve_batches(spark, path, as_of)
     arr_of = lambda c: F.filter(_analyzer_fn(analyzer)(c),  # noqa: E731
                                 lambda t: t != "")

@@ -70,6 +70,11 @@ class ConcurrentBatchError(RuntimeError):
 
 
 def _read_params(spark: SparkSession, path: str) -> dict:
+    # r13: one meta row — driver-side read (indexlog.read_meta_rows; no
+    # Spark job), spark.read on non-local filesystems
+    rows = indexlog.read_meta_rows(spark, f"{path}/meta")
+    if rows is not None:
+        return rows[0]
     return spark.read.parquet(f"{path}/meta").collect()[0].asDict()
 
 
@@ -203,10 +208,13 @@ def write_sig_store(df: DataFrame, path: str, text_column: str = "text",
     if corpus_path is not None:
         _write_corpus_batch(df, corpus_path, indexlog.BASE_BATCH,
                             mode="overwrite")
-    from dsgrid_spark.session import one_slice_df
-    (one_slice_df(spark, [(num_hashes, shingle_k, seed, n_shards)],
-                  "num_hashes int, shingle_k int, seed int, n_shards int")
-       .write.mode("overwrite").parquet(f"{path}/meta"))
+    meta_ddl = "num_hashes int, shingle_k int, seed int, n_shards int"
+    meta_row = [(num_hashes, shingle_k, seed, n_shards)]
+    if not indexlog.write_meta_rows(spark, f"{path}/meta", meta_row,
+                                    meta_ddl):
+        from dsgrid_spark.session import one_slice_df
+        (one_slice_df(spark, meta_row, meta_ddl)
+           .write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 

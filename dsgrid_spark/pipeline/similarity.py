@@ -1232,6 +1232,19 @@ def write_centroid_generation(spark, path: str,
     # same gen_src), so two markers are the same generation exactly
     # when their gen_src matches — what resolve_generation's pin
     # validation keys on.
+    # r13: the centroid table is driver-bounded by construction (it
+    # arrives as a Python list), so it writes driver-side when local
+    # (indexlog.write_meta_rows — no Spark job per generation flip).
+    # mode="overwrite" reproduces the static-overwrite semantics (the
+    # whole centroids base dir is replaced) before the partition lands.
+    if mode == "overwrite":
+        indexlog.delete_glob(spark, f"{path}/centroids")
+    if indexlog.write_meta_rows(
+            spark, f"{path}/centroids",
+            [(i, c, gen) for i, c in rows],
+            "cluster int, centroid array<double>, gen_src string",
+            partition=("batch", gen)):
+        return
     (_osdf(spark, rows, "cluster int, centroid array<double>")
        .withColumn("gen_src", F.lit(gen))
        .withColumn("batch", F.lit(gen))
@@ -1556,13 +1569,17 @@ def write_binary_index(df: DataFrame, path: str,
         indexlog.delete_glob(spark, f"{path}/vectors")
     write_centroid_generation(spark, path, coarse_centroids,
                               indexlog.BASE_BATCH)
-    from dsgrid_spark.session import one_slice_df
-    (one_slice_df(
-        spark,
-        [(dim, BINARY_WORD_BITS, bool(store_vectors), vectors_dtype)],
-        "dim int, word_bits int, store_vectors boolean, "
-        "vectors_dtype string")
-       .write.mode("overwrite").parquet(f"{path}/meta"))
+    meta_ddl = ("dim int, word_bits int, store_vectors boolean, "
+                "vectors_dtype string")
+    meta_row = [(dim, BINARY_WORD_BITS, bool(store_vectors),
+                 vectors_dtype)]
+    # r13: driver-side metadata write (indexlog.write_meta_rows — no
+    # Spark job); the Spark write remains the non-local path
+    if not indexlog.write_meta_rows(spark, f"{path}/meta", meta_row,
+                                    meta_ddl):
+        from dsgrid_spark.session import one_slice_df
+        (one_slice_df(spark, meta_row, meta_ddl)
+           .write.mode("overwrite").parquet(f"{path}/meta"))
     indexlog.log_batch(spark, path, indexlog.BASE_BATCH)
 
 
